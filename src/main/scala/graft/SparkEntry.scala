@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.Relational
+import graft.operators.Relational.Lookup
+import graft.pipelines.Denorm
+import graft.sources.JsonTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** 2-decimal money/rate column scaled to an exact integer (cents).
+   * Summing money in integer space makes aggregates independent of
+   * reduction order — a double sum over millions of partitions is not
+   * reproducible at the rounding boundary, an integer sum is. */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100, 0).cast("long")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Denorm.flatDenorm(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- A block
+
+  /** A1: parquet→json-lines→namespaced load round trip. */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    JsonTables
+      .loadTableFromText(nation.toJSON, "nation", nation.schema)
+      .orderBy("nation_n_nationkey")
+  }
+
+  /** A3: inner join with namespace-merged columns. */
+  private def qJoinMerge(s: SparkSession, dir: String): DataFrame =
+    Relational
+      .innerJoinMerge(t(s, dir, "customer"), t(s, dir, "orders"), "c_custkey", "o_custkey")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"), col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  /** A4: broadcast lookup replacing FK ids with labels. */
+  private def qLookupReplace(s: SparkSession, dir: String): DataFrame =
+    Relational
+      .lookupReplace(
+        t(s, dir, "customer"),
+        Lookup(t(s, dir, "nation"), "n_nationkey", "n_name", Seq("c_nationkey")))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** A5: nest orders under customer, project order-insensitive stats. */
+  private def qNest(s: SparkSession, dir: String): DataFrame =
+    Relational
+      .nest(t(s, dir, "customer"), t(s, dir, "orders"), "c_custkey", "o_custkey",
+        "orders", sortChildBy = Seq("o_orderkey"))
+      .select(
+        col("c_custkey"),
+        size(col("orders")).cast("long").as("n_orders"),
+        round(aggregate(col("orders"), lit(0L),
+          (acc, x) => acc + cents(x.getField("o_totalprice"))) / 100.0, 2).as("sum_total"))
+      .orderBy("c_custkey")
+
+  /** A6: nesting limit — chunk nested arrays at 5, duplicating parents. */
+  private def qNestChunked(s: SparkSession, dir: String): DataFrame =
+    Relational
+      .nestChunked(
+        Relational.nest(t(s, dir, "orders"), t(s, dir, "lineitem"), "o_orderkey",
+          "l_orderkey", "items", inner = true, sortChildBy = Seq("l_linenumber")),
+        "items", limit = 5)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_chunks"), sum(size(col("items"))).cast("long").as("n_items"))
+      .orderBy("o_orderkey")
+
+  /** A7: BQETLSimple — flat denormalized wide table. */
+  private def qFlatDenorm(s: SparkSession, dir: String): DataFrame =
+    Denorm.flatDenorm(s, dir)
+      .select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("o_orderkey", "l_linenumber")
+
+  /** A8: BQETLNested — nested repeated records, projected to
+   * order-insensitive per-parent stats for the oracle. */
+  private def qNestedDenorm(s: SparkSession, dir: String): DataFrame =
+    Denorm.nestedDenorm(s, dir)
+      .select(
+        col("c_custkey"), col("c_name"),
+        size(col("order_items")).cast("long").as("n_items"),
+        round(aggregate(col("order_items"), lit(0L),
+          (acc, x) => acc + cents(x.getField("l_extendedprice")) *
+            cents(lit(1.0) - x.getField("l_discount"))) / 10000.0, 2)
+          .as("sum_rev"))
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- B block
+
+  /** B1: filtered scan with predicate+projection pushdown. */
+  private def qScanFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B2: TPC-H Q1-shape pricing summary. */
+  private def qAggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") <= lit("2000-09-02").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(cents(col("l_quantity"))) / 100.0, 2).as("sum_qty"),
+        round(sum(cents(col("l_extendedprice"))) / 100.0, 2).as("sum_base"),
+        round(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0, 2).as("sum_disc"),
+        round(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")) * cents(lit(1.0) + col("l_tax"))) / 1000000.0, 2).as("sum_charge"),
+        round(sum(cents(col("l_quantity"))) / (lit(100.0) * count(lit(1))), 4).as("avg_qty"),
+        round(sum(cents(col("l_discount"))) / (lit(100.0) * count(lit(1))), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** B3a: TPC-H Q3-shape — top 10 unshipped orders by revenue. */
+  private def qJoinAgg3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders").filter(col("o_orderdate").cast("date") < lit("1998-03-15").cast("date")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_shipdate").cast("date") > lit("1998-03-15").cast("date")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0, 2).as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** B3b: TPC-H Q5-shape — local supplier volume for ASIA, 1996. */
+  private def qLocalSupplier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                  col("o_orderdate").cast("date") <  lit("1997-01-01").cast("date")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** B4a: semi join — customers having at least one order. */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** B4b: anti join — customers with no orders. */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** B5a: window — top-3 orders by total price per customer. */
+  private def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** B5b: window — running order total per customer. */
+  private def qRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** events.ts is TIMESTAMP(NANOS) in parquet; depending on
+   * `spark.sql.legacy.parquet.nanosAsLong` it reads as Long (ns) or
+   * TimestampType. Normalize to (ts: timestamp, ts_us: long). */
+  private def withEventTime(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (events.schema("ts").dataType == LongType)
+      events
+        .withColumn("ts_us", (col("ts") / 1000L).cast("long"))
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+    else
+      events
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("ts_us", unix_micros(col("ts")))
+  }
+
+  /** B6: gap-based sessionization (30 min) over the event stream. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"), col("ts_us"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** B8: rollup grouping sets. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum(cents(col("l_quantity"))) / 100.0, 2).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** B-extra: TPC-H Q6-shape forecast revenue (single-row aggregate). */
+  private def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate").cast("date") <  lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0, 2).as("revenue"))
+
+  // ------------------------------------------------------------- contract
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_roundtrip" -> qJsonRoundtrip,
+    "q_join_merge"     -> qJoinMerge,
+    "q_lookup_replace" -> qLookupReplace,
+    "q_nest"           -> qNest,
+    "q_nest_chunked"   -> qNestChunked,
+    "q_flat_denorm"    -> qFlatDenorm,
+    "q_nested_denorm"  -> qNestedDenorm,
+    "q_scan_filter"    -> qScanFilter,
+    "q_agg_pricing"    -> qAggPricing,
+    "q_join_agg3"      -> qJoinAgg3,
+    "q_local_supplier" -> qLocalSupplier,
+    "q_semi_join"      -> qSemiJoin,
+    "q_anti_join"      -> qAntiJoin,
+    "q_window_topn"    -> qWindowTopn,
+    "q_running_sum"    -> qRunningSum,
+    "q_sessionize"     -> qSessionize,
+    "q_rollup"         -> qRollup,
+    "q_forecast_rev"   -> qForecastRevenue,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_json_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nation_n_nationkey, n_name AS nation_n_name,
+         CAST(n_regionkey AS BIGINT) AS nation_n_regionkey
+         FROM nation ORDER BY nation_n_nationkey""",
+    "q_join_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey ORDER BY o_orderkey""",
+    "q_lookup_replace" ->
+      """SELECT c_custkey, c_name,
+         COALESCE(n_name, CAST(customer.c_nationkey AS VARCHAR)) AS c_nationkey,
+         c_acctbal, c_mktsegment
+         FROM customer LEFT JOIN nation ON customer.c_nationkey = nation.n_nationkey
+         ORDER BY c_custkey""",
+    "q_nest" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+         ROUND(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)), 0) / 100.0, 2) AS sum_total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_nest_chunked" ->
+      """SELECT l_orderkey AS o_orderkey,
+         CAST(CEIL(COUNT(*) / 5.0) AS BIGINT) AS n_chunks,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem GROUP BY l_orderkey ORDER BY o_orderkey""",
+    "q_flat_denorm" ->
+      """SELECT c_custkey, c_name,
+         COALESCE(n_name, CAST(customer.c_nationkey AS VARCHAR)) AS c_nationkey,
+         o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate,
+         o_orderpriority, l_linenumber, l_quantity, l_extendedprice
+         FROM customer LEFT JOIN nation ON customer.c_nationkey = nation.n_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         ORDER BY o_orderkey, l_linenumber""",
+    "q_nested_denorm" ->
+      """SELECT c_custkey, c_name, CAST(COUNT(j.l_orderkey) AS BIGINT) AS n_items,
+         ROUND(COALESCE(SUM(CAST(ROUND(j.l_extendedprice * 100, 0) AS BIGINT) *
+                            CAST(ROUND((1 - j.l_discount) * 100, 0) AS BIGINT)), 0) / 10000.0, 2) AS sum_rev
+         FROM customer LEFT JOIN
+         (SELECT o_custkey, l_orderkey, l_extendedprice, l_discount
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey) j
+         ON c_custkey = j.o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_qty,
+         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base,
+         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+                   CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2) AS sum_disc,
+         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+                   CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT) *
+                   CAST(ROUND((1 + l_tax) * 100, 0) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+         ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)), 4) AS avg_qty,
+         ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)), 4) AS avg_disc,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_join_agg3" ->
+      """SELECT o_orderkey,
+         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+                   CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
+         CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+           AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+         GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q_local_supplier" ->
+      """SELECT n_name,
+         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+                   CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM
+         (SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) sub
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, ts, epoch_us(ts) AS ts_us FROM events),
+         lagged AS (
+           SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         flagged AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM lagged),
+         sess AS (
+           SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flagged)
+         SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           ROUND(SUM(value), 2) AS sum_value
+         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_forecast_rev" ->
+      """SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+                           CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 10000.0, 2) AS revenue
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+  )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's relational ETL core, re-expressed as declarative
+ * Spark plans (reference:
+ * src/main/java/com/google/cloud/bqetl/mbdata/MusicBrainzTransforms.java).
+ *
+ * Scale design: every operator here stays inside Catalyst — joins are
+ * planned (broadcast for the small side, sort-merge otherwise, AQE can
+ * re-plan at runtime), lookups are explicit broadcasts (the Beam
+ * side-input pattern IS Spark's broadcast hash join), and nesting is a
+ * single hash-aggregate shuffle with the post-processing (chunking)
+ * kept narrow. No driver-side loops, no collect().
+ */
+object Relational {
+
+  /**
+   * Key a namespaced DataFrame by a column — the reference's `by()`
+   * (MusicBrainzTransforms.java:66-80). In Spark the keying is
+   * logical: downstream joins/aggregations shuffle on whatever key
+   * they declare, so this just projects `(key, value-struct)` for
+   * callers that want the KV shape explicitly.
+   */
+  def keyBy(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).as("key"), struct(df.columns.map(col).toIndexedSeq: _*).as("value"))
+
+  /**
+   * Inner join of two namespaced tables, merging both column sets —
+   * the reference's `innerJoin()` + column-merge
+   * (MusicBrainzTransforms.java:109-137). Column namespacing keeps the
+   * merged set disjoint, so this is a plain Catalyst inner join: the
+   * CoGroupByKey + nested-loop merge of the reference becomes a
+   * planned sort-merge or broadcast join and the "cartesian per key"
+   * semantics are exactly inner-join semantics.
+   */
+  def innerJoinMerge(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String): DataFrame =
+    left.join(right, left(leftKey) === right(rightKey), "inner")
+
+  /** One lookup mapping: replace each column in `destCols` (holding a
+   * key of `mapping`'s key column) with the mapped label; unmatched
+   * ids fall back to the id rendered as a string — the reference's
+   * LookupDescription semantics (MusicBrainzTransforms.java:481-497:
+   * `label == null → "" + id`). */
+  final case class Lookup(mapping: DataFrame, keyCol: String, valueCol: String, destCols: Seq[String])
+
+  /**
+   * Apply broadcast lookups to `df` — the reference's side-input map
+   * join (MusicBrainzTransforms.java:402-507). Each lookup table is
+   * broadcast (they are small dimension tables by construction) so the
+   * replacement is a map-side hash probe: zero extra shuffles
+   * regardless of how many lookups are applied.
+   */
+  def lookupReplace(df: DataFrame, lookups: Lookup*): DataFrame =
+    lookups.foldLeft(df) { (acc, lk) =>
+      lk.destCols.foldLeft(acc) { (cur, dest) =>
+        // distinct key→value projection, broadcast; join on the dest col
+        val m = lk.mapping
+          .select(col(lk.keyCol).as(s"__lk_key"), col(lk.valueCol).cast("string").as(s"__lk_val"))
+        val joined = cur.join(broadcast(m), cur(dest) === m("__lk_key"), "left")
+        val replaced = coalesce(col("__lk_val"), col(dest).cast("string")).as(dest)
+        val outCols = cur.columns.map(c => if (c == dest) replaced else col(c))
+        joined.select(outCols.toIndexedSeq: _*)
+      }
+    }
+
+  /**
+   * Nest `child` rows under `parent` as a repeated-record column — the
+   * reference's `nest()` (MusicBrainzTransforms.java:147-170).
+   *
+   * One hash-aggregate shuffle builds the per-key child arrays; the
+   * parent join is then planned normally (broadcast if the aggregated
+   * side is small). Parents with no children get an empty array (the
+   * reference emits an empty child list); child keys with no parent
+   * are dropped when `inner=true` (the reference's getOnly() would
+   * throw there, so inner is the faithful mode; outer keeps all
+   * parents).
+   *
+   * `sortChildBy` makes the array order deterministic (the reference
+   * inherits GroupByKey's arbitrary order; determinism matters for
+   * our oracle checks and for stable output at scale).
+   */
+  def nest(
+      parent: DataFrame,
+      child: DataFrame,
+      parentKey: String,
+      childKey: String,
+      nestedCol: String,
+      inner: Boolean = false,
+      sortChildBy: Seq[String] = Nil): DataFrame = {
+    val childCols = child.columns
+    val orderCols = if (sortChildBy.nonEmpty) sortChildBy else childCols.toSeq
+    // Put the sort columns first in the struct so array_sort's natural
+    // (field-order lexicographic) comparison sorts by them.
+    val structCols = (orderCols ++ childCols.filterNot(orderCols.contains)).distinct
+    val agg = child
+      .groupBy(col(childKey).as("__nest_key"))
+      .agg(array_sort(collect_list(struct(structCols.map(col).toIndexedSeq: _*))).as(nestedCol))
+    val joined = parent.join(agg, parent(parentKey) === agg("__nest_key"), if (inner) "inner" else "left")
+    val arr =
+      if (inner) col(nestedCol)
+      else coalesce(col(nestedCol), array().cast(agg.schema(nestedCol).dataType))
+    joined.select((parent.columns.map(parent(_)) :+ arr.as(nestedCol)).toIndexedSeq: _*)
+  }
+
+  /**
+   * Enforce a nesting limit by splitting rows whose repeated-record
+   * column exceeds `limit` elements into duplicate parent rows of at
+   * most `limit` children each — the reference's
+   * BIGQUERY_NESTING_LIMIT row-splitting (MusicBrainzTransforms.java:
+   * 224-282, limit 1000).
+   *
+   * Narrow ops only (sequence → explode → slice): no extra shuffle
+   * after the nest aggregation, and the explode is distributed, unlike
+   * the reference's per-element driver loop.
+   */
+  def nestChunked(nested: DataFrame, nestedCol: String, limit: Int): DataFrame = {
+    require(limit > 0, "nesting limit must be positive")
+    val n = size(col(nestedCol))
+    val nChunks = greatest(ceil(n.cast("double") / limit).cast("int"), lit(1))
+    val others = nested.columns.filterNot(_ == nestedCol).map(col)
+    nested
+      .withColumn("__chunk", explode(sequence(lit(0), nChunks - 1)))
+      .select((others :+ slice(col(nestedCol), col("__chunk") * limit + 1, lit(limit)).as(nestedCol)).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.JsonTables
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JsonTablesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val artistSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("gid", StringType),
+    StructField("name", StringType), StructField("length", FloatType),
+    StructField("video", BooleanType)))
+
+  test("widened maps every integral to Long and fractional to Double") {
+    val w = JsonTables.widened(artistSchema)
+    assert(w("id").dataType == LongType)
+    assert(w("length").dataType == DoubleType)
+    assert(w("gid").dataType == StringType)
+    assert(w("video").dataType == BooleanType)
+  }
+
+  test("loadTableFromText namespaces columns and parses typed values") {
+    val lines = Seq(
+      """{"id": 5, "gid": "abc", "name": "A Song", "length": 123.5, "video": false}""",
+      """{"id": 6, "gid": "def", "name": "B Song", "length": null, "video": true}"""
+    ).toDS()
+    val df = JsonTables.loadTableFromText(lines, "recording", artistSchema)
+    assert(df.columns.toSeq == Seq(
+      "recording_id", "recording_gid", "recording_name", "recording_length", "recording_video"))
+    val rows = df.orderBy("recording_id").collect()
+    assert(rows(0).getLong(0) == 5L && rows(0).getDouble(3) == 123.5 && !rows(0).getBoolean(4))
+    assert(rows(1).isNullAt(3) && rows(1).getBoolean(4))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Relational
+import graft.operators.Relational.Lookup
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val artist = Seq(
+    (1L, "Alpha", 10L), (2L, "Beta", 20L), (3L, "Gamma", 99L)
+  ).toDF("artist_id", "artist_name", "artist_area")
+
+  private lazy val area = Seq((10L, "Canada"), (20L, "France"))
+    .toDF("area_id", "area_name")
+
+  private lazy val recording = Seq(
+    (100L, 1L, "r1"), (101L, 1L, "r2"), (102L, 2L, "r3"), (103L, 7L, "orphan")
+  ).toDF("recording_id", "recording_artist", "recording_name")
+
+  test("keyBy projects key and full-row struct") {
+    val kv = Relational.keyBy(artist, "artist_id")
+    assert(kv.columns.toSeq == Seq("key", "value"))
+    val row = kv.filter($"key" === 2L).select("value.artist_name").as[String].head()
+    assert(row == "Beta")
+  }
+
+  test("innerJoinMerge merges namespaced columns, inner semantics") {
+    val j = Relational.innerJoinMerge(artist, recording, "artist_id", "recording_artist")
+    assert(j.columns.toSet ==
+      Set("artist_id", "artist_name", "artist_area", "recording_id", "recording_artist", "recording_name"))
+    assert(j.count() == 3) // artist 3 has no recordings; orphan has no artist
+    assert(j.filter($"artist_id" === 1L).count() == 2)
+  }
+
+  test("lookupReplace maps ids to labels, missing id falls back to id-as-string") {
+    val out = Relational.lookupReplace(artist,
+      Lookup(area, "area_id", "area_name", Seq("artist_area")))
+    val m = out.select("artist_id", "artist_area").as[(Long, String)].collect().toMap
+    assert(m(1L) == "Canada" && m(2L) == "France")
+    assert(m(3L) == "99") // the reference's "" + id fallback
+  }
+
+  test("lookupReplace handles multiple destination columns") {
+    val df = Seq((1L, 10L, 20L)).toDF("id", "area", "begin_area")
+    val out = Relational.lookupReplace(df,
+      Lookup(area, "area_id", "area_name", Seq("area", "begin_area")))
+    val r = out.head()
+    assert(r.getString(1) == "Canada" && r.getString(2) == "France")
+  }
+
+  test("nest builds sorted child arrays; outer keeps childless parents with empty array") {
+    val out = Relational.nest(artist, recording, "artist_id", "recording_artist",
+      "recordings", sortChildBy = Seq("recording_id"))
+    assert(out.count() == 3)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getSeq[Row](3)).toMap
+    assert(byId(1L).map(_.getAs[Long]("recording_id")) == Seq(100L, 101L))
+    assert(byId(3L).isEmpty)
+  }
+
+  test("nest inner drops childless parents (reference getOnly semantics)") {
+    val out = Relational.nest(artist, recording, "artist_id", "recording_artist",
+      "recordings", inner = true)
+    assert(out.select("artist_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("nestChunked splits oversized arrays into duplicate parent rows") {
+    val many = (1 to 7).map(i => (100L + i, 1L, s"r$i")).toDF("recording_id", "recording_artist", "recording_name")
+    val nested = Relational.nest(artist, many, "artist_id", "recording_artist",
+      "recordings", inner = true, sortChildBy = Seq("recording_id"))
+    val out = Relational.nestChunked(nested, "recordings", limit = 3)
+    val sizes = out.select(size($"recordings")).as[Int].collect().sorted.toSeq
+    assert(sizes == Seq(1, 3, 3)) // 7 children at limit 3 → 3+3+1
+    // parent columns duplicated on every chunk row
+    assert(out.select("artist_name").as[String].collect().forall(_ == "Alpha"))
+    // chunk contents partition the original array in order
+    val all = out.orderBy(element_at($"recordings", 1).getField("recording_id"))
+      .select(flatten(collect_list($"recordings.recording_id")))
+      .as[Seq[Long]].head()
+    assert(all == (1 to 7).map(100L + _))
+  }
+
+  test("nestChunked keeps rows within the limit untouched") {
+    val nested = Relational.nest(artist, recording, "artist_id", "recording_artist",
+      "recordings", sortChildBy = Seq("recording_id"))
+    val out = Relational.nestChunked(nested, "recordings", limit = 1000)
+    assert(out.count() == nested.count())
+  }
+}

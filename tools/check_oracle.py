@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL
+in DuckDB against the sf parquet tables, load the Spark result parquet,
+sort columns by name + rows by all columns, and compare values.
+
+Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            gcur = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            gcols = [d[0] for d in gcur.description]
+            grows = gcur.fetchall()
+            oc, orn = norm(orows, ocols)
+            gc, grn = norm(grows, gcols)
+            if oc != gc:
+                print(f"FAIL {name}: columns oracle={oc} got={gc}"); n_fail += 1; continue
+            if len(orn) != len(grn):
+                print(f"FAIL {name}: rows oracle={len(orn)} got={len(grn)}"); n_fail += 1; continue
+            bad = [(i, a, b) for i, (a, b) in enumerate(zip(orn, grn)) if a != b]
+            if bad:
+                i, a, b = bad[0]
+                print(f"FAIL {name}: {len(bad)}/{len(orn)} rows differ; first at {i}:\n  oracle={a}\n  got   ={b}")
+                n_fail += 1; continue
+            print(f"PASS {name} ({len(orn)} rows)"); n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}"); n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
