@@ -3,6 +3,7 @@ package graft
 import graft.operators.Relational
 import graft.operators.Relational.Lookup
 import graft.pipelines.Denorm
+import graft.functions.TextFunctions
 import graft.sources.JsonTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -241,6 +242,100 @@ object SparkEntry {
         col("l_quantity") < 24)
       .agg(round(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0, 2).as("revenue"))
 
+  // ---------------------------------------------------------------- C block
+
+  /** C1: exact dedup by content hash (keep min id per hash). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("keep_id")
+
+  /** C2: MinHash+LSH near-dup keep-table. Not SQL-expressible — the
+   * driver records a rows-only check; DedupSpec verifies semantics on
+   * planted near-duplicates. */
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashKeep(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** C3: SimHash near-dup keep-table (rows-only + spec). */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashKeep(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** C4: n-gram Jaccard over a deterministic pair sample (adjacent
+   * ids), the exact-verify primitive of the dedup stack. */
+  private def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(graft.dedup.Dedup.ngramJaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  /** C5: embedding-cosine near-dup keep-table (rows-only + spec). */
+  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.embeddingKeep(t(s, dir, "embeddings"), "vec_id", "embedding", 64)
+      .orderBy("vec_id")
+
+  /** C6: brute-force cosine top-5 for probe vectors (vec_id < 3). */
+  private def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Ann
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .withColumn("cos", round(col("cos"), 3))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** C7: LSH-bucketed approximate top-5 (rows-only + recall spec). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Ann
+      .lshTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 64, 5)
+      .withColumn("cos", round(col("cos"), 3))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** C8: heuristic language ID (rows-only; TextSpec checks real
+   * multilingual samples — the synthetic corpus' lang labels are
+   * uncorrelated with its text). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** C9: text quality metrics (SQL-expressible → full oracle). */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_words"),
+      round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+      round(TextFunctions.digitRatio(col("text")), 4).as("digit_ratio"),
+      round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** C10: token counting — whitespace and BPE-ish pre-tokenization. */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(TextFunctions.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** C11: winnowed rolling-hash document fingerprint (custom codegen'd
+   * expression; rows-only + spec). */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        graft.functions.expressions.fingerprint64(col("text")).as("fp64"),
+        size(graft.functions.expressions.winnow(col("text"))).cast("long").as("n_winnow"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,6 +357,17 @@ object SparkEntry {
     "q_sessionize"     -> qSessionize,
     "q_rollup"         -> qRollup,
     "q_forecast_rev"   -> qForecastRevenue,
+    "q_dedup_exact"    -> qDedupExact,
+    "q_dedup_minhash"  -> qDedupMinhash,
+    "q_dedup_simhash"  -> qDedupSimhash,
+    "q_dedup_jaccard"  -> qDedupJaccard,
+    "q_dedup_embed"    -> qDedupEmbed,
+    "q_ann_bruteforce" -> qAnnBruteforce,
+    "q_ann_lsh"        -> qAnnLsh,
+    "q_lang_id"        -> qLangId,
+    "q_text_quality"   -> qTextQuality,
+    "q_token_count"    -> qTokenCount,
+    "q_fingerprint"    -> qFingerprint,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -397,5 +503,36 @@ object SparkEntry {
            AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_words,
+         ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / LENGTH(text), 4) AS punct_ratio,
+         ROUND(LEN(regexp_extract_all(text, '[0-9]'))::DOUBLE / LENGTH(text), 4) AS digit_ratio,
+         ROUND(LEN(list_filter(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0),
+               w -> w IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','it','that','this','be','are','as')))::DOUBLE /
+           LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)), 4) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+         CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+         CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_ann_bruteforce" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+         sims AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+             list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+           FROM probes p CROSS JOIN embeddings e WHERE e.vec_id <> p.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           FROM sims)
+         SELECT probe_id, rank, vec_id, ROUND(cos, 3) AS cos
+         FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
   )
 }

@@ -1,0 +1,231 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.{simhash64, winnow}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for training-data pipelines.
+ *
+ * Every near-dup variant follows the same scale shape: a cheap per-row
+ * signature (codegen'd, one scan), a candidate-generation step that
+ * shuffles only (bucket-key, doc-id) pairs — never text — and an exact
+ * verify that runs only inside buckets. The quadratic all-pairs
+ * comparison is never materialized; worst-case bucket skew (many
+ * identical docs) is bounded because identical signatures verify
+ * trivially and the keep-rule only needs the min id per bucket.
+ *
+ * Keep rule everywhere: a document survives iff it has no verified
+ * duplicate with a smaller id ("keep first occurrence") — this needs
+ * one hop, not transitive closure, and is the standard corpus-dedup
+ * semantics.
+ */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-aggregate shuffle. Returns
+   * (key, keep_id, n_copies). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Mark each doc with whether it survives exact dedup. */
+  def exactKeep(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+    docs.withColumn("keep", (col(idCol) === min(col(idCol)).over(w)).as("keep"))
+  }
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** Per-doc MinHash signature column (array<long> of numPerm mins)
+   * over distinct word-shingle hashes. Each "permutation" is xxhash64
+   * re-keyed by the permutation index — overflow-free (ANSI-safe) and
+   * deterministic across the cluster. */
+  def minhashSignature(text: Column, shingleWords: Int = 3, numPerm: Int = 64): Column = {
+    val hs = array_distinct(transform(
+      TextFunctions.wordShingles(text, shingleWords), s => xxhash64(s)))
+    transform(sequence(lit(0), lit(numPerm - 1)), p =>
+      array_min(transform(hs, h => xxhash64(h, p))))
+  }
+
+  /**
+   * MinHash+LSH near-dup candidates: signature → bands → explode →
+   * self-join per (band index, band hash). Returns distinct candidate
+   * pairs (id_a < id_b) with their n-gram Jaccard similarity computed
+   * from the shingle-hash sets (the exact verify).
+   */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    val sig = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(transform(TextFunctions.wordShingles(col(textCol), shingleWords),
+        s => xxhash64(s))).as("shingle_hashes"),
+      minhashSignature(col(textCol), shingleWords, numPerm).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), col("shingle_hashes"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("id_a"), col("shingle_hashes").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("id_b"), col("shingle_hashes").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
+  }
+
+  /** Keep-table for MinHash near-dup dedup at a Jaccard threshold:
+   * (doc_id, n_dups_smaller, keep). */
+  def minhashKeep(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleWords: Int = 3,
+      numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    val dups = minhashCandidates(docs, idCol, textCol, shingleWords, numPerm, bands)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_b").as("dup_id"))
+      .agg(count(lit(1)).as("n_dups_smaller"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(dups, col("doc_id") === col("dup_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        col("n_dups_smaller").isNull.as("keep"))
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** Per-doc 64-bit SimHash over word tokens (custom codegen'd
+   * expression — see graft.functions.SimHash64). */
+  def simhashOf(text: Column): Column = simhash64(TextFunctions.words(text))
+
+  /**
+   * SimHash near-dup pairs at Hamming distance ≤ maxHamming (< 16):
+   * pigeonhole on 4 × 16-bit blocks — if two signatures differ in at
+   * most 3 bits, at least one block matches exactly, so the join key
+   * space is 4 blocks and verify is a popcount on the XOR.
+   */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sim"))
+    val blocked = sig.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "block_idx", "col" -> "block_val"))
+    val a = blocked.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = blocked.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
+  }
+
+  /** Keep-table for SimHash dedup: (doc_id, n_dups_smaller, keep). */
+  def simhashKeep(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val dups = simhashPairs(docs, idCol, textCol, maxHamming)
+      .groupBy(col("id_b").as("dup_id")).agg(count(lit(1)).as("n_dups_smaller"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(dups, col("doc_id") === col("dup_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        col("n_dups_smaller").isNull.as("keep"))
+  }
+
+  // --- n-gram Jaccard (direct pair verify) --------------------------------
+
+  /** Word n-gram Jaccard similarity between two text columns — the
+   * exact verify used on candidate pairs from any blocking scheme. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column = {
+    val ga = array_distinct(TextFunctions.wordShingles(textA, n))
+    val gb = array_distinct(TextFunctions.wordShingles(textB, n))
+    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
+  }
+
+  // --- Embedding cosine near-dup ------------------------------------------
+
+  /** Cosine similarity of two float-vector columns, computed in double
+   * (sequential fold — deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Random-hyperplane signature: one sign bit per plane packed into a
+   * long. Planes are a fixed seeded pseudo-random matrix, broadcast as
+   * a literal — no shuffle to compute signatures. */
+  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int = 16, seed: Long = 0x9e37L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      val dot = aggregate(zip_with(vec, planeCol, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x + y)
+  }
+
+  /** Split a packed signature into bands of `bandBits` bits — the
+   * banding knob trades candidate-set size (cost) for recall: narrow
+   * bands collide more (higher recall, more verifies). */
+  def signatureBands(sig: Column, numPlanes: Int, bandBits: Int): Column = {
+    require(numPlanes % bandBits == 0, "bandBits must divide numPlanes")
+    val mask = (1L << bandBits) - 1
+    array((0 until numPlanes / bandBits).map(b =>
+      shiftrightunsigned(sig, b * bandBits).bitwiseAND(lit(mask))): _*)
+  }
+
+  /**
+   * Embedding near-dup pairs: bucket by hyperplane-signature bands
+   * (pigeonhole: near-identical vectors agree on almost all sign bits,
+   * so some band matches with near-certainty), verify cosine ≥
+   * threshold inside buckets.
+   */
+  def embeddingPairs(
+      vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95,
+      numPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
+    val sig = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), dim, numPlanes).as("sig"))
+    val banded = sig.select(col("vec_id"), col("v"),
+      posexplode(signatureBands(col("sig"), numPlanes, bandBits)))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(first("cos").as("cos"))
+  }
+
+  /** Keep-table for embedding near-dup: (vec_id, n_dups_smaller, keep). */
+  def embeddingKeep(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95): DataFrame = {
+    val dups = embeddingPairs(vecs, idCol, vecCol, dim, threshold)
+      .groupBy(col("id_b").as("dup_id")).agg(count(lit(1)).as("n_dups_smaller"))
+    vecs.select(col(idCol).as("vec_id"))
+      .join(dups, col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        col("n_dups_smaller").isNull.as("keep"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for training-data pipelines. All are
+ * compositions of built-in (codegen'd) functions — no UDFs — so a
+ * quality-scoring pass over 100 TB of documents stays inside
+ * whole-stage codegen and the parquet scan only reads the text column.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed text. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Lowercased word tokens (split on non-word runs, empties removed). */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\W+"), w => length(w) > 0)
+
+  /** BPE-ish subword pre-tokenization: letter runs, digit runs, single
+   * punctuation marks — the usual pre-merge segmentation shape. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Word n-grams as space-joined strings (shingles for MinHash). A
+   * text shorter than n words collapses to a single whole-text shingle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  private val stopwordsEn = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for",
+    "with", "at", "by", "from", "it", "that", "this", "be", "are", "as")
+
+  /** Ratio of English stopwords among word tokens (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(
+        size(filter(ws, w => w.isin(stopwordsEn: _*))).cast("double") / size(ws))
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") / length(text))
+
+  /** Ratio of digit characters to total characters. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") / length(text))
+
+  // --- language identification (n-gram/stopword heuristic) ---------------
+
+  /** Per-language marker words (high-frequency function words that are
+   * close to disjoint across these languages). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for", "this", "are"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "une", "dans", "que", "pour", "pas", "vous"),
+    "es" -> Seq("el", "los", "las", "es", "y", "una", "que", "en", "por", "para", "con", "su"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "ich"))
+
+  /**
+   * Heuristic language ID: CJK-dominant text → "zh"; otherwise the
+   * language whose marker-word hit count is highest (ties broken by
+   * declaration order above; no hits at all → "und"). Pure column
+   * expressions — scores for k languages are computed in one pass.
+   */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val cjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val scored = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        size(filter(ws, w => w.isin(markers: _*))).as("score"),
+        lit(langMarkers.size - i).as("prio"), // ties → declaration order
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(cjk * 2 > length(text), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length, word-length sanity,
+   * punctuation/digit moderation, stopword presence. */
+  def qualityScore(text: Column): Column = {
+    val nWords = size(wsTokens(text))
+    val meanWordLen = when(nWords === 0, lit(0.0)).otherwise(length(text).cast("double") / nWords)
+    val lenOk   = when(length(text).between(200, 20000), 1.0).otherwise(0.5)
+    val wordOk  = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.5)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val stopOk  = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.5)
+    round((lenOk + wordOk + punctOk + stopOk) / 4.0, 4)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the dedup/fingerprint primitives.
+ * Each generates a direct static call into [[HashOps]], so they stay
+ * inside whole-stage codegen (no UDF serialization, no Row boxing) —
+ * the hot path of a 100 TB dedup pass is exactly these per-row hashes.
+ */
+
+/** simhash64(tokens: array<string>) → long */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+}
+
+/** fingerprint64(text: string) → long (FNV-1a over UTF-8). */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.fnv64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.fnv64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 = copy(newChild)
+}
+
+/** winnow(text: string, k, w) → array<long> — winnowed k-gram sample. */
+case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.winnow(input.asInstanceOf[UTF8String], k, w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.winnow($c, $k, $w))")
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+object expressions {
+  import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
+  def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
+}

@@ -1,0 +1,66 @@
+package graft.similarity
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * [[bruteForceTopK]] is the exact baseline: broadcast the (small)
+ * probe set against the corpus — one scan, no shuffle of the corpus,
+ * per-partition partial top-k via the window only after the narrow
+ * cosine computation. At 100 TB the corpus side stays partitioned;
+ * only probes move.
+ *
+ * [[lshTopK]] is the scale path: random-hyperplane signatures bucket
+ * the corpus; probes only score candidates sharing a signature band
+ * (pigeonhole multiprobe), cutting the scored set by orders of
+ * magnitude at controlled recall. An IVF variant would swap the
+ * signature for a nearest-centroid id — same plan shape.
+ */
+object Ann {
+
+  /** Exact top-k by cosine for each probe row. Output:
+   * (probe_id, rank, vec_id, cos). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), Dedup.cosine(col("p_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "cos")
+  }
+
+  /** LSH-bucketed approximate top-k: score only candidates sharing at
+   * least one signature band with the probe. numPlanes/bandBits is the
+   * recall-vs-cost knob (more, narrower bands → higher recall, larger
+   * candidate sets). Same output shape as [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      numPlanes: Int = 32, bandBits: Int = 4): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sig = Dedup.hyperplaneSignature(col(vecCol), dim, numPlanes)
+      df.select(col(idCol).as(id), col(vecCol).as(vec), sig.as("sig"))
+        .select(col(id), col(vec),
+          posexplode(Dedup.signatureBands(col("sig"), numPlanes, bandBits)))
+        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_val"))
+    }
+    val c = banded(corpus, "vec_id", "c_vec")
+    val p = banded(probes, "probe_id", "p_vec")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(p), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(first("p_vec").as("p_vec"), first("c_vec").as("c_vec"))
+      .select(col("probe_id"), col("vec_id"), Dedup.cosine(col("p_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "cos")
+  }
+}

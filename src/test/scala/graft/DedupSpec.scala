@@ -1,0 +1,78 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "spark scans the parquet files and joins the dimension tables before " +
+    "aggregating revenue per nation across all regions in the warehouse"
+  private val nearDup = // a few words changed → high word-3-gram overlap
+    "spark scans the parquet files and joins the dimension tables before " +
+    "aggregating profit per nation across all regions in the warehouse"
+  private val unrelated =
+    "completely different text about streaming watermarks and stateful " +
+    "session windows over late arriving events from mobile clients"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val copies = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(copies(1L) == 2L) // docs 1 and 4
+    assert(copies(2L) == 1L && copies(3L) == 1L)
+  }
+
+  test("minhash candidates find planted near-dup and exact dup, not unrelated") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5)
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("minhashKeep keeps first occurrence, drops later near-dups") {
+    val keep = Dedup.minhashKeep(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep(1L) && keep(3L))
+    assert(!keep(2L) && !keep(4L))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).exists(_ <= 10))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("ngramJaccard: 1.0 for identical, high for near-dup, 0 for disjoint") {
+    val j = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        Dedup.ngramJaccard($"a.text", $"b.text").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("embedding near-dup finds planted duplicate vector, not orthogonal ones") {
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v1 = randVec()
+    val v1jitter = v1.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val vecs = (Seq((1L, v1), (2L, v1jitter)) ++
+      (3L to 20L).map(i => (i, randVec()))).toDF("vec_id", "embedding")
+    val keep = Dedup.embeddingKeep(vecs, "vec_id", "embedding", 16, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep(1L) && !keep(2L))
+    assert((3L to 20L).forall(keep))
+  }
+}
