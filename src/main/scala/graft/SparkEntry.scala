@@ -336,6 +336,39 @@ object SparkEntry {
         size(graft.functions.expressions.winnow(col("text"))).cast("long").as("n_winnow"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- D block
+
+  /** D1 (batch side of the unified API): tumbling-window hourly event
+   * aggregation — the same EventStream.windowedAgg operator that runs
+   * under Structured Streaming (StreamingSpec drives it incrementally). */
+  private def qHourlyEvents(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .windowedAgg(withEventTime(t(s, dir, "events")), "1 hour", "10 minutes")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** B7: approximate distinct (HLL) per event type vs exact (rows-only;
+   * spec bounds the relative error). */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    withEventTime(t(s, dir, "events"))
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+
+  /** C12: multimodal plumbing — binary payload + typed metadata,
+   * per-partition batched feature extraction (stub codec; rows-only). */
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media
+      .extractFeatures(graft.multimodal.Media.fromDocuments(t(s, dir, "documents")))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(element_at(col("features"), 1), 4).as("f0"))
+      .orderBy("media_id")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -368,6 +401,9 @@ object SparkEntry {
     "q_text_quality"   -> qTextQuality,
     "q_token_count"    -> qTokenCount,
     "q_fingerprint"    -> qFingerprint,
+    "q_hourly_events"  -> qHourlyEvents,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_media_features" -> qMediaFeatures,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -534,5 +570,10 @@ object SparkEntry {
            FROM sims)
          SELECT probe_id, rank, vec_id, ROUND(cos, 3) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "q_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
   )
 }

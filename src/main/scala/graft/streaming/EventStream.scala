@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event for the streaming operators (mirrors the events table). */
+case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+
+/** A closed gap-session emitted by the stateful sessionizer. */
+case class Session(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+private case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+/**
+ * Structured Streaming operators over the event stream. The same
+ * transformations run on a batch DataFrame (Spark's unified API), so
+ * correctness is oracle-checked in batch (SparkEntry.q_sessionize /
+ * q_hourly_events) while StreamingSpec drives them incrementally
+ * through MemoryStream to verify watermark/state behavior.
+ *
+ * Scale: windowed aggregation state is bounded by the watermark
+ * (late data beyond it is dropped, state evicted); sessionization
+ * state is one OpenSession per active user, evicted by event-time
+ * timeout.
+ */
+object EventStream {
+
+  /** Tumbling-window counts with a watermark; append-mode emits each
+   * window once it can no longer receive late data. */
+  def windowedAgg(events: DataFrame, windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // cents-space sum: exact regardless of per-trigger partial order
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * 100, 0).cast("long")) / 100.0, 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful gap-sessionization: close a user's session when no event
+   * arrives within `gapSeconds` (by event time). Emits closed sessions
+   * (append mode); open sessions close via event-time timeout. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[Session] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var open = state.getOption
+
+      if (sorted.isEmpty) {
+        if (state.hasTimedOut && open.isDefined) {
+          val s = open.get
+          out += Session(userId, new java.sql.Timestamp(s.startMs),
+            new java.sql.Timestamp(s.lastMs), s.n, s.sum)
+          state.remove()
+        }
+      } else {
+        for (e <- sorted) {
+          val ms = e.ts.getTime
+          open match {
+            case Some(s) if ms - s.lastMs <= gapMs =>
+              open = Some(OpenSession(s.startMs, ms, s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              out += Session(userId, new java.sql.Timestamp(s.startMs),
+                new java.sql.Timestamp(s.lastMs), s.n, s.sum)
+              open = Some(OpenSession(ms, ms, 1, e.value))
+            case None =>
+              open = Some(OpenSession(ms, ms, 1, e.value))
+          }
+        }
+        val s = open.get
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + gapMs)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.{Event, EventStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(minutes: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+
+  test("windowedAgg emits finalized windows under watermark (append mode)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.windowedAgg(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("winagg").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, 1, ts(0), "click", 1.0),
+        Event(1, 2, ts(1), "click", 2.0),
+        Event(2, 3, ts(6), "view", 3.0))
+      q.processAllAvailable()
+      // watermark hasn't advanced past the first window yet → nothing final
+      assert(spark.table("winagg").count() == 0)
+      // an event far in the future advances the watermark, closing both windows
+      in.addData(Event(3, 4, ts(120), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .select("event_type", "n", "sum_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap within the stream and on timeout") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h later another
+      in.addData(
+        Event(1, 1, ts(0), "click", 1.0),
+        Event(1, 2, ts(10), "click", 2.0),
+        Event(1, 3, ts(130), "view", 5.0))
+      q.processAllAvailable()
+      val afterBatch = spark.table("sess")
+        .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)].collect().toSet
+      // the gap inside the batch closed session 1 immediately
+      assert(afterBatch == Set((1L, 2L, 3.0)))
+      // advance watermark far beyond the open session's timeout
+      in.addData(Event(2, 4, ts(600), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, 5, ts(1200), "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess")
+        .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)].collect().toSet
+      assert(all.contains((1L, 1L, 5.0)), s"timeout session missing: $all")
+    } finally q.stop()
+  }
+}
