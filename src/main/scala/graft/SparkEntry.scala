@@ -64,8 +64,8 @@ object SparkEntry {
       .select(
         col("c_custkey"),
         size(col("orders")).cast("long").as("n_orders"),
-        round(aggregate(col("orders"), lit(0L),
-          (acc, x) => acc + cents(x.getField("o_totalprice"))) / 100.0, 2).as("sum_total"))
+        (aggregate(col("orders"), lit(0L),
+          (acc, x) => acc + cents(x.getField("o_totalprice"))) / 100.0).as("sum_total"))
       .orderBy("c_custkey")
 
   /** A6: nesting limit — chunk nested arrays at 5, duplicating parents. */
@@ -96,9 +96,8 @@ object SparkEntry {
       .select(
         col("c_custkey"), col("c_name"),
         size(col("order_items")).cast("long").as("n_items"),
-        round(aggregate(col("order_items"), lit(0L),
-          (acc, x) => acc + cents(x.getField("l_extendedprice")) *
-            cents(lit(1.0) - x.getField("l_discount"))) / 10000.0, 2)
+        (aggregate(col("order_items"), lit(0L),
+          (acc, x) => acc + x.getField("l_rev_cents")) / 10000.0)
           .as("sum_rev"))
       .orderBy("c_custkey")
 
@@ -117,12 +116,12 @@ object SparkEntry {
       .filter(col("l_shipdate").cast("date") <= lit("2000-09-02").cast("date"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(cents(col("l_quantity"))) / 100.0, 2).as("sum_qty"),
-        round(sum(cents(col("l_extendedprice"))) / 100.0, 2).as("sum_base"),
-        round(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0, 2).as("sum_disc"),
-        round(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")) * cents(lit(1.0) + col("l_tax"))) / 1000000.0, 2).as("sum_charge"),
-        round(sum(cents(col("l_quantity"))) / (lit(100.0) * count(lit(1))), 4).as("avg_qty"),
-        round(sum(cents(col("l_discount"))) / (lit(100.0) * count(lit(1))), 4).as("avg_disc"),
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base"),
+        (sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0).as("sum_disc"),
+        (sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")) * cents(lit(1.0) + col("l_tax"))) / 1000000.0).as("sum_charge"),
+        (sum(cents(col("l_quantity"))) / (lit(100.0) * count(lit(1)))).as("avg_qty"),
+        (sum(cents(col("l_discount"))) / (lit(100.0) * count(lit(1)))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -134,7 +133,7 @@ object SparkEntry {
       .join(t(s, dir, "lineitem").filter(col("l_shipdate").cast("date") > lit("1998-03-15").cast("date")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0, 2).as("revenue"))
+      .agg((sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0).as("revenue"))
       .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -153,7 +152,7 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0, 2).as("revenue"))
+      .agg((sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   /** B4a: semi join — customers having at least one order. */
@@ -185,7 +184,7 @@ object SparkEntry {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders")
-      .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+      .withColumn("running_total", sum("o_totalprice").over(w))
       .select("o_custkey", "o_orderkey", "running_total")
       .orderBy("o_custkey", "o_orderkey")
   }
@@ -221,7 +220,7 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        round(sum("value"), 2).as("sum_value"))
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -229,7 +228,7 @@ object SparkEntry {
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), round(sum(cents(col("l_quantity"))) / 100.0, 2).as("qty"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("l_quantity"))) / 100.0).as("qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** B-extra: TPC-H Q6-shape forecast revenue (single-row aggregate). */
@@ -240,7 +239,7 @@ object SparkEntry {
         col("l_shipdate").cast("date") <  lit("1997-01-01").cast("date") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0, 2).as("revenue"))
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0).as("revenue"))
 
   // ---------------------------------------------------------------- C block
 
@@ -311,9 +310,9 @@ object SparkEntry {
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_words"),
-      round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
-      round(TextFunctions.digitRatio(col("text")), 4).as("digit_ratio"),
-      round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.digitRatio(col("text")).as("digit_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
       .orderBy("doc_id")
   }
 
@@ -424,7 +423,7 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q_nest" ->
       """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-         ROUND(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)), 0) / 100.0, 2) AS sum_total
+         COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)), 0) / 100.0 AS sum_total
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
     "q_nest_chunked" ->
@@ -443,8 +442,8 @@ object SparkEntry {
          ORDER BY o_orderkey, l_linenumber""",
     "q_nested_denorm" ->
       """SELECT c_custkey, c_name, CAST(COUNT(j.l_orderkey) AS BIGINT) AS n_items,
-         ROUND(COALESCE(SUM(CAST(ROUND(j.l_extendedprice * 100, 0) AS BIGINT) *
-                            CAST(ROUND((1 - j.l_discount) * 100, 0) AS BIGINT)), 0) / 10000.0, 2) AS sum_rev
+         COALESCE(SUM(CAST(ROUND(j.l_extendedprice * 100, 0) AS BIGINT) *
+                   CAST(ROUND((1 - j.l_discount) * 100, 0) AS BIGINT)), 0) / 10000.0 AS sum_rev
          FROM customer LEFT JOIN
          (SELECT o_custkey, l_orderkey, l_extendedprice, l_discount
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey) j
@@ -456,22 +455,22 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-         ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_qty,
-         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base,
-         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
-                   CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2) AS sum_disc,
-         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
-                   CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT) *
-                   CAST(ROUND((1 + l_tax) * 100, 0) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
-         ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)), 4) AS avg_qty,
-         ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)), 4) AS avg_disc,
+         SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+             CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0 AS sum_disc,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+             CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT) *
+             CAST(ROUND((1 + l_tax) * 100, 0) AS BIGINT)) / 1000000.0 AS sum_charge,
+         SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_qty,
+         SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_disc,
          CAST(COUNT(*) AS BIGINT) AS count_order
          FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_join_agg3" ->
       """SELECT o_orderkey,
-         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
-                   CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+             CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0 AS revenue,
          CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
          FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -482,8 +481,8 @@ object SparkEntry {
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q_local_supplier" ->
       """SELECT n_name,
-         ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
-                   CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0, 2) AS revenue
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+             CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0 AS revenue
          FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -509,8 +508,8 @@ object SparkEntry {
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q_sessionize" ->
       """WITH e AS (
@@ -524,16 +523,16 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flagged)
          SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           ROUND(SUM(value), 2) AS sum_value
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
          FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
-         ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2) AS qty
+         SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_forecast_rev" ->
-      """SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
-                           CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 10000.0, 2) AS revenue
+      """SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 10000.0 AS revenue
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
            AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
@@ -547,11 +546,11 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(LENGTH(text) AS BIGINT) AS n_chars,
          CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_words,
-         ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / LENGTH(text), 4) AS punct_ratio,
-         ROUND(LEN(regexp_extract_all(text, '[0-9]'))::DOUBLE / LENGTH(text), 4) AS digit_ratio,
-         ROUND(LEN(list_filter(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0),
+         LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / LENGTH(text) AS punct_ratio,
+         LEN(regexp_extract_all(text, '[0-9]'))::DOUBLE / LENGTH(text) AS digit_ratio,
+         LEN(list_filter(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0),
                w -> w IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','it','that','this','be','are','as')))::DOUBLE /
-           LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)), 4) AS stopword_ratio
+           LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT doc_id,

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.TextFunctions
-import graft.functions.expressions.{simhash64, winnow}
+import graft.functions.expressions.{hashJaccard, minhashSig, simhash64, wordShingleHashes}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,14 +40,18 @@ object Dedup {
   // --- MinHash + LSH ------------------------------------------------------
 
   /** Per-doc MinHash signature column (array<long> of numPerm mins)
-   * over distinct word-shingle hashes. Each "permutation" is xxhash64
-   * re-keyed by the permutation index — overflow-free (ANSI-safe) and
-   * deterministic across the cluster. */
-  def minhashSignature(text: Column, shingleWords: Int = 3, numPerm: Int = 64): Column = {
-    val hs = array_distinct(transform(
-      TextFunctions.wordShingles(text, shingleWords), s => xxhash64(s)))
-    transform(sequence(lit(0), lit(numPerm - 1)), p =>
-      array_min(transform(hs, h => xxhash64(h, p))))
+   * over distinct word-shingle hashes. One codegen'd expression —
+   * higher-order-function formulations of this run interpreted and
+   * are ~100× slower per row. */
+  def minhashSignature(text: Column, shingleWords: Int = 3, numPerm: Int = 64): Column =
+    minhashSig(wordShingleHashes(text, shingleWords), numPerm)
+
+  /** Spread rows across the cluster before a CPU-heavy per-row stage:
+   * a small input (one parquet file → one partition) must not serialize
+   * signature computation onto a single core. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(target)
   }
 
   /**
@@ -61,11 +65,12 @@ object Dedup {
       shingleWords: Int = 3, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
-    val sig = docs.select(
-      col(idCol).as("doc_id"),
-      array_distinct(transform(TextFunctions.wordShingles(col(textCol), shingleWords),
-        s => xxhash64(s))).as("shingle_hashes"),
-      minhashSignature(col(textCol), shingleWords, numPerm).as("sig"))
+    val sig = spread(docs)
+      .select(
+        col(idCol).as("doc_id"),
+        wordShingleHashes(col(textCol), shingleWords).as("shingle_hashes"))
+      .select(col("doc_id"), col("shingle_hashes"),
+        minhashSig(col("shingle_hashes"), numPerm).as("sig"))
     val banded = sig.select(
       col("doc_id"), col("shingle_hashes"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -77,10 +82,11 @@ object Dedup {
       col("doc_id").as("id_b"), col("shingle_hashes").as("sh_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      // dedup pairs across bands BEFORE the (heavier) verify
+      .groupBy("id_a", "id_b")
+      .agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
+        hashJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** Keep-table for MinHash near-dup dedup at a Jaccard threshold:
@@ -115,7 +121,7 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sim"))
+    val sig = spread(docs).select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sim"))
     val blocked = sig.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -147,12 +153,10 @@ object Dedup {
   // --- n-gram Jaccard (direct pair verify) --------------------------------
 
   /** Word n-gram Jaccard similarity between two text columns — the
-   * exact verify used on candidate pairs from any blocking scheme. */
-  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column = {
-    val ga = array_distinct(TextFunctions.wordShingles(textA, n))
-    val gb = array_distinct(TextFunctions.wordShingles(textB, n))
-    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
-  }
+   * exact verify used on candidate pairs from any blocking scheme.
+   * Hash-space comparison (codegen'd merge over sorted hash sets). */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column =
+    hashJaccard(wordShingleHashes(textA, n), wordShingleHashes(textB, n))
 
   // --- Embedding cosine near-dup ------------------------------------------
 
@@ -203,7 +207,7 @@ object Dedup {
       vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95,
       numPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
-    val sig = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+    val sig = spread(vecs).select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       hyperplaneSignature(col(vecCol), dim, numPlanes).as("sig"))
     val banded = sig.select(col("vec_id"), col("v"),
       posexplode(signatureBands(col("sig"), numPlanes, bandBits)))

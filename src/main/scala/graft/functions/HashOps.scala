@@ -55,6 +55,95 @@ object HashOps {
   }
 
   /**
+   * Distinct sorted hashes of word n-gram shingles, computed in one
+   * pass over the raw text: ASCII-lowered alnum tokens → per-token
+   * FNV-1a → rolling n-gram combine. Replaces a
+   * split→filter→transform→concat_ws→xxhash64 tree of higher-order
+   * functions, which Spark always evaluates interpreted (no codegen)
+   * and re-evaluates per lambda reference — the difference is ~100×
+   * on the dedup hot path.
+   */
+  def wordShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    // per-token FNV-1a over lowered alnum runs (word = [A-Za-z0-9_]+)
+    val tokens = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = 0xcbf29ce484222325L
+    var inTok = false
+    var i = 0
+    while (i <= bytes.length) {
+      val c = if (i < bytes.length) bytes(i) & 0xff else ' '
+      val isWord = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c >= 0x80
+      if (isWord) {
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        h ^= lc.toLong; h *= 0x100000001b3L; inTok = true
+      } else if (inTok) {
+        tokens += h; h = 0xcbf29ce484222325L; inTok = false
+      }
+      i += 1
+    }
+    val m = tokens.length
+    val out =
+      if (m == 0) Array(0L)
+      else if (m < n) { // short text collapses to one whole-text shingle
+        var acc = 0xcbf29ce484222325L
+        var j = 0
+        while (j < m) { acc = mix64(acc ^ tokens(j)); j += 1 }
+        Array(acc)
+      } else {
+        val res = new Array[Long](m - n + 1)
+        var j = 0
+        while (j + n <= m) {
+          var acc = 0xcbf29ce484222325L
+          var k = 0
+          while (k < n) { acc = mix64(acc ^ tokens(j + k)); k += 1 }
+          res(j) = acc
+          j += 1
+        }
+        res
+      }
+    val set = scala.collection.mutable.TreeSet.empty[Long]
+    out.foreach(set += _)
+    set.toArray
+  }
+
+  /** MinHash signature over a shingle-hash set: min over re-keyed
+   * mixes, one tight O(numPerm · |hashes|) loop. */
+  def minhashSig(hashes: org.apache.spark.sql.catalyst.util.ArrayData, numPerm: Int): Array[Long] = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](numPerm)
+    var p = 0
+    while (p < numPerm) {
+      var m = Long.MaxValue
+      val seed = mix64(p.toLong + 0x5eed)
+      var i = 0
+      while (i < n) {
+        val v = mix64(hashes.getLong(i) ^ seed)
+        if (v < m) m = v
+        i += 1
+      }
+      sig(p) = m
+      p += 1
+    }
+    sig
+  }
+
+  /** Jaccard similarity of two sorted distinct long arrays (merge). */
+  def hashJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /**
    * Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash
    * every k-gram of the string, then keep the minimum hash of each

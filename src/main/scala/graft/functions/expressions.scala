@@ -46,9 +46,51 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_shingle_hashes(text, n) → sorted distinct array<long>. */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.wordShingleHashes(input.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.wordShingleHashes($c, $n))")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+/** minhash_sig(shingle_hashes, numPerm) → array<long>. */
+case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.minhashSig(input.asInstanceOf[ArrayData], numPerm))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.minhashSig($c, $numPerm))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** hash_jaccard(a, b) over sorted distinct long arrays → double. */
+case class HashJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.hashJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.hashJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashJaccard =
+    copy(left = l, right = r)
+}
+
 object expressions {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
+  def wordShingleHashes(c: Column, n: Int = 3): Column =
+    column(WordShingleHashes(expression(c), n))
+  def minhashSig(c: Column, numPerm: Int = 64): Column =
+    column(MinHashSig(expression(c), numPerm))
+  def hashJaccard(a: Column, b: Column): Column =
+    column(HashJaccard(expression(a), expression(b)))
 }

@@ -48,6 +48,12 @@ object Denorm {
     val orders   = Tables.table(spark, dir, "orders")
     val lineitem = Tables.table(spark, dir, "lineitem")
     val items    = Relational.innerJoinMerge(orders, lineitem, "o_orderkey", "l_orderkey")
+      // revenue in exact cents·cents space, computed codegen'd BEFORE
+      // nesting — array lambdas over nested structs run interpreted,
+      // so per-item arithmetic must not live there
+      .withColumn("l_rev_cents",
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+         round((lit(1.0) - col("l_discount")) * 100, 0).cast("long")))
     Relational.nest(customer, items, "c_custkey", "o_custkey", "order_items",
       sortChildBy = Seq("o_orderkey", "l_linenumber"))
   }

@@ -27,7 +27,9 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    // spread: a single-file corpus must not score on one core
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
