@@ -160,31 +160,19 @@ object Dedup {
 
   // --- Embedding cosine near-dup ------------------------------------------
 
-  /** Cosine similarity of two float-vector columns, computed in double
-   * (sequential fold — deterministic). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two vector columns in double precision
+   * (codegen'd expression — the higher-order zip_with/aggregate
+   * formulation runs interpreted). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.cosineSim(a, b)
 
   /** Random-hyperplane signature: one sign bit per plane packed into a
-   * long. Planes are a fixed seeded pseudo-random matrix, broadcast as
-   * a literal — no shuffle to compute signatures. */
+   * long. Planes are a fixed seeded pseudo-random matrix embedded in a
+   * single codegen'd expression — no shuffle, one pass per row. */
   def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int = 16, seed: Long = 0x9e37L): Column = {
     val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeCol, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x + y)
+    val planes = Array.fill(numPlanes * dim)(rnd.nextGaussian())
+    graft.functions.expressions.hyperplaneSig(vec, planes, dim)
   }
 
   /** Split a packed signature into bands of `bandBits` bits — the

@@ -7,6 +7,46 @@ package graft.functions
  */
 object HashOps {
 
+  /** Cosine similarity of two numeric arrays in double precision,
+   * sequential fold (deterministic; matches an engine-side
+   * float→double cast then ordered accumulation). */
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-bit signature of a vector against a fixed plane matrix
+   * (row-major dim-length rows), one bit per plane. */
+  def hyperplaneSig(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Double], dim: Int, isFloat: Boolean): Long = {
+    val numPlanes = planes.length / dim
+    val n = math.min(v.numElements(), dim)
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * planes(off + i)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — stable document fingerprint. */
   def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val bytes = s.getBytes

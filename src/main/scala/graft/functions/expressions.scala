@@ -82,6 +82,37 @@ case class HashJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** cosine_sim(a, b) over array<float|double> → double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private lazy val isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.cosine($a, $b, $isFloat)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** hyperplane_sig(vec) with a fixed plane matrix → long sign bits. */
+case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hyperplaneSig(input.asInstanceOf[ArrayData], planes, dim, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.hyperplaneSig($c, $ref, $dim, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
@@ -93,4 +124,8 @@ object expressions {
     column(MinHashSig(expression(c), numPerm))
   def hashJaccard(a: Column, b: Column): Column =
     column(HashJaccard(expression(a), expression(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+  def hyperplaneSig(v: Column, planes: Array[Double], dim: Int): Column =
+    column(HyperplaneSig(expression(v), planes, dim))
 }

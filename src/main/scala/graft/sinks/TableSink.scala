@@ -27,4 +27,24 @@ object TableSink {
     val w = out.write.mode(SaveMode.Overwrite).format(format)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
+
+  /**
+   * Truncate-and-load into a bucketed managed table: both sides of a
+   * recurring fact-fact join written with the same bucket spec join
+   * WITHOUT a shuffle (Catalyst sees the matching hash distribution).
+   * This is the 100 TB answer to the denorm spine — bucket orders and
+   * lineitem by the join key once at ingest, and every subsequent
+   * join/aggregation on that key is exchange-free.
+   */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
 }
