@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate reuses any live session and ignores builder-time
+  // extensions, so register on the shared session instead — this is
+  // also the path a user with an existing session takes.
+  private lazy val spark: SparkSession = {
+    val s = TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("graft expressions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+         simhash64(array('spark', 'scans', 'parquet')) AS sh,
+         fingerprint64('hello world') AS fp,
+         hash_jaccard(word_shingle_hashes('a b c d e'), word_shingle_hashes('a b c d e')) AS j_same,
+         hash_jaccard(word_shingle_hashes('a b c d e'), word_shingle_hashes('x y z w v')) AS j_diff,
+         size(minhash_sig(word_shingle_hashes('a b c d e'))) AS n_perm,
+         cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos_same
+       """).head()
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0)
+    assert(r.getInt(4) == 64)
+    assert(r.getDouble(5) == 1.0)
+  }
+}
