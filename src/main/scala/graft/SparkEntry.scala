@@ -241,6 +241,55 @@ object SparkEntry {
         col("l_quantity") < 24)
       .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0).as("revenue"))
 
+  /** B9: Q13-shape — distribution of customers by order count
+   * (left outer join, two-level aggregation). */
+  private def qCustDist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** B10: Q18-shape — large-volume orders (HAVING on a grouped sum),
+   * joined back to customer. */
+  private def qBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+      .orderBy("o_orderkey")
+  }
+
+  /** B11: Q2-shape correlated scalar subquery — customers holding the
+   * maximum account balance of their nation. */
+  private def qMaxBalPerNation(s: SparkSession, dir: String): DataFrame = {
+    val mx = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("mk"))
+      .agg(max("c_acctbal").as("max_bal"))
+    t(s, dir, "customer")
+      .join(broadcast(mx), col("c_nationkey") === col("mk") && col("c_acctbal") === col("max_bal"))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** B12: part-catalog stats — grouped aggregation over the part table
+   * (count, min/max size, exact mean retail price). */
+  private def qPartStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min("p_size").as("min_size"),
+        max("p_size").as("max_size"),
+        (sum(cents(col("p_retailprice"))) / (lit(100.0) * count(lit(1)))).as("avg_price"))
+      .orderBy("p_brand")
+
   // ---------------------------------------------------------------- C block
 
   /** C1: exact dedup by content hash (keep min id per hash). */
@@ -389,6 +438,10 @@ object SparkEntry {
     "q_sessionize"     -> qSessionize,
     "q_rollup"         -> qRollup,
     "q_forecast_rev"   -> qForecastRevenue,
+    "q_cust_dist"      -> qCustDist,
+    "q_big_orders"     -> qBigOrders,
+    "q_max_bal_nation" -> qMaxBalPerNation,
+    "q_part_stats"     -> qPartStats,
     "q_dedup_exact"    -> qDedupExact,
     "q_dedup_minhash"  -> qDedupMinhash,
     "q_dedup_simhash"  -> qDedupSimhash,
@@ -538,6 +591,29 @@ object SparkEntry {
            AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    "q_cust_dist" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM
+         (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) sub
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty FROM
+         (SELECT l_orderkey, SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) big
+         JOIN orders ON o_orderkey = big.l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_orderkey""",
+    "q_max_bal_nation" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+         WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = customer.c_nationkey)
+         ORDER BY c_custkey""",
+    "q_part_stats" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+         SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_price
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
          CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -50,4 +50,13 @@ object JsonTables {
     val spark = lines.sparkSession
     namespaced(spark.read.schema(widened(schema)).json(lines), name)
   }
+
+  /** Load with schema inference (one extra pass), then the same
+   * widening + namespacing — for ad-hoc tables without a declared
+   * schema, matching the reference reader's dynamic typing. */
+  def loadTableInferred(lines: Dataset[String], name: String): DataFrame = {
+    val spark = lines.sparkSession
+    val inferred = spark.read.json(lines).schema
+    namespaced(spark.read.schema(widened(inferred)).json(lines), name)
+  }
 }
