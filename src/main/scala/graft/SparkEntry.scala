@@ -344,6 +344,16 @@ object SparkEntry {
       .orderBy("probe_id", "rank")
   }
 
+  /** C7b: IVF approximate top-5 (deterministic sampled centroids,
+   * multiprobe; rows-only + recall spec). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Ann
+      .ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 64, 5)
+      .withColumn("cos", round(col("cos"), 3))
+      .orderBy("probe_id", "rank")
+  }
+
   /** C8: heuristic language ID (rows-only; TextSpec checks real
    * multilingual samples — the synthetic corpus' lang labels are
    * uncorrelated with its text). */
@@ -449,6 +459,7 @@ object SparkEntry {
     "q_dedup_embed"    -> qDedupEmbed,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_lsh"        -> qAnnLsh,
+    "q_ann_ivf"        -> qAnnIvf,
     "q_lang_id"        -> qLangId,
     "q_text_quality"   -> qTextQuality,
     "q_token_count"    -> qTokenCount,

@@ -39,6 +39,19 @@ object StreamSmoke {
       .writeStream.format("memory").queryName("sessions").outputMode("append").start()
     q.processAllAvailable(); q.stop()
 
+    // streaming dedup over the same stream: event_ids are unique in the
+    // data, so output count must equal input count (state bounded by
+    // the watermark)
+    val dedupIn = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("event_id"),
+        timestamp_micros((col("ts") / 1000L).cast("long")).as("ts"))
+    val dq = EventStream.dedupStream(dedupIn, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    dq.processAllAvailable(); dq.stop()
+    val nIn = spark.read.parquet(s"$dir/events.parquet").count()
+    val nOut = spark.table("deduped").count()
+    println(s"DEDUP_IN=$nIn DEDUP_OUT=$nOut")
+
     val streamed = spark.table("sessions")
       .select($"user_id", date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("start"),
         $"n_events")

@@ -47,11 +47,12 @@ object Dedup {
     minhashSig(wordShingleHashes(text, shingleWords), numPerm)
 
   /** Spread rows across the cluster before a CPU-heavy per-row stage:
-   * a small input (one parquet file → one partition) must not serialize
-   * signature computation onto a single core. */
+   * a few-file input must not serialize signature computation onto a
+   * handful of cores. Conditional — an input that is already parallel
+   * enough (the 100 TB case) is left untouched, no gratuitous shuffle. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(target)
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
   /**

@@ -47,6 +47,38 @@ object HashOps {
     sig
   }
 
+  /** Indices of the `nProbe` nearest centroids by cosine (row-major
+   * `centroids` of `dim`-length rows), descending similarity. */
+  def nearestCentroids(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      centroids: Array[Double], dim: Int, nProbe: Int, isFloat: Boolean): Array[Int] = {
+    val k = centroids.length / dim
+    val n = math.min(v.numElements(), dim)
+    var vn = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var cn = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val y = centroids(off + j)
+        dot += x * y; cn += y * y
+        j += 1
+      }
+      sims(c) = dot / (math.sqrt(vn) * math.sqrt(cn))
+      c += 1
+    }
+    sims.zipWithIndex.sortBy { case (s, idx) => (-s, idx) }
+      .take(math.min(nProbe, k)).map(_._2)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — stable document fingerprint. */
   def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val bytes = s.getBytes

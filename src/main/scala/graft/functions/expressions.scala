@@ -113,6 +113,27 @@ case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** nearest_centroids(vec) against a fixed centroid matrix → array<int>
+ * of the nProbe most-similar centroid indices (IVF cell assignment /
+ * multiprobe list). */
+case class NearestCentroids(child: Expression, centroids: Array[Double], dim: Int, nProbe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.nearestCentroids(
+      input.asInstanceOf[ArrayData], centroids, dim, nProbe, isFloat))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.nearestCentroids($c, $ref, $dim, $nProbe, $isFloat))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
@@ -128,4 +149,6 @@ object expressions {
     column(CosineSim(expression(a), expression(b)))
   def hyperplaneSig(v: Column, planes: Array[Double], dim: Int): Column =
     column(HyperplaneSig(expression(v), planes, dim))
+  def nearestCentroids(v: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =
+    column(NearestCentroids(expression(v), centroids, dim, nProbe))
 }

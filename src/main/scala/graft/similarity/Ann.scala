@@ -1,7 +1,8 @@
 package graft.similarity
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.DataFrame
+import graft.functions.expressions.nearestCentroids
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,9 +28,12 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
-    // spread: a single-file corpus must not score on one core
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    // spread: a few-file corpus must not score on a handful of cores
+    // (no-op when the input is already parallel enough)
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    val spread = if (corpus.rdd.getNumPartitions >= target) corpus
+                 else corpus.repartition(target)
+    val c = spread.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -60,6 +64,40 @@ object Ann {
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy("probe_id", "vec_id")
       .agg(first("p_vec").as("p_vec"), first("c_vec").as("c_vec"))
+      .select(col("probe_id"), col("vec_id"), Dedup.cosine(col("p_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "cos")
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k. The coarse quantizer here
+   * samples `numCells` corpus vectors as centroids (deterministic,
+   * lowest ids — a production index would run k-means; the plan shape
+   * is identical). Corpus vectors index into their nearest cell; each
+   * probe scores only the cells on its `nProbe` multiprobe list. Cell
+   * assignment is a single codegen'd expression; at 100 TB the index
+   * side would additionally be written partitioned by cell so a query
+   * touches only its probe-list partitions.
+   */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroidRows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(numCells).collect()
+    val centroids: Array[Double] = centroidRows.flatMap { r =>
+      r.get(1).asInstanceOf[scala.collection.Seq[Any]].map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }
+    }
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1).as("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),
+      explode(nearestCentroids(col(vecCol), centroids, dim, nProbe)).as("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(p), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), Dedup.cosine(col("p_vec"), col("c_vec")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -41,6 +41,17 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeats of `keyCols` arriving within
+   * the watermark window. State is bounded — keys older than the
+   * watermark are evicted, which is what makes exact dedup feasible on
+   * an unbounded stream (the batch dedup operators cover the
+   * full-corpus case). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String = "ts", delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stateful gap-sessionization: close a user's session when no event
    * arrives within `gapSeconds` (by event time). Emits closed sessions
    * (append mode); open sessions close via event-time timeout. */

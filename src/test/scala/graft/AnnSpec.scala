@@ -35,6 +35,17 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK returns correctly-ranked subset with adequate recall") {
+    val probes = df.filter($"vec_id" < 10)
+    val brute = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.ivfTopK(df, probes, "vec_id", "embedding", 32, 5,
+      numCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ivf recall@5 = $recall")
+  }
+
   test("lshTopK returns correctly-ranked subset with adequate recall") {
     val probes = df.filter($"vec_id" < 10)
     val brute = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", 5)

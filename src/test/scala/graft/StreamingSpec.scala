@@ -34,6 +34,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.dedupStream(in.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, 100, ts(0), "click", 1.0),
+        Event(1, 100, ts(1), "click", 1.0), // duplicate id
+        Event(2, 101, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, 100, ts(3), "click", 1.0)) // still within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq
+        == Seq(100L, 101L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap within the stream and on timeout") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
