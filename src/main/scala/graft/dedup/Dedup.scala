@@ -90,22 +90,49 @@ object Dedup {
         hashJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /**
+   * Layered keep-first dedup: collapse EXACT duplicates to their
+   * min-id representative first (one hash aggregate), then run the
+   * near-dup pair generator only over representatives, and compose the
+   * keep rule. Equivalent to keep-first over the full corpus (an exact
+   * copy is a jaccard-1.0 near-dup of its representative) but immune
+   * to the quadratic in-bucket pair blowup that mass-duplicated
+   * documents cause — the dominant skew in real crawled corpora.
+   *
+   * `repPairs` receives the representatives as (doc_id, text) and
+   * returns verified duplicate pairs (id_a < id_b).
+   */
+  private def keepFirstLayered(
+      docs: DataFrame, idCol: String, textCol: String)(
+      repPairs: DataFrame => DataFrame): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("__tkey", md5(col("text").cast("binary")))
+    val reps = keyed.groupBy("__tkey")
+      .agg(min("doc_id").as("rep_id"), first("text").as("text"))
+    val dead = repPairs(reps.select(col("rep_id").as("doc_id"), col("text")))
+      .groupBy(col("id_b").as("dead_rep"))
+      .agg(count(lit(1)).as("__n_near"))
+    keyed
+      .join(reps.select("__tkey", "rep_id"), Seq("__tkey"))
+      .join(dead, col("rep_id") === col("dead_rep"), "left")
+      .select(col("doc_id"),
+        // duplicate SOURCES with smaller id: the exact representative
+        // (if this is a copy) plus near-dup representatives
+        (when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L) +
+          coalesce(col("__n_near"), lit(0L))).as("n_dups_smaller"),
+        (col("doc_id") === col("rep_id") && col("__n_near").isNull).as("keep"))
+  }
+
   /** Keep-table for MinHash near-dup dedup at a Jaccard threshold:
-   * (doc_id, n_dups_smaller, keep). */
+   * (doc_id, n_dups_smaller, keep) — layered (exact collapse first). */
   def minhashKeep(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleWords: Int = 3,
-      numPerm: Int = 64, bands: Int = 16): DataFrame = {
-    val dups = minhashCandidates(docs, idCol, textCol, shingleWords, numPerm, bands)
-      .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_b").as("dup_id"))
-      .agg(count(lit(1)).as("n_dups_smaller"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(dups, col("doc_id") === col("dup_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
-        col("n_dups_smaller").isNull.as("keep"))
-  }
+      numPerm: Int = 64, bands: Int = 16): DataFrame =
+    keepFirstLayered(docs, idCol, textCol) { reps =>
+      minhashCandidates(reps, "doc_id", "text", shingleWords, numPerm, bands)
+        .filter(col("jaccard") >= threshold)
+    }
 
   // --- SimHash ------------------------------------------------------------
 
@@ -139,17 +166,13 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
   }
 
-  /** Keep-table for SimHash dedup: (doc_id, n_dups_smaller, keep). */
+  /** Keep-table for SimHash dedup: (doc_id, n_dups_smaller, keep) —
+   * layered (exact collapse first). */
   def simhashKeep(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val dups = simhashPairs(docs, idCol, textCol, maxHamming)
-      .groupBy(col("id_b").as("dup_id")).agg(count(lit(1)).as("n_dups_smaller"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(dups, col("doc_id") === col("dup_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
-        col("n_dups_smaller").isNull.as("keep"))
-  }
+      maxHamming: Int = 3): DataFrame =
+    keepFirstLayered(docs, idCol, textCol) { reps =>
+      simhashPairs(reps, "doc_id", "text", maxHamming)
+    }
 
   // --- n-gram Jaccard (direct pair verify) --------------------------------
 
