@@ -231,6 +231,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), (sum(cents(col("l_quantity"))) / 100.0).as("qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** B8b: full cube over two grouping columns. */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** B-extra: TPC-H Q6-shape forecast revenue (single-row aggregate). */
   private def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -447,6 +455,7 @@ object SparkEntry {
     "q_running_sum"    -> qRunningSum,
     "q_sessionize"     -> qSessionize,
     "q_rollup"         -> qRollup,
+    "q_cube"           -> qCube,
     "q_forecast_rev"   -> qForecastRevenue,
     "q_cust_dist"      -> qCustDist,
     "q_big_orders"     -> qBigOrders,
@@ -594,6 +603,11 @@ object SparkEntry {
          SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_forecast_rev" ->
       """SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
              CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 10000.0 AS revenue

@@ -15,6 +15,7 @@ object Verify {
       // events.parquet has TIMESTAMP(NANOS); read as Long (ns) and
       // convert in-query (see SparkEntry.nsTimestamp)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
