@@ -106,6 +106,41 @@ object Relational {
   }
 
   /**
+   * Project a DataFrame onto a target schema — the reference's
+   * `transformToTableRows` (MusicBrainzTransforms.java:203-282): only
+   * schema fields are emitted, each cast to the schema type, and any
+   * repeated-record (array) field is chunked at `nestingLimit`,
+   * splitting overflow into duplicate rows. Missing fields become
+   * typed nulls (the reference skips absent values).
+   */
+  def conformToSchema(
+      df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      nestingLimit: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val present = df.columns.toSet
+    val projected = df.select(schema.fields.map { f =>
+      val out =
+        if (!present.contains(f.name)) lit(null).cast(f.dataType)
+        else (f.dataType, df.schema(f.name).dataType) match {
+          // narrowing an array of structs is an element-wise projection,
+          // not a cast (Spark rejects subset-struct casts)
+          case (ArrayType(target: StructType, _), ArrayType(src: StructType, _)) =>
+            val srcFields = src.fieldNames.toSet
+            transform(col(f.name), e => struct(target.fields.map { tf =>
+              (if (srcFields.contains(tf.name)) e.getField(tf.name).cast(tf.dataType)
+               else lit(null).cast(tf.dataType)).as(tf.name)
+            }.toIndexedSeq: _*))
+          case _ => col(f.name).cast(f.dataType)
+        }
+      out.as(f.name)
+    }.toIndexedSeq: _*)
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+    }.foldLeft(projected)((acc, arrCol) => nestChunked(acc, arrCol, nestingLimit))
+  }
+
+  /**
    * Enforce a nesting limit by splitting rows whose repeated-record
    * column exceeds `limit` elements into duplicate parent rows of at
    * most `limit` children each — the reference's

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.HashOps
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests for the hash kernels over seeded random
+  * inputs (pure JVM functions; the distributed paths are covered by
+  * the operator specs). */
+class PropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(0xC0FFEE)
+  private val vocab = Vector("spark", "scan", "join", "agg", "table", "row",
+    "batch", "stream", "merge", "filter", "the", "a", "fast", "slow", "key")
+
+  private def randText(): String =
+    Seq.fill(rnd.nextInt(60) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  private def arr(xs: Array[Long]) = new GenericArrayData(xs)
+  private def sh(t: String) = HashOps.wordShingleHashes(UTF8String.fromString(t), 3)
+
+  test("hashJaccard is bounded, symmetric, 1.0 on self") {
+    for (_ <- 1 to 200) {
+      val (a, b) = (randText(), randText())
+      val (ha, hb) = (sh(a), sh(b))
+      val jab = HashOps.hashJaccard(arr(ha), arr(hb))
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert(jab == HashOps.hashJaccard(arr(hb), arr(ha)))
+      assert(HashOps.hashJaccard(arr(ha), arr(ha)) == 1.0)
+    }
+  }
+
+  test("wordShingleHashes is sorted, distinct, case-insensitive") {
+    for (_ <- 1 to 200) {
+      val t = randText()
+      val h = sh(t)
+      assert(h.toSeq == h.toSeq.sorted && h.toSeq == h.toSeq.distinct)
+      assert(sh(t.toUpperCase).toSeq == h.toSeq)
+      // punctuation between words is a token boundary, like \W+
+      assert(sh(t.replace(" ", ", ")).toSeq == h.toSeq)
+    }
+  }
+
+  test("minhashSig is fixed-width and deterministic") {
+    for (_ <- 1 to 100) {
+      val h = sh(randText())
+      val sig = HashOps.minhashSig(arr(h), 64)
+      assert(sig.length == 64)
+      assert(HashOps.minhashSig(arr(h), 64).toSeq == sig.toSeq)
+    }
+  }
+
+  test("minhash signature agreement tracks jaccard similarity") {
+    // near-identical texts agree on most permutation slots; unrelated
+    // texts (disjoint vocab) agree on almost none
+    val base = Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val near = base.split(" ").updated(5, "changed").mkString(" ")
+    val far = Seq.fill(60)("zz" + rnd.nextInt(1000)).mkString(" ")
+    def agree(a: String, b: String): Double = {
+      val (sa, sb) = (HashOps.minhashSig(arr(sh(a)), 64), HashOps.minhashSig(arr(sh(b)), 64))
+      sa.zip(sb).count { case (x, y) => x == y } / 64.0
+    }
+    assert(agree(base, near) > 0.5)
+    assert(agree(base, far) < 0.1)
+  }
+
+  test("simhash: identical tokens → identical hash; disjoint vocab → far") {
+    def tok(s: String) = new GenericArrayData(
+      s.split(" ").filter(_.nonEmpty).map(UTF8String.fromString(_): Any))
+    val t = randText()
+    assert(HashOps.simhash64(tok(t)) == HashOps.simhash64(tok(t)))
+    val far = Seq.fill(40)("qq" + rnd.nextInt(1000)).mkString(" ")
+    assert(java.lang.Long.bitCount(
+      HashOps.simhash64(tok(t)) ^ HashOps.simhash64(tok(far))) > 8)
+  }
+
+  test("cosine is 1 on self, bounded, symmetric") {
+    def vec() = Array.fill(16)(rnd.nextGaussian())
+    for (_ <- 1 to 200) {
+      val (a, b) = (vec(), vec())
+      def ad(x: Array[Double]) = new GenericArrayData(x)
+      val c = HashOps.cosine(ad(a), ad(b), isFloat = false)
+      assert(c >= -1.0000001 && c <= 1.0000001)
+      assert(c == HashOps.cosine(ad(b), ad(a), isFloat = false))
+      assert(math.abs(HashOps.cosine(ad(a), ad(a), isFloat = false) - 1.0) < 1e-9)
+    }
+  }
+
+  test("winnow fingerprints overlap under a prefix edit") {
+    for (_ <- 1 to 100) {
+      val t = randText()
+      if (t.length > 40) {
+        val w1 = HashOps.winnow(UTF8String.fromString(t), 8, 16).toSet
+        val w2 = HashOps.winnow(UTF8String.fromString("PREFIX-" + t), 8, 16).toSet
+        assert((w1 intersect w2).nonEmpty)
+      }
+    }
+  }
+}
