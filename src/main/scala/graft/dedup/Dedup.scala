@@ -1,7 +1,6 @@
 package graft.dedup
 
-import graft.functions.TextFunctions
-import graft.functions.expressions.{hashJaccard, minhashSig, simhash64, wordShingleHashes}
+import graft.functions.expressions.{hashJaccard, minhashSig, wordShingleHashes}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -136,9 +135,11 @@ object Dedup {
 
   // --- SimHash ------------------------------------------------------------
 
-  /** Per-doc 64-bit SimHash over word tokens (custom codegen'd
-   * expression — see graft.functions.SimHash64). */
-  def simhashOf(text: Column): Column = simhash64(TextFunctions.words(text))
+  /** Per-doc 64-bit SimHash over word tokens — single codegen'd
+   * expression that tokenizes internally (the split+filter token-array
+   * formulation runs interpreted). */
+  def simhashOf(text: Column): Column =
+    graft.functions.expressions.simhashText(text)
 
   /**
    * SimHash near-dup pairs at Hamming distance ≤ maxHamming (< 16):

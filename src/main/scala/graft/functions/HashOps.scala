@@ -126,6 +126,41 @@ object HashOps {
     out
   }
 
+  /** SimHash-64 straight from raw text: tokenize (lowered alnum runs,
+   * as in wordShingleHashes), hash each token, bit-vote — one pass,
+   * no intermediate token array. */
+  def simhashText(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var h = 0xcbf29ce484222325L
+    var inTok = false
+    var i = 0
+    while (i <= bytes.length) {
+      val c = if (i < bytes.length) bytes(i) & 0xff else ' '
+      val isWord = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c >= 0x80
+      if (isWord) {
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        h ^= lc.toLong; h *= 0x100000001b3L; inTok = true
+      } else if (inTok) {
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        h = 0xcbf29ce484222325L; inTok = false
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /**
    * Distinct sorted hashes of word n-gram shingles, computed in one
    * pass over the raw text: ASCII-lowered alnum tokens → per-token

@@ -24,6 +24,17 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
 }
 
+/** simhash_text(text: string) → long — tokenizes internally (same
+ * tokenizer as WordShingleHashes); one pass, no token array. */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.simhashText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhashText($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashText = copy(newChild)
+}
+
 /** fingerprint64(text: string) → long (FNV-1a over UTF-8). */
 case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -137,6 +148,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Double], dim: In
 object expressions {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def simhashText(c: Column): Column = column(SimHashText(expression(c)))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
   def wordShingleHashes(c: Column, n: Int = 3): Column =
