@@ -29,12 +29,15 @@ import org.apache.spark.sql.functions._
 object Denorm {
 
   /** Flat denormalization (BQETLSimple): customer (with nation-name
-   * lookup) ⋈ orders ⋈ lineitem. */
-  def flatDenorm(spark: SparkSession, dir: String): DataFrame = {
-    val nation   = Tables.table(spark, dir, "nation")
-    val customer = Relational.lookupReplace(
-      Tables.table(spark, dir, "customer"),
-      Lookup(nation, "n_nationkey", "n_name", Seq("c_nationkey")))
+   * lookup when `performLookups`, mirroring the reference's
+   * --performLookups option, BQETLOptions.java) ⋈ orders ⋈ lineitem. */
+  def flatDenorm(spark: SparkSession, dir: String, performLookups: Boolean = true): DataFrame = {
+    val base = Tables.table(spark, dir, "customer")
+    val customer =
+      if (performLookups)
+        Relational.lookupReplace(base,
+          Lookup(Tables.table(spark, dir, "nation"), "n_nationkey", "n_name", Seq("c_nationkey")))
+      else base
     val orders   = Tables.table(spark, dir, "orders")
     val lineitem = Tables.table(spark, dir, "lineitem")
     val co  = Relational.innerJoinMerge(customer, orders, "c_custkey", "o_custkey")
