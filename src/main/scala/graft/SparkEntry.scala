@@ -196,7 +196,9 @@ object SparkEntry {
     import org.apache.spark.sql.types.LongType
     if (events.schema("ts").dataType == LongType)
       events
-        .withColumn("ts_us", (col("ts") / 1000L).cast("long"))
+        // integer division — `/` on longs goes through double and loses
+        // microsecond precision on epoch-nanosecond magnitudes
+        .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("ts", timestamp_micros(col("ts_us")))
     else
       events
@@ -647,11 +649,14 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(LENGTH(text) AS BIGINT) AS n_chars,
          CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_words,
-         LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / LENGTH(text) AS punct_ratio,
-         LEN(regexp_extract_all(text, '[0-9]'))::DOUBLE / LENGTH(text) AS digit_ratio,
-         LEN(list_filter(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0),
+         CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+           LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / LENGTH(text) END AS punct_ratio,
+         CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+           LEN(regexp_extract_all(text, '[0-9]'))::DOUBLE / LENGTH(text) END AS digit_ratio,
+         CASE WHEN LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) = 0 THEN 0.0 ELSE
+           LEN(list_filter(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0),
                w -> w IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','it','that','this','be','are','as')))::DOUBLE /
-           LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) AS stopword_ratio
+           LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) END AS stopword_ratio
          FROM documents ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT doc_id,

@@ -32,7 +32,7 @@ object StreamSmoke {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(staged.toString)
       .select(col("user_id"), col("event_id"),
-        timestamp_micros((col("ts") / 1000L).cast("long")).as("ts"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
       .as[Event]
     val q = EventStream.sessionize(stream, 1800)
@@ -44,7 +44,7 @@ object StreamSmoke {
     // the watermark)
     val dedupIn = spark.readStream.schema(schema).parquet(staged.toString)
       .select(col("event_id"),
-        timestamp_micros((col("ts") / 1000L).cast("long")).as("ts"))
+        timestamp_micros(expr("ts div 1000")).as("ts"))
     val dq = EventStream.dedupStream(dedupIn, Seq("event_id"), "ts", "10 minutes")
       .writeStream.format("memory").queryName("deduped").outputMode("append").start()
     dq.processAllAvailable(); dq.stop()

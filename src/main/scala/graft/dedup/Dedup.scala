@@ -49,7 +49,7 @@ object Dedup {
    * a few-file input must not serialize signature computation onto a
    * handful of cores. Conditional — an input that is already parallel
    * enough (the 100 TB case) is left untouched, no gratuitous shuffle. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
@@ -142,18 +142,23 @@ object Dedup {
     graft.functions.expressions.simhashText(text)
 
   /**
-   * SimHash near-dup pairs at Hamming distance ≤ maxHamming (< 16):
-   * pigeonhole on 4 × 16-bit blocks — if two signatures differ in at
-   * most 3 bits, at least one block matches exactly, so the join key
-   * space is 4 blocks and verify is a popcount on the XOR.
+   * SimHash near-dup pairs at Hamming distance ≤ maxHamming:
+   * pigeonhole on maxHamming+1 blocks — two signatures differing in at
+   * most maxHamming bits must agree exactly on at least one block
+   * (even with diffs in the uncovered high bits, which only reduces
+   * diffs among covered blocks). Verify is a popcount on the XOR.
    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nBlocks = maxHamming + 1
+    val blockBits = math.max(64 / nBlocks, 1)
+    val mask = if (blockBits >= 64) -1L else (1L << blockBits) - 1
     val sig = spread(docs).select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sim"))
     val blocked = sig.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array((0 until nBlocks).map(i =>
+        shiftrightunsigned(col("sim"), i * blockBits).bitwiseAND(lit(mask))): _*)))
       .withColumnsRenamed(Map("pos" -> "block_idx", "col" -> "block_val"))
     val a = blocked.select(col("block_idx"), col("block_val"),
       col("doc_id").as("id_a"), col("sim").as("sim_a"))

@@ -21,7 +21,10 @@ object HashOps {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero vector → similarity 0, not NaN (NaN sorts above every real
+    // similarity in Spark and would hijack rank 1 of all top-k queries)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Sign-bit signature of a vector against a fixed plane matrix

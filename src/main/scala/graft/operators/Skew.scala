@@ -33,6 +33,11 @@ object Skew {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // right/full outer would emit unmatched build rows once per salt
+    // replica — result would NOT equal the unsalted join
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports probe-preserving join types only, got '$joinType'")
     // deterministic per-row salt (stable across task retries — rand()
     // would break exactly-once semantics under speculative execution)
     val salted = probe.withColumn("__salt",

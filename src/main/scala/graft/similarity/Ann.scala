@@ -29,11 +29,7 @@ object Ann {
       vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
     // spread: a few-file corpus must not score on a handful of cores
-    // (no-op when the input is already parallel enough)
-    val target = corpus.sparkSession.sparkContext.defaultParallelism
-    val spread = if (corpus.rdd.getNumPartitions >= target) corpus
-                 else corpus.repartition(target)
-    val c = spread.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val c = Dedup.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -57,7 +53,7 @@ object Ann {
           posexplode(Dedup.signatureBands(col("sig"), numPlanes, bandBits)))
         .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_val"))
     }
-    val c = banded(corpus, "vec_id", "c_vec")
+    val c = banded(Dedup.spread(corpus), "vec_id", "c_vec")
     val p = banded(probes, "probe_id", "p_vec")
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(p), Seq("band_idx", "band_val"))
@@ -91,7 +87,7 @@ object Ann {
         case d: java.lang.Double => d.doubleValue()
       }
     }
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+    val c = Dedup.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
       element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1).as("cell"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),
       explode(nearestCentroids(col(vecCol), centroids, dim, nProbe)).as("cell"))

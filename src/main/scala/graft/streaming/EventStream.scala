@@ -77,7 +77,10 @@ object EventStream {
           val ms = e.ts.getTime
           open match {
             case Some(s) if ms - s.lastMs <= gapMs =>
-              open = Some(OpenSession(s.startMs, ms, s.n + 1, s.sum + e.value))
+              // max: a late (within-watermark) event from a later batch
+              // must not move the session end backwards
+              open = Some(OpenSession(math.min(s.startMs, ms), math.max(s.lastMs, ms),
+                s.n + 1, s.sum + e.value))
             case Some(s) =>
               out += Session(userId, new java.sql.Timestamp(s.startMs),
                 new java.sql.Timestamp(s.lastMs), s.n, s.sum)

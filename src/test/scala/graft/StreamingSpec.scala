@@ -53,6 +53,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a late within-watermark event must not move the session end backwards") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      in.addData(Event(1, 1, ts(0), "click", 1.0), Event(1, 2, ts(20), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(1, 3, ts(10), "click", 1.0)) // late, within watermark
+      q.processAllAvailable()
+      // 25-min gap from the TRUE last event (20) — same session; a
+      // regressed lastMs of 10 would see 35 min and wrongly split
+      in.addData(Event(1, 4, ts(45), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, 9, ts(600), "x", 0.0)) // advance watermark
+      q.processAllAvailable()
+      in.addData(Event(2, 10, ts(1200), "x", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late").filter($"user_id" === 1L)
+        .select("n_events").as[Long].collect().toSeq
+      assert(sessions == Seq(4L), s"expected one 4-event session, got $sessions")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap within the stream and on timeout") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
