@@ -31,15 +31,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intArg(args: Seq[Expression], i: Int, default: Int): Int =
-    if (args.length > i) args(i).eval().asInstanceOf[Number].intValue() else default
+  private def intArg(name: String, args: Seq[Expression], i: Int, default: Int): Int =
+    if (args.length <= i) default
+    else {
+      // must be a literal/foldable value — eval() on a column reference
+      // would throw an opaque internal error
+      if (!args(i).foldable)
+        throw new IllegalArgumentException(s"$name: argument ${i + 1} must be a literal integer")
+      args(i).eval().asInstanceOf[Number].intValue()
+    }
 
-  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+  private def arity(name: String, min: Int, max: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
     args => {
-      if (args.length != n)
-        throw new IllegalArgumentException(s"$name requires exactly $n argument(s), got ${args.length}")
+      if (args.length < min || args.length > max)
+        throw new IllegalArgumentException(
+          s"$name requires $min${if (max != min) s" to $max" else ""} argument(s), got ${args.length}")
       b(args)
     }
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    arity(name, n, n)(b)
 
   /** (name, usage, expression builder) for every graft SQL function. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -48,9 +58,11 @@ object GraftExtensions {
     ("fingerprint64", "fingerprint64(text) - FNV-1a 64-bit document fingerprint",
       arity("fingerprint64", 1)(args => Fingerprint64(args.head))),
     ("word_shingle_hashes", "word_shingle_hashes(text[, n]) - sorted distinct word n-gram hashes",
-      (args: Seq[Expression]) => WordShingleHashes(args.head, intArg(args, 1, 3))),
+      arity("word_shingle_hashes", 1, 2)(args =>
+        WordShingleHashes(args.head, intArg("word_shingle_hashes", args, 1, 3)))),
     ("minhash_sig", "minhash_sig(hashes[, numPerm]) - MinHash signature of a hash set",
-      (args: Seq[Expression]) => MinHashSig(args.head, intArg(args, 1, 64))),
+      arity("minhash_sig", 1, 2)(args =>
+        MinHashSig(args.head, intArg("minhash_sig", args, 1, 64)))),
     ("hash_jaccard", "hash_jaccard(a, b) - Jaccard similarity of sorted distinct hash arrays",
       arity("hash_jaccard", 2)(args => HashJaccard(args.head, args(1)))),
     ("cosine_sim", "cosine_sim(a, b) - cosine similarity of numeric vectors",

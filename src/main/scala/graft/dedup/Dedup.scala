@@ -65,26 +65,29 @@ object Dedup {
       shingleWords: Int = 3, numPerm: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
-    val sig = spread(docs)
-      .select(
-        col(idCol).as("doc_id"),
-        wordShingleHashes(col(textCol), shingleWords).as("shingle_hashes"))
-      .select(col("doc_id"), col("shingle_hashes"),
-        minhashSig(col("shingle_hashes"), numPerm).as("sig"))
-    val banded = sig.select(
-      col("doc_id"), col("shingle_hashes"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * r + 1, lit(r))))))
+    val base = spread(docs).select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    // candidate generation shuffles ONLY (band, hash, id) — the
+    // shingle sets would multiply shuffle volume by the band count
+    val banded = base
+      .select(col("doc_id"),
+        minhashSig(wordShingleHashes(col("text"), shingleWords), numPerm).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_a"), col("shingle_hashes").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_b"), col("shingle_hashes").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      // dedup pairs across bands BEFORE the (heavier) verify
-      .groupBy("id_a", "id_b")
-      .agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), Seq("band_idx", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct() // dedup across bands BEFORE the (heavier) verify
+    // verify: join the (few) candidate pairs back to their texts and
+    // compute the exact jaccard once per pair
+    pairs
+      .join(base.select(col("doc_id").as("id_a"),
+        wordShingleHashes(col("text"), shingleWords).as("sh_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"),
+        wordShingleHashes(col("text"), shingleWords).as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         hashJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
@@ -104,7 +107,10 @@ object Dedup {
   private def keepFirstLayered(
       docs: DataFrame, idCol: String, textCol: String)(
       repPairs: DataFrame => DataFrame): DataFrame = {
-    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // NULL text → '' so null-text docs dedup against each other instead
+    // of silently vanishing (NULL never equi-joins back to its rep)
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .withColumn("__tkey", md5(col("text").cast("binary")))
     val reps = keyed.groupBy("__tkey")
       .agg(min("doc_id").as("rep_id"), first("text").as("text"))
@@ -200,6 +206,8 @@ object Dedup {
    * long. Planes are a fixed seeded pseudo-random matrix embedded in a
    * single codegen'd expression — no shuffle, one pass per row. */
   def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int = 16, seed: Long = 0x9e37L): Column = {
+    require(numPlanes > 0 && numPlanes <= 64,
+      s"numPlanes must be in [1, 64] (sign bits pack into one long), got $numPlanes")
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes * dim)(rnd.nextGaussian())
     graft.functions.expressions.hyperplaneSig(vec, planes, dim)
@@ -225,18 +233,23 @@ object Dedup {
       vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95,
       numPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
-    val sig = spread(vecs).select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), dim, numPlanes).as("sig"))
-    val banded = sig.select(col("vec_id"), col("v"),
-      posexplode(signatureBands(col("sig"), numPlanes, bandBits)))
+    val base = spread(vecs).select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // band join carries ids only; vectors join back per deduped pair
+    val banded = base
+      .select(col("vec_id"),
+        posexplode(signatureBands(
+          hyperplaneSignature(col("v"), dim, numPlanes), numPlanes, bandBits)))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_val"))
-    val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
-      .groupBy("id_a", "id_b").agg(first("cos").as("cos"))
   }
 
   /** Keep-table for embedding near-dup: (vec_id, n_dups_smaller, keep). */

@@ -93,10 +93,34 @@ case class HashJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Numeric-vector input check shared by the vector expressions: both
+ * (or the only) operand must be array<float> or array<double>, and a
+ * binary pair must agree — getFloat/getDouble read at different byte
+ * widths, so a silent mismatch would produce garbage, not an error. */
+private[functions] object VectorTypeCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def check(name: String, types: Seq[DataType]): TypeCheckResult = {
+    val bad = types.exists {
+      case ArrayType(FloatType | DoubleType, _) => false
+      case _ => true
+    }
+    if (bad)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> or array<double> inputs, got ${types.map(_.sql).mkString(", ")}")
+    else if (types.distinct.size > 1 &&
+      types.map(_.asInstanceOf[ArrayType].elementType).distinct.size > 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires both vectors to share an element type, got ${types.map(_.sql).mkString(", ")}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+}
+
 /** cosine_sim(a, b) over array<float|double> → double. */
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.check("cosine_sim", Seq(left.dataType, right.dataType))
   private lazy val isFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -111,6 +135,8 @@ case class CosineSim(left: Expression, right: Expression)
 case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.check("hyperplane_sig", Seq(child.dataType))
   private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override protected def nullSafeEval(input: Any): Any =
@@ -130,6 +156,8 @@ case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
 case class NearestCentroids(child: Expression, centroids: Array[Double], dim: Int, nProbe: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.check("nearest_centroids", Seq(child.dataType))
   private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override protected def nullSafeEval(input: Any): Any =

@@ -135,9 +135,31 @@ object Relational {
         }
       out.as(f.name)
     }.toIndexedSeq: _*)
-    schema.fields.collect {
+    val arrayCols = schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
-    }.foldLeft(projected)((acc, arrCol) => nestChunked(acc, arrCol, nestingLimit))
+    }.toSeq
+    nestChunkedAll(projected, arrayCols, nestingLimit)
+  }
+
+  /**
+   * Chunk several repeated-record columns in LOCKSTEP (one shared
+   * chunk index sliced into every array) — the reference's
+   * toTableRows walks all nested lists together
+   * (MusicBrainzTransforms.java:256-276), so two arrays of 7 and 5 at
+   * limit 3 yield 3 rows of (3,3)/(3,2)/(1,0) — NOT the cross-product
+   * that independent per-column chunking would produce.
+   */
+  def nestChunkedAll(df: DataFrame, arrayCols: Seq[String], limit: Int): DataFrame = {
+    require(limit > 0, "nesting limit must be positive")
+    if (arrayCols.isEmpty) return df
+    if (arrayCols.size == 1) return nestChunked(df, arrayCols.head, limit)
+    val maxSize = arrayCols.map(c => size(col(c))).reduce((a, b) => greatest(a, b))
+    val nChunks = greatest(ceil(maxSize.cast("double") / limit).cast("int"), lit(1))
+    val others = df.columns.filterNot(arrayCols.contains).map(col)
+    val sliced = arrayCols.map(c =>
+      slice(col(c), col("__chunk") * limit + 1, lit(limit)).as(c))
+    df.withColumn("__chunk", explode(sequence(lit(0), nChunks - 1)))
+      .select((others ++ sliced).toIndexedSeq: _*)
   }
 
   /**

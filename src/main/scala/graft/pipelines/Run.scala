@@ -18,15 +18,7 @@ object Run {
     val outPath = if (args.length > 2) args(2)
       else java.nio.file.Files.createTempDirectory("graft_run").toString + "/out"
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local()
 
     val out = variant match {
       case "simple"              => Denorm.flatDenorm(spark, inDir, performLookups = false)

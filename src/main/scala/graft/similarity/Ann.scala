@@ -46,20 +46,21 @@ object Ann {
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int,
       numPlanes: Int = 32, bandBits: Int = 4): DataFrame = {
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sig = Dedup.hyperplaneSignature(col(vecCol), dim, numPlanes)
-      df.select(col(idCol).as(id), col(vecCol).as(vec), sig.as("sig"))
-        .select(col(id), col(vec),
-          posexplode(Dedup.signatureBands(col("sig"), numPlanes, bandBits)))
+    // band join on ids only; vectors join back per deduped candidate
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        posexplode(Dedup.signatureBands(
+          Dedup.hyperplaneSignature(col(vecCol), dim, numPlanes), numPlanes, bandBits)))
         .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_val"))
-    }
-    val c = banded(Dedup.spread(corpus), "vec_id", "c_vec")
-    val p = banded(probes, "probe_id", "p_vec")
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    c.join(broadcast(p), Seq("band_idx", "band_val"))
+    val cand = banded(Dedup.spread(corpus), "vec_id")
+      .join(broadcast(banded(probes, "probe_id")), Seq("band_idx", "band_val"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .groupBy("probe_id", "vec_id")
-      .agg(first("p_vec").as("p_vec"), first("c_vec").as("c_vec"))
+      .select("probe_id", "vec_id")
+      .distinct()
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")), Seq("vec_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))), Seq("probe_id"))
       .select(col("probe_id"), col("vec_id"), Dedup.cosine(col("p_vec"), col("c_vec")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
