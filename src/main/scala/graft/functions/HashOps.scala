@@ -75,7 +75,9 @@ object HashOps {
         dot += x * y; cn += y * y
         j += 1
       }
-      sims(c) = dot / (math.sqrt(vn) * math.sqrt(cn))
+      // zero probe or zero centroid → similarity 0, not NaN (NaN would
+      // make the IVF cell assignment arbitrary); matches cosine() above
+      sims(c) = if (vn == 0.0 || cn == 0.0) 0.0 else dot / (math.sqrt(vn) * math.sqrt(cn))
       c += 1
     }
     sims.zipWithIndex.sortBy { case (s, idx) => (-s, idx) }

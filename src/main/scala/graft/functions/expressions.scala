@@ -14,9 +14,29 @@ import org.apache.spark.unsafe.types.UTF8String
  * the hot path of a 100 TB dedup pass is exactly these per-row hashes.
  */
 
+/** Element-type input check shared by the hash expressions: ArrayData
+ * accessors (getLong/getUTF8String) read at a fixed byte width, so a
+ * mistyped array (e.g. array<int> where array<long> is required) would
+ * produce silently wrong hashes, not an error — reject at analysis. */
+private[functions] object ElementTypeCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def check(name: String, required: DataType, types: Seq[DataType]): TypeCheckResult = {
+    val bad = types.exists {
+      case ArrayType(et, _) if et == required => false
+      case _ => true
+    }
+    if (bad)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<${required.sql.toLowerCase}> inputs, got ${types.map(_.sql).mkString(", ")}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+}
+
 /** simhash64(tokens: array<string>) → long */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ElementTypeCheck.check("simhash64", StringType, Seq(child.dataType))
   override protected def nullSafeEval(input: Any): Any =
     HashOps.simhash64(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,6 +92,8 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
 /** minhash_sig(shingle_hashes, numPerm) → array<long>. */
 case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ElementTypeCheck.check("minhash_sig", LongType, Seq(child.dataType))
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(HashOps.minhashSig(input.asInstanceOf[ArrayData], numPerm))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -85,6 +107,8 @@ case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
 case class HashJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ElementTypeCheck.check("hash_jaccard", LongType, Seq(left.dataType, right.dataType))
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashOps.hashJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

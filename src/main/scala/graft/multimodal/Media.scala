@@ -32,7 +32,9 @@ object Media {
     docs.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
-      col("text").cast("binary").as("payload"),
+      // null text → empty payload: the decode path (mapPartitions over
+      // MediaRecord) dereferences payload and must never see null
+      coalesce(col("text").cast("binary"), lit(Array.emptyByteArray)).as("payload"),
       (col("doc_id") % 640 + 32).cast("int").as("width"),
       (col("doc_id") % 480 + 32).cast("int").as("height"),
       when(col("doc_id") % 2 === 1, 16000).otherwise(0).cast("int").as("sample_rate"))
@@ -58,8 +60,10 @@ object Media {
     media.mapPartitions { rows =>
       // real impl: val codec = NativeCodec.acquire() — once per partition
       rows.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          decodeStub(r.payload))
+        // defensive for records built outside fromDocuments
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        MediaFeatures(r.media_id, r.kind, payload.length.toLong,
+          decodeStub(payload))
       }
     }
   }

@@ -56,9 +56,14 @@ object Relational {
   def lookupReplace(df: DataFrame, lookups: Lookup*): DataFrame =
     lookups.foldLeft(df) { (acc, lk) =>
       lk.destCols.foldLeft(acc) { (cur, dest) =>
-        // distinct key→value projection, broadcast; join on the dest col
+        // distinct key→value projection, broadcast; join on the dest col.
+        // The dedup mirrors the reference's side-input Map (one value
+        // per key): without it a duplicate-keyed lookup table would
+        // multiply fact rows. Which value survives a conflicting
+        // duplicate is arbitrary, as in the reference's map insertion.
         val m = lk.mapping
           .select(col(lk.keyCol).as(s"__lk_key"), col(lk.valueCol).cast("string").as(s"__lk_val"))
+          .dropDuplicates("__lk_key")
         val joined = cur.join(broadcast(m), cur(dest) === m("__lk_key"), "left")
         val replaced = coalesce(col("__lk_val"), col(dest).cast("string")).as(dest)
         val outCols = cur.columns.map(c => if (c == dest) replaced else col(c))

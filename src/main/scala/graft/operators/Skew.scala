@@ -39,9 +39,12 @@ object Skew {
     require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"saltedJoin supports probe-preserving join types only, got '$joinType'")
     // deterministic per-row salt (stable across task retries — rand()
-    // would break exactly-once semantics under speculative execution)
+    // would break exactly-once semantics under speculative execution).
+    // Position-based, not content-based: byte-identical duplicate rows
+    // of a hot key (the common skew shape) must still spread, and a
+    // content hash would map them all to one salt value.
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col).toIndexedSeq: _*)), lit(saltFactor.toLong)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val fanned = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted
@@ -57,7 +60,7 @@ object Skew {
    * paths (e.g. collect_list of a hot key) — exposed for completeness.
    */
   def saltedCount(df: DataFrame, key: String, saltFactor: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltFactor.toLong)))
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -46,6 +46,17 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ivf recall@5 = $recall")
   }
 
+  test("nearestCentroids handles zero vectors without NaN") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val centroids = Array(1.0, 0.0, 0.0, 0.0) // two 2-dim centroids; second is zero
+    val zeroProbe = new GenericArrayData(Array(0.0, 0.0))
+    val cells = graft.functions.HashOps.nearestCentroids(zeroProbe, centroids, 2, 2, isFloat = false)
+    assert(cells.toSeq == Seq(0, 1), "zero probe must fall back to similarity 0, index order")
+    val realProbe = new GenericArrayData(Array(1.0, 1.0))
+    val cells2 = graft.functions.HashOps.nearestCentroids(realProbe, centroids, 2, 2, isFloat = false)
+    assert(cells2.head == 0, "real probe vs zero centroid must rank the nonzero centroid first")
+  }
+
   test("lshTopK returns correctly-ranked subset with adequate recall") {
     val probes = df.filter($"vec_id" < 10)
     val brute = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", 5)

@@ -29,4 +29,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 64)
     assert(r.getDouble(5) == 1.0)
   }
+
+  test("mistyped array inputs are rejected at analysis, not silently misread") {
+    // ArrayData reads at fixed byte widths: array<int> into getLong
+    // would yield garbage hashes — must fail analysis instead
+    def fails(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).head())
+      assert(e.getMessage.toLowerCase.contains("requires array") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"), s"unexpected error: ${e.getMessage}")
+    }
+    fails("SELECT hash_jaccard(array(1, 2, 3), array(1, 2, 3))")
+    fails("SELECT minhash_sig(array(1, 2, 3))")
+    fails("SELECT simhash64(array(1L, 2L))")
+    fails("SELECT cosine_sim(array('a'), array('b'))")
+    // correctly typed still passes
+    assert(spark.sql("SELECT hash_jaccard(array(1L, 2L), array(1L, 2L))").head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT simhash64(array('a', 'b'))").head().getLong(0) != 0L)
+  }
 }

@@ -28,6 +28,14 @@ class MediaSpec extends AnyFunSuite {
     assert(f1(2).n_bytes == 100L)
   }
 
+  test("null text yields an empty payload, not an NPE") {
+    val withNull = Seq((0L, "ok"), (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val feats = Media.extractFeatures(Media.fromDocuments(withNull))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(1).n_bytes == 0L && feats(1).features.forall(_ == 0.0f))
+  }
+
   test("sampleFrames splits payloads and keeps every Nth frame") {
     val frames = Media.sampleFrames(Media.fromDocuments(docs), frameBytes = 10, everyN = 2)
       .filter($"media_id" === 2L).collect()

@@ -44,6 +44,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(m(3L) == "99") // the reference's "" + id fallback
   }
 
+  test("lookupReplace with duplicate lookup keys does not multiply fact rows") {
+    val dupArea = Seq((10L, "Canada"), (10L, "Canada"), (20L, "France"))
+      .toDF("area_id", "area_name")
+    val out = Relational.lookupReplace(artist,
+      Lookup(dupArea, "area_id", "area_name", Seq("artist_area")))
+    assert(out.count() == artist.count(), "duplicate lookup keys must not fan out fact rows")
+    val m = out.select("artist_id", "artist_area").as[(Long, String)].collect().toMap
+    assert(m(1L) == "Canada")
+  }
+
   test("lookupReplace handles multiple destination columns") {
     val df = Seq((1L, 10L, 20L)).toDF("id", "area", "begin_area")
     val out = Relational.lookupReplace(df,

@@ -23,9 +23,24 @@ class SkewSpec extends AnyFunSuite {
 
   test("saltedJoin spreads the hot key across salt buckets") {
     val salted = facts.withColumn("__salt",
-      pmod(xxhash64(struct(facts.columns.map(col).toIndexedSeq: _*)), lit(8L)))
+      pmod(monotonically_increasing_id(), lit(8L)))
     val buckets = salted.filter($"k" === 1L).groupBy("__salt").count().count()
     assert(buckets >= 6, s"hot key should land in most of the 8 salt buckets, got $buckets")
+  }
+
+  test("byte-identical duplicate rows of a hot key still spread") {
+    // the common real skew shape: the hot key's rows are IDENTICAL, so a
+    // content-derived salt would collapse them onto one reducer
+    val dupFacts = (1 to 800).map(_ => (1L, "same")).toDF("k", "payload")
+    val salted = dupFacts.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(8L)))
+    val buckets = salted.groupBy("__salt").count().count()
+    assert(buckets >= 6, s"identical hot rows should spread over salt buckets, got $buckets")
+    // and the join result is still exact
+    val plain = dupFacts.join(dims, $"k" === $"dk").select("k", "payload", "label")
+    val viaOp = Skew.saltedJoin(dupFacts, dims, "k", "dk", saltFactor = 8)
+      .select("k", "payload", "label")
+    assert(viaOp.count() == plain.count())
   }
 
   test("saltedCount matches plain counts") {
