@@ -230,8 +230,10 @@ object HashOps {
       val seed = mix64(p.toLong + 0x5eed)
       var i = 0
       while (i < n) {
-        val v = mix64(hashes.getLong(i) ^ seed)
-        if (v < m) m = v
+        if (!hashes.isNullAt(i)) {
+          val v = mix64(hashes.getLong(i) ^ seed)
+          if (v < m) m = v
+        }
         i += 1
       }
       sig(p) = m
@@ -244,15 +246,23 @@ object HashOps {
   def hashJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
-    if (na == 0 && nb == 0) return 1.0
-    var i = 0; var j = 0; var inter = 0
+    // null elements (reachable via untyped array(NULL) literals) are
+    // ignored; sizes count non-null elements only
+    var i = 0; var j = 0; var inter = 0; var cntA = 0; var cntB = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; cntA += 1; cntB += 1; i += 1; j += 1 }
+        else if (x < y) { cntA += 1; i += 1 }
+        else { cntB += 1; j += 1 }
+      }
     }
-    inter.toDouble / (na + nb - inter)
+    while (i < na) { if (!a.isNullAt(i)) cntA += 1; i += 1 }
+    while (j < nb) { if (!b.isNullAt(j)) cntB += 1; j += 1 }
+    val union = cntA + cntB - inter
+    if (union == 0) 1.0 else inter.toDouble / union
   }
 
   /**

@@ -23,6 +23,10 @@ private[functions] object ElementTypeCheck {
   def check(name: String, required: DataType, types: Seq[DataType]): TypeCheckResult = {
     val bad = types.exists {
       case ArrayType(et, _) if et == required => false
+      // untyped literals, per Spark builtin convention: NULL evaluates
+      // to NULL (nullSafeEval is skipped), array() has no elements to
+      // misread — both are width-safe
+      case NullType | ArrayType(NullType, _) => false
       case _ => true
     }
     if (bad)

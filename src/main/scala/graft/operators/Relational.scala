@@ -59,11 +59,15 @@ object Relational {
         // distinct key→value projection, broadcast; join on the dest col.
         // The dedup mirrors the reference's side-input Map (one value
         // per key): without it a duplicate-keyed lookup table would
-        // multiply fact rows. Which value survives a conflicting
-        // duplicate is arbitrary, as in the reference's map insertion.
+        // multiply fact rows. The reference's map is last-insert-wins
+        // (deterministic given file order); Spark has no stable row
+        // order after a shuffle, so we pick max(value) — a commutative
+        // reduction that yields the SAME winner on every run and every
+        // partitioning.
         val m = lk.mapping
           .select(col(lk.keyCol).as(s"__lk_key"), col(lk.valueCol).cast("string").as(s"__lk_val"))
-          .dropDuplicates("__lk_key")
+          .groupBy("__lk_key")
+          .agg(max("__lk_val").as("__lk_val"))
         val joined = cur.join(broadcast(m), cur(dest) === m("__lk_key"), "left")
         val replaced = coalesce(col("__lk_val"), col(dest).cast("string")).as(dest)
         val outCols = cur.columns.map(c => if (c == dest) replaced else col(c))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -20,10 +20,34 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /**
+   * Default probe-side salt: a content hash of the whole row. This is
+   * DETERMINISTIC — a recomputed map task re-derives the same salt, so
+   * a partial stage retry after a fetch failure cannot lose or
+   * duplicate rows (the SPARK-23207 class of bug that rand() or
+   * monotonically_increasing_id() salts reintroduce when the probe
+   * side sits downstream of a shuffle). The tradeoff: byte-identical
+   * duplicate rows of a hot key all hash to ONE salt value and do not
+   * spread. When the probe table has a unique row id (or any
+   * high-cardinality column set), pass it as `saltBy` to get both
+   * determinism AND full spread of identical-payload rows.
+   */
+  private def saltExpr(df: DataFrame, saltBy: Seq[String], saltFactor: Int): Column = {
+    val basis: Column =
+      if (saltBy.nonEmpty) xxhash64(saltBy.map(col).toIndexedSeq: _*)
+      else xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+    pmod(basis, lit(saltFactor.toLong))
+  }
+
+  /**
    * Inner join `probe ⋈ build` on probeKey = buildKey with the hot
    * probe keys spread across `saltFactor` partitions. Result equals
    * the unsalted join (each probe row matches exactly the one build
    * replica carrying its salt).
+   *
+   * `saltBy`: columns whose hash picks the salt bucket. Default (empty)
+   * hashes the whole row — always deterministic, but byte-identical
+   * duplicate rows share a bucket; pass a unique id column to spread
+   * those too (see [[saltExpr]]).
    */
   def saltedJoin(
       probe: DataFrame,
@@ -31,20 +55,15 @@ object Skew {
       probeKey: String,
       buildKey: String,
       saltFactor: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      saltBy: Seq[String] = Nil): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     // right/full outer would emit unmatched build rows once per salt
     // replica — result would NOT equal the unsalted join
     val jt = joinType.toLowerCase.replace("_", "")
     require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"saltedJoin supports probe-preserving join types only, got '$joinType'")
-    // deterministic per-row salt (stable across task retries — rand()
-    // would break exactly-once semantics under speculative execution).
-    // Position-based, not content-based: byte-identical duplicate rows
-    // of a hot key (the common skew shape) must still spread, and a
-    // content hash would map them all to one salt value.
-    val salted = probe.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val salted = probe.withColumn("__salt", saltExpr(probe, saltBy, saltFactor))
     val fanned = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted
@@ -58,9 +77,11 @@ object Skew {
    * (key, salt), then final-aggregate on key. Spark's hash aggregate
    * already does map-side partials, so this is only for non-algebraic
    * paths (e.g. collect_list of a hot key) — exposed for completeness.
+   * Salt choice follows [[saltExpr]] (deterministic content hash by
+   * default; pass `saltBy` for identical-row spread).
    */
-  def saltedCount(df: DataFrame, key: String, saltFactor: Int): DataFrame =
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+  def saltedCount(df: DataFrame, key: String, saltFactor: Int, saltBy: Seq[String] = Nil): DataFrame =
+    df.withColumn("__salt", saltExpr(df, saltBy, saltFactor))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

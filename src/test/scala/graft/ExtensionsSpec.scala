@@ -46,4 +46,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT hash_jaccard(array(1L, 2L), array(1L, 2L))").head().getDouble(0) == 1.0)
     assert(spark.sql("SELECT simhash64(array('a', 'b'))").head().getLong(0) != 0L)
   }
+
+  test("untyped NULL and empty-array literals are accepted, like builtins") {
+    // NULL input → NULL result (nullSafeEval skipped)
+    assert(spark.sql("SELECT simhash64(NULL)").head().isNullAt(0))
+    assert(spark.sql("SELECT minhash_sig(NULL)").head().isNullAt(0))
+    // array() is ArrayType(NullType) with no elements — evaluates fine
+    assert(spark.sql("SELECT minhash_sig(array())").head().getSeq[Long](0).nonEmpty)
+    assert(spark.sql("SELECT hash_jaccard(array(), array())").head().getDouble(0) == 1.0)
+    // non-empty null-element arrays: nulls are ignored, no NPE
+    assert(spark.sql("SELECT hash_jaccard(array(NULL), array(NULL))").head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT simhash64(array(NULL))").head().getLong(0) == 0L,
+      "no tokens → no votes → zero signature")
+  }
 }

@@ -54,6 +54,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(m(1L) == "Canada")
   }
 
+  test("conflicting duplicate lookup keys resolve deterministically (max wins)") {
+    val conflict = Seq((10L, "Aaa"), (10L, "Zzz"), (10L, "Mmm"))
+      .toDF("area_id", "area_name")
+    val out = Relational.lookupReplace(artist,
+      Lookup(conflict, "area_id", "area_name", Seq("artist_area")))
+    val m = out.select("artist_id", "artist_area").as[(Long, String)].collect().toMap
+    assert(m(1L) == "Zzz", "winner must be max(value), stable across runs and partitionings")
+  }
+
   test("lookupReplace handles multiple destination columns") {
     val df = Seq((1L, 10L, 20L)).toDF("id", "area", "begin_area")
     val out = Relational.lookupReplace(df,

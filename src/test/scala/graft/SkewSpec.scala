@@ -22,30 +22,42 @@ class SkewSpec extends AnyFunSuite {
   }
 
   test("saltedJoin spreads the hot key across salt buckets") {
+    // distinct payloads → content-hash salt spreads them
     val salted = facts.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(8L)))
+      pmod(xxhash64(struct(facts.columns.map(col).toIndexedSeq: _*)), lit(8L)))
     val buckets = salted.filter($"k" === 1L).groupBy("__salt").count().count()
     assert(buckets >= 6, s"hot key should land in most of the 8 salt buckets, got $buckets")
   }
 
-  test("byte-identical duplicate rows of a hot key still spread") {
-    // the common real skew shape: the hot key's rows are IDENTICAL, so a
-    // content-derived salt would collapse them onto one reducer
-    val dupFacts = (1 to 800).map(_ => (1L, "same")).toDF("k", "payload")
-    val salted = dupFacts.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(8L)))
-    val buckets = salted.groupBy("__salt").count().count()
-    assert(buckets >= 6, s"identical hot rows should spread over salt buckets, got $buckets")
-    // and the join result is still exact
-    val plain = dupFacts.join(dims, $"k" === $"dk").select("k", "payload", "label")
-    val viaOp = Skew.saltedJoin(dupFacts, dims, "k", "dk", saltFactor = 8)
-      .select("k", "payload", "label")
+  test("default salt is deterministic across re-evaluation") {
+    // the SPARK-23207 hazard: a recomputed map task must re-derive the
+    // SAME salt per row. Content hash is a pure function of the row, so
+    // two independent evaluations agree exactly.
+    val a = facts.withColumn("__salt",
+      pmod(xxhash64(struct(facts.columns.map(col).toIndexedSeq: _*)), lit(8L)))
+    val b = facts.repartition(13).withColumn("__salt",
+      pmod(xxhash64(struct(facts.columns.map(col).toIndexedSeq: _*)), lit(8L)))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("byte-identical duplicate rows spread when a saltBy id is given") {
+    // the common real skew shape: the hot key's rows are IDENTICAL, so
+    // the content-derived default collapses them onto one reducer —
+    // callers pass a unique id column to spread those too
+    val dupFacts = (1 to 800).map(i => (i.toLong, 1L, "same")).toDF("row_id", "k", "payload")
+    val viaOp = Skew.saltedJoin(dupFacts, dims, "k", "dk", saltFactor = 8, saltBy = Seq("row_id"))
+    val plain = dupFacts.join(dims, $"k" === $"dk")
     assert(viaOp.count() == plain.count())
+    val salted = dupFacts.withColumn("__salt", pmod(xxhash64($"row_id"), lit(8L)))
+    val buckets = salted.groupBy("__salt").count().count()
+    assert(buckets >= 6, s"id-salted identical rows should spread over salt buckets, got $buckets")
   }
 
   test("saltedCount matches plain counts") {
     val plain = facts.groupBy("k").agg(count(lit(1)).as("n"))
     val salted = Skew.saltedCount(facts, "k", 8)
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    val saltedById = Skew.saltedCount(facts, "k", 8, saltBy = Seq("payload"))
+    assert(saltedById.except(plain).isEmpty && plain.except(saltedById).isEmpty)
   }
 }
