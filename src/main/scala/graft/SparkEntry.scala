@@ -288,6 +288,117 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** B15: as-of join — for each purchase event, the user's latest
+   * click at or before it (backward inclusive; AsOf operator). */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    // unique (key, time) build side: max event_id among same-ts clicks
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"))
+      .agg(max("event_id").as("click_id"))
+    graft.operators.AsOf
+      .asofJoin(purchases, clicks, "user_id", "c_user", "ts_us", "click_ts_us",
+        rightPayload = Seq("click_id", "click_ts_us"), outPrefix = "")
+      .orderBy("event_id")
+  }
+
+  /** B16: banded range join — same-user event pairs within one hour,
+   * aggregated per user (Ranged operator: bin + replicate, no theta
+   * nested loop). */
+  private def qRangePairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val a = ev.select(col("user_id").as("u_a"), col("event_id").as("id_a"), col("ts_us").as("ts_a"))
+    val b = ev.select(col("user_id").as("u_b"), col("event_id").as("id_b"), col("ts_us").as("ts_b"))
+    graft.operators.Ranged
+      .bandedJoin(a, b, "u_a", "u_b", "ts_a", "ts_b", 3600L * 1000000L)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("u_a").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(abs(col("ts_b") - col("ts_a"))).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** B17: pivot — order counts by status x priority as wide columns. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+        coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+      .orderBy("o_orderstatus")
+
+  /** B17b: unpivot/melt — part metrics to long form. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+
+  /** B18: exact percentiles (median / p90) per brand, interpolated in
+   * cents space so both engines interpolate the same integers. */
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(
+        (expr("percentile(cast(round(p_retailprice * 100, 0) as bigint), 0.5)") / 100.0).as("median_price"),
+        (expr("percentile(cast(round(p_retailprice * 100, 0) as bigint), 0.9)") / 100.0).as("p90_price"))
+      .orderBy("p_brand")
+
+  /** B19: TPC-H Q7-shape — shipping volume between two nations by
+   * ship year (two dimension roles for one table, disjunctive filter). */
+  private def qVolumeShip(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast("date")).cast("long").as("l_year"))
+      .agg((sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** B20: set operations — customers ordering in both 1995 and 1996
+   * (INTERSECT) vs only 1995 (EXCEPT), tagged and unioned. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def custsIn(yr: Int): DataFrame = t(s, dir, "orders")
+      .filter(year(col("o_orderdate").cast("date")) === yr)
+      .select("o_custkey").distinct()
+    val c95 = custsIn(1995)
+    val c96 = custsIn(1996)
+    c95.intersect(c96).withColumn("tag", lit("both"))
+      .unionByName(c95.except(c96).withColumn("tag", lit("only_1995")))
+      .select("tag", "o_custkey")
+      .orderBy("tag", "o_custkey")
+  }
+
+  /** B21: explicit GROUPING SETS (disjoint sets, unlike rollup/cube). */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+    // 100.0D: Spark SQL parses a bare 100.0 literal as DECIMAL(4,1) and
+    // bigint/decimal → decimal, while the oracle divides in double
+    s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0D AS qty
+             FROM lineitem_gsets
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
   /** B12: part-catalog stats — grouped aggregation over the part table
    * (count, min/max size, exact mean retail price). */
   private def qPartStats(s: SparkSession, dir: String): DataFrame =
@@ -335,6 +446,25 @@ object SparkEntry {
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.embeddingKeep(t(s, dir, "embeddings"), "vec_id", "embedding", 64)
       .orderBy("vec_id")
+
+  /** C5b: EXACT embedding near-dup (oracle-checkable baseline for the
+   * LSH-bucketed q_dedup_embed): keep a vector iff no earlier vector
+   * is within the cosine threshold — brute-force pairwise, fine at
+   * verify scale; the LSH variant is the 100 TB path. */
+  private def qDedupEmbedExact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // single-file scan = one partition; spread the O(n^2) probe side
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val dups = a.join(broadcast(b),
+        col("id_b") < col("id_a") &&
+          graft.functions.expressions.cosineSim(col("emb_a"), col("emb_b")) >= 0.35)
+      .select(col("id_a").as("dup_id")).distinct()
+    e.join(dups, col("vec_id") === col("dup_id"), "left_anti")
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
 
   /** C6: brute-force cosine top-5 for probe vectors (vec_id < 3). */
   private def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -463,6 +593,15 @@ object SparkEntry {
     "q_big_orders"     -> qBigOrders,
     "q_max_bal_nation" -> qMaxBalPerNation,
     "q_part_stats"     -> qPartStats,
+    "q_asof_join"      -> qAsofJoin,
+    "q_range_pairs"    -> qRangePairs,
+    "q_pivot"          -> qPivot,
+    "q_unpivot"        -> qUnpivot,
+    "q_percentile"     -> qPercentile,
+    "q_volume_ship"    -> qVolumeShip,
+    "q_setops"         -> qSetOps,
+    "q_grouping_sets"  -> qGroupingSets,
+    "q_dedup_embed_exact" -> qDedupEmbedExact,
     "q_dedup_exact"    -> qDedupExact,
     "q_dedup_minhash"  -> qDedupMinhash,
     "q_dedup_simhash"  -> qDedupSimhash,
@@ -680,5 +819,78 @@ object SparkEntry {
          event_type, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_asof_join" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+         clicks AS (
+           SELECT user_id AS c_user, epoch_us(ts) AS click_ts_us,
+                  MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.click_ts_us
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.c_user AND p.ts_us >= c.click_ts_us
+         ORDER BY p.event_id""",
+    "q_range_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+         SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ABS(b.ts_us - a.ts_us)) AS BIGINT) AS sum_gap_us
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND a.event_id < b.event_id
+           AND ABS(a.ts_us - b.ts_us) <= 3600000000
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+         COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+         COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+         COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+         COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+         COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+         ORDER BY p_partkey, metric""",
+    "q_percentile" ->
+      """SELECT p_brand,
+         quantile_cont(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), 0.5) / 100.0 AS median_price,
+         quantile_cont(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), 0.9) / 100.0 AS p90_price
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_volume_ship" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+             CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_setops" ->
+      """WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995),
+              c96 AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1996)
+         SELECT 'both' AS tag, o_custkey FROM (FROM c95 INTERSECT FROM c96)
+         UNION ALL
+         SELECT 'only_1995' AS tag, o_custkey FROM (FROM c95 EXCEPT FROM c96)
+         ORDER BY tag, o_custkey""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_dedup_embed_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         dups AS (SELECT DISTINCT a.vec_id AS dup_id FROM e a JOIN e b
+           ON b.vec_id < a.vec_id
+           AND list_cosine_similarity(a.emb, b.emb) >= 0.35)
+         SELECT vec_id FROM e ANTI JOIN dups ON vec_id = dup_id ORDER BY vec_id""",
   )
 }

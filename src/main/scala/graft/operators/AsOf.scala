@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join: for each left row, attach the one right row with the
+ * greatest right-time <= left-time for the same key (backward,
+ * inclusive — the time-series ASOF JOIN Spark has no built-in for).
+ *
+ * Spark-first design: not a per-row range probe (quadratic per key)
+ * and not a custom SparkPlan. Both sides are tagged and unioned, each
+ * key partition is sorted by (time, tag), and the latest right payload
+ * is carried forward with last(_, ignoreNulls) over a running window.
+ * Catalyst plans this as ONE exchange + sort — the cost of a single
+ * sort-merge join at any scale, with no key-cardinality blowup when a
+ * hot key has millions of rows on both sides.
+ */
+object AsOf {
+
+  /**
+   * Backward-inclusive as-of join.
+   *
+   * Output: every `left` row with its columns unchanged, plus one
+   * `outPrefix`-prefixed column per `rightPayload` entry holding the
+   * value from the matched right row (null when the key has no right
+   * row at or before the left time).
+   *
+   * Requirements:
+   *  - time columns are totally ordered within a key (any orderable
+   *    type; use epoch micros for timestamps to avoid tz surprises);
+   *  - `right` is unique per (key, time): pre-aggregate conflicting
+   *    rows first, otherwise the surviving row among equal timestamps
+   *    is partition-order-dependent.
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      outPrefix: String = "asof_"): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one right column")
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    // right rows (tag 0) sort before left rows (tag 1) at equal time,
+    // so a right row AT the left timestamp matches — inclusive join
+    val l2 = left.select(
+      (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
+        leftStruct.as("__lrow")) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))).toIndexedSeq: _*)
+    val r2 = right.select(
+      (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+        lit(null).cast(left.schema).as("__lrow")) ++
+        rightPayload.map(c => col(c).as(s"__r_$c"))).toIndexedSeq: _*)
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l2.unionByName(r2).select(
+      (Seq(col("__tag"), col("__lrow")) ++
+        rightPayload.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__f_$c"))).toIndexedSeq: _*)
+    filled.filter(col("__tag") === 1).select(
+      (left.columns.map(c => col("__lrow").getField(c).as(c)) ++
+        rightPayload.map(c => col(s"__f_$c").as(s"$outPrefix$c"))).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{AsOf, Ranged}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // trades: (key, time, id); quotes: (key, time, price)
+  private lazy val trades = Seq(
+    ("A", 10L, 1L), ("A", 20L, 2L), ("A", 5L, 3L),
+    ("B", 50L, 4L), ("C", 7L, 5L)
+  ).toDF("sym", "t", "trade_id")
+  private lazy val quotes = Seq(
+    ("A", 10L, 1.0), ("A", 15L, 2.0), ("B", 60L, 3.0)
+  ).toDF("q_sym", "q_t", "price")
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    val out = AsOf.asofJoin(trades, quotes, "sym", "q_sym", "t", "q_t",
+      rightPayload = Seq("price", "q_t"))
+      .select("trade_id", "asof_price", "asof_q_t")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map { case (k, p, t) => k -> ((p, t)) }.toMap
+    assert(out(1L) == ((Some(1.0), Some(10L))), "inclusive: quote AT trade time matches")
+    assert(out(2L) == ((Some(2.0), Some(15L))), "latest of several earlier quotes wins")
+    assert(out(3L) == ((None, None)), "no quote at or before → nulls")
+    assert(out(4L) == ((None, None)), "future-only quotes never match (backward join)")
+    assert(out(5L) == ((None, None)), "key with no right rows at all")
+  }
+
+  test("asofJoin equals the quadratic reference join") {
+    // reference semantics: left join on key + time bound, keep max right time
+    val ref = trades.join(quotes,
+        $"sym" === $"q_sym" && $"q_t" <= $"t", "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("trade_id").orderBy(col("q_t").desc_nulls_last)))
+      .filter($"rk" === 1)
+      .select($"trade_id", $"price".as("asof_price"))
+    val got = AsOf.asofJoin(trades, quotes, "sym", "q_sym", "t", "q_t",
+      rightPayload = Seq("price")).select("trade_id", "asof_price")
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+  }
+
+  test("asofJoin plans a single shuffle (one window over the union)") {
+    val plan = AsOf.asofJoin(trades, quotes, "sym", "q_sym", "t", "q_t",
+      rightPayload = Seq("price")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, plan:\n$plan")
+  }
+
+  test("bandedJoin finds exactly the in-band pairs, each once") {
+    val a = Seq(("u", 0L, 1L), ("u", 100L, 2L), ("u", 250L, 3L), ("v", 0L, 4L))
+      .toDF("ka", "ta", "ida")
+    val b = Seq(("u", 90L, 10L), ("u", 199L, 11L), ("v", 500L, 12L))
+      .toDF("kb", "tb", "idb")
+    val got = Ranged.bandedJoin(a, b, "ka", "kb", "ta", "tb", bandUs = 100L)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    // |ta-tb|<=100 same key: (1,10) 90; (2,10) 10; (2,11) 99; (3,11) 51;
+    // (1,11) is 199 → out; v pair is 500 → out
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+  }
+
+  test("bandedJoin band edge is inclusive and bin borders do not drop pairs") {
+    val a = Seq(("k", 100L, 1L)).toDF("ka", "ta", "ida")
+    // 0 and 200 are exactly band away; 201 just out; 199/101 neighbors bins
+    val b = Seq(("k", 0L, 10L), ("k", 200L, 11L), ("k", 201L, 12L), ("k", 99L, 13L))
+      .toDF("kb", "tb", "idb")
+    val got = Ranged.bandedJoin(a, b, "ka", "kb", "ta", "tb", bandUs = 100L)
+      .select("idb").as[Long].collect().toSet
+    assert(got == Set(10L, 11L, 13L))
+  }
+
+  test("bandedJoin matches the naive theta join on random data") {
+    val rnd = new scala.util.Random(7)
+    val xs = (1 to 300).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i.toLong))
+    val a = xs.toDF("ka", "ta", "ida")
+    val b = xs.map { case (k, t, i) => (k, t, i + 1000L) }.toDF("kb", "tb", "idb")
+    val naive = a.join(b, $"ka" === $"kb" && abs($"ta" - $"tb") <= 37L)
+      .select("ida", "idb")
+    val banded = Ranged.bandedJoin(a, b, "ka", "kb", "ta", "tb", bandUs = 37L)
+      .select("ida", "idb")
+    assert(banded.count() == naive.count())
+    assert(banded.except(naive).isEmpty && naive.except(banded).isEmpty)
+  }
+}
