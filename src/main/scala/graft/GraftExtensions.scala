@@ -41,6 +41,12 @@ object GraftExtensions {
       args(i).eval().asInstanceOf[Number].intValue()
     }
 
+  private def strArg(name: String, args: Seq[Expression], i: Int): String = {
+    if (!args(i).foldable || args(i).dataType != org.apache.spark.sql.types.StringType)
+      throw new IllegalArgumentException(s"$name: argument ${i + 1} must be a literal string")
+    args(i).eval().toString
+  }
+
   private def arity(name: String, min: Int, max: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
     args => {
       if (args.length < min || args.length > max)
@@ -67,6 +73,8 @@ object GraftExtensions {
       arity("hash_jaccard", 2)(args => HashJaccard(args.head, args(1)))),
     ("cosine_sim", "cosine_sim(a, b) - cosine similarity of numeric vectors",
       arity("cosine_sim", 2)(args => CosineSim(args.head, args(1)))),
+    ("array_field_sum", "array_field_sum(arr, 'field') - sum of a BIGINT struct field over an array<struct>",
+      arity("array_field_sum", 2)(args => ArrayFieldSum(args.head, strArg("array_field_sum", args, 1)))),
   )
 
   /** Register all graft functions on an existing session. */

@@ -59,13 +59,16 @@ object SparkEntry {
   /** A5: nest orders under customer, project order-insensitive stats. */
   private def qNest(s: SparkSession, dir: String): DataFrame =
     Relational
-      .nest(t(s, dir, "customer"), t(s, dir, "orders"), "c_custkey", "o_custkey",
-        "orders", sortChildBy = Seq("o_orderkey"))
+      .nest(t(s, dir, "customer"),
+        t(s, dir, "orders").withColumn("o_total_cents", cents(col("o_totalprice"))),
+        "c_custkey", "o_custkey", "orders", sortChildBy = Seq("o_orderkey"))
       .select(
         col("c_custkey"),
         size(col("orders")).cast("long").as("n_orders"),
-        (aggregate(col("orders"), lit(0L),
-          (acc, x) => acc + cents(x.getField("o_totalprice"))) / 100.0).as("sum_total"))
+        // cents precomputed in the flat child (codegen'd), summed by the
+        // native ArrayFieldSum — no interpreted lambda over the array
+        (graft.functions.expressions.arrayFieldSum(col("orders"), "o_total_cents") / 100.0)
+          .as("sum_total"))
       .orderBy("c_custkey")
 
   /** A6: nesting limit — chunk nested arrays at 5, duplicating parents. */
@@ -96,8 +99,8 @@ object SparkEntry {
       .select(
         col("c_custkey"), col("c_name"),
         size(col("order_items")).cast("long").as("n_items"),
-        (aggregate(col("order_items"), lit(0L),
-          (acc, x) => acc + x.getField("l_rev_cents")) / 10000.0)
+        // codegen'd nested aggregation — aggregate() HOFs run interpreted
+        (graft.functions.expressions.arrayFieldSum(col("order_items"), "l_rev_cents") / 10000.0)
           .as("sum_rev"))
       .orderBy("c_custkey")
 
@@ -399,6 +402,66 @@ object SparkEntry {
              ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
   }
 
+  /** B22: conditional aggregation (TPC-H Q12 shape) — priority-class
+   * line counts per return flag, CASE WHEN inside SUM. */
+  private def qCondAgg(s: SparkSession, dir: String): DataFrame = {
+    val highs = Seq("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+              col("l_shipdate").cast("date") <  lit("1997-01-01").cast("date"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin(highs: _*), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(highs: _*), 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B23: promo revenue share (TPC-H Q14 shape) — ratio of conditional
+   * to total aggregate, part dimension broadcast. */
+  private def qPromoShare(s: SparkSession, dir: String): DataFrame = {
+    val part = broadcast(t(s, dir, "part").select("p_partkey", "p_type"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+              col("l_shipdate").cast("date") <  lit("1996-07-01").cast("date"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .withColumn("rev_cents", cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev_cents")).otherwise(0L)) /
+        sum(col("rev_cents"))).as("promo_share"))
+  }
+
+  /** B24: NOT IN subquery (TPC-H Q16 flavor) — customers per nation,
+   * excluding nations that have a negative-balance supplier. */
+  private def qNotIn(s: SparkSession, dir: String): DataFrame = {
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_nationkey")).distinct()
+    t(s, dir, "customer")
+      .join(broadcast(bad), col("c_nationkey") === col("s_nationkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+  }
+
+  /** B25: scalar-average subquery + anti join (TPC-H Q22 shape) —
+   * above-average-balance customers with no 1995 order, grouped by a
+   * name-derived code. */
+  private def qGlobalCust(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    // exact mean in cents space so the > boundary is bit-identical
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(cents(col("c_acctbal"))) / (lit(100.0) * count(lit(1)))).as("__avg_bal"))
+    val o95 = t(s, dir, "orders")
+      .filter(year(col("o_orderdate").cast("date")) === 1995)
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(substring(col("c_name"), 10, 2).as("code"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(cents(col("c_acctbal"))) / 100.0).as("totacctbal"))
+      .orderBy("code")
+  }
+
   /** B12: part-catalog stats — grouped aggregation over the part table
    * (count, min/max size, exact mean retail price). */
   private def qPartStats(s: SparkSession, dir: String): DataFrame =
@@ -601,6 +664,10 @@ object SparkEntry {
     "q_volume_ship"    -> qVolumeShip,
     "q_setops"         -> qSetOps,
     "q_grouping_sets"  -> qGroupingSets,
+    "q_cond_agg"       -> qCondAgg,
+    "q_promo_share"    -> qPromoShare,
+    "q_not_in"         -> qNotIn,
+    "q_global_cust"    -> qGlobalCust,
     "q_dedup_embed_exact" -> qDedupEmbedExact,
     "q_dedup_exact"    -> qDedupExact,
     "q_dedup_minhash"  -> qDedupMinhash,
@@ -886,6 +953,35 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_cond_agg" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_promo_share" ->
+      """SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) / SUM(rev_cents) AS promo_share
+         FROM (SELECT p_type,
+                 CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+                 CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT) AS rev_cents
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                 AND CAST(l_shipdate AS DATE) <  DATE '1996-07-01')""",
+    "q_not_in" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer
+         WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_global_cust" ->
+      """SELECT substr(c_name, 10, 2) AS code, CAST(COUNT(*) AS BIGINT) AS numcust,
+         SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0 AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / (100.0 * COUNT(*))
+                            FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995)
+         GROUP BY 1 ORDER BY 1""",
     "q_dedup_embed_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          dups AS (SELECT DISTINCT a.vec_id AS dup_id FROM e a JOIN e b

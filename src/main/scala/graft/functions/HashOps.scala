@@ -7,6 +7,25 @@ package graft.functions
  */
 object HashOps {
 
+  /** Sum of one BIGINT struct field over an array<struct> (nested
+   * repeated-record aggregation). Null elements and null field values
+   * contribute nothing, matching SUM semantics over a flattened child
+   * table. */
+  def sumStructField(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      ordinal: Int, numFields: Int): Long = {
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, numFields)
+        if (!row.isNullAt(ordinal)) s += row.getLong(ordinal)
+      }
+      i += 1
+    }
+    s
+  }
+
   /** Cosine similarity of two numeric arrays in double precision,
    * sequential fold (deterministic; matches an engine-side
    * float→double cast then ordered accumulation). */

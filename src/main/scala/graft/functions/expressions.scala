@@ -159,6 +159,43 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** array_field_sum(arr, 'field') → bigint — sum of one BIGINT struct
+ * field over an array<struct> column. The declarative alternatives
+ * both lose at scale: `aggregate()` (a higher-order function) runs
+ * interpreted per element, and explode→groupBy re-shuffles rows that
+ * are already grouped. This stays inside whole-stage codegen and reads
+ * the field directly from the unsafe array. */
+case class ArrayFieldSum(child: Expression, field: String) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(st: StructType, _) => st.fields.find(_.name == field) match {
+        case Some(f) if f.dataType == LongType => TypeCheckSuccess
+        case Some(f) => TypeCheckFailure(
+          s"array_field_sum field '$field' must be BIGINT, got ${f.dataType.sql}")
+        case None => TypeCheckFailure(
+          s"array_field_sum: no field '$field' in ${st.fieldNames.mkString(", ")}")
+      }
+      case NullType => TypeCheckSuccess // untyped NULL literal → NULL
+      case other => TypeCheckFailure(
+        s"array_field_sum requires array<struct>, got ${other.sql}")
+    }
+  }
+  // resolved only after the type check passes; (0,0) placates NullType
+  private lazy val (ordinal, numFields) = child.dataType match {
+    case ArrayType(st: StructType, _) => (st.fieldIndex(field), st.length)
+    case _ => (0, 0)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.sumStructField(input.asInstanceOf[ArrayData], ordinal, numFields)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.sumStructField($c, $ordinal, $numFields)")
+  override protected def withNewChildInternal(newChild: Expression): ArrayFieldSum =
+    copy(child = newChild)
+}
+
 /** hyperplane_sig(vec) with a fixed plane matrix → long sign bits. */
 case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
     extends UnaryExpression {
@@ -215,6 +252,8 @@ object expressions {
     column(HashJaccard(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def arrayFieldSum(arr: Column, field: String): Column =
+    column(ArrayFieldSum(expression(arr), field))
   def hyperplaneSig(v: Column, planes: Array[Double], dim: Int): Column =
     column(HyperplaneSig(expression(v), planes, dim))
   def nearestCentroids(v: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =

@@ -59,4 +59,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT simhash64(array(NULL))").head().getLong(0) == 0L,
       "no tokens → no votes → zero signature")
   }
+
+  test("array_field_sum sums one struct field, skipping nulls") {
+    val r = spark.sql(
+      """SELECT
+         array_field_sum(array(named_struct('a', 1L, 'b', 'x'),
+                               named_struct('a', 2L, 'b', 'y')), 'a') AS s,
+         array_field_sum(array(named_struct('a', 1L), NULL,
+                               named_struct('a', CAST(NULL AS BIGINT))), 'a') AS s_nulls,
+         array_field_sum(CAST(array() AS ARRAY<STRUCT<a: BIGINT>>), 'a') AS s_empty,
+         array_field_sum(NULL, 'a') AS s_null
+       """).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 1L, "null element and null field contribute 0")
+    assert(r.getLong(2) == 0L)
+    assert(r.isNullAt(3))
+  }
+
+  test("array_field_sum rejects wrong field types and missing fields at analysis") {
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).head())
+      assert(e.getMessage.contains(frag) || e.getMessage.contains("DATATYPE_MISMATCH"),
+        s"unexpected error: ${e.getMessage}")
+    }
+    fails("SELECT array_field_sum(array(named_struct('a', 1)), 'a')", "must be BIGINT")
+    fails("SELECT array_field_sum(array(named_struct('a', 1L)), 'z')", "no field 'z'")
+    fails("SELECT array_field_sum(array(1L), 'a')", "requires array<struct>")
+    // matches an equivalent explode + SUM
+    val df = spark.range(100).selectExpr(
+      "id % 7 AS k", "named_struct('v', id) AS s")
+      .groupBy("k").agg(org.apache.spark.sql.functions.collect_list("s").as("arr"))
+    val viaExpr = df.selectExpr("k", "array_field_sum(arr, 'v') AS s")
+    val viaExplode = spark.range(100).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+    assert(viaExpr.except(viaExplode).isEmpty && viaExplode.except(viaExpr).isEmpty)
+  }
 }
