@@ -101,4 +101,33 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Stream-stream interval join: each left event joined to the right
+   * events with the same key whose timestamp falls in
+   * [left.ts − lookback, left.ts] (attribution: purchase ← clicks in
+   * the preceding window).
+   *
+   * Both sides carry a watermark AND the join condition bounds the
+   * event-time distance, so Spark can evict right-side state older
+   * than watermark + lookback — state stays bounded on an unbounded
+   * stream, the requirement for a 100 TB/day join. Column names of the
+   * two inputs must be disjoint (alias first), like Ranged.bandedJoin.
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      lookback: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "alias left/right columns apart before a stream-stream self-join")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"`$leftKey` = `$rightKey` AND " +
+      s"`$rightTs` >= `$leftTs` - INTERVAL '$lookback' AND `$rightTs` <= `$leftTs`"))
+  }
 }

@@ -105,4 +105,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(all.contains((1L, 1L, 5.0)), s"timeout session missing: $all")
     } finally q.stop()
   }
+
+  test("intervalJoin matches purchases to clicks in the preceding hour only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStream.intervalJoin(
+      purchases.toDF().select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts")),
+      clicks.toDF().select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts")),
+      "p_user", "c_user", "p_ts", "c_ts", lookback = "1 hour")
+    val q = joined.select("p_id", "c_id")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, 10, ts(0), "click", 0.0),    // 30 min before purchase → match
+        Event(1, 11, ts(25), "click", 0.0),   // 5 min before → match
+        Event(1, 12, ts(40), "click", 0.0),   // AFTER the purchase → no match
+        Event(2, 13, ts(0), "click", 0.0))    // other user → no match
+      purchases.addData(Event(1, 100, ts(30), "purchase", 9.99))
+      q.processAllAvailable()
+      // inner interval join emits eagerly, no watermark wait needed
+      val got = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 10L), (100L, 11L)), s"got $got")
+      // a click 2h earlier than a new purchase is out of the lookback
+      clicks.addData(Event(3, 14, ts(60), "click", 0.0))
+      purchases.addData(Event(3, 101, ts(200), "purchase", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+      assert(after == Set((100L, 10L), (100L, 11L)), s"got $after")
+    } finally q.stop()
+  }
+
+  test("intervalJoin evicts right-side state past watermark + lookback") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStream.intervalJoin(
+      purchases.toDF().select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts")),
+      clicks.toDF().select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts")),
+      "p_user", "c_user", "p_ts", "c_ts", lookback = "1 hour", watermark = "30 minutes")
+    val q = joined.select("p_id", "c_id")
+      .writeStream.format("memory").queryName("ssjoin_evict").outputMode("append").start()
+    try {
+      clicks.addData(Event(1, 10, ts(0), "click", 0.0))
+      q.processAllAvailable()
+      // advance both watermarks far past the click's eviction horizon
+      clicks.addData(Event(9, 98, ts(600), "click", 0.0))
+      purchases.addData(Event(9, 99, ts(600), "purchase", 0.0))
+      q.processAllAvailable()
+      // a purchase inside the old click's window, but arriving after
+      // eviction: late by both watermarks, correctly yields nothing
+      purchases.addData(Event(1, 100, ts(30), "purchase", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_evict").as[(Long, Long)].collect().toSet
+      assert(!got.exists(_._1 == 100L),
+        s"late purchase must not match evicted click state: $got")
+    } finally q.stop()
+  }
 }
