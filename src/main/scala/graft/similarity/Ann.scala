@@ -68,10 +68,11 @@ object Ann {
   }
 
   /**
-   * IVF (inverted-file) approximate top-k. The coarse quantizer here
-   * samples `numCells` corpus vectors as centroids (deterministic,
-   * lowest ids — a production index would run k-means; the plan shape
-   * is identical). Corpus vectors index into their nearest cell; each
+   * IVF (inverted-file) approximate top-k. The coarse quantizer
+   * samples `numCells` lowest-id corpus vectors as centroids and
+   * optionally refines them with `kmeansIters` rounds of distributed
+   * spherical k-means ([[trainCentroids]]). Corpus vectors index into
+   * their nearest cell; each
    * probe scores only the cells on its `nProbe` multiprobe list. Cell
    * assignment is a single codegen'd expression; at 100 TB the index
    * side would additionally be written partitioned by cell so a query
@@ -79,19 +80,96 @@ object Ann {
    */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int,
-      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroidRows = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(numCells).collect()
-    val centroids: Array[Double] = centroidRows.flatMap { r =>
-      r.get(1).asInstanceOf[scala.collection.Seq[Any]].map {
-        case f: java.lang.Float => f.toDouble
-        case d: java.lang.Double => d.doubleValue()
-      }
-    }
+      numCells: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters)
     val c = Dedup.spread(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
       element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1).as("cell"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),
       explode(nearestCentroids(col(vecCol), centroids, dim, nProbe)).as("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(p), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), Dedup.cosine(col("p_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "cos")
+  }
+
+  /**
+   * Coarse-quantizer centroids: `numCells` lowest-id corpus vectors,
+   * optionally refined by `iters` rounds of distributed spherical
+   * k-means (Lloyd). Each round is one pass: codegen'd nearest-cell
+   * assignment, then a (cell, position) partial-aggregated mean — the
+   * shuffle is numCells x dim rows regardless of corpus size, so
+   * training cost is scan-bound at 100 TB. Cosine assignment is
+   * scale-invariant, so means need no re-normalization. Empty cells
+   * keep their previous centroid.
+   */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numCells: Int, iters: Int = 0): Array[Double] = {
+    val init: Array[Double] = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(numCells).collect().flatMap { r =>
+        r.get(1).asInstanceOf[scala.collection.Seq[Any]].map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }
+      }
+    var centroids = init
+    val spreadCorpus = Dedup.spread(corpus)
+    for (_ <- 1 to iters) {
+      val sums = spreadCorpus
+        .select(element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1).as("cell"),
+          posexplode(col(vecCol)))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { r =>
+        val cell = r.getInt(0); val pos = r.getInt(1)
+        next(cell * dim + pos) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /**
+   * Persist an IVF index: corpus rows written partitioned by their
+   * cell id (`path/cell=N/...`) plus the trained centroids at
+   * `path/_graft_centroids`. At query time [[ivfTopKIndexed]] collects
+   * the probes' multiprobe cell list and reads ONLY those partitions —
+   * static partition pruning, so a query touches nProbe x |probes|
+   * directories of a 100 TB index, never the full corpus.
+   */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, path: String, numCells: Int = 16, kmeansIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters)
+    Dedup.spread(corpus)
+      .withColumn("cell", element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_centroids")
+  }
+
+  /** Query a [[buildIvfIndex]] index. Same output shape as
+   * [[bruteForceTopK]]; reads only the probes' multiprobe cells. */
+  def ivfTopKIndexed(path: String, probes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = probes.sparkSession
+    val centroids = spark.read.parquet(s"$path/_graft_centroids")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),
+      explode(nearestCentroids(col(vecCol), centroids, dim, nProbe)).as("cell"))
+    // static pruning: list the needed cells driver-side (probe sets are
+    // small by contract) so the scan plans only those partitions
+    val cells = p.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"), col("cell"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(p), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))

@@ -71,4 +71,53 @@ class AnnSpec extends AnyFunSuite {
       .collect()
     ranks.foreach(r => assert(r.getLong(1) == r.getLong(2))) // ranks dense 1..n
   }
+
+  // 8 well-separated clusters x 40 points in 16 dims: the regime where
+  // trained centroids matter (sampled-by-id centroids may all land in
+  // the same few clusters)
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    (0L until 320L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+  }
+  private lazy val clusteredDf = clustered.toDF("vec_id", "embedding")
+
+  test("k-means-trained IVF beats untrained sampling on clustered data") {
+    val probes = clusteredDf.filter($"vec_id" < 8)
+    val brute = Ann.bruteForceTopK(clusteredDf, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallWith(iters: Int): Double = {
+      val got = Ann.ivfTopK(clusteredDf, probes, "vec_id", "embedding", 16, 5,
+        numCells = 8, nProbe = 1, kmeansIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val trained = recallWith(5)
+    val untrained = recallWith(0)
+    assert(trained >= 0.9, s"trained recall@5 = $trained")
+    assert(trained >= untrained - 0.05,
+      s"training must not hurt: trained=$trained untrained=$untrained")
+  }
+
+  test("persisted IVF index prunes to probe cells and keeps recall") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Ann.buildIvfIndex(clusteredDf, "vec_id", "embedding", 16, path,
+      numCells = 8, kmeansIters = 5)
+    val probes = clusteredDf.filter($"vec_id" < 8)
+    val result = Ann.ivfTopKIndexed(path, probes, "vec_id", "embedding", 16, 5, nProbe = 1)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"index scan must prune on the cell partition column:\n$plan")
+    val brute = Ann.bruteForceTopK(clusteredDf, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = result.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"indexed recall@5 = $recall")
+    // ranks stay dense 1..n per probe after the partition-pruned read
+    result.groupBy("probe_id").agg(max("rank").as("mr"), count(lit(1)).as("n"))
+      .collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
 }
