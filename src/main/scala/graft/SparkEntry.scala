@@ -529,6 +529,14 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** C13: corpus bigram heavy hitters — exact top-20 by count
+   * (vocabulary/heavy-hitter statistics; Ngrams operator). */
+  private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ngrams.topNgrams(
+      // single-file table: spread before the explode-heavy stage
+      t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+      "text", n = 2, k = 20)
+
   /** C6: brute-force cosine top-5 for probe vectors (vec_id < 3). */
   private def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -681,6 +689,7 @@ object SparkEntry {
     "q_text_quality"   -> qTextQuality,
     "q_token_count"    -> qTokenCount,
     "q_fingerprint"    -> qFingerprint,
+    "q_top_ngrams"     -> qTopNgrams,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -886,6 +895,13 @@ object SparkEntry {
          event_type, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_top_ngrams" ->
+      """WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
+                       FROM documents),
+         bi AS (SELECT array_to_string(ts[i : i + 1], ' ') AS ngram
+                FROM toks, UNNEST(range(1, len(ts))) AS u(i))
+         SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
+         GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
     "q_asof_join" ->
       """WITH purchases AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Ngrams
+import org.scalatest.funsuite.AnyFunSuite
+
+class NgramsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "the cat sat",
+    "the cat ran",
+    "cat",                       // shorter than n=2 → no bigrams
+    "",                          // empty → nothing
+    "  the   cat  sat  ",        // extra whitespace collapses
+    "a\tb\nc"                    // tabs/newlines are separators
+  ).toDF("text")
+
+  test("ngrams emits exactly the adjacent word pairs") {
+    val got = Ngrams.ngrams(docs, "text", 2).as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == Map(
+      "the cat" -> 3, "cat sat" -> 2, "cat ran" -> 1, "a b" -> 1, "b c" -> 1))
+  }
+
+  test("unigrams and trigrams degrade correctly at text boundaries") {
+    val uni = Ngrams.ngrams(docs, "text", 1).as[String].collect()
+    assert(uni.count(_ == "cat") == 4)
+    val tri = Ngrams.ngrams(Seq("a b c d", "x y").toDF("text"), "text", 3)
+      .as[String].collect().toSet
+    assert(tri == Set("a b c", "b c d"), "2-word text yields no trigram")
+  }
+
+  test("topNgrams ranks by count with deterministic tie-break") {
+    val top = Ngrams.topNgrams(docs, "text", 2, 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("the cat", 3L), ("cat sat", 2L), ("a b", 1L)),
+      s"ties broken by ngram text: $top")
+  }
+
+  test("topNgrams plans a partial aggregate and a take-ordered limit, not a full sort") {
+    val plan = Ngrams.topNgrams(docs, "text", 2, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+}
