@@ -462,6 +462,66 @@ object SparkEntry {
       .orderBy("code")
   }
 
+  /** B26: ranking-function and frame surface — rank/dense_rank/
+   * percent_rank on a tie-prone key, ntile and moving/range frames on
+   * a total order. */
+  private def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("d", col("o_orderdate").cast("date"))
+      .withColumn("days", datediff(col("d"), lit("1995-01-01").cast("date")).cast("long"))
+      .withColumn("total_cents", cents(col("o_totalprice")))
+    val byDate  = Window.partitionBy("o_custkey").orderBy("d")
+    val total   = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    val moving  = total.rowsBetween(-2, 0)
+    val ranged  = Window.partitionBy("o_custkey").orderBy("days").rangeBetween(-30, 0)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(byDate).cast("long").as("rnk"),
+        dense_rank().over(byDate).cast("long").as("drnk"),
+        percent_rank().over(byDate).as("prnk"),
+        ntile(4).over(total).cast("long").as("quartile"),
+        (sum(col("total_cents")).over(moving) /
+          (lit(100.0) * count(lit(1)).over(moving))).as("moving_avg"),
+        (sum(col("total_cents")).over(ranged) / 100.0).as("sum_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** B27: date/time function surface — extraction, truncation,
+   * arithmetic, month boundaries. */
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("d", col("o_orderdate").cast("date"))
+      .select(
+        col("o_orderkey"),
+        col("d"),
+        year(col("d")).cast("long").as("yr"),
+        quarter(col("d")).cast("long").as("qtr"),
+        month(col("d")).cast("long").as("mo"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        date_trunc("month", col("d")).cast("date").as("month_start"),
+        date_add(col("d"), 30).as("plus30"),
+        last_day(col("d")).as("month_end"),
+        datediff(col("d"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** B28: string function surface — case, slicing, padding, search,
+   * replace, concat. */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_type"), 1, 3).as("type3"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        instr(col("p_name"), "widget").cast("long").as("widget_pos"),
+        reverse(col("p_brand")).as("rev_brand"),
+        split(col("p_brand"), "#").getItem(1).as("brand_num"))
+      .orderBy("p_partkey")
+
   /** B12: part-catalog stats — grouped aggregation over the part table
    * (count, min/max size, exact mean retail price). */
   private def qPartStats(s: SparkSession, dir: String): DataFrame =
@@ -672,6 +732,9 @@ object SparkEntry {
     "q_volume_ship"    -> qVolumeShip,
     "q_setops"         -> qSetOps,
     "q_grouping_sets"  -> qGroupingSets,
+    "q_window_frames"  -> qWindowFrames,
+    "q_date_funcs"     -> qDateFuncs,
+    "q_string_funcs"   -> qStringFuncs,
     "q_cond_agg"       -> qCondAgg,
     "q_promo_share"    -> qPromoShare,
     "q_not_in"         -> qNotIn,
@@ -969,6 +1032,50 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_window_frames" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+           FROM orders)
+         SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER wd AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER wd AS BIGINT) AS drnk,
+           PERCENT_RANK() OVER wd AS prnk,
+           CAST(NTILE(4) OVER wt AS BIGINT) AS quartile,
+           SUM(total_cents) OVER wm / (100.0 * COUNT(*) OVER wm) AS moving_avg,
+           SUM(total_cents) OVER wr / 100.0 AS sum_30d
+         FROM o
+         WINDOW wd AS (PARTITION BY o_custkey ORDER BY d),
+                wt AS (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+                wm AS (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                wr AS (PARTITION BY o_custkey ORDER BY days
+                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(EXTRACT(quarter FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+         CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+         CAST(EXTRACT(day FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+         CAST(o_orderdate AS DATE) + 30 AS plus30,
+         last_day(CAST(o_orderdate AS DATE)) AS month_end,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since
+         FROM orders ORDER BY o_orderkey""",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+         UPPER(p_name) AS up_name,
+         LOWER(p_brand) AS lo_brand,
+         substr(p_type, 1, 3) AS type3,
+         CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+         p_brand || '-' || p_type AS brand_type,
+         lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+         CAST(instr(p_name, 'widget') AS BIGINT) AS widget_pos,
+         reverse(p_brand) AS rev_brand,
+         string_split(p_brand, '#')[2] AS brand_num
+         FROM part ORDER BY p_partkey""",
     "q_cond_agg" ->
       """SELECT l_returnflag,
          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
