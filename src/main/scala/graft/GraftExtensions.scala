@@ -42,9 +42,11 @@ object GraftExtensions {
     }
 
   private def strArg(name: String, args: Seq[Expression], i: Int): String = {
-    if (!args(i).foldable || args(i).dataType != org.apache.spark.sql.types.StringType)
-      throw new IllegalArgumentException(s"$name: argument ${i + 1} must be a literal string")
-    args(i).eval().toString
+    val ok = args(i).foldable && args(i).dataType == org.apache.spark.sql.types.StringType
+    val v = if (ok) args(i).eval() else null
+    if (v == null) // not foldable, wrong type, or a NULL literal
+      throw new IllegalArgumentException(s"$name: argument ${i + 1} must be a non-null literal string")
+    v.toString
   }
 
   private def arity(name: String, min: Int, max: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =

@@ -26,6 +26,19 @@ object HashOps {
     s
   }
 
+  /** L2 norm of a numeric array in double precision. */
+  def l2norm(a: org.apache.spark.sql.catalyst.util.ArrayData, isFloat: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   /** Cosine similarity of two numeric arrays in double precision,
    * sequential fold (deterministic; matches an engine-side
    * float→double cast then ordered accumulation). */

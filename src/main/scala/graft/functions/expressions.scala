@@ -165,12 +165,16 @@ case class CosineSim(left: Expression, right: Expression)
  * interpreted per element, and explode→groupBy re-shuffles rows that
  * are already grouped. This stays inside whole-stage codegen and reads
  * the field directly from the unsafe array. */
-case class ArrayFieldSum(child: Expression, field: String) extends UnaryExpression {
+case class ArrayFieldSum(child: Expression, field: String) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.SQLConfHelper {
   override def dataType: DataType = LongType
+  // honor spark.sql.caseSensitive like built-in struct field access
+  private def findField(st: StructType): Option[StructField] =
+    st.fields.find(f => conf.resolver(f.name, field))
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     child.dataType match {
-      case ArrayType(st: StructType, _) => st.fields.find(_.name == field) match {
+      case ArrayType(st: StructType, _) => findField(st) match {
         case Some(f) if f.dataType == LongType => TypeCheckSuccess
         case Some(f) => TypeCheckFailure(
           s"array_field_sum field '$field' must be BIGINT, got ${f.dataType.sql}")
@@ -184,7 +188,8 @@ case class ArrayFieldSum(child: Expression, field: String) extends UnaryExpressi
   }
   // resolved only after the type check passes; (0,0) placates NullType
   private lazy val (ordinal, numFields) = child.dataType match {
-    case ArrayType(st: StructType, _) => (st.fieldIndex(field), st.length)
+    case ArrayType(st: StructType, _) =>
+      (st.fields.indexWhere(f => conf.resolver(f.name, field)), st.length)
     case _ => (0, 0)
   }
   override protected def nullSafeEval(input: Any): Any =
@@ -193,6 +198,21 @@ case class ArrayFieldSum(child: Expression, field: String) extends UnaryExpressi
     defineCodeGen(ctx, ev,
       c => s"graft.functions.HashOps.sumStructField($c, $ordinal, $numFields)")
   override protected def withNewChildInternal(newChild: Expression): ArrayFieldSum =
+    copy(child = newChild)
+}
+
+/** vec_norm(a) over array<float|double> → double L2 norm. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.check("vec_norm", Seq(child.dataType))
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.l2norm(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.l2norm($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)
 }
 
@@ -254,6 +274,7 @@ object expressions {
     column(CosineSim(expression(a), expression(b)))
   def arrayFieldSum(arr: Column, field: String): Column =
     column(ArrayFieldSum(expression(arr), field))
+  def vecNorm(a: Column): Column = column(VecNorm(expression(a)))
   def hyperplaneSig(v: Column, planes: Array[Double], dim: Int): Column =
     column(HyperplaneSig(expression(v), planes, dim))
   def nearestCentroids(v: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =

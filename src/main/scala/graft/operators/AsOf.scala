@@ -45,23 +45,35 @@ object AsOf {
       outPrefix: String = "asof_"): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one right column")
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    // the whole payload travels as ONE struct: the carry-forward then
+    // always yields fields of a single right row (a per-column carry
+    // would tear the match when a field of the true match is NULL, and
+    // ignoreNulls could not tell "NULL field" from "no right row")
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     // right rows (tag 0) sort before left rows (tag 1) at equal time,
-    // so a right row AT the left timestamp matches — inclusive join
+    // so a right row AT the left timestamp matches — inclusive join.
+    // NULL keys/times never participate: SQL joins don't match on NULL,
+    // and a NULL time has no place in the time order — filter right
+    // rows up front (NULL-key left rows then sit in a partition with no
+    // right rows and correctly get a NULL payload).
     val l2 = left.select(
-      (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
-        leftStruct.as("__lrow")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))).toIndexedSeq: _*)
-    val r2 = right.select(
-      (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
-        lit(null).cast(left.schema).as("__lrow")) ++
-        rightPayload.map(c => col(c).as(s"__r_$c"))).toIndexedSeq: _*)
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
+      leftStruct.as("__lrow"), lit(null).cast(payloadType).as("__rpay"))
+    val r2 = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+        lit(null).cast(left.schema).as("__lrow"),
+        struct(rightPayload.map(col).toIndexedSeq: _*).as("__rpay"))
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = l2.unionByName(r2).select(
-      (Seq(col("__tag"), col("__lrow")) ++
-        rightPayload.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__f_$c"))).toIndexedSeq: _*)
-    filled.filter(col("__tag") === 1).select(
-      (left.columns.map(c => col("__lrow").getField(c).as(c)) ++
-        rightPayload.map(c => col(s"__f_$c").as(s"$outPrefix$c"))).toIndexedSeq: _*)
+    l2.unionByName(r2)
+      .select(col("__tag"), col("__lrow"),
+        last(col("__rpay"), ignoreNulls = true).over(w).as("__fpay"))
+      .filter(col("__tag") === 1)
+      .select(
+        (left.columns.map(c => col("__lrow").getField(c).as(c)) ++
+          rightPayload.map(c => col("__fpay").getField(c).as(s"$outPrefix$c"))).toIndexedSeq: _*)
   }
 }

@@ -34,7 +34,20 @@ object Skew {
   private def saltExpr(df: DataFrame, saltBy: Seq[String], saltFactor: Int): Column = {
     val basis: Column =
       if (saltBy.nonEmpty) xxhash64(saltBy.map(col).toIndexedSeq: _*)
-      else xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+      else {
+        // whole-row hash, restricted to hashable columns: MapType (at
+        // any nesting depth) is rejected by Spark's hash expressions,
+        // and a map column must not make the whole operator unusable
+        def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case _: org.apache.spark.sql.types.MapType => false
+          case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+          case _ => true
+        }
+        val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+        // all-map schema: degenerate but safe constant (no spread)
+        if (cols.isEmpty) lit(0L) else xxhash64(struct(cols.toIndexedSeq: _*))
+      }
     pmod(basis, lit(saltFactor.toLong))
   }
 

@@ -100,11 +100,12 @@ object Ann {
    * Coarse-quantizer centroids: `numCells` lowest-id corpus vectors,
    * optionally refined by `iters` rounds of distributed spherical
    * k-means (Lloyd). Each round is one pass: codegen'd nearest-cell
-   * assignment, then a (cell, position) partial-aggregated mean — the
+   * assignment, then a (cell, position) partial-aggregated mean of the
+   * L2-NORMALIZED vectors — spherical k-means averages directions, so
+   * a large-norm vector must not dominate its cell's centroid. The
    * shuffle is numCells x dim rows regardless of corpus size, so
-   * training cost is scan-bound at 100 TB. Cosine assignment is
-   * scale-invariant, so means need no re-normalization. Empty cells
-   * keep their previous centroid.
+   * training cost is scan-bound at 100 TB. Zero vectors are excluded
+   * (no direction); empty cells keep their previous centroid.
    */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, numCells: Int, iters: Int = 0): Array[Double] = {
@@ -119,10 +120,12 @@ object Ann {
     val spreadCorpus = Dedup.spread(corpus)
     for (_ <- 1 to iters) {
       val sums = spreadCorpus
+        .withColumn("__norm", graft.functions.expressions.vecNorm(col(vecCol)))
+        .filter(col("__norm") > 0)
         .select(element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1).as("cell"),
-          posexplode(col(vecCol)))
+          col("__norm"), posexplode(col(vecCol)))
         .groupBy("cell", "pos")
-        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("col").cast("double") / col("__norm")).as("s"), count(lit(1)).as("n"))
         .collect()
       val next = centroids.clone()
       sums.foreach { r =>

@@ -85,6 +85,11 @@ class ExtensionsSpec extends AnyFunSuite {
     fails("SELECT array_field_sum(array(named_struct('a', 1)), 'a')", "must be BIGINT")
     fails("SELECT array_field_sum(array(named_struct('a', 1L)), 'z')", "no field 'z'")
     fails("SELECT array_field_sum(array(1L), 'a')", "requires array<struct>")
+    fails("SELECT array_field_sum(array(named_struct('a', 1L)), CAST(NULL AS STRING))",
+      "non-null literal string")
+    // default session is case-insensitive, like built-in struct access
+    assert(spark.sql("SELECT array_field_sum(array(named_struct('a', 1L)), 'A')")
+      .head().getLong(0) == 1L)
     // matches an equivalent explode + SUM
     val df = spark.range(100).selectExpr(
       "id % 7 AS k", "named_struct('v', id) AS s")

@@ -44,6 +44,30 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
   }
 
+  test("asofJoin: NULL payload field on the true match is not replaced by an older row") {
+    val q = Seq(("A", 5L, Some(2.0), 7L), ("A", 10L, None, 9L))
+      .toDF("q_sym", "q_t", "price", "qty")
+    val tr = Seq(("A", 20L, 1L)).toDF("sym", "t", "trade_id")
+    val out = AsOf.asofJoin(tr, q, "sym", "q_sym", "t", "q_t",
+      rightPayload = Seq("price", "qty"))
+      .select("asof_price", "asof_qty").head()
+    assert(out.isNullAt(0), "the t=10 match has NULL price; t=5's price must not leak")
+    assert(out.getLong(1) == 9L, "all payload fields must come from the same matched row")
+  }
+
+  test("asofJoin: NULL keys and NULL right times never match (SQL join semantics)") {
+    val tr = Seq((Option.empty[String], 10L, 1L), (Some("A"), 10L, 2L))
+      .toDF("sym", "t", "trade_id")
+    val q = Seq((Option.empty[String], Option(5L), 1.0), (Some("A"), Option.empty[Long], 2.0))
+      .toDF("q_sym", "q_t", "price")
+    val out = AsOf.asofJoin(tr, q, "sym", "q_sym", "t", "q_t",
+      rightPayload = Seq("price"))
+      .select("trade_id", "asof_price")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty, "NULL-key trade must not match the NULL-key quote")
+    assert(out(2L).isEmpty, "a NULL-time quote must never be the as-of match")
+  }
+
   test("asofJoin plans a single shuffle (one window over the union)") {
     val plan = AsOf.asofJoin(trades, quotes, "sym", "q_sym", "t", "q_t",
       rightPayload = Seq("price")).queryExecution.executedPlan.toString
