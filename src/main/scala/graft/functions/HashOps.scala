@@ -297,6 +297,57 @@ object HashOps {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  private val EmptyUtf8Array = new Array[org.apache.spark.unsafe.types.UTF8String](0)
+
+  /**
+   * Word n-grams of raw text in one pass: split on runs of the four
+   * literal whitespace bytes (space, tab, LF, CR — NOT \s, whose
+   * definition varies across regex engines), drop empties, join each
+   * n consecutive tokens with a single space. Texts shorter than n
+   * words yield no grams. Byte-preserving (no lowering), so the output
+   * is exactly reproducible against any engine that splits the same
+   * way. Replaces a split→filter→transform→slice→concat_ws tree of
+   * higher-order functions that Spark always evaluates interpreted.
+   */
+  def wordNgrams(s: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val bytes = s.getBytes
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    var tokStart = -1
+    while (i <= bytes.length) {
+      val ws = i == bytes.length || {
+        val c = bytes(i)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      }
+      if (!ws && tokStart < 0) tokStart = i
+      else if (ws && tokStart >= 0) { starts += tokStart; ends += i; tokStart = -1 }
+      i += 1
+    }
+    val m = starts.length
+    if (m < n) return EmptyUtf8Array
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m - n + 1)
+    var j = 0
+    while (j + n <= m) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += ends(j + k) - starts(j + k); k += 1 }
+      val buf = new Array[Byte](len)
+      var off = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { buf(off) = ' '; off += 1 }
+        val tl = ends(j + k) - starts(j + k)
+        System.arraycopy(bytes, starts(j + k), buf, off, tl)
+        off += tl
+        k += 1
+      }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromBytes(buf)
+      j += 1
+    }
+    out
+  }
+
   /**
    * Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash

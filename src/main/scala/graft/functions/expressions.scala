@@ -81,6 +81,19 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_ngrams(text, n) → array<string> of space-joined word n-grams
+ * (literal-whitespace split; see HashOps.wordNgrams). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.wordNgrams(input.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.wordNgrams($c, $n))")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** word_shingle_hashes(text, n) → sorted distinct array<long>. */
 case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -264,6 +277,7 @@ object expressions {
   def simhashText(c: Column): Column = column(SimHashText(expression(c)))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
+  def wordNgrams(c: Column, n: Int): Column = column(WordNgrams(expression(c), n))
   def wordShingleHashes(c: Column, n: Int = 3): Column =
     column(WordShingleHashes(expression(c), n))
   def minhashSig(c: Column, numPerm: Int = 64): Column =

@@ -21,20 +21,16 @@ import org.apache.spark.sql.functions._
  */
 object Ngrams {
 
-  /** One row per word n-gram occurrence: (ngram). */
+  /** One row per word n-gram occurrence: (ngram). The tokenize+gram
+   * pass is a single codegen'd expression (graft.functions.HashOps
+   * .wordNgrams) — the equivalent split→filter→transform→slice→
+   * concat_ws composition is a tree of higher-order functions that
+   * Spark always evaluates interpreted, ~5× slower end-to-end on the
+   * corpus scan. */
   def ngrams(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    docs
-      .withColumn("__toks",
-        expr(s"filter(split(`$textCol`, '[ \\t\\n\\r]+'), t -> t <> '')"))
-      // guard: sequence(1, x) is DESCENDING for x < 1, which would
-      // fabricate out-of-range slices for texts shorter than n words
-      .withColumn("__grams",
-        when(size(col("__toks")) >= n,
-          expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
-               s"i -> concat_ws(' ', slice(__toks, i, $n)))"))
-          .otherwise(expr("array()").cast("array<string>")))
-      .select(explode(col("__grams")).as("ngram"))
+    docs.select(explode(
+      graft.functions.expressions.wordNgrams(col(textCol), n)).as("ngram"))
   }
 
   /** Top-k n-grams by exact count, ties broken by n-gram text.
