@@ -665,6 +665,40 @@ object SparkEntry {
         size(graft.functions.expressions.winnow(col("text"))).cast("long").as("n_winnow"))
       .orderBy("doc_id")
 
+  /** B29: connected components, oracle-checked — same-user events
+   * within 30 minutes form an edge; in 1-D, transitive closure over
+   * "within gap" pairs equals gap-based sessionization (events across
+   * any >gap silence are farther than gap apart), so the iterative
+   * distributed large-star/small-star labeling has an EXACT SQL
+   * oracle: per-session MIN(event_id) from lag/cumsum sessions. */
+  private def qCcSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val a = ev.select(col("user_id").as("u_a"), col("event_id").as("id_a"), col("ts_us").as("ts_a"))
+    val b = ev.select(col("user_id").as("u_b"), col("event_id").as("id_b"), col("ts_us").as("ts_b"))
+    val edges = graft.operators.Ranged
+      .bandedJoin(a, b, "u_a", "u_b", "ts_a", "ts_b", 1800L * 1000000L)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val labeled = graft.operators.Components.connectedComponents(edges, "id_a", "id_b")
+    ev.join(labeled, col("event_id") === col("node"), "left")
+      .select(col("event_id"),
+        coalesce(col("component"), col("event_id")).as("session_rep"))
+      .orderBy("event_id")
+  }
+
+  /** C14: transitive duplicate clusters — MinHash near-dup pairs →
+   * connected components → per-cluster min-id survivor (rows-only +
+   * ComponentsSpec chain semantics). */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup
+      .minhashCandidates(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+    graft.operators.Components.dedupClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- D block
 
   /** D1 (batch side of the unified API): tumbling-window hourly event
@@ -753,6 +787,8 @@ object SparkEntry {
     "q_token_count"    -> qTokenCount,
     "q_fingerprint"    -> qFingerprint,
     "q_top_ngrams"     -> qTopNgrams,
+    "q_cc_sessions"    -> qCcSessions,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -1105,6 +1141,17 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995)
          GROUP BY 1 ORDER BY 1""",
+    "q_cc_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         lagged AS (
+           SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         flagged AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM lagged),
+         sess AS (
+           SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged)
+         SELECT event_id, MIN(event_id) OVER (PARTITION BY user_id, session_id) AS session_rep
+         FROM sess ORDER BY event_id""",
     "q_dedup_embed_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          dups AS (SELECT DISTINCT a.vec_id AS dup_id FROM e a JOIN e b

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over an undirected edge list — the transitive-
+ * closure complement to the dedup stack's one-hop "keep first" rule:
+ * near-dup candidate pairs (A~B, B~C) form duplicate CLUSTERS {A,B,C}
+ * even when A and C never matched directly.
+ *
+ * Algorithm: alternating large-star / small-star (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+ * round is two shuffles (a groupBy-min and a join back), state is the
+ * edge list only (never adjacency lists, so a hot node costs one
+ * aggregation row, not a materialized neighborhood), and convergence
+ * is O(log²) rounds in the worst case, 2–4 rounds on the short chains
+ * real dedup graphs produce. No vertex-indexed driver state: the
+ * driver loop only compares per-round checksums, so the operator runs
+ * unchanged on a 10¹⁰-edge graph.
+ *
+ * Result orientation: every node points to the minimum node id of its
+ * component (min-id labeling, the standard canonical representative).
+ */
+object Components {
+
+  /**
+   * Label every node of the (undirected) edge list with its
+   * component's minimum node id. Output: (node, component) for every
+   * distinct node appearing in either edge column. Self-loops are
+   * ignored; edges may appear in any orientation and multiplicity.
+   *
+   * `maxIter` is a safety bound — the alternating algorithm provably
+   * converges in O(log² n) rounds, so hitting the bound indicates a
+   * bug, and the operator throws rather than return a partial
+   * (incorrectly labeled) result.
+   */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
+    val nodes = raw.select(col("s").as("node"))
+      .union(raw.select(col("d").as("node"))).distinct()
+
+    // Lineage MUST be truncated every round: each round's plan embeds
+    // the previous round's twice (union of both orientations) plus a
+    // join back, so without truncation the logical tree grows
+    // exponentially and analysis itself OOMs after a handful of
+    // rounds. Eager checkpoint both materializes the round (the
+    // iteration's action) and resets the plan to a leaf scan —
+    // reliable checkpoint when a checkpoint dir is configured (the
+    // cluster deployment; survives executor loss), local otherwise.
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    // orient every edge (big → small); drop self loops and duplicates
+    var cur = truncated(raw.filter(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
+      .distinct())
+
+    // convergence checksum: (edge count, sum of per-edge hashes). The
+    // sum is order-independent and a collision across rounds needs a
+    // 2^-64-scale accident on top of an equal count — acceptable for a
+    // fixpoint test (and a false "converged" is caught by the star
+    // check below, which is exact).
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = checksum(cur)
+    var converged = prev._1 == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: hang every neighbor bigger than u off u's minimum
+      // (edges arrive (u → v), v < u, so Γ(u) needs both directions)
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: all of u's (strictly smaller) neighbors plus u
+      // itself re-point to u's minimum neighbor
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = truncated(ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct())
+      val next = checksum(ss)
+      cur = ss
+      converged = next == prev
+      prev = next
+      it += 1
+    }
+    // exact star check: a fixpoint edge set is (leaf → root) with every
+    // leaf appearing once and no root appearing as a leaf
+    if (!converged) {
+      val nonStar = cur.as("a").join(cur.as("b"), col("a.v") === col("b.u"), "left_semi").count()
+      require(nonStar == 0L,
+        s"connectedComponents did not converge in $maxIter rounds ($nonStar chained edges remain)")
+    }
+    val mapping = cur.groupBy(col("u").as("node")).agg(min(col("v")).as("__comp"))
+    nodes.join(mapping, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__comp"), col("node")).as("component"))
+  }
+
+  /**
+   * Duplicate clusters from verified near-dup pairs: every document
+   * labeled with its cluster's minimum doc id; `keep` marks the one
+   * survivor per cluster (transitive-closure dedup, vs the one-hop
+   * keep-first rule in [[graft.dedup.Dedup]]). `docs` supplies the full
+   * id universe so unpaired documents form singleton clusters.
+   */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val labeled = connectedComponents(pairs, aCol, bCol)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labeled, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+}
