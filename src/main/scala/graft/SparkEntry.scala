@@ -665,6 +665,67 @@ object SparkEntry {
         size(graft.functions.expressions.winnow(col("text"))).cast("long").as("n_winnow"))
       .orderBy("doc_id")
 
+  /** Deterministic synthetic contact block (email + phone + URL
+   * derived from doc_id) appended to each document — the redaction
+   * and URL queries need PII-shaped content, and the corpus has none;
+   * the construction is mirrored exactly in the oracle SQL. */
+  private def withContact(docs: DataFrame): DataFrame =
+    docs.withColumn("raw", concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" via https://site"), pmod(col("doc_id"), lit(50)).cast("string"),
+      lit(".example.org/u?id="), col("doc_id").cast("string")))
+
+  /** C15: PII redaction — codegen'd URL/email/phone regexp scrub
+   * (engine-portable patterns; full oracle). */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    withContact(t(s, dir, "documents"))
+      .select(col("doc_id"), TextFunctions.redactPii(col("raw")).as("clean"))
+      .orderBy("doc_id")
+
+  /** C16: URL domain extraction + per-domain corpus stats. */
+  private def qDomainStats(s: SparkSession, dir: String): DataFrame =
+    withContact(t(s, dir, "documents"))
+      .select(TextFunctions.extractDomain(col("raw")).as("domain"), col("doc_id"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("domain")
+
+  /** C17: benchmark decontamination — training docs sharing any word
+   * 4-gram with the doc_id%97 benchmark slice (full oracle; the
+   * operator joins on gram hashes, the oracle on gram strings). */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Decontaminate.markContaminated(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
+  /** C18: per-language quota sampling by deterministic hash order. */
+  private def qQuotaSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .quotaSample(t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 30)
+      .orderBy("lang", "doc_id")
+
+  /** C19: sequential token packing into 512-token context windows,
+   * sharded by source (concat-then-split pretraining batches). */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .packSequences(t(s, dir, "documents"), "source", "doc_id",
+        size(graft.functions.expressions.wordNgrams(col("text"), 1)), 512L)
+      .select("source", "doc_id", "n_tok", "chunk_id", "chunk_off")
+      .orderBy("source", "doc_id")
+
+  /** C20: TF-IDF top-3 terms per document (rational idf → exact
+   * cross-engine reproducibility; full oracle). */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy("doc_id", "rnk")
+
   /** B29: connected components, oracle-checked — same-user events
    * within 30 minutes form an edge; in 1-D, transitive closure over
    * "within gap" pairs equals gap-based sessionization (events across
@@ -789,6 +850,12 @@ object SparkEntry {
     "q_top_ngrams"     -> qTopNgrams,
     "q_cc_sessions"    -> qCcSessions,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_pii_redact"     -> qPiiRedact,
+    "q_domain_stats"   -> qDomainStats,
+    "q_decontaminate"  -> qDecontaminate,
+    "q_quota_sample"   -> qQuotaSample,
+    "q_pack_sequences" -> qPackSequences,
+    "q_tfidf"          -> qTfidf,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -1141,6 +1208,70 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995)
          GROUP BY 1 ORDER BY 1""",
+    "q_pii_redact" ->
+      """WITH raw AS (SELECT doc_id,
+           substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           '@mail.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' via https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+           '.example.org/u?id=' || CAST(doc_id AS VARCHAR) AS raw
+           FROM documents)
+         SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw,
+           'https?://[^ \t\n\r]+', '[URL]', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+         FROM raw ORDER BY doc_id""",
+    "q_domain_stats" ->
+      """WITH raw AS (SELECT doc_id,
+           substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           '@mail.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' via https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+           '.example.org/u?id=' || CAST(doc_id AS VARCHAR) AS raw
+           FROM documents)
+         SELECT regexp_extract(raw, 'https?://([^/ \t\n\r]+)', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
+         FROM raw GROUP BY domain ORDER BY domain""",
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, array_to_string(ts[i : i + 3], ' ') AS gram
+               FROM toks, UNNEST(range(1, len(ts) - 2)) AS u(i)),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         hits AS (SELECT t.doc_id, CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_hit_grams
+                  FROM (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0) t
+                  JOIN bench USING (gram) GROUP BY t.doc_id)
+         SELECT d.doc_id, COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+           COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
+    "q_quota_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 30 ORDER BY lang, doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)
+         SELECT source, doc_id, n_tok, CAST(prev // 512 AS BIGINT) AS chunk_id,
+           CAST(prev % 512 AS BIGINT) AS chunk_off
+         FROM c ORDER BY source, doc_id""",
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+         scored AS (SELECT doc_id, term, CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+                    FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk FROM scored)
+         SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
     "q_cc_sessions" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          lagged AS (

@@ -86,6 +86,33 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  // --- PII scrubbing / URL structure --------------------------------------
+
+  /** Redaction patterns, applied in order (URLs first so an address
+   * inside a URL can't leave a partial match behind). Deliberately
+   * restricted to regex constructs whose semantics are identical
+   * across Java regex and RE2-family engines (no lookaround, no
+   * backreferences, no \s/\w classes whose definitions vary) — the
+   * scrub must be reproducible outside Spark. */
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ \\t\\n\\r]+" -> "[URL]",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}" -> "[PHONE]")
+
+  /** Scrub emails, URLs, and international-format phone numbers from a
+   * text column — the PII-redaction pass of a training-data pipeline.
+   * Pure codegen'd regexp_replace chain: one scan, no UDF. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Host part of the first http(s) URL in the text ('' if none) —
+   * per-domain corpus statistics are the usual first grouping of a
+   * crawled-data pipeline. */
+  def extractDomain(text: Column): Column =
+    regexp_extract(text, "https?://([^/ \\t\\n\\r]+)", 1)
+
   /** Composite quality score in [0,1]: length, word-length sanity,
    * punctuation/digit moderation, stopword presence. */
   def qualityScore(text: Column): Column = {

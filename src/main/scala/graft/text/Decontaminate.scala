@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: flag training documents that share any
+ * word n-gram with a held-out benchmark/eval set — the standard
+ * "n-gram overlap" contamination test applied before an LLM training
+ * run.
+ *
+ * Scale shape: both sides explode to (doc, gram-hash) rows via the
+ * codegen'd wordNgrams kernel, the benchmark side collapses to its
+ * DISTINCT gram-hash set, and the match is an equality join on the
+ * hash. A benchmark is tiny relative to a 100 TB corpus, so its gram
+ * set broadcasts and the corpus side never shuffles — the whole pass
+ * is one corpus scan. Grams are compared by 64-bit hash, not string
+ * (shuffle/broadcast volume), which differs from exact string overlap
+ * only on a hash collision (~n²/2⁶⁴).
+ */
+object Decontaminate {
+
+  /**
+   * Per-training-document contamination report: (id, n_hit_grams,
+   * contaminated), where n_hit_grams counts the DISTINCT n-grams the
+   * document shares with the benchmark. Every `train` row appears in
+   * the output (zero hits → not contaminated).
+   */
+  def markContaminated(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame, out: String) = df.select(
+      col(idCol).as(out),
+      explode(graft.functions.expressions.wordNgrams(col(textCol), n)).as("__g"))
+      .select(col(out), xxhash64(col("__g")).as("__gh"))
+    val benchGrams = broadcast(grams(bench, "__bench_id").select("__gh").distinct())
+    val hits = grams(train, "__id")
+      .join(benchGrams, Seq("__gh"), "left_semi")
+      .groupBy("__id")
+      .agg(count_distinct(col("__gh")).as("n_hit_grams"))
+    train.select(col(idCol))
+      .join(hits, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus term weighting: TF-IDF top terms per document, and BM25
+ * scoring — the relevance/keyword-extraction primitives of a text
+ * pipeline.
+ *
+ * Scale shape: term frequencies are one (doc, term) hash aggregation
+ * with map-side combine; document frequencies are a second
+ * aggregation over the term dimension, whose result (the vocabulary)
+ * is orders of magnitude smaller than the corpus and broadcasts back.
+ * The per-doc top-k is a window over the doc partition — never a
+ * global sort.
+ */
+object TfIdf {
+
+  /** One row per (doc, term) with term frequency — tokenization is the
+   * codegen'd literal-whitespace kernel (engine-portable). */
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.expressions.wordNgrams(col(textCol), 1)).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /**
+   * Top-k terms per document by TF-IDF with a RATIONAL idf (N/df
+   * rather than ln(N/df)): rank order per document is what matters
+   * for keyword extraction, the rational form preserves it for terms
+   * with equal tf, and — unlike ln, whose last-ulp rounding is
+   * libm-specific — integer multiply + one IEEE division is
+   * bit-identical across engines, making the result exactly
+   * reproducible. Output: (doc_id, rnk, term, score).
+   */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.agg(count_distinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "score")
+  }
+
+  /**
+   * BM25 per (doc, term): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+   * with the classic idf = ln(1 + (N−df+0.5)/(df+0.5)). The ranking
+   * function for retrieval-style scoring; not oracle-checked (ln) —
+   * see TfIdfSpec for the semantic checks.
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("bm25", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select("doc_id", "term", "tf", "bm25")
+  }
+}

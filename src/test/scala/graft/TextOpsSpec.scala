@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.text.{Decontaminate, TfIdf}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("redactPii scrubs urls, emails, and phones; leaves clean text alone") {
+    val got = Seq(
+      "mail me at a.b+c@ex-ample.org today",
+      "see https://host.example.com/p?q=1#f and http://x.io",
+      "call +44-123-4567 now",
+      "no pii here, just words",
+      "edge: a@b.co https://u@pw.example.com/x +1-555-0000")
+      .toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].collect()
+    assert(got(0) == "mail me at [EMAIL] today")
+    assert(got(1) == "see [URL] and [URL]")
+    assert(got(2) == "call [PHONE] now")
+    assert(got(3) == "no pii here, just words")
+    // URL pass runs first, so the user-info email inside the URL is gone
+    assert(got(4) == "edge: [EMAIL] [URL] [PHONE]")
+  }
+
+  test("extractDomain pulls the host of the first url") {
+    val got = Seq("pre https://a.example.org/path more http://b.io", "no url")
+      .toDF("t").select(TextFunctions.extractDomain(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("a.example.org", ""))
+  }
+
+  test("markContaminated flags exactly the docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),     // shares the full 3-gram chain
+      (2L, "alpha beta something else"),  // shares no 3-gram
+      (3L, "x y z")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val got = Decontaminate.markContaminated(train, bench, "doc_id", "text", 3)
+      .as[(Long, Long, Boolean)].collect().toMap2
+    assert(got == Map(1L -> (1L, true), 2L -> (0L, false), 3L -> (0L, false)))
+  }
+
+  test("tfidf ranks rarer terms above common ones at equal tf") {
+    val docs = Seq(
+      (1L, "common rare1"),
+      (2L, "common rare2"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'common' is in every doc (df=3); each rare term is df=1 → wins
+    assert(top(1L) == "rare1" && top(2L) == "rare2" && top(3L) == "filler")
+  }
+
+  test("bm25 gives higher weight to rare terms and saturates tf") {
+    val docs = Seq(
+      (1L, "rare common common common common"),
+      (2L, "common common"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val rows = TfIdf.bm25(docs, "doc_id", "text")
+      .as[(Long, String, Long, Double)].collect()
+    val byKey = rows.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byKey((1L, "rare")) > byKey((1L, "common")),
+      "df=1 term must outscore the everywhere-term in the same doc")
+    assert(rows.forall(_._4 >= 0.0))
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
