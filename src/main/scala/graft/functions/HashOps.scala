@@ -299,6 +299,68 @@ object HashOps {
 
   private val EmptyUtf8Array = new Array[org.apache.spark.unsafe.types.UTF8String](0)
 
+  // accessor kinds for sortStructArray field comparison
+  final val KindLong = 0;  final val KindInt = 1;   final val KindDouble = 2
+  final val KindFloat = 3; final val KindString = 4; final val KindBoolean = 5
+  final val KindByte = 6;  final val KindShort = 7
+
+  /**
+   * Sort an array<struct> by field-order lexicographic comparison —
+   * the same total order array_sort's natural struct ordering uses
+   * (field by field, null field first, NaN greatest), but with a
+   * compiled comparator instead of an interpreted per-comparison
+   * lambda eval, which dominates the nest operator's cost on wide
+   * children. `kinds` maps each struct ordinal to its accessor kind.
+   * TimSort on the extracted row views: stable, O(n log n), and ties
+   * are full-struct ties (identical rows), so output order is
+   * deterministic.
+   */
+  def sortStructArray(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      kinds: Array[Int]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val numFields = kinds.length
+    val rows = new Array[AnyRef](n)
+    var i = 0
+    var nulls = 0
+    while (i < n) {
+      rows(i) = if (arr.isNullAt(i)) { nulls += 1; null } else arr.getStruct(i, numFields)
+      i += 1
+    }
+    val cmp = new java.util.Comparator[AnyRef] {
+      override def compare(xa: AnyRef, xb: AnyRef): Int = {
+        // null elements last (array_sort's documented placement)
+        if (xa == null) return if (xb == null) 0 else 1
+        if (xb == null) return -1
+        val a = xa.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val b = xb.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        var k = 0
+        while (k < numFields) {
+          val an = a.isNullAt(k); val bn = b.isNullAt(k)
+          if (an && !bn) return -1
+          else if (!an && bn) return 1
+          else if (!an) {
+            val c = kinds(k) match {
+              case KindLong    => java.lang.Long.compare(a.getLong(k), b.getLong(k))
+              case KindInt     => java.lang.Integer.compare(a.getInt(k), b.getInt(k))
+              // Double/Float.compare order NaN greatest — same as Spark
+              case KindDouble  => java.lang.Double.compare(a.getDouble(k), b.getDouble(k))
+              case KindFloat   => java.lang.Float.compare(a.getFloat(k), b.getFloat(k))
+              case KindString  => a.getUTF8String(k).compareTo(b.getUTF8String(k))
+              case KindBoolean => java.lang.Boolean.compare(a.getBoolean(k), b.getBoolean(k))
+              case KindByte    => java.lang.Byte.compare(a.getByte(k), b.getByte(k))
+              case _           => java.lang.Short.compare(a.getShort(k), b.getShort(k))
+            }
+            if (c != 0) return c
+          }
+          k += 1
+        }
+        0
+      }
+    }
+    java.util.Arrays.sort(rows, cmp)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
   /**
    * Word n-grams of raw text in one pass: split on runs of the four
    * literal whitespace bytes (space, tab, LF, CR — NOT \s, whose

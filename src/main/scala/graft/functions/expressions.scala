@@ -81,6 +81,46 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** sort_struct_array(arr) → arr sorted by natural field-order struct
+ * comparison — array_sort semantics with a compiled comparator (the
+ * interpreted lambda eval is the nest operator's dominant cost on
+ * wide children). Supported field types: integral, floating, string,
+ * boolean, date, timestamp; anything else fails analysis so callers
+ * can fall back to array_sort. */
+case class SortStructArray(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = child.dataType
+  private def kindOf(dt: DataType): Option[Int] = dt match {
+    case LongType | TimestampType | TimestampNTZType => Some(HashOps.KindLong)
+    case IntegerType | DateType => Some(HashOps.KindInt)
+    case DoubleType => Some(HashOps.KindDouble)
+    case FloatType => Some(HashOps.KindFloat)
+    case StringType => Some(HashOps.KindString)
+    case BooleanType => Some(HashOps.KindBoolean)
+    case ByteType => Some(HashOps.KindByte)
+    case ShortType => Some(HashOps.KindShort)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fields.forall(f => kindOf(f.dataType).isDefined) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sort_struct_array requires array<struct> of flat comparable fields, got ${other.sql}")
+  }
+  private lazy val kinds: Array[Int] = child.dataType match {
+    case ArrayType(st: StructType, _) => st.fields.map(f => kindOf(f.dataType).get)
+    case _ => Array.empty
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.sortStructArray(input.asInstanceOf[ArrayData], kinds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kinds", kinds, "int[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.sortStructArray($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SortStructArray =
+    copy(child = newChild)
+}
+
 /** word_ngrams(text, n) → array<string> of space-joined word n-grams
  * (literal-whitespace split; see HashOps.wordNgrams). */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
@@ -278,6 +318,7 @@ object expressions {
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgrams(expression(c), n))
+  def sortStructArray(c: Column): Column = column(SortStructArray(expression(c)))
   def wordShingleHashes(c: Column, n: Int = 3): Column =
     column(WordShingleHashes(expression(c), n))
   def minhashSig(c: Column, numPerm: Int = 64): Column =

@@ -66,6 +66,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.forall(_._4 >= 0.0))
   }
 
+  test("sortStructArray orders exactly like array_sort on mixed types with nulls/NaN") {
+    val rnd = new scala.util.Random(0xBEEF)
+    val rows = Seq.tabulate(400) { i =>
+      (i % 7L,
+       if (rnd.nextInt(10) == 0) null else rnd.nextInt(5).toString,
+       if (rnd.nextInt(10) == 0) Double.NaN else rnd.nextInt(3).toDouble,
+       rnd.nextBoolean())
+    }
+    val df = rows.toDF("k", "s", "d", "b")
+      .groupBy(lit(1))
+      .agg(collect_list(struct(col("k"), col("s"), col("d"), col("b"))).as("a"))
+    val native = df.select(graft.functions.expressions.sortStructArray(col("a")))
+      .collect()(0).getSeq[Any](0)
+    val builtin = df.select(array_sort(col("a")))
+      .collect()(0).getSeq[Any](0)
+    assert(native == builtin)
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
