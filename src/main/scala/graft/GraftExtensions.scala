@@ -77,6 +77,17 @@ object GraftExtensions {
       arity("cosine_sim", 2)(args => CosineSim(args.head, args(1)))),
     ("array_field_sum", "array_field_sum(arr, 'field') - sum of a BIGINT struct field over an array<struct>",
       arity("array_field_sum", 2)(args => ArrayFieldSum(args.head, strArg("array_field_sum", args, 1)))),
+    ("word_ngrams", "word_ngrams(text, n) - space-joined word n-grams (literal-whitespace split)",
+      arity("word_ngrams", 2)(args => WordNgrams(args.head, intArg("word_ngrams", args, 1, 2)))),
+    ("sort_struct_array", "sort_struct_array(arr) - array_sort with a compiled struct comparator",
+      arity("sort_struct_array", 1)(args => SortStructArray(args.head))),
+    ("simhash_text", "simhash_text(text) - 64-bit SimHash straight from raw text",
+      arity("simhash_text", 1)(args => SimHashText(args.head))),
+    ("winnow", "winnow(text[, k, w]) - winnowed k-gram fingerprint sample",
+      arity("winnow", 1, 3)(args =>
+        Winnow(args.head, intArg("winnow", args, 1, 8), intArg("winnow", args, 2, 16)))),
+    ("lang_id", "lang_id(text) - heuristic language code (marker-word profile)",
+      arity("lang_id", 1)(args => LangId(args.head, TextFunctions.langMarkers))),
   )
 
   /** Register all graft functions on an existing session. */

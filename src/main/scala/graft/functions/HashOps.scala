@@ -116,6 +116,71 @@ object HashOps {
       .take(math.min(nProbe, k)).map(_._2)
   }
 
+  private val LangZh = org.apache.spark.unsafe.types.UTF8String.fromString("zh")
+  private val LangUnd = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+
+  /**
+   * Heuristic language ID in one pass over the text bytes: CJK-
+   * dominant text → "zh"; otherwise the language (row of `markers`,
+   * each a SORTED array of per-marker-word FNV hashes) with the most
+   * marker-word hits, earliest row winning ties; no hits → "und".
+   * Tokens are lowered alnum/underscore/non-ASCII runs hashed exactly
+   * like [[wordShingleHashes]], so marker hashes are fnv64 of the
+   * (lowercase) marker words. Matching by 64-bit hash differs from
+   * string equality only on an FNV collision with a marker (~2⁻⁶⁴).
+   */
+  def langId(s: org.apache.spark.unsafe.types.UTF8String,
+      markers: Array[Array[Long]],
+      codes: Array[org.apache.spark.unsafe.types.UTF8String]): org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    // pass 1: codepoint + CJK counting (UTF-8 sequence walk)
+    var chars = 0; var cjk = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) { chars += 1; i += 1 }
+      else if (b < 0xC0) i += 1 // stray continuation byte
+      else if (b < 0xE0) { chars += 1; i += 2 }
+      else if (b < 0xF0) {
+        if (i + 2 < bytes.length) {
+          val cp = ((b & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
+          if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+        }
+        chars += 1; i += 3
+      } else { chars += 1; i += 4 }
+    }
+    if (cjk * 2 > chars) return LangZh
+    // pass 2: tokenize + marker-hash membership counting
+    val hits = new Array[Int](markers.length)
+    var h = 0xcbf29ce484222325L
+    var inTok = false
+    i = 0
+    while (i <= bytes.length) {
+      val c = if (i < bytes.length) bytes(i) & 0xff else ' '
+      val isWord = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c >= 0x80
+      if (isWord) {
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        h ^= lc.toLong; h *= 0x100000001b3L; inTok = true
+      } else if (inTok) {
+        var l = 0
+        while (l < markers.length) {
+          if (java.util.Arrays.binarySearch(markers(l), h) >= 0) hits(l) += 1
+          l += 1
+        }
+        h = 0xcbf29ce484222325L; inTok = false
+      }
+      i += 1
+    }
+    var best = -1; var bestHits = 0
+    var l = 0
+    while (l < hits.length) {
+      if (hits(l) > bestHits) { best = l; bestHits = hits(l) }
+      l += 1
+    }
+    if (best < 0) LangUnd else codes(best)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — stable document fingerprint. */
   def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val bytes = s.getBytes

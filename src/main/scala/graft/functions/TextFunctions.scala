@@ -59,7 +59,7 @@ object TextFunctions {
 
   /** Per-language marker words (high-frequency function words that are
    * close to disjoint across these languages). */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for", "this", "are"),
     "fr" -> Seq("le", "la", "les", "des", "est", "et", "une", "dans", "que", "pour", "pas", "vous"),
     "es" -> Seq("el", "los", "las", "es", "y", "una", "que", "en", "por", "para", "con", "su"),
@@ -68,23 +68,14 @@ object TextFunctions {
   /**
    * Heuristic language ID: CJK-dominant text → "zh"; otherwise the
    * language whose marker-word hit count is highest (ties broken by
-   * declaration order above; no hits at all → "und"). Pure column
-   * expressions — scores for k languages are computed in one pass.
+   * declaration order above; no hits at all → "und"). A single
+   * codegen'd expression ([[graft.functions.LangId]]) — the
+   * column-function formulation re-evaluated an interpreted words()
+   * filter per language, ~6× slower per row, and its `\W+` tokenizer
+   * could never match accented markers like "für".
    */
-  def langId(text: Column): Column = {
-    val ws = words(text)
-    val cjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
-    val scored = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
-      struct(
-        size(filter(ws, w => w.isin(markers: _*))).as("score"),
-        lit(langMarkers.size - i).as("prio"), // ties → declaration order
-        lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(cjk * 2 > length(text), lit("zh"))
-      .when(best.getField("score") > 0, best.getField("lang"))
-      .otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.expressions.langId(text, langMarkers)
 
   // --- PII scrubbing / URL structure --------------------------------------
 

@@ -121,6 +121,30 @@ case class SortStructArray(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** lang_id(text) → language code by marker-word profile (CJK share →
+ * 'zh', no hits → 'und'). One codegen'd pass — the column-function
+ * formulation re-evaluates an interpreted words() filter per
+ * language. */
+case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  // sorted per-language marker hash sets, hashed like the tokenizer
+  private lazy val markerHashes: Array[Array[Long]] = langs.map { case (_, ws) =>
+    ws.map(w => HashOps.fnv64(UTF8String.fromString(w.toLowerCase))).sorted.toArray
+  }.toArray
+  private lazy val codes: Array[UTF8String] =
+    langs.map(l => UTF8String.fromString(l._1)).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.langId(input.asInstanceOf[UTF8String], markerHashes, codes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("markers", markerHashes, "long[][]")
+    val c = ctx.addReferenceObj("codes", codes, "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.langId($x, $m, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
 /** word_ngrams(text, n) → array<string> of space-joined word n-grams
  * (literal-whitespace split; see HashOps.wordNgrams). */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
@@ -319,6 +343,8 @@ object expressions {
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgrams(expression(c), n))
   def sortStructArray(c: Column): Column = column(SortStructArray(expression(c)))
+  def langId(c: Column, langs: Seq[(String, Seq[String])]): Column =
+    column(LangId(expression(c), langs))
   def wordShingleHashes(c: Column, n: Int = 3): Column =
     column(WordShingleHashes(expression(c), n))
   def minhashSig(c: Column, numPerm: Int = 64): Column =

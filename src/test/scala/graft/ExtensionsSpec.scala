@@ -30,6 +30,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("round-3 additions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+         word_ngrams('a b c', 2) AS grams,
+         sort_struct_array(array(named_struct('k', 2L), named_struct('k', 1L))) AS sorted,
+         simhash_text('spark scans parquet') AS sht,
+         size(winnow('the quick brown fox jumps over the lazy dog')) AS nw
+       """).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(1L, 2L))
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) > 0)
+  }
+
   test("mistyped array inputs are rejected at analysis, not silently misread") {
     // ArrayData reads at fixed byte widths: array<int> into getLong
     // would yield garbage hashes — must fail analysis instead
