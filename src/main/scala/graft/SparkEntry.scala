@@ -522,6 +522,71 @@ object SparkEntry {
         split(col("p_brand"), "#").getItem(1).as("brand_num"))
       .orderBy("p_partkey")
 
+  /** B30: TPC-H Q15 shape — top-revenue supplier(s) via max-of-
+   * aggregate; the max comparison stays in exact integer revenue
+   * units so the boundary is engine-independent. */
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+              col("l_shipdate").cast("date") <  lit("1996-04-01").cast("date"))
+      .groupBy("l_suppkey")
+      .agg(sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))).as("ru"))
+    rev.crossJoin(broadcast(rev.agg(max("ru").as("mx"))))
+      .filter(col("ru") === col("mx"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), (col("ru") / 10000.0).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** B31: TPC-H Q17 shape — revenue of small-quantity orders against a
+   * correlated per-part average-quantity subquery (broadcast both the
+   * brand dimension and the per-part averages). */
+  private def qSmallQtyRev(s: SparkSession, dir: String): DataFrame = {
+    val filtered = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#11")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+    val avgq = filtered.groupBy(col("l_partkey").as("ak"))
+      .agg((sum(cents(col("l_quantity"))) / (lit(100.0) * count(lit(1)))).as("avg_qty"))
+    filtered.join(broadcast(avgq),
+        col("l_partkey") === col("ak") && col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(cents(col("l_extendedprice"))) / (lit(100.0) * 7.0)).as("avg_yearly"))
+  }
+
+  /** B32: TPC-H Q19 shape — disjunction of brand/size/quantity
+   * conjunctions over a broadcast part join (OR-of-ANDs predicate
+   * pushdown exercise). */
+  private def qDisjunctiveRev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(10, 25) &&
+          col("l_quantity").between(10, 30)))
+      .agg((sum(cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount"))) / 10000.0)
+        .as("revenue"))
+
+  /** B33: TPC-H Q21 shape — suppliers whose returned line is the only
+   * returned line of a multi-supplier finished order (EXISTS another
+   * supplier's line; NOT EXISTS another supplier's returned line). */
+  private def qBlamedSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    l1.join(l2, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(l3, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .join(t(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** B12: part-catalog stats — grouped aggregation over the part table
    * (count, min/max size, exact mean retail price). */
   private def qPartStats(s: SparkSession, dir: String): DataFrame =
@@ -834,6 +899,10 @@ object SparkEntry {
     "q_promo_share"    -> qPromoShare,
     "q_not_in"         -> qNotIn,
     "q_global_cust"    -> qGlobalCust,
+    "q_top_supplier"   -> qTopSupplier,
+    "q_small_qty_rev"  -> qSmallQtyRev,
+    "q_disjunctive_rev" -> qDisjunctiveRev,
+    "q_blamed_supplier" -> qBlamedSupplier,
     "q_dedup_embed_exact" -> qDedupEmbedExact,
     "q_dedup_exact"    -> qDedupExact,
     "q_dedup_minhash"  -> qDedupMinhash,
@@ -1208,6 +1277,43 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995)
          GROUP BY 1 ORDER BY 1""",
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+               CAST(ROUND((1.0 - l_discount) * 100, 0) AS BIGINT)) AS ru
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, ru / 10000.0 AS total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE ru = (SELECT MAX(ru) FROM rev) ORDER BY s_suppkey""",
+    "q_small_qty_rev" ->
+      """WITH f AS (SELECT l.* FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#11'),
+         a AS (SELECT l_partkey AS ak,
+           SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_qty
+           FROM f GROUP BY l_partkey)
+         SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / (100.0 * 7.0) AS avg_yearly
+         FROM f JOIN a ON f.l_partkey = a.ak AND f.l_quantity < 0.2 * a.avg_qty""",
+    "q_disjunctive_rev" ->
+      """SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+           CAST(ROUND((1.0 - l_discount) * 100, 0) AS BIGINT)) / 10000.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)""",
+    "q_blamed_supplier" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R' AND o_orderstatus = 'F')
+         SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM l1
+         JOIN supplier ON sk = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = ok AND l2.l_suppkey <> sk)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
     "q_pii_redact" ->
       """WITH raw AS (SELECT doc_id,
            substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||

@@ -102,6 +102,17 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-static enrichment: join each streaming event to a static
+   * dimension table (the reference's side-input lookup under
+   * streaming, BQETLSimple.java:65-72 applied to a stream). The
+   * static side broadcasts, so every micro-batch is a stateless
+   * map-side hash probe — no streaming state, no shuffle of the
+   * stream, and unmatched keys keep the row (left join) so a late
+   * dimension update can't silently drop events. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Stream-stream interval join: each left event joined to the right
    * events with the same key whose timestamp falls in
    * [left.ts − lookback, left.ts] (attribution: purchase ← clicks in

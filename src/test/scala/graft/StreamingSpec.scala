@@ -164,4 +164,23 @@ class StreamingSpec extends AnyFunSuite {
         s"late purchase must not match evicted click state: $got")
     } finally q.stop()
   }
+
+  test("enrichStream joins a static dimension per micro-batch, keeping unmatched rows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
+    val in = MemoryStream[Event]
+    val q = EventStream.enrichStream(in.toDF(), dim, "user_id", "dim_user")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, 10, ts(0), "click", 1.0),
+        Event(2, 11, ts(1), "view", 2.0),
+        Event(7, 12, ts(2), "click", 3.0)) // no dimension row
+      q.processAllAvailable()
+      val got = spark.table("enrich").as[(Long, Option[String])].collect().toSet
+      assert(got == Set((10L, Some("gold")), (11L, Some("silver")), (12L, None)))
+    } finally q.stop()
+  }
 }
