@@ -81,10 +81,12 @@ object Components {
       // (edges arrive (u → v), v < u, so Γ(u) needs both directions)
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      // no distinct here: duplicate (v, m) pairs don't affect the
+      // small-star min and the round's closing distinct dedups before
+      // anything accumulates — saves one full shuffle per round
       val ls = sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: all of u's (strictly smaller) neighbors plus u
       // itself re-point to u's minimum neighbor
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
