@@ -43,6 +43,24 @@ object ScaleProbe {
       Ann.ivfTopK(bigEmb, bigEmb.filter(col("vec_id") < 3), "vec_id", "embedding", 64, 5,
         numCells = 64, nProbe = 4).count()
     }
+
+    // connected components on adversarial shapes: a single 200k-node
+    // path (worst-case diameter — stresses the O(log²) round bound)
+    // and 2k disjoint 100-node stars (wide shallow clusters)
+    val path = spark.range(200000L - 1).toDF("s").select(col("s"), (col("s") + 1).as("d"))
+    time("cc 200k-node path") {
+      val comps = graft.operators.Components.connectedComponents(path, "s", "d")
+      val distinctComps = comps.select("component").distinct().count()
+      require(distinctComps == 1L, s"path must collapse to 1 component, got $distinctComps")
+    }
+    val stars = spark.range(200000L).toDF("i")
+      .select((col("i") - col("i") % 100).as("s"), col("i").as("d"))
+      .filter(col("s") =!= col("d"))
+    time("cc 2k disjoint stars") {
+      val comps = graft.operators.Components.connectedComponents(stars, "s", "d")
+      val distinctComps = comps.select("component").distinct().count()
+      require(distinctComps == 2000L, s"expected 2000 components, got $distinctComps")
+    }
     spark.stop()
   }
 }
