@@ -33,4 +33,17 @@ class JsonTablesSpec extends AnyFunSuite {
     assert(rows(0).getLong(0) == 5L && rows(0).getDouble(3) == 123.5 && !rows(0).getBoolean(4))
     assert(rows(1).isNullAt(3) && rows(1).getBoolean(4))
   }
+
+  test("malformed lines become all-null rows, like the reference's empty datum") {
+    // the reference's JSONReader catches the parse exception and
+    // returns an EMPTY data object (JSONReader.java:96-99) — Spark's
+    // PERMISSIVE mode produces the equivalent all-null row
+    val lines = Seq(
+      """{"id": 1, "gid": "ok", "name": "N", "length": 1.0, "video": false}""",
+      """{"id": 2, BROKEN JSON""").toDS()
+    val df = JsonTables.loadTableFromText(lines, "t", artistSchema)
+    assert(df.count() == 2)
+    val bad = df.filter(df("t_id").isNull).collect()
+    assert(bad.length == 1 && bad(0).toSeq.forall(_ == null))
+  }
 }
