@@ -386,9 +386,8 @@ object HashOps {
     val numFields = kinds.length
     val rows = new Array[AnyRef](n)
     var i = 0
-    var nulls = 0
     while (i < n) {
-      rows(i) = if (arr.isNullAt(i)) { nulls += 1; null } else arr.getStruct(i, numFields)
+      rows(i) = if (arr.isNullAt(i)) null else arr.getStruct(i, numFields)
       i += 1
     }
     val cmp = new java.util.Comparator[AnyRef] {
@@ -407,9 +406,15 @@ object HashOps {
             val c = kinds(k) match {
               case KindLong    => java.lang.Long.compare(a.getLong(k), b.getLong(k))
               case KindInt     => java.lang.Integer.compare(a.getInt(k), b.getInt(k))
-              // Double/Float.compare order NaN greatest — same as Spark
-              case KindDouble  => java.lang.Double.compare(a.getDouble(k), b.getDouble(k))
-              case KindFloat   => java.lang.Float.compare(a.getFloat(k), b.getFloat(k))
+              // Spark's SQL ordering (SQLOrderingUtil): -0.0 == 0.0,
+              // NaN greatest — raw Double.compare alone would put
+              // -0.0 before 0.0 and diverge from array_sort
+              case KindDouble  =>
+                val x = a.getDouble(k); val y = b.getDouble(k)
+                if (x == y) 0 else java.lang.Double.compare(x, y)
+              case KindFloat   =>
+                val x = a.getFloat(k); val y = b.getFloat(k)
+                if (x == y) 0 else java.lang.Float.compare(x, y)
               case KindString  => a.getUTF8String(k).compareTo(b.getUTF8String(k))
               case KindBoolean => java.lang.Boolean.compare(a.getBoolean(k), b.getBoolean(k))
               case KindByte    => java.lang.Byte.compare(a.getByte(k), b.getByte(k))

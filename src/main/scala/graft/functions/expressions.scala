@@ -148,6 +148,7 @@ case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
 /** word_ngrams(text, n) → array<string> of space-joined word n-grams
  * (literal-whitespace split; see HashOps.wordNgrams). */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngrams requires n >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(HashOps.wordNgrams(input.asInstanceOf[UTF8String], n))

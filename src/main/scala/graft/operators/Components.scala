@@ -38,10 +38,23 @@ object Components {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
+    // integral node ids only: a blind cast("long") of e.g. a string
+    // UUID column would turn every id into null and silently label
+    // nothing — reject at call time instead
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      edges.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"connectedComponents requires integral node ids, got $c: ${other.sql}")
+      }
+    }
     val raw = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .filter(col("s").isNotNull && col("d").isNotNull)
+    // node universe BEFORE dropping null-partner rows: an edge (5,
+    // null) still names node 5, which must appear (as a singleton)
     val nodes = raw.select(col("s").as("node"))
-      .union(raw.select(col("d").as("node"))).distinct()
+      .union(raw.select(col("d").as("node")))
+      .filter(col("node").isNotNull).distinct()
 
     // Lineage MUST be truncated every round: each round's plan embeds
     // the previous round's twice (union of both orientations) plus a
@@ -55,8 +68,10 @@ object Components {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
 
-    // orient every edge (big → small); drop self loops and duplicates
-    var cur = truncated(raw.filter(col("s") =!= col("d"))
+    // orient every edge (big → small); drop self loops, null-partner
+    // rows, and duplicates
+    var cur = truncated(raw
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
       .distinct())
 
@@ -101,9 +116,12 @@ object Components {
       prev = next
       it += 1
     }
-    // exact star check: a fixpoint edge set is (leaf → root) with every
-    // leaf appearing once and no root appearing as a leaf
-    if (!converged) {
+    // exact star check, run UNCONDITIONALLY: a fixpoint edge set is
+    // (leaf → root) with no root appearing as a leaf. This is one
+    // cheap semi join at fixpoint size and makes the checksum test's
+    // ~2^-64 collision risk irrelevant — a false "converged" cannot
+    // return mislabeled components, it throws here instead.
+    if (prev._1 > 0L) {
       val nonStar = cur.as("a").join(cur.as("b"), col("a.v") === col("b.u"), "left_semi").count()
       require(nonStar == 0L,
         s"connectedComponents did not converge in $maxIter rounds ($nonStar chained edges remain)")
@@ -122,6 +140,12 @@ object Components {
    */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"dedupClusters requires an integral id column, got $idCol: ${other.sql}")
+    }
     val labeled = connectedComponents(pairs, aCol, bCol)
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(labeled, col("doc_id") === col("node"), "left")

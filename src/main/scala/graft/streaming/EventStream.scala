@@ -111,7 +111,9 @@ object EventStream {
    * dimension update can't silently drop events. */
   def enrichStream(stream: DataFrame, dim: DataFrame,
       streamKey: String, dimKey: String): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+    // dataframe-qualified keys: a dimension keyed by the same column
+    // name as the stream must not fail with AMBIGUOUS_REFERENCE
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
 
   /** Stream-stream interval join: each left event joined to the right
    * events with the same key whose timestamp falls in

@@ -36,12 +36,14 @@ class ExtensionsSpec extends AnyFunSuite {
          word_ngrams('a b c', 2) AS grams,
          sort_struct_array(array(named_struct('k', 2L), named_struct('k', 1L))) AS sorted,
          simhash_text('spark scans parquet') AS sht,
-         size(winnow('the quick brown fox jumps over the lazy dog')) AS nw
+         size(winnow('the quick brown fox jumps over the lazy dog')) AS nw,
+         lang_id('the cat is in the house and it is ready for this') AS lang
        """).head()
     assert(r.getSeq[String](0) == Seq("a b", "b c"))
     assert(r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(1L, 2L))
     assert(r.getLong(2) != 0L)
     assert(r.getInt(3) > 0)
+    assert(r.getString(4) == "en")
   }
 
   test("mistyped array inputs are rejected at analysis, not silently misread") {

@@ -71,7 +71,12 @@ class TextOpsSpec extends AnyFunSuite {
     val rows = Seq.tabulate(400) { i =>
       (i % 7L,
        if (rnd.nextInt(10) == 0) null else rnd.nextInt(5).toString,
-       if (rnd.nextInt(10) == 0) Double.NaN else rnd.nextInt(3).toDouble,
+       rnd.nextInt(5) match {
+         case 0 => Double.NaN
+         case 1 => -0.0d // Spark SQL ordering: -0.0 == 0.0, ties break on later fields
+         case 2 => 0.0d
+         case n => n.toDouble
+       },
        rnd.nextBoolean())
     }
     val df = rows.toDF("k", "s", "d", "b")
