@@ -307,6 +307,21 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B15b: FORWARD as-of join — for each purchase, the user's first
+   * click at or after it (the next-touch attribution direction). */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"))
+      .agg(max("event_id").as("click_id"))
+    graft.operators.AsOf
+      .asofJoin(purchases, clicks, "user_id", "c_user", "ts_us", "click_ts_us",
+        rightPayload = Seq("click_id", "click_ts_us"), outPrefix = "", direction = "forward")
+      .orderBy("event_id")
+  }
+
   /** B16: banded range join — same-user event pairs within one hour,
    * aggregated per user (Ranged operator: bin + replicate, no theta
    * nested loop). */
@@ -885,6 +900,7 @@ object SparkEntry {
     "q_max_bal_nation" -> qMaxBalPerNation,
     "q_part_stats"     -> qPartStats,
     "q_asof_join"      -> qAsofJoin,
+    "q_asof_forward"   -> qAsofForward,
     "q_range_pairs"    -> qRangePairs,
     "q_pivot"          -> qPivot,
     "q_unpivot"        -> qUnpivot,
@@ -1148,6 +1164,18 @@ object SparkEntry {
          SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.click_ts_us
          FROM purchases p ASOF LEFT JOIN clicks c
            ON p.user_id = c.c_user AND p.ts_us >= c.click_ts_us
+         ORDER BY p.event_id""",
+    "q_asof_forward" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+         clicks AS (
+           SELECT user_id AS c_user, epoch_us(ts) AS click_ts_us,
+                  MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.click_ts_us
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.c_user AND p.ts_us <= c.click_ts_us
          ORDER BY p.event_id""",
     "q_range_pairs" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)

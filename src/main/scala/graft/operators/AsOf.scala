@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /**
-   * Backward-inclusive as-of join.
+   * Inclusive as-of join; `direction` selects the match:
+   *  - "backward" (default): greatest right-time <= left-time;
+   *  - "forward": smallest right-time >= left-time.
    *
    * Output: every `left` row with its columns unchanged, plus one
    * `outPrefix`-prefixed column per `rightPayload` entry holding the
    * value from the matched right row (null when the key has no right
-   * row at or before the left time).
+   * row on the match side of the left time).
    *
    * Requirements:
    *  - time columns are totally ordered within a key (any orderable
@@ -33,6 +35,9 @@ object AsOf {
    *  - `right` is unique per (key, time): pre-aggregate conflicting
    *    rows first, otherwise the surviving row among equal timestamps
    *    is partition-order-dependent.
+   *
+   * A match tolerance falls out compositionally: put the right time
+   * in `rightPayload` and filter on the emitted gap afterwards.
    */
   def asofJoin(
       left: DataFrame,
@@ -42,8 +47,11 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      outPrefix: String = "asof_"): DataFrame = {
+      outPrefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one right column")
+    require(Set("backward", "forward").contains(direction),
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     // the whole payload travels as ONE struct: the carry-forward then
     // always yields fields of a single right row (a per-column carry
@@ -66,7 +74,10 @@ object AsOf {
         col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
         lit(null).cast(left.schema).as("__lrow"),
         struct(rightPayload.map(col).toIndexedSeq: _*).as("__rpay"))
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
+    // forward = the same carry-forward scanned from the future: time
+    // descending, right rows still first at equal time (inclusive)
+    val timeOrder = if (direction == "backward") col("__t").asc else col("__t").desc
+    val w = Window.partitionBy("__k").orderBy(timeOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .select(col("__tag"), col("__lrow"),

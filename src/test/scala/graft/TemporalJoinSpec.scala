@@ -30,6 +30,19 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out(5L) == ((None, None)), "key with no right rows at all")
   }
 
+  test("asofJoin forward picks the earliest right row at or after each left time") {
+    val out = AsOf.asofJoin(trades, quotes, "sym", "q_sym", "t", "q_t",
+      rightPayload = Seq("price", "q_t"), direction = "forward")
+      .select("trade_id", "asof_price", "asof_q_t")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map { case (k, p, t) => k -> ((p, t)) }.toMap
+    assert(out(1L) == ((Some(1.0), Some(10L))), "inclusive: quote AT trade time matches")
+    assert(out(2L) == ((None, None)), "no quote at or after → nulls")
+    assert(out(3L) == ((Some(1.0), Some(10L))), "earliest of several later quotes wins")
+    assert(out(4L) == ((Some(3.0), Some(60L))), "future quote matches forward")
+    assert(out(5L) == ((None, None)), "key with no right rows at all")
+  }
+
   test("asofJoin equals the quadratic reference join") {
     // reference semantics: left join on key + time bound, keep max right time
     val ref = trades.join(quotes,
