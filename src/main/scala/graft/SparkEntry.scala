@@ -645,6 +645,28 @@ object SparkEntry {
       .orderBy("id_a")
   }
 
+  /** C4b: EXACT Jaccard-threshold dedup — keep a doc iff no earlier
+   * doc has word-3-gram Jaccard >= 0.8, brute-force pairwise (the
+   * oracle-checked baseline for the MinHash+LSH scale path, as C5b is
+   * for the embedding-LSH path; the operator compares shingle-hash
+   * sets, the oracle shingle strings). */
+  private def qDedupJaccardExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      graft.functions.expressions.wordShingleHashes(col("text"), 3).as("sh"))
+    // single-file scan = one partition; spread the O(n^2) probe side
+    val a = base.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val dups = a.join(broadcast(b),
+        col("id_b") < col("id_a") &&
+          graft.functions.expressions.hashJaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select(col("id_a").as("dup_id")).distinct()
+    docs.select("doc_id")
+      .join(dups, col("doc_id") === col("dup_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** C5: embedding-cosine near-dup keep-table (rows-only + spec). */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.embeddingKeep(t(s, dir, "embeddings"), "vec_id", "embedding", 64)
@@ -924,6 +946,7 @@ object SparkEntry {
     "q_dedup_minhash"  -> qDedupMinhash,
     "q_dedup_simhash"  -> qDedupSimhash,
     "q_dedup_jaccard"  -> qDedupJaccard,
+    "q_dedup_jaccard_exact" -> qDedupJaccardExact,
     "q_dedup_embed"    -> qDedupEmbed,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_lsh"        -> qAnnLsh,
@@ -1417,6 +1440,16 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged)
          SELECT event_id, MIN(event_id) OVER (PARTITION BY user_id, session_id) AS session_rep
          FROM sess ORDER BY event_id""",
+    "q_dedup_jaccard_exact" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
+         d AS (SELECT DISTINCT a.doc_id AS id FROM g a JOIN g b ON b.doc_id < a.doc_id
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+         SELECT doc_id FROM documents ANTI JOIN d ON doc_id = id ORDER BY doc_id""",
     "q_dedup_embed_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          dups AS (SELECT DISTINCT a.vec_id AS dup_id FROM e a JOIN e b
