@@ -634,14 +634,17 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** C4: n-gram Jaccard over a deterministic pair sample (adjacent
-   * ids), the exact-verify primitive of the dedup stack. */
+   * ids), the exact-verify primitive of the dedup stack. Emitted
+   * UNROUNDED: intersection/union of small integer counts is one IEEE
+   * division, bit-identical across engines, so the hash-space merge
+   * oracle-checks against DuckDB's string-space list ops. */
   private def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
-        round(graft.dedup.Dedup.ngramJaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
+        graft.dedup.Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
       .orderBy("id_a")
   }
 
@@ -1440,6 +1443,16 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged)
          SELECT event_id, MIN(event_id) OVER (PARTITION BY user_id, session_id) AS session_rep
          FROM sess ORDER BY event_id""",
+    "q_dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh)) * 1.0 /
+           len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""",
     "q_dedup_jaccard_exact" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
