@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Ngrams
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class NgramsSpec extends AnyFunSuite {
@@ -36,6 +37,29 @@ class NgramsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(top == Seq(("the cat", 3L), ("cat sat", 2L), ("a b", 1L)),
       s"ties broken by ngram text: $top")
+  }
+
+  test("wordNgrams matches a plain-Scala reference on fuzzed whitespace layouts") {
+    val rnd = new scala.util.Random(0xD1CE)
+    val seps = Array(" ", "\t", "\n", "\r", "  ", " \n ", "\r\n")
+    val toks = Array("a", "bc", "def", "Ü", "x_1", "!?", "长")
+    val texts = Seq.fill(120) {
+      val n = rnd.nextInt(8)
+      (if (rnd.nextBoolean()) seps(rnd.nextInt(seps.length)) else "") +
+        Seq.fill(n)(toks(rnd.nextInt(toks.length))).mkString(
+          seps(rnd.nextInt(seps.length))) +
+        (if (rnd.nextBoolean()) seps(rnd.nextInt(seps.length)) else "")
+    }
+    def ref(text: String, n: Int): Seq[String] = {
+      val ws = text.split("[ \t\n\r]+").filter(_.nonEmpty).toSeq
+      if (ws.length < n) Seq.empty else ws.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    for (n <- 1 to 3) {
+      val got = texts.toDF("text")
+        .select(graft.functions.expressions.wordNgrams(col("text"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(got == texts.map(ref(_, n)), s"n=$n")
+    }
   }
 
   test("topNgrams plans a partial aggregate and a take-ordered limit, not a full sort") {
