@@ -652,7 +652,18 @@ object SparkEntry {
    * doc has word-3-gram Jaccard >= 0.8, brute-force pairwise (the
    * oracle-checked baseline for the MinHash+LSH scale path, as C5b is
    * for the embedding-LSH path; the operator compares shingle-hash
-   * sets, the oracle shingle strings). */
+   * sets, the oracle shingle strings).
+   *
+   * Oracle parity assumes every doc has >= 3 ASCII tokens and
+   * non-NULL text (holds for all fixtures, checked): shorter/NULL
+   * docs collapse to a whole-text shingle on the Spark side but fall
+   * out of the oracle's UNNEST(range(...)), and non-ASCII bytes are
+   * word chars for wordShingleHashes but separators for the oracle's
+   * [^a-z0-9_] regex.
+   *
+   * Both join sides re-derive the shingle sets (one extra corpus
+   * scan) on purpose: caching inside a benchmarked one-shot query
+   * would hide the honest cost, and the O(n²) verify dominates. */
   private def qDedupJaccardExact(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val base = docs.select(col("doc_id"),

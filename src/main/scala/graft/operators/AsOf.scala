@@ -75,8 +75,14 @@ object AsOf {
         lit(null).cast(left.schema).as("__lrow"),
         struct(rightPayload.map(col).toIndexedSeq: _*).as("__rpay"))
     // forward = the same carry-forward scanned from the future: time
-    // descending, right rows still first at equal time (inclusive)
-    val timeOrder = if (direction == "backward") col("__t").asc else col("__t").desc
+    // descending, right rows still first at equal time (inclusive).
+    // NULLS FIRST in BOTH directions: a NULL-time left row must sort
+    // before every right row so the carry-forward has seen nothing and
+    // correctly yields a NULL payload (desc's default NULLS LAST would
+    // hand it the key's earliest right row).
+    val timeOrder =
+      if (direction == "backward") col("__t").asc_nulls_first
+      else col("__t").desc_nulls_first
     val w = Window.partitionBy("__k").orderBy(timeOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)

@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
  */
 object Components {
 
+  /** Integral (or scale-0 decimal) node ids only: a blind
+   * cast("long") of e.g. a string UUID column would turn every id
+   * into null and silently label nothing — reject at call time. */
+  private def requireIntegralId(df: DataFrame, c: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case d: DecimalType if d.scale == 0 && d.precision <= 19 => ()
+      case other => throw new IllegalArgumentException(
+        s"$op requires integral node ids, got $c: ${other.sql}")
+    }
+  }
+
   /**
    * Label every node of the (undirected) edge list with its
    * component's minimum node id. Output: (node, component) for every
@@ -38,17 +51,7 @@ object Components {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
-    // integral node ids only: a blind cast("long") of e.g. a string
-    // UUID column would turn every id into null and silently label
-    // nothing — reject at call time instead
-    Seq(srcCol, dstCol).foreach { c =>
-      import org.apache.spark.sql.types._
-      edges.schema(c).dataType match {
-        case LongType | IntegerType | ShortType | ByteType => ()
-        case other => throw new IllegalArgumentException(
-          s"connectedComponents requires integral node ids, got $c: ${other.sql}")
-      }
-    }
+    Seq(srcCol, dstCol).foreach(c => requireIntegralId(edges, c, "connectedComponents"))
     val raw = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
     // node universe BEFORE dropping null-partner rows: an edge (5,
     // null) still names node 5, which must appear (as a singleton)
@@ -117,14 +120,20 @@ object Components {
       it += 1
     }
     // exact star check, run UNCONDITIONALLY: a fixpoint edge set is
-    // (leaf → root) with no root appearing as a leaf. This is one
-    // cheap semi join at fixpoint size and makes the checksum test's
-    // ~2^-64 collision risk irrelevant — a false "converged" cannot
-    // return mislabeled components, it throws here instead.
+    // (leaf → root) with (1) no root appearing as a leaf (no chains)
+    // and (2) every leaf appearing exactly once (no multi-root leaf —
+    // mid-run states like {(5,1),(5,2)} satisfy (1) alone). One cheap
+    // semi join + one aggregate at fixpoint size; together they make
+    // the checksum test's ~2^-64 collision risk irrelevant — a false
+    // "converged" throws here instead of returning mislabeled
+    // components.
     if (prev._1 > 0L) {
       val nonStar = cur.as("a").join(cur.as("b"), col("a.v") === col("b.u"), "left_semi").count()
-      require(nonStar == 0L,
-        s"connectedComponents did not converge in $maxIter rounds ($nonStar chained edges remain)")
+      val leafRow = cur.agg(count(lit(1)).as("n"), count_distinct(col("u")).as("nu")).head()
+      val multiRoot = leafRow.getLong(0) - leafRow.getLong(1)
+      require(nonStar == 0L && multiRoot == 0L,
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($nonStar chained edges, $multiRoot multi-root leaves remain)")
     }
     val mapping = cur.groupBy(col("u").as("node")).agg(min(col("v")).as("__comp"))
     nodes.join(mapping, Seq("node"), "left")
@@ -140,12 +149,7 @@ object Components {
    */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    docs.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
-      case other => throw new IllegalArgumentException(
-        s"dedupClusters requires an integral id column, got $idCol: ${other.sql}")
-    }
+    requireIntegralId(docs, idCol, "dedupClusters")
     val labeled = connectedComponents(pairs, aCol, bCol)
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(labeled, col("doc_id") === col("node"), "left")

@@ -43,6 +43,18 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out(5L) == ((None, None)), "key with no right rows at all")
   }
 
+  test("asofJoin: NULL left time yields NULL payload in both directions") {
+    val l = Seq(("A", Some(10L), 1L), ("A", None, 2L)).toDF("sym", "t", "trade_id")
+    for (d <- Seq("backward", "forward")) {
+      val out = AsOf.asofJoin(l, quotes, "sym", "q_sym", "t", "q_t",
+        rightPayload = Seq("price"), direction = d)
+        .select("trade_id", "asof_price")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(out(2L).isEmpty, s"NULL time must not match any quote ($d)")
+      assert(out(1L).contains(1.0), s"non-NULL row still matches ($d)")
+    }
+  }
+
   test("asofJoin equals the quadratic reference join") {
     // reference semantics: left join on key + time bound, keep max right time
     val ref = trades.join(quotes,
