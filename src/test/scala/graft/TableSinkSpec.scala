@@ -1,6 +1,7 @@
 package graft
 
 import graft.sinks.TableSink
+import org.apache.spark.sql.functions.{input_file_name, max, min, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 class TableSinkSpec extends AnyFunSuite {
@@ -46,5 +47,34 @@ class TableSinkSpec extends AnyFunSuite {
       partitionBy = Seq("part"))
     assert(new java.io.File(dir, "part=a").exists())
     assert(spark.read.parquet(dir).where($"part" === "a").count() == 1)
+  }
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+
+  test("compact rewrites a many-file table into few files with identical data") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/c"
+    spark.range(1000).toDF("v").repartition(40).write.parquet(dir)
+    assert(parquetFiles(dir).length == 40)
+    TableSink.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    val after = parquetFiles(dir)
+    assert(after.length < 40, s"expected fewer files, got ${after.length}")
+    assert(spark.read.parquet(dir).agg(sum("v")).head().getLong(0) == 499500L)
+  }
+
+  test("writeSorted yields disjoint per-file key ranges (min/max skipping layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/s"
+    val df = spark.range(10000).toDF("k")
+      .select((($"k" * 2654435761L) % 10007L).as("k")) // scrambled input order
+    TableSink.writeSorted(df, dir, Seq("k"), targetPartitions = 5)
+    val ranges = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), $"k")
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2 in ${ranges.toSeq}")
+    }
   }
 }
