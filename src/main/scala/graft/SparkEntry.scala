@@ -842,6 +842,18 @@ object SparkEntry {
     graft.text.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
       .orderBy("doc_id", "rnk")
 
+  /** C21: corpus length histogram — fixed-width buckets over document
+   * length (the length-distribution summary every corpus audit
+   * starts with). Bucket arithmetic is plain integer math (no
+   * width_bucket dialect risk). */
+  private def qLengthHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("bucket", expr("least(n_chars div 200, 9L)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bucket")
+
   /** B29: connected components, oracle-checked — same-user events
    * within 30 minutes form an edge; in 1-D, transitive closure over
    * "within gap" pairs equals gap-based sessionization (events across
@@ -978,6 +990,7 @@ object SparkEntry {
     "q_quota_sample"   -> qQuotaSample,
     "q_pack_sequences" -> qPackSequences,
     "q_tfidf"          -> qTfidf,
+    "q_length_hist"    -> qLengthHist,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -1443,6 +1456,10 @@ object SparkEntry {
            PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk FROM scored)
          SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+    "q_length_hist" ->
+      """SELECT LEAST(n_chars // 200, 9) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM documents GROUP BY 1 ORDER BY bucket""",
     "q_cc_sessions" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          lagged AS (
