@@ -854,6 +854,68 @@ object SparkEntry {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("bucket")
 
+  /** B34: ordered conversion funnel — view → click within 24h →
+   * purchase within 24h of that click, per user; stage = furthest
+   * step reached IN ORDER (conditional mins chained through two
+   * aggregations). */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 24L * 3600L * 1000000L
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_us") >= col("v_us") && col("ts_us") <= col("v_us") + dayUs)
+      .groupBy("user_id").agg(min("ts_us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts_us") >= col("c_us") && col("ts_us") <= col("c_us") + dayUs)
+      .groupBy("user_id").agg(min("ts_us").as("p_us"))
+    val users = ev.select("user_id").distinct()
+    users
+      .join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(when(col("p_us").isNotNull, 3L)
+        .when(col("c_us").isNotNull, 2L)
+        .when(col("v_us").isNotNull, 1L).otherwise(0L).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** B35: weekly cohort retention — users bucketed by first-event
+   * week, counted per active-week offset. Week indices are integer
+   * epoch-microsecond division: engine-portable, no calendar. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), expr(s"ts_us div ${weekUs}L").as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_wk", "wk_offset")
+  }
+
+  /** C22: per-source corpus quality audit — ratio-of-integer-sums
+   * (punct/digit chars over total chars, tokens per doc), exact
+   * regardless of reduction order; explicit ASCII char classes so
+   * both regex engines count identically. */
+  private def qSourceQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        length(col("text")).cast("long").as("chars"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 \\t\\n\\r]"), lit(0))).cast("long").as("punct"),
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long").as("digits"),
+        size(graft.functions.expressions.wordNgrams(col("text"), 1)).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars").as("sum_chars"),
+        (sum("punct").cast("double") / sum("chars")).as("punct_ratio"),
+        (sum("digits").cast("double") / sum("chars")).as("digit_ratio"),
+        (sum("toks").cast("double") / count(lit(1))).as("toks_per_doc"))
+      .orderBy("source")
+
   /** B29: connected components, oracle-checked — same-user events
    * within 30 minutes form an edge; in 1-D, transitive closure over
    * "within gap" pairs equals gap-based sessionization (events across
@@ -991,6 +1053,9 @@ object SparkEntry {
     "q_pack_sequences" -> qPackSequences,
     "q_tfidf"          -> qTfidf,
     "q_length_hist"    -> qLengthHist,
+    "q_funnel"         -> qFunnel,
+    "q_retention"      -> qRetention,
+    "q_source_quality" -> qSourceQuality,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -1460,6 +1525,39 @@ object SparkEntry {
       """SELECT LEAST(n_chars // 200, 9) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
          FROM documents GROUP BY 1 ORDER BY bucket""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         v AS (SELECT user_id, MIN(ts_us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(ts_us) AS c_us FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ts_us >= v_us
+                 AND ts_us <= v_us + 86400000000 GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(ts_us) AS p_us FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us >= c_us
+                 AND ts_us <= c_us + 86400000000 GROUP BY 1)
+         SELECT CASE WHEN p_us IS NOT NULL THEN 3 WHEN c_us IS NOT NULL THEN 2
+                     WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
+                CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM (SELECT DISTINCT user_id FROM e) u
+         LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         GROUP BY 1 ORDER BY stage""",
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+         cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+         SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM e JOIN cohort USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_wk, wk_offset""",
+    "q_source_quality" ->
+      """WITH d AS (SELECT source, CAST(LENGTH(text) AS BIGINT) AS chars,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
+           CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '')) AS BIGINT) AS toks
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(chars) AS sum_chars,
+           CAST(SUM(punct) AS DOUBLE) / SUM(chars) AS punct_ratio,
+           CAST(SUM(digits) AS DOUBLE) / SUM(chars) AS digit_ratio,
+           CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS toks_per_doc
+         FROM d GROUP BY source ORDER BY source""",
     "q_cc_sessions" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          lagged AS (
