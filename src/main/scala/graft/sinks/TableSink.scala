@@ -70,14 +70,26 @@ object TableSink {
   }
 
   /**
-   * Small-file compaction: rewrite a table directory into
-   * ~`targetFileBytes` output files, sized from the source's actual
-   * scan size. The streaming/incremental-ingest follow-up every large
-   * deployment needs — thousands of tiny files turn scan planning and
-   * open() overhead into the bottleneck. Reduction uses `coalesce`
-   * (narrow — no shuffle); only growing the file count repartitions.
-   * The rewrite goes through a sibling temp dir then swaps, so the
-   * source is never read and truncated at once.
+   * Small-file compaction: rewrite an UNPARTITIONED table directory
+   * into ~`targetFileBytes` output files, sized from the source's
+   * actual scan size. The streaming/incremental-ingest follow-up
+   * every large deployment needs — thousands of tiny files turn scan
+   * planning and open() overhead into the bottleneck.
+   *
+   * - Hive-partitioned (`col=value`) layouts are REJECTED: a blind
+   *   rewrite would flatten the directories (losing partition pruning)
+   *   and bake inferred partition types into the data. Compact each
+   *   partition directory individually instead.
+   * - Already-compacted input (file count at or below the target) is
+   *   a no-op — a scheduled compaction cycle must not rewrite the
+   *   whole table every run.
+   * - Reduction is `coalesce` (narrow — no shuffle).
+   * - The swap is rename-based: rewrite to `...__compact_tmp`, move
+   *   the original to `...__compact_bak`, move tmp into place (rolled
+   *   back on failure), drop the backup. Not atomic on stores without
+   *   atomic directory rename — a crash between the renames leaves
+   *   the data intact in the bak/tmp siblings for manual recovery,
+   *   never deleted-and-gone.
    */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -85,19 +97,28 @@ object TableSink {
       targetFileBytes: Long = 128L * 1024 * 1024,
       format: String = "parquet"): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(hPath)
+    if (entries.exists(e => e.isDirectory && e.getPath.getName.contains("=")))
+      throw new IllegalArgumentException(
+        s"compact: $path is Hive-partitioned; compact each partition directory instead")
+    val curFiles = entries.count(e => e.isFile &&
+      !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
     val df = spark.read.format(format).load(path)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes // BigInt
     val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes)
       .max(BigInt(1)).min(BigInt(Int.MaxValue)).toInt
-    val cur = df.rdd.getNumPartitions
-    val out = if (nFiles < cur) df.coalesce(nFiles) else df.repartition(nFiles)
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
-    out.write.mode(SaveMode.Overwrite).format(format).save(tmp)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val hTmp = new org.apache.hadoop.fs.Path(tmp)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    if (!fs.rename(hTmp, hPath))
-      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    if (nFiles >= curFiles) return // nothing to merge
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_bak")
+    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+    if (!fs.rename(hPath, bak))
+      throw new java.io.IOException(s"compact: rename $path -> $bak failed")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // roll back; original untouched
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed (rolled back)")
+    }
+    fs.delete(bak, true) // best effort; leftover bak is harmless
   }
 }

@@ -63,6 +63,22 @@ class TableSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).agg(sum("v")).head().getLong(0) == 499500L)
   }
 
+  test("compact refuses partitioned layouts and no-ops when already compact") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cp"
+    TableSink.writeTruncate(Seq((1, "01"), (2, "02")).toDF("k", "part"), dir,
+      partitionBy = Seq("part"))
+    val e = intercept[IllegalArgumentException](TableSink.compact(spark, dir))
+    assert(e.getMessage.contains("Hive-partitioned"))
+    assert(new java.io.File(dir, "part=01").exists(), "refused compact must not touch data")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("sink").toString + "/c1"
+    spark.range(100).toDF("v").coalesce(1).write.parquet(dir2)
+    val before = parquetFiles(dir2).map(f => (f.getName, f.lastModified())).toSet
+    TableSink.compact(spark, dir2) // 1 file, already at/below target → no-op
+    assert(parquetFiles(dir2).map(f => (f.getName, f.lastModified())).toSet == before,
+      "already-compact table must not be rewritten")
+  }
+
   test("writeSorted yields disjoint per-file key ranges (min/max skipping layout)") {
     val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/s"
     val df = spark.range(10000).toDF("k")
@@ -73,8 +89,10 @@ class TableSinkSpec extends AnyFunSuite {
       .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(ranges.length > 1)
+    // STRICT <: range partitioning never splits equal keys across
+    // files, so a shared boundary key would mean the layout broke
     ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
-      assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2 in ${ranges.toSeq}")
+      assert(hi1 < lo2, s"file ranges overlap or touch: $hi1 >= $lo2 in ${ranges.toSeq}")
     }
   }
 }
