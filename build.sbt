@@ -1,4 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep stdout machine-parseable: Bench/Verify print one JSON line that
+// must be the LAST line of `sbt runMain` output — sbt's trailing
+// "[success] Total time: …" banner otherwise lands after it.
+Global / showSuccess := false
 ThisBuild / version := "0.1.0"
 name := "bigqueryetldataflowsamplespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

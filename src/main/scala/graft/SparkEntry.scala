@@ -911,10 +911,173 @@ object SparkEntry {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("chars").as("sum_chars"),
-        (sum("punct").cast("double") / sum("chars")).as("punct_ratio"),
-        (sum("digits").cast("double") / sum("chars")).as("digit_ratio"),
-        (sum("toks").cast("double") / count(lit(1))).as("toks_per_doc"))
+        // parts-per-million in integer space: ratio-of-integer-sums as a
+        // double hash-mismatched the driver once (r03) despite local
+        // bit-identity, so the audit emits no doubles at all
+        expr("sum(punct) * 1000000 div sum(chars)").as("punct_ppm"),
+        expr("sum(digits) * 1000000 div sum(chars)").as("digit_ppm"),
+        expr("sum(toks) * 1000 div count(1)").as("toks_per_kdoc"))
       .orderBy("source")
+
+  /** B36: order-priority checking (TPC-H Q4 shape) — EXISTS correlated
+   * semi join with a non-equi date residual (ship >60 days after
+   * order), then count by priority. */
+  private def qPriorityCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate").cast("date") <  lit("1996-04-01").cast("date"))
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** B37: national market share (TPC-H Q8 shape) — one nation's share
+   * of revenue into one region's customers per year; nation broadcast
+   * under two roles, ratio of identical integer cent-sums (division
+   * bit-identical cross-engine, so no rounding). */
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val regionCust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nation.filter(col("n_regionkey") === 2)),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select("c_custkey")
+    val supp = broadcast(
+      t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(nation.select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("o_orderdate").cast("date") <  lit("1998-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("vol", cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", col("vol")).otherwise(0L)).cast("double") /
+        sum(col("vol"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** B38: product-type profit (TPC-H Q9 shape, partsupp-free: cost
+   * proxied by half retail price) — per supplier-nation per year,
+   * exact 1e-5-dollar integer units throughout. */
+  private def qProductProfit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("amount_e5",
+        cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")) * 10L -
+        cents(col("p_retailprice")) * cents(col("l_quantity")) * 5L)
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum("amount_e5") / 100000.0).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** B39: returned-item reporting (TPC-H Q10 shape) — top-20 customers
+   * by returned revenue in a quarter; the LIMIT rides a total order
+   * (revenue desc, custkey) so the selected set is deterministic. */
+  private def qReturnedItems(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("o_orderdate").cast("date") <  lit("1996-04-01").cast("date"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rev", cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg((sum("rev") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** B40: important parts (TPC-H Q11 shape, lineitem as the
+   * part↔supplier link) — per-part value from two nations' suppliers,
+   * kept when above 0.1% of the global total; the global scalar rides
+   * a 1-row broadcast cross join and the threshold compare stays in
+   * integer space. */
+  private def qImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")
+        .filter(col("s_nationkey").isin(7, 19)).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_partkey"), cents(col("l_extendedprice")).as("val_c"))
+    li.groupBy("l_partkey").agg(sum("val_c").as("value_c"))
+      .crossJoin(broadcast(li.agg(sum("val_c").as("total_c"))))
+      .filter(col("value_c") * 1000L > col("total_c"))
+      .select(col("l_partkey").as("p_partkey"), (col("value_c") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** B41: excess/dominant suppliers (TPC-H Q20 shape) — suppliers
+   * shipping >30% of a filtered part's yearly volume; per-part totals
+   * via a window over the grouped result, share test in integer
+   * space, then a semi join back to supplier. */
+  private def qExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val dominant = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+              col("l_shipdate").cast("date") <  lit("1997-01-01").cast("date"))
+      .join(broadcast(t(s, dir, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(cents(col("l_quantity"))).as("supp_qty_c"))
+      .withColumn("part_qty_c", sum("supp_qty_c").over(Window.partitionBy("l_partkey")))
+      .filter(col("supp_qty_c") * 10L > col("part_qty_c") * 3L)
+      .select("l_suppkey").distinct()
+    t(s, dir, "supplier")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  /** C23: within-document repetition audit (Gopher-style signal) —
+   * unique-token and unique-2-gram rates per source as ppm of
+   * integer sums; the n-gram kernel is the codegen'd wordNgrams. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.expressions.wordNgrams(col("text"), 1)
+    val grams = graft.functions.expressions.wordNgrams(col("text"), 2)
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_utok"),
+        size(grams).cast("long").as("n_2g"),
+        size(array_distinct(grams)).cast("long").as("n_u2g"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("sum_tok"),
+        expr("sum(n_utok) * 1000000 div sum(n_tok)").as("uniq_tok_ppm"),
+        expr("sum(n_u2g) * 1000000 div sum(n_2g)").as("uniq_2g_ppm"))
+      .orderBy("source")
+  }
+
+  /** C24: deterministic corpus split — md5(doc_id) hex-prefix bucket
+   * (identical bytes in any engine/language, stable under
+   * repartitioning and retries), 90/5/5 train/val/test. */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("bucket",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
+      .orderBy("split")
 
   /** B29: connected components, oracle-checked — same-user events
    * within 30 minutes form an edge; in 1-D, transitive closure over
@@ -1056,6 +1219,14 @@ object SparkEntry {
     "q_funnel"         -> qFunnel,
     "q_retention"      -> qRetention,
     "q_source_quality" -> qSourceQuality,
+    "q_priority_count" -> qPriorityCount,
+    "q_market_share"   -> qMarketShare,
+    "q_product_profit" -> qProductProfit,
+    "q_returned_items" -> qReturnedItems,
+    "q_important_parts" -> qImportantParts,
+    "q_excess_suppliers" -> qExcessSuppliers,
+    "q_repetition"     -> qRepetition,
+    "q_hash_split"     -> qHashSplit,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -1553,11 +1724,104 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
            CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '')) AS BIGINT) AS toks
            FROM documents)
-         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(chars) AS sum_chars,
-           CAST(SUM(punct) AS DOUBLE) / SUM(chars) AS punct_ratio,
-           CAST(SUM(digits) AS DOUBLE) / SUM(chars) AS digit_ratio,
-           CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS toks_per_doc
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(punct) * 1000000 // SUM(chars) AS BIGINT) AS punct_ppm,
+           CAST(SUM(digits) * 1000000 // SUM(chars) AS BIGINT) AS digit_ppm,
+           CAST(SUM(toks) * 1000 // COUNT(*) AS BIGINT) AS toks_per_kdoc
          FROM d GROUP BY source ORDER BY source""",
+    "q_priority_count" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    "q_market_share" ->
+      """WITH li AS (SELECT l_suppkey, l_orderkey,
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+           CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT) AS vol
+           FROM lineitem)
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE) / SUM(vol) AS mkt_share
+         FROM li JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey AND n1.n_regionkey = 2
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON supplier.s_nationkey = n2.n_nationkey
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+               CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT) * 10 -
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) *
+               CAST(ROUND(l_quantity * 100, 0) AS BIGINT) * 5) / 100000.0 AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND contains(p_name, 'widget')
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+               CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_important_parts" ->
+      """WITH li AS (SELECT l_partkey, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS val_c
+           FROM lineitem
+           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey IN (7, 19)))
+         SELECT l_partkey AS p_partkey, SUM(val_c) / 100.0 AS value
+         FROM li GROUP BY 1
+         HAVING SUM(val_c) * 1000 > (SELECT SUM(val_c) FROM li)
+         ORDER BY value DESC, p_partkey""",
+    "q_excess_suppliers" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey, CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qty_c
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+             AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')),
+         g AS (SELECT l_partkey, l_suppkey, SUM(qty_c) AS supp_qty_c FROM li GROUP BY 1, 2),
+         w AS (SELECT *, SUM(supp_qty_c) OVER (PARTITION BY l_partkey) AS part_qty_c FROM g)
+         SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM w WHERE supp_qty_c * 10 > part_qty_c * 3)
+         ORDER BY s_suppkey""",
+    "q_repetition" ->
+      """WITH d AS (SELECT source,
+           list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), x -> x <> '') AS t
+           FROM documents),
+         g AS (SELECT source,
+           CAST(len(t) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_utok,
+           CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_2g,
+           CAST(len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS BIGINT) AS n_u2g
+           FROM d)
+         SELECT source, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(SUM(n_utok) * 1000000 // SUM(n_tok) AS BIGINT) AS uniq_tok_ppm,
+           CAST(SUM(n_u2g) * 1000000 // SUM(n_2g) AS BIGINT) AS uniq_2g_ppm
+         FROM g GROUP BY source ORDER BY source""",
+    "q_hash_split" ->
+      """WITH d AS (SELECT source,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+           FROM documents),
+         s AS (SELECT source, bucket,
+           CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+           FROM d)
+         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(bucket) AS BIGINT) AS min_bucket, CAST(MAX(bucket) AS BIGINT) AS max_bucket
+         FROM s GROUP BY 1 ORDER BY 1""",
     "q_cc_sessions" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          lagged AS (
