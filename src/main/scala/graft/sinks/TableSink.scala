@@ -91,6 +91,65 @@ object TableSink {
    *   the data intact in the bak/tmp siblings for manual recovery,
    *   never deleted-and-gone.
    */
+  /**
+   * Keyed upsert (MERGE ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
+   * INSERT, SCD-1): rows in `delta` replace current rows with the same
+   * key; unmatched current rows are kept; unmatched delta rows are
+   * inserted. The incremental companion to the reference's
+   * truncate-and-load (BQETLSimple.java:113-120) — a recurring ETL
+   * that reloads only changed source rows needs this, not a full
+   * rewrite.
+   *
+   * - One anti join on the key: current-side shuffle only; a small
+   *   delta broadcasts (AQE picks it from size), so the common
+   *   trickle-update case never shuffles the big table.
+   * - `delta` must be unique per key — which row of a duplicate pair
+   *   wins would otherwise be partition-order nondeterminism. Checked
+   *   with one cheap aggregation over delta (skippable via
+   *   `checkUniqueKeys = false` when the producer guarantees it).
+   * - Same crash-safe rename swap as `compact`: the merged result is
+   *   fully written to a `__upsert_tmp` sibling before the target
+   *   moves, so a crash never leaves a half-table.
+   */
+  def upsert(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      format: String = "parquet",
+      checkUniqueKeys: Boolean = true): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    if (checkUniqueKeys) {
+      import org.apache.spark.sql.functions.{count, lit}
+      val dup = delta.groupBy(keyCols.map(delta(_)): _*)
+        .agg(count(lit(1)).as("__n")).filter("__n > 1").limit(1).count()
+      require(dup == 0, s"upsert: delta has duplicate keys on ${keyCols.mkString(",")}")
+    }
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      delta.write.mode(SaveMode.ErrorIfExists).format(format).save(path)
+      return
+    }
+    val current = spark.read.format(format).load(path)
+    val cur = current.columns.toSeq
+    require(cur.sorted == delta.columns.toSeq.sorted,
+      s"upsert: delta columns ${delta.columns.mkString(",")} != table columns ${cur.mkString(",")}")
+    val merged = current
+      .join(delta.select(keyCols.map(delta(_)): _*), keyCols, "left_anti")
+      .unionByName(delta)
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__upsert_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__upsert_bak")
+    merged.write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+    if (!fs.rename(hPath, bak))
+      throw new java.io.IOException(s"upsert: rename $path -> $bak failed")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // roll back; original untouched
+      throw new java.io.IOException(s"upsert: rename $tmp -> $path failed (rolled back)")
+    }
+    fs.delete(bak, true) // best effort; leftover bak is harmless
+  }
+
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

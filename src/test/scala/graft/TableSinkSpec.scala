@@ -95,4 +95,34 @@ class TableSinkSpec extends AnyFunSuite {
       assert(hi1 < lo2, s"file ranges overlap or touch: $hi1 >= $lo2 in ${ranges.toSeq}")
     }
   }
+
+  test("upsert replaces matched keys, keeps others, inserts new ones") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/u"
+    TableSink.writeTruncate(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    TableSink.upsert(spark, dir, Seq((2L, "B2"), (4L, "d")).toDF("k", "v"), Seq("k"))
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // no leftover swap siblings
+    assert(!new java.io.File(dir + "__upsert_tmp").exists())
+    assert(!new java.io.File(dir + "__upsert_bak").exists())
+  }
+
+  test("upsert into a missing target creates it") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/u0"
+    TableSink.upsert(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("upsert rejects duplicate-key deltas and mismatched schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/ud"
+    TableSink.writeTruncate(Seq((1L, "a")).toDF("k", "v"), dir)
+    intercept[IllegalArgumentException] {
+      TableSink.upsert(spark, dir, Seq((2L, "x"), (2L, "y")).toDF("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      TableSink.upsert(spark, dir, Seq((2L, "x", 9)).toDF("k", "v", "extra"), Seq("k"))
+    }
+    // failed upserts must not have touched the table
+    assert(spark.read.parquet(dir).count() == 1)
+  }
 }
