@@ -1079,6 +1079,20 @@ object SparkEntry {
         min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
       .orderBy("split")
 
+  /** B42: JSON field extraction from a string column (the reference's
+   * whole data model is JSON-line parsing; this is the per-column
+   * variant: a semi-structured `props` payload queried without a
+   * schema migration). `get_json_object` is a codegen'd path scan —
+   * no UDF, no full from_json materialization for one field. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** B29: connected components, oracle-checked — same-user events
    * within 30 minutes form an edge; in 1-D, transitive closure over
    * "within gap" pairs equals gap-based sessionization (events across
@@ -1227,6 +1241,7 @@ object SparkEntry {
     "q_excess_suppliers" -> qExcessSuppliers,
     "q_repetition"     -> qRepetition,
     "q_hash_split"     -> qHashSplit,
+    "q_json_extract"   -> qJsonExtract,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -1822,6 +1837,12 @@ object SparkEntry {
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(MIN(bucket) AS BIGINT) AS min_bucket, CAST(MAX(bucket) AS BIGINT) AS max_bucket
          FROM s GROUP BY 1 ORDER BY 1""",
+    "q_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_cc_sessions" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          lagged AS (

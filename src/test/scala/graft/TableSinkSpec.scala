@@ -46,7 +46,13 @@ class TableSinkSpec extends AnyFunSuite {
     TableSink.writeTruncate(Seq((1, "a"), (2, "b")).toDF("k", "part"), dir,
       partitionBy = Seq("part"))
     assert(new java.io.File(dir, "part=a").exists())
-    assert(spark.read.parquet(dir).where($"part" === "a").count() == 1)
+    val scan = spark.read.parquet(dir).where($"part" === "a")
+    // the filter must reach the scan's partition pruning, not run as a
+    // post-scan row filter over every partition
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"),
+      s"partition filter not pushed:\n$plan")
+    assert(scan.count() == 1)
   }
 
   private def parquetFiles(dir: String): Array[java.io.File] =
