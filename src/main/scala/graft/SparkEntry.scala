@@ -681,6 +681,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C14b: EXACT transitive duplicate clusters (oracle baseline for
+   * the MinHash-candidate q_dedup_clusters): exact Jaccard-threshold
+   * pairs → distributed connected components → per-component min-id
+   * representative. The oracle replays the same closure in DuckDB
+   * with a recursive CTE over string-space shingles, so BOTH the
+   * pair generation and the iterative labeling are hash-checked. */
+  private def qDedupClustersExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      graft.functions.expressions.wordShingleHashes(col("text"), 3).as("sh"))
+    // single-file scan = one partition; spread the O(n^2) probe side
+    val a = base.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(broadcast(b),
+        col("id_b") < col("id_a") &&
+          graft.functions.expressions.hashJaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select("id_a", "id_b")
+    val labeled = graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+    docs.select("doc_id")
+      .join(labeled, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** C5: embedding-cosine near-dup keep-table (rows-only + spec). */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.embeddingKeep(t(s, dir, "embeddings"), "vec_id", "embedding", 64)
@@ -722,28 +747,51 @@ object SparkEntry {
       .orderBy("probe_id", "rank")
   }
 
-  /** C7: LSH-bucketed approximate top-5 (rows-only + recall spec). */
+  /** Recall-vs-bruteforce harness shared by the approximate ANN
+   * queries: the approximate neighbor set itself has no SQL oracle,
+   * but "recall@5 against exact top-5 is at least 0.3" is an exact,
+   * deterministic claim (hyperplanes and centroids are seeded
+   * deterministically) the oracle CAN assert — so the driver gate
+   * hash-checks the invariant instead of recording rows-only. */
+  private def annRecallCheck(emb: DataFrame,
+      approx: DataFrame => DataFrame): DataFrame = {
+    val probes = emb.filter(col("vec_id") < 3)
+    val exact = graft.similarity.Ann
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = exact
+      .join(approx(probes).select(col("probe_id").as("p"), col("vec_id").as("v")),
+        col("probe_id") === col("p") && col("vec_id") === col("v"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probes.select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        (coalesce(col("n_hit"), lit(0L)) * 10L >= 15L).as("recall_ok"))
+      .orderBy("probe_id")
+  }
+
+  /** C7: LSH-bucketed approximate top-5 — oracle-checked recall
+   * invariant (AnnSpec asserts the same bound on the raw lists). */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    graft.similarity.Ann
-      .lshTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 64, 5)
-      .withColumn("cos", round(col("cos"), 3))
-      .orderBy("probe_id", "rank")
+    annRecallCheck(emb,
+      p => graft.similarity.Ann.lshTopK(emb, p, "vec_id", "embedding", 64, 5))
   }
 
   /** C7b: IVF approximate top-5 (deterministic sampled centroids,
-   * multiprobe; rows-only + recall spec). */
+   * multiprobe) — oracle-checked recall invariant. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    graft.similarity.Ann
-      .ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 64, 5)
-      .withColumn("cos", round(col("cos"), 3))
-      .orderBy("probe_id", "rank")
+    annRecallCheck(emb,
+      p => graft.similarity.Ann.ivfTopK(emb, p, "vec_id", "embedding", 64, 5))
   }
 
-  /** C8: heuristic language ID (rows-only; TextSpec checks real
-   * multilingual samples — the synthetic corpus' lang labels are
-   * uncorrelated with its text). */
+  /** C8: heuristic language ID — per-doc predictions, hash-checked
+   * against a faithful SQL mirror of the marker-argmax heuristic
+   * (valid for this ASCII corpus, where both tokenizers agree; the
+   * kernel's CJK branch and ≥0x80 word bytes never trigger). TextSpec
+   * additionally checks real multilingual samples — the synthetic
+   * corpus' lang labels are uncorrelated with its text. */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
@@ -1140,14 +1188,18 @@ object SparkEntry {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
-  /** B7: approximate distinct (HLL) per event type vs exact (rows-only;
-   * spec bounds the relative error). */
+  /** B7: approximate distinct (HLL) per event type — the sketch value
+   * has no SQL oracle, so the query emits the exact count plus the
+   * deterministic "HLL within 10% of exact" invariant, both of which
+   * the oracle hash-checks. */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     withEventTime(t(s, dir, "events"))
       .groupBy("event_type")
       .agg(
-        approx_count_distinct("user_id").as("approx_users"),
+        approx_count_distinct("user_id").as("approx"),
         countDistinct("user_id").as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) * 10L <= col("exact_users")).as("within_10pct"))
       .orderBy("event_type")
 
   /** C12: multimodal plumbing — binary payload + typed metadata,
@@ -1223,6 +1275,7 @@ object SparkEntry {
     "q_top_ngrams"     -> qTopNgrams,
     "q_cc_sessions"    -> qCcSessions,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_clusters_exact" -> qDedupClustersExact,
     "q_pii_redact"     -> qPiiRedact,
     "q_domain_stats"   -> qDomainStats,
     "q_decontaminate"  -> qDecontaminate,
@@ -1874,6 +1927,51 @@ object SparkEntry {
                AND len(list_intersect(a.sh, b.sh)) * 1.0 /
                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
          SELECT doc_id FROM documents ANTI JOIN d ON doc_id = id ORDER BY doc_id""",
+    "q_ann_lsh" ->
+      """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_ann_ivf" ->
+      """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_10pct
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lang_id" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           FROM documents),
+         h AS (SELECT doc_id,
+           len(list_filter(ts, t -> list_contains(['the','and','of','to','is','in','that','it','with','for','this','are'], t))) AS en,
+           len(list_filter(ts, t -> list_contains(['le','la','les','des','est','et','une','dans','que','pour','pas','vous'], t))) AS fr,
+           len(list_filter(ts, t -> list_contains(['el','los','las','es','y','una','que','en','por','para','con','su'], t))) AS es,
+           len(list_filter(ts, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','ich'], t))) AS de
+           FROM toks)
+         SELECT doc_id, CASE
+           WHEN en = 0 AND fr = 0 AND es = 0 AND de = 0 THEN 'und'
+           WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+           WHEN fr >= es AND fr >= de THEN 'fr'
+           WHEN es >= de THEN 'es'
+           ELSE 'de' END AS lang_pred
+         FROM h ORDER BY doc_id""",
+    "q_dedup_clusters_exact" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
+         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach(src, dst) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+         comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src)
+         SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster
+         FROM documents LEFT JOIN comp c ON doc_id = c.node
+         ORDER BY doc_id""",
     "q_dedup_embed_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          dups AS (SELECT DISTINCT a.vec_id AS dup_id FROM e a JOIN e b
