@@ -628,6 +628,29 @@ object SparkEntry {
     graft.dedup.Dedup.minhashKeep(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** C2b: MinHash dedup soundness — docs the LSH pipeline DROPS that
+   * have no genuine earlier ≥0.8-Jaccard partner under brute-force
+   * comparison. Must be empty (the bucket stage verifies exact
+   * Jaccard before dropping, and the exact-md5 layer only collapses
+   * identical text); a non-empty result means the layered keep logic
+   * dropped a non-duplicate. Oracle: the empty relation. */
+  private def qDedupMinhashSound(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dropped = graft.dedup.Dedup.minhashKeep(docs, "doc_id", "text")
+      .filter(!col("keep")).select("doc_id")
+    val base = docs.select(col("doc_id"),
+      graft.functions.expressions.wordShingleHashes(col("text"), 3).as("sh"))
+    val a = base.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val genuine = a.join(broadcast(b),
+        col("id_b") < col("id_a") &&
+          graft.functions.expressions.hashJaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select(col("id_a").as("dup_id")).distinct()
+    dropped.join(genuine, col("doc_id") === col("dup_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** C3: SimHash near-dup keep-table (rows-only + spec). */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashKeep(t(s, dir, "documents"), "doc_id", "text")
@@ -710,6 +733,25 @@ object SparkEntry {
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.embeddingKeep(t(s, dir, "embeddings"), "vec_id", "embedding", 64)
       .orderBy("vec_id")
+
+  /** C5c: embedding-LSH dedup soundness — vectors dropped by the
+   * bucketed pipeline with no genuine earlier ≥0.95-cosine partner
+   * under brute-force comparison. Must be empty (in-bucket drops
+   * verify exact cosine). Oracle: the empty relation. */
+  private def qDedupEmbedSound(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dropped = graft.dedup.Dedup.embeddingKeep(e, "vec_id", "embedding", 64)
+      .filter(!col("keep")).select("vec_id")
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val genuine = a.join(broadcast(b),
+        col("id_b") < col("id_a") &&
+          graft.dedup.Dedup.cosine(col("emb_a"), col("emb_b")) >= 0.95)
+      .select(col("id_a").as("dup_id")).distinct()
+    dropped.join(genuine, col("vec_id") === col("dup_id"), "left_anti")
+      .orderBy("vec_id")
+  }
 
   /** C5b: EXACT embedding near-dup (oracle-checkable baseline for the
    * LSH-bucketed q_dedup_embed): keep a vector iff no earlier vector
@@ -1276,6 +1318,8 @@ object SparkEntry {
     "q_cc_sessions"    -> qCcSessions,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_clusters_exact" -> qDedupClustersExact,
+    "q_dedup_minhash_sound" -> qDedupMinhashSound,
+    "q_dedup_embed_sound" -> qDedupEmbedSound,
     "q_pii_redact"     -> qPiiRedact,
     "q_domain_stats"   -> qDomainStats,
     "q_decontaminate"  -> qDecontaminate,
@@ -1927,6 +1971,10 @@ object SparkEntry {
                AND len(list_intersect(a.sh, b.sh)) * 1.0 /
                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
          SELECT doc_id FROM documents ANTI JOIN d ON doc_id = id ORDER BY doc_id""",
+    "q_dedup_minhash_sound" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+    "q_dedup_embed_sound" ->
+      """SELECT vec_id FROM embeddings WHERE 1 = 0 ORDER BY vec_id""",
     "q_ann_lsh" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
