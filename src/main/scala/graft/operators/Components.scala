@@ -52,12 +52,6 @@ object Components {
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
     Seq(srcCol, dstCol).foreach(c => requireIntegralId(edges, c, "connectedComponents"))
-    val raw = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-    // node universe BEFORE dropping null-partner rows: an edge (5,
-    // null) still names node 5, which must appear (as a singleton)
-    val nodes = raw.select(col("s").as("node"))
-      .union(raw.select(col("d").as("node")))
-      .filter(col("node").isNotNull).distinct()
 
     // Lineage MUST be truncated every round: each round's plan embeds
     // the previous round's twice (union of both orientations) plus a
@@ -70,6 +64,19 @@ object Components {
     def truncated(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+
+    // Materialize the incoming edges ONCE before anything derives from
+    // them: the node universe and the initial orientation both read
+    // this DataFrame, and the upstream edge generator is typically the
+    // pipeline's most expensive stage (a banded/LSH candidate join) —
+    // without this it executes twice.
+    val raw = truncated(
+      edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d")))
+    // node universe BEFORE dropping null-partner rows: an edge (5,
+    // null) still names node 5, which must appear (as a singleton)
+    val nodes = raw.select(col("s").as("node"))
+      .union(raw.select(col("d").as("node")))
+      .filter(col("node").isNotNull).distinct()
 
     // orient every edge (big → small); drop self loops, null-partner
     // rows, and duplicates
