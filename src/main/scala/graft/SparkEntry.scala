@@ -370,6 +370,23 @@ object SparkEntry {
         (expr("percentile(cast(round(p_retailprice * 100, 0) as bigint), 0.9)") / 100.0).as("p90_price"))
       .orderBy("p_brand")
 
+  /** B18b: approximate percentile (Greenwald-Khanna sketch, the scale
+   * path when an exact per-group sort is too expensive) — the sketch
+   * value has no SQL oracle, so the query emits the exact median plus
+   * the deterministic "approx within the exact p45..p55 band"
+   * invariant, both hash-checked. */
+  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(
+        expr("percentile(cast(round(p_retailprice * 100, 0) as bigint), 0.5)").as("med"),
+        expr("approx_percentile(cast(round(p_retailprice * 100, 0) as bigint), 0.5)").as("apx"),
+        expr("percentile(cast(round(p_retailprice * 100, 0) as bigint), 0.45)").as("lo"),
+        expr("percentile(cast(round(p_retailprice * 100, 0) as bigint), 0.55)").as("hi"))
+      .select(col("p_brand"), (col("med") / 100.0).as("median_price"),
+        (col("apx") >= col("lo") && col("apx") <= col("hi")).as("approx_in_band"))
+      .orderBy("p_brand")
+
   /** B19: TPC-H Q7-shape — shipping volume between two nations by
    * ship year (two dimension roles for one table, disjunctive filter). */
   private def qVolumeShip(s: SparkSession, dir: String): DataFrame = {
@@ -1339,6 +1356,7 @@ object SparkEntry {
     "q_repetition"     -> qRepetition,
     "q_hash_split"     -> qHashSplit,
     "q_json_extract"   -> qJsonExtract,
+    "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -1600,6 +1618,11 @@ object SparkEntry {
       """SELECT p_brand,
          quantile_cont(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), 0.5) / 100.0 AS median_price,
          quantile_cont(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), 0.9) / 100.0 AS p90_price
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_approx_percentile" ->
+      """SELECT p_brand,
+         quantile_cont(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), 0.5) / 100.0 AS median_price,
+         TRUE AS approx_in_band
          FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_volume_ship" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -41,6 +41,21 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Incremental keyed upsert sink: each micro-batch MERGEs into a
+   * parquet table via [[graft.sinks.TableSink.upsert]] — the
+   * streaming companion of the batch truncate-and-load, for
+   * maintaining a continuously-updated serving table from an
+   * update-mode aggregation (update mode emits exactly the changed
+   * keys per trigger, which IS the upsert delta). Start with
+   * `.start()` on the returned writer. */
+  def upsertSink(updates: DataFrame, path: String, keyCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.TableSink.upsert(batch.sparkSession, path, batch.toDF(), keyCols)
+      }
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within
    * the watermark window. State is bounded — keys older than the
    * watermark are evicted, which is what makes exact dedup feasible on

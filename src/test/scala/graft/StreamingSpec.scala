@@ -183,4 +183,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((10L, Some("gold")), (11L, Some("silver")), (12L, None)))
     } finally q.stop()
   }
+
+  test("upsertSink maintains a keyed serving table across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString + "/serve"
+    val in = MemoryStream[Event]
+    // running per-user event counts, update mode → per-trigger delta =
+    // exactly the keys that changed
+    val counts = in.toDF().groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+    val q = EventStream.upsertSink(counts, dir, Seq("user_id"))
+      .option("checkpointLocation", dir + "_ckpt").start()
+    try {
+      in.addData(Event(1, 1, ts(0), "click", 1.0), Event(2, 2, ts(1), "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet ==
+        Set((1L, 1L), (2L, 1L)))
+      // second batch: user 1 gets two more events, user 3 appears
+      in.addData(Event(1, 3, ts(2), "click", 1.0), Event(1, 4, ts(3), "click", 1.0),
+        Event(3, 5, ts(4), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L), (2L, 1L), (3L, 1L)))
+    } finally q.stop()
+  }
 }
