@@ -880,13 +880,29 @@ object SparkEntry {
 
   /** C11: winnowed rolling-hash document fingerprint (custom codegen'd
    * expression; rows-only + spec). */
-  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    // winnow(k=8, w=16) sample size is provably in [1, max(1, chars-22)]
+    // (≤ one pick per window start, ≥ one overall); the 64-bit FNV/mix
+    // values themselves are not SQL-portable, so the oracle checks the
+    // per-doc bound plus a corpus-level injectivity flag (distinct
+    // texts → distinct fingerprints — a collision among the corpus
+    // would flip it)
+    val perDoc = t(s, dir, "documents")
       .select(
         col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
         graft.functions.expressions.fingerprint64(col("text")).as("fp64"),
         size(graft.functions.expressions.winnow(col("text"))).cast("long").as("n_winnow"))
+    perDoc
+      .crossJoin(broadcast(perDoc.agg(count_distinct(col("fp64")).as("n_fps"))))
+      .crossJoin(broadcast(
+        t(s, dir, "documents").agg(count_distinct(col("text")).as("n_texts"))))
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_winnow") >= 1L &&
+          col("n_winnow") <= greatest(lit(1L), col("n_chars") - 22L)).as("winnow_in_range"),
+        (col("n_fps") === col("n_texts")).as("fp_injective"))
       .orderBy("doc_id")
+  }
 
   /** Deterministic synthetic contact block (email + phone + URL
    * derived from doc_id) appended to each document — the redaction
@@ -2002,6 +2018,10 @@ object SparkEntry {
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_embed_sound" ->
       """SELECT vec_id FROM embeddings WHERE 1 = 0 ORDER BY vec_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           TRUE AS winnow_in_range, TRUE AS fp_injective
+         FROM documents ORDER BY doc_id""",
     "q_media_features" ->
       """SELECT doc_id AS media_id,
            CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
