@@ -97,4 +97,17 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("winnow sample size stays within the q_fingerprint oracle bound") {
+    // the q_fingerprint invariant: 1 <= |winnow(k=8,w=16)| <= max(1, B-22)
+    // where B is the BYTE length (== char length on the ASCII corpus;
+    // the oracle's chars-based bound is valid only because of that)
+    for (len <- Seq(0, 1, 7, 8, 23, 24, 25, 100) ++ (1 to 50).map(_ => rnd.nextInt(300))) {
+      val t = randText().padTo(len, 'x').take(len)
+      val b = t.getBytes("UTF-8").length
+      val n = HashOps.winnow(UTF8String.fromString(t), 8, 16).length
+      assert(n >= 1 && n <= math.max(1, b - 22),
+        s"len=$len bytes=$b winnow=$n")
+    }
+  }
 }
