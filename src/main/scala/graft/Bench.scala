@@ -28,12 +28,24 @@ object Bench {
       // -1 marks a failed query — a crash must not read as a fast success
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Per-query times as INTEGER MILLISECONDS: the harness that collects
+    // this output keeps only a ~2000-char tail of stdout, and a map of 86+
+    // full-precision doubles overflows it (the line must survive whole to
+    // be machine-parseable). -1 still marks a failed query.
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v >= 0) math.round(v * 1000) else -1L)
+    }.mkString("{", ",", "}")
     // total covers successful queries only — failure sentinels (-1)
     // must not subtract from the headline metric
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "0.1" from ".../sf0.1"; fall back to the quoted dir if not numeric
+    val sf = sfDir.replaceAll(".*sf", "").toDoubleOption
+      .map(_.toString).getOrElse("\"" + sfDir + "\"")
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_unit":"ms","queries":$qs,"sf":$sf}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING line ${line.length} chars may exceed tail capture")
+    println(line)
     spark.stop()
   }
 }

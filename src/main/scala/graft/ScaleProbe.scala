@@ -33,6 +33,42 @@ object ScaleProbe {
     // at most one per near-dup cluster
     println(s"SCALE minhash kept: $kept of ${big.count()}")
 
+    // SimHash under the same 20× mass-duplication skew. Replication is
+    // id-order-preserving (id' = doc_id·n + rep), so keep-first over the
+    // replicated corpus must keep EXACTLY {d·n : d kept unreplicated} —
+    // rep-0 of every unreplicated survivor, nothing else. Any drift means
+    // the layered exact-collapse or the pigeonhole blocking broke under
+    // skew, not just slowed down.
+    val simKept0 = Dedup.simhashKeep(docs, "doc_id", "text")
+      .filter(col("keep")).select((col("doc_id") * n).as("doc_id"))
+    val simKeptN = time(s"simhashKeep ${n}x") {
+      Dedup.simhashKeep(big, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+    }
+    val simDrift = simKeptN.unionAll(simKept0)
+      .groupBy("doc_id").agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+    require(simDrift == 0, s"simhash keep-set drifted under ${n}x replication: $simDrift ids")
+    println(s"SCALE simhash kept: ${simKept0.count()} (drift 0)")
+
+    // Decontamination at 20×: contamination is a per-document property,
+    // so every replica must report exactly the unreplicated doc's
+    // n_hit_grams (the broadcast bench gram set is replica-blind).
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val train0 = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val bigTrain = train0.crossJoin(spark.range(n).toDF("rep"))
+      .select((col("doc_id") * n + col("rep")).as("doc_id"), col("text"))
+    val deconN = time(s"decontaminate ${n}x") {
+      graft.text.Decontaminate.markContaminated(bigTrain, bench, "doc_id", "text", n = 4)
+    }
+    val decon0 = graft.text.Decontaminate.markContaminated(train0, bench, "doc_id", "text", n = 4)
+      .select((col("doc_id")).as("orig_id"), col("n_hit_grams").as("hits0"))
+    val deconDrift = deconN
+      .select((col("doc_id") / n).cast("long").as("orig_id"), col("n_hit_grams"))
+      .join(decon0, Seq("orig_id"))
+      .filter(col("n_hit_grams") =!= col("hits0")).count()
+    require(deconDrift == 0, s"decontaminate drifted under ${n}x replication: $deconDrift rows")
+    println(s"SCALE decontaminate: ${deconN.filter(col("contaminated")).count()} contaminated of ${bigTrain.count()} (drift 0)")
+
     val emb = Tables.table(spark, dir, "embeddings")
     val bigEmb = emb.crossJoin(spark.range(n).toDF("rep"))
       .select((col("vec_id") * n + col("rep")).as("vec_id"), col("embedding"))

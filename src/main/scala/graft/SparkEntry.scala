@@ -655,8 +655,13 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val dropped = graft.dedup.Dedup.minhashKeep(docs, "doc_id", "text")
       .filter(!col("keep")).select("doc_id")
+    // NULL text → '' to mirror the pipeline's normalization: two
+    // NULL-text docs dedup against each other in minhashKeep, so the
+    // genuine-partner scan must see them as identical, not as NULL
+    // (which would never match and false-fail the empty oracle)
     val base = docs.select(col("doc_id"),
-      graft.functions.expressions.wordShingleHashes(col("text"), 3).as("sh"))
+      graft.functions.expressions
+        .wordShingleHashes(coalesce(col("text"), lit("")), 3).as("sh"))
     val a = base.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -672,6 +677,33 @@ object SparkEntry {
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashKeep(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** C3b: SimHash dedup soundness — docs the pigeonhole pipeline DROPS
+   * that have no genuine earlier Hamming≤3 partner under brute-force
+   * all-pairs comparison. Must be empty: the block stage verifies
+   * popcount(xor) before dropping, and the exact-md5 layer only
+   * collapses identical text (Hamming 0). A dropped doc is either an
+   * exact copy of an earlier doc (same text → same signature) or its
+   * representative has a verified near-dup with smaller id — both
+   * imply an earlier Hamming≤3 partner for the doc itself. Oracle:
+   * the empty relation. */
+  private def qDedupSimhashSound(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dropped = graft.dedup.Dedup.simhashKeep(docs, "doc_id", "text")
+      .filter(!col("keep")).select("doc_id")
+    // coalesce NULL text to '' to mirror keepFirstLayered's normalization
+    val base = docs.select(col("doc_id"),
+      graft.dedup.Dedup.simhashOf(coalesce(col("text"), lit(""))).as("sim"))
+    val a = base.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    val genuine = a.join(broadcast(b),
+        col("id_b") < col("id_a") &&
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+      .select(col("id_a").as("dup_id")).distinct()
+    dropped.join(genuine, col("doc_id") === col("dup_id"), "left_anti")
+      .orderBy("doc_id")
+  }
 
   /** C4: n-gram Jaccard over a deterministic pair sample (adjacent
    * ids), the exact-verify primitive of the dedup stack. Emitted
@@ -845,6 +877,22 @@ object SparkEntry {
       p => graft.similarity.Ann.ivfTopK(emb, p, "vec_id", "embedding", 64, 5))
   }
 
+  /** C7c: PERSISTED IVF index end-to-end — build the cell-partitioned
+   * index to a scratch dir, then answer probes through
+   * [[graft.similarity.Ann.ivfTopKIndexed]], whose scan is statically
+   * pruned to the probes' multiprobe cells (AnnSpec asserts the
+   * partition count on the physical scan). Same oracle-checked recall
+   * invariant as q_ann_ivf; the build cost is part of the query on
+   * purpose — it's the index-maintenance half of the operator. */
+  private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = sys.props("user.dir") +
+      s"/target/ivf_index_${new java.io.File(dir).getName}"
+    graft.similarity.Ann.buildIvfIndex(emb, "vec_id", "embedding", 64, idx)
+    annRecallCheck(emb,
+      p => graft.similarity.Ann.ivfTopKIndexed(idx, p, "vec_id", "embedding", 64, 5))
+  }
+
   /** C8: heuristic language ID — per-doc predictions, hash-checked
    * against a faithful SQL mirror of the marker-argmax heuristic
    * (valid for this ASCII corpus, where both tokenizers agree; the
@@ -887,16 +935,23 @@ object SparkEntry {
     // per-doc bound plus a corpus-level injectivity flag (distinct
     // texts → distinct fingerprints — a collision among the corpus
     // would flip it)
+    // perDoc carries text only so ONE aggregate yields both scalars;
+    // Catalyst prunes per branch: the output branch never computes
+    // count_distinct, and the aggregate branch prunes the winnow kernel
+    // (only fp64+text survive into it) — so winnow runs once and the
+    // corpus is scanned twice total (output + scalar agg), not 3×
     val perDoc = t(s, dir, "documents")
       .select(
         col("doc_id"),
+        col("text"),
         length(col("text")).cast("long").as("n_chars"),
         graft.functions.expressions.fingerprint64(col("text")).as("fp64"),
         size(graft.functions.expressions.winnow(col("text"))).cast("long").as("n_winnow"))
+    val scalars = perDoc.agg(
+      count_distinct(col("fp64")).as("n_fps"),
+      count_distinct(col("text")).as("n_texts"))
     perDoc
-      .crossJoin(broadcast(perDoc.agg(count_distinct(col("fp64")).as("n_fps"))))
-      .crossJoin(broadcast(
-        t(s, dir, "documents").agg(count_distinct(col("text")).as("n_texts"))))
+      .crossJoin(broadcast(scalars))
       .select(col("doc_id"), col("n_chars"),
         (col("n_winnow") >= 1L &&
           col("n_winnow") <= greatest(lit(1L), col("n_chars") - 22L)).as("winnow_in_range"),
@@ -1250,6 +1305,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C14c: clusters-primary soundness — every CC input pair on the
+   * MinHash-candidate path (the pairs q_dedup_clusters clusters over)
+   * must be a genuine ≥0.8-Jaccard pair when its texts are re-joined
+   * independently and re-verified. A non-empty result means candidate
+   * generation associated the wrong ids with a verified similarity
+   * (band-join or dedup plumbing bug). Oracle: the empty relation. */
+  private def qDedupClustersSound(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup
+      .minhashCandidates(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b")
+    // independent re-verify: join each emitted pair back to the corpus
+    // by id and recompute the similarity from raw text (same NULL→''
+    // normalization as the pipeline)
+    val texts = docs.select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("t"))
+    pairs
+      .join(texts.select(col("doc_id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
+      .join(texts.select(col("doc_id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
+      .filter(graft.dedup.Dedup.ngramJaccard(col("t_a"), col("t_b")) < 0.8)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- D block
 
   /** D1 (batch side of the unified API): tumbling-window hourly event
@@ -1347,6 +1427,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_lsh"        -> qAnnLsh,
     "q_ann_ivf"        -> qAnnIvf,
+    "q_ann_ivf_indexed" -> qAnnIvfIndexed,
     "q_lang_id"        -> qLangId,
     "q_text_quality"   -> qTextQuality,
     "q_token_count"    -> qTokenCount,
@@ -1356,6 +1437,8 @@ object SparkEntry {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_clusters_exact" -> qDedupClustersExact,
     "q_dedup_minhash_sound" -> qDedupMinhashSound,
+    "q_dedup_simhash_sound" -> qDedupSimhashSound,
+    "q_dedup_clusters_sound" -> qDedupClustersSound,
     "q_dedup_embed_sound" -> qDedupEmbedSound,
     "q_pii_redact"     -> qPiiRedact,
     "q_domain_stats"   -> qDomainStats,
@@ -2016,6 +2099,11 @@ object SparkEntry {
          SELECT doc_id FROM documents ANTI JOIN d ON doc_id = id ORDER BY doc_id""",
     "q_dedup_minhash_sound" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+    "q_dedup_simhash_sound" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+    "q_dedup_clusters_sound" ->
+      """SELECT doc_id AS id_a, doc_id AS id_b FROM documents
+         WHERE 1 = 0 ORDER BY id_a""",
     "q_dedup_embed_sound" ->
       """SELECT vec_id FROM embeddings WHERE 1 = 0 ORDER BY vec_id""",
     "q_fingerprint" ->
@@ -2032,6 +2120,9 @@ object SparkEntry {
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_ann_ivf" ->
+      """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_ann_ivf_indexed" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_approx_distinct" ->

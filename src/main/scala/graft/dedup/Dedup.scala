@@ -50,8 +50,21 @@ object Dedup {
    * handful of cores. Conditional — an input that is already parallel
    * enough (the 100 TB case) is left untouched, no gratuitous shuffle. */
   private[graft] def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // Plan-side probe only — df.rdd.getNumPartitions would force a
+    // second physical planning of the subtree just to read a count.
+    // If anything shuffle-producing sits under us, the input is already
+    // spread across spark.sql.shuffle.partitions; otherwise (pure
+    // scan/filter/project lineage) the file count bounds parallelism,
+    // and a few-file input must not serialize the signature kernels.
+    val alreadyShuffled = df.queryExecution.analyzed.find {
+      case _: Aggregate | _: Join | _: Sort | _: Window | _: Distinct |
+           _: Deduplicate | _: RepartitionOperation => true
+      case _ => false
+    }.isDefined
+    if (alreadyShuffled || df.inputFiles.length >= target) df
+    else df.repartition(target)
   }
 
   /**

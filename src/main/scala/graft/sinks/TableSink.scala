@@ -131,10 +131,22 @@ object TableSink {
       delta.write.mode(SaveMode.ErrorIfExists).format(format).save(path)
       return
     }
+    // Hive-partitioned layouts are REJECTED for the same reason as
+    // compact: load() would infer the partition columns and the merged
+    // rewrite (no partitionBy) would silently flatten the directory
+    // layout — losing partition pruning and baking inferred
+    // partition-column types into the data files.
+    if (fs.listStatus(hPath).exists(e =>
+        e.isDirectory && e.getPath.getName.contains("=")))
+      throw new IllegalArgumentException(
+        s"upsert: $path is Hive-partitioned; upsert per partition directory instead")
     val current = spark.read.format(format).load(path)
-    val cur = current.columns.toSeq
-    require(cur.sorted == delta.columns.toSeq.sorted,
-      s"upsert: delta columns ${delta.columns.mkString(",")} != table columns ${cur.mkString(",")}")
+    // Name AND type equality — unionByName would otherwise coerce
+    // silently (int delta vs bigint table rewrites the whole table
+    // with changed column types instead of failing loudly).
+    require(current.dtypes.sorted.toSeq == delta.dtypes.sorted.toSeq,
+      s"upsert: delta schema ${delta.dtypes.sorted.mkString(",")} != " +
+        s"table schema ${current.dtypes.sorted.mkString(",")}")
     val merged = current
       .join(delta.select(keyCols.map(delta(_)): _*), keyCols, "left_anti")
       .unionByName(delta)

@@ -47,13 +47,25 @@ object EventStream {
    * maintaining a continuously-updated serving table from an
    * update-mode aggregation (update mode emits exactly the changed
    * keys per trigger, which IS the upsert delta). Start with
-   * `.start()` on the returned writer. */
+   * `.start()` on the returned writer.
+   *
+   * Cost model: while the anti join itself broadcasts a small delta
+   * (never shuffling the big table), plain-parquet MERGE still
+   * re-reads and fully REWRITES the serving table every trigger —
+   * O(table) I/O per micro-batch. That's the floor for a format
+   * without file-level deletes; size triggers accordingly (minutes,
+   * not seconds) and keep the serving table compact, or point the
+   * sink at a table format with transactional row-level merge.
+   * `checkUniqueKeys = false`: update-mode aggregation output is
+   * unique per key per trigger by construction, so the per-batch
+   * duplicate-scan job would be pure overhead. */
   def upsertSink(updates: DataFrame, path: String, keyCols: Seq[String])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sinks.TableSink.upsert(batch.sparkSession, path, batch.toDF(), keyCols)
+        graft.sinks.TableSink.upsert(batch.sparkSession, path, batch.toDF(), keyCols,
+          checkUniqueKeys = false)
       }
 
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within

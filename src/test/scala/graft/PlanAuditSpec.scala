@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan audit for the heaviest SparkEntry queries: asserts the
+ * right PLAN, not just the right rows. A Catalyst upgrade or operator
+ * refactor that silently regresses a broadcast to a shuffle, widens a
+ * scan, or introduces a cartesian product would pass every value-level
+ * oracle and only show up as a 100 TB bill — so it fails here first.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  // The five heaviest production-path queries by BENCH_r04 (the O(n²)
+  // *_exact/_sound oracle baselines are intentionally excluded — their
+  // broadcast nested loops are the documented verify-scale shape).
+  private lazy val heavy: Map[String, String] = Map(
+    "q_nested_denorm" -> plan("q_nested_denorm"),
+    "q_dedup_clusters" -> plan("q_dedup_clusters"),
+    "q_flat_denorm" -> plan("q_flat_denorm"),
+    "q_cc_sessions" -> plan("q_cc_sessions"),
+    "q_tfidf" -> plan("q_tfidf"))
+
+  test("no cartesian product on any heavy production query") {
+    heavy.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
+  test("no nested-loop join outside the documented 1-row scalar broadcast") {
+    // q_tfidf's BroadcastNestedLoopJoin is the intended 1-row global
+    // doc-count broadcast (TfIdf.topTerms); every other heavy query
+    // must stay equi-join only.
+    (heavy - "q_tfidf").foreach { case (name, p) =>
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$p")
+    }
+  }
+
+  test("dimension sides broadcast in the denorm pipelines") {
+    assert(heavy("q_flat_denorm").contains("BroadcastHashJoin"),
+      "flat denorm must broadcast the nation lookup")
+    assert(heavy("q_nested_denorm").contains("BroadcastHashJoin"),
+      "nested denorm must broadcast its dimension side")
+    assert(heavy("q_tfidf").contains("BroadcastHashJoin"),
+      "tfidf must broadcast the vocabulary (df) side")
+  }
+
+  test("scans are column-pruned to what the query projects") {
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+    def readCols(p: String): Seq[String] =
+      schemas.findAllMatchIn(p).map(_.group(1)).toSeq
+    // flat denorm never touches lineitem's discount/tax/flags
+    readCols(heavy("q_flat_denorm")).foreach { s =>
+      assert(!s.contains("l_discount") && !s.contains("l_returnflag"),
+        s"flat denorm scan reads columns the query never uses: $s")
+    }
+    // nested denorm reads only c_custkey/c_name from customer
+    readCols(heavy("q_nested_denorm")).foreach { s =>
+      assert(!s.contains("c_mktsegment") && !s.contains("c_acctbal"),
+        s"nested denorm scan reads columns the query never uses: $s")
+    }
+    // sessions CC needs event_id/user_id/ts only — never the payload
+    readCols(heavy("q_cc_sessions")).filter(_.contains("event_id")).foreach { s =>
+      assert(!s.contains("value"),
+        s"cc_sessions scan reads the event payload it never uses: $s")
+    }
+  }
+}

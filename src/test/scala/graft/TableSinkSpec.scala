@@ -131,4 +131,28 @@ class TableSinkSpec extends AnyFunSuite {
     // failed upserts must not have touched the table
     assert(spark.read.parquet(dir).count() == 1)
   }
+
+  test("upsert rejects same-name different-type deltas (no silent coercion)") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/ut"
+    TableSink.writeTruncate(Seq((1L, 10L)).toDF("k", "v"), dir)
+    // int v vs bigint v: unionByName would silently coerce and rewrite
+    // the whole table with changed column types — must fail instead
+    val e = intercept[IllegalArgumentException] {
+      TableSink.upsert(spark, dir, Seq((2L, 20)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("schema"))
+    assert(spark.read.parquet(dir).schema("v").dataType.typeName == "long")
+  }
+
+  test("upsert refuses Hive-partitioned targets (would flatten the layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/up"
+    TableSink.writeTruncate(Seq((1L, "01"), (2L, "02")).toDF("k", "part"), dir,
+      partitionBy = Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      TableSink.upsert(spark, dir, Seq((3L, "01")).toDF("k", "part"), Seq("k"))
+    }
+    assert(e.getMessage.contains("Hive-partitioned"))
+    assert(new java.io.File(dir, "part=01").exists(),
+      "refused upsert must not touch the partition layout")
+  }
 }
