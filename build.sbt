@@ -3,6 +3,12 @@ ThisBuild / scalaVersion := "2.13.17"
 // must be the LAST line of `sbt runMain` output — sbt's trailing
 // "[success] Total time: …" banner otherwise lands after it.
 Global / showSuccess := false
+// Forked `run` output must pass through RAW: the default LoggedOutput
+// strategy prefixes every stdout line with "[info] ", which breaks a
+// line-by-line JSON parse of the captured output (BENCH_r05 showed the
+// complete JSON line in the tail yet parsed:null — the prefix was the
+// failure, not truncation).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / version := "0.1.0"
 name := "bigqueryetldataflowsamplespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the sf dir given by
@@ -28,24 +31,35 @@ object Bench {
       // -1 marks a failed query — a crash must not read as a fast success
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Per-query times as INTEGER MILLISECONDS: the harness that collects
-    // this output keeps only a ~2000-char tail of stdout, and a map of 86+
-    // full-precision doubles overflows it (the line must survive whole to
-    // be machine-parseable). -1 still marks a failed query.
+    // Per-query times as INTEGER MILLISECONDS — shortest stable encoding
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v >= 0) math.round(v * 1000) else -1L)
     }.mkString("{", ",", "}")
     // total covers successful queries only — failure sentinels (-1)
     // must not subtract from the headline metric
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Double.toString of a pre-rounded value is locale-independent;
+    // f"...%.2f" would emit "97,73" under a comma-decimal locale and
+    // corrupt the JSON
+    val totalStr = (math.round(total * 100) / 100.0).toString
     // "0.1" from ".../sf0.1"; fall back to the quoted dir if not numeric
     val sf = sfDir.replaceAll(".*sf", "").toDoubleOption
       .map(_.toString).getOrElse("\"" + sfDir + "\"")
-    val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_unit":"ms","queries":$qs,"sf":$sf}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING line ${line.length} chars may exceed tail capture")
-    println(line)
+    val full =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries_unit":"ms","queries":$qs,"sf":$sf}"""
+    // The harness keeps only a ~2000-char tail of this process' output,
+    // which a 90-query map overflows as queries accrue — persist the
+    // complete per-query record as a repo artifact...
+    Files.write(Paths.get("bench_full.json"),
+      (full + "\n").getBytes(StandardCharsets.UTF_8))
+    // ...print the full line for human readers (truncation only costs
+    // its head), and END with a short summary line that always fits the
+    // tail whole. stdout passes through raw (build.sbt outputStrategy),
+    // so the last line is prefix-free parseable JSON.
+    println(full)
+    if (full.length > 1800)
+      println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sf,""" +
+        s""""n_queries":${results.size},"queries_file":"bench_full.json"}""")
     spark.stop()
   }
 }

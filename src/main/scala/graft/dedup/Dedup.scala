@@ -52,19 +52,31 @@ object Dedup {
   private[graft] def spread(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // Plan-side probe only — df.rdd.getNumPartitions would force a
-    // second physical planning of the subtree just to read a count.
-    // If anything shuffle-producing sits under us, the input is already
-    // spread across spark.sql.shuffle.partitions; otherwise (pure
-    // scan/filter/project lineage) the file count bounds parallelism,
-    // and a few-file input must not serialize the signature kernels.
-    val alreadyShuffled = df.queryExecution.analyzed.find {
-      case _: Aggregate | _: Join | _: Sort | _: Window | _: Distinct |
-           _: Deduplicate | _: RepartitionOperation => true
+    // A many-file input is already parallel — the 100 TB case exits
+    // here and never pays a probe or a shuffle.
+    if (df.inputFiles.length >= target) return df
+    // Plan-side probe: any of these nodes GUARANTEES a repartitioning
+    // exchange under us, so the input is already spread across
+    // spark.sql.shuffle.partitions. Joins don't qualify — a broadcast
+    // hash join preserves the streamed side's few-file partitioning —
+    // and a Window only repartitions when it has partition keys
+    // (empty partitionBy coalesces to ONE partition, the opposite).
+    val definitelyShuffled = df.queryExecution.analyzed.find {
+      case w: Window => w.partitionSpec.nonEmpty
+      case _: Aggregate | _: Sort | _: Distinct | _: Deduplicate |
+           _: RepartitionOperation => true
       case _ => false
     }.isDefined
-    if (alreadyShuffled || df.inputFiles.length >= target) df
-    else df.repartition(target)
+    if (definitelyShuffled) df
+    else {
+      // Ambiguous lineage (scan/filter/project, possibly through
+      // broadcast-able joins): ask the physical plan. toRdd plans this
+      // subtree a second time, but only on the few-file side of the
+      // gate, where one extra planning pass is trivially cheaper than
+      // serializing the signature kernels onto a handful of cores.
+      val parts = df.queryExecution.toRdd.getNumPartitions
+      if (parts >= target) df else df.repartition(target)
+    }
   }
 
   /**

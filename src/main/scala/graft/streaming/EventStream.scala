@@ -56,16 +56,20 @@ object EventStream {
    * without file-level deletes; size triggers accordingly (minutes,
    * not seconds) and keep the serving table compact, or point the
    * sink at a table format with transactional row-level merge.
-   * `checkUniqueKeys = false`: update-mode aggregation output is
-   * unique per key per trigger by construction, so the per-batch
-   * duplicate-scan job would be pure overhead. */
-  def upsertSink(updates: DataFrame, path: String, keyCols: Seq[String])
+   * `checkUniqueKeys` defaults to false because update-mode
+   * aggregation output is unique per key per trigger by construction,
+   * making the per-batch duplicate-scan job pure overhead — but a
+   * caller WITHOUT that guarantee (e.g. flatMapGroupsWithState
+   * emitting several rows per key per batch) must pass true, or
+   * duplicate-key rows insert into the serving table permanently. */
+  def upsertSink(updates: DataFrame, path: String, keyCols: Seq[String],
+      checkUniqueKeys: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sinks.TableSink.upsert(batch.sparkSession, path, batch.toDF(), keyCols,
-          checkUniqueKeys = false)
+          checkUniqueKeys = checkUniqueKeys)
       }
 
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within
