@@ -1281,6 +1281,35 @@ object SparkEntry {
         sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** B43: bloom-filter runtime-pruned semi join
+   * (operators/BloomJoin.scala) — the fact side is bloom-prefiltered
+   * AT THE SCAN before the exact semi join, so at scale only the
+   * ~matching slice of lineitem ever reaches the shuffle/probe; false
+   * positives die in the exact join, making the output row-identical
+   * to the plain semi join — which is exactly what the oracle checks. */
+  private def qBloomSemiJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BloomJoin.bloomSemiJoin(
+        t(s, dir, "lineitem"),
+        t(s, dir, "part").filter(col("p_type").startsWith("PROMO")),
+        "l_partkey", "p_partkey")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** B44: Morton z-value clustering key (operators/ZOrder.scala) —
+   * the two-key bit-interleave that [[graft.operators.ZOrder
+   * .writeZOrdered]] range-writes on so per-file min/max footers bound
+   * BOTH keys. The key is pure built-in bit arithmetic, hash-checked
+   * here against the identical formula in the oracle; the layout write
+   * itself is file-stat asserted in LayoutSpec. */
+  private def qZorderKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        graft.operators.ZOrder.zvalue(
+          col("p_partkey") % 65536L, col("p_size").cast("long")).as("zval"))
+      .orderBy("p_partkey")
+
   /** B29: connected components, oracle-checked — same-user events
    * within 30 minutes form an edge; in 1-D, transitive closure over
    * "within gap" pairs equals gap-based sessionization (events across
@@ -1469,6 +1498,8 @@ object SparkEntry {
     "q_repetition"     -> qRepetition,
     "q_hash_split"     -> qHashSplit,
     "q_json_extract"   -> qJsonExtract,
+    "q_bloom_semi_join" -> qBloomSemiJoin,
+    "q_zorder_key"     -> qZorderKey,
     "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
@@ -2076,6 +2107,20 @@ object SparkEntry {
            CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_zorder_key" ->
+      """WITH s0 AS (SELECT CAST(p_partkey AS BIGINT) AS k,
+             CAST(p_partkey % 65536 AS BIGINT) AS x, CAST(p_size AS BIGINT) AS y FROM part),
+         s1 AS (SELECT k, (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y FROM s0),
+         s2 AS (SELECT k, (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y FROM s1),
+         s3 AS (SELECT k, (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
+         s4 AS (SELECT k, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3)
+         SELECT k AS p_partkey, CAST(x | (y << 1) AS BIGINT) AS zval FROM s4 ORDER BY p_partkey""",
     "q_cc_sessions" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          lagged AS (
