@@ -883,6 +883,11 @@ object SparkEntry {
    * pruned to the probes' multiprobe cells (AnnSpec asserts the
    * partition count on the physical scan). Same oracle-checked recall
    * invariant as q_ann_ivf. */
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
+  }
+
   private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // applicationId suffix: two concurrent runs against the same sf dir
@@ -897,8 +902,21 @@ object SparkEntry {
     // (bench warmup + timed pass) measure the probe path through the
     // persisted index — rebuilding an unchanged index on every
     // execution would time redundant I/O, not the operator.
-    if (!new java.io.File(s"$idx/_graft_centroids/_SUCCESS").exists())
+    if (!new java.io.File(s"$idx/_graft_centroids/_SUCCESS").exists()) {
       graft.similarity.Ann.buildIvfIndex(emb, "vec_id", "embedding", 64, idx)
+      // The index is scratch state owned by this application: delete it
+      // on JVM exit so repeated bench/verify/test runs don't accumulate
+      // corpus-sized parquet under target/. Siblings left by crashed
+      // applications (shutdown hook never ran) are pruned once they're
+      // a day old — a live concurrent run is minutes old, never a day.
+      val own = new java.io.File(idx)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(own)))
+      val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
+      Option(own.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith("ivf_index_") && f != own && f.lastModified() < dayAgo)
+          deleteTree(f)
+      }
+    }
     annRecallCheck(emb,
       p => graft.similarity.Ann.ivfTopKIndexed(idx, p, "vec_id", "embedding", 64, 5))
   }

@@ -70,12 +70,23 @@ object Dedup {
     if (definitelyShuffled) df
     else {
       // Ambiguous lineage (scan/filter/project, possibly through
-      // broadcast-able joins): ask the physical plan. toRdd plans this
-      // subtree a second time, but only on the few-file side of the
-      // gate, where one extra planning pass is trivially cheaper than
-      // serializing the signature kernels onto a handful of cores.
-      val parts = df.queryExecution.toRdd.getNumPartitions
-      if (parts >= target) df else df.repartition(target)
+      // broadcast-able joins): estimate the scan's split count from
+      // file sizes, mirroring FilePartition packing (large files split
+      // at maxPartitionBytes). This is execution-free — probing
+      // toRdd.getNumPartitions here would make AQE materialize every
+      // query stage under the subtree eagerly, and a subsequent
+      // repartition would then re-execute all of it. Stats are cheap:
+      // this branch only runs when inputFiles.length < target.
+      val maxBytes = math.max(1L,
+        df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+      val splits = df.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val len = try p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => 0L } // unreadable → assume small
+        math.max(1L, (len + maxBytes - 1) / maxBytes)
+      }.sum
+      if (splits >= target) df else df.repartition(target)
     }
   }
 

@@ -32,13 +32,21 @@ object BloomJoin {
   /** Serialized Bloom filter over xxhash64(keyCol) of `dim`. The
    * aggregate is map-side partial (each partition builds a local
    * sketch; merge ORs the bit arrays), so building costs one scan of
-   * the dim side and moves only numBits/8 bytes per partition. */
+   * the dim side and moves only numBits/8 bytes per partition.
+   * An EMPTY dim yields a real all-zero filter (might_contain answers
+   * false for every key) — BloomFilterAggregate itself evaluates to
+   * NULL over zero rows, a silent landmine for callers. */
   def buildFilter(dim: DataFrame, keyCol: String,
       expectedItems: Long = 1000000L, numBits: Long = 8L * 1024 * 1024): Array[Byte] = {
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col(keyCol))),
       Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()
-    dim.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    val row = dim.select(ColumnBridge.column(agg).as("bf")).head()
+    if (row.isNullAt(0)) {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, numBits).writeTo(out)
+      out.toByteArray
+    } else row.getAs[Array[Byte]](0)
   }
 
   /** Codegen'd membership probe against a [[buildFilter]] sketch. The
@@ -58,8 +66,10 @@ object BloomJoin {
       factKey: String, dimKey: String,
       expectedItems: Long = 1000000L, numBits: Long = 8L * 1024 * 1024): DataFrame = {
     val bf = buildFilter(dim, dimKey, expectedItems, numBits)
-    fact
-      .filter(mightContain(bf, col(factKey)))
-      .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
+    val pruned = fact.filter(mightContain(bf, col(factKey)))
+    val keys = dim.select(col(dimKey)).distinct()
+    // dataframe-qualified refs: unqualified col(factKey) === col(dimKey)
+    // is ambiguous whenever both sides name the key identically
+    pruned.join(keys, pruned(factKey) === keys(dimKey), "left_semi")
   }
 }

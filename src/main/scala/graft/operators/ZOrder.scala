@@ -47,9 +47,12 @@ object ZOrder {
    * (bounds come from table stats or domain knowledge; mild skew only
    * blurs locality, never correctness). */
   def scaleTo16(c: Column, min: Column, max: Column): Column =
-    least(lit((1L << Bits) - 1), greatest(lit(0L),
-      ((c - min).cast("double") / (max - min).cast("double") * ((1L << Bits) - 1))
-        .cast("long")))
+    // constant column (min == max) short-circuits to 0: the division
+    // would yield NaN, which ANSI mode refuses to cast to long
+    when(max === min, lit(0L)).otherwise(
+      least(lit((1L << Bits) - 1), greatest(lit(0L),
+        ((c - min).cast("double") / (max - min).cast("double") * ((1L << Bits) - 1))
+          .cast("long"))))
 
   /** Cluster `df` on the z-curve of two pre-scaled keys and write
    * parquet: one range exchange on the z-value (range partitioning

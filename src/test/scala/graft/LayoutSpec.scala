@@ -35,6 +35,13 @@ class LayoutSpec extends AnyFunSuite {
     assert(z1 == z2, "bit 16 of x must not leak into the z-value")
   }
 
+  test("scaleTo16 survives a constant column (min == max) under ANSI mode") {
+    val got = Seq(7L, 7L).toDF("v")
+      .select(ZOrder.scaleTo16($"v", lit(7L), lit(7L)).as("s"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L), s"degenerate domain must scale to 0, got $got")
+  }
+
   test("z-ordered files bound BOTH keys tightly; a linear sort bounds only its own") {
     // 64k points on a 256x256 grid, uniformly shuffled
     val n = 1 << 16
@@ -89,6 +96,18 @@ class LayoutSpec extends AnyFunSuite {
     // 100 true matches of 10000; the 8M-bit filter keeps FPs near zero
     assert(passed >= 100 && passed < 300,
       s"bloom should pass ~100 of 10000 rows, passed $passed")
+  }
+
+  test("bloomSemiJoin resolves when fact and dim share the key column name") {
+    val dimSame = dim.withColumnRenamed("dk", "fk")
+    val got = BloomJoin.bloomSemiJoin(fact, dimSame, "fk", "fk")
+    assert(got.count() == fact.join(dim, $"fk" === $"dk", "left_semi").count())
+  }
+
+  test("buildFilter over an empty dim yields a real filter that rejects everything") {
+    val bf = BloomJoin.buildFilter(dim.filter($"dk" < 0), "dk")
+    assert(bf != null, "empty dim must not produce a null filter")
+    assert(fact.filter(BloomJoin.mightContain(bf, $"fk")).count() == 0)
   }
 
   test("bloom probe stays inside the scan's codegen span (no shuffle before filter)") {
