@@ -1328,6 +1328,70 @@ object SparkEntry {
           col("p_partkey") % 65536L, col("p_size").cast("long")).as("zval"))
       .orderBy("p_partkey")
 
+  /** B45: Count-Min sketch frequency estimates (operators/Sketches
+   * .scala) — the mergeable one-pass frequency sketch, probed here for
+   * the exact top-20 part keys. Oracle-checked invariants: a CMS never
+   * undercounts (hard guarantee), and stays within eps·N of exact
+   * (holds with the sketch's confidence; deterministic for a fixed
+   * seed + dataset, like the HLL/percentile band checks). */
+  private def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sketch = graft.operators.Sketches.buildCms(li, "l_partkey",
+      eps = 0.005, confidence = 0.99, seed = 42)
+    val total = li.agg(count(lit(1)).as("n_total"))
+    li.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey")).limit(20)
+      .withColumn("est", graft.operators.Sketches.estimate(sketch, col("l_partkey")))
+      .crossJoin(broadcast(total)) // 1-row global scalar, never a collect
+      .select(col("l_partkey"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("never_undercounts"),
+        // est − exact ≤ eps·N  ⇔  (est − exact) · (1/eps) ≤ N
+        ((col("est") - col("exact_cnt")) * 200L <= col("n_total")).as("within_eps"))
+      .orderBy("l_partkey")
+  }
+
+  /** B46: incremental aggregate maintenance (operators/Incremental
+   * .scala) — history and delta each aggregate to partials; the merge
+   * never rescans history. The oracle recomputes the full aggregate
+   * from scratch, so the hash check proves merge ≡ recompute. */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def partial(o: DataFrame) = o.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("sum_total_c"),
+        max(cents(col("o_totalprice"))).as("max_total_c"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    graft.operators.Incremental.mergePartials(
+        Seq(partial(orders.filter(col("o_orderdate") < cut)),
+          partial(orders.filter(col("o_orderdate") >= cut))),
+        Seq("o_orderpriority"),
+        Seq("n_orders" -> "sum", "sum_total_c" -> "sum", "max_total_c" -> "max"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** C26: one-pass table profile (operators/Profile.scala) — per
+   * column: rows, non-nulls, exact distinct, min/max as strings.
+   * Doubles are excluded from min/max rendering on purpose: float
+   * formatting is engine-specific, everything else here is not. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(t(s, dir, "customer"),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .orderBy("col_name")
+
+  /** C25: deterministic stratified sampling (operators/Sampling
+   * .scala) — per-language keep fractions, md5-bucket thresholds.
+   * Output proves composition (per-stratum kept count) and threshold
+   * (max surviving bucket); zh at fraction 0 must vanish entirely. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val fr = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.0)
+    graft.operators.Sampling
+      .stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", fr, default = 0.1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        max(graft.operators.Sampling.sampleBucket(col("doc_id"))).as("max_bucket"))
+      .orderBy("lang")
+  }
+
   /** B29: connected components, oracle-checked — same-user events
    * within 30 minutes form an edge; in 1-D, transitive closure over
    * "within gap" pairs equals gap-based sessionization (events across
@@ -1518,6 +1582,10 @@ object SparkEntry {
     "q_json_extract"   -> qJsonExtract,
     "q_bloom_semi_join" -> qBloomSemiJoin,
     "q_zorder_key"     -> qZorderKey,
+    "q_cms_topk"       -> qCmsTopk,
+    "q_incremental_agg" -> qIncrementalAgg,
+    "q_profile"        -> qProfile,
+    "q_stratified_sample" -> qStratifiedSample,
     "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
@@ -2139,6 +2207,43 @@ object SparkEntry {
          s3 AS (SELECT k, (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
          s4 AS (SELECT k, (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3)
          SELECT k AS p_partkey, CAST(x | (y << 1) AS BIGINT) AS zval FROM s4 ORDER BY p_partkey""",
+    "q_cms_topk" ->
+      """WITH e AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM lineitem
+           GROUP BY 1 ORDER BY exact_cnt DESC, l_partkey LIMIT 20)
+         SELECT l_partkey, exact_cnt, TRUE AS never_undercounts, TRUE AS within_eps
+         FROM e ORDER BY l_partkey""",
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_c,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS max_total_c
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_profile" ->
+      """WITH s AS (
+           SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows, COUNT(c_custkey) AS n_nonnull,
+             COUNT(DISTINCT c_custkey) AS n_distinct,
+             CAST(MIN(c_custkey) AS VARCHAR) AS min_str, CAST(MAX(c_custkey) AS VARCHAR) AS max_str
+           FROM customer
+           UNION ALL
+           SELECT 'c_name', COUNT(*), COUNT(c_name), COUNT(DISTINCT c_name),
+             CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM customer
+           UNION ALL
+           SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey), COUNT(DISTINCT c_nationkey),
+             CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM customer
+           UNION ALL
+           SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment),
+             CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM customer)
+         SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_nonnull AS BIGINT) AS n_nonnull,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_str, max_str
+         FROM s ORDER BY col_name""",
+    "q_stratified_sample" ->
+      """WITH d AS (SELECT lang,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+           FROM documents),
+         k AS (SELECT lang, bucket FROM d
+           WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 WHEN 'zh' THEN 0
+                                    ELSE 1000 END)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(MAX(bucket) AS BIGINT) AS max_bucket
+         FROM k GROUP BY 1 ORDER BY 1""",
     "q_cc_sessions" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          lagged AS (

@@ -516,4 +516,13 @@ object HashOps {
     }
     picked.toArray
   }
+
+  // Count-Min probe statics: integral keys take the aggregate's addLong
+  // path, string keys its addBinary(UTF-8) path — the probe MUST hash
+  // exactly like CountMinSketchAgg.update or every estimate is garbage.
+  def cmsCountLong(cms: org.apache.spark.util.sketch.CountMinSketch, v: Long): Long =
+    cms.estimateCount(java.lang.Long.valueOf(v))
+  def cmsCountString(cms: org.apache.spark.util.sketch.CountMinSketch,
+      s: org.apache.spark.unsafe.types.UTF8String): Long =
+    cms.estimateCount(s.getBytes)
 }

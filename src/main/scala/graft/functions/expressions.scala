@@ -313,6 +313,40 @@ case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** cms_estimate(key) against a serialized Count-Min sketch → long
+ * estimated frequency. The sketch bytes embed in the plan as a
+ * reference object (deserialized once per task, like a broadcast
+ * scalar), so probing is a per-row array lookup inside whole-stage
+ * codegen — frequency checks against a corpus-wide sketch never
+ * re-shuffle the corpus. Key typing mirrors CountMinSketchAgg.update:
+ * integral keys hash as longs, strings as UTF-8 bytes. */
+case class CmsEstimate(child: Expression, sketch: Array[Byte]) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate requires an integral or string key, got ${other.sql}")
+  }
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+  private def isString: Boolean = child.dataType == StringType
+  override protected def nullSafeEval(input: Any): Any =
+    if (isString) HashOps.cmsCountString(cms, input.asInstanceOf[UTF8String])
+    else HashOps.cmsCountLong(cms, input.asInstanceOf[Number].longValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cms", cms, "org.apache.spark.util.sketch.CountMinSketch")
+    if (isString)
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.cmsCountString($ref, $c)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.cmsCountLong($ref, (long) $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}
+
 /** nearest_centroids(vec) against a fixed centroid matrix → array<int>
  * of the nProbe most-similar centroid indices (IVF cell assignment /
  * multiprobe list). */
@@ -361,4 +395,6 @@ object expressions {
     column(HyperplaneSig(expression(v), planes, dim))
   def nearestCentroids(v: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =
     column(NearestCentroids(expression(v), centroids, dim, nProbe))
+  def cmsEstimate(key: Column, sketch: Array[Byte]): Column =
+    column(CmsEstimate(expression(key), sketch))
 }

@@ -36,6 +36,34 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Engine-portable pseudo-random bucket in [0, 10000): hex prefix of
+   * md5 over the id's decimal string rendering — identical bytes in
+   * any engine/language, stable under repartitioning and retries. */
+  def sampleBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 10000
+
+  /**
+   * Deterministic per-stratum Bernoulli sampling: a row survives iff
+   * its [[sampleBucket]] falls below its stratum's threshold
+   * (fraction × 10000). This is `df.stat.sampleBy` minus the
+   * nondeterminism: a pure narrow filter — no shuffle, no seed state,
+   * no rand() — so the sampled corpus is byte-reproducible across
+   * engines, retries, and partitionings, which is what makes a
+   * training-data subset auditable. Strata absent from `fractions`
+   * fall back to `default` (0 = drop).
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require((fractions.values.toSeq :+ default).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val thr = fractions.foldLeft(lit(math.round(default * 10000).toInt)) {
+      case (acc, (k, f)) =>
+        when(col(strataCol) === k, lit(math.round(f * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(sampleBucket(col(idCol)) < thr)
+  }
+
   /**
    * Sequential packing: documents are (logically) concatenated in
    * `idCol` order within each `shardCol` group and cut into

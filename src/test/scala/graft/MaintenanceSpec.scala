@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Incremental, Profile, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch probe, incremental aggregate merge, and table profiler. */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- Sketches -------------------------------------------------------------
+
+  test("CMS estimate never undercounts and is near-exact for long keys") {
+    // key k occurs k times, k = 1..100 (5050 rows)
+    val df = (1 to 100).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val cms = Sketches.buildCms(df, "k", eps = 0.001, confidence = 0.999, seed = 7)
+    val got = df.distinct()
+      .select($"k", Sketches.estimate(cms, $"k").as("est"))
+      .as[(Long, Long)].collect().toMap
+    (1 to 100).foreach { k =>
+      assert(got(k.toLong) >= k, s"CMS undercounted key $k: ${got(k.toLong)}")
+      // eps·N ≈ 5 at this width; allow the full bound
+      assert(got(k.toLong) <= k + 6, s"CMS est for $k too high: ${got(k.toLong)}")
+    }
+  }
+
+  test("CMS string keys probe the aggregate's UTF-8 binary hash path") {
+    val df = Seq.fill(50)("hot").union(Seq("cold")).toDF("s")
+    val cms = Sketches.buildCms(df, "s", eps = 0.01, confidence = 0.99, seed = 7)
+    val got = df.distinct().select($"s", Sketches.estimate(cms, $"s").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(got("hot") >= 50 && got("hot") <= 52, s"hot: ${got("hot")}")
+    assert(got("cold") >= 1 && got("cold") <= 3, s"cold: ${got("cold")}")
+  }
+
+  test("CMS over an empty input is a real sketch estimating zero") {
+    val cms = Sketches.buildCms(Seq.empty[Long].toDF("k"), "k")
+    val est = Seq(42L).toDF("k").select(Sketches.estimate(cms, $"k")).as[Long].head()
+    assert(est == 0L, s"empty-input sketch must estimate 0, got $est")
+  }
+
+  // --- Incremental ----------------------------------------------------------
+
+  test("mergePartials(delta) ≡ full recompute for sum/count/min/max") {
+    val rows = (1L to 1000L).map(i => (i % 7, i, i * 3)).toDF("k", "a", "b")
+    def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("a").as("sum_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
+    val merged = Incremental.mergePartials(
+      Seq(partial(rows.filter($"a" <= 400)), partial(rows.filter($"a" > 400))),
+      Seq("k"), Seq("n" -> "sum", "sum_a" -> "sum", "min_b" -> "min", "max_b" -> "max"))
+    val full = partial(rows)
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
+      "merged partials must equal the from-scratch aggregate")
+  }
+
+  test("mergePartials handles keys present in only one partial") {
+    val base = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+    val delta = Seq(("b", 5L), ("c", 7L)).toDF("k", "n")
+    val got = Incremental.mergePartials(Seq(base, delta), Seq("k"), Seq("n" -> "sum"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 7L, "c" -> 7L))
+  }
+
+  // --- Profile ----------------------------------------------------------------
+
+  test("profile reports rows, non-nulls, distinct, and min/max per column") {
+    val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (3L, Some("x")))
+      .toDF("id", "s")
+    val got = Profile.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 4L, 4L, 3L, "1", "3")))
+    assert(got("s") == (("s", 4L, 3L, 2L, "x", "y")))
+  }
+
+  test("profile is a single aggregate over one scan (no per-column jobs)") {
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
+    val plan = Profile.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
+    // one aggregate chain: expand for the multi-distinct, then generate
+    assert(plan.contains("Expand"), s"multi-distinct should plan through Expand:\n$plan")
+    assert(!plan.contains("Union"), s"profile must not union per-column scans:\n$plan")
+  }
+}

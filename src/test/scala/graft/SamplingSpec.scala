@@ -22,6 +22,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.quotaSample(df, "grp", "id", 10).count() == 2)
   }
 
+  test("stratifiedSample hits each stratum's fraction and is partition-independent") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "big" else "small")).toDF("id", "grp")
+    val kept = Sampling.stratifiedSample(df, "grp", "id", Map("big" -> 0.5, "small" -> 0.1))
+      .as[(Long, String)].collect().toSet
+    val again = Sampling.stratifiedSample(df.repartition(13), "grp", "id",
+      Map("big" -> 0.5, "small" -> 0.1)).as[(Long, String)].collect().toSet
+    assert(kept == again, "sample must not depend on partitioning")
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    // 2000 per stratum; md5 buckets are uniform → binomial, ±5σ bounds
+    assert(byGrp("big") > 880 && byGrp("big") < 1120, s"big kept ${byGrp("big")}, want ~1000")
+    assert(byGrp("small") > 40 && byGrp("small") < 170, s"small kept ${byGrp("small")}, want ~200")
+  }
+
+  test("stratifiedSample: fraction 0 drops a stratum; unlisted strata use the default") {
+    val df = (1L to 300L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3))).toDF("id", "grp")
+    val kept = Sampling.stratifiedSample(df, "grp", "id", Map("a" -> 0.0), default = 1.0)
+      .as[(Long, String)].collect().toSeq
+    assert(!kept.exists(_._2 == "a"), "fraction-0 stratum must vanish")
+    assert(kept.count(_._2 == "b") == 100 && kept.count(_._2 == "c") == 100,
+      "default 1.0 must keep unlisted strata whole")
+  }
+
   test("packSequences assigns chunks by cumulative token offset within a shard") {
     val df = Seq(
       ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 100L),
