@@ -1492,6 +1492,100 @@ object SparkEntry {
           element_at(col("features"), 1) <= (col("n_bytes") / 8.0 + 1.0)).as("f0_in_range"))
       .orderBy("media_id")
 
+  /** C27: segment-level dedup (text/SegmentDedup.scala) — the corpus
+   * "line dedup" pass at fixed 8-word-chunk granularity: segments
+   * occurring in ≥2 distinct documents are cut, documents survive.
+   * The Spark path collapses segments by 64-bit hash (the scale
+   * path); the oracle groups the segment STRINGS in DuckDB, so every
+   * run re-proves hash-space ≡ string-space (C4b pattern). */
+  private def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.SegmentDedup
+      .cleanChunks(t(s, dir, "documents"), "doc_id", "text", chunkWords = 8, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** C28: inverted index (text/InvertedIndex.scala) — term → df +
+   * sorted posting list, one scan + one term-keyed aggregate. The
+   * query projects scalar posting stats (sum/min/max/len) instead of
+   * the raw arrays so the driver hash check stays list-free and
+   * engine-portable; the arrays themselves are asserted in spec. */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.text.InvertedIndex.build(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("term"), col("df"),
+        aggregate(col("postings"), lit(0L), (acc, x) => acc + x).as("doc_sum"),
+        element_at(col("postings"), 1).as("min_doc"),
+        element_at(col("postings"), -1).as("max_doc"))
+      .orderBy("term")
+
+  /** B47: mergeable distinct-count sketches (Apache DataSketches HLL
+   * via hll_sketch_agg/hll_union_agg) — per-event-type sketches union
+   * to the global estimate WITHOUT rescanning events: the incremental
+   * form of COUNT(DISTINCT) a 100 TB pipeline maintains per
+   * day/source and merges on demand. Invariant: merged estimate
+   * within 5% of the exact global distinct (lgK=14 → ~0.8% rse). */
+  private def qSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val perType = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = perType.agg(
+      count(lit(1)).as("n_partials"),
+      expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+    val exact = ev.agg(countDistinct("user_id").as("exact_users"))
+    merged.crossJoin(broadcast(exact)) // two 1-row sides
+      .select(col("n_partials"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 20L <= col("exact_users"))
+          .as("merged_within_5pct"))
+  }
+
+  /** C29: semantic cluster assignment (the SemDeDup shape: k-means
+   * cells over embeddings, near-dup search only within a cell) —
+   * deterministic centroids (the first 8 corpus vectors, broadcast),
+   * codegen'd cosine argmax per vector. Oracle replays the argmax
+   * with DuckDB list_cosine_similarity; min top1−top2 margin on this
+   * corpus is 4e-4, orders of magnitude above cross-engine float
+   * noise, so the assignment hash-checks exactly. */
+  private def qClusterAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        graft.functions.expressions.cosineSim(col("embedding"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** C30: composed quality-filter chain — the full pre-tokenization
+   * document gate (language, length band, stopword floor, repetition
+   * ceiling) in one scan, emitting a per-rule bitmask so kill rates
+   * stay auditable per rule. Every rule is integer/ratio arithmetic
+   * shared with q_text_quality / q_repetition, so the whole chain is
+   * SQL-mirrorable. */
+  private def qFilterChain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val words = graft.functions.expressions.wordNgrams(coalesce(col("text"), lit("")), 1)
+    val grams2 = graft.functions.expressions.wordNgrams(coalesce(col("text"), lit("")), 2)
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_g2", size(grams2).cast("long"))
+      .withColumn("n_g2_uniq", size(array_distinct(grams2)).cast("long"))
+      .select(col("doc_id"),
+        (col("lang") === "en").as("pass_lang"),
+        (col("n_words") >= 20L && col("n_words") <= 2000L).as("pass_len"),
+        // stopword floor: ≥ 10% stopwords (same tokenizer + word set
+        // as q_text_quality, whose doubles hash-match cross-engine)
+        (TextFunctions.stopwordRatio(col("text")) >= 0.1).as("pass_stop"),
+        // repetition ceiling: ≥ 40% of 2-grams unique
+        (col("n_g2") === 0L || col("n_g2_uniq") * 5L >= col("n_g2") * 2L)
+          .as("pass_rep"))
+      .withColumn("keep",
+        col("pass_lang") && col("pass_len") && col("pass_stop") && col("pass_rep"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1590,6 +1684,11 @@ object SparkEntry {
     "q_hourly_events"  -> qHourlyEvents,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
+    "q_segment_dedup"  -> qSegmentDedup,
+    "q_inverted_index" -> qInvertedIndex,
+    "q_sketch_merge"   -> qSketchMerge,
+    "q_cluster_assign" -> qClusterAssign,
+    "q_filter_chain"   -> qFilterChain,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2348,5 +2447,73 @@ object SparkEntry {
            ON b.vec_id < a.vec_id
            AND list_cosine_similarity(a.emb, b.emb) >= 0.35)
          SELECT vec_id FROM e ANTI JOIN dups ON vec_id = dup_id ORDER BY vec_id""",
+    // The Spark path collapses segments by xxhash64; grouping the
+    // segment STRINGS here re-proves hash-space ≡ string-space.
+    "q_segment_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(COALESCE(text, ''), '[ \t\n\r]+'), x -> x <> '') AS ts
+           FROM documents),
+         chunks AS (SELECT doc_id, i AS cidx,
+             array_to_string(ts[(i * 8 + 1) : (i * 8 + 8)], ' ') AS chunk
+           FROM toks, UNNEST(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS u(i)),
+         dup AS (SELECT chunk FROM chunks GROUP BY chunk
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         marked AS (SELECT c.doc_id, c.cidx, c.chunk, d.chunk IS NOT NULL AS removed
+           FROM chunks c LEFT JOIN dup d ON c.chunk = d.chunk),
+         agg AS (SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN NOT removed THEN chunk END, ' ' ORDER BY cidx), '') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) FILTER (removed) AS BIGINT) AS n_removed
+           FROM marked GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.n_chunks, 0) AS n_chunks, COALESCE(a.n_removed, 0) AS n_removed
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
+    "q_inverted_index" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(COALESCE(text, ''), '[ \t\n\r]+'), x -> x <> '') AS ts
+           FROM documents),
+         terms AS (SELECT DISTINCT doc_id, t AS term FROM toks, UNNEST(ts) AS u(t))
+         SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_sum,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM terms GROUP BY term ORDER BY term""",
+    // Exact global distinct + the asserted 5% band; the sketch union
+    // itself happens Spark-side (DataSketches HLL).
+    "q_sketch_merge" ->
+      """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_partials,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         TRUE AS merged_within_5pct
+         FROM events""",
+    "q_cluster_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.emb, c.cemb) AS s
+                  FROM e, c),
+         r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+           FROM sims)
+         SELECT vec_id, cid AS cluster FROM r WHERE rn = 1 ORDER BY vec_id""",
+    "q_filter_chain" ->
+      """WITH toks AS (SELECT doc_id, lang, text,
+           list_filter(regexp_split_to_array(COALESCE(text, ''), '[ \t\n\r]+'), x -> x <> '') AS ts
+           FROM documents),
+         base AS (SELECT doc_id, lang, text,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             CAST(greatest(len(ts) - 1, 0) AS BIGINT) AS n_g2,
+             CAST(len(list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))) AS BIGINT) AS n_u2g
+           FROM toks),
+         flags AS (SELECT doc_id,
+             (lang = 'en') AS pass_lang,
+             (n_words >= 20 AND n_words <= 2000) AS pass_len,
+             (CASE WHEN LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) = 0 THEN 0.0 ELSE
+               LEN(list_filter(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0),
+                   w -> w IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','it','that','this','be','are','as')))::DOUBLE /
+               LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) END >= 0.1) AS pass_stop,
+             (n_g2 = 0 OR n_u2g * 5 >= n_g2 * 2) AS pass_rep
+           FROM base)
+         SELECT doc_id, pass_lang, pass_len, pass_stop, pass_rep,
+           (pass_lang AND pass_len AND pass_stop AND pass_rep) AS keep
+         FROM flags ORDER BY doc_id""",
   )
 }

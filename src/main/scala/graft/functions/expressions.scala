@@ -159,6 +159,21 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_chunks(text, k) → array<string> of NON-overlapping k-word
+ * chunks (short tail included) — the segment unit for segment-level
+ * dedup (see HashOps.wordChunks). */
+case class WordChunks(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"word_chunks requires k >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.wordChunks(input.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.wordChunks($c, $k))")
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
 /** word_shingle_hashes(text, n) → sorted distinct array<long>. */
 case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -377,6 +392,7 @@ object expressions {
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgrams(expression(c), n))
+  def wordChunks(c: Column, k: Int): Column = column(WordChunks(expression(c), k))
   def sortStructArray(c: Column): Column = column(SortStructArray(expression(c)))
   def langId(c: Column, langs: Seq[(String, Seq[String])]): Column =
     column(LangId(expression(c), langs))

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.HashOps
+import graft.text.{InvertedIndex, SegmentDedup}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class SegmentIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def chunks(s: String, k: Int): Seq[String] =
+    HashOps.wordChunks(UTF8String.fromString(s), k).toSeq.map(_.toString)
+
+  test("wordChunks splits non-overlapping with short tail, whitespace-robust") {
+    assert(chunks("a b c d e", 2) == Seq("a b", "c d", "e"))
+    assert(chunks("a b c d", 2) == Seq("a b", "c d"))
+    assert(chunks("  a \t b\nc  ", 2) == Seq("a b", "c"))
+    assert(chunks("one", 8) == Seq("one"))
+    assert(chunks("", 4) == Seq.empty)
+    assert(chunks("   ", 4) == Seq.empty)
+  }
+
+  test("cleanChunks cuts exactly the cross-document segments, keeps order") {
+    // chunk size 2: doc 1 = [shared seg] [u1 a] [u1 b]; doc 2 = [shared seg] [u2 a]
+    // doc 3 has no overlap; doc 4 repeats a chunk only WITHIN itself (not cut)
+    val docs = Seq(
+      (1L, "shared seg u1 a u1 b"),
+      (2L, "shared seg u2 a"),
+      (3L, "solo only text here"),
+      (4L, "rep rep rep rep"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = SegmentDedup.cleanChunks(docs, "doc_id", "text", chunkWords = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "u1 a u1 b", 3L, 1L),
+      (2L, "u2 a", 2L, 1L),
+      (3L, "solo only text here", 2L, 0L),
+      (4L, "rep rep rep rep", 2L, 0L),
+      (5L, "", 0L, 0L)))
+  }
+
+  test("cleanChunks empties a fully-duplicated document but keeps the row") {
+    val docs = Seq(
+      (1L, "dup one dup two"),
+      (2L, "dup one dup two"),
+      (3L, "other stuff")).toDF("doc_id", "text")
+    val got = SegmentDedup.cleanChunks(docs, "doc_id", "text", chunkWords = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "", 2L, 2L),
+      (2L, "", 2L, 2L),
+      (3L, "other stuff", 1L, 0L)))
+  }
+
+  test("inverted index postings are per-term sorted doc lists; df bounds prune") {
+    val docs = Seq(
+      (3L, "b a b"), // 'b' twice in one doc counts once
+      (1L, "a c"),
+      (2L, "a")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+      .orderBy("term").as[(String, Long, Seq[Long])].collect().toSeq
+    assert(idx == Seq(
+      ("a", 3L, Seq(1L, 2L, 3L)),
+      ("b", 1L, Seq(3L)),
+      ("c", 1L, Seq(1L))))
+    val bounded = InvertedIndex.build(docs, "doc_id", "text", minDf = 2, maxDf = 0)
+      .select("term").as[String].collect().toSeq
+    assert(bounded == Seq("a"))
+  }
+
+  test("lookupAll returns docs containing every query term") {
+    val docs = Seq(
+      (1L, "x y z"),
+      (2L, "x y"),
+      (3L, "x q x")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+    val got = InvertedIndex.lookupAll(idx, Seq("x", "y"))
+      .orderBy("doc").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+    // duplicate query terms must not demand a double count
+    val dupTerms = InvertedIndex.lookupAll(idx, Seq("x", "x", "y"))
+      .orderBy("doc").as[Long].collect().toSeq
+    assert(dupTerms == Seq(1L, 2L))
+  }
+}
