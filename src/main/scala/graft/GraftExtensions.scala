@@ -88,6 +88,8 @@ object GraftExtensions {
         Winnow(args.head, intArg("winnow", args, 1, 8), intArg("winnow", args, 2, 16)))),
     ("lang_id", "lang_id(text) - heuristic language code (marker-word profile)",
       arity("lang_id", 1)(args => LangId(args.head, TextFunctions.langMarkers))),
+    ("word_chunks", "word_chunks(text, k) - non-overlapping k-word chunks (short tail kept)",
+      arity("word_chunks", 2)(args => WordChunks(args.head, intArg("word_chunks", args, 1, 8)))),
   )
 
   /** Register all graft functions on an existing session. */

@@ -69,6 +69,34 @@ object ScaleProbe {
     require(deconDrift == 0, s"decontaminate drifted under ${n}x replication: $deconDrift rows")
     println(s"SCALE decontaminate: ${deconN.filter(col("contaminated")).count()} contaminated of ${bigTrain.count()} (drift 0)")
 
+    // Segment dedup at 20×: every segment now occurs in 20 distinct
+    // docs (worst-case duplicated-hash-set size — the dup side of the
+    // join is the WHOLE segment space), so every chunk of every doc
+    // must be cut: n_removed == n_chunks globally, clean_text empty.
+    val segN = time(s"segmentDedup ${n}x") {
+      graft.text.SegmentDedup.cleanChunks(big, "doc_id", "text")
+        .agg(sum("n_chunks").as("nc"), sum("n_removed").as("nr"),
+          max(length(col("clean_text"))).cast("long").as("maxlen"))
+        .head()
+    }
+    require(segN.getLong(0) == segN.getLong(1) && segN.getLong(2) == 0,
+      s"segment dedup under ${n}x replication must cut every chunk: $segN")
+    println(s"SCALE segment dedup: ${segN.getLong(1)} of ${segN.getLong(0)} chunks cut (all)")
+
+    // Inverted index at 20×: replicas contribute distinct doc ids, so
+    // every term's df must be EXACTLY 20× its unreplicated df.
+    val idx0 = graft.text.InvertedIndex.build(docs, "doc_id", "text")
+      .select(col("term"), (col("df") * n).as("df20"))
+    val idxN = time(s"invertedIndex ${n}x") {
+      val d = graft.text.InvertedIndex.build(big, "doc_id", "text").select("term", "df")
+      d.count() // materialize inside the timer (build is lazy)
+      d
+    }
+    val idxDrift = idxN.join(idx0, Seq("term"), "full")
+      .filter(col("df").isNull || col("df20").isNull || col("df") =!= col("df20")).count()
+    require(idxDrift == 0, s"inverted-index df drifted under ${n}x replication: $idxDrift terms")
+    println(s"SCALE inverted index: ${idx0.count()} terms (df drift 0)")
+
     val emb = Tables.table(spark, dir, "embeddings")
     val bigEmb = emb.crossJoin(spark.range(n).toDF("rep"))
       .select((col("vec_id") * n + col("rep")).as("vec_id"), col("embedding"))

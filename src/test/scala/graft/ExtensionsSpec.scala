@@ -39,6 +39,8 @@ class ExtensionsSpec extends AnyFunSuite {
          size(winnow('the quick brown fox jumps over the lazy dog')) AS nw,
          lang_id('the cat is in the house and it is ready for this') AS lang
        """).head()
+    val chunks = spark.sql("SELECT word_chunks('a b c d e', 2) AS c").head()
+    assert(chunks.getSeq[String](0) == Seq("a b", "c d", "e"))
     assert(r.getSeq[String](0) == Seq("a b", "b c"))
     assert(r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(1L, 2L))
     assert(r.getLong(2) != 0L)

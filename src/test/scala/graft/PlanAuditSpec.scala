@@ -52,6 +52,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "tfidf must broadcast the vocabulary (df) side")
   }
 
+  test("segment dedup and inverted index plan clean (round 7)") {
+    val seg = plan("q_segment_dedup")
+    assert(!seg.contains("CartesianProduct"), s"segment dedup cartesian:\n$seg")
+    val idx = plan("q_inverted_index")
+    assert(!idx.contains("CartesianProduct") && !idx.contains("BroadcastNestedLoopJoin"),
+      s"inverted index must stay equi-join/aggregate only:\n$idx")
+    // both read only (doc_id, text) from documents — never lang/source
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+    Seq("segment dedup" -> seg, "inverted index" -> idx).foreach { case (n, p) =>
+      schemas.findAllMatchIn(p).map(_.group(1)).foreach { s =>
+        assert(!s.contains("lang") && !s.contains("source") && !s.contains("n_chars"),
+          s"$n scan reads columns the query never uses: $s")
+      }
+    }
+    // cluster assignment: the 8-row centroid side must ride a broadcast
+    // nested loop (the intended tiny-dim cross join), not a cartesian
+    val ca = plan("q_cluster_assign")
+    assert(ca.contains("BroadcastNestedLoopJoin") && !ca.contains("CartesianProduct"),
+      s"cluster assign must broadcast the centroid side:\n$ca")
+  }
+
   test("scans are column-pruned to what the query projects") {
     val schemas = "ReadSchema: struct<([^>]*)>".r
     def readCols(p: String): Seq[String] =
