@@ -1586,6 +1586,51 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** D7: built-in session-window aggregation (streaming/EventStream
+   * .sessionWindowAgg) — gap sessionization as ONE declarative
+   * aggregate whose plan runs unchanged in batch and streaming; this
+   * batch run is the oracle-checked twin of the StreamingSpec run.
+   * Boundary semantics differ from B6's lag-based convention: an
+   * event at exactly last+gap starts a NEW session (exclusive window
+   * end), so the oracle uses `>=` where q_sessionize uses `>`. */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .sessionWindowAgg(withEventTime(t(s, dir, "events")))
+      .orderBy("user_id", "session_start_us")
+
+  /** B48: calendar densification (date-spine gap fill) — generate the
+   * min..max day spine with `sequence` + `explode` (narrow after a
+   * 1-row bounds broadcast, never a driver loop) and left-join daily
+   * revenue so missing days report zero. The standard time-series
+   * reporting shape (gaps break window/lag arithmetic downstream). */
+  private def qDateSpine(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("rev_cents"), lit(0L)).as("rev_cents"))
+      .orderBy("day")
+  }
+
+  /** B49: fixed-point integer PageRank (operators/Graph.scala) over
+   * the customer→supplier order graph, 3 iterations — the iterative
+   * scoring family beyond CC, made oracle-checkable by integer
+   * arithmetic (float PageRank is reduction-order-dependent; the ppm
+   * recurrence is bit-identical cross-engine). Oracle unrolls the
+   * same 3 iterations in DuckDB (recursive CTEs can't aggregate). */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst")) // disjoint node spaces
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("node")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1689,6 +1734,9 @@ object SparkEntry {
     "q_sketch_merge"   -> qSketchMerge,
     "q_cluster_assign" -> qClusterAssign,
     "q_filter_chain"   -> qFilterChain,
+    "q_session_window" -> qSessionWindow,
+    "q_date_spine"     -> qDateSpine,
+    "q_pagerank"       -> qPagerank,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2515,5 +2563,55 @@ object SparkEntry {
          SELECT doc_id, pass_lang, pass_len, pass_stop, pass_rep,
            (pass_lang AND pass_len AND pass_stop AND pass_rep) AS keep
          FROM flags ORDER BY doc_id""",
+    // session_window's exclusive end: an event at exactly last+gap
+    // starts a NEW session, hence >= (vs q_sessionize's >).
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         x AS (SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM x)
+         SELECT user_id, MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
+    "q_date_spine" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+           FROM orders GROUP BY 1),
+         b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+         spine AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+         SELECT s.day, COALESCE(d.rev_cents, 0) AS rev_cents
+         FROM spine s LEFT JOIN daily d USING (day) ORDER BY s.day""",
+    // The same ppm integer recurrence as Graph.pageRank, 3 iterations
+    // unrolled (aggregation is not allowed in a recursive CTE term).
+    // `//` (floor) ≡ Spark's `div` (truncate) here: operands stay
+    // non-negative.
+    "q_pagerank" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         s1 AS (SELECT e.dst, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS insum
+                FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+                GROUP BY e.dst),
+         r1 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(s.insum, 0) // 100 AS BIGINT) AS rank
+                FROM nodes n LEFT JOIN s1 s ON n.node = s.dst),
+         s2 AS (SELECT e.dst, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS insum
+                FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node
+                GROUP BY e.dst),
+         r2 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(s.insum, 0) // 100 AS BIGINT) AS rank
+                FROM nodes n LEFT JOIN s2 s ON n.node = s.dst),
+         s3 AS (SELECT e.dst, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS insum
+                FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.node
+                GROUP BY e.dst),
+         r3 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(s.insum, 0) // 100 AS BIGINT) AS rank
+                FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)
+         SELECT CAST(node AS BIGINT) AS node, rank FROM r3 ORDER BY node""",
   )
 }

@@ -41,6 +41,26 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Gap sessionization as ONE declarative aggregate: `session_window`
+   * merges events whose times fall within `gap` of the session's last
+   * event (an event at exactly last+gap starts a NEW session — window
+   * end is exclusive). The same plan runs batch and streaming: under
+   * streaming, Spark keeps per-session state and the watermark evicts
+   * closed sessions, so this is the built-in counterpart of the
+   * custom flatMapGroupsWithState sessionizer ([[sessionize]]) when
+   * per-event custom state isn't needed. Emits
+   * (user_id, session_start_us, session_end_us, n_events). */
+  def sessionWindowAgg(events: DataFrame, keyCol: String = "user_id",
+      gap: String = "30 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark) // no-op in batch
+      .groupBy(col(keyCol), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Incremental keyed upsert sink: each micro-batch MERGEs into a
    * parquet table via [[graft.sinks.TableSink.upsert]] — the
    * streaming companion of the batch truncate-and-load, for

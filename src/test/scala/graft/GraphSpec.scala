@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank one iteration matches the hand-computed ppm recurrence") {
+    // 1→2, 2→3, 3→1, 1→4: node 1 splits its mass, 4 is dangling
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // contribs: 1→{2,4}: 500000 each; 2→3: 1000000; 3→1: 1000000
+    // rank1 = 150000 + 85·insum div 100
+    assert(got == Seq(
+      (1L, 1000000L),
+      (2L, 575000L),
+      (3L, 1000000L),
+      (4L, 575000L)))
+  }
+
+  test("pageRank sinks keep the base rank; repeated edges collapse") {
+    // duplicate edge 1→2 must count once; node 3 has no in-links
+    val edges = Seq((1L, 2L), (1L, 2L), (3L, 2L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // 1 and 3 each send 1000000 to 2: insum = 2000000 → 1850000
+    assert(got == Seq(
+      (1L, 150000L),
+      (2L, 1850000L),
+      (3L, 150000L)))
+  }
+
+  test("pageRank converges toward the cycle's stationary shape") {
+    // pure 3-cycle: every node keeps rank 1000000 at every iteration
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iters = 5)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L)))
+  }
+}

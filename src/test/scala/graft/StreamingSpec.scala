@@ -34,6 +34,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg merges within-gap events and finalizes under watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionWindowAgg(in.toDF(), gap = "30 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sesswin").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 40 min
+      // later (second session); user 2: a single event
+      in.addData(
+        Event(1, 1, ts(0), "click", 1.0),
+        Event(1, 2, ts(10), "click", 1.0),
+        Event(1, 3, ts(50), "view", 1.0),
+        Event(2, 4, ts(5), "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session
+      in.addData(Event(3, 5, ts(600), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sesswin")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val base = 1700000000000L * 1000L
+      def us(m: Long) = base + m * 60000000L
+      assert(rows == Set(
+        (1L, us(0), us(10) + 1800L * 1000000L, 2L),
+        (1L, us(50), us(50) + 1800L * 1000000L, 1L),
+        (2L, us(5), us(5) + 1800L * 1000000L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
