@@ -1631,6 +1631,30 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** A13: SCD type-2 dimension build (operators/Scd.scala) — the
+   * change log of per-user event types becomes an effective-dated
+   * dimension: change points only, valid_from/valid_to intervals,
+   * is_current flag. One shuffle; deterministic under timestamp ties
+   * via the event_id tie-break. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+    graft.operators.Scd.type2(ev, "user_id", "ts_us",
+        Seq("event_type"), tieCol = "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_type")
+  }
+
+  /** C31: order-independent corpus checksum (operators/Profile
+   * .tableChecksum) — validate a 100 TB copy/migration with one
+   * aggregate per side and no row transfer; the oracle recomputing
+   * the identical checksum in DuckDB IS the cross-engine use case. */
+  private def qTableChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile
+      .tableChecksum(t(s, dir, "documents"), Seq("doc_id", "lang", "source", "text"))
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1737,6 +1761,8 @@ object SparkEntry {
     "q_session_window" -> qSessionWindow,
     "q_date_spine"     -> qDateSpine,
     "q_pagerank"       -> qPagerank,
+    "q_scd2"           -> qScd2,
+    "q_table_checksum" -> qTableChecksum,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2613,5 +2639,26 @@ object SparkEntry {
          r3 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(s.insum, 0) // 100 AS BIGINT) AS rank
                 FROM nodes n LEFT JOIN s3 s ON n.node = s.dst)
          SELECT CAST(node AS BIGINT) AS node, rank FROM r3 ORDER BY node""",
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         chg AS (SELECT *, lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+         cp AS (SELECT user_id, event_id, event_type, ts_us FROM chg
+                WHERE prev IS NULL OR prev <> event_type),
+         v AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+           FROM cp)
+         SELECT user_id, event_type, valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+         FROM v ORDER BY user_id, valid_from_us, event_type""",
+    "q_table_checksum" ->
+      """WITH h AS (SELECT CAST(concat('0x', substr(md5(
+             CAST(doc_id AS VARCHAR) || ':' || COALESCE(lang, '') || ':' ||
+             COALESCE(source, '') || ':' || COALESCE(text, '')), 1, 8)) AS BIGINT) AS h
+           FROM documents)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS checksum_sum,
+           CAST(BIT_XOR(h) AS BIGINT) AS checksum_xor
+         FROM h""",
   )
 }

@@ -37,4 +37,25 @@ object Profile {
         s"stack(${cols.length}, $stacked) as (col_name, n_nonnull, n_distinct, min_str, max_str)")
       .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_str", "max_str")
   }
+
+  /**
+   * Order-independent table checksum over `cols`: one row of
+   * (n_rows, checksum_sum, checksum_xor). Row hash = first 8 hex
+   * chars of md5 over the ':'-joined string renderings (NULL → '') —
+   * portable to any engine with md5, so a 100 TB copy/migration can
+   * be validated with one aggregate per side and NO row transfer.
+   * SUM and BIT_XOR are both reduction-order-independent; 32-bit row
+   * hashes keep the sum far from Long overflow (2^31 rows of 2^32
+   * values < 2^63). The ':' join means ("a:", "b") and ("a", ":b")
+   * collide — acceptable for a checksum, documented here.
+   */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to checksum")
+    val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("")))
+    val h = conv(substring(md5(concat_ws(":", rendered: _*)), 1, 8), 16, 10)
+      .cast("long")
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum_sum"),
+        expr("bit_xor(h)").as("checksum_xor"))
+  }
 }

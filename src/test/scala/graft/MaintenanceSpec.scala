@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Incremental, Profile, Sketches}
+import graft.operators.{Incremental, Profile, Scd, Sketches}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -64,6 +64,47 @@ class MaintenanceSpec extends AnyFunSuite {
   }
 
   // --- Profile ----------------------------------------------------------------
+
+  test("scd2 collapses no-op changes and closes intervals at the next change") {
+    // user 1: a → a (no-op, collapsed) → b → a;  user 2: single state
+    val log = Seq(
+      (1L, 10L, 100L, "a"), (1L, 11L, 200L, "a"),
+      (1L, 12L, 300L, "b"), (1L, 13L, 400L, "a"),
+      (2L, 14L, 150L, "x"))
+      .toDF("user_id", "event_id", "ts", "state")
+    val got = Scd.type2(log, "user_id", "ts", Seq("state"), "event_id")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 100L, Some(300L), false),
+      (1L, "b", 300L, Some(400L), false),
+      (1L, "a", 400L, None, true),
+      (2L, "x", 150L, None, true)))
+  }
+
+  test("scd2 breaks timestamp ties deterministically by the tie column") {
+    val log = Seq(
+      (1L, 21L, 100L, "a"), (1L, 20L, 100L, "b")) // same ts: id 20 first
+      .toDF("user_id", "event_id", "ts", "state")
+    val got = Scd.type2(log, "user_id", "ts", Seq("state"), "event_id")
+      .orderBy("valid_from", "state")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 100L, None, true),
+      (1L, "b", 100L, Some(100L), false)))
+  }
+
+  test("tableChecksum is row-order independent and content-sensitive") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val b = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "v").repartition(3)
+    val c = Seq((1L, "x"), (2L, "y"), (3L, "w")).toDF("id", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Profile.tableChecksum(df, Seq("id", "v"))
+        .as[(Long, Long, Long)].head()
+    assert(sums(a) == sums(b))
+    assert(sums(a) != sums(c))
+    assert(sums(a)._1 == 3L)
+  }
 
   test("profile reports rows, non-nulls, distinct, and min/max per column") {
     val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (3L, Some("x")))

@@ -42,6 +42,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordChunks: rejoining chunks reproduces the token stream; count is ceil(m/k)") {
+    for (_ <- 1 to 200) {
+      val t = randText()
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val k = rnd.nextInt(8) + 1
+      val chunks = HashOps.wordChunks(UTF8String.fromString(t), k).map(_.toString)
+      assert(chunks.length == (toks.length + k - 1) / k)
+      assert(chunks.mkString(" ") == toks.mkString(" "))
+      chunks.dropRight(1).foreach(c => assert(c.split(" ").length == k))
+      // messy whitespace normalizes to the same chunks
+      val messy = "  " + t.replace(" ", " \t ") + "\n"
+      assert(HashOps.wordChunks(UTF8String.fromString(messy), k).map(_.toString).toSeq
+        == chunks.toSeq)
+    }
+  }
+
   test("minhashSig is fixed-width and deterministic") {
     for (_ <- 1 to 100) {
       val h = sh(randText())
