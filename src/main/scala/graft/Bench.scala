@@ -20,7 +20,13 @@ object Bench {
     // path (a cold-JVM first query measures the compiler, not the
     // query). The timed pass below then measures steady-state
     // throughput — the regime a long-lived production session runs in.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args = query names to probe in isolation (contention
+    // triage: a query slow in the full run but fast alone is load, not
+    // code); no args = the full driver-facing sweep
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
+    val ordered = selected.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) => try run(fn) catch { case _: Throwable => () } }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
