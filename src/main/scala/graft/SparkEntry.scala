@@ -1655,6 +1655,41 @@ object SparkEntry {
     graft.operators.Profile
       .tableChecksum(t(s, dir, "documents"), Seq("doc_id", "lang", "source", "text"))
 
+  /** C32: record linkage / entity resolution over structured records
+   * (operators/Linkage.scala) — block on (nation, segment), verify
+   * only in-block pairs with codegen'd levenshtein; the multi-field
+   * cousin of the text-dedup family, same never-all-pairs shape. */
+  private def qRecordLinkage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage
+      .linkByEditDistance(t(s, dir, "customer"), "c_custkey", "c_name",
+        Seq("c_nationkey", "c_mktsegment"), maxDist = 1)
+      .orderBy("id_a", "id_b")
+
+  /** B50: winsorization (percentile outlier clamping) — clamp order
+   * totals to the exact cents-space [p05, p95] band and report the
+   * clamped aggregate; the standard robust-statistics cleaning step
+   * before training on heavy-tailed values. All integer arithmetic
+   * after the interpolated percentile (B18 precedent). */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    // floor BEFORE the long cast: Spark's double→long cast truncates
+    // while DuckDB's rounds, so the explicit floor is what makes the
+    // two sides agree on the boundary (interpolated doubles over the
+    // same integers are bit-identical, B18 precedent)
+    val bounds = cents.agg(
+      expr("cast(floor(percentile(c, 0.05)) as bigint)").as("lo"),
+      expr("cast(floor(percentile(c, 0.95)) as bigint)").as("hi"))
+    cents.crossJoin(broadcast(bounds)) // 1-row bounds, never a collect
+      .select(greatest(col("lo"), least(col("hi"), col("c"))).as("w"),
+        (col("c") < col("lo")).cast("long").as("clip_lo"),
+        (col("c") > col("hi")).cast("long").as("clip_hi"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum("w").as("winsorized_sum_c"),
+        sum("clip_lo").as("n_clipped_low"),
+        sum("clip_hi").as("n_clipped_high"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1763,6 +1798,8 @@ object SparkEntry {
     "q_pagerank"       -> qPagerank,
     "q_scd2"           -> qScd2,
     "q_table_checksum" -> qTableChecksum,
+    "q_record_linkage" -> qRecordLinkage,
+    "q_winsorize"      -> qWinsorize,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2660,5 +2697,23 @@ object SparkEntry {
            CAST(SUM(h) AS BIGINT) AS checksum_sum,
            CAST(BIT_XOR(h) AS BIGINT) AS checksum_xor
          FROM h""",
+    "q_record_linkage" ->
+      """WITH r AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer)
+         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM r a JOIN r b
+           ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
+    "q_winsorize" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders),
+         p AS (SELECT CAST(FLOOR(quantile_cont(c, 0.05)) AS BIGINT) AS lo,
+                      CAST(FLOOR(quantile_cont(c, 0.95)) AS BIGINT) AS hi FROM c)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(GREATEST(p.lo, LEAST(p.hi, c.c))) AS BIGINT) AS winsorized_sum_c,
+           CAST(SUM(CASE WHEN c.c < p.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN c.c > p.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+         FROM c, p""",
   )
 }

@@ -106,6 +106,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(sums(a)._1 == 3L)
   }
 
+  test("record linkage pairs only within blocks, verifies by edit distance") {
+    val recs = Seq(
+      (1L, "smith", "NY"), (2L, "smyth", "NY"),  // dist 1, same block
+      (3L, "smith", "CA"),                        // same name, other block
+      (4L, "jones", "NY"))                        // same block, far name
+      .toDF("id", "name", "state")
+    val got = graft.operators.Linkage
+      .linkByEditDistance(recs, "id", "name", Seq("state"), maxDist = 1)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L))) // never (1,3) across blocks, never (1,4)
+    // candidatePairs itself is exhaustive within the block
+    val cand = graft.operators.Linkage
+      .candidatePairs(recs, "id", "name", Seq("state"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   test("profile reports rows, non-nulls, distinct, and min/max per column") {
     val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (3L, Some("x")))
       .toDF("id", "s")
