@@ -73,6 +73,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cluster assign must broadcast the centroid side:\n$ca")
   }
 
+  test("round-7 relational operators plan clean") {
+    // record linkage: the block self-join must be an equi join on the
+    // block keys — a broadcast nested loop here means blocking failed
+    // and the quadratic explosion is back
+    val rl = plan("q_record_linkage")
+    assert(!rl.contains("CartesianProduct") && !rl.contains("BroadcastNestedLoopJoin"),
+      s"record linkage must stay a blocked equi join:\n$rl")
+    // scd2: both windows share one (key → ts, tie) sort — exactly one
+    // exchange for the whole build
+    val scd = plan("q_scd2")
+    assert(!scd.contains("CartesianProduct"), s"scd2 cartesian:\n$scd")
+    // winsorize: the single BroadcastNestedLoopJoin is the intended
+    // 1-row percentile-bounds broadcast
+    val w = plan("q_winsorize")
+    assert(w.contains("BroadcastNestedLoopJoin") && !w.contains("CartesianProduct"),
+      s"winsorize must ride the 1-row bounds broadcast:\n$w")
+  }
+
   test("scans are column-pruned to what the query projects") {
     val schemas = "ReadSchema: struct<([^>]*)>".r
     def readCols(p: String): Seq[String] =
