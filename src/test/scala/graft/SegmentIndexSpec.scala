@@ -72,6 +72,30 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(bounded == Seq("a"))
   }
 
+  test("written index is bucketed by term: term-keyed self-lookup joins exchange-free") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS inv_idx_test")
+    val d = new java.io.File("target/inverted_index/inv_idx_test")
+    if (d.exists()) { def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }; rm(d) }
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "y")).toDF("doc_id", "text")
+    InvertedIndex.write(InvertedIndex.build(docs, "doc_id", "text"), "inv_idx_test", buckets = 4)
+    val idx = spark.table("inv_idx_test")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a term-keyed join against another bucketed copy of the index
+      // must not shuffle the index side (the recurring-lookup shape)
+      val joined = idx.join(idx.select(col("term"), col("df").as("df2")), "term")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed index join should not shuffle:\n$plan")
+      assert(joined.count() == 3)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // content survives the bucketed round trip
+    assert(idx.orderBy("term").as[(String, Long, Seq[Long])].collect().toSeq ==
+      Seq(("x", 2L, Seq(1L, 2L)), ("y", 2L, Seq(1L, 3L)), ("z", 1L, Seq(2L))))
+  }
+
   test("lookupAll returns docs containing every query term") {
     val docs = Seq(
       (1L, "x y z"),
