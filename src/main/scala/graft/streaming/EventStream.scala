@@ -61,6 +61,22 @@ object EventStream {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Windowed approximate distinct under streaming: HLL±± sketch
+   * state per (window, event_type) maintained incrementally across
+   * micro-batches — the streaming form of the batch B7/B47 sketch
+   * queries. Exact per-window COUNT(DISTINCT) is unsupported in
+   * streaming (unbounded per-window state); the sketch is the scale
+   * path on a cluster too, its state O(2^lgK) per window regardless
+   * of cardinality. Watermark evicts finalized windows. */
+  def approxDistinctStream(events: DataFrame, windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("approx_users"))
+
   /** Incremental keyed upsert sink: each micro-batch MERGEs into a
    * parquet table via [[graft.sinks.TableSink.upsert]] — the
    * streaming companion of the batch truncate-and-load, for

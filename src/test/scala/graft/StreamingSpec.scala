@@ -64,6 +64,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("approxDistinctStream maintains per-window sketch state across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.approxDistinctStream(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("adistinct").outputMode("append").start()
+    try {
+      // same window fed across TWO batches: users {1,2} then {2,3} at
+      // the SAME event time (window boundaries align to the epoch, not
+      // to ts(0)) — the merged sketch must see 3 distinct users
+      in.addData(Event(1, 1, ts(0), "click", 1.0), Event(2, 2, ts(0), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, 3, ts(0), "click", 1.0), Event(3, 4, ts(0), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(9, 5, ts(600), "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("adistinct")
+        .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+      assert(rows("click") == 3L) // HLL exact at tiny cardinalities
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
