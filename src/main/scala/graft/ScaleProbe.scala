@@ -17,6 +17,16 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"SCALE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // Materialize every output row+column inside a timed region — a
+    // timer around a lazy transform alone measures plan construction
+    // (milliseconds) and silently shifts the real work into whatever
+    // downstream check runs the plan first.
+    def timedRun(label: String)(df: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val built = df
+      time(label)(built.write.mode("overwrite").format("noop").save())
+      built
+    }
 
     val docs = Tables.table(spark, dir, "documents")
     val n = 20
@@ -41,7 +51,7 @@ object ScaleProbe {
     // skew, not just slowed down.
     val simKept0 = Dedup.simhashKeep(docs, "doc_id", "text")
       .filter(col("keep")).select((col("doc_id") * n).as("doc_id"))
-    val simKeptN = time(s"simhashKeep ${n}x") {
+    val simKeptN = timedRun(s"simhashKeep ${n}x") {
       Dedup.simhashKeep(big, "doc_id", "text")
         .filter(col("keep")).select("doc_id")
     }
@@ -57,7 +67,7 @@ object ScaleProbe {
     val train0 = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
     val bigTrain = train0.crossJoin(spark.range(n).toDF("rep"))
       .select((col("doc_id") * n + col("rep")).as("doc_id"), col("text"))
-    val deconN = time(s"decontaminate ${n}x") {
+    val deconN = timedRun(s"decontaminate ${n}x") {
       graft.text.Decontaminate.markContaminated(bigTrain, bench, "doc_id", "text", n = 4)
     }
     val decon0 = graft.text.Decontaminate.markContaminated(train0, bench, "doc_id", "text", n = 4)

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scratch storage for iterative operators ([[graft.operators.Graph]]
+ * pageRank round snapshots, [[graft.operators.Components]] reliable
+ * checkpoints). Resolution:
+ *
+ *   1. `spark.graft.scratchDir`, if set — the CLUSTER deployment knob.
+ *      Point it at a durable shared filesystem (HDFS/object store)
+ *      so round snapshots survive executor loss and a restarted job
+ *      can re-read them. Lifecycle belongs to the deployment: graft
+ *      never deletes a configured scratch dir.
+ *   2. Otherwise an ABSOLUTE per-application directory under
+ *      `java.io.tmpdir` — CWD-independent (a relative `target/` path
+ *      would resolve against whatever directory the driver happened
+ *      to start in), deleted by ONE JVM shutdown hook for the whole
+ *      root (per-call hooks would accumulate a thread per operator
+ *      invocation in a long-lived session).
+ */
+object Scratch {
+
+  private val hookedRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
+  }
+
+  /** True when `spark.graft.scratchDir` is explicitly configured. */
+  def configured(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)
+
+  /** The scratch root for this application (see class doc). Registers
+    * the cleanup hook exactly once per local default root; configured
+    * (durable) roots are never deleted. */
+  def root(spark: SparkSession): String = configured(spark).getOrElse {
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_scratch_${spark.sparkContext.applicationId}").getAbsolutePath
+    if (hookedRoots.add(dir))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteTree(new java.io.File(dir))))
+    dir
+  }
+}

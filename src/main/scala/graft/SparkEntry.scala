@@ -1478,6 +1478,37 @@ object SparkEntry {
         (abs(col("approx") - col("exact_users")) * 10L <= col("exact_users")).as("within_10pct"))
       .orderBy("event_type")
 
+  /** D8 (batch side of the unified API): windowed approximate
+   * distinct — the same `EventStream.approxDistinctStream` plan run
+   * in batch (StreamingSpec drives it incrementally and checks
+   * cross-micro-batch sketch-merge state). B7's oracle pattern: the
+   * HLL value itself has no SQL oracle, so the query joins the exact
+   * windowed COUNT(DISTINCT) and emits the deterministic error band,
+   * both of which the oracle hash-checks. Unlike B7's 5 large groups,
+   * hourly windows have single-digit cardinalities where HLL's ±1 can
+   * exceed any relative bound — the band is
+   * |approx − exact| ≤ max(1, exact/10) (relative bound + the
+   * standard small-count absolute floor), at sketch rsd 0.01 so the
+   * 10% band sits 10σ out and small windows resolve exactly in the
+   * sparse representation. */
+  private def qWindowedApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val approx = graft.streaming.EventStream
+      .approxDistinctStream(ev, "1 hour", "10 minutes", rsd = 0.01)
+    val exact = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct("user_id").as("exact_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("exact_users"))
+    approx.join(exact, Seq("window_start", "event_type"))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) * 10L <=
+          greatest(col("exact_users"), lit(10L))).as("within_band"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** C12: multimodal plumbing — binary payload + typed metadata,
    * per-partition batched feature extraction (stub codec; rows-only). */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
@@ -1786,6 +1817,7 @@ object SparkEntry {
     "q_stratified_sample" -> qStratifiedSample,
     "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
+    "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_segment_dedup"  -> qSegmentDedup,
@@ -2001,6 +2033,11 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_windowed_approx_distinct" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         true AS within_band
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "q_top_ngrams" ->
       """WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts

@@ -61,9 +61,17 @@ object Components {
     // iteration's action) and resets the plan to a leaf scan —
     // reliable checkpoint when a checkpoint dir is configured (the
     // cluster deployment; survives executor loss), local otherwise.
-    def truncated(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    // `spark.graft.scratchDir` (graft.Scratch) supplies the checkpoint
+    // dir when none is set, so ONE knob moves both this operator's and
+    // pageRank's iterative state to a durable shared filesystem.
+    def truncated(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        graft.Scratch.configured(df.sparkSession)
+          .foreach(root => sc.setCheckpointDir(s"$root/cc_checkpoints"))
+      if (sc.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    }
 
     // Materialize the incoming edges ONCE before anything derives from
     // them: the node universe and the initial orientation both read
@@ -98,7 +106,16 @@ object Components {
       (r.getLong(0), r.getDecimal(1))
     }
 
+    // Round telemetry (off by default): convergence behavior is THE
+    // cost driver of this operator — a pair-set change that grows the
+    // round count multiplies every downstream query's time, and
+    // distinguishing "rounds grew" from "host was slow" needs the
+    // counts on record. Enabled with spark.graft.cc.logRounds=true.
+    val logRounds = edges.sparkSession.conf
+      .getOption("spark.graft.cc.logRounds").contains("true")
     var prev = checksum(cur)
+    if (logRounds)
+      System.err.println(s"[graft.cc] round 0: ${prev._1} oriented edges")
     var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
@@ -125,6 +142,9 @@ object Components {
       converged = next == prev
       prev = next
       it += 1
+      if (logRounds)
+        System.err.println(s"[graft.cc] round $it: ${next._1} edges" +
+          (if (converged) " (fixpoint)" else ""))
     }
     // exact star check, run UNCONDITIONALLY: a fixpoint edge set is
     // (leaf → root) with (1) no root appearing as a leaf (no chains)

@@ -33,26 +33,20 @@ import org.apache.spark.sql.functions._
  * long-lived session 3-5× (partially recovered by unpersist, not
  * fully); the parquet round-trip keeps the query at seconds with
  * ZERO block-manager state — and is exactly what a cluster run wants
- * anyway (a restartable, executor-loss-safe round snapshot). The
- * scratch dir is per-application and deleted on JVM exit.
+ * anyway (a restartable, executor-loss-safe round snapshot). Scratch
+ * location: [[graft.Scratch]] — set `spark.graft.scratchDir` to a
+ * durable shared filesystem on a cluster; the local default is a
+ * per-application temp dir deleted by one JVM-exit hook.
  */
 object Graph {
 
   private val callSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def deleteTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-    f.delete(): Unit
-  }
-
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
     val spark = edges.sparkSession
-    val scratch = s"target/graft_scratch/pagerank_${spark.sparkContext.applicationId}" +
-      s"_${callSeq.incrementAndGet()}"
-    val own = new java.io.File(scratch)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(own)))
+    val scratch = s"${graft.Scratch.root(spark)}/pagerank_${callSeq.incrementAndGet()}"
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")

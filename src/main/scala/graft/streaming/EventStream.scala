@@ -51,10 +51,11 @@ object EventStream {
    * per-event custom state isn't needed. Emits
    * (user_id, session_start_us, session_end_us, n_events). */
   def sessionWindowAgg(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts",
       gap: String = "30 minutes", watermark: String = "30 minutes"): DataFrame =
     events
-      .withWatermark("ts", watermark) // no-op in batch
-      .groupBy(col(keyCol), session_window(col("ts"), gap))
+      .withWatermark(tsCol, watermark) // no-op in batch
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol),
         unix_micros(col("session_window.start")).as("session_start_us"),
@@ -67,13 +68,17 @@ object EventStream {
    * queries. Exact per-window COUNT(DISTINCT) is unsupported in
    * streaming (unbounded per-window state); the sketch is the scale
    * path on a cluster too, its state O(2^lgK) per window regardless
-   * of cardinality. Watermark evicts finalized windows. */
+   * of cardinality. Watermark evicts finalized windows. `rsd` is the
+   * sketch's relative standard deviation — the state-size/accuracy
+   * dial (0.05 default ≈ 2^14 registers; 0.01 ≈ 2^19, still KBs per
+   * window and near-exact below ~10^4 cardinality via the sparse
+   * representation). */
   def approxDistinctStream(events: DataFrame, windowLen: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes", rsd: Double = 0.05): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"))
 

@@ -91,6 +91,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"winsorize must ride the 1-row bounds broadcast:\n$w")
   }
 
+  test("round-8 heavies: pagerank round snapshots and date-spine bounds") {
+    // pageRank materializes every round to parquet; the RETURNED frame
+    // must therefore be a bare scan of the final round's snapshot (+
+    // the query's sort) — any Join in the final plan means a round's
+    // lineage leaked through and the edge subtree would re-derive per
+    // downstream action (the 59 s/3-round shape measured in r7).
+    val pr = plan("q_pagerank")
+    assert(pr.contains("Scan parquet"),
+      s"pagerank result must read the materialized round snapshot:\n$pr")
+    assert(!pr.contains("Join") && !pr.contains("CartesianProduct"),
+      s"pagerank final plan must be a leaf scan of the last round, not a live join tree:\n$pr")
+    // date spine: min/max bounds feed explode(sequence) DIRECTLY (a
+    // 1-row aggregate, never a driver collect), and the gap-fill join
+    // against daily revenue is an equi join — a nested-loop or
+    // cartesian here means the spine stopped being relational
+    val ds = plan("q_date_spine")
+    assert(!ds.contains("CartesianProduct") && !ds.contains("BroadcastNestedLoopJoin"),
+      s"date spine must stay equi-join only:\n$ds")
+    assert(ds.contains("Generate explode"),
+      s"date spine must generate the calendar via explode(sequence):\n$ds")
+    assert(ds.contains("BroadcastHashJoin") || ds.contains("SortMergeJoin"),
+      s"date spine gap-fill must be an equi join:\n$ds")
+  }
+
   test("scans are column-pruned to what the query projects") {
     val schemas = "ReadSchema: struct<([^>]*)>".r
     def readCols(p: String): Seq[String] =

@@ -86,6 +86,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("approxDistinctStream drops late data beyond the watermark (state evicted)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.approxDistinctStream(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("adistinct_evict").outputMode("append").start()
+    try {
+      in.addData(Event(1, 1, ts(0), "click", 1.0), Event(2, 2, ts(0), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the window: it finalizes (emits)
+      // and its sketch state is evicted
+      in.addData(Event(9, 3, ts(600), "view", 1.0))
+      q.processAllAvailable()
+      val finalized = spark.table("adistinct_evict")
+        .select("event_type", "approx_users").as[(String, Long)].collect().toSet
+      assert(finalized == Set(("click", 2L)), s"got $finalized")
+      // a NEW user arriving in the closed window is beyond the
+      // watermark: it must be dropped, not re-open the window — the
+      // emitted count stays 2 and append mode emits no second row
+      in.addData(Event(5, 4, ts(0), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(9, 5, ts(1200), "view", 1.0)) // push watermark again
+      q.processAllAvailable()
+      val after = spark.table("adistinct_evict")
+        .filter($"event_type" === "click")
+        .select("approx_users").as[Long].collect().toSeq
+      assert(after == Seq(2L),
+        s"late event must not mutate or re-emit the finalized window: $after")
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
