@@ -753,6 +753,67 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C33: containment dedup (near-subset documents) — the ASYMMETRIC
+   * dedup family member: a doc ≥90% contained in a LARGER doc dies
+   * (boilerplate-wrapped copies, quoted articles), which
+   * Jaccard-threshold dedup structurally misses when the container
+   * dwarfs the contained side. Production path: anchor-sampled
+   * candidate generation + exact containment verify
+   * (dedup/Dedup.containmentKeep); rows-only + the sound gate below. */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.containmentKeep(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** C33 soundness: docs killed by the anchored containment pipeline
+   * with NO genuine beating container (containment ≥ 0.9 from a
+   * strictly larger or equal-sized-smaller-id doc) under brute-force
+   * comparison. Must be empty. Oracle: the empty relation. */
+  private def qDedupContainmentSound(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dropped = graft.dedup.Dedup.containmentKeep(docs, "doc_id", "text")
+      .filter(!col("keep")).select("doc_id")
+    // coalesce NULL text to '' to mirror containmentKeep's normalization
+    val base = docs.select(col("doc_id"),
+      graft.functions.expressions
+        .wordShingleHashes(coalesce(col("text"), lit("")), 3).as("sh"))
+    val a = base.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val genuine = a.join(broadcast(b),
+        col("id_a") =!= col("id_b") &&
+          (size(col("sh_b")) > size(col("sh_a")) ||
+            (size(col("sh_b")) === size(col("sh_a")) && col("id_b") < col("id_a"))) &&
+          graft.functions.expressions.hashContainment(col("sh_a"), col("sh_b")) >= 0.9)
+      .select(col("id_a").as("dead_id")).distinct()
+    dropped.join(genuine, col("doc_id") === col("dead_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** C33b: EXACT containment dedup (oracle baseline for the anchored
+   * scale path): brute-force ordered pairs, kill under the same
+   * (size desc, id asc) rule. The oracle replays |A∩B|/|A| over
+   * string-space shingles in DuckDB, so every run re-proves
+   * hash-space ≡ string-space for the asymmetric verify too (C4b
+   * pattern; same ≥3-ASCII-token corpus precondition). */
+  private def qDedupContainmentExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      graft.functions.expressions.wordShingleHashes(col("text"), 3).as("sh"))
+    // single-file scan = one partition; spread the O(n^2) probe side
+    val a = base.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val dead = a.join(broadcast(b),
+        col("id_a") =!= col("id_b") &&
+          (size(col("sh_b")) > size(col("sh_a")) ||
+            (size(col("sh_b")) === size(col("sh_a")) && col("id_b") < col("id_a"))) &&
+          graft.functions.expressions.hashContainment(col("sh_a"), col("sh_b")) >= 0.9)
+      .select(col("id_a").as("dead_id")).distinct()
+    docs.select("doc_id")
+      .join(dead, col("doc_id") === col("dead_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** C14b: EXACT transitive duplicate clusters (oracle baseline for
    * the MinHash-candidate q_dedup_clusters): exact Jaccard-threshold
    * pairs → distributed connected components → per-component min-id
@@ -1285,6 +1346,28 @@ object SparkEntry {
         min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
       .orderBy("split")
 
+  /** C34: deterministic corpus shuffle — reproducible global training
+   * order as (bucket, position): bucket = md5-derived integer mod
+   * nBuckets, position = rank within the bucket by the same hash.
+   * Training consumes buckets in order, rows within a bucket by
+   * position — a total order that is stable across engines, retries,
+   * and partitionings (C24's determinism rationale applied to ORDER,
+   * not membership). Scale shape: one narrow scan emits (bucket, key);
+   * the rank is a window PARTITIONED by bucket — parallel across
+   * buckets, never the single-partition global sort a bare
+   * row_number() over a whole corpus would plan. */
+  private def qCorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val key = expr(
+      "conv(substring(md5(concat('shuffle42:', cast(doc_id as string))), 1, 8), 16, 10)")
+      .cast("long")
+    t(s, dir, "documents")
+      .select(col("doc_id"), pmod(key, lit(16L)).as("bucket"), key.as("k"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("bucket").orderBy("k", "doc_id")).cast("long"))
+      .select("doc_id", "bucket", "pos")
+      .orderBy("bucket", "pos")
+  }
+
   /** B42: JSON field extraction from a string column (the reference's
    * whole data model is JSON-line parsing; this is the per-column
    * variant: a semi-structured `props` payload queried without a
@@ -1773,6 +1856,10 @@ object SparkEntry {
     "q_dedup_simhash"  -> qDedupSimhash,
     "q_dedup_jaccard"  -> qDedupJaccard,
     "q_dedup_jaccard_exact" -> qDedupJaccardExact,
+    "q_dedup_containment" -> qDedupContainment,
+    "q_dedup_containment_sound" -> qDedupContainmentSound,
+    "q_dedup_containment_exact" -> qDedupContainmentExact,
+    "q_corpus_shuffle" -> qCorpusShuffle,
     "q_dedup_embed"    -> qDedupEmbed,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_lsh"        -> qAnnLsh,
@@ -2522,6 +2609,25 @@ object SparkEntry {
                AND len(list_intersect(a.sh, b.sh)) * 1.0 /
                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
          SELECT doc_id FROM documents ANTI JOIN d ON doc_id = id ORDER BY doc_id""",
+    "q_dedup_containment_sound" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+    "q_dedup_containment_exact" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
+         d AS (SELECT DISTINCT a.doc_id AS id FROM g a JOIN g b ON a.doc_id <> b.doc_id
+               AND (len(b.sh) > len(a.sh) OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id))
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.9)
+         SELECT doc_id FROM documents ANTI JOIN d ON doc_id = id ORDER BY doc_id""",
+    "q_corpus_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat('shuffle42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS k
+           FROM documents)
+         SELECT doc_id, k % 16 AS bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k % 16 ORDER BY k, doc_id) AS BIGINT) AS pos
+         FROM d ORDER BY bucket, pos""",
     "q_dedup_minhash_sound" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_simhash_sound" ->

@@ -222,6 +222,115 @@ object Dedup {
       simhashPairs(reps, "doc_id", "text", maxHamming)
     }
 
+  // --- Containment (asymmetric near-dup: near-subset documents) -----------
+
+  /** Containment of textA's shingle set in textB's — |A∩B| / |A|.
+   * The asymmetric verify: a short doc quoted inside a long one scores
+   * ~1.0 here while its Jaccard is tiny (the union is dominated by the
+   * long side), so Jaccard-threshold dedup structurally misses it. */
+  def ngramContainment(textA: Column, textB: Column, n: Int = 3): Column =
+    graft.functions.expressions.hashContainment(
+      wordShingleHashes(textA, n), wordShingleHashes(textB, n))
+
+  /**
+   * Containment near-dup pairs: documents whose shingle set is
+   * ≥ `threshold` contained in another document's (near-subsets —
+   * boilerplate-wrapped copies, quoted articles, page-of-a-book).
+   *
+   * Candidate generation: ANCHOR SAMPLING, not MinHash banding —
+   * MinHash estimates Jaccard, and a genuine containment pair can sit
+   * at arbitrarily low Jaccard, so Jaccard-banding would structurally
+   * miss exactly the pairs this operator exists to find. Each doc
+   * emits the deterministic 1/`anchorRate` subsample of its shingle
+   * hashes (hash ≡ 0 mod rate) as join keys: a pair with intersection
+   * size I shares an anchor with probability 1−(1−1/rate)^I — near 1
+   * for any contained doc of ≥ a few dozen shingles. Anchors occurring
+   * in more than `maxAnchorDf` docs are boilerplate (uninformative and
+   * quadratic in the bucket) and are pruned — the documented recall
+   * trade, same df-bound pattern as the inverted index.
+   *
+   * Shuffle shape: (anchor, id) rows only — |shingles|/rate per doc,
+   * never the text or the sets; sets join back per DEDUPED candidate.
+   * Output: ordered pairs (id_a contained in id_b) with the exact
+   * containment and both set sizes.
+   */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, shingleWords: Int = 3,
+      anchorRate: Int = 8, maxAnchorDf: Long = 1000L): DataFrame = {
+    require(anchorRate >= 1, s"anchorRate must be >= 1, got $anchorRate")
+    val base = spread(docs).select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val sh = base.select(col("doc_id"),
+      wordShingleHashes(col("text"), shingleWords).as("sh"))
+    // explode-then-filter stays codegen'd (Generate + codegen'd pmod);
+    // a higher-order filter over the array would run interpreted
+    val anchors = sh
+      .select(col("doc_id"), explode(col("sh")).as("anchor"))
+      .filter(pmod(col("anchor"), lit(anchorRate.toLong)) === 0L)
+    val rare = anchors.groupBy("anchor")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxAnchorDf)
+      .select("anchor")
+    val pruned = anchors.join(rare, Seq("anchor"))
+    val cand = pruned.as("a").join(pruned.as("b"), Seq("anchor"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_x"), col("b.doc_id").as("id_y"))
+      .distinct() // dedup across anchors BEFORE the heavier set join
+    val verified = cand
+      .join(sh.select(col("doc_id").as("id_x"), col("sh").as("sh_x")), Seq("id_x"))
+      .join(sh.select(col("doc_id").as("id_y"), col("sh").as("sh_y")), Seq("id_y"))
+      .select(col("id_x"), col("id_y"),
+        graft.functions.expressions.hashContainment(col("sh_x"), col("sh_y")).as("c_xy"),
+        graft.functions.expressions.hashContainment(col("sh_y"), col("sh_x")).as("c_yx"),
+        size(col("sh_x")).cast("long").as("sz_x"), size(col("sh_y")).cast("long").as("sz_y"))
+    // containment is asymmetric: each unordered candidate can emit up
+    // to two ordered (contained, container) rows
+    verified.filter(col("c_xy") >= threshold)
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"),
+        col("c_xy").as("containment"), col("sz_x").as("sz_a"), col("sz_y").as("sz_b"))
+      .unionAll(verified.filter(col("c_yx") >= threshold)
+        .select(col("id_y").as("id_a"), col("id_x").as("id_b"),
+          col("c_yx").as("containment"), col("sz_y").as("sz_a"), col("sz_x").as("sz_b")))
+  }
+
+  /**
+   * Keep-table for containment dedup: a document dies iff some
+   * CONTAINER beats it — containment(A in B) ≥ threshold and B is
+   * strictly larger (by shingle-set size), or equal-sized with a
+   * smaller id. The (size desc, id asc) order is total and strict, so
+   * the kill relation is acyclic and every containment chain's maximal
+   * document survives — "keep the superset", the containment analog of
+   * keep-first. Layered like [[minhashKeep]]: exact copies collapse to
+   * their min-id representative first (one hash aggregate), immune to
+   * mass-duplication bucket skew. Returns (doc_id, n_containers, keep).
+   */
+  def containmentKeep(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, shingleWords: Int = 3,
+      anchorRate: Int = 8, maxAnchorDf: Long = 1000L): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .withColumn("__tkey", md5(col("text").cast("binary")))
+    val reps = keyed.groupBy("__tkey")
+      .agg(min("doc_id").as("rep_id"), first("text").as("text"))
+    val pairs = containmentPairs(
+      reps.select(col("rep_id").as("doc_id"), col("text")),
+      "doc_id", "text", threshold, shingleWords, anchorRate, maxAnchorDf)
+    val killed = pairs
+      .filter(col("sz_b") > col("sz_a") ||
+        (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
+      .groupBy(col("id_a").as("dead_rep")).agg(count(lit(1)).as("__n_cont"))
+    keyed
+      .join(reps.select("__tkey", "rep_id"), Seq("__tkey"))
+      .join(killed, col("rep_id") === col("dead_rep"), "left")
+      .select(col("doc_id"),
+        // an exact copy's container is its representative (containment
+        // 1.0, equal size, smaller id) plus the rep's own containers
+        (when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L) +
+          coalesce(col("__n_cont"), lit(0L))).as("n_containers"),
+        (col("doc_id") === col("rep_id") && col("__n_cont").isNull).as("keep"))
+  }
+
   // --- n-gram Jaccard (direct pair verify) --------------------------------
 
   /** Word n-gram Jaccard similarity between two text columns — the

@@ -362,6 +362,29 @@ object HashOps {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Containment of A in B — |A∩B| / |A| — over two sorted distinct
+   * long arrays (same merge as [[hashJaccard]]). Asymmetric by design:
+   * a short document quoted inside a long one scores ~1.0 here while
+   * its Jaccard is tiny (the union is dominated by the long side).
+   * Empty A (no non-null elements) is vacuously contained → 1.0. */
+  def hashContainment(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0; var cntA = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; cntA += 1; i += 1; j += 1 }
+        else if (x < y) { cntA += 1; i += 1 }
+        else j += 1
+      }
+    }
+    while (i < na) { if (!a.isNullAt(i)) cntA += 1; i += 1 }
+    if (cntA == 0) 1.0 else inter.toDouble / cntA
+  }
+
   private val EmptyUtf8Array = new Array[org.apache.spark.unsafe.types.UTF8String](0)
 
   // accessor kinds for sortStructArray field comparison

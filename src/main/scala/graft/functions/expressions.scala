@@ -214,6 +214,22 @@ case class HashJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** hash_containment(a, b) = |A∩B| / |A| over sorted distinct long
+ * arrays → double (the asymmetric dedup verify — see
+ * HashOps.hashContainment). */
+case class HashContainment(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ElementTypeCheck.check("hash_containment", LongType, Seq(left.dataType, right.dataType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.hashContainment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.hashContainment($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashContainment =
+    copy(left = l, right = r)
+}
+
 /** Numeric-vector input check shared by the vector expressions: both
  * (or the only) operand must be array<float> or array<double>, and a
  * binary pair must agree — getFloat/getDouble read at different byte
@@ -402,6 +418,8 @@ object expressions {
     column(MinHashSig(expression(c), numPerm))
   def hashJaccard(a: Column, b: Column): Column =
     column(HashJaccard(expression(a), expression(b)))
+  def hashContainment(a: Column, b: Column): Column =
+    column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def arrayFieldSum(arr: Column, field: String): Column =

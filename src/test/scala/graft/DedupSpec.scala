@@ -53,6 +53,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 4L)))
   }
 
+  test("containment catches a near-subset doc whose Jaccard is below threshold") {
+    // doc 10 is VERBATIM inside doc 11's much longer text: containment
+    // of 10 in 11 is ~1.0 while their Jaccard is far below any dedup
+    // threshold — the pair Jaccard dedup structurally misses
+    val wrapper = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 3 +
+      base +
+      (" ut enim ad minim veniam quis nostrud exercitation ullamco laboris " +
+        "nisi ut aliquip ex ea commodo consequat duis aute irure") * 3
+    val cdocs = Seq((10L, base), (11L, wrapper), (12L, unrelated)).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(lit(base), lit(wrapper))
+    val j = cdocs.limit(1).select(jac.as("j")).head().getDouble(0)
+    assert(j < 0.5, s"fixture broken: wrapper should dilute Jaccard, got $j")
+    val pairs = Dedup.containmentPairs(cdocs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((10L, 11L)) && pairs((10L, 11L)) >= 0.9,
+      s"planted near-subset not found: $pairs")
+    assert(!pairs.contains((11L, 10L)), "the big doc is not contained in the small one")
+    assert(!pairs.keySet.exists { case (a, b) => a == 12L || b == 12L })
+    // keep rule: the contained doc dies, the container and unrelated live
+    val keep = Dedup.containmentKeep(cdocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!keep(10L) && keep(11L) && keep(12L), s"keep table wrong: $keep")
+  }
+
+  test("containmentKeep: exact copies collapse; equal-size tie-break keeps min id") {
+    val cdocs = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val out = Dedup.containmentKeep(cdocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (0L, true))  // min-id copy survives
+    assert(out(2L) == (1L, false)) // its container is the representative
+    assert(out(3L) == (0L, true))
+  }
+
   test("ngramJaccard: 1.0 for identical, high for near-dup, 0 for disjoint") {
     val j = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
