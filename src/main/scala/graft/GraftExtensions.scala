@@ -90,6 +90,11 @@ object GraftExtensions {
       arity("lang_id", 1)(args => LangId(args.head, TextFunctions.langMarkers))),
     ("word_chunks", "word_chunks(text, k) - non-overlapping k-word chunks (short tail kept)",
       arity("word_chunks", 2)(args => WordChunks(args.head, intArg("word_chunks", args, 1, 8)))),
+    ("hash_containment", "hash_containment(a, b) - |A∩B|/|A| over sorted distinct hash arrays",
+      arity("hash_containment", 2)(args => HashContainment(args.head, args(1)))),
+    ("word_chunks_strided", "word_chunks_strided(text, window, stride) - overlapping window-word chunks every stride words",
+      arity("word_chunks_strided", 3)(args => WordChunksStrided(args.head,
+        intArg("word_chunks_strided", args, 1, 64), intArg("word_chunks_strided", args, 2, 48)))),
   )
 
   /** Register all graft functions on an existing session. */

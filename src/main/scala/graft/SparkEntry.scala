@@ -1346,6 +1346,22 @@ object SparkEntry {
         min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
       .orderBy("split")
 
+  /** C35: strided context chunking — overlapping 64-word windows
+   * every 48 words (consecutive chunks share 16 words), the
+   * context-window chunker for training/RAG pipelines where overlap
+   * preserves boundary context (contrast C27's DISJOINT segments for
+   * dedup). One codegen'd kernel + posexplode — narrow after the
+   * scan, no shuffle until the output sort. */
+  private def qContextChunks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      // single-file table: spread before the CPU-heavy per-row kernel
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(graft.functions.expressions.wordChunksStrided(col("text"), 64, 48)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** C34: deterministic corpus shuffle — reproducible global training
    * order as (bucket, position): bucket = md5-derived integer mod
    * nBuckets, position = rank within the bucket by the same hash.
@@ -1860,6 +1876,7 @@ object SparkEntry {
     "q_dedup_containment_sound" -> qDedupContainmentSound,
     "q_dedup_containment_exact" -> qDedupContainmentExact,
     "q_corpus_shuffle" -> qCorpusShuffle,
+    "q_context_chunks" -> qContextChunks,
     "q_dedup_embed"    -> qDedupEmbed,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_lsh"        -> qAnnLsh,
@@ -2628,6 +2645,14 @@ object SparkEntry {
          SELECT doc_id, k % 16 AS bucket,
            CAST(ROW_NUMBER() OVER (PARTITION BY k % 16 ORDER BY k, doc_id) AS BIGINT) AS pos
          FROM d ORDER BY bucket, pos""",
+    "q_context_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '[ \t\n\r]+'), t -> t <> '') AS ts
+           FROM documents),
+         c AS (SELECT doc_id, CAST(p / 48 AS BIGINT) AS chunk_idx,
+           array_to_string(ts[p + 1 : p + 64], ' ') AS chunk
+           FROM toks, UNNEST(range(0, len(ts), 48)) AS u(p))
+         SELECT doc_id, chunk_idx, chunk FROM c ORDER BY doc_id, chunk_idx""",
     "q_dedup_minhash_sound" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_simhash_sound" ->

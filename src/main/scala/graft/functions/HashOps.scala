@@ -553,6 +553,56 @@ object HashOps {
     out
   }
 
+  /** Overlapping (strided) word windows: chunks of `window` tokens
+   * starting every `stride` tokens (stride < window ⇒ consecutive
+   * chunks share window−stride tokens — the context-window chunker
+   * for training/RAG pipelines, where overlap preserves boundary
+   * context; contrast [[wordChunks]]' disjoint segments for dedup).
+   * Same whitespace tokenization as wordChunks; the short tail window
+   * is included. */
+  def wordChunksStrided(s: org.apache.spark.unsafe.types.UTF8String,
+      window: Int, stride: Int): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val bytes = s.getBytes
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    var tokStart = -1
+    while (i <= bytes.length) {
+      val ws = i == bytes.length || {
+        val c = bytes(i)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      }
+      if (!ws && tokStart < 0) tokStart = i
+      else if (ws && tokStart >= 0) { starts += tokStart; ends += i; tokStart = -1 }
+      i += 1
+    }
+    val m = starts.length
+    if (m == 0) return EmptyUtf8Array
+    val nChunks = (m + stride - 1) / stride
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val lo = c * stride
+      val hi = math.min(lo + window, m)
+      var len = hi - lo - 1
+      var j = lo
+      while (j < hi) { len += ends(j) - starts(j); j += 1 }
+      val buf = new Array[Byte](len)
+      var off = 0
+      j = lo
+      while (j < hi) {
+        if (j > lo) { buf(off) = ' '; off += 1 }
+        val tl = ends(j) - starts(j)
+        System.arraycopy(bytes, starts(j), buf, off, tl)
+        off += tl
+        j += 1
+      }
+      out(c) = org.apache.spark.unsafe.types.UTF8String.fromBytes(buf)
+      c += 1
+    }
+    out
+  }
+
   /**
    * Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash

@@ -174,6 +174,23 @@ case class WordChunks(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_chunks_strided(text, window, stride) → array<string> of
+ * OVERLAPPING window-word chunks every stride words (the
+ * context-window chunker; see HashOps.wordChunksStrided). */
+case class WordChunksStrided(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  require(window >= 1 && stride >= 1,
+    s"word_chunks_strided requires window >= 1 and stride >= 1, got ($window, $stride)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.wordChunksStrided(input.asInstanceOf[UTF8String], window, stride))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.wordChunksStrided($c, $window, $stride))")
+  override protected def withNewChildInternal(newChild: Expression): WordChunksStrided =
+    copy(child = newChild)
+}
+
 /** word_shingle_hashes(text, n) → sorted distinct array<long>. */
 case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -409,6 +426,8 @@ object expressions {
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgrams(expression(c), n))
   def wordChunks(c: Column, k: Int): Column = column(WordChunks(expression(c), k))
+  def wordChunksStrided(c: Column, window: Int, stride: Int): Column =
+    column(WordChunksStrided(expression(c), window, stride))
   def sortStructArray(c: Column): Column = column(SortStructArray(expression(c)))
   def langId(c: Column, langs: Seq[(String, Seq[String])]): Column =
     column(LangId(expression(c), langs))

@@ -48,6 +48,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(4) == "en")
   }
 
+  test("round-8 additions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+         hash_containment(word_shingle_hashes('a b c d e'),
+                          word_shingle_hashes('a b c d e f g h i j')) AS c_sub,
+         hash_containment(word_shingle_hashes('a b c d e f g h i j'),
+                          word_shingle_hashes('a b c d e')) AS c_super,
+         word_chunks_strided('a b c d e f g', 4, 2) AS chunks
+       """).head()
+    assert(r.getDouble(0) == 1.0, "prefix's shingles are fully contained")
+    assert(r.getDouble(1) < 1.0, "the superset is NOT contained in the subset")
+    assert(r.getSeq[String](2) == Seq("a b c d", "c d e f", "e f g", "g"))
+  }
+
   test("mistyped array inputs are rejected at analysis, not silently misread") {
     // ArrayData reads at fixed byte widths: array<int> into getLong
     // would yield garbage hashes — must fail analysis instead

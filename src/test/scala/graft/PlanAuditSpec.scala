@@ -115,6 +115,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"date spine gap-fill must be an equi join:\n$ds")
   }
 
+  test("containment dedup production path plans clean (round 8)") {
+    // anchored candidate generation must stay equi-join only — a
+    // cartesian or nested loop here means the anchor blocking failed
+    // and the all-pairs explosion is back (the documented O(n²) shapes
+    // are the *_exact/_sound oracle baselines, not this path)
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment dedup must stay anchored equi joins:\n$p")
+    // reads only (doc_id, text) from documents — never lang/source
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).foreach { s =>
+      assert(!s.contains("lang") && !s.contains("source"),
+        s"containment scan reads columns the query never uses: $s")
+    }
+    val cs = plan("q_corpus_shuffle")
+    assert(!cs.contains("CartesianProduct") && !cs.contains("BroadcastNestedLoopJoin"),
+      s"corpus shuffle must be scan + window only:\n$cs")
+  }
+
   test("scans are column-pruned to what the query projects") {
     val schemas = "ReadSchema: struct<([^>]*)>".r
     def readCols(p: String): Seq[String] =

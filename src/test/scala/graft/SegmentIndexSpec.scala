@@ -22,6 +22,20 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(chunks("   ", 4) == Seq.empty)
   }
 
+  private def strided(s: String, w: Int, st: Int): Seq[String] =
+    HashOps.wordChunksStrided(UTF8String.fromString(s), w, st).toSeq.map(_.toString)
+
+  test("wordChunksStrided overlaps by window minus stride, tail included") {
+    // window 4, stride 2 over 7 tokens: starts at 0, 2, 4, 6
+    assert(strided("a b c d e f g", 4, 2) ==
+      Seq("a b c d", "c d e f", "e f g", "g"))
+    // stride == window degenerates to the disjoint chunker
+    assert(strided("a b c d e", 2, 2) == chunks("a b c d e", 2))
+    assert(strided("  a \t b\nc  ", 2, 1) == Seq("a b", "b c", "c"))
+    assert(strided("one", 8, 4) == Seq("one"))
+    assert(strided("", 4, 2) == Seq.empty)
+  }
+
   test("cleanChunks cuts exactly the cross-document segments, keeps order") {
     // chunk size 2: doc 1 = [shared seg] [u1 a] [u1 b]; doc 2 = [shared seg] [u2 a]
     // doc 3 has no overlap; doc 4 repeats a chunk only WITHIN itself (not cut)
