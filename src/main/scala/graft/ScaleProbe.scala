@@ -60,6 +60,24 @@ object ScaleProbe {
     require(simDrift == 0, s"simhash keep-set drifted under ${n}x replication: $simDrift ids")
     println(s"SCALE simhash kept: ${simKept0.count()} (drift 0)")
 
+    // Containment dedup under the same 20× mass-duplication skew: the
+    // layered exact-collapse reduces the replicated corpus to the same
+    // representative set (rep = rep-0 copy, id' = 20·d preserves id
+    // order and shingle sizes are replica-invariant), so keep-first
+    // over the replicated corpus must keep EXACTLY {20·d : d kept
+    // unreplicated} — any drift means the anchor blocking or the
+    // (size, id) kill rule broke under skew.
+    val contKept0 = Dedup.containmentKeep(docs, "doc_id", "text")
+      .filter(col("keep")).select((col("doc_id") * n).as("doc_id"))
+    val contKeptN = timedRun(s"containmentKeep ${n}x") {
+      Dedup.containmentKeep(big, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+    }
+    val contDrift = contKeptN.unionAll(contKept0)
+      .groupBy("doc_id").agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+    require(contDrift == 0, s"containment keep-set drifted under ${n}x replication: $contDrift ids")
+    println(s"SCALE containment kept: ${contKept0.count()} (drift 0)")
+
     // Decontamination at 20×: contamination is a per-document property,
     // so every replica must report exactly the unreplicated doc's
     // n_hit_grams (the broadcast bench gram set is replica-blind).
