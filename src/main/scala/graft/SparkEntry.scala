@@ -1346,6 +1346,19 @@ object SparkEntry {
         min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
       .orderBy("split")
 
+  /** C36: deterministic mixture resampling (operators/Sampling
+   * .mixtureResample) — weight sources to a target mixture before
+   * training: src1 upsampled 2.5× (replication + fractional draw),
+   * src3 downsampled to 0.3, everything else kept. All draws are
+   * md5-derived with integer-literal thresholds, so the oracle
+   * replays the exact copy set. */
+  private def qMixtureResample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureResample(
+        t(s, dir, "documents").select("doc_id", "source"), "source", "doc_id",
+        Map("src1" -> 2.5, "src3" -> 0.3))
+      .select(col("doc_id"), col("source"), col("copy_idx").cast("long").as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+
   /** C35: strided context chunking — overlapping 64-word windows
    * every 48 words (consecutive chunks share 16 words), the
    * context-window chunker for training/RAG pipelines where overlap
@@ -1877,6 +1890,7 @@ object SparkEntry {
     "q_dedup_containment_exact" -> qDedupContainmentExact,
     "q_corpus_shuffle" -> qCorpusShuffle,
     "q_context_chunks" -> qContextChunks,
+    "q_mixture_resample" -> qMixtureResample,
     "q_dedup_embed"    -> qDedupEmbed,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_lsh"        -> qAnnLsh,
@@ -2653,6 +2667,17 @@ object SparkEntry {
            array_to_string(ts[p + 1 : p + 64], ' ') AS chunk
            FROM toks, UNNEST(range(0, len(ts), 48)) AS u(p))
          SELECT doc_id, chunk_idx, chunk FROM c ORDER BY doc_id, chunk_idx""",
+    "q_mixture_resample" ->
+      """WITH d AS (SELECT doc_id, source,
+           CASE WHEN source = 'src1' THEN 2 WHEN source = 'src3' THEN 0 ELSE 1 END AS nfull,
+           CASE WHEN source = 'src1' THEN 5000 WHEN source = 'src3' THEN 3000 ELSE 0 END AS thr
+           FROM documents),
+         c AS (SELECT doc_id, source, nfull, thr, CAST(u.i AS BIGINT) AS copy_idx
+           FROM d, UNNEST(range(0, nfull + 1)) AS u(i))
+         SELECT doc_id, source, copy_idx FROM c
+         WHERE copy_idx < nfull
+            OR (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(copy_idx AS VARCHAR))), 1, 8)) AS BIGINT) % 10000) < thr
+         ORDER BY doc_id, copy_idx""",
     "q_dedup_minhash_sound" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_simhash_sound" ->

@@ -65,6 +65,43 @@ object Sampling {
   }
 
   /**
+   * Deterministic mixture resampling: up/down-sample each stratum to a
+   * target RATE = expected copies per row (rate > 1 upsamples by
+   * replication — the capability [[stratifiedSample]]'s [0,1]
+   * fractions lack). This is the data-mixing step of corpus assembly:
+   * weight sources to a target mixture before training. A row of rate
+   * r emits floor(r) guaranteed copies plus one more iff its
+   * per-(id, copy) [[sampleBucket]]-style draw clears the fractional
+   * part — every draw md5-derived, so the resampled mixture is
+   * byte-reproducible across engines, retries, and partitionings.
+   * Adds `copy_idx` (0-based) to the output.
+   *
+   * Scale shape: one narrow pass — explode over a literal-bounded
+   * per-row sequence, codegen'd hash filter, no shuffle. Rate
+   * thresholds resolve to integer literals at build time (no
+   * per-row floating-point boundary ambiguity cross-engine).
+   */
+  def mixtureResample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], default: Double = 1.0): DataFrame = {
+    require((rates.values.toSeq :+ default).forall(_ >= 0.0), "rates must be >= 0")
+    def split(r: Double): (Int, Int) =
+      (math.floor(r).toInt, math.round((r - math.floor(r)) * 10000).toInt)
+    val (dFull, dThr) = split(default)
+    val nFull = rates.foldLeft(lit(dFull)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(split(r)._1)).otherwise(acc) }
+    val thr = rates.foldLeft(lit(dThr)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(split(r)._2)).otherwise(acc) }
+    val copyBucket = conv(substring(md5(
+        concat(col(idCol).cast("string"), lit(":"), col("copy_idx").cast("string"))
+          .cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    df.withColumn("__nfull", nFull).withColumn("__thr", thr)
+      .withColumn("copy_idx", explode(sequence(lit(0), col("__nfull"))))
+      .filter(col("copy_idx") < col("__nfull") || copyBucket < col("__thr"))
+      .drop("__nfull", "__thr")
+  }
+
+  /**
    * Sequential packing: documents are (logically) concatenated in
    * `idCol` order within each `shardCol` group and cut into
    * `budget`-token context windows — each doc is assigned the chunk

@@ -131,6 +131,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val cs = plan("q_corpus_shuffle")
     assert(!cs.contains("CartesianProduct") && !cs.contains("BroadcastNestedLoopJoin"),
       s"corpus shuffle must be scan + window only:\n$cs")
+    // the rank's exchange must hash-partition on the bucket — a
+    // SinglePartition exchange feeding the Window means the rank
+    // degenerated to the corpus-wide global sort the design forbids
+    assert(cs.contains("hashpartitioning(bucket"),
+      s"corpus shuffle rank must partition by bucket:\n$cs")
   }
 
   test("scans are column-pruned to what the query projects") {

@@ -35,6 +35,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(byGrp("small") > 40 && byGrp("small") < 170, s"small kept ${byGrp("small")}, want ~200")
   }
 
+  test("mixtureResample: rate>1 replicates, fractional part draws, rate 0 drops") {
+    val df = (1L to 3000L).map(i =>
+      (i, Seq("up", "down", "keep")(i.toInt % 3))).toDF("id", "grp")
+    val out = Sampling.mixtureResample(df, "grp", "id",
+        Map("up" -> 2.5, "down" -> 0.25, "keep" -> 1.0))
+      .select("id", "grp", "copy_idx").as[(Long, String, Int)].collect()
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // 1000 rows per stratum: up → 2000 guaranteed + Binomial(1000, .5);
+    // keep → exactly 1000; down → Binomial(1000, .25); ±5σ bounds
+    assert(byGrp("keep") == 1000, s"rate 1.0 must keep exactly one copy: ${byGrp("keep")}")
+    assert(byGrp("up") > 2420 && byGrp("up") < 2580, s"up ~2500, got ${byGrp("up")}")
+    assert(byGrp("down") > 180 && byGrp("down") < 320, s"down ~250, got ${byGrp("down")}")
+    // every up-row has BOTH guaranteed copies (0 and 1)
+    val upCopies = out.filter(_._2 == "up").groupBy(_._1).view.mapValues(_.length)
+    assert(upCopies.values.forall(n => n == 2 || n == 3))
+    // rate 0 via default: unlisted strata vanish entirely
+    val dropped = Sampling.mixtureResample(df, "grp", "id", Map("up" -> 1.0), default = 0.0)
+    assert(dropped.filter(col("grp") =!= "up").count() == 0)
+    // partition-independent (the determinism contract)
+    val again = Sampling.mixtureResample(df.repartition(11), "grp", "id",
+        Map("up" -> 2.5, "down" -> 0.25, "keep" -> 1.0))
+      .select("id", "grp", "copy_idx").as[(Long, String, Int)].collect()
+    assert(out.toSet == again.toSet, "resample must not depend on partitioning")
+  }
+
   test("stratifiedSample: fraction 0 drops a stratum; unlisted strata use the default") {
     val df = (1L to 300L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3))).toDF("id", "grp")
     val kept = Sampling.stratifiedSample(df, "grp", "id", Map("a" -> 0.0), default = 1.0)
