@@ -1346,6 +1346,33 @@ object SparkEntry {
         min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
       .orderBy("split")
 
+  /** C37: incremental dedup equivalence gate — split the corpus at
+   * the id midpoint (1-row bounds broadcast, date-spine pattern),
+   * build text-free [[graft.dedup.Dedup.minhashState]] from the first
+   * half, dedup the second half incrementally against it, and emit
+   * every doc whose keep decision differs from what full-batch
+   * minhashKeep over the whole corpus assigns. Must be empty: the
+   * daily-increment path provably reproduces the monolithic rebuild.
+   * Oracle: the empty relation. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bounds = docs.agg(
+      ((min("doc_id") + max("doc_id")) / 2).cast("long").as("mid"))
+    val withMid = docs.crossJoin(broadcast(bounds))
+    val old = withMid.filter(col("doc_id") <= col("mid")).select("doc_id", "text")
+    val nw = withMid.filter(col("doc_id") > col("mid")).select("doc_id", "text")
+    val inc = graft.dedup.Dedup
+      .minhashKeepIncremental(
+        graft.dedup.Dedup.minhashState(old, "doc_id", "text"), nw, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("keep_inc"))
+    val full = graft.dedup.Dedup.minhashKeep(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("keep_full"))
+    inc.join(full, Seq("doc_id"))
+      .filter(col("keep_inc") =!= col("keep_full"))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** C36: deterministic mixture resampling (operators/Sampling
    * .mixtureResample) — weight sources to a target mixture before
    * training: src1 upsampled 2.5× (replication + fractional draw),
@@ -1891,6 +1918,7 @@ object SparkEntry {
     "q_corpus_shuffle" -> qCorpusShuffle,
     "q_context_chunks" -> qContextChunks,
     "q_mixture_resample" -> qMixtureResample,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embed"    -> qDedupEmbed,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_lsh"        -> qAnnLsh,
@@ -2678,6 +2706,8 @@ object SparkEntry {
          WHERE copy_idx < nfull
             OR (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(copy_idx AS VARCHAR))), 1, 8)) AS BIGINT) % 10000) < thr
          ORDER BY doc_id, copy_idx""",
+    "q_dedup_incremental" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_minhash_sound" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_simhash_sound" ->

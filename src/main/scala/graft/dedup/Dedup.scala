@@ -175,6 +175,92 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
     }
 
+  // --- Incremental (cross-batch) MinHash dedup ----------------------------
+
+  /** Text-free dedup state for incremental corpus assembly: one row
+   * per document EVER SEEN — survivors AND casualties, because the
+   * one-hop keep-first rule kills a later doc on a match with ANY
+   * smaller-id doc, dead or alive — holding only the shingle-hash
+   * set (the text never needs to be carried between increments).
+   * Union each increment's state onto the previous one. */
+  def minhashState(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3): DataFrame =
+    spread(docs).select(col(idCol).as("doc_id"),
+      wordShingleHashes(coalesce(col(textCol), lit("")), shingleWords).as("sh"))
+
+  /** Band-explode a (doc_id, sh) state frame: (band_idx, band_hash,
+   * doc_id) rows — the LSH join key stream, ids only. */
+  private def bandExplode(state: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    val r = numPerm / bands
+    state.select(col("doc_id"), minhashSig(col("sh"), numPerm).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+  }
+
+  /**
+   * Dedup a NEW batch against an existing corpus WITHOUT rescanning
+   * it — the daily-increment shape of corpus assembly at 100 TB: the
+   * existing corpus is represented only by its [[minhashState]]
+   * (text-free shingle sets), the new batch is deduped within itself
+   * (keep-first, layered exact-collapse) AND against the state via
+   * the same banded LSH + exact-Jaccard verify.
+   *
+   * PRECONDITION: state ids all precede new-batch ids (the natural
+   * monotone-id crawl order). Under it, the result is EXACTLY the
+   * keep-table full-batch [[minhashKeep]] would assign the new docs
+   * if run over state ∪ batch — the equivalence `q_dedup_incremental`
+   * re-proves on every run. Returns (doc_id, n_dups_smaller, keep)
+   * for the new batch.
+   */
+  def minhashKeepIncremental(
+      state: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleWords: Int = 3,
+      numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val keyed = newDocs.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .withColumn("__tkey", md5(col("text").cast("binary")))
+    val reps = keyed.groupBy("__tkey")
+      .agg(min("doc_id").as("rep_id"), first("text").as("text"))
+    val repSh = reps.select(col("rep_id").as("doc_id"),
+      wordShingleHashes(col("text"), shingleWords).as("sh"))
+
+    val nBand = bandExplode(repSh, numPerm, bands)
+    // cross-generation candidates: every state partner has a smaller
+    // id by precondition, so a verified match kills the new doc
+    // unconditionally — ids-only shuffle, sets join back per pair
+    val crossCand = nBand.join(
+        bandExplode(state, numPerm, bands)
+          .withColumnsRenamed(Map("doc_id" -> "old_id")),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("old_id")).distinct()
+    val crossKills = crossCand
+      .join(repSh.select(col("doc_id"), col("sh").as("sh_new")), Seq("doc_id"))
+      .join(state.select(col("doc_id").as("old_id"), col("sh").as("sh_old")), Seq("old_id"))
+      .filter(hashJaccard(col("sh_new"), col("sh_old")) >= threshold)
+      .groupBy(col("doc_id").as("dead_rep")).agg(count(lit(1)).as("n_cross"))
+    // within-batch keep-first over the representatives
+    val withinKills = minhashCandidates(
+        reps.select(col("rep_id").as("doc_id"), col("text")),
+        "doc_id", "text", shingleWords, numPerm, bands)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_b").as("dead_rep")).agg(count(lit(1)).as("n_within"))
+    keyed
+      .join(reps.select("__tkey", "rep_id"), Seq("__tkey"))
+      .join(crossKills.select(col("dead_rep").as("xr"), col("n_cross")),
+        col("rep_id") === col("xr"), "left")
+      .join(withinKills.select(col("dead_rep").as("wr"), col("n_within")),
+        col("rep_id") === col("wr"), "left")
+      .select(col("doc_id"),
+        (when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L) +
+          coalesce(col("n_cross"), lit(0L)) +
+          coalesce(col("n_within"), lit(0L))).as("n_dups_smaller"),
+        (col("doc_id") === col("rep_id") &&
+          col("n_cross").isNull && col("n_within").isNull).as("keep"))
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   /** Per-doc 64-bit SimHash over word tokens — single codegen'd

@@ -87,6 +87,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == (0L, true))
   }
 
+  test("incremental dedup kills cross-generation and within-batch dups, equals full batch") {
+    // old generation: 1=base, 3=unrelated. new generation: 10=exact
+    // copy of 1, 11=near-dup of 1, 12=fresh text, 13=near-dup of 12
+    val fresh = "entirely new crawl content about bucketed parquet sinks and " +
+      "compaction policies for small file rewrites in the table layer"
+    val freshDup = "entirely new crawl content about bucketed parquet sinks and " +
+      "compaction policies for large file rewrites in the table layer"
+    val oldDocs = Seq((1L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val newDocs = Seq((10L, base), (11L, nearDup), (12L, fresh), (13L, freshDup))
+      .toDF("doc_id", "text")
+    val state = Dedup.minhashState(oldDocs, "doc_id", "text")
+    val keep = Dedup.minhashKeepIncremental(state, newDocs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!keep(10L), "exact copy of an old doc must die")
+    assert(!keep(11L), "near-dup of an old doc must die")
+    assert(keep(12L), "fresh content survives")
+    assert(!keep(13L), "within-batch near-dup of a smaller new id must die")
+    // the equivalence the operator promises: same keep decisions as a
+    // monolithic full-batch run over old ∪ new
+    val full = Dedup.minhashKeep(oldDocs.unionAll(newDocs), "doc_id", "text",
+        threshold = 0.5)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == full, s"incremental $keep != full-batch $full")
+  }
+
   test("ngramJaccard: 1.0 for identical, high for near-dup, 0 for disjoint") {
     val j = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
