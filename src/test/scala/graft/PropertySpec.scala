@@ -58,6 +58,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hashContainment: bounded, 1.0 on self and subsets, lower-bounded by jaccard") {
+    for (_ <- 1 to 200) {
+      val (a, b) = (randText(), randText())
+      val (ha, hb) = (sh(a), sh(b))
+      val c = HashOps.hashContainment(arr(ha), arr(hb))
+      assert(c >= 0.0 && c <= 1.0)
+      assert(HashOps.hashContainment(arr(ha), arr(ha)) == 1.0)
+      // |A∩B|/|A| ≥ |A∩B|/|A∪B| always — containment can only exceed
+      // jaccard (the property that makes it catch near-subsets)
+      assert(c >= HashOps.hashJaccard(arr(ha), arr(hb)) - 1e-12)
+      // a genuine subset (intersection of the two sets) is fully
+      // contained in both originals
+      val inter = ha.toSet.intersect(hb.toSet).toArray.sorted
+      if (inter.nonEmpty) {
+        assert(HashOps.hashContainment(arr(inter), arr(ha)) == 1.0)
+        assert(HashOps.hashContainment(arr(inter), arr(hb)) == 1.0)
+      }
+    }
+  }
+
+  test("wordChunksStrided: every chunk bounded by window, token stream at stride offsets") {
+    for (_ <- 1 to 200) {
+      val t = randText()
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val st = rnd.nextInt(6) + 1
+      val w = st + rnd.nextInt(6)
+      val chunks = HashOps.wordChunksStrided(UTF8String.fromString(t), w, st).map(_.toString)
+      assert(chunks.length == (toks.length + st - 1) / st)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val expect = toks.slice(i * st, math.min(i * st + w, toks.length))
+        assert(c.split(" ").toSeq == expect.toSeq, s"chunk $i mismatch")
+      }
+      // stride == window degenerates exactly to the disjoint chunker
+      assert(HashOps.wordChunksStrided(UTF8String.fromString(t), st, st).map(_.toString).toSeq
+        == HashOps.wordChunks(UTF8String.fromString(t), st).map(_.toString).toSeq)
+    }
+  }
+
   test("minhashSig is fixed-width and deterministic") {
     for (_ <- 1 to 100) {
       val h = sh(randText())
