@@ -37,12 +37,23 @@ object Linkage {
   }
 
   /** Linked pairs: in-block candidates whose compare-field edit
-   * distance is ≤ maxDist. Returns (id_a, id_b, dist). */
+   * distance is ≤ maxDist. Returns (id_a, id_b, dist).
+   *
+   * Verify cost per pair is bounded twice: a length-gap guard (edit
+   * distance is at least the length difference — an integer compare
+   * that skips the DP entirely for most in-block pairs) and the
+   * THRESHOLDED levenshtein, whose banded DP is O(len·maxDist) with
+   * early exit instead of O(len²) — at web-scale blocks the verify is
+   * the dominant term, so both bounds survive a 100× block growth. */
   def linkByEditDistance(records: DataFrame, idCol: String, compareCol: String,
                          blockCols: Seq[String], maxDist: Int): DataFrame =
     candidatePairs(records, idCol, compareCol, blockCols)
+      .filter(abs(length(col(s"${compareCol}_a")) - length(col(s"${compareCol}_b")))
+        <= maxDist)
       .withColumn("dist",
-        levenshtein(col(s"${compareCol}_a"), col(s"${compareCol}_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col(s"${compareCol}_a"), col(s"${compareCol}_b"), maxDist)
+          .cast("long"))
+      // the thresholded variant returns -1 for "beyond maxDist"
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
 }
