@@ -1648,6 +1648,26 @@ object SparkEntry {
       .orderBy("hour_start", "event_type")
   }
 
+  /** D4 (batch side of the unified API): interval join — the same
+   * `EventStream.intervalJoin` operator (purchase ← clicks in the
+   * preceding hour) run in batch, where the watermarks are no-ops and
+   * the time-range condition plans as an equi join on the key with a
+   * range residual; StreamingSpec drives the identical plan
+   * incrementally and checks state eviction. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    graft.streaming.EventStream.intervalJoin(purchases, clicks,
+        "p_user", "c_user", "p_ts", "c_ts", lookback = "1 hour")
+      .select(col("p_id"), col("c_id"))
+      .orderBy("p_id", "c_id")
+  }
+
   /** C12: multimodal plumbing — binary payload + typed metadata,
    * per-partition batched feature extraction (stub codec; rows-only). */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
@@ -1964,6 +1984,7 @@ object SparkEntry {
     "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
+    "q_interval_join" -> qIntervalJoin,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_segment_dedup"  -> qSegmentDedup,
@@ -2185,6 +2206,14 @@ object SparkEntry {
          event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
          true AS within_band
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+                    WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+                    WHERE event_type = 'click')
+         SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
+           AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+         ORDER BY p_id, c_id""",
     "q_top_ngrams" ->
       """WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
                        FROM documents),
