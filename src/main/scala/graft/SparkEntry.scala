@@ -1668,6 +1668,31 @@ object SparkEntry {
       .orderBy("p_id", "c_id")
   }
 
+  /** D3 (batch side of the unified API): streaming exact dedup — the
+   * same `EventStream.dedupStream` (dropDuplicatesWithinWatermark)
+   * run in batch, where the watermark is a no-op and the state-bounded
+   * streaming dedup degenerates to exact distinct. Keys only in the
+   * output: the operator keeps ONE arbitrary row per key, so
+   * projecting the key set is what is deterministic cross-engine. */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.dedupStream(
+        withEventTime(t(s, dir, "events")), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+
+  /** D5 (batch side of the unified API): stream-static enrichment —
+   * the same `EventStream.enrichStream` broadcast left join run in
+   * batch (events ⋈ customer dimension; unmatched users keep the
+   * row, the late-dimension-update guarantee). */
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"))
+    val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    graft.streaming.EventStream.enrichStream(ev, dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      .orderBy("event_id")
+  }
+
   /** C12: multimodal plumbing — binary payload + typed metadata,
    * per-partition batched feature extraction (stub codec; rows-only). */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
@@ -1985,6 +2010,8 @@ object SparkEntry {
     "q_hourly_events"  -> qHourlyEvents,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
     "q_interval_join" -> qIntervalJoin,
+    "q_stream_dedup"  -> qStreamDedup,
+    "q_stream_enrich" -> qStreamEnrich,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_segment_dedup"  -> qSegmentDedup,
@@ -2214,6 +2241,13 @@ object SparkEntry {
          SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
            AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
          ORDER BY p_id, c_id""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
     "q_top_ngrams" ->
       """WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
                        FROM documents),

@@ -116,13 +116,19 @@ object EventStream {
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within
    * the watermark window. State is bounded — keys older than the
    * watermark are evicted, which is what makes exact dedup feasible on
-   * an unbounded stream (the batch dedup operators cover the
-   * full-corpus case). */
+   * an unbounded stream. On a BATCH input the same call degenerates to
+   * plain `dropDuplicates` (dropDuplicatesWithinWatermark rejects
+   * batch plans outright): the watermark exists only to bound state,
+   * and batch has the full history, so full-history exact dedup IS
+   * the batch semantics of this operator (`q_stream_dedup` checks it
+   * against a DISTINCT oracle). */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
       watermarkCol: String = "ts", delay: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark(watermarkCol, delay)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    if (events.isStreaming)
+      events
+        .withWatermark(watermarkCol, delay)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else events.dropDuplicates(keyCols)
 
   /** Stateful gap-sessionization: close a user's session when no event
    * arrives within `gapSeconds` (by event time). Emits closed sessions
