@@ -982,6 +982,37 @@ object SparkEntry {
       p => graft.similarity.Ann.ivfTopKIndexed(idx, p, "vec_id", "embedding", 64, 5))
   }
 
+  /** C7d: INCREMENTAL index maintenance — build the cell-partitioned
+   * IVF index on the first half of the corpus, append the second half
+   * through the FROZEN quantizer ([[graft.similarity.Ann
+   * .appendToIvfIndex]] — no retrain, one assignment pass + a
+   * partitioned append), then answer probes over the combined index.
+   * Same oracle-checked recall invariant as q_ann_ivf_indexed: the
+   * appended half must be as findable as the built half. */
+  private def qAnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = sys.props("user.dir") +
+      s"/target/ivf_append_${new java.io.File(dir).getName}_${s.sparkContext.applicationId}"
+    if (!new java.io.File(s"$idx/_graft_centroids/_SUCCESS").exists()) {
+      // bounded driver scalar, same class as the build's centroid train
+      val mid = emb.agg(((min("vec_id") + max("vec_id")) / 2).cast("long"))
+        .head().getLong(0)
+      graft.similarity.Ann.buildIvfIndex(
+        emb.filter(col("vec_id") <= mid), "vec_id", "embedding", 64, idx)
+      graft.similarity.Ann.appendToIvfIndex(idx,
+        emb.filter(col("vec_id") > mid), "vec_id", "embedding", 64)
+      val own = new java.io.File(idx)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(own)))
+      val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
+      Option(own.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith("ivf_append_") && f != own && f.lastModified() < dayAgo)
+          deleteTree(f)
+      }
+    }
+    annRecallCheck(emb,
+      p => graft.similarity.Ann.ivfTopKIndexed(idx, p, "vec_id", "embedding", 64, 5))
+  }
+
   /** C8: heuristic language ID — per-doc predictions, hash-checked
    * against a faithful SQL mirror of the marker-argmax heuristic
    * (valid for this ASCII corpus, where both tokenizers agree; the
@@ -1969,6 +2000,7 @@ object SparkEntry {
     "q_ann_lsh"        -> qAnnLsh,
     "q_ann_ivf"        -> qAnnIvf,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed,
+    "q_ann_ivf_append" -> qAnnIvfAppend,
     "q_lang_id"        -> qLangId,
     "q_text_quality"   -> qTextQuality,
     "q_token_count"    -> qTokenCount,
@@ -2797,6 +2829,9 @@ object SparkEntry {
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_ann_ivf_indexed" ->
+      """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_ann_ivf_append" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_approx_distinct" ->

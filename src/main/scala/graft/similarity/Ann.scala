@@ -158,6 +158,26 @@ object Ann {
       .write.mode("overwrite").parquet(s"$path/_graft_centroids")
   }
 
+  /**
+   * Append new vectors to an existing [[buildIvfIndex]] index WITHOUT
+   * retraining: cells come from the STORED centroids, so the append
+   * is one narrow codegen'd assignment pass + a cell-partitioned
+   * parquet append — the daily-increment shape of embedding-corpus
+   * maintenance (the ANN analog of incremental dedup). The quantizer
+   * is frozen by design: existing partitions stay valid and queries
+   * are consistent across appends; centroid drift is an offline
+   * rebuild decision, never an ingest-path one.
+   */
+  def appendToIvfIndex(path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String, dim: Int): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids = spark.read.parquet(s"$path/_graft_centroids")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    Dedup.spread(newVecs)
+      .withColumn("cell", element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Query a [[buildIvfIndex]] index. Same output shape as
    * [[bruteForceTopK]]; reads only the probes' multiprobe cells. */
   def ivfTopKIndexed(path: String, probes: DataFrame, idCol: String,

@@ -120,4 +120,22 @@ class AnnSpec extends AnyFunSuite {
     result.groupBy("probe_id").agg(max("rank").as("mr"), count(lit(1)).as("n"))
       .collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
+
+  test("appendToIvfIndex: appended vectors are findable through the frozen quantizer") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val first = clusteredDf.filter($"vec_id" < 32)
+    val rest = clusteredDf.filter($"vec_id" >= 32)
+    Ann.buildIvfIndex(first, "vec_id", "embedding", 16, path,
+      numCells = 8, kmeansIters = 5)
+    Ann.appendToIvfIndex(path, rest, "vec_id", "embedding", 16)
+    val probes = clusteredDf.filter($"vec_id" < 8)
+    val got = Ann.ivfTopKIndexed(path, probes, "vec_id", "embedding", 16, 5, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Ann.bruteForceTopK(clusteredDf, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"post-append recall@5 = $recall")
+    // results MUST include appended ids (the clusters span both halves)
+    assert(got.exists(_._2 >= 32L), s"no appended vector ever returned: $got")
+  }
 }
