@@ -1699,6 +1699,21 @@ object SparkEntry {
       .orderBy("p_id", "c_id")
   }
 
+  /** B13: skew-salted join (operators/Skew.saltedJoin) — the
+   * (key, salt) fan-out join must produce EXACTLY the rows of the
+   * plain join (each probe row matches the one build replica carrying
+   * its salt). The oracle replays the UNSALTED join + aggregate in
+   * SQL, so the hash check proves the salt/replica bookkeeping
+   * neither drops nor duplicates rows. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey", saltFactor = 8, saltBy = Seq("o_orderkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .orderBy("c_mktsegment")
+
   /** D3 (batch side of the unified API): streaming exact dedup — the
    * same `EventStream.dedupStream` (dropDuplicatesWithinWatermark)
    * run in batch, where the watermark is a no-op and the state-bounded
@@ -2043,6 +2058,7 @@ object SparkEntry {
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
     "q_interval_join" -> qIntervalJoin,
     "q_stream_dedup"  -> qStreamDedup,
+    "q_salted_join"   -> qSaltedJoin,
     "q_stream_enrich" -> qStreamEnrich,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -2276,6 +2292,11 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "q_salted_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
