@@ -21,6 +21,23 @@ class GraphSpec extends AnyFunSuite {
       (4L, 575000L)))
   }
 
+  test("pageRank round snapshots honor the spark.graft.scratchDir knob") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scratch_test").toString
+    spark.conf.set("spark.graft.scratchDir", tmp)
+    try {
+      val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+      val got = Graph.pageRank(edges, "s", "d", iters = 1)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 1000000L), (2L, 1000000L)))
+      val sub = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      assert(sub.exists(_.getName.startsWith("pagerank_")),
+        s"configured scratch dir unused: ${sub.map(_.getName).toSeq}")
+      // configured (durable) scratch is NEVER auto-deleted by graft —
+      // the round snapshots must still be on disk after the query
+      assert(new java.io.File(tmp).exists())
+    } finally spark.conf.unset("spark.graft.scratchDir")
+  }
+
   test("pageRank sinks keep the base rank; repeated edges collapse") {
     // duplicate edge 1→2 must count once; node 3 has no in-links
     val edges = Seq((1L, 2L), (1L, 2L), (3L, 2L)).toDF("s", "d")

@@ -128,6 +128,19 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!s.contains("lang") && !s.contains("source"),
         s"containment scan reads columns the query never uses: $s")
     }
+    // incremental dedup: no cartesian anywhere. BroadcastNestedLoopJoin
+    // instances DO appear — each re-derivation of the old/new halves
+    // replants the 1-row id-midpoint bounds broadcast (winsorize
+    // pattern); they are all the identical canonical subtree, so
+    // exchange reuse collapses them at runtime, and every one is a
+    // 1-row broadcast, never a data-sized nested loop
+    val inc = plan("q_dedup_incremental")
+    assert(!inc.contains("CartesianProduct"),
+      s"incremental dedup plans a cartesian product:\n$inc")
+    // interval join in batch: equi join on the key + range residual
+    val ij = plan("q_interval_join")
+    assert(!ij.contains("CartesianProduct") && !ij.contains("BroadcastNestedLoopJoin"),
+      s"interval join must plan as equi join + residual:\n$ij")
     val cs = plan("q_corpus_shuffle")
     assert(!cs.contains("CartesianProduct") && !cs.contains("BroadcastNestedLoopJoin"),
       s"corpus shuffle must be scan + window only:\n$cs")
