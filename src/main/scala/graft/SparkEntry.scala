@@ -1699,6 +1699,28 @@ object SparkEntry {
       .orderBy("p_id", "c_id")
   }
 
+  /** C38: snapshot diff (operators/Profile.snapshotDiff) — classify
+   * every key across two deterministic "versions" of the orders table
+   * (old drops keys ≡0 mod 7; new drops ≡0 mod 5 and bumps totals
+   * ≡0 mod 3 by one cent) as added/removed/changed/unchanged. The
+   * oracle replays the same construction with a value-compare FULL
+   * OUTER JOIN, so the hash check proves the row-hash diff classifies
+   * identically to direct comparison. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"),
+        col("o_orderstatus"))
+    val old = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val nw = base.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .withColumn("total_cents",
+        when(pmod(col("o_orderkey"), lit(3)) === 0, col("total_cents") + 1L)
+          .otherwise(col("total_cents")))
+    graft.operators.Profile.snapshotDiff(old, nw, Seq("o_orderkey"),
+        Seq("total_cents", "o_orderstatus"))
+      .groupBy("status").agg(count(lit(1)).as("n_keys"))
+      .orderBy("status")
+  }
+
   /** B13: skew-salted join (operators/Skew.saltedJoin) — the
    * (key, salt) fan-out join must produce EXACTLY the rows of the
    * plain join (each probe row matches the one build replica carrying
@@ -2059,6 +2081,7 @@ object SparkEntry {
     "q_interval_join" -> qIntervalJoin,
     "q_stream_dedup"  -> qStreamDedup,
     "q_salted_join"   -> qSaltedJoin,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_stream_enrich" -> qStreamEnrich,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
@@ -2292,6 +2315,22 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "q_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c, o_orderstatus
+           FROM orders),
+         o AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+         n AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN c + 1 ELSE c END AS c,
+                 o_orderstatus
+               FROM base WHERE o_orderkey % 5 <> 0),
+         d AS (SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                      WHEN n.o_orderkey IS NULL THEN 'removed'
+                      WHEN o.c <> n.c OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+                      ELSE 'unchanged' END AS status
+               FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys
+         FROM d GROUP BY status ORDER BY status""",
     "q_salted_join" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
          SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents

@@ -58,4 +58,34 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum_sum"),
         expr("bit_xor(h)").as("checksum_xor"))
   }
+
+  /**
+   * Snapshot diff: classify every key as `added` (new side only),
+   * `removed` (old side only), `changed` (both sides, differing
+   * rendered `compareCols`), or `unchanged` — the audit between two
+   * versions of a corpus/table (yesterday's crawl vs today's, source
+   * vs migrated copy) that [[tableChecksum]]'s single pass can only
+   * flag, not localize. One full outer join on the key; each side
+   * carries only (key, row-hash), so at 100 TB the shuffle is
+   * key+8-byte rows, never the payload. Keys must be unique per side
+   * (enforce upstream or pre-aggregate); the row hash is the same
+   * ':'-joined md5 rendering as [[tableChecksum]].
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "need key and compare columns")
+    def hashed(df: DataFrame, h: String): DataFrame = {
+      val rendered = compareCols.map(c => coalesce(col(c).cast("string"), lit("")))
+      df.select((keyCols.map(col) :+
+        conv(substring(md5(concat_ws(":", rendered: _*)), 1, 8), 16, 10)
+          .cast("long").as(h)): _*)
+    }
+    hashed(oldDf, "__h_old").join(hashed(newDf, "__h_new"), keyCols, "full_outer")
+      .select((keyCols.map(col) :+
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged").as("status")): _*)
+  }
 }

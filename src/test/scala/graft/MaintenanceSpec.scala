@@ -106,6 +106,21 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(sums(a)._1 == 3L)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, NULL-safe") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None))
+      .toDF("id", "v")
+    val nw = Seq((1L, Some("a")), (2L, Some("B")), (4L, None), (5L, Some("e")))
+      .toDF("id", "v")
+    val got = Profile.snapshotDiff(old, nw, Seq("id"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", // same value
+      2L -> "changed",   // b → B
+      3L -> "removed",   // old only
+      4L -> "unchanged", // NULL on both sides must not read as changed
+      5L -> "added"))    // new only
+  }
+
   test("record linkage pairs only within blocks, verifies by edit distance") {
     val recs = Seq(
       (1L, "smith", "NY"), (2L, "smyth", "NY"),  // dist 1, same block
