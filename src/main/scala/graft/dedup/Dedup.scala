@@ -207,12 +207,16 @@ object Dedup {
    * (keep-first, layered exact-collapse) AND against the state via
    * the same banded LSH + exact-Jaccard verify.
    *
-   * PRECONDITION: state ids all precede new-batch ids (the natural
-   * monotone-id crawl order). Under it, the result is EXACTLY the
-   * keep-table full-batch [[minhashKeep]] would assign the new docs
-   * if run over state ∪ batch — the equivalence `q_dedup_incremental`
-   * re-proves on every run. Returns (doc_id, n_dups_smaller, keep)
-   * for the new batch.
+   * The result is EXACTLY the keep-table full-batch [[minhashKeep]]
+   * would assign the new docs if run over state ∪ batch — the
+   * equivalence `q_dedup_incremental` re-proves on every run. Cross-
+   * generation kills are filtered to smaller-id state partners, so
+   * this holds even when state and batch ids interleave (an id-10
+   * state doc must not kill an id-5 newcomer; under keep-first the
+   * newcomer wins that pair). What an increment can never do is
+   * revisit the STATE side's own keep decisions — retiring an old doc
+   * in favor of a smaller-id newcomer is a rebuild, by construction.
+   * Returns (doc_id, n_dups_smaller, keep) for the new batch.
    */
   def minhashKeepIncremental(
       state: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
@@ -228,13 +232,14 @@ object Dedup {
       wordShingleHashes(col("text"), shingleWords).as("sh"))
 
     val nBand = bandExplode(repSh, numPerm, bands)
-    // cross-generation candidates: every state partner has a smaller
-    // id by precondition, so a verified match kills the new doc
-    // unconditionally — ids-only shuffle, sets join back per pair
+    // cross-generation candidates: ids-only shuffle, sets join back
+    // per pair; only SMALLER-id state partners kill (keep-first), so
+    // id interleaving between generations cannot misdrop a newcomer
     val crossCand = nBand.join(
         bandExplode(state, numPerm, bands)
           .withColumnsRenamed(Map("doc_id" -> "old_id")),
         Seq("band_idx", "band_hash"))
+      .filter(col("old_id") < col("doc_id"))
       .select(col("doc_id"), col("old_id")).distinct()
     val crossKills = crossCand
       .join(repSh.select(col("doc_id"), col("sh").as("sh_new")), Seq("doc_id"))

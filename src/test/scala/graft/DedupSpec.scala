@@ -114,6 +114,25 @@ class DedupSpec extends AnyFunSuite {
     assert(keep == full, s"incremental $keep != full-batch $full")
   }
 
+  test("incremental dedup with interleaved ids: only smaller-id state partners kill") {
+    // state holds ids 10 and 3; the new batch holds 5 (copy of 10's
+    // text) and 20 (near-dup of it). Under keep-first over the union,
+    // 5 beats 10 (smaller id) and must SURVIVE; 20 loses to both
+    val oldDocs = Seq((10L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val newDocs = Seq((5L, base), (20L, nearDup)).toDF("doc_id", "text")
+    val keep = Dedup.minhashKeepIncremental(
+        Dedup.minhashState(oldDocs, "doc_id", "text"), newDocs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep(5L), "a newcomer with a smaller id than its state twin must survive")
+    assert(!keep(20L), "near-dup of a smaller-id state doc must die")
+    val full = Dedup.minhashKeep(oldDocs.unionAll(newDocs), "doc_id", "text",
+        threshold = 0.5)
+      .filter(col("doc_id").isin(5L, 20L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == full, s"incremental $keep != full-batch $full")
+  }
+
   test("ngramJaccard: 1.0 for identical, high for near-dup, 0 for disjoint") {
     val j = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
