@@ -938,6 +938,19 @@ object SparkEntry {
       p => graft.similarity.Ann.ivfTopK(emb, p, "vec_id", "embedding", 64, 5))
   }
 
+  /** C7e: product-quantization ANN (Ann.pqTopK) — the corpus encodes
+   * to m=8 one-byte codes per vector (32x smaller than the raw
+   * floats), probes scan the codes via precomputed ADC tables
+   * (lookups, no float math), and a 32-candidate shortlist re-ranks
+   * with exact cosine. Deterministic codebooks (lowest-id init + 3
+   * Lloyd rounds) → the same oracle-checked recall invariant as the
+   * other approximate ANN queries. */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    annRecallCheck(emb,
+      p => graft.similarity.Ann.pqTopK(emb, p, "vec_id", "embedding", 64, 5))
+  }
+
   /** C7c: PERSISTED IVF index end-to-end — build the cell-partitioned
    * index to a scratch dir, then answer probes through
    * [[graft.similarity.Ann.ivfTopKIndexed]], whose scan is statically
@@ -1562,6 +1575,20 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** C39: deterministic weighted sampling (operators/Sampling
+   * .weightedSample) — top-100 orders per priority class, selection
+   * probability ∝ order value (sequential Poisson / Ohlsson bottom-k
+   * priorities). Every arithmetic step is IEEE-exact dyadic or one
+   * correctly-rounded division, so the oracle replays the identical
+   * priority order in DuckDB and the sampled id set hash-matches. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .weightedSample(
+        t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("w_cents")),
+        "o_orderpriority", "o_orderkey", col("w_cents"), k = 100)
+      .orderBy("o_orderpriority", "o_orderkey")
+
   /** B29: connected components, oracle-checked — same-user events
    * within 30 minutes form an edge; in 1-D, transitive closure over
    * "within gap" pairs equals gap-based sessionization (events across
@@ -1784,6 +1811,22 @@ object SparkEntry {
   private def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
     graft.text.SegmentDedup
       .cleanChunks(t(s, dir, "documents"), "doc_id", "text", chunkWords = 8, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** C40: per-group boilerplate removal (text/Boilerplate.scala) —
+   * 2-word chunks occurring in ≥20% (and ≥5) of a SOURCE's documents
+   * are cut from that source's documents; the group-relative
+   * frequency test is what separates site boilerplate from ordinary
+   * repetition (C27's global ≥N-docs rule). Thresholds chosen to
+   * BITE on the synthetic corpus (the hottest per-source chunk sits
+   * at 24% df — a higher bar would verify an empty cut set).
+   * Hash-space ≡ string-space re-proved per run: the oracle replays
+   * the whole pipeline over chunk STRINGS in DuckDB (C4b/C27
+   * pattern). */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.text.Boilerplate
+      .stripFrequent(t(s, dir, "documents"), "doc_id", "text", "source",
+        chunkWords = 2, minFrac = 0.2, minDocs = 5)
       .orderBy("doc_id")
 
   /** C28: inverted index (text/InvertedIndex.scala) — term → df +
@@ -2038,6 +2081,7 @@ object SparkEntry {
     "q_ann_ivf"        -> qAnnIvf,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed,
     "q_ann_ivf_append" -> qAnnIvfAppend,
+    "q_ann_pq"         -> qAnnPq,
     "q_lang_id"        -> qLangId,
     "q_text_quality"   -> qTextQuality,
     "q_token_count"    -> qTokenCount,
@@ -2075,6 +2119,7 @@ object SparkEntry {
     "q_incremental_agg" -> qIncrementalAgg,
     "q_profile"        -> qProfile,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_weighted_sample" -> qWeightedSample,
     "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
@@ -2086,6 +2131,7 @@ object SparkEntry {
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_segment_dedup"  -> qSegmentDedup,
+    "q_boilerplate"    -> qBoilerplate,
     "q_inverted_index" -> qInvertedIndex,
     "q_sketch_merge"   -> qSketchMerge,
     "q_cluster_assign" -> qClusterAssign,
@@ -2792,6 +2838,18 @@ object SparkEntry {
                                     ELSE 1000 END)
          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(MAX(bucket) AS BIGINT) AS max_bucket
          FROM k GROUP BY 1 ORDER BY 1""",
+    "q_weighted_sample" ->
+      """WITH p AS (SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS w_cents,
+           (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+             / 4294967296.0 AS u
+           FROM orders),
+         r AS (SELECT o_orderpriority, o_orderkey, w_cents,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY u / CAST(w_cents AS DOUBLE), o_orderkey) AS rn
+           FROM p WHERE w_cents > 0)
+         SELECT o_orderpriority, o_orderkey, w_cents
+         FROM r WHERE rn <= 100 ORDER BY 1, 2""",
     "q_cc_sessions" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
          lagged AS (
@@ -2894,6 +2952,9 @@ object SparkEntry {
     "q_ann_ivf_append" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_ann_pq" ->
+      """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_approx_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS within_10pct
@@ -2958,6 +3019,30 @@ object SparkEntry {
              CAST(COUNT(*) FILTER (removed) AS BIGINT) AS n_removed
            FROM marked GROUP BY doc_id)
          SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.n_chunks, 0) AS n_chunks, COALESCE(a.n_removed, 0) AS n_removed
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
+    "q_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, source,
+           list_filter(regexp_split_to_array(COALESCE(text, ''), '[ \t\n\r]+'), x -> x <> '') AS ts
+           FROM documents),
+         chunks AS (SELECT doc_id, source, i AS cidx,
+             array_to_string(ts[(i * 2 + 1) : (i * 2 + 2)], ' ') AS chunk
+           FROM toks, UNNEST(range(0, CAST(ceil(len(ts) / 2.0) AS BIGINT))) AS u(i)),
+         gd AS (SELECT source, COUNT(*) AS gdocs FROM documents GROUP BY source),
+         boiler AS (SELECT source, chunk FROM (
+             SELECT c.source, c.chunk, COUNT(DISTINCT c.doc_id) AS ndocs, MAX(g.gdocs) AS gdocs
+             FROM chunks c JOIN gd g ON c.source = g.source
+             GROUP BY c.source, c.chunk)
+           WHERE ndocs >= 5 AND ndocs * 1000 >= gdocs * 200),
+         marked AS (SELECT c.doc_id, c.source, c.cidx, c.chunk, b.chunk IS NOT NULL AS removed
+           FROM chunks c LEFT JOIN boiler b ON c.source = b.source AND c.chunk = b.chunk),
+         agg AS (SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN NOT removed THEN chunk END, ' ' ORDER BY cidx), '') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) FILTER (removed) AS BIGINT) AS n_removed
+           FROM marked GROUP BY doc_id)
+         SELECT d.doc_id, d.source, COALESCE(a.clean_text, '') AS clean_text,
            COALESCE(a.n_chunks, 0) AS n_chunks, COALESCE(a.n_removed, 0) AS n_removed
          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          ORDER BY d.doc_id""",

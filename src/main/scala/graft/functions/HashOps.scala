@@ -116,6 +116,107 @@ object HashOps {
       .take(math.min(nProbe, k)).map(_._2)
   }
 
+  /** Product-quantization encode: split the vector into `m` blocks of
+   * `subdim` and emit, per block, the index of the L2-NEAREST
+   * sub-centroid (codebooks row-major at [(j*ks + c)*subdim + t]).
+   * L2, not cosine: a sub-block's magnitude contributes to the full
+   * vector's norm and dot product, so normalizing it away would
+   * corrupt every downstream ADC score. Ties take the lowest code;
+   * missing tail elements read as 0. */
+  def pqEncode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      codebooks: Array[Double], m: Int, subdim: Int, isFloat: Boolean): Array[Int] = {
+    val ks = codebooks.length / (m * subdim)
+    val n = v.numElements()
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        var d = 0.0
+        val off = (j * ks + c) * subdim
+        var t = 0
+        while (t < subdim) {
+          val idx = j * subdim + t
+          val x = if (idx >= n) 0.0
+            else if (isFloat) v.getFloat(idx).toDouble else v.getDouble(idx)
+          val diff = x - codebooks(off + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /** ADC lookup table for one probe vector: entry [j*ks + c] =
+   * dot(probe block j, sub-centroid c of block j) / |probe| — the
+   * probe-side precompute that makes each corpus-row score `m` array
+   * reads and adds, zero multiplies. Zero probe → all-zero table
+   * (scores 0, matching [[cosine]]'s zero-vector convention). */
+  def pqAdcTable(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      codebooks: Array[Double], m: Int, subdim: Int, isFloat: Boolean): Array[Double] = {
+    val ks = codebooks.length / (m * subdim)
+    val n = v.numElements()
+    val len = m * subdim
+    var pn = 0.0
+    var i = 0
+    while (i < n && i < len) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      pn += x * x
+      i += 1
+    }
+    val table = new Array[Double](m * ks)
+    if (pn == 0.0) return table
+    val inv = 1.0 / math.sqrt(pn)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ks) {
+        var dot = 0.0
+        val off = (j * ks + c) * subdim
+        var t = 0
+        while (t < subdim) {
+          val idx = j * subdim + t
+          val x = if (idx >= n) 0.0
+            else if (isFloat) v.getFloat(idx).toDouble else v.getDouble(idx)
+          dot += x * codebooks(off + t)
+          t += 1
+        }
+        table(j * ks + c) = dot * inv
+        c += 1
+      }
+      j += 1
+    }
+    table
+  }
+
+  /** ADC score from a probe table: cosine(probe, reconstruction) =
+   * Σ_j table[j*ks + code_j] / sqrt(Σ_j normSq[j*ks + code_j]) — the
+   * numerator entries already carry 1/|probe|, and the reconstruction
+   * norm decomposes over the disjoint blocks. All-zero reconstruction
+   * → 0, never NaN. */
+  def pqTableScore(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      table: org.apache.spark.sql.catalyst.util.ArrayData,
+      normSq: Array[Double], ks: Int): Double = {
+    val m = codes.numElements()
+    var dot = 0.0
+    var rn = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ks + codes.getInt(j)
+      dot += table.getDouble(idx)
+      rn += normSq(idx)
+      j += 1
+    }
+    if (rn == 0.0) 0.0 else dot / math.sqrt(rn)
+  }
+
   private val LangZh = org.apache.spark.unsafe.types.UTF8String.fromString("zh")
   private val LangUnd = org.apache.spark.unsafe.types.UTF8String.fromString("und")
 

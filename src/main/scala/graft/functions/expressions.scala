@@ -418,6 +418,80 @@ case class NearestCentroids(child: Expression, centroids: Array[Double], dim: In
     copy(child = newChild)
 }
 
+/** pq_encode(vec) → array<int>: per-block L2-nearest sub-centroid
+ * codes (product quantization). The codebook rides the plan as a
+ * reference object — one codegen'd pass, no join against a centroid
+ * table. */
+case class PqEncode(child: Expression, codebooks: Array[Double], m: Int, subdim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.check("pq_encode", Seq(child.dataType))
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.pqEncode(
+      input.asInstanceOf[ArrayData], codebooks, m, subdim, isFloat))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.pqEncode($c, $ref, $m, $subdim, $isFloat))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** pq_adc_table(vec) → array<double>: the probe-side ADC lookup table
+ * (per-block dots against every sub-centroid, pre-divided by the
+ * probe norm) — computed once per probe so the per-corpus-row score
+ * is table lookups only. */
+case class PqAdcTable(child: Expression, codebooks: Array[Double], m: Int, subdim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.check("pq_adc_table", Seq(child.dataType))
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.pqAdcTable(
+      input.asInstanceOf[ArrayData], codebooks, m, subdim, isFloat))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.pqAdcTable($c, $ref, $m, $subdim, $isFloat))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
+/** pq_table_score(codes, table) → double: cosine of the probe against
+ * the code's reconstruction, via the probe's ADC table and the
+ * codebook's precomputed per-centroid squared norms (reference
+ * object). m lookups + adds per row — the ADC scan inner loop. */
+case class PqTableScore(left: Expression, right: Expression, normSq: Array[Double], ks: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"pq_table_score requires (array<int>, array<double>), got ${l.sql}, ${r.sql}")
+    }
+  }
+  override protected def nullSafeEval(codes: Any, table: Any): Any =
+    HashOps.pqTableScore(codes.asInstanceOf[ArrayData], table.asInstanceOf[ArrayData], normSq, ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normSq", normSq, "double[]")
+    defineCodeGen(ctx, ev,
+      (c, t) => s"graft.functions.HashOps.pqTableScore($c, $t, $ref, $ks)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqTableScore =
+    copy(left = l, right = r)
+}
+
 object expressions {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
@@ -448,6 +522,12 @@ object expressions {
     column(HyperplaneSig(expression(v), planes, dim))
   def nearestCentroids(v: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =
     column(NearestCentroids(expression(v), centroids, dim, nProbe))
+  def pqEncode(v: Column, codebooks: Array[Double], m: Int, subdim: Int): Column =
+    column(PqEncode(expression(v), codebooks, m, subdim))
+  def pqAdcTable(v: Column, codebooks: Array[Double], m: Int, subdim: Int): Column =
+    column(PqAdcTable(expression(v), codebooks, m, subdim))
+  def pqTableScore(codes: Column, table: Column, normSq: Array[Double], ks: Int): Column =
+    column(PqTableScore(expression(codes), expression(table), normSq, ks))
   def cmsEstimate(key: Column, sketch: Array[Byte]): Column =
     column(CmsEstimate(expression(key), sketch))
 }

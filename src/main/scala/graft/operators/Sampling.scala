@@ -102,6 +102,46 @@ object Sampling {
   }
 
   /**
+   * Deterministic weighted sampling without replacement: per group,
+   * keep the `k` rows with the smallest priority u/w (sequential
+   * Poisson sampling, Ohlsson 1998) — a row's selection probability is
+   * approximately proportional to its weight, the standard
+   * probability-proportional-to-size design for corpus subsetting
+   * (sample documents ∝ quality score, orders ∝ value, ...).
+   *
+   * u/w rather than the Efraimidis–Spirakis u^(1/w) key is a
+   * determinism decision, not a shortcut: the E-S key needs ln/pow,
+   * whose last-ulp rounding differs across engines and could flip a
+   * selection at the k-th boundary, while u here is EXACT
+   * ((md5-slice + 0.5) / 2^32 — dyadic, so the double is the same in
+   * any engine) and one IEEE division is correctly rounded everywhere
+   * — the sampled set is byte-reproducible across engines, retries,
+   * and partitionings. Ties (md5 collisions) break by id.
+   *
+   * Scale shape: one shuffle on the group column + a per-group window
+   * top-k (Spark plans the rank filter as WindowGroupLimit — each
+   * partition keeps k rows before the shuffle, so the exchange carries
+   * O(groups x k), not the corpus). Rows with weight <= 0 are "never
+   * sample" by definition and are filtered out up front (a negative
+   * weight would otherwise sort FIRST and always win). Output keeps
+   * the input columns only (the key is internal).
+   */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val bucket = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (bucket.cast("double") + 0.5d) / 4294967296.0d
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pri").asc, col(idCol))
+    df.filter(weight.cast("double") > 0d)
+      .withColumn("__pri", u / weight.cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__pri", "__rn")
+  }
+
+  /**
    * Sequential packing: documents are (logically) concatenated in
    * `idCol` order within each `shardCol` group and cut into
    * `budget`-token context windows — each doc is assigned the chunk

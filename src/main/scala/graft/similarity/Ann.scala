@@ -178,6 +178,109 @@ object Ann {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /**
+   * Product-quantization codebooks: the `dim`-vector splits into `m`
+   * blocks of dim/m; each block gets its own `ks`-centroid L2
+   * quantizer (plain Lloyd, NOT spherical — block magnitudes carry
+   * into the full vector's norm and dot, see HashOps.pqEncode).
+   * Init is deterministic (block j of the ks lowest-id vectors);
+   * each refinement round is one scan: codegen'd encode, then a
+   * (block, code, position) partial-aggregated mean — the shuffle is
+   * m x ks x subdim rows regardless of corpus size, so training is
+   * scan-bound at 100 TB exactly like [[trainCentroids]]. Empty
+   * cells keep their previous centroid. Layout:
+   * [(j*ks + c)*subdim + t].
+   */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int = 3): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m blocks")
+    val subdim = dim / m
+    import graft.functions.expressions.pqEncode
+    val init = new Array[Double](m * ks * subdim)
+    corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(ks)
+      .collect().zipWithIndex.foreach { case (r, c) =>
+        val v = r.get(1).asInstanceOf[scala.collection.Seq[Any]].map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }
+        var i = 0
+        while (i < math.min(v.length, dim)) {
+          init((i / subdim * ks + c) * subdim + i % subdim) = v(i)
+          i += 1
+        }
+      }
+    var codebooks = init
+    val spreadCorpus = Dedup.spread(corpus)
+    for (_ <- 1 to iters) {
+      val sums = spreadCorpus
+        .withColumn("__codes", pqEncode(col(vecCol), codebooks, m, subdim))
+        .select(col("__codes"), posexplode(col(vecCol)))
+        .select((col("pos") / subdim).cast("int").as("j"),
+          element_at(col("__codes"), (col("pos") / subdim).cast("int") + 1).as("code"),
+          (col("pos") % subdim).as("t"),
+          col("col").cast("double").as("v"))
+        .groupBy("j", "code", "t")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = codebooks.clone()
+      sums.foreach { r =>
+        val j = r.getInt(0); val code = r.getInt(1); val t = r.getInt(2)
+        if (j < m && t < subdim)
+          next((j * ks + code) * subdim + t) = r.getDouble(3) / r.getLong(4)
+      }
+      codebooks = next
+    }
+    codebooks
+  }
+
+  /**
+   * PQ-compressed approximate top-k (ADC scan + exact re-rank). The
+   * corpus is encoded once to `m` small ints per vector — at dim 64 /
+   * m 8 that is 8 bytes in place of 256, the 32x memory cut that
+   * makes a 100 TB embedding corpus scannable from RAM — and scanning
+   * scores each row with `m` table lookups against the probe's
+   * precomputed ADC table (no per-pair float math at all). The
+   * `rerank` shortlist then fetches true vectors (ids-only shuffle,
+   * |probes| x rerank rows — never the corpus) for exact cosine
+   * ordering, the standard IVFADC serving shape. Composes with the
+   * IVF index (encode each cell's residents) when the scan itself
+   * must prune; here the corpus side is the full code table.
+   */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      m: Int = 8, ks: Int = 16, iters: Int = 3, rerank: Int = 32): DataFrame = {
+    import graft.functions.expressions.{pqAdcTable, pqEncode, pqTableScore}
+    val subdim = dim / m
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, iters)
+    val normSq = Array.tabulate(m * ks) { i =>
+      var s = 0.0; val off = i * subdim
+      var t = 0
+      while (t < subdim) { val x = codebooks(off + t); s += x * x; t += 1 }
+      s
+    }
+    val encoded = Dedup.spread(corpus).select(col(idCol).as("vec_id"),
+      pqEncode(col(vecCol), codebooks, m, subdim).as("codes"))
+    val pt = probes.select(col(idCol).as("probe_id"),
+      pqAdcTable(col(vecCol), codebooks, m, subdim).as("tbl"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = encoded.crossJoin(broadcast(pt))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        pqTableScore(col("codes"), col("tbl"), normSq, ks).as("adc"))
+      .withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= math.max(rerank, k))
+      .select("probe_id", "vec_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")), Seq("vec_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), Dedup.cosine(col("p_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "cos")
+  }
+
   /** Query a [[buildIvfIndex]] index. Same output shape as
    * [[bruteForceTopK]]; reads only the probes' multiprobe cells. */
   def ivfTopKIndexed(path: String, probes: DataFrame, idCol: String,

@@ -121,6 +121,40 @@ class AnnSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 
+  test("pqEncode emits m codes in [0, ks); reconstruction tracks block magnitudes") {
+    val cb = Ann.trainPqCodebooks(df, "vec_id", "embedding", 32, m = 4, ks = 8, iters = 3)
+    assert(cb.length == 4 * 8 * 8)
+    val codes = df.select(col("vec_id"),
+        graft.functions.expressions.pqEncode(col("embedding"), cb, 4, 8).as("codes"))
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length == 100)
+    codes.foreach { case (id, cs) =>
+      assert(cs.length == 4, s"vec $id: ${cs.length} codes")
+      assert(cs.forall(c => c >= 0 && c < 8), s"vec $id codes out of range: $cs")
+    }
+    // the code table must actually use multiple centroids per block
+    assert(codes.map(_._2.head).distinct.length > 1, "block 0 collapsed to one code")
+  }
+
+  test("pqTopK: ADC shortlist + exact re-rank reaches high recall, exact top ranks") {
+    val probes = df.filter($"vec_id" < 10)
+    val brute = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Ann.pqTopK(df, probes, "vec_id", "embedding", 32, 5, m = 4, ks = 16)
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect gotSet).size.toDouble / brute.size
+    // exact re-rank over a 32-wide ADC shortlist of a 100-vector corpus
+    assert(recall >= 0.7, s"pq recall@5 = $recall")
+    // ranks dense 1..n per probe; scores are TRUE cosines after re-rank
+    got.groupBy("probe_id").agg(max("rank").as("mr"), count(lit(1)).as("n"))
+      .collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    val scored = got.collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    scored.foreach { case ((p, v), s) =>
+      val expect = cos(vecs(p.toInt)._2, vecs(v.toInt)._2)
+      assert(math.abs(s - expect) < 1e-9, s"($p,$v): rerank score $s vs exact $expect")
+    }
+  }
+
   test("appendToIvfIndex: appended vectors are findable through the frozen quantizer") {
     val path = java.nio.file.Files.createTempDirectory("ivf_app").toString
     val first = clusteredDf.filter($"vec_id" < 32)

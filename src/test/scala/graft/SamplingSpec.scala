@@ -69,6 +69,28 @@ class SamplingSpec extends AnyFunSuite {
       "default 1.0 must keep unlisted strata whole")
   }
 
+  test("weightedSample: k per group, weight-monotone inclusion, partition-independent") {
+    // two groups of 500; weights heavily skewed: ids ending in 0 get
+    // weight 1000, the rest weight 1 — the heavy tenth should dominate
+    val df = (1L to 1000L).map(i =>
+      (i, if (i <= 500) "g1" else "g2", if (i % 10 == 0) 1000L else 1L)).toDF("id", "grp", "w")
+    val s1 = Sampling.weightedSample(df, "grp", "id", col("w"), 50)
+      .as[(Long, String, Long)].collect().toSet
+    val s2 = Sampling.weightedSample(df.repartition(7), "grp", "id", col("w"), 50)
+      .as[(Long, String, Long)].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    assert(s1.groupBy(_._2).forall(_._2.size == 50), "exactly k per group")
+    // 50 heavy rows per group at 1000x weight vs 450 light: essentially
+    // all heavies selected (each light row's priority is ~1000x larger)
+    val heavy = s1.count(_._3 == 1000L)
+    assert(heavy > 90, s"weight-1000 rows must dominate the sample: $heavy/100")
+    // zero/negative weights never sampled, even when the group has room
+    val z = Sampling.weightedSample(
+      Seq((1L, "g", 5L), (2L, "g", 0L), (3L, "g", -4L)).toDF("id", "grp", "w"),
+      "grp", "id", col("w"), 10).as[(Long, String, Long)].collect().toSet
+    assert(z == Set((1L, "g", 5L)), s"w<=0 must be excluded: $z")
+  }
+
   test("packSequences assigns chunks by cumulative token offset within a shard") {
     val df = Seq(
       ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 100L),

@@ -70,6 +70,53 @@ class SegmentIndexSpec extends AnyFunSuite {
       (3L, "other stuff", 1L, 0L)))
   }
 
+  test("stripFrequent cuts group-relative boilerplate, not cross-group or rare chunks") {
+    // group A: 4 of 5 docs open with the same header chunk (80% ≥ 60%,
+    // ≥3 docs → boilerplate); group B has the SAME header in 1 of 4
+    // docs (25% < 60% → kept). A's "a4 tail" appears in 2 docs = 40%
+    // AND under the minDocs=3 floor → kept.
+    val docs = Seq(
+      (1L, "A", "site header a1 body"),
+      (2L, "A", "site header a2 body"),
+      (3L, "A", "site header a3 body a4 tail"),
+      (4L, "A", "site header a4 tail"),
+      (5L, "A", "clean doc"),
+      (6L, "B", "site header b1 body"),
+      (7L, "B", "b2 only"),
+      (8L, "B", "b3 only"),
+      (9L, "B", "b4 only"),
+      (10L, "B", "")).toDF("doc_id", "grp", "text")
+    val got = graft.text.Boilerplate
+      .stripFrequent(docs, "doc_id", "text", "grp",
+        chunkWords = 2, minFrac = 0.6, minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", "a1 body", 2L, 1L),
+      (2L, "A", "a2 body", 2L, 1L),
+      (3L, "A", "a3 body a4 tail", 3L, 1L),
+      (4L, "A", "a4 tail", 2L, 1L),
+      (5L, "A", "clean doc", 1L, 0L),
+      (6L, "B", "site header b1 body", 2L, 0L),
+      (7L, "B", "b2 only", 1L, 0L),
+      (8L, "B", "b3 only", 1L, 0L),
+      (9L, "B", "b4 only", 1L, 0L),
+      (10L, "B", "", 0L, 0L)))
+  }
+
+  test("stripFrequent minDocs floor protects tiny groups") {
+    // 2-doc group sharing everything: 100% frequency but under the
+    // ≥3-doc floor — nothing cut (a 2-doc site is dedup's job, C27)
+    val docs = Seq(
+      (1L, "g", "same text"),
+      (2L, "g", "same text")).toDF("doc_id", "grp", "text")
+    val got = graft.text.Boilerplate
+      .stripFrequent(docs, "doc_id", "text", "grp",
+        chunkWords = 2, minFrac = 0.5, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "g", "same text", 1L, 0L), (2L, "g", "same text", 1L, 0L)))
+  }
+
   test("inverted index postings are per-term sorted doc lists; df bounds prune") {
     val docs = Seq(
       (3L, "b a b"), // 'b' twice in one doc counts once
