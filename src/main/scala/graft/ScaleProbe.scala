@@ -111,6 +111,39 @@ object ScaleProbe {
       s"segment dedup under ${n}x replication must cut every chunk: $segN")
     println(s"SCALE segment dedup: ${segN.getLong(1)} of ${segN.getLong(0)} chunks cut (all)")
 
+    // Per-group boilerplate at 20×: replication stays within the SAME
+    // source, so per-(source, chunk) doc counts AND per-source doc
+    // counts both scale by 20 — every frequency fraction is invariant,
+    // and scaling the absolute floor by 20 makes the whole threshold
+    // predicate identical. Every replica must therefore report exactly
+    // its original doc's (clean_text, n_removed); drift means the
+    // group-relative counting broke under mass duplication.
+    val bigSrc = docs.crossJoin(spark.range(n).toDF("rep"))
+      .select((col("doc_id") * n + col("rep")).as("doc_id"), col("text"), col("source"))
+    // minFrac 0.05: the hottest per-source chunk at sf0.1 sits at 8%
+    // df, so a 5% bar makes the cut set NON-empty (the invariant must
+    // hold on real cuts, not vacuously on an empty boilerplate set)
+    val boil0 = graft.text.Boilerplate
+      .stripFrequent(docs, "doc_id", "text", "source",
+        chunkWords = 2, minFrac = 0.05, minDocs = 5)
+      .select(col("doc_id").as("orig_id"), col("n_removed").as("nr0"),
+        col("clean_text").as("ct0"))
+    val boilN = timedRun(s"boilerplate ${n}x") {
+      graft.text.Boilerplate
+        .stripFrequent(bigSrc, "doc_id", "text", "source",
+          chunkWords = 2, minFrac = 0.05, minDocs = 5 * n)
+    }
+    val boilDrift = boilN
+      .select((col("doc_id") / n).cast("long").as("orig_id"),
+        col("n_removed"), col("clean_text"))
+      .join(boil0, Seq("orig_id"))
+      .filter(col("n_removed") =!= col("nr0") || col("clean_text") =!= col("ct0"))
+      .count()
+    require(boilDrift == 0, s"boilerplate drifted under ${n}x replication: $boilDrift rows")
+    val boilCut = boil0.filter(col("nr0") > 0).count()
+    require(boilCut > 0, "boilerplate probe cut nothing - the invariant held vacuously")
+    println(s"SCALE boilerplate: $boilCut docs cut (drift 0)")
+
     // Inverted index at 20×: replicas contribute distinct doc ids, so
     // every term's df must be EXACTLY 20× its unreplicated df.
     val idx0 = graft.text.InvertedIndex.build(docs, "doc_id", "text")
@@ -134,6 +167,11 @@ object ScaleProbe {
     time(s"ann ivf over ${n}x corpus") {
       Ann.ivfTopK(bigEmb, bigEmb.filter(col("vec_id") < 3), "vec_id", "embedding", 64, 5,
         numCells = 64, nProbe = 4).count()
+    }
+    // PQ over the replicated corpus: training (3 Lloyd passes), encode,
+    // ADC scan, and exact re-rank end-to-end on 100k vectors
+    time(s"ann pq over ${n}x corpus") {
+      Ann.pqTopK(bigEmb, bigEmb.filter(col("vec_id") < 3), "vec_id", "embedding", 64, 5).count()
     }
 
     // connected components on adversarial shapes: a single 200k-node

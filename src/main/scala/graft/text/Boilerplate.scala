@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
  * frequent WITHIN their group even when the group is a tiny slice of
  * the corpus (25 docs of one site inside 100 TB).
  *
- * Scale shape (document text never shuffles on the production path):
+ * Scale shape (the DETECTION path shuffles hashes only; text moves
+ * once, for reassembly):
  *  1. one scan explodes each doc to (group, doc_id, cidx, chunk_hash)
  *     via the codegen'd chunk kernel — the 64-bit hash stands in for
- *     the segment string past the scan;
+ *     the segment string in the frequency pass;
  *  2. per-group doc counts are one tiny aggregate (rows = groups),
  *     joined onto the per-(group, hash) distinct-doc counts — ONE
  *     hash-aggregate shuffle keyed (group, hash), the same shape as
@@ -27,8 +28,8 @@ import org.apache.spark.sql.functions._
  *  3. the boilerplate set (group, hash) — tiny by construction: only
  *     chunks clearing the frequency floor survive — joins back to mark
  *     chunks (AQE broadcasts it when small), and survivors reassemble
- *     per doc with one aggregate, original order restored via the
- *     chunk index.
+ *     per doc with one aggregate (the single stage that moves chunk
+ *     text), original order restored via the chunk index.
  *
  * The frequency threshold compares in integer permille space
  * (ndocs * 1000 >= permille * group_docs) — no per-row double

@@ -151,6 +151,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus shuffle rank must partition by bucket:\n$cs")
   }
 
+  test("late round-8 additions plan clean: weighted sample, boilerplate, PQ") {
+    // weighted sample: the rank<=k filter must reach the window as a
+    // WindowGroupLimit (each partition keeps k rows BEFORE ranking
+    // finalizes) — losing it means every group member is fully sorted
+    // and carried, the difference between O(groups·k) and the corpus
+    val ws = plan("q_weighted_sample")
+    assert(ws.contains("WindowGroupLimit"),
+      s"weighted sample must push the per-group top-k limit:\n$ws")
+    assert(!ws.contains("CartesianProduct") && !ws.contains("BroadcastNestedLoopJoin"),
+      s"weighted sample must stay scan + window:\n$ws")
+    // boilerplate: detection/mark/reassembly are aggregates + equi
+    // joins only, and the scan never reads lang/n_chars
+    val bp = plan("q_boilerplate")
+    assert(!bp.contains("CartesianProduct") && !bp.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate removal must stay equi-join/aggregate only:\n$bp")
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(bp).map(_.group(1)).foreach { s =>
+      assert(!s.contains("lang") && !s.contains("n_chars"),
+        s"boilerplate scan reads columns the query never uses: $s")
+    }
+    // PQ ANN: the one nested loop is the documented tiny-probe-side
+    // broadcast (bruteForceTopK shape); a CartesianProduct would mean
+    // the probe side lost its broadcast
+    val pq = plan("q_ann_pq")
+    assert(!pq.contains("CartesianProduct"),
+      s"pq scan must broadcast the probe table, not cartesian:\n$pq")
+  }
+
   test("scans are column-pruned to what the query projects") {
     val schemas = "ReadSchema: struct<([^>]*)>".r
     def readCols(p: String): Seq[String] =
