@@ -1661,6 +1661,19 @@ object SparkEntry {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** D9: streaming heavy hitters (EventStream.heavyHittersStream) run
+   * in batch — per-hour Misra-Gries summaries at capacity 8. The
+   * events table has 5 distinct types, so no decrement ever fires and
+   * the summary is provably EXACT: the oracle is a plain windowed
+   * GROUP BY count. The over-capacity regime (where counts become
+   * n/(c+1)-bounded lower bounds) is covered in StreamingSpec. */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .heavyHittersStream(withEventTime(t(s, dir, "events")),
+        "event_type", "ts", "1 hour", capacity = 8)
+      .toDF()
+      .orderBy("window_start_us", "item")
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -2122,6 +2135,7 @@ object SparkEntry {
     "q_weighted_sample" -> qWeightedSample,
     "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
+    "q_stream_topk"    -> qStreamTopk,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
     "q_interval_join" -> qIntervalJoin,
     "q_stream_dedup"  -> qStreamDedup,
@@ -2345,6 +2359,13 @@ object SparkEntry {
          event_type, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_stream_topk" ->
+      """WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type AS item, CAST(COUNT(*) AS BIGINT) AS mg_count
+           FROM events GROUP BY 1, 2)
+         SELECT window_start_us, item, mg_count,
+           CAST(SUM(mg_count) OVER (PARTITION BY window_start_us) AS BIGINT) AS n_window
+         FROM c ORDER BY window_start_us, item""",
     "q_windowed_approx_distinct" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

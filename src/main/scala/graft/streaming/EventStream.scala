@@ -14,6 +14,13 @@ case class Session(user_id: Long, session_start: java.sql.Timestamp,
 
 private case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
 
+/** A per-window heavy-hitter summary row (Misra-Gries lower-bound
+ * count; exact when the window's distinct items fit the capacity). */
+case class HeavyHitter(window_start_us: Long, item: String,
+    mg_count: Long, n_window: Long)
+
+private case class MgSummary(counters: Map[String, Long], n: Long, wendUs: Long)
+
 /**
  * Structured Streaming operators over the event stream. The same
  * transformations run on a batch DataFrame (Spark's unified API), so
@@ -81,6 +88,78 @@ object EventStream {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"))
+
+  /** Streaming heavy hitters: per-window Misra-Gries frequency
+   * summaries in BOUNDED state — `capacity` counters per open window
+   * regardless of stream length or item cardinality (exact per-window
+   * top-k needs unbounded state, the same wall that makes D8 use a
+   * sketch for COUNT DISTINCT). The Misra-Gries guarantees: every
+   * item with true count > n/(capacity+1) is present in the summary,
+   * and each reported count is a lower bound within n/(capacity+1) of
+   * the truth. When a window's distinct-item count never exceeds the
+   * capacity, no decrement ever fires and the summary is EXACT —
+   * which is what lets the batch twin (`q_stream_topk`) carry a full
+   * SQL count oracle, with the over-capacity regime covered by
+   * StreamingSpec's guarantee assertions.
+   *
+   * Streaming: state is keyed by window start and emitted once the
+   * watermark passes the window end (event-time timeout), append
+   * mode. Batch: the same operator sees each window exactly once and
+   * emits its summary directly. Scale note: one window = one state
+   * group; a per-trigger pre-reduction into (item, weight) pairs
+   * (weighted MG) is the throughput lever if a single window's
+   * arrival rate outgrows one task, at the cost of a second stateful
+   * shuffle — not needed at the tested scales. */
+  def heavyHittersStream(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", windowLen: String = "1 hour",
+      capacity: Int = 8, watermark: String = "10 minutes"): Dataset[HeavyHitter] = {
+    require(capacity > 0, "capacity must be positive")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    // the raw watermarked ts attribute must survive into the stateful
+    // operator's input — event-time timeout is rejected otherwise
+    // (unix_micros projections strip the watermark metadata)
+    val rows = events
+      .withWatermark(tsCol, watermark) // no-op in batch
+      .select(window(col(tsCol), windowLen).as("w"),
+        col(keyCol).cast("string").as("item"), col(tsCol).as("ts"))
+      .select(unix_micros(col("w.start")).as("wstart"),
+        unix_micros(col("w.end")).as("wend"), col("item"), col("ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+
+    def mgAdd(m: Map[String, Long], item: String): Map[String, Long] =
+      if (m.contains(item)) m.updated(item, m(item) + 1L)
+      else if (m.size < capacity) m.updated(item, 1L)
+      // full: decrement every counter instead of inserting (the
+      // arriving item is absorbed by the global decrement)
+      else m.flatMap { case (k, v) => if (v > 1L) Some(k -> (v - 1L)) else None }
+
+    def fn(wstart: Long, batch: Iterator[(Long, Long, String, java.sql.Timestamp)],
+        state: GroupState[MgSummary]): Iterator[HeavyHitter] = {
+      def emit(s: MgSummary): Iterator[HeavyHitter] =
+        s.counters.toSeq.sortBy { case (k, v) => (-v, k) }
+          .map { case (k, v) => HeavyHitter(wstart, k, v, s.n) }.iterator
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).getOrElse(Iterator.empty)
+        state.remove()
+        out
+      } else {
+        var s = state.getOption.getOrElse(MgSummary(Map.empty, 0L, 0L))
+        batch.foreach { case (_, wend, item, _) =>
+          s = MgSummary(mgAdd(s.counters, item), s.n + 1L, wend)
+        }
+        if (streaming) {
+          state.update(s)
+          // finalize when the watermark passes the window end
+          state.setTimeoutTimestamp(s.wendUs / 1000L)
+          Iterator.empty
+        } else emit(s)
+      }
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Incremental keyed upsert sink: each micro-batch MERGEs into a
    * parquet table via [[graft.sinks.TableSink.upsert]] — the

@@ -117,6 +117,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavyHittersStream accumulates MG state across micro-batches, emits on watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.heavyHittersStream(in.toDF(), "event_type", "ts", "5 minutes",
+        capacity = 8, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    try {
+      // epoch-aligned 5-min windows put the boundary at minute 1:40
+      // past ts(0) — minutes 0 and 1 share a window, minute 2 does not
+      in.addData(Event(1, 1, ts(0), "a", 1.0), Event(1, 2, ts(1), "b", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(1, 3, ts(1), "a", 1.0)) // same window, later trigger
+      q.processAllAvailable()
+      assert(spark.table("hh").count() == 0, "window must not emit while open")
+      in.addData(Event(2, 4, ts(120), "c", 1.0)) // advance watermark past window end
+      q.processAllAvailable()
+      val rows = spark.table("hh").select("item", "mg_count", "n_window")
+        .as[(String, Long, Long)].collect().toSet
+      // counts merged across the two micro-batches, exact (2 items < capacity)
+      assert(rows == Set(("a", 2L, 3L), ("b", 1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("heavyHitters over capacity: MG presence + count-bound guarantees hold") {
+    import spark.implicits._
+    // one window (every event at the same timestamp): 100x "hot" + 9
+    // singleton colds, capacity 3 → n=109, error bound n/(c+1)=27;
+    // "hot" (100 > 27) must be present with a lower-bound count in
+    // [73, 100]; summary size <= capacity
+    val events = ((1 to 100).map(i => Event(1, i.toLong, ts(1), "hot", 1.0)) ++
+      (1 to 9).map(i => Event(1, (100 + i).toLong, ts(1), s"cold$i", 1.0))).toDF()
+    val out = EventStream.heavyHittersStream(events, "event_type", "ts", "5 minutes",
+        capacity = 3).collect()
+    assert(out.forall(_.n_window == 109L), s"n_window wrong: ${out.mkString(",")}")
+    assert(out.length <= 3, s"summary exceeds capacity: ${out.length}")
+    val hot = out.find(_.item == "hot")
+    assert(hot.isDefined, s"guaranteed heavy item missing: ${out.mkString(",")}")
+    assert(hot.get.mg_count <= 100L && hot.get.mg_count >= 100L - 109L / 4,
+      s"hot count bound violated: ${hot.get.mg_count}")
+  }
+
   test("dedupStream drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
