@@ -149,10 +149,20 @@ object EventStream {
           s = MgSummary(mgAdd(s.counters, item), s.n + 1L, wend)
         }
         if (streaming) {
-          state.update(s)
-          // finalize when the watermark passes the window end
-          state.setTimeoutTimestamp(s.wendUs / 1000L)
-          Iterator.empty
+          // flatMapGroupsWithState does NOT drop late data for us: a
+          // straggler for an already-finalized window would register a
+          // timeout in the past, which THROWS and kills the query. If
+          // the watermark has passed this window's end, its state was
+          // already emitted and removed by the timeout in an earlier
+          // micro-batch (timeouts fire before the watermark advances
+          // past them), so the only correct move is to drop the rows.
+          if (s.wendUs / 1000L <= state.getCurrentWatermarkMs()) Iterator.empty
+          else {
+            state.update(s)
+            // finalize when the watermark passes the window end
+            state.setTimeoutTimestamp(s.wendUs / 1000L)
+            Iterator.empty
+          }
         } else emit(s)
       }
     }

@@ -141,6 +141,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavyHittersStream drops post-watermark stragglers without crashing or re-emitting") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.heavyHittersStream(in.toDF(), "event_type", "ts", "5 minutes",
+        capacity = 8, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hhlate").outputMode("append").start()
+    try {
+      in.addData(Event(1, 1, ts(0), "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, 2, ts(120), "c", 1.0)) // watermark past window 0 → finalize
+      q.processAllAvailable()
+      assert(spark.table("hhlate").filter($"item" === "a").count() == 1)
+      // a straggler for the finalized window: must neither throw (a
+      // past-timeout registration kills the query) nor mutate/re-emit
+      in.addData(Event(1, 3, ts(1), "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, 4, ts(240), "c", 1.0))
+      q.processAllAvailable()
+      val aRows = spark.table("hhlate").filter($"item" === "a")
+        .select("mg_count").as[Long].collect().toSeq
+      assert(aRows == Seq(1L), s"straggler re-emitted or mutated the window: $aRows")
+    } finally q.stop()
+  }
+
   test("heavyHitters over capacity: MG presence + count-bound guarantees hold") {
     import spark.implicits._
     // one window (every event at the same timestamp): 100x "hot" + 9
