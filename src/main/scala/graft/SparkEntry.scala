@@ -951,6 +951,17 @@ object SparkEntry {
       p => graft.similarity.Ann.pqTopK(emb, p, "vec_id", "embedding", 64, 5))
   }
 
+  /** C7f: IVFADC (Ann.ivfPqTopK) — coarse cells bound the scan (equi
+   * join on cell id, nProbe multiprobe) while PQ codes cut what the
+   * scanned rows cost (ADC table lookups); exact re-rank restores
+   * true-cosine order. Deterministic quantizers → the same
+   * oracle-checked recall invariant as the other ANN queries. */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    annRecallCheck(emb,
+      p => graft.similarity.Ann.ivfPqTopK(emb, p, "vec_id", "embedding", 64, 5))
+  }
+
   /** C7c: PERSISTED IVF index end-to-end — build the cell-partitioned
    * index to a scratch dir, then answer probes through
    * [[graft.similarity.Ann.ivfTopKIndexed]], whose scan is statically
@@ -1661,6 +1672,20 @@ object SparkEntry {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** D1b: HOPPING (sliding) windows — each event lands in
+   * windowLen/slide overlapping windows (here 1h/15min = 4); the same
+   * `window(ts, len, slide)` aggregate runs under streaming with
+   * watermark eviction (D1's tumbling window is the slide = len
+   * special case). Oracle replays the window replication with integer
+   * epoch-microsecond arithmetic. */
+  private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    withEventTime(t(s, dir, "events"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("win_start_us", "event_type")
+
   /** D9: streaming heavy hitters (EventStream.heavyHittersStream) run
    * in batch — per-hour Misra-Gries summaries at capacity 8. The
    * events table has 5 distinct types, so no decrement ever fires and
@@ -2095,6 +2120,7 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> qAnnIvfIndexed,
     "q_ann_ivf_append" -> qAnnIvfAppend,
     "q_ann_pq"         -> qAnnPq,
+    "q_ann_ivfpq"      -> qAnnIvfPq,
     "q_lang_id"        -> qLangId,
     "q_text_quality"   -> qTextQuality,
     "q_token_count"    -> qTokenCount,
@@ -2136,6 +2162,7 @@ object SparkEntry {
     "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
     "q_stream_topk"    -> qStreamTopk,
+    "q_sliding_window" -> qSlidingWindow,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
     "q_interval_join" -> qIntervalJoin,
     "q_stream_dedup"  -> qStreamDedup,
@@ -2366,6 +2393,12 @@ object SparkEntry {
          SELECT window_start_us, item, mg_count,
            CAST(SUM(mg_count) OVER (PARTITION BY window_start_us) AS BIGINT) AS n_window
          FROM c ORDER BY window_start_us, item""",
+    "q_sliding_window" ->
+      """WITH w AS (SELECT event_type,
+           (epoch_us(ts) // 900000000 - i) * 900000000 AS win_start_us
+           FROM events, UNNEST(range(0, 4)) AS u(i))
+         SELECT win_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+         FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
     "q_windowed_approx_distinct" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -2974,6 +3007,9 @@ object SparkEntry {
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_ann_pq" ->
+      """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_ann_ivfpq" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_approx_distinct" ->

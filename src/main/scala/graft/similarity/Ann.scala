@@ -270,6 +270,15 @@ object Ann {
       .withColumn("__r", row_number().over(wAdc))
       .filter(col("__r") <= math.max(rerank, k))
       .select("probe_id", "vec_id")
+    exactRerank(shortlist, corpus, probes, idCol, vecCol, k)
+  }
+
+  /** Exact-cosine re-rank of an approximate (probe_id, vec_id)
+   * shortlist: fetch true vectors for shortlist ids only (an ids-only
+   * shuffle of |probes| x rerank rows — never the corpus) and emit
+   * the standard (probe_id, rank, vec_id, cos) top-k. */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     shortlist
       .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")), Seq("vec_id"))
@@ -279,6 +288,48 @@ object Ann {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "vec_id", "cos")
+  }
+
+  /**
+   * IVFADC: the production composition of [[ivfTopK]] and [[pqTopK]] —
+   * the coarse quantizer bounds WHAT is scanned (each probe touches
+   * only its nProbe cells' rows, an equi join on the cell id) and the
+   * product quantizer compresses what those rows COST (m byte-codes
+   * scored by ADC table lookups instead of raw-float cosine), with the
+   * exact re-rank restoring true-cosine order over the shortlist. At
+   * 100 TB this is the shape that serves: cells prune the scan by
+   * numCells/nProbe, codes cut the scanned bytes 32x, and neither the
+   * corpus vectors nor the codes ever shuffle — only shortlist ids do.
+   */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      numCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
+      m: Int = 8, ks: Int = 16, pqIters: Int = 3, rerank: Int = 32): DataFrame = {
+    import graft.functions.expressions.{pqAdcTable, pqEncode, pqTableScore}
+    val subdim = dim / m
+    val centroids = trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters)
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, pqIters)
+    val normSq = Array.tabulate(m * ks) { i =>
+      var s = 0.0; val off = i * subdim
+      var t = 0
+      while (t < subdim) { val x = codebooks(off + t); s += x * x; t += 1 }
+      s
+    }
+    val encoded = Dedup.spread(corpus).select(col(idCol).as("vec_id"),
+      element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1).as("cell"),
+      pqEncode(col(vecCol), codebooks, m, subdim).as("codes"))
+    val pt = probes.select(col(idCol).as("probe_id"),
+      explode(nearestCentroids(col(vecCol), centroids, dim, nProbe)).as("cell"),
+      pqAdcTable(col(vecCol), codebooks, m, subdim).as("tbl"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = encoded.join(broadcast(pt), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        pqTableScore(col("codes"), col("tbl"), normSq, ks).as("adc"))
+      .withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= math.max(rerank, k))
+      .select("probe_id", "vec_id")
+    exactRerank(shortlist, corpus, probes, idCol, vecCol, k)
   }
 
   /** Query a [[buildIvfIndex]] index. Same output shape as

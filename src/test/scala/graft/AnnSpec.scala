@@ -155,6 +155,20 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: cell-pruned ADC scan + exact re-rank keeps recall on clustered data") {
+    val probes = clusteredDf.filter($"vec_id" < 8)
+    val brute = Ann.bruteForceTopK(clusteredDf, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Ann.ivfPqTopK(clusteredDf, probes, "vec_id", "embedding", 16, 5,
+      numCells = 8, nProbe = 2, kmeansIters = 5, m = 4, ks = 8)
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect gotSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ivfadc recall@5 = $recall")
+    // ranks dense 1..n per probe; scores are true cosines post re-rank
+    got.groupBy("probe_id").agg(max("rank").as("mr"), count(lit(1)).as("n"))
+      .collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
   test("appendToIvfIndex: appended vectors are findable through the frozen quantizer") {
     val path = java.nio.file.Files.createTempDirectory("ivf_app").toString
     val first = clusteredDf.filter($"vec_id" < 32)
