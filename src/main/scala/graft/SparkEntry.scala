@@ -1563,6 +1563,35 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** B51: incremental QUANTILE maintenance (Incremental
+   * .histogramPartial / quantileFromHistogram) — two date-split
+   * "daily" histograms over order cents merge by bucket-count sum
+   * (mergePartials reused verbatim) and yield the median's bucket
+   * with a declared ±width bound. Integer bucket arithmetic
+   * end-to-end: the oracle recomputes the identical histogram from
+   * the RAW rows in DuckDB, proving merge ≡ full recompute (B46
+   * pattern); the band invariant against the exact interpolated
+   * median is asserted in-query (B18 precedent). */
+  private def qIncrementalQuantile(s: SparkSession, dir: String): DataFrame = {
+    val width = 10000L // $100 buckets over order totals
+    val cents1 = t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("c"), col("o_orderdate"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    val merged = graft.operators.Incremental.mergePartials(
+      Seq(
+        graft.operators.Incremental
+          .histogramPartial(cents1.filter(col("o_orderdate") < cut), "c", width),
+        graft.operators.Incremental
+          .histogramPartial(cents1.filter(col("o_orderdate") >= cut), "c", width)),
+      Seq("bucket"), Seq("cnt" -> "sum"))
+    val med = graft.operators.Incremental.quantileFromHistogram(merged, width, 0.5)
+    val exact = cents1.agg(
+      expr("cast(floor(percentile(c, 0.5)) as bigint)").as("m"))
+    med.crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("q_lo"),
+        (col("m") >= col("q_lo") && col("m") < col("q_lo") + width).as("band_ok"))
+  }
+
   /** C26: one-pass table profile (operators/Profile.scala) — per
    * column: rows, non-nulls, exact distinct, min/max as strings.
    * Doubles are excluded from min/max rendering on purpose: float
@@ -2156,6 +2185,7 @@ object SparkEntry {
     "q_zorder_key"     -> qZorderKey,
     "q_cms_topk"       -> qCmsTopk,
     "q_incremental_agg" -> qIncrementalAgg,
+    "q_incremental_quantile" -> qIncrementalQuantile,
     "q_profile"        -> qProfile,
     "q_stratified_sample" -> qStratifiedSample,
     "q_weighted_sample" -> qWeightedSample,
@@ -2865,6 +2895,15 @@ object SparkEntry {
            CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_c,
            CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS max_total_c
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_incremental_quantile" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders),
+         h AS (SELECT c // 10000 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM h),
+         k AS (SELECT MIN(bucket) AS qb FROM
+             (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM h), t
+           WHERE cum >= GREATEST(1, CAST(ceil(0.5 * n_rows) AS BIGINT)))
+         SELECT t.n_rows, CAST(k.qb * 10000 AS BIGINT) AS q_lo, TRUE AS band_ok
+         FROM t, k""",
     "q_profile" ->
       """WITH s AS (
            SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows, COUNT(c_custkey) AS n_nonnull,

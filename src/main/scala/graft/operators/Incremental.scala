@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -39,5 +40,51 @@ object Incremental {
     parts.reduce(_ unionByName _)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Mergeable quantile partials — the missing member of the
+   * incremental family ([[mergePartials]] covers sum/count/min/max,
+   * B47's HLL sketches cover distinct counts; quantiles need their
+   * own mergeable state). The state is a fixed-width integer
+   * histogram over a LONG value column: (bucket = value div width,
+   * cnt). Histograms merge by summing bucket counts — literally
+   * `mergePartials(parts, Seq("bucket"), Seq("cnt" -> "sum"))` — so a
+   * daily refresh aggregates only the delta and the quantile error is
+   * a DECLARED bound (± width), not a sketch heuristic. Integer
+   * bucket arithmetic end-to-end: the same histogram is
+   * bit-reproducible in any engine, so merge ≡ full-recompute is
+   * oracle-checkable (unlike t-digest/GK state).
+   *
+   * Values must be non-negative: Spark's `div` truncates toward zero
+   * while SQL floor-division floors, so negative values would bucket
+   * differently cross-engine (shift into non-negative space first).
+   */
+  def histogramPartial(df: DataFrame, valueCol: String, width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    df.select(expr(s"`$valueCol` div ${width}L").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * The q-quantile's bucket from a (merged) histogram: the first
+   * bucket whose cumulative count reaches ceil(q·n). Returns one row
+   * (n_rows, q_lo) where q_lo = bucket·width is the bucket's lower
+   * edge — the exact q-quantile is guaranteed in [q_lo, q_lo+width).
+   * The cumulative window runs unpartitioned ON PURPOSE: the
+   * histogram IS the bounded sketch state (value_range/width rows,
+   * KBs by construction — width is the state-size/accuracy dial),
+   * never the data.
+   */
+  def quantileFromHistogram(hist: DataFrame, width: Long, q: Double): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    require(q > 0.0 && q <= 1.0, "q must be in (0, 1]")
+    val tot = hist.agg(sum(col("cnt")).as("n_rows"))
+    hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= greatest(lit(1L), ceil(lit(q) * col("n_rows")).cast("long")))
+      .groupBy("n_rows")
+      .agg(min(col("bucket")).as("qb"))
+      .select(col("n_rows"), (col("qb") * width).as("q_lo"))
   }
 }

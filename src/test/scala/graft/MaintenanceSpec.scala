@@ -63,6 +63,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got == Map("a" -> 1L, "b" -> 7L, "c" -> 7L))
   }
 
+  test("histogram partials merge ≡ full histogram; quantile lands in the declared band") {
+    val vals = (1L to 999L).map(v => (v, v % 3)).toDF("v", "day")
+    val width = 50L
+    val merged = Incremental.mergePartials(
+      (0L to 2L).map(d => Incremental.histogramPartial(
+        vals.filter($"day" === d), "v", width)),
+      Seq("bucket"), Seq("cnt" -> "sum"))
+    val full = Incremental.histogramPartial(vals, "v", width)
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
+      "merged daily histograms must equal the from-scratch histogram")
+    // exact median of 1..999 is 500 → bucket 10 → band [500, 550)
+    val (n, qLo) = Incremental.quantileFromHistogram(merged, width, 0.5)
+      .as[(Long, Long)].head()
+    assert(n == 999L && qLo == 500L, s"median band: n=$n q_lo=$qLo")
+    assert(500L >= qLo && 500L < qLo + width)
+    // q=1.0 must pick the last bucket; tiny q the first
+    assert(Incremental.quantileFromHistogram(full, width, 1.0)
+      .as[(Long, Long)].head()._2 == (999L / width) * width)
+    assert(Incremental.quantileFromHistogram(full, width, 0.001)
+      .as[(Long, Long)].head()._2 == 0L)
+  }
+
   // --- Profile ----------------------------------------------------------------
 
   test("scd2 collapses no-op changes and closes intervals at the next change") {
