@@ -1857,6 +1857,22 @@ object SparkEntry {
 
   /** C12: multimodal plumbing — binary payload + typed metadata,
    * per-partition batched feature extraction (stub codec; rows-only). */
+  /** C12b: frame sampling plumbing (multimodal/Media.sampleFrames) —
+   * payloads split into 64-byte frames, every 3rd kept. The framing
+   * geometry (kept count, kept bytes incl. the partial tail frame,
+   * max kept index) is EXACTLY computable from the payload length, so
+   * unlike the stubbed feature values this path gets a full SQL
+   * oracle: DuckDB recomputes the arithmetic from octet_length. */
+  private def qMediaFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Media.fromDocuments(t(s, dir, "documents"))
+    graft.multimodal.Media.sampleFrames(media, frameBytes = 64, everyN = 3)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("frame"))).as("kept_bytes"),
+        max(col("frame_idx")).as("max_idx"))
+      .orderBy("media_id")
+  }
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Media
       .extractFeatures(graft.multimodal.Media.fromDocuments(t(s, dir, "documents")))
@@ -2201,6 +2217,7 @@ object SparkEntry {
     "q_stream_enrich" -> qStreamEnrich,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
+    "q_media_frames"   -> qMediaFrames,
     "q_segment_dedup"  -> qSegmentDedup,
     "q_boilerplate"    -> qBoilerplate,
     "q_inverted_index" -> qInvertedIndex,
@@ -3033,6 +3050,19 @@ object SparkEntry {
            CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT) AS n_bytes,
            TRUE AS f0_in_range
          FROM documents ORDER BY media_id""",
+    "q_media_frames" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+           octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n FROM documents),
+         f AS (SELECT media_id, n, CAST(ceil(n / 64.0) AS BIGINT) AS total_frames
+           FROM b WHERE n > 0),
+         k AS (SELECT media_id, n, total_frames,
+           CAST(ceil(total_frames / 3.0) AS BIGINT) AS n_kept FROM f)
+         SELECT media_id, n_kept,
+           CAST(64 * (n_kept - 1) +
+             CASE WHEN (total_frames - 1) % 3 = 0
+                  THEN n - 64 * (total_frames - 1) ELSE 64 END AS BIGINT) AS kept_bytes,
+           CAST(3 * (n_kept - 1) AS BIGINT) AS max_idx
+         FROM k ORDER BY media_id""",
     "q_ann_lsh" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
