@@ -1158,6 +1158,21 @@ object SparkEntry {
       .select("source", "doc_id", "n_tok", "chunk_id", "chunk_off")
       .orderBy("source", "doc_id")
 
+  /** C19b: materialized packing (Sampling.materializePack) — the
+   * actual training sequences: per (source, chunk), documents
+   * concatenated in pack order. The chunk text is projected through
+   * md5 so the verify artifact stays small while the oracle still
+   * value-checks every byte of every concatenation (DuckDB replays
+   * the cumulative-offset assignment AND the ordered string_agg, then
+   * hashes identically). */
+  private def qPackMaterialize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .materializePack(t(s, dir, "documents"), "source", "doc_id", "text",
+        size(graft.functions.expressions.wordNgrams(col("text"), 1)), 512L)
+      .select(col("source"), col("chunk_id"), col("n_docs"), col("chunk_tok"),
+        md5(col("chunk_text").cast("binary")).as("text_md5"))
+      .orderBy("source", "chunk_id")
+
   /** C20: TF-IDF top-3 terms per document (rational idf → exact
    * cross-engine reproducibility; full oracle). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
@@ -2183,6 +2198,7 @@ object SparkEntry {
     "q_decontaminate"  -> qDecontaminate,
     "q_quota_sample"   -> qQuotaSample,
     "q_pack_sequences" -> qPackSequences,
+    "q_pack_materialize" -> qPackMaterialize,
     "q_tfidf"          -> qTfidf,
     "q_length_hist"    -> qLengthHist,
     "q_funnel"         -> qFunnel,
@@ -2739,6 +2755,17 @@ object SparkEntry {
          SELECT source, doc_id, n_tok, CAST(prev // 512 AS BIGINT) AS chunk_id,
            CAST(prev % 512 AS BIGINT) AS chunk_off
          FROM c ORDER BY source, doc_id""",
+    "q_pack_materialize" ->
+      """WITH t AS (SELECT source, doc_id, text,
+           CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS chunk_id FROM t)
+         SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS chunk_tok,
+           md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_md5
+         FROM c GROUP BY 1, 2 ORDER BY source, chunk_id""",
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id,
            unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '')) AS term

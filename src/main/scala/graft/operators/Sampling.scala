@@ -168,4 +168,32 @@ object Sampling {
       .withColumn("chunk_off", col("__prev") % budget)
       .drop("__prev")
   }
+
+  /**
+   * Materialized packing: one row per (shard, chunk) with the chunk's
+   * documents CONCATENATED in pack order — the step that turns
+   * [[packSequences]]' chunk assignment into the actual training
+   * sequences a data loader reads. Emits (shardCol, chunk_id,
+   * n_docs, chunk_tok, chunk_text).
+   *
+   * Scale shape: the [[packSequences]] window (one shuffle per shard
+   * group) followed by ONE (shard, chunk) aggregate; document text
+   * moves exactly once, into its chunk's reassembly, and chunks are
+   * budget-bounded by construction so no aggregate row can exceed
+   * ~budget tokens of text. Order within a chunk is restored by
+   * `sort_array` over (id, text) structs — builtin ordering, no
+   * interpreted comparator lambda (the C27 reassembly pattern).
+   */
+  def materializePack(df: DataFrame, shardCol: String, idCol: String,
+      textCol: String, tokens: Column, budget: Long): DataFrame =
+    packSequences(df, shardCol, idCol, tokens, budget)
+      .groupBy(col(shardCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("chunk_tok"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          " ").as("chunk_text"))
 }

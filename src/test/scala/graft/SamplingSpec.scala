@@ -103,4 +103,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L),
       (4L, 0L, 0L), (5L, 1L, 88L)))
   }
+
+  test("materializePack concatenates each chunk's documents in id order") {
+    val df = Seq(
+      ("s1", 2L, "beta", 300L), ("s1", 1L, "alpha", 300L), ("s1", 3L, "gamma", 100L),
+      ("s2", 4L, "delta", 600L)).toDF("shard", "id", "txt", "toks")
+    val got = Sampling.materializePack(df, "shard", "id", "txt", col("toks"), 512L)
+      .select("shard", "chunk_id", "n_docs", "chunk_tok", "chunk_text")
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    // s1 chunk 0 = docs 1+2 (ids sorted, not input order); chunk 1 = doc 3
+    assert(got == Set(
+      ("s1", 0L, 2L, 600L, "alpha beta"),
+      ("s1", 1L, 1L, 100L, "gamma"),
+      ("s2", 0L, 1L, 600L, "delta")))
+  }
 }
