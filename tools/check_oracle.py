@@ -5,7 +5,7 @@ sort columns by name + rows by all columns, and compare values.
 
 Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir>
 """
-import json, math, sys
+import hashlib, json, math, os, sys
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -22,6 +22,26 @@ def norm(rows, cols):
     out = [tuple(canon(r[i]) for i in order) for r in rows]
     out.sort()
     return [c for c in sorted(cols)], out
+
+def check_sidecar(sfdir, outdir, name):
+    """Cross-check the artifact against the _meta.json sidecar Verify
+    wrote: byte-identical parquet parts + matching sf_dir prove the
+    compared artifact is exactly what Verify produced this run (a
+    mismatch = stale/swapped artifact, the r7/r8 false-negative class)."""
+    meta_path = os.path.join(outdir, name, "_meta.json")
+    if not os.path.exists(meta_path):
+        return "no-sidecar"
+    meta = json.load(open(meta_path))
+    if os.path.normpath(meta.get("sf_dir", "")) != os.path.normpath(sfdir):
+        return f"SF-MISMATCH sidecar={meta.get('sf_dir')} compare={sfdir}"
+    for fname, want in meta.get("files", {}).items():
+        p = os.path.join(outdir, name, fname)
+        if not os.path.exists(p):
+            return f"MISSING-PART {fname}"
+        got = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        if got != want:
+            return f"BYTES-CHANGED {fname}"
+    return "ok"
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -46,7 +66,12 @@ def main(sfdir, outdir):
             bad = [(i, a, b) for i, (a, b) in enumerate(zip(orn, grn)) if a != b]
             if bad:
                 i, a, b = bad[0]
-                print(f"FAIL {name}: {len(bad)}/{len(orn)} rows differ; first at {i}:\n  oracle={a}\n  got   ={b}")
+                sc = check_sidecar(sfdir, outdir, name)
+                print(f"FAIL {name}: {len(bad)}/{len(orn)} rows differ; first at {i}:\n  oracle={a}\n  got   ={b}\n  sidecar={sc}")
+                n_fail += 1; continue
+            sc = check_sidecar(sfdir, outdir, name)
+            if sc not in ("ok", "no-sidecar"):
+                print(f"FAIL {name}: values match but sidecar says {sc} (stale/foreign artifact)")
                 n_fail += 1; continue
             print(f"PASS {name} ({len(orn)} rows)"); n_pass += 1
         except Exception as e:
