@@ -962,46 +962,37 @@ object SparkEntry {
       p => graft.similarity.Ann.ivfPqTopK(emb, p, "vec_id", "embedding", 64, 5))
   }
 
+  /** Scratch-rooted persisted-index path + complete-build probe
+   * (ADVICE r8: CWD-independent, one shutdown hook for the whole
+   * scratch root instead of per-call hooks; a configured durable
+   * `spark.graft.scratchDir` makes reuse across applications the
+   * build-once/query-many serving shape, with staleness-vs-corpus the
+   * rebuild cadence the deployment owns). The existence probe goes
+   * through the Hadoop FS API so a remote scratch scheme (HDFS/object
+   * store) resolves the same way the writes do. `_graft_centroids` is
+   * written LAST by every builder, so its _SUCCESS marks a complete
+   * build; re-executions (bench warmup + timed pass) then measure the
+   * probe path through the persisted index — rebuilding an unchanged
+   * index every execution would time redundant I/O, not the operator. */
+  private def withBuiltIndex(s: SparkSession, dir: String, prefix: String)(
+      build: String => Unit): String = {
+    val idx = s"${graft.Scratch.root(s)}/${prefix}_${new java.io.File(dir).getName}"
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/_graft_centroids/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) build(idx)
+    idx
+  }
+
   /** C7c: PERSISTED IVF index end-to-end — build the cell-partitioned
    * index to a scratch dir, then answer probes through
    * [[graft.similarity.Ann.ivfTopKIndexed]], whose scan is statically
    * pruned to the probes' multiprobe cells (AnnSpec asserts the
    * partition count on the physical scan). Same oracle-checked recall
    * invariant as q_ann_ivf. */
-  private def deleteTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-    f.delete(): Unit
-  }
-
   private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    // applicationId suffix: two concurrent runs against the same sf dir
-    // (overlapping bench/verify) must not race overwrite-vs-read on a
-    // shared index path
-    val idx = sys.props("user.dir") +
-      s"/target/ivf_index_${new java.io.File(dir).getName}_${s.sparkContext.applicationId}"
-    // Build once per session (the path is unique to this application,
-    // so an existing index is ours and current; _graft_centroids is
-    // written LAST, so its _SUCCESS marks a complete build). Index
-    // maintenance is the write-once half of the operator; re-executions
-    // (bench warmup + timed pass) measure the probe path through the
-    // persisted index — rebuilding an unchanged index on every
-    // execution would time redundant I/O, not the operator.
-    if (!new java.io.File(s"$idx/_graft_centroids/_SUCCESS").exists()) {
-      graft.similarity.Ann.buildIvfIndex(emb, "vec_id", "embedding", 64, idx)
-      // The index is scratch state owned by this application: delete it
-      // on JVM exit so repeated bench/verify/test runs don't accumulate
-      // corpus-sized parquet under target/. Siblings left by crashed
-      // applications (shutdown hook never ran) are pruned once they're
-      // a day old — a live concurrent run is minutes old, never a day.
-      val own = new java.io.File(idx)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(own)))
-      val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
-      Option(own.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith("ivf_index_") && f != own && f.lastModified() < dayAgo)
-          deleteTree(f)
-      }
-    }
+    val idx = withBuiltIndex(s, dir, "ivf_index")(
+      graft.similarity.Ann.buildIvfIndex(emb, "vec_id", "embedding", 64, _))
     annRecallCheck(emb,
       p => graft.similarity.Ann.ivfTopKIndexed(idx, p, "vec_id", "embedding", 64, 5))
   }
@@ -1015,26 +1006,43 @@ object SparkEntry {
    * appended half must be as findable as the built half. */
   private def qAnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = sys.props("user.dir") +
-      s"/target/ivf_append_${new java.io.File(dir).getName}_${s.sparkContext.applicationId}"
-    if (!new java.io.File(s"$idx/_graft_centroids/_SUCCESS").exists()) {
+    val idx = withBuiltIndex(s, dir, "ivf_append") { p =>
       // bounded driver scalar, same class as the build's centroid train
       val mid = emb.agg(((min("vec_id") + max("vec_id")) / 2).cast("long"))
         .head().getLong(0)
       graft.similarity.Ann.buildIvfIndex(
-        emb.filter(col("vec_id") <= mid), "vec_id", "embedding", 64, idx)
-      graft.similarity.Ann.appendToIvfIndex(idx,
+        emb.filter(col("vec_id") <= mid), "vec_id", "embedding", 64, p)
+      graft.similarity.Ann.appendToIvfIndex(p,
         emb.filter(col("vec_id") > mid), "vec_id", "embedding", 64)
-      val own = new java.io.File(idx)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(own)))
-      val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
-      Option(own.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith("ivf_append_") && f != own && f.lastModified() < dayAgo)
-          deleteTree(f)
-      }
     }
     annRecallCheck(emb,
       p => graft.similarity.Ann.ivfTopKIndexed(idx, p, "vec_id", "embedding", 64, 5))
+  }
+
+  /** C7g: the persisted-IVFADC serving composition — [[graft
+   * .similarity.Ann.buildIvfPqIndex]] once (coarse cells + PQ codes
+   * stored cell-partitioned, quantizers alongside), then [[graft
+   * .similarity.Ann.ivfPqTopKIndexed]] per probe set: stored-quantizer
+   * ADC scan over statically-pruned cells reading codes only, exact
+   * re-rank from the same cells. Closes the r8 structure gap where
+   * q_ann_ivfpq retrained both quantizers inside the query. Same
+   * oracle-checked recall invariant as q_ann_ivf_indexed. The second
+   * half of the corpus arrives via [[graft.similarity.Ann
+   * .appendToIvfPqIndex]] through FROZEN quantizers, so the recall
+   * gate also proves appended vectors are as findable as built ones
+   * (C7d parity for the compressed index). */
+  private def qAnnIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = withBuiltIndex(s, dir, "ivfpq_index") { p =>
+      val mid = emb.agg(((min("vec_id") + max("vec_id")) / 2).cast("long"))
+        .head().getLong(0)
+      graft.similarity.Ann.buildIvfPqIndex(
+        emb.filter(col("vec_id") <= mid), "vec_id", "embedding", 64, p)
+      graft.similarity.Ann.appendToIvfPqIndex(p,
+        emb.filter(col("vec_id") > mid), "vec_id", "embedding", 64)
+    }
+    annRecallCheck(emb,
+      p => graft.similarity.Ann.ivfPqTopKIndexed(idx, p, "vec_id", "embedding", 64, 5))
   }
 
   /** C8: heuristic language ID — per-doc predictions, hash-checked
@@ -2178,6 +2186,7 @@ object SparkEntry {
     "q_ann_lsh"        -> qAnnLsh,
     "q_ann_ivf"        -> qAnnIvf,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed,
+    "q_ann_ivfpq_indexed" -> qAnnIvfPqIndexed,
     "q_ann_ivf_append" -> qAnnIvfAppend,
     "q_ann_pq"         -> qAnnPq,
     "q_ann_ivfpq"      -> qAnnIvfPq,
@@ -3100,6 +3109,9 @@ object SparkEntry {
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_ann_ivf_append" ->
+      """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_ann_ivfpq_indexed" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_ann_pq" ->

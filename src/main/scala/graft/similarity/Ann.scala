@@ -332,6 +332,130 @@ object Ann {
     exactRerank(shortlist, corpus, probes, idCol, vecCol, k)
   }
 
+  /**
+   * Persist an IVFADC index: the build-once half of [[ivfPqTopK]].
+   * Corpus rows are written partitioned by coarse cell with their PQ
+   * codes ALONGSIDE the raw vectors — parquet is columnar, so the ADC
+   * scan reads only (id, codes, cell) and never deserializes the
+   * vector column, while the exact re-rank fetches true vectors from
+   * the same pruned cell partitions. Codebooks persist as
+   * (j, code, t, value) rows, making the index self-describing (m, ks,
+   * subdim recover from the key space — a flat array would lose m,
+   * since m·ks·subdim = ks·dim for every m). `_graft_centroids` is
+   * written LAST so its _SUCCESS marks a complete build, and the
+   * stored-column layout is a superset of [[buildIvfIndex]]'s — a
+   * plain [[ivfTopKIndexed]] query runs unchanged against an IVFADC
+   * index.
+   */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, path: String, numCells: Int = 16, kmeansIters: Int = 3,
+      m: Int = 8, ks: Int = 16, pqIters: Int = 3): Unit = {
+    import graft.functions.expressions.pqEncode
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subdim = dim / m
+    val centroids = trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters)
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, pqIters)
+    Dedup.spread(corpus)
+      .withColumn("cell", element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1))
+      .withColumn("_graft_codes", pqEncode(col(vecCol), codebooks, m, subdim))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    codebooks.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      val j = i / (ks * subdim); val rem = i % (ks * subdim)
+      (j, rem / subdim, rem % subdim, v)
+    }.toDF("j", "code", "t", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_codebooks")
+    centroids.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_centroids")
+  }
+
+  /** Frozen quantizers read back from a [[buildIvfPqIndex]] index:
+   * (centroids, codebooks, m, ks, subdim). Bounded driver collects —
+   * numCells·dim + m·ks·subdim doubles regardless of corpus size. */
+  private def readIvfPqQuantizers(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Double], Array[Double], Int, Int, Int) = {
+    val centroids = spark.read.parquet(s"$path/_graft_centroids")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val cbRows = spark.read.parquet(s"$path/_graft_codebooks")
+      .select("j", "code", "t", "value").collect()
+    val m = cbRows.iterator.map(_.getInt(0)).max + 1
+    val ks = cbRows.iterator.map(_.getInt(1)).max + 1
+    val subdim = cbRows.iterator.map(_.getInt(2)).max + 1
+    val codebooks = new Array[Double](m * ks * subdim)
+    cbRows.foreach { r =>
+      codebooks((r.getInt(0) * ks + r.getInt(1)) * subdim + r.getInt(2)) = r.getDouble(3)
+    }
+    (centroids, codebooks, m, ks, subdim)
+  }
+
+  /**
+   * Append new vectors to a [[buildIvfPqIndex]] index through the
+   * FROZEN coarse quantizer AND frozen PQ codebooks — one narrow
+   * codegen'd assign+encode pass, then a cell-partitioned parquet
+   * append. Exact parity with [[appendToIvfIndex]]: no retrain means
+   * existing partitions and codes stay valid and queries stay
+   * consistent across appends; codebook drift is an offline rebuild
+   * decision, never an ingest-path one.
+   */
+  def appendToIvfPqIndex(path: String, newVecs: DataFrame, idCol: String,
+      vecCol: String, dim: Int): Unit = {
+    import graft.functions.expressions.pqEncode
+    val spark = newVecs.sparkSession
+    val (centroids, codebooks, m, _, subdim) = readIvfPqQuantizers(spark, path)
+    require(m * subdim == dim, s"index at $path encodes dim ${m * subdim}, got $dim")
+    Dedup.spread(newVecs)
+      .withColumn("cell", element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1))
+      .withColumn("_graft_codes", pqEncode(col(vecCol), codebooks, m, subdim))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /**
+   * Query a [[buildIvfPqIndex]] index: the query-many half of the
+   * IVFADC serving shape. Reads the stored quantizers (no training in
+   * the query path — the structural gap [[ivfPqTopK]] documents), lists
+   * the probes' multiprobe cells driver-side for STATIC partition
+   * pruning, ADC-scores only (vec_id, codes) from those cells — the
+   * raw-vector column is never read during the scan — and exact-reranks
+   * the ids-only shortlist against true vectors fetched from the same
+   * pruned cells. Same output shape as [[bruteForceTopK]].
+   */
+  def ivfPqTopKIndexed(path: String, probes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      nProbe: Int = 4, rerank: Int = 32): DataFrame = {
+    import graft.functions.expressions.{pqAdcTable, pqTableScore}
+    val spark = probes.sparkSession
+    val (centroids, codebooks, m, ks, subdim) = readIvfPqQuantizers(spark, path)
+    require(m * subdim == dim, s"index at $path encodes dim ${m * subdim}, got $dim")
+    val normSq = Array.tabulate(m * ks) { i =>
+      var s = 0.0; val off = i * subdim
+      var t = 0
+      while (t < subdim) { val x = codebooks(off + t); s += x * x; t += 1 }
+      s
+    }
+    val p = probes.select(col(idCol).as("probe_id"),
+      explode(nearestCentroids(col(vecCol), centroids, dim, nProbe)).as("cell"),
+      pqAdcTable(col(vecCol), codebooks, m, subdim).as("tbl"))
+    // static pruning: list the needed cells driver-side (probe sets are
+    // small by contract) so both scans plan only those partitions
+    val cells = p.select("cell").distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idCol).as("vec_id"), col("_graft_codes").as("codes"), col("cell"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(p), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        pqTableScore(col("codes"), col("tbl"), normSq, ks).as("adc"))
+      .withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= math.max(rerank, k))
+      .select("probe_id", "vec_id")
+    val cellVecs = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idCol), col(vecCol))
+    exactRerank(shortlist, cellVecs, probes, idCol, vecCol, k)
+  }
+
   /** Query a [[buildIvfIndex]] index. Same output shape as
    * [[bruteForceTopK]]; reads only the probes' multiprobe cells. */
   def ivfTopKIndexed(path: String, probes: DataFrame, idCol: String,

@@ -178,6 +178,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pq scan must broadcast the probe table, not cartesian:\n$pq")
   }
 
+  test("IVFADC composition plans cell equi-join + ids-only shortlist (round 9)") {
+    // q_ann_ivfpq was the heaviest bench query of r8: unlike q_ann_pq
+    // (whose full-corpus ADC scan broadcasts the probe table), the
+    // coarse cells make every join an EQUI join on the cell id — no
+    // cartesian and no nested loop anywhere in the composition.
+    for (name <- Seq("q_ann_ivfpq", "q_ann_ivfpq_indexed")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      // the ONE nested loop is the recall harness's exact baseline
+      // (bruteForceTopK's tiny-probe crossJoin(broadcast)); the IVFADC
+      // composition itself must contribute zero
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 1,
+        s"$name: $bnlj nested loops — the composition must join corpus " +
+          s"to probes on the cell id only:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name must broadcast the probe side of the cell join:\n$p")
+    }
+    // The indexed variant's ADC scan must read codes, never the raw
+    // vector column — reading embeddings during the scan forfeits the
+    // 32x byte cut that makes the compressed index worth serving. The
+    // vector column may appear ONLY in the exact re-rank's scan.
+    val idxPlan = plan("q_ann_ivfpq_indexed")
+    val adcScans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(idxPlan).map(_.group(1))
+      .filter(_.contains("_graft_codes")).toSeq
+    assert(adcScans.nonEmpty, s"indexed ADC scan not found:\n$idxPlan")
+    adcScans.foreach { s =>
+      assert(!s.contains("embedding"),
+        s"ADC scan must not deserialize raw vectors: $s")
+    }
+  }
+
   test("scans are column-pruned to what the query projects") {
     val schemas = "ReadSchema: struct<([^>]*)>".r
     def readCols(p: String): Seq[String] =
