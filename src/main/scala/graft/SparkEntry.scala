@@ -1751,6 +1751,19 @@ object SparkEntry {
       .toDF()
       .orderBy("window_start_us", "item")
 
+  /** D9b: the weighted-MG pre-reduced path ([[graft.streaming
+   * .EventStream.heavyHittersWeightedStream]]) over the same input —
+   * the per-partition (window, item) → weight combine that removes the
+   * one-task-per-window throughput ceiling. Below capacity the summary
+   * is exact regardless of path, so the SAME plain windowed GROUP BY
+   * count oracle proves the pre-reduction changes nothing. */
+  private def qStreamTopkWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .heavyHittersWeightedStream(withEventTime(t(s, dir, "events")),
+        "event_type", "ts", "1 hour", capacity = 8)
+      .toDF()
+      .orderBy("window_start_us", "item")
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -1876,6 +1889,30 @@ object SparkEntry {
     graft.streaming.EventStream.enrichStream(ev, dim, "user_id", "c_custkey")
       .select(col("event_id"), col("user_id"), col("c_mktsegment"))
       .orderBy("event_id")
+  }
+
+  /** D6 (batch side of the unified API): keyed upsert sink — the same
+   * [[graft.sinks.TableSink.upsert]] the streaming `upsertSink` calls
+   * once per trigger, driven over a deterministic 3-batch delta
+   * sequence (batch b carries keys with o_orderkey%4 ∈ {b, 3}, so the
+   * %4==3 keys are UPDATED twice and everything else inserts once).
+   * The final serving table must equal a MERGE replay: last writer
+   * wins per key, no row lost, no row duplicated. The sequence is
+   * idempotent, so a bench re-execution over the surviving scratch
+   * table converges to the same state. */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("base_cents"))
+    val path = s"${graft.Scratch.root(s)}/upsert_${new java.io.File(dir).getName}"
+    for (b <- 0 to 2) {
+      val delta = orders
+        .filter(col("o_orderkey") % 4 === b || col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"),
+          (col("base_cents") + b).as("upd_cents"),
+          lit(b.toLong).as("src_batch"))
+      graft.sinks.TableSink.upsert(s, path, delta, Seq("o_orderkey"))
+    }
+    s.read.parquet(path).orderBy("o_orderkey")
   }
 
   /** C12: multimodal plumbing — binary payload + typed metadata,
@@ -2233,6 +2270,7 @@ object SparkEntry {
     "q_approx_percentile" -> qApproxPercentile,
     "q_hourly_events"  -> qHourlyEvents,
     "q_stream_topk"    -> qStreamTopk,
+    "q_stream_topk_weighted" -> qStreamTopkWeighted,
     "q_sliding_window" -> qSlidingWindow,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
     "q_interval_join" -> qIntervalJoin,
@@ -2240,6 +2278,7 @@ object SparkEntry {
     "q_salted_join"   -> qSaltedJoin,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_stream_enrich" -> qStreamEnrich,
+    "q_upsert"        -> qUpsert,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_media_frames"   -> qMediaFrames,
@@ -2465,6 +2504,13 @@ object SparkEntry {
          SELECT window_start_us, item, mg_count,
            CAST(SUM(mg_count) OVER (PARTITION BY window_start_us) AS BIGINT) AS n_window
          FROM c ORDER BY window_start_us, item""",
+    "q_stream_topk_weighted" ->
+      """WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type AS item, CAST(COUNT(*) AS BIGINT) AS mg_count
+           FROM events GROUP BY 1, 2)
+         SELECT window_start_us, item, mg_count,
+           CAST(SUM(mg_count) OVER (PARTITION BY window_start_us) AS BIGINT) AS n_window
+         FROM c ORDER BY window_start_us, item""",
     "q_sliding_window" ->
       """WITH w AS (SELECT event_type,
            (epoch_us(ts) // 900000000 - i) * 900000000 AS win_start_us
@@ -2512,6 +2558,22 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, c.c_mktsegment
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+    // MERGE replay: batch b carries keys o_orderkey%4 IN (b, 3); last
+    // writer wins per key = the max-batch row for that key.
+    "q_upsert" ->
+      """WITH d AS (SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS base_cents,
+             o_orderkey % 4 AS r
+           FROM orders),
+         batches AS (
+           SELECT 0 AS b, o_orderkey, base_cents FROM d WHERE r IN (0, 3)
+           UNION ALL SELECT 1, o_orderkey, base_cents FROM d WHERE r IN (1, 3)
+           UNION ALL SELECT 2, o_orderkey, base_cents FROM d WHERE r IN (2, 3)),
+         last AS (SELECT o_orderkey, MAX(b) AS b FROM batches GROUP BY o_orderkey)
+         SELECT t.o_orderkey, t.base_cents + t.b AS upd_cents,
+           CAST(t.b AS BIGINT) AS src_batch
+         FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
+         ORDER BY t.o_orderkey""",
     "q_top_ngrams" ->
       """WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
                        FROM documents),

@@ -106,35 +106,112 @@ object EventStream {
    * watermark passes the window end (event-time timeout), append
    * mode. Batch: the same operator sees each window exactly once and
    * emits its summary directly. Scale note: one window = one state
-   * group; a per-trigger pre-reduction into (item, weight) pairs
-   * (weighted MG) is the throughput lever if a single window's
-   * arrival rate outgrows one task, at the cost of a second stateful
-   * shuffle — not needed at the tested scales. */
+   * group; [[heavyHittersWeightedStream]] is the throughput lever
+   * when a single window's arrival rate outgrows one task. */
   def heavyHittersStream(events: DataFrame, keyCol: String = "event_type",
       tsCol: String = "ts", windowLen: String = "1 hour",
       capacity: Int = 8, watermark: String = "10 minutes"): Dataset[HeavyHitter] = {
     require(capacity > 0, "capacity must be positive")
     import events.sparkSession.implicits._
-    val streaming = events.isStreaming
     // the raw watermarked ts attribute must survive into the stateful
     // operator's input — event-time timeout is rejected otherwise
-    // (unix_micros projections strip the watermark metadata)
+    // (unix_micros projections strip the watermark metadata). weight
+    // stays a DECLARATIVE lit(1) column for the same reason: a typed
+    // .map would strip the metadata too.
     val rows = events
       .withWatermark(tsCol, watermark) // no-op in batch
       .select(window(col(tsCol), windowLen).as("w"),
         col(keyCol).cast("string").as("item"), col(tsCol).as("ts"))
       .select(unix_micros(col("w.start")).as("wstart"),
+        unix_micros(col("w.end")).as("wend"), col("item"),
+        lit(1L).as("weight"), col("ts"))
+      .as[(Long, Long, String, Long, java.sql.Timestamp)]
+    heavyHittersCore(rows, events.isStreaming, capacity)
+  }
+
+  /**
+   * [[heavyHittersStream]] with a stateless per-trigger pre-reduction:
+   * each input partition first collapses its rows to (window, item) →
+   * weight pairs (a map-side combine, bounded-memory via chunking),
+   * so the stateful shuffle into the one-task-per-window state group
+   * carries at most partitions x distinct-items rows per trigger
+   * instead of every event — the throughput lever for a hot window at
+   * 100 TB/day arrival rates. The combine strips watermark metadata,
+   * so the reduced rows re-anchor the watermark on their per-chunk MAX
+   * event time: the per-trigger maximum is preserved, so the global
+   * watermark advances exactly as in the raw path. Weighted MG
+   * ([[mgAddWeighted]]) keeps the summary guarantee, and below
+   * capacity the result is bit-identical to the unweighted path
+   * (StreamingSpec asserts both).
+   */
+  def heavyHittersWeightedStream(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", windowLen: String = "1 hour",
+      capacity: Int = 8, watermark: String = "10 minutes",
+      combineChunk: Int = 1 << 18): Dataset[HeavyHitter] = {
+    require(capacity > 0, "capacity must be positive")
+    require(combineChunk > 0, "combineChunk must be positive")
+    import events.sparkSession.implicits._
+    // NO watermark before the combine — window assignment is a pure
+    // projection, and streaming rejects redefining a watermark
+    // downstream; the single watermark goes on the reduced rows below
+    val raw = events
+      .select(window(col(tsCol), windowLen).as("w"),
+        col(keyCol).cast("string").as("item"), col(tsCol).as("ts"))
+      .select(unix_micros(col("w.start")).as("wstart"),
         unix_micros(col("w.end")).as("wend"), col("item"), col("ts"))
       .as[(Long, Long, String, java.sql.Timestamp)]
+    // chunked combine: the buffer never exceeds combineChunk entries,
+    // so per-partition memory stays bounded on adversarial cardinality;
+    // duplicate (window, item) pairs across chunks simply merge in the
+    // stateful operator downstream
+    val reduced = raw.mapPartitions { it =>
+      it.grouped(combineChunk).flatMap { chunk =>
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[(Long, Long, String), (Long, java.sql.Timestamp)]
+        chunk.foreach { case (ws, we, item, ts) =>
+          acc.updateWith((ws, we, item)) {
+            case Some((n, mx)) => Some((n + 1L, if (ts.after(mx)) ts else mx))
+            case None          => Some((1L, ts))
+          }
+        }
+        acc.iterator.map { case ((ws, we, item), (n, mx)) => (ws, we, item, n, mx) }
+      }
+    }
+    val rows = reduced.toDF("wstart", "wend", "item", "weight", "ts")
+      // the one watermark of the query, anchored on the combine's max
+      // event time per pair — the per-trigger max is preserved, so it
+      // advances exactly as the raw path's would (no-op in batch)
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, Long, java.sql.Timestamp)]
+    heavyHittersCore(rows, events.isStreaming, capacity)
+  }
 
-    def mgAdd(m: Map[String, Long], item: String): Map[String, Long] =
-      if (m.contains(item)) m.updated(item, m(item) + 1L)
-      else if (m.size < capacity) m.updated(item, 1L)
-      // full: decrement every counter instead of inserting (the
-      // arriving item is absorbed by the global decrement)
-      else m.flatMap { case (k, v) => if (v > 1L) Some(k -> (v - 1L)) else None }
+  /** Weighted Misra-Gries add — the (item, weight) generalization
+   * shared by the raw (weight 1) and pre-reduced paths. On a full
+   * summary one uniform-decrement round absorbs d = min(w, smallest
+   * counter): at least capacity+1 logical items lose d mass, so total
+   * undercount stays ≤ totalWeight/(capacity+1), every item with true
+   * weight above that bound is present, and reported counts are lower
+   * bounds within it. Below capacity no decrement ever fires and the
+   * summary is EXACT — identical for both paths. */
+  private def mgAddWeighted(m: Map[String, Long], item: String, w: Long,
+      capacity: Int): Map[String, Long] =
+    if (w <= 0L) m
+    else if (m.contains(item)) m.updated(item, m(item) + w)
+    else if (m.size < capacity) m.updated(item, w)
+    else {
+      val d = math.min(w, m.valuesIterator.min)
+      val dec = m.flatMap { case (k, v) => if (v > d) Some(k -> (v - d)) else None }
+      // w > d means d equalled the smallest counter, which the
+      // decrement just removed — a slot is free by construction
+      if (w > d) dec.updated(item, w - d) else dec
+    }
 
-    def fn(wstart: Long, batch: Iterator[(Long, Long, String, java.sql.Timestamp)],
+  private def heavyHittersCore(
+      rows: Dataset[(Long, Long, String, Long, java.sql.Timestamp)],
+      streaming: Boolean, capacity: Int): Dataset[HeavyHitter] = {
+    import rows.sparkSession.implicits._
+    def fn(wstart: Long, batch: Iterator[(Long, Long, String, Long, java.sql.Timestamp)],
         state: GroupState[MgSummary]): Iterator[HeavyHitter] = {
       def emit(s: MgSummary): Iterator[HeavyHitter] =
         s.counters.toSeq.sortBy { case (k, v) => (-v, k) }
@@ -145,8 +222,8 @@ object EventStream {
         out
       } else {
         var s = state.getOption.getOrElse(MgSummary(Map.empty, 0L, 0L))
-        batch.foreach { case (_, wend, item, _) =>
-          s = MgSummary(mgAdd(s.counters, item), s.n + 1L, wend)
+        batch.foreach { case (_, wend, item, w, _) =>
+          s = MgSummary(mgAddWeighted(s.counters, item, w, capacity), s.n + w, wend)
         }
         if (streaming) {
           // flatMapGroupsWithState does NOT drop late data for us: a

@@ -184,6 +184,66 @@ class StreamingSpec extends AnyFunSuite {
       s"hot count bound violated: ${hot.get.mg_count}")
   }
 
+  test("weighted MG pre-reduction equals the unweighted path below capacity") {
+    import spark.implicits._
+    // multi-partition input with repeats so the per-partition combine
+    // genuinely collapses rows; below capacity both paths are exact
+    val events = (1 to 300).map { i =>
+      Event(1, i.toLong, ts(i % 3), s"t${i % 5}", 1.0)
+    }.toDF().repartition(7)
+    def collect(d: org.apache.spark.sql.Dataset[graft.streaming.HeavyHitter]) =
+      d.collect().map(h => (h.window_start_us, h.item, h.mg_count, h.n_window)).toSet
+    val raw = collect(EventStream.heavyHittersStream(
+      events, "event_type", "ts", "5 minutes", capacity = 8))
+    val pre = collect(EventStream.heavyHittersWeightedStream(
+      events, "event_type", "ts", "5 minutes", capacity = 8))
+    assert(pre == raw, s"pre-reduced path diverged:\npre=$pre\nraw=$raw")
+    // and chunked combine (chunk smaller than the partition) merges
+    // duplicate pairs downstream without changing the result
+    val chunked = collect(EventStream.heavyHittersWeightedStream(
+      events, "event_type", "ts", "5 minutes", capacity = 8, combineChunk = 16))
+    assert(chunked == raw, s"chunked combine diverged:\n$chunked\n$raw")
+  }
+
+  test("weighted MG over capacity keeps the presence + count-bound guarantees") {
+    import spark.implicits._
+    val events = ((1 to 100).map(i => Event(1, i.toLong, ts(1), "hot", 1.0)) ++
+      (1 to 9).map(i => Event(1, (100 + i).toLong, ts(1), s"cold$i", 1.0))).toDF()
+      .repartition(5)
+    val out = EventStream.heavyHittersWeightedStream(events, "event_type", "ts",
+      "5 minutes", capacity = 3).collect()
+    assert(out.forall(_.n_window == 109L), s"n_window wrong: ${out.mkString(",")}")
+    assert(out.length <= 3, s"summary exceeds capacity: ${out.length}")
+    val hot = out.find(_.item == "hot")
+    assert(hot.isDefined, s"guaranteed heavy item missing: ${out.mkString(",")}")
+    assert(hot.get.mg_count <= 100L && hot.get.mg_count >= 100L - 109L / 4,
+      s"hot count bound violated: ${hot.get.mg_count}")
+  }
+
+  test("weighted MG accumulates across micro-batches and emits on watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.heavyHittersWeightedStream(in.toDF(), "event_type", "ts",
+        "5 minutes", capacity = 8, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hhw").outputMode("append").start()
+    try {
+      in.addData(Event(1, 1, ts(0), "a", 1.0), Event(1, 2, ts(1), "b", 1.0),
+        Event(1, 3, ts(1), "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(1, 4, ts(1), "a", 1.0)) // same window, later trigger
+      q.processAllAvailable()
+      assert(spark.table("hhw").count() == 0, "window must not emit while open")
+      in.addData(Event(2, 5, ts(120), "c", 1.0)) // advance watermark past window end
+      q.processAllAvailable()
+      val rows = spark.table("hhw").select("item", "mg_count", "n_window")
+        .as[(String, Long, Long)].collect().toSet
+      // the trigger-1 pre-reduction collapses the two "a" rows into one
+      // weight-2 pair; counts still merge exactly across micro-batches
+      assert(rows == Set(("a", 3L, 4L), ("b", 1L, 4L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
