@@ -82,6 +82,40 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_chunks"), sum(size(col("items"))).cast("long").as("n_items"))
       .orderBy("o_orderkey")
 
+  /** A11: schema conformance (Relational.conformToSchema — the
+   * reference's transformToTableRows) driven end-to-end: a
+   * SchemaBuilder-built target schema projects the nested
+   * orders+items frame, exercising all three conformance paths at
+   * once — a field absent from the input (`audit_note`) becomes a
+   * typed null, the repeated record narrows element-wise to a
+   * 2-field struct (Spark rejects subset-struct casts, so this is
+   * the transform() path), and the 4-item nesting limit splits
+   * overflow rows. The oracle replays the chunk geometry from raw
+   * lineitem rows: chunks are contiguous l_linenumber-sorted slices,
+   * so (count, min, sum) of each chunk's linenumbers pins every
+   * split row. */
+  private def qConform(s: SparkSession, dir: String): DataFrame = {
+    val itemRecord = graft.schema.SchemaBuilder.create()
+      .intField("l_linenumber")
+      .doubleField("l_quantity")
+      .repeatedRecord("items")
+    val target = graft.schema.SchemaBuilder.create()
+      .intField("o_orderkey")
+      .stringField("o_orderstatus")
+      .stringField("audit_note") // not in the input → typed null
+      .field(itemRecord)
+      .schema()
+    val nested = Relational.nest(t(s, dir, "orders"), t(s, dir, "lineitem"),
+      "o_orderkey", "l_orderkey", "items", inner = true,
+      sortChildBy = Seq("l_linenumber"))
+    Relational.conformToSchema(nested, target, nestingLimit = 4)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("audit_note"),
+        size(col("items")).cast("long").as("n_in_chunk"),
+        element_at(col("items.l_linenumber"), 1).as("first_ln"),
+        aggregate(col("items.l_linenumber"), lit(0L), (a, x) => a + x).as("sum_ln"))
+      .orderBy("o_orderkey", "first_ln")
+  }
+
   /** A7: BQETLSimple — flat denormalized wide table. */
   private def qFlatDenorm(s: SparkSession, dir: String): DataFrame =
     Denorm.flatDenorm(s, dir)
@@ -1600,16 +1634,21 @@ object SparkEntry {
     val cents1 = t(s, dir, "orders")
       .select(cents(col("o_totalprice")).as("c"), col("o_orderdate"))
     val cut = lit("1998-01-01").cast("timestamp")
-    val merged = graft.operators.Incremental.mergePartials(
-      Seq(
-        graft.operators.Incremental
-          .histogramPartial(cents1.filter(col("o_orderdate") < cut), "c", width),
-        graft.operators.Incremental
-          .histogramPartial(cents1.filter(col("o_orderdate") >= cut), "c", width)),
-      Seq("bucket"), Seq("cnt" -> "sum"))
+    val merged = graft.operators.Incremental.mergeHistograms(Seq(
+      graft.operators.Incremental
+        .histogramPartial(cents1.filter(col("o_orderdate") < cut), "c", width),
+      graft.operators.Incremental
+        .histogramPartial(cents1.filter(col("o_orderdate") >= cut), "c", width)))
     val med = graft.operators.Incremental.quantileFromHistogram(merged, width, 0.5)
+    // band check against the RANK-based exact median (the ceil(n/2)-th
+    // order statistic, percentile_disc) — the same definition
+    // quantileFromHistogram's cum >= ceil(q*n) rank selects, so the
+    // chosen bucket contains it BY CONSTRUCTION at any row count. The
+    // previously-used interpolated percentile averages the two middle
+    // order statistics on even n, which can straddle a bucket edge and
+    // fail the gate on correct data (ADVICE r8).
     val exact = cents1.agg(
-      expr("cast(floor(percentile(c, 0.5)) as bigint)").as("m"))
+      expr("percentile_disc(0.5) within group (order by c)").cast("long").as("m"))
     med.crossJoin(broadcast(exact))
       .select(col("n_rows"), col("q_lo"),
         (col("m") >= col("q_lo") && col("m") < col("q_lo") + width).as("band_ok"))
@@ -2167,6 +2206,7 @@ object SparkEntry {
     "q_lookup_replace" -> qLookupReplace,
     "q_nest"           -> qNest,
     "q_nest_chunked"   -> qNestChunked,
+    "q_conform"        -> qConform,
     "q_flat_denorm"    -> qFlatDenorm,
     "q_nested_denorm"  -> qNestedDenorm,
     "q_scan_filter"    -> qScanFilter,
@@ -2323,6 +2363,21 @@ object SparkEntry {
          CAST(CEIL(COUNT(*) / 5.0) AS BIGINT) AS n_chunks,
          CAST(COUNT(*) AS BIGINT) AS n_items
          FROM lineitem GROUP BY l_orderkey ORDER BY o_orderkey""",
+    // chunk replay: chunks are contiguous slices of the
+    // l_linenumber-sorted items at limit 4
+    "q_conform" ->
+      """WITH x AS (SELECT l_orderkey, l_linenumber,
+             (ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1) // 4 AS chunk
+           FROM lineitem),
+         c AS (SELECT l_orderkey AS o_orderkey, chunk,
+             CAST(COUNT(*) AS BIGINT) AS n_in_chunk,
+             CAST(MIN(l_linenumber) AS BIGINT) AS first_ln,
+             CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+           FROM x GROUP BY 1, 2)
+         SELECT c.o_orderkey, o.o_orderstatus, CAST(NULL AS VARCHAR) AS audit_note,
+           c.n_in_chunk, c.first_ln, c.sum_ln
+         FROM c JOIN orders o ON c.o_orderkey = o.o_orderkey
+         ORDER BY c.o_orderkey, c.first_ln""",
     "q_flat_denorm" ->
       """SELECT c_custkey, c_name,
          COALESCE(n_name, CAST(customer.c_nationkey AS VARCHAR)) AS c_nationkey,

@@ -62,8 +62,37 @@ object Incremental {
    */
   def histogramPartial(df: DataFrame, valueCol: String, width: Long): DataFrame = {
     require(width > 0, "bucket width must be positive")
+    // the width travels WITH the state: partials built at different
+    // widths share bucket ids but mean different value ranges, and a
+    // blind bucket-sum merge would silently mis-bucket — the
+    // operational mistake a daily pipeline eventually makes when a
+    // config change lands mid-history. mergeHistograms refuses loudly.
     df.select(expr(s"`$valueCol` div ${width}L").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("width", lit(width))
+  }
+
+  /** Merge width-stamped histogram partials. Same-width agreement is
+   * enforced INSIDE the merge job (a declarative raise_error over the
+   * KB-sized merged state — no extra action, so nothing rescans the
+   * fact table): mixed widths fail the job, never mis-bucket. */
+  def mergeHistograms(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one histogram partial")
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    parts.reduce(_ unionByName _)
+      .groupBy("bucket")
+      .agg(sum(col("cnt")).as("cnt"),
+        min(col("width")).as("__wlo"), max(col("width")).as("__whi"))
+      .withColumn("__glo", min(col("__wlo")).over(wAll))
+      .withColumn("__ghi", max(col("__whi")).over(wAll))
+      .select(col("bucket"),
+        when(col("__glo") === col("__ghi"), col("cnt"))
+          .otherwise(raise_error(format_string(
+            "refusing to merge histograms of mixed widths %d and %d: " +
+              "same-width partials required (rebuild the narrower side)",
+            col("__glo"), col("__ghi")))).as("cnt"),
+        col("__glo").as("width"))
   }
 
   /**
@@ -79,8 +108,17 @@ object Incremental {
   def quantileFromHistogram(hist: DataFrame, width: Long, q: Double): DataFrame = {
     require(width > 0, "bucket width must be positive")
     require(q > 0.0 && q <= 1.0, "q must be in (0, 1]")
-    val tot = hist.agg(sum(col("cnt")).as("n_rows"))
-    hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+    // a width-stamped histogram must agree with the caller's width —
+    // q_lo = bucket·width is silently wrong otherwise (declarative
+    // guard, same zero-extra-action shape as mergeHistograms)
+    val checked =
+      if (!hist.columns.contains("width")) hist
+      else hist.withColumn("cnt",
+        when(col("width") === lit(width), col("cnt"))
+          .otherwise(raise_error(format_string(
+            s"histogram width %d != requested width $width", col("width")))))
+    val tot = checked.agg(sum(col("cnt")).as("n_rows"))
+    checked.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))))
       .crossJoin(broadcast(tot))
       .filter(col("cum") >= greatest(lit(1L), ceil(lit(q) * col("n_rows")).cast("long")))
       .groupBy("n_rows")

@@ -68,18 +68,31 @@ object Profile {
    * flag, not localize. One full outer join on the key; each side
    * carries only (key, row-hash), so at 100 TB the shuffle is
    * key+8-byte rows, never the payload. Keys must be unique per side
-   * (enforce upstream or pre-aggregate); the row hash is the same
-   * ':'-joined md5 rendering as [[tableChecksum]].
+   * (enforce upstream or pre-aggregate).
+   *
+   * Row hash (ADVICE r8 hardening): full 64-bit xxhash64 — not a
+   * truncated 32-bit md5 prefix (a ~2^-32 collision classified a
+   * changed row `unchanged`; 2^-64 is migration-audit grade) — over a
+   * PREFIX-FREE field rendering: null → `N;`, value v →
+   * `V<len>:<v>`. Length-prefixing makes the concatenation
+   * unambiguous (":" inside values cannot shift field boundaries)
+   * and null is distinct from the empty string (`N;` vs `V0:`).
+   * Both sides hash inside the same query, so the engine-specific
+   * xxhash64 is fine here; [[tableChecksum]] keeps portable md5 for
+   * its cross-engine use.
    */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty,
       "need key and compare columns")
     def hashed(df: DataFrame, h: String): DataFrame = {
-      val rendered = compareCols.map(c => coalesce(col(c).cast("string"), lit("")))
+      val rendered = compareCols.map { c =>
+        val s = col(c).cast("string")
+        when(s.isNull, lit("N;"))
+          .otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
+      }
       df.select((keyCols.map(col) :+
-        conv(substring(md5(concat_ws(":", rendered: _*)), 1, 8), 16, 10)
-          .cast("long").as(h)): _*)
+        xxhash64(concat(rendered: _*)).as(h)): _*)
     }
     hashed(oldDf, "__h_old").join(hashed(newDf, "__h_new"), keyCols, "full_outer")
       .select((keyCols.map(col) :+

@@ -66,10 +66,9 @@ class MaintenanceSpec extends AnyFunSuite {
   test("histogram partials merge ≡ full histogram; quantile lands in the declared band") {
     val vals = (1L to 999L).map(v => (v, v % 3)).toDF("v", "day")
     val width = 50L
-    val merged = Incremental.mergePartials(
+    val merged = Incremental.mergeHistograms(
       (0L to 2L).map(d => Incremental.histogramPartial(
-        vals.filter($"day" === d), "v", width)),
-      Seq("bucket"), Seq("cnt" -> "sum"))
+        vals.filter($"day" === d), "v", width)))
     val full = Incremental.histogramPartial(vals, "v", width)
     assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
       "merged daily histograms must equal the from-scratch histogram")
@@ -83,6 +82,24 @@ class MaintenanceSpec extends AnyFunSuite {
       .as[(Long, Long)].head()._2 == (999L / width) * width)
     assert(Incremental.quantileFromHistogram(full, width, 0.001)
       .as[(Long, Long)].head()._2 == 0L)
+  }
+
+  test("merging histograms built at different widths fails loudly") {
+    val vals = (1L to 200L).map(v => (v, v % 2)).toDF("v", "day")
+    val mixed = Incremental.mergeHistograms(Seq(
+      Incremental.histogramPartial(vals.filter($"day" === 0L), "v", 50L),
+      Incremental.histogramPartial(vals.filter($"day" === 1L), "v", 25L)))
+    val e = intercept[Exception](mixed.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mixed widths")),
+      s"expected the mixed-width refusal, got: $e")
+    // and a width-stamped histogram refuses a mismatched quantile width
+    val h = Incremental.histogramPartial(vals, "v", 50L)
+    val e2 = intercept[Exception](
+      Incremental.quantileFromHistogram(h, 25L, 0.5).collect())
+    assert(msgs(e2).exists(_.contains("!= requested width")),
+      s"expected the width-mismatch refusal, got: $e2")
   }
 
   // --- Profile ----------------------------------------------------------------
@@ -141,6 +158,20 @@ class MaintenanceSpec extends AnyFunSuite {
       3L -> "removed",   // old only
       4L -> "unchanged", // NULL on both sides must not read as changed
       5L -> "added"))    // new only
+  }
+
+  test("snapshotDiff rendering is prefix-free: null != empty, ':' cannot shift fields") {
+    // the ADVICE-r8 ambiguity classes: (null) vs ('') in one column,
+    // and values whose ':' content realigns under a joined rendering —
+    // ("a:", "b") vs ("a", ":b") — must all classify as changed
+    val old = Seq((1L, Option.empty[String], Some("x")),
+      (2L, Some("a:"), Some("b"))).toDF("id", "u", "v")
+    val nw = Seq((1L, Some(""), Some("x")),
+      (2L, Some("a"), Some(":b"))).toDF("id", "u", "v")
+    val got = Profile.snapshotDiff(old, nw, Seq("id"), Seq("u", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed"),
+      s"ambiguous renderings must not collide: $got")
   }
 
   test("record linkage pairs only within blocks, verifies by edit distance") {
