@@ -173,6 +173,33 @@ object ScaleProbe {
     time(s"ann pq over ${n}x corpus") {
       Ann.pqTopK(bigEmb, bigEmb.filter(col("vec_id") < 3), "vec_id", "embedding", 64, 5).count()
     }
+    // Composed IVFADC at 20×: both quantizer trainings + encode +
+    // cell-pruned ADC scan + exact re-rank end-to-end, under the same
+    // drift gate the dedup paths carry. Mass replication is the ANN
+    // worst case — every vector ties with 19 identical twins, so any
+    // nondeterministic tie-break or candidate loss in the composition
+    // surfaces as a recall drop. Gate: every probe's top-5 must hit
+    // >= 2 of the exact top-5 (the q_ann_ivfpq oracle bound), with
+    // (score desc, vec_id) total orders on both sides.
+    val probes20 = bigEmb.filter(pmod(col("vec_id"), lit(n)) === 0 && col("vec_id") < 3L * n)
+    val exact20 = Ann.bruteForceTopK(bigEmb, probes20, "vec_id", "embedding", 5)
+      .select(col("probe_id"), col("vec_id"))
+    // NOT timedRun: ivfPqTopK trains both quantizers EAGERLY at plan
+    // construction (bounded driver collects), so the timer must wrap
+    // construction + execution or the training cost escapes it
+    val approx20 = time(s"ann ivfpq over ${n}x corpus") {
+      val d = Ann.ivfPqTopK(bigEmb, probes20, "vec_id", "embedding", 64, 5)
+      d.write.mode("overwrite").format("noop").save()
+      d
+    }
+    val lowRecall = exact20
+      .join(approx20.select(col("probe_id").as("p"), col("vec_id").as("v")),
+        col("probe_id") === col("p") && col("vec_id") === col("v"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") < 2).count()
+    require(lowRecall == 0,
+      s"ivfpq recall drifted under ${n}x replication: $lowRecall probes below 2/5")
+    println(s"SCALE ivfpq recall: all probes >= 2/5 at ${n}x (drift 0)")
 
     // connected components on adversarial shapes: a single 200k-node
     // path (worst-case diameter — stresses the O(log²) round bound)
