@@ -186,4 +186,41 @@ class AnnSpec extends AnyFunSuite {
     // results MUST include appended ids (the clusters span both halves)
     assert(got.exists(_._2 >= 32L), s"no appended vector ever returned: $got")
   }
+
+  test("persisted IVFADC index: pruned code-only ADC scan, recall, frozen append") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val half = clusteredDf.filter($"vec_id" < 32)
+    val rest = clusteredDf.filter($"vec_id" >= 32)
+    Ann.buildIvfPqIndex(half, "vec_id", "embedding", 16, path,
+      numCells = 8, kmeansIters = 5, m = 4, ks = 8)
+    Ann.appendToIvfPqIndex(path, rest, "vec_id", "embedding", 16)
+    val probes = clusteredDf.filter($"vec_id" < 8)
+    val result = Ann.ivfPqTopKIndexed(path, probes, "vec_id", "embedding", 16, 5,
+      nProbe = 2)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"index scans must prune on the cell partition column:\n$plan")
+    val brute = Ann.bruteForceTopK(clusteredDf, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = result.collect()
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect gotSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"indexed ivfadc recall@5 = $recall")
+    // appended ids must surface through the FROZEN quantizers
+    assert(gotSet.exists(_._2 >= 32L), s"no appended vector ever returned: $gotSet")
+    // ranks dense 1..n per probe; scores are true cosines post re-rank
+    result.groupBy("probe_id").agg(max("rank").as("mr"), count(lit(1)).as("n"))
+      .collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    got.foreach { r =>
+      assert(r.getDouble(3) <= 1.0 + 1e-9 && r.getDouble(3) >= -1.0 - 1e-9)
+    }
+    // the stored layout is a SUPERSET of the plain IVF index: the
+    // uncompressed query path must run unchanged against it with the
+    // same recall (the migration story between the two index kinds)
+    val plain = Ann.ivfTopKIndexed(path, probes, "vec_id", "embedding", 16, 5,
+        nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val plainRecall = (brute intersect plain).size.toDouble / brute.size
+    assert(plainRecall >= 0.8, s"plain query over IVFADC index: recall $plainRecall")
+  }
 }
