@@ -1185,6 +1185,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C17b: Bloom-accelerated decontamination ([[graft.text
+   * .Decontaminate.markContaminatedBig]]) — the many-benchmark regime
+   * where the gram set no longer broadcasts: bloom-prune the corpus
+   * gram stream at the scan, exact-confirm over the pruned slice with
+   * a shuffle join. Bloom false positives die in the exact join, so
+   * the row shares q_decontaminate's oracle verbatim — the driver
+   * hash-compare IS the equivalence gate. */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Decontaminate.markContaminatedBig(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
   /** C18: per-language quota sampling by deterministic hash order. */
   private def qQuotaSample(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling
@@ -2282,6 +2298,7 @@ object SparkEntry {
     "q_pii_redact"     -> qPiiRedact,
     "q_domain_stats"   -> qDomainStats,
     "q_decontaminate"  -> qDecontaminate,
+    "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_quota_sample"   -> qQuotaSample,
     "q_pack_sequences" -> qPackSequences,
     "q_pack_materialize" -> qPackMaterialize,
@@ -2853,6 +2870,22 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
          FROM raw GROUP BY domain ORDER BY domain""",
     "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, array_to_string(ts[i : i + 3], ' ') AS gram
+               FROM toks, UNNEST(range(1, len(ts) - 2)) AS u(i)),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         hits AS (SELECT t.doc_id, CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_hit_grams
+                  FROM (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0) t
+                  JOIN bench USING (gram) GROUP BY t.doc_id)
+         SELECT d.doc_id, COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+           COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
+    // same oracle as q_decontaminate: the bloom pre-filter must be
+    // output-invisible (false positives die in the exact confirm join)
+    "q_decontaminate_bloom" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
            FROM documents),

@@ -43,4 +43,44 @@ object Decontaminate {
         coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
+
+  /**
+   * [[markContaminated]] for the MANY-benchmark regime, where the
+   * combined gram set no longer broadcasts (dozens of eval suites ×
+   * millions of grams): a Bloom filter over the benchmark gram hashes
+   * (MBs regardless of gram count, built map-side partial —
+   * [[graft.operators.BloomJoin.buildFilter]]) prunes the corpus gram
+   * stream AT THE SCAN, and the exact confirmation is a SHUFFLE
+   * left-semi join (shuffle_hash-hinted: this path exists precisely
+   * because the bench side is too big to broadcast) that only ever
+   * sees the pruned slice — true hits plus ~fpp of the non-matching
+   * grams — instead of every gram of a 100 TB corpus. Bloom false
+   * positives die in the exact join, so the output is row-identical
+   * to [[markContaminated]] (the q_decontaminate_bloom row shares its
+   * oracle).
+   */
+  def markContaminatedBig(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      expectedGrams: Long = 1L << 20,
+      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    def grams(df: DataFrame, out: String) = df.select(
+      col(out),
+      explode(graft.functions.expressions.wordNgrams(col(textCol), n)).as("__g"))
+      .select(col(out), xxhash64(col("__g")).as("__gh"))
+    val benchGrams = grams(bench.select(col(idCol).as("__bench_id"), col(textCol)),
+      "__bench_id").select("__gh").distinct()
+    val bf = graft.operators.BloomJoin.buildFilter(
+      benchGrams, "__gh", expectedGrams, numBits)
+    val candidates = grams(train.select(col(idCol).as("__id"), col(textCol)), "__id")
+      .filter(graft.operators.BloomJoin.mightContain(bf, col("__gh")))
+    val hits = candidates
+      .join(benchGrams.hint("shuffle_hash"), Seq("__gh"), "left_semi")
+      .groupBy("__id")
+      .agg(count_distinct(col("__gh")).as("n_hit_grams"))
+    train.select(col(idCol))
+      .join(hits, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
 }

@@ -211,6 +211,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination probes at the scan and confirms via shuffle join (round 9)") {
+    val p = plan("q_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      s"corpus gram stream must be bloom-pruned at the scan:\n$p")
+    // the exact confirm is the too-big-to-broadcast regime by
+    // definition — the gram-hash semi join must shuffle, not broadcast
+    assert(p.contains("ShuffledHashJoin"),
+      s"confirm join must be a shuffle join (shuffle_hash hint lost?):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom decontamination must stay equi-join only:\n$p")
+  }
+
   test("scans are column-pruned to what the query projects") {
     val schemas = "ReadSchema: struct<([^>]*)>".r
     def readCols(p: String): Seq[String] =
