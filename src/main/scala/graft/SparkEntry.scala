@@ -2621,9 +2621,14 @@ object SparkEntry {
                FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
          SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys
          FROM d GROUP BY status ORDER BY status""",
+    // CAST the outer SUM: DuckDB widens SUM(BIGINT) to HUGEINT, and a
+    // compare that loads results via pandas renders int128 as float64 —
+    // every value mismatches while rows/schema agree. This (with
+    // q_date_spine) was the r7/r8 driver-red signature: the only two
+    // oracles emitting HUGEINT, and the only two red rows.
     "q_salted_join" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_stream_enrich" ->
@@ -3423,9 +3428,10 @@ object SparkEntry {
            MAX(ts_us) + 1800000000 AS session_end_us,
            CAST(COUNT(*) AS BIGINT) AS n_events
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
+    // CAST the SUM out of HUGEINT — see q_salted_join's comment.
     "q_date_spine" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
            FROM orders GROUP BY 1),
          b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
          spine AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)

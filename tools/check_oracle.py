@@ -48,9 +48,23 @@ def main(sfdir, outdir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Types the driver's compare renders identically to Spark's parquet
+    # output regardless of fetch path (fetchall vs pandas). DuckDB
+    # silently widens SUM(BIGINT) to HUGEINT, which pandas renders as
+    # float64 -> every value hash-mismatches while rows/schema agree;
+    # that was the r7/r8 q_salted_join + q_date_spine false-negative
+    # signature. Failing here catches the class at dev time.
+    PORTABLE = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+                "TIMESTAMP", "TIMESTAMP_NS", "INTEGER"}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            exotic = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()
+                      if r[1] not in PORTABLE]
+            if exotic:
+                print(f"FAIL {name}: oracle emits non-portable types {exotic} "
+                      f"(wrap in CAST — HUGEINT et al. diverge under pandas loading)")
+                n_fail += 1; continue
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
