@@ -1201,6 +1201,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C17c: SPAN-level decontamination ([[graft.text.Decontaminate
+   * .exciseContaminated]]) — cut exactly the benchmark-overlapping
+   * token spans, keep the document. Full string-space oracle: DuckDB
+   * replays the same whitespace tokenization, gram-start hits,
+   * [i, i+n) cover merge, and ordered token rebuild, so clean_text is
+   * hash-compared byte-for-byte. */
+  private def qDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Decontaminate.exciseContaminated(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
   /** C18: per-language quota sampling by deterministic hash order. */
   private def qQuotaSample(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling
@@ -2299,6 +2314,7 @@ object SparkEntry {
     "q_domain_stats"   -> qDomainStats,
     "q_decontaminate"  -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_decontaminate_spans" -> qDecontaminateSpans,
     "q_quota_sample"   -> qQuotaSample,
     "q_pack_sequences" -> qPackSequences,
     "q_pack_materialize" -> qPackMaterialize,
@@ -2904,6 +2920,31 @@ object SparkEntry {
            COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
+    // span replay: 1-based gram start i covers tokens i..i+3; kept
+    // tokens rebuild in order; untouched docs keep their RAW text
+    "q_decontaminate_spans" ->
+      """WITH tr AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
+           FROM documents WHERE doc_id % 97 <> 0),
+         be AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
+           FROM documents WHERE doc_id % 97 = 0),
+         bg AS (SELECT DISTINCT array_to_string(ts[i : i + 3], ' ') AS gram
+           FROM be, UNNEST(range(1, len(ts) - 2)) AS u(i)),
+         hits AS (SELECT t.doc_id, u.i FROM tr t, UNNEST(range(1, len(ts) - 2)) AS u(i)
+           WHERE array_to_string(ts[i : i + 3], ' ') IN (SELECT gram FROM bg)),
+         cov AS (SELECT DISTINCT doc_id, i + j AS k FROM hits, UNNEST(range(0, 4)) AS v(j)),
+         kept AS (SELECT t.doc_id, string_agg(t.ts[u.k], ' ' ORDER BY u.k) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM tr t, UNNEST(range(1, len(ts) + 1)) AS u(k)
+           WHERE t.doc_id IN (SELECT doc_id FROM hits)
+             AND NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.k = u.k)
+           GROUP BY t.doc_id)
+         SELECT t.doc_id,
+           CASE WHEN t.doc_id IN (SELECT doc_id FROM hits)
+                THEN COALESCE(k.clean_text, '') ELSE t.text END AS clean_text,
+           CAST(CASE WHEN t.doc_id IN (SELECT doc_id FROM hits)
+                THEN len(t.ts) - COALESCE(k.n_kept, 0) ELSE 0 END AS BIGINT) AS n_removed
+         FROM tr t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""",
     "q_quota_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang, row_number() OVER (

@@ -42,6 +42,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> (1L, true), 2L -> (0L, false), 3L -> (0L, false)))
   }
 
+  test("exciseContaminated cuts hit spans, merges overlaps, keeps clean docs raw") {
+    val train = Seq(
+      // one hit: 3-gram "alpha beta gamma" at token 1 → tokens 1..3 cut
+      (1L, "intro alpha beta gamma outro tail"),
+      // two OVERLAPPING hits (grams at 0 and 1) → tokens 0..3 cut once
+      (2L, "alpha beta gamma epsilon rest"),
+      // clean doc: original text preserved verbatim (odd spacing intact)
+      (3L, "x  y\tz"),
+      // fully covered doc → empty text, all tokens counted removed
+      (4L, "alpha beta gamma")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma"), (101L, "beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.exciseContaminated(train, bench, "doc_id", "text", 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ("intro outro tail", 3L),
+      2L -> ("rest", 4L),
+      3L -> ("x  y\tz", 0L),
+      4L -> ("", 3L)), s"got $got")
+  }
+
   test("tfidf ranks rarer terms above common ones at equal tf") {
     val docs = Seq(
       (1L, "common rare1"),
