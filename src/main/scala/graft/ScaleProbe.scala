@@ -97,6 +97,27 @@ object ScaleProbe {
     require(deconDrift == 0, s"decontaminate drifted under ${n}x replication: $deconDrift rows")
     println(s"SCALE decontaminate: ${deconN.filter(col("contaminated")).count()} contaminated of ${bigTrain.count()} (drift 0)")
 
+    // Span excision at 20×: like decontaminate, excision is a
+    // per-document property (the benchmark gram set is replica-blind),
+    // so every replica must rebuild exactly its original's
+    // (clean_text, n_removed) — drift means the cover merge or the
+    // ordered rebuild broke under mass duplication.
+    val spansN = timedRun(s"exciseContaminated ${n}x") {
+      graft.text.Decontaminate.exciseContaminated(bigTrain, bench, "doc_id", "text", n = 4)
+    }
+    val spans0 = graft.text.Decontaminate
+      .exciseContaminated(train0, bench, "doc_id", "text", n = 4)
+      .select(col("doc_id").as("orig_id"), col("clean_text").as("ct0"),
+        col("n_removed").as("nr0"))
+    val spansDrift = spansN
+      .select((col("doc_id") / n).cast("long").as("orig_id"),
+        col("clean_text"), col("n_removed"))
+      .join(spans0, Seq("orig_id"))
+      .filter(col("clean_text") =!= col("ct0") || col("n_removed") =!= col("nr0"))
+      .count()
+    require(spansDrift == 0, s"span excision drifted under ${n}x replication: $spansDrift rows")
+    println(s"SCALE span excision: ${spans0.filter(col("nr0") > 0).count()} docs cut (drift 0)")
+
     // Segment dedup at 20×: every segment now occurs in 20 distinct
     // docs (worst-case duplicated-hash-set size — the dup side of the
     // join is the WHOLE segment space), so every chunk of every doc
