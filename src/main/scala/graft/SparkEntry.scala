@@ -1685,6 +1685,30 @@ object SparkEntry {
         (col("m") >= col("q_lo") && col("m") < col("q_lo") + width).as("band_ok"))
   }
 
+  /** B52: robust outlier detection via median absolute deviation —
+   * the heavy-tail-safe alternative to z-scores (mean/stddev are
+   * themselves dragged by the outliers they're meant to find). All
+   * integer-cents arithmetic with RANK-based medians
+   * (percentile_disc = the ceil(q·n)-th order statistic, identical
+   * in Spark and DuckDB incl. even-count ties), so med, MAD, and the
+   * 5-MAD outlier count are bit-exact cross-engine. Three scans by
+   * construction (med → |x−med| median → threshold count), each a
+   * full-scan aggregate with a 1-row broadcast — no shuffle grows
+   * with data. */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "orders").select(cents(col("o_totalprice")).as("c"))
+    val med = c.agg(
+      expr("percentile_disc(0.5) within group (order by c)").cast("long").as("med"))
+    val dev = c.crossJoin(broadcast(med))
+      .select(abs(col("c") - col("med")).as("ad"), col("med"))
+    val mad = dev.groupBy("med").agg(
+      expr("percentile_disc(0.5) within group (order by ad)").cast("long").as("mad"))
+    dev.crossJoin(broadcast(mad.select("mad")))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(col("ad") > col("mad") * 5L, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** C26: one-pass table profile (operators/Profile.scala) — per
    * column: rows, non-nulls, exact distinct, min/max as strings.
    * Doubles are excluded from min/max rendering on purpose: float
@@ -2368,6 +2392,7 @@ object SparkEntry {
     "q_table_checksum" -> qTableChecksum,
     "q_record_linkage" -> qRecordLinkage,
     "q_winsorize"      -> qWinsorize,
+    "q_mad_outliers"   -> qMadOutliers,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3543,5 +3568,17 @@ object SparkEntry {
            CAST(SUM(CASE WHEN c.c < p.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
            CAST(SUM(CASE WHEN c.c > p.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
          FROM c, p""",
+    // rank-based medians: quantile_disc ≡ Spark percentile_disc (the
+    // ceil(q·n)-th order statistic, even-count ties included)
+    "q_mad_outliers" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders),
+         m AS (SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS med FROM c),
+         d AS (SELECT ABS(c.c - m.med) AS ad, m.med FROM c, m),
+         md AS (SELECT CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad FROM d)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ANY_VALUE(d.med) AS BIGINT) AS med,
+           CAST(ANY_VALUE(md.mad) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN d.ad > 5 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d, md""",
   )
 }
