@@ -24,7 +24,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_clusters" -> plan("q_dedup_clusters"),
     "q_flat_denorm" -> plan("q_flat_denorm"),
     "q_cc_sessions" -> plan("q_cc_sessions"),
-    "q_tfidf" -> plan("q_tfidf"))
+    "q_tfidf" -> plan("q_tfidf"),
+    // round 9: nest + lockstep chunk + element-wise narrowing — the
+    // heaviest new query of the round
+    "q_conform" -> plan("q_conform"))
 
   test("no cartesian product on any heavy production query") {
     heavy.foreach { case (name, p) =>
