@@ -213,11 +213,17 @@ object ScaleProbe {
       d.write.mode("overwrite").format("noop").save()
       d
     }
-    val lowRecall = exact20
+    // Left-join from the probe set (the annRecallCheck shape): a probe
+    // with ZERO approx hits must still produce a row — grouping only
+    // semi-join survivors would render total candidate loss (the exact
+    // failure mode this gate exists to catch) invisible.
+    val hits20 = exact20
       .join(approx20.select(col("probe_id").as("p"), col("vec_id").as("v")),
         col("probe_id") === col("p") && col("vec_id") === col("v"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") < 2).count()
+    val lowRecall = probes20.select(col("vec_id").as("probe_id"))
+      .join(hits20, Seq("probe_id"), "left")
+      .filter(coalesce(col("n_hit"), lit(0L)) < 2).count()
     require(lowRecall == 0,
       s"ivfpq recall drifted under ${n}x replication: $lowRecall probes below 2/5")
     println(s"SCALE ivfpq recall: all probes >= 2/5 at ${n}x (drift 0)")

@@ -143,6 +143,21 @@ object EventStream {
    * ([[mgAddWeighted]]) keeps the summary guarantee, and below
    * capacity the result is bit-identical to the unweighted path
    * (StreamingSpec asserts both).
+   *
+   * LATE-DATA GRANULARITY (documented semantic, pinned by
+   * StreamingSpec): the raw path drops each late event individually —
+   * Spark's pre-stateful watermark filter sees every event's own
+   * timestamp. Here the filter sees the merged pair's MAX timestamp,
+   * so a late event that shares a (window, item) pair with an on-time
+   * event in the same partition chunk rides in with it; only pairs
+   * whose every constituent event is late are dropped. The leak is
+   * bounded: it can only occur within a single trigger (chunks never
+   * span triggers), only for weight below the watermark whose window
+   * is still open, and it only moves counts TOWARD the exact
+   * (drop-nothing) answer — the MG guarantee is unaffected, and the
+   * divergence from [[heavyHittersStream]] exists only under late
+   * arrivals. Callers needing per-event drop parity under heavy late
+   * traffic should use the raw path (or shrink the watermark delay).
    */
   def heavyHittersWeightedStream(events: DataFrame, keyCol: String = "event_type",
       tsCol: String = "ts", windowLen: String = "1 hour",

@@ -244,6 +244,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("weighted pre-reduction coarsens late-drop to pair granularity (documented)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // Pins the LATE-DATA GRANULARITY semantic documented on
+    // heavyHittersWeightedStream: the raw path's pre-stateful filter
+    // drops each late event by its OWN timestamp, while the combine
+    // stamps a merged (window, item) pair with the pair's MAX event
+    // time — a late event sharing a pair with an on-time event in the
+    // same trigger rides in with it (toward the drop-nothing answer).
+    def run(weighted: Boolean, name: String): Set[(String, Long, Long)] = {
+      val in = MemoryStream[Event]
+      val ds =
+        if (weighted)
+          EventStream.heavyHittersWeightedStream(in.toDF(), "event_type", "ts",
+            "1 hour", capacity = 8, watermark = "10 minutes")
+        else
+          EventStream.heavyHittersStream(in.toDF(), "event_type", "ts",
+            "1 hour", capacity = 8, watermark = "10 minutes")
+      val q = ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(Event(1, 1, ts(20), "a", 1.0))
+        q.processAllAvailable() // watermark advances to minute 10
+        // one trigger, one partition chunk: a late "a" (minute 5 < wm)
+        // plus an on-time "a" (minute 21) — same epoch-hour window
+        in.addData(Event(1, 2, ts(5), "a", 1.0), Event(1, 3, ts(21), "a", 1.0))
+        q.processAllAvailable()
+        in.addData(Event(2, 4, ts(120), "c", 1.0)) // close the window
+        q.processAllAvailable()
+        spark.table(name).select("item", "mg_count", "n_window")
+          .as[(String, Long, Long)].collect().toSet.filter(_._1 == "a")
+      } finally q.stop()
+    }
+    assert(run(weighted = false, "hh_late_raw") == Set(("a", 2L, 2L)),
+      "raw path must drop the late event individually")
+    assert(run(weighted = true, "hh_late_wtd") == Set(("a", 3L, 3L)),
+      "weighted path admits the late event merged with an on-time pair " +
+        "(the documented chunk-granularity leak)")
+  }
+
   test("dedupStream drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

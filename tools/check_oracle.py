@@ -34,6 +34,16 @@ def check_sidecar(sfdir, outdir, name):
     meta = json.load(open(meta_path))
     if os.path.normpath(meta.get("sf_dir", "")) != os.path.normpath(sfdir):
         return f"SF-MISMATCH sidecar={meta.get('sf_dir')} compare={sfdir}"
+    # The compare reads the directory's *.parquet glob, so the sidecar
+    # must account for every file the glob sees — extra parts dropped
+    # into the dir after Verify would otherwise pass the per-file hash
+    # loop (which only iterates the sidecar's keys) yet feed the compare.
+    actual = {f for f in os.listdir(os.path.join(outdir, name))
+              if f.endswith(".parquet")}
+    listed = set(meta.get("files", {}).keys())
+    if actual != listed:
+        return (f"FILE-SET-MISMATCH extra={sorted(actual - listed)} "
+                f"missing={sorted(listed - actual)}")
     for fname, want in meta.get("files", {}).items():
         p = os.path.join(outdir, name, fname)
         if not os.path.exists(p):
