@@ -2180,6 +2180,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** FLAGSHIP COMPOSITION (round 10): end-to-end corpus assembly —
+   * quality filter (C30) → exact dedup (C1) → near-dup dedup →
+   * decontaminate (C17) → stratified sample (C25) → pack+materialize
+   * (C19/C19b), composed as ONE lazy plan by
+   * [[graft.pipelines.CorpusAssembly.assemble]]. Every operator is
+   * individually oracle-verified elsewhere on the board; THIS row
+   * verifies their composition — the stage-to-stage schema contracts
+   * and ordering assumptions no per-operator oracle can see. The
+   * DuckDB oracle replays all six stages in string space and
+   * hash-compares the final packed chunks' md5 fingerprints, so a
+   * divergence at ANY stage corrupts the bytes downstream and fails
+   * the row.
+   *
+   * The near-dup stage pins [[graft.pipelines.CorpusAssembly
+   * .nearDedupExact]] — the COMPLETE shingle-blocked variant (equi
+   * join on shared shingles; any ≥0.8-Jaccard pair shares one), which
+   * is what makes the whole composition exactly SQL-replayable. The
+   * banded MinHash plug (C2) slots in for boilerplate-heavy corpora;
+   * its keep contract is identical and its recall is hedged by the
+   * standing q_dedup_minhash_sound gate. */
+  private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CorpusAssembly.assemble(
+        t(s, dir, "documents"),
+        nearDedup = graft.pipelines.CorpusAssembly.nearDedupExact)
+      .orderBy("source", "chunk_id")
+
   /** D7: built-in session-window aggregation (streaming/EventStream
    * .sessionWindowAgg) — gap sessionization as ONE declarative
    * aggregate whose plan runs unchanged in batch and streaming; this
@@ -2416,6 +2442,7 @@ object SparkEntry {
     "q_sketch_merge"   -> qSketchMerge,
     "q_cluster_assign" -> qClusterAssign,
     "q_filter_chain"   -> qFilterChain,
+    "q_corpus_pipeline" -> qCorpusPipeline,
     "q_session_window" -> qSessionWindow,
     "q_date_spine"     -> qDateSpine,
     "q_pagerank"       -> qPagerank,
@@ -3509,6 +3536,64 @@ object SparkEntry {
          SELECT doc_id, pass_lang, pass_len, pass_stop, pass_rep,
            (pass_lang AND pass_len AND pass_stop AND pass_rep) AS keep
          FROM flags ORDER BY doc_id""",
+    // End-to-end corpus-assembly replay: stage CTEs mirror the Spark
+    // pipeline 1:1 — flt = quality gate (whitespace-token count band,
+    // stopword floor, 2-gram uniqueness), ex = exact dedup (min id per
+    // md5), dead/ndd = complete shingle-space Jaccard keep-first (the
+    // oracle can afford straight all-pairs; shared-shingle blocking
+    // loses nothing at >= 0.8), bg/dirty/dec = 4-gram benchmark
+    // decontamination vs the RAW %97 slice, samp = md5-bucket
+    // stratified keep (8000/5000/2500 of 10000), packed = cumulative
+    // token-offset chunking; final md5(string_agg) fingerprints every
+    // byte of every chunk.
+    "q_corpus_pipeline" ->
+      """WITH toks AS (SELECT doc_id, lang, source, text,
+           list_filter(regexp_split_to_array(COALESCE(text, ''), '[ \t\n\r]+'), x -> x <> '') AS ts
+           FROM documents),
+         base AS (SELECT *, CAST(len(ts) AS BIGINT) AS n_words,
+             CAST(greatest(len(ts) - 1, 0) AS BIGINT) AS n_g2,
+             CAST(len(list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))) AS BIGINT) AS n_u2g
+           FROM toks),
+         flt AS (SELECT doc_id, lang, source, text, ts FROM base
+           WHERE n_words >= 20 AND n_words <= 2000
+             AND (CASE WHEN LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) = 0 THEN 0.0 ELSE
+               LEN(list_filter(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0),
+                   w -> w IN ('the','a','an','of','and','to','in','is','on','for','with','at','by','from','it','that','this','be','are','as')))::DOUBLE /
+               LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) END) >= 0.1
+             AND (n_g2 = 0 OR n_u2g * 5 >= n_g2 * 2)),
+         ex AS (SELECT f.* FROM flt f
+           JOIN (SELECT md5(text) AS k, MIN(doc_id) AS keep_id FROM flt GROUP BY 1) e
+             ON f.doc_id = e.keep_id),
+         sh AS (SELECT doc_id, list(DISTINCT array_to_string(ws[i : i + 2], ' ')) AS sh
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ws
+                 FROM ex),
+             UNNEST(range(1, len(ws) - 1)) AS u(i)
+           GROUP BY doc_id),
+         dead AS (SELECT DISTINCT a.doc_id AS id FROM sh a JOIN sh b ON b.doc_id < a.doc_id
+           AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         ndd AS (SELECT * FROM ex ANTI JOIN dead ON doc_id = id),
+         bg AS (SELECT DISTINCT array_to_string(ts[i : i + 3], ' ') AS gram
+           FROM toks, UNNEST(range(1, len(ts) - 2)) AS u(i)
+           WHERE doc_id % 97 = 0),
+         dirty AS (SELECT DISTINCT t.doc_id
+           FROM (SELECT doc_id, ts FROM ndd WHERE doc_id % 97 <> 0) t,
+             UNNEST(range(1, len(ts) - 2)) AS u(i)
+           WHERE array_to_string(ts[i : i + 3], ' ') IN (SELECT gram FROM bg)),
+         dec AS (SELECT * FROM ndd WHERE doc_id % 97 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+         samp AS (SELECT * FROM dec
+           WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 <
+             CASE lang WHEN 'en' THEN 8000 WHEN 'es' THEN 5000 ELSE 2500 END),
+         packed AS (SELECT source, doc_id, text, CAST(len(ts) AS BIGINT) AS n_tok,
+             COALESCE(SUM(CAST(len(ts) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS chunk_id
+           FROM samp)
+         SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS chunk_tok,
+           md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_md5
+         FROM packed GROUP BY 1, 2 ORDER BY source, chunk_id""",
     // session_window's exclusive end: an event at exactly last+gap
     // starts a NEW session, hence >= (vs q_sessionize's >).
     "q_session_window" ->

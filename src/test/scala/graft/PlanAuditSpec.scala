@@ -226,6 +226,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom decontamination must stay equi-join only:\n$p")
   }
 
+  test("corpus pipeline composes cartesian-free and reuses stage subtrees at runtime (round 10)") {
+    val df = SparkEntry.queries("q_corpus_pipeline")(spark, dir)
+    val static = df.queryExecution.executedPlan.toString
+    assert(!static.contains("CartesianProduct") && !static.contains("BroadcastNestedLoopJoin"),
+      s"the composed pipeline must stay equi-join only:\n$static")
+    // every stage scan is pruned to what the pipeline reads: doc_id +
+    // text everywhere, lang/source only on the sample/pack path —
+    // never n_chars, which no stage uses
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(static).map(_.group(1)).foreach { s =>
+      assert(!s.contains("n_chars"),
+        s"pipeline scan reads columns no stage uses: $s")
+    }
+    // The lazily-composed stages reference the filter→dedup survivor
+    // subtree many times (static plan: one scan per reference). At
+    // runtime those references must COLLAPSE: each stage-group's
+    // shuffle is computed once and reused (AQE exchange reuse), not
+    // re-derived per downstream stage. Execute, then audit the final
+    // adaptive plan: a reuse regression shows up as the static scan
+    // count surviving to runtime.
+    df.collect() // execute THIS queryExecution (a write would plan its own)
+    // AQE prints "final plan ... == Initial Plan ==" — audit the final part only
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(fin).size
+    val reused = "ReusedExchange".r.findAllIn(fin).size
+    assert(scans <= 6,
+      s"documents must be scanned once per stage-group, not once per stage " +
+        s"reference: $scans live scans, $reused reused exchanges\n$fin")
+    assert(reused >= 1,
+      s"expected the dedup-survivor exchange to be reused across stages:\n$fin")
+  }
+
   test("scans are column-pruned to what the query projects") {
     val schemas = "ReadSchema: struct<([^>]*)>".r
     def readCols(p: String): Seq[String] =
