@@ -228,6 +228,63 @@ object ScaleProbe {
       s"ivfpq recall drifted under ${n}x replication: $lowRecall probes below 2/5")
     println(s"SCALE ivfpq recall: all probes >= 2/5 at ${n}x (drift 0)")
 
+    // Record linkage under block skew: ONE block holds 50% of the
+    // records (the shape the blocked self-join is worst at — every
+    // giant-block candidate pair lands on one reducer). The salted
+    // variant must produce the IDENTICAL pair set (the saltedJoin
+    // oracle pattern) while spreading the giant block's verify.
+    val recs = docs.filter(col("doc_id") < 4000)
+      .select(col("doc_id").as("rec_id"),
+        substring(coalesce(col("text"), lit("")), 1, 24).as("name"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("giant"))
+          .otherwise(concat(lit("b"), pmod(col("doc_id"), lit(64)).cast("string")))
+          .as("blk"))
+    val linked0 = timedRun("linkage blocked, 50%-giant block") {
+      graft.operators.Linkage.linkByEditDistance(
+        recs, "rec_id", "name", Seq("blk"), maxDist = 3)
+    }
+    val linkedS = timedRun("linkage salted x32, same block skew") {
+      graft.operators.Linkage.linkByEditDistance(
+        recs, "rec_id", "name", Seq("blk"), maxDist = 3, salts = 32)
+    }
+    val linkDrift = linkedS.unionAll(linked0)
+      .groupBy("id_a", "id_b", "dist").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(linkDrift == 0,
+      s"salted linkage pair set drifted from blocked: $linkDrift pairs")
+    println(s"SCALE linkage: ${linked0.count()} pairs (salted drift 0)")
+
+    // IVFADC maintenance at 20×: build on a quarter, append the other
+    // three quarters through the frozen quantizers (each append
+    // fragments every touched cell), then compact per cell. Answers
+    // must be bit-identical across the compaction; the file count is
+    // the number a daily-ingest deployment watches.
+    val idxPath = java.nio.file.Files.createTempDirectory("scale_ivfpq").toString + "/idx"
+    time(s"ivfpq index build+3 appends at ${n}x") {
+      Ann.buildIvfPqIndex(bigEmb.filter(pmod(col("vec_id"), lit(4)) === 0),
+        "vec_id", "embedding", 64, idxPath)
+      for (r <- 1 to 3)
+        Ann.appendToIvfPqIndex(idxPath,
+          bigEmb.filter(pmod(col("vec_id"), lit(4)) === r), "vec_id", "embedding", 64)
+    }
+    def idxFiles(): Int = new java.io.File(idxPath).listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))).sum
+    val probesIdx = bigEmb.filter(col("vec_id") < 3)
+    def idxAnswers() = Ann.ivfPqTopKIndexed(idxPath, probesIdx,
+        "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (filesBefore, ansBefore) = (idxFiles(), idxAnswers())
+    val nCells = time(s"compactIvfIndex over ${filesBefore} files") {
+      Ann.compactIvfIndex(spark, idxPath)
+    }
+    val filesAfter = idxFiles()
+    require(filesAfter < filesBefore,
+      s"compaction must shrink the file count: $filesBefore -> $filesAfter")
+    require(idxAnswers() == ansBefore, "compaction changed an ANN answer")
+    println(s"SCALE ivfpq compact: $filesBefore -> $filesAfter files across $nCells cells (answers stable)")
+
     // connected components on adversarial shapes: a single 200k-node
     // path (worst-case diameter — stresses the O(log²) round bound)
     // and 2k disjoint 100-node stars (wide shallow clusters)

@@ -760,12 +760,15 @@ object SparkEntry {
    * for the embedding-LSH path; the operator compares shingle-hash
    * sets, the oracle shingle strings).
    *
-   * Oracle parity assumes every doc has >= 3 ASCII tokens and
-   * non-NULL text (holds for all fixtures, checked): shorter/NULL
-   * docs collapse to a whole-text shingle on the Spark side but fall
-   * out of the oracle's UNNEST(range(...)), and non-ASCII bytes are
-   * word chars for wordShingleHashes but separators for the oracle's
-   * [^a-z0-9_] regex.
+   * Oracle parity holds for arbitrary text (ADVICE r12): docs with
+   * < 3 tokens (incl. empty/NULL) yield the EMPTY shingle set on the
+   * Spark side, mirroring the oracle's empty UNNEST(range(...)) — no
+   * shingles, no near-dup relation — and the oracle tokenizer
+   * replicates wordShingleHashes byte-for-byte (ASCII-only lowering
+   * via translate; separators = ASCII non-[a-z0-9_]; non-ASCII
+   * codepoints are word chars, so CJK text shingles instead of
+   * vanishing). CorpusAssemblySpec pins the punctuation-only /
+   * non-ASCII edge cases against a string-space replay.
    *
    * Both join sides re-derive the shingle sets (one extra corpus
    * scan) on purpose: caching inside a benchmarked one-shot query
@@ -1010,15 +1013,23 @@ object SparkEntry {
    * APPLICATION-UNIQUE staging path; a `_GRAFT_COMPLETE` marker is
    * written inside the staged tree only after the closure returns, and
    * the tree is then published to the shared location with one
-   * directory rename. A crash mid-build leaves only an orphaned
+   * directory rename. The rename is atomic on HDFS and local file
+   * systems ONLY — object stores emulate directory rename as
+   * copy+delete, so on those a production deployment should put the
+   * scratch root on HDFS/local or front publication with a
+   * coordination service. A crash mid-build leaves only an orphaned
    * staging dir (never a half-built index at the published path, which
    * a later application would accept), and two applications racing on
    * a shared durable scratch root resolve by rename: the loser's
    * staging tree is discarded and the winner's published index is
-   * served. Re-executions (bench warmup + timed pass) then measure the
-   * probe path through the persisted index — rebuilding an unchanged
-   * index every execution would time redundant I/O, not the operator. */
-  private def withBuiltIndex(s: SparkSession, dir: String, prefix: String)(
+   * served. The stale-remnant delete re-probes the marker immediately
+   * before deleting (ADVICE r12): a concurrent application may have
+   * published a complete index between the outer probe and the delete,
+   * and destroying it would lose a valid index. Re-executions (bench
+   * warmup + timed pass) then measure the probe path through the
+   * persisted index — rebuilding an unchanged index every execution
+   * would time redundant I/O, not the operator. */
+  private[graft] def withBuiltIndex(s: SparkSession, dir: String, prefix: String)(
       build: String => Unit): String = {
     import org.apache.hadoop.fs.Path
     val idx = s"${graft.Scratch.root(s)}/${prefix}_${new java.io.File(dir).getName}"
@@ -1027,21 +1038,29 @@ object SparkEntry {
     val complete = new Path(target, "_GRAFT_COMPLETE")
     if (!fs.exists(complete)) {
       // a published dir without the marker is a pre-protocol or
-      // crashed-build remnant: rebuild it rather than serve half an index
-      if (fs.exists(target)) fs.delete(target, true): Unit
-      val staging = new Path(s"${idx}__staging_${s.sparkContext.applicationId}")
-      if (fs.exists(staging)) fs.delete(staging, true): Unit
-      build(staging.toString)
-      fs.create(new Path(staging, "_GRAFT_COMPLETE")).close()
-      if (!fs.rename(staging, target)) {
-        // lost the publish race to a concurrent application
-        fs.delete(staging, true): Unit
+      // crashed-build remnant: rebuild it rather than serve half an
+      // index. Re-check the marker IMMEDIATELY before the delete — a
+      // concurrent application may have published a complete index
+      // since the outer probe, and deleting it would destroy valid
+      // work. (A hairline window remains; only a filesystem-level
+      // conditional delete could close it entirely.)
+      if (fs.exists(target) && !fs.exists(complete))
+        fs.delete(target, true): Unit
+      if (!fs.exists(complete)) {
+        val staging = new Path(s"${idx}__staging_${s.sparkContext.applicationId}")
+        if (fs.exists(staging)) fs.delete(staging, true): Unit
+        build(staging.toString)
+        fs.create(new Path(staging, "_GRAFT_COMPLETE")).close()
+        if (!fs.rename(staging, target)) {
+          // lost the publish race to a concurrent application
+          fs.delete(staging, true): Unit
+        }
+        // POSIX-style rename NESTS the source when the destination dir
+        // already exists (the other way the race can resolve): discard
+        // the nested loser tree so it never shadows the winner's layout
+        val nested = new Path(target, staging.getName)
+        if (fs.exists(nested)) fs.delete(nested, true): Unit
       }
-      // POSIX-style rename NESTS the source when the destination dir
-      // already exists (the other way the race can resolve): discard
-      // the nested loser tree so it never shadows the winner's layout
-      val nested = new Path(target, staging.getName)
-      if (fs.exists(nested)) fs.delete(nested, true): Unit
       require(fs.exists(complete),
         s"index publish at $idx left no complete index")
     }
@@ -1954,6 +1973,27 @@ object SparkEntry {
       .orderBy("p_id", "c_id")
   }
 
+  /** D4 outer mode: the same interval join run left_outer, so
+   * purchases with NO click in the preceding hour survive null-padded
+   * (the unattributed-purchase rows an attribution pipeline must not
+   * silently drop). In batch the outer rows emit directly; under
+   * streaming Spark holds them until the watermark proves no match can
+   * still arrive (StreamingSpec covers the null-emission timing). */
+  private def qIntervalJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    graft.streaming.EventStream.intervalJoin(purchases, clicks,
+        "p_user", "c_user", "p_ts", "c_ts", lookback = "1 hour",
+        joinType = "left_outer")
+      .select(col("p_id"), col("c_id"))
+      .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+  }
+
   /** C38: snapshot diff (operators/Profile.snapshotDiff) — classify
    * every key across two deterministic "versions" of the orders table
    * (old drops keys ≡0 mod 7; new drops ≡0 mod 5 and bumps totals
@@ -2038,6 +2078,30 @@ object SparkEntry {
       graft.sinks.TableSink.upsert(s, path, delta, Seq("o_orderkey"))
     }
     s.read.parquet(path).orderBy("o_orderkey")
+  }
+
+  /** A12 (oracled, ADVICE r12): the CLI's end-to-end path — the same
+   * flatDenorm-with-lookups → TableSink.writeTruncate → read-back
+   * round trip `Run simple-with-lookups` drives — summarized through
+   * the C31 order-independent tableChecksum, so the driver's DuckDB
+   * replay value-checks the CLI surface instead of smoke-counting it.
+   * Doubles render engine-dependently, so money/quantity columns are
+   * checksummed in cents space and the date as its ISO string. */
+  private def qCliRun(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Scratch.root(s)}/cli_run_${new java.io.File(dir).getName}"
+    graft.sinks.TableSink.writeTruncate(
+      Denorm.flatDenorm(s, dir, performLookups = true), out)
+    val back = s.read.parquet(out).select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"), col("o_orderkey"),
+      cents(col("o_totalprice")).as("total_cents"),
+      // flatDenorm keeps the source's midnight TIMESTAMP; render the DATE
+      col("o_orderdate").cast("date").cast("string").as("o_date"),
+      col("o_orderpriority"), col("l_linenumber"),
+      cents(col("l_quantity")).as("qty_cents"),
+      cents(col("l_extendedprice")).as("price_cents"))
+    graft.operators.Profile.tableChecksum(back,
+      Seq("c_custkey", "c_name", "c_nationkey", "o_orderkey", "total_cents",
+        "o_date", "o_orderpriority", "l_linenumber", "qty_cents", "price_cents"))
   }
 
   /** C12: multimodal plumbing — binary payload + typed metadata,
@@ -2428,11 +2492,13 @@ object SparkEntry {
     "q_sliding_window" -> qSlidingWindow,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
     "q_interval_join" -> qIntervalJoin,
+    "q_interval_join_outer" -> qIntervalJoinOuter,
     "q_stream_dedup"  -> qStreamDedup,
     "q_salted_join"   -> qSaltedJoin,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_stream_enrich" -> qStreamEnrich,
     "q_upsert"        -> qUpsert,
+    "q_cli_run"       -> qCliRun,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_media_frames"   -> qMediaFrames,
@@ -2701,6 +2767,14 @@ object SparkEntry {
          SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
            AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
          ORDER BY p_id, c_id""",
+    "q_interval_join_outer" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+                    WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+                    WHERE event_type = 'click')
+         SELECT p.p_id, c.c_id FROM p LEFT JOIN c ON p.user_id = c.user_id
+           AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+         ORDER BY p_id, c_id NULLS FIRST""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
@@ -2750,6 +2824,31 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // The CLI round trip replayed: flat denorm (q_flat_denorm's join
+    // tree) rendered to stable strings, then the C31 checksum shape.
+    "q_cli_run" ->
+      """WITH f AS (SELECT c_custkey, c_name,
+             COALESCE(n_name, CAST(customer.c_nationkey AS VARCHAR)) AS c_nationkey,
+             o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+             o_orderpriority, l_linenumber,
+             CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qty_cents,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+           FROM customer LEFT JOIN nation ON customer.c_nationkey = nation.n_nationkey
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey),
+         h AS (SELECT CAST(concat('0x', substr(md5(
+             CAST(c_custkey AS VARCHAR) || ':' || COALESCE(c_name, '') || ':' ||
+             COALESCE(c_nationkey, '') || ':' || CAST(o_orderkey AS VARCHAR) || ':' ||
+             CAST(total_cents AS VARCHAR) || ':' || COALESCE(o_date, '') || ':' ||
+             COALESCE(o_orderpriority, '') || ':' || CAST(l_linenumber AS VARCHAR) || ':' ||
+             CAST(qty_cents AS VARCHAR) || ':' || CAST(price_cents AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           FROM f)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS checksum_sum,
+           CAST(BIT_XOR(h) AS BIGINT) AS checksum_xor
+         FROM h""",
     "q_top_ngrams" ->
       """WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
                        FROM documents),
@@ -3288,7 +3387,7 @@ object SparkEntry {
          FROM sess ORDER BY event_id""",
     "q_dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id)
@@ -3298,7 +3397,7 @@ object SparkEntry {
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""",
     "q_dedup_jaccard_exact" ->
       """WITH toks AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
@@ -3310,7 +3409,7 @@ object SparkEntry {
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_containment_exact" ->
       """WITH toks AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
@@ -3422,7 +3521,7 @@ object SparkEntry {
          FROM h ORDER BY doc_id""",
     "q_dedup_clusters_exact" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
@@ -3566,7 +3665,7 @@ object SparkEntry {
              ON f.doc_id = e.keep_id),
          sh AS (SELECT doc_id, list(DISTINCT array_to_string(ws[i : i + 2], ' ')) AS sh
            FROM (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ws
+                   list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ws
                  FROM ex),
              UNNEST(range(1, len(ws) - 1)) AS u(i)
            GROUP BY doc_id),

@@ -104,8 +104,13 @@ object Dedup {
     val base = spread(docs).select(col(idCol).as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"))
     // candidate generation shuffles ONLY (band, hash, id) — the
-    // shingle sets would multiply shuffle volume by the band count
+    // shingle sets would multiply shuffle volume by the band count.
+    // Shingle-less docs (< shingleWords tokens) are excluded up
+    // front: they have no near-dup relation, and their all-sentinel
+    // signatures would otherwise collide every degenerate doc into
+    // one band bucket (a quadratic skew bomb on a crawled corpus).
     val banded = base
+      .filter(size(wordShingleHashes(col("text"), shingleWords)) > 0)
       .select(col("doc_id"),
         minhashSig(wordShingleHashes(col("text"), shingleWords), numPerm).as("sig"))
       .select(col("doc_id"),
@@ -192,7 +197,9 @@ object Dedup {
    * doc_id) rows — the LSH join key stream, ids only. */
   private def bandExplode(state: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     val r = numPerm / bands
-    state.select(col("doc_id"), minhashSig(col("sh"), numPerm).as("sig"))
+    // shingle-less docs band with nobody (see minhashCandidates)
+    state.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSig(col("sh"), numPerm).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r))))))

@@ -393,14 +393,15 @@ object HashOps {
       i += 1
     }
     val m = tokens.length
+    // A doc with fewer than n tokens (or none) yields the EMPTY set:
+    // it participates in no near-dup relation, and candidate
+    // generation (explode/banding) naturally skips it. This matches
+    // the string-space oracles' range()-based shingling, and avoids
+    // the skew bomb of every degenerate doc colliding on one
+    // sentinel shingle at corpus scale (ADVICE r12).
     val out =
-      if (m == 0) Array(0L)
-      else if (m < n) { // short text collapses to one whole-text shingle
-        var acc = 0xcbf29ce484222325L
-        var j = 0
-        while (j < m) { acc = mix64(acc ^ tokens(j)); j += 1 }
-        Array(acc)
-      } else {
+      if (m < n) Array.emptyLongArray
+      else {
         val res = new Array[Long](m - n + 1)
         var j = 0
         while (j + n <= m) {

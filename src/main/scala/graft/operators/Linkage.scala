@@ -18,22 +18,43 @@ import org.apache.spark.sql.functions._
  *     pairs, `id_a < id_b` deduping the symmetric pair.
  *
  * Skewed blocks are the caller's lever: add a discriminating column
- * to `blockCols` (the standard fix) or pre-salt giant blocks the way
- * `Skew.saltedJoin` does.
+ * to `blockCols` (the standard fix) or pre-salt giant blocks via
+ * `salts > 1` (the `Skew.saltedJoin` pattern, built in below).
  */
 object Linkage {
 
   /** All in-block record pairs (id_a < id_b), carrying each side's
-   * compare column. One self-join on the block key. */
+   * compare column. One self-join on the block key.
+   *
+   * `salts > 1` pre-salts the self-join for skewed block-key
+   * distributions (one giant block otherwise lands every candidate
+   * pair on ONE reducer): the a-side gets a deterministic salt from
+   * its id, the b-side replicates to every salt, and the join key
+   * grows the salt column — each unordered pair still joins exactly
+   * once (at the a-side's salt), so the pair SET is identical to the
+   * unsalted join while the giant block's verify work spreads across
+   * `salts` reducers. Cost: the b-side shuffle replicates ×salts —
+   * worth it exactly when one block dominates (ScaleProbe measures
+   * the 50%-giant-block shape). */
   def candidatePairs(records: DataFrame, idCol: String, compareCol: String,
-                     blockCols: Seq[String]): DataFrame = {
+                     blockCols: Seq[String], salts: Int = 1): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val a = records.select(
       (col(idCol).as("id_a") +: col(compareCol).as(s"${compareCol}_a")
         +: blockCols.map(col)): _*)
     val b = records.select(
       (col(idCol).as("id_b") +: col(compareCol).as(s"${compareCol}_b")
         +: blockCols.map(col)): _*)
-    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+    if (salts == 1) {
+      a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+    } else {
+      val sa = a.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salts.toLong)))
+      val sb = b.withColumn("__salt",
+        explode(sequence(lit(0L), lit(salts.toLong - 1))))
+      sa.join(sb, blockCols :+ "__salt")
+        .filter(col("id_a") < col("id_b"))
+        .drop("__salt")
+    }
   }
 
   /** Linked pairs: in-block candidates whose compare-field edit
@@ -44,10 +65,13 @@ object Linkage {
    * that skips the DP entirely for most in-block pairs) and the
    * THRESHOLDED levenshtein, whose banded DP is O(len·maxDist) with
    * early exit instead of O(len²) — at web-scale blocks the verify is
-   * the dominant term, so both bounds survive a 100× block growth. */
+   * the dominant term, so both bounds survive a 100× block growth.
+   * `salts` spreads a skewed block's verify (see [[candidatePairs]]);
+   * the linked pair set is salt-invariant. */
   def linkByEditDistance(records: DataFrame, idCol: String, compareCol: String,
-                         blockCols: Seq[String], maxDist: Int): DataFrame =
-    candidatePairs(records, idCol, compareCol, blockCols)
+                         blockCols: Seq[String], maxDist: Int,
+                         salts: Int = 1): DataFrame =
+    candidatePairs(records, idCol, compareCol, blockCols, salts)
       .filter(abs(length(col(s"${compareCol}_a")) - length(col(s"${compareCol}_b")))
         <= maxDist)
       .withColumn("dist",

@@ -150,14 +150,39 @@ object CorpusAssembly {
       .select(col(cfg.shardCol), col("chunk_id"), col("n_docs"), col("chunk_tok"),
         md5(col("chunk_text").cast("binary")).as("text_md5"))
 
+  /** Canonical stage order; `assembleStaged` accepts any subset. */
+  val StageNames: Seq[String] = Seq("quality", "exact", "near", "decon", "sample", "pack")
+
+  /** [[assemble]] restricted to a stage subset (always applied in
+   * canonical order) — the CLI's `--stages` surface: a debugging or
+   * re-run workflow wants "everything up to near-dedup" or "packing
+   * only over an already-assembled corpus" without editing code. The
+   * benchmark slice for `decon` is always cut from the RAW input
+   * (same contract as [[assemble]]), independent of stage choice. */
+  def assembleStaged(docs: DataFrame, cfg: Config = Config(),
+      nearDedup: (DataFrame, Config) => DataFrame = nearDedupMinhash,
+      stages: Seq[String] = StageNames): DataFrame = {
+    val bad = stages.filterNot(StageNames.contains)
+    require(bad.isEmpty,
+      s"unknown stages ${bad.mkString(",")} (of ${StageNames.mkString("|")})")
+    val bench = docs.filter(pmod(col(cfg.idCol), lit(cfg.benchMod)) === 0L)
+    StageNames.filter(stages.contains).foldLeft(docs) { (df, stage) =>
+      stage match {
+        case "quality" => qualityFilter(df, cfg)
+        case "exact"   => exactDedup(df, cfg)
+        case "near"    => nearDedup(df, cfg)
+        case "decon"   => decontaminate(df, bench, cfg)
+        case "sample"  => sample(df, cfg)
+        case "pack"    => pack(df, cfg)
+      }
+    }
+  }
+
   /** The full composition. `nearDedup` picks the stage-3 variant:
    * [[nearDedupMinhash]] (default — the banded 100 TB path) or
    * [[nearDedupExact]] (complete blocking, string-replayable — what
    * the `q_corpus_pipeline` oracle row pins). */
   def assemble(docs: DataFrame, cfg: Config = Config(),
-      nearDedup: (DataFrame, Config) => DataFrame = nearDedupMinhash): DataFrame = {
-    val bench = docs.filter(pmod(col(cfg.idCol), lit(cfg.benchMod)) === 0L)
-    val deduped = nearDedup(exactDedup(qualityFilter(docs, cfg), cfg), cfg)
-    pack(sample(decontaminate(deduped, bench, cfg), cfg), cfg)
-  }
+      nearDedup: (DataFrame, Config) => DataFrame = nearDedupMinhash): DataFrame =
+    assembleStaged(docs, cfg, nearDedup)
 }

@@ -8,14 +8,32 @@ import org.apache.spark.sql.SparkSession
  * options/BQETLOptions.java) re-expressed: pick a pipeline variant,
  * point it at an input directory, truncate-and-load the output table.
  *
- *   runMain graft.pipelines.Run simple|simple-with-lookups|nested \
- *     [inDir] [outPath]
+ *   runMain graft.pipelines.Run simple|simple-with-lookups|nested|corpus \
+ *     [inDir] [outPath] [--sf=0.001] [--stages=quality,exact,near,decon,sample,pack] \
+ *     [--near=minhash|exact]
+ *
+ * `corpus` drives the C41 corpus-assembly flagship end-to-end (read
+ * documents → assemble → truncate-and-load), the way run.sh drives
+ * the reference's denorm pipelines. `--stages` selects a stage
+ * subset (canonical order enforced), `--near` the near-dedup
+ * variant, `--sf` the testdata scale factor when no explicit inDir
+ * is given.
  */
 object Run {
   def main(args: Array[String]): Unit = {
-    val variant = args.headOption.getOrElse("simple-with-lookups")
-    val inDir   = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val outPath = if (args.length > 2) args(2)
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    def flag(name: String): Option[String] = flags.collectFirst {
+      case f if f.startsWith(s"--$name=") => f.drop(name.length + 3)
+    }
+    val unknown = flags.filterNot(f => Seq("sf", "stages", "near").exists(n => f.startsWith(s"--$n=")))
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown flags: ${unknown.mkString(" ")} (--sf= --stages= --near=)")
+      sys.exit(2)
+    }
+    val variant = pos.headOption.getOrElse("simple-with-lookups")
+    val inDir   = if (pos.length > 1) pos(1)
+      else s"/root/testdata/sf${flag("sf").getOrElse("0.001")}"
+    val outPath = if (pos.length > 2) pos(2)
       else java.nio.file.Files.createTempDirectory("graft_run").toString + "/out"
 
     val spark = graft.Sessions.local()
@@ -24,8 +42,23 @@ object Run {
       case "simple"              => Denorm.flatDenorm(spark, inDir, performLookups = false)
       case "simple-with-lookups" => Denorm.flatDenorm(spark, inDir, performLookups = true)
       case "nested"              => Denorm.nestedDenorm(spark, inDir)
+      case "corpus" =>
+        val docs = spark.read.parquet(s"$inDir/documents.parquet")
+        val near: (org.apache.spark.sql.DataFrame, CorpusAssembly.Config) =>
+            org.apache.spark.sql.DataFrame = flag("near") match {
+          case Some("exact")           => CorpusAssembly.nearDedupExact
+          case None | Some("minhash")  => CorpusAssembly.nearDedupMinhash
+          case Some(other) =>
+            System.err.println(s"unknown --near '$other' (minhash|exact)")
+            sys.exit(2)
+        }
+        val stages = flag("stages")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(CorpusAssembly.StageNames)
+        CorpusAssembly.assembleStaged(docs, CorpusAssembly.Config(), near, stages)
       case other =>
-        System.err.println(s"unknown variant '$other' (simple|simple-with-lookups|nested)")
+        System.err.println(
+          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus)")
         sys.exit(2)
     }
     TableSink.writeTruncate(out, outPath)

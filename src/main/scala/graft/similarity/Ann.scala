@@ -411,6 +411,31 @@ object Ann {
   }
 
   /**
+   * Small-file compaction for a cell-partitioned index (IVF or
+   * IVFADC): every [[appendToIvfIndex]]/[[appendToIvfPqIndex]] call
+   * accretes its own small files inside each touched `cell=N`
+   * partition, and after enough daily increments scan planning +
+   * open() overhead dominates the pruned-cell reads. Composes
+   * [[graft.sinks.TableSink.compact]] per cell directory — the
+   * quantizer sidecars (`_graft_*`) are untouched, already-compact
+   * cells no-op, and each cell rewrites independently with compact's
+   * crash-safe rename swap (a maintenance cycle can batch cells or
+   * resume after interruption; queries and appends stay valid because
+   * neither the layout nor any row changes). Returns the number of
+   * cell partitions examined.
+   */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(root).filter(e =>
+      e.isDirectory && e.getPath.getName.startsWith("cell="))
+    cells.foreach(c =>
+      graft.sinks.TableSink.compact(spark, c.getPath.toString, targetFileBytes))
+    cells.length
+  }
+
+  /**
    * Query a [[buildIvfPqIndex]] index: the query-many half of the
    * IVFADC serving shape. Reads the stored quantizers (no training in
    * the query path — the structural gap [[ivfPqTopK]] documents), lists

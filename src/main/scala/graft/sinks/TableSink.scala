@@ -107,6 +107,12 @@ object TableSink {
    *   wins would otherwise be partition-order nondeterminism. Checked
    *   with one cheap aggregation over delta (skippable via
    *   `checkUniqueKeys = false` when the producer guarantees it).
+   * - Schema evolution, additive only: a delta column the table lacks
+   *   is ADDED (existing rows null-filled) — the first new attribute a
+   *   daily feed grows must not abort the MERGE. A type change on a
+   *   shared column, or a delta that DROPS a table column, still fails
+   *   loudly: both silently rewrite history (coerced values / vanished
+   *   data) instead of appending to it.
    * - Same crash-safe rename swap as `compact`: the merged result is
    *   fully written to a `__upsert_tmp` sibling before the target
    *   moves, so a crash never leaves a half-table.
@@ -141,13 +147,29 @@ object TableSink {
       throw new IllegalArgumentException(
         s"upsert: $path is Hive-partitioned; upsert per partition directory instead")
     val current = spark.read.format(format).load(path)
-    // Name AND type equality — unionByName would otherwise coerce
-    // silently (int delta vs bigint table rewrites the whole table
-    // with changed column types instead of failing loudly).
-    require(current.dtypes.sorted.toSeq == delta.dtypes.sorted.toSeq,
-      s"upsert: delta schema ${delta.dtypes.sorted.mkString(",")} != " +
-        s"table schema ${current.dtypes.sorted.mkString(",")}")
-    val merged = current
+    // Shared columns: name AND type equality — unionByName would
+    // otherwise coerce silently (int delta vs bigint table rewrites the
+    // whole table with changed column types instead of failing loudly).
+    val currentTypes = current.dtypes.toMap
+    val deltaTypes = delta.dtypes.toMap
+    val typeChanged = currentTypes.keySet.intersect(deltaTypes.keySet).toSeq.sorted
+      .collect { case c if currentTypes(c) != deltaTypes(c) =>
+        s"$c: ${currentTypes(c)} -> ${deltaTypes(c)}" }
+    require(typeChanged.isEmpty,
+      s"upsert: column type changes refused (rewrite the table explicitly): " +
+        typeChanged.mkString("; "))
+    val dropped = (currentTypes.keySet -- deltaTypes.keySet).toSeq.sorted
+    require(dropped.isEmpty,
+      s"upsert: delta is missing table columns ${dropped.mkString(",")}; " +
+        "dropping columns is not additive evolution")
+    // Additive evolution: null-fill the new columns on the existing
+    // rows so the merged table carries the widened schema.
+    import org.apache.spark.sql.functions.lit
+    val newCols = delta.schema.fields.filterNot(f => currentTypes.contains(f.name))
+    val evolved = newCols.foldLeft(current) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val merged = evolved
       .join(delta.select(keyCols.map(delta(_)): _*), keyCols, "left_anti")
       .unionByName(delta)
     val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__upsert_tmp")

@@ -384,6 +384,14 @@ object EventStream {
    * than watermark + lookback — state stays bounded on an unbounded
    * stream, the requirement for a 100 TB/day join. Column names of the
    * two inputs must be disjoint (alias first), like Ranged.bandedJoin.
+   *
+   * `joinType` mirrors Spark's stream-stream join modes: "inner"
+   * (default), or "left_outer" / "right_outer" / "full_outer" to also
+   * emit unmatched rows null-padded — attribution pipelines need the
+   * unattributed purchases, not just the attributed ones. Outer rows
+   * are emitted only once the watermark proves no match can still
+   * arrive, which is why the watermark + time-bound condition are
+   * mandatory here rather than optional.
    */
   def intervalJoin(
       left: DataFrame,
@@ -393,13 +401,18 @@ object EventStream {
       leftTs: String,
       rightTs: String,
       lookback: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "alias left/right columns apart before a stream-stream self-join")
+    val allowed = Set("inner", "left_outer", "right_outer", "full_outer")
+    require(allowed.contains(joinType),
+      s"intervalJoin: joinType '$joinType' not in ${allowed.toSeq.sorted.mkString("/")}")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r, expr(
       s"`$leftKey` = `$rightKey` AND " +
-      s"`$rightTs` >= `$leftTs` - INTERVAL '$lookback' AND `$rightTs` <= `$leftTs`"))
+      s"`$rightTs` >= `$leftTs` - INTERVAL '$lookback' AND `$rightTs` <= `$leftTs`"),
+      joinType)
   }
 }

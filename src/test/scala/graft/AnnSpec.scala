@@ -223,4 +223,38 @@ class AnnSpec extends AnyFunSuite {
     val plainRecall = (brute intersect plain).size.toDouble / brute.size
     assert(plainRecall >= 0.8, s"plain query over IVFADC index: recall $plainRecall")
   }
+
+  test("compactIvfIndex merges append fragments; answers and sidecars unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_cmp").toString
+    Ann.buildIvfPqIndex(clusteredDf.filter($"vec_id" < 16), "vec_id", "embedding",
+      16, path, numCells = 8, kmeansIters = 5, m = 4, ks = 8)
+    // three increments fragment every touched cell partition
+    for (lo <- Seq(16L, 32L, 48L))
+      Ann.appendToIvfPqIndex(path,
+        clusteredDf.filter($"vec_id" >= lo && $"vec_id" < lo + 16), "vec_id", "embedding", 16)
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(f =>
+          f.getName.endsWith(".parquet") && !f.getName.startsWith("."))).toMap
+    val probes = clusteredDf.filter($"vec_id" < 8)
+    def answers() = Ann.ivfPqTopKIndexed(path, probes, "vec_id", "embedding", 16, 5,
+        nProbe = 2).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (filesBefore, ansBefore) = (cellFiles(), answers())
+    assert(filesBefore.values.sum > filesBefore.size,
+      s"appends should have fragmented at least one cell: $filesBefore")
+    val nCells = Ann.compactIvfIndex(spark, path, targetFileBytes = 64L * 1024 * 1024)
+    assert(nCells == filesBefore.size, "every cell partition must be examined")
+    val filesAfter = cellFiles()
+    assert(filesAfter.keySet == filesBefore.keySet, "compaction must not move cells")
+    assert(filesAfter.values.forall(_ == 1),
+      s"tiny cells must compact to one file each: $filesAfter")
+    assert(filesAfter.values.sum < filesBefore.values.sum, "file count must shrink")
+    assert(answers() == ansBefore, "compaction must not change any answer")
+    // quantizer sidecars untouched
+    assert(new java.io.File(path, "_graft_centroids").exists())
+    assert(new java.io.File(path, "_graft_codebooks").exists())
+    // no leftover swap siblings from the per-cell rename protocol
+    assert(!new java.io.File(path).listFiles().exists(_.getName.contains("__compact")),
+      "compaction must clean up its tmp/bak siblings")
+  }
 }

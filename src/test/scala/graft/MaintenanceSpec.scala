@@ -208,4 +208,68 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"multi-distinct should plan through Expand:\n$plan")
     assert(!plan.contains("Union"), s"profile must not union per-column scans:\n$plan")
   }
+
+  // --- Persisted-index publish protocol (SparkEntry.withBuiltIndex) ---------
+
+  /** Runs `body` with the durable scratch root pointed at a temp dir. */
+  private def withScratchRoot[T](body: String => T): T = {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    spark.conf.set("spark.graft.scratchDir", root)
+    try body(root)
+    finally spark.conf.unset("spark.graft.scratchDir")
+  }
+
+  private def writeMarker(dir: java.io.File): Unit = {
+    dir.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(dir, "_GRAFT_COMPLETE")).close()
+  }
+
+  test("withBuiltIndex serves an already-complete index without rebuilding") {
+    withScratchRoot { root =>
+      val target = new java.io.File(s"$root/pub_corpus")
+      writeMarker(target)
+      new java.io.FileOutputStream(new java.io.File(target, "data.bin")).close()
+      var built = 0
+      val idx = SparkEntry.withBuiltIndex(spark, "/x/corpus", "pub")(_ => built += 1)
+      assert(built == 0, "complete index must not be rebuilt")
+      assert(new java.io.File(idx, "data.bin").exists(), "published payload must survive")
+    }
+  }
+
+  test("withBuiltIndex rebuilds a crashed remnant (dir without marker)") {
+    withScratchRoot { root =>
+      val target = new java.io.File(s"$root/pub_corpus")
+      target.mkdirs() // remnant: no _GRAFT_COMPLETE
+      new java.io.FileOutputStream(new java.io.File(target, "half.bin")).close()
+      val idx = SparkEntry.withBuiltIndex(spark, "/x/corpus", "pub") { staging =>
+        val d = new java.io.File(staging); d.mkdirs()
+        new java.io.FileOutputStream(new java.io.File(d, "full.bin")).close()
+      }
+      assert(new java.io.File(idx, "_GRAFT_COMPLETE").exists())
+      assert(new java.io.File(idx, "full.bin").exists(), "rebuilt payload must publish")
+      assert(!new java.io.File(idx, "half.bin").exists(), "remnant must be discarded")
+    }
+  }
+
+  test("withBuiltIndex never loses a complete index published mid-build by a rival") {
+    withScratchRoot { root =>
+      val target = new java.io.File(s"$root/pub_corpus")
+      // interleaved publish: while OUR build is running, a concurrent
+      // application publishes a complete index at the shared target.
+      // Our rename must lose gracefully and the rival's index survive.
+      val idx = SparkEntry.withBuiltIndex(spark, "/x/corpus", "pub") { staging =>
+        writeMarker(target)
+        new java.io.FileOutputStream(new java.io.File(target, "rival.bin")).close()
+        val d = new java.io.File(staging); d.mkdirs()
+        new java.io.FileOutputStream(new java.io.File(d, "loser.bin")).close()
+      }
+      assert(new java.io.File(idx, "_GRAFT_COMPLETE").exists())
+      assert(new java.io.File(idx, "rival.bin").exists(),
+        "the rival's complete index must be served, not destroyed")
+      // the losing staging tree is discarded, not nested under the winner
+      assert(!new java.io.File(idx, "loser.bin").exists())
+      assert(new java.io.File(idx).listFiles().forall(!_.getName.contains("__staging")),
+        "loser staging tree must not nest inside the published index")
+    }
+  }
 }

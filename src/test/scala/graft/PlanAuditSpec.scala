@@ -245,14 +245,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // re-derived per downstream stage. Execute, then audit the final
     // adaptive plan: a reuse regression shows up as the static scan
     // count surviving to runtime.
+    val staticScans = "Scan parquet".r.findAllIn(static).size
     df.collect() // execute THIS queryExecution (a write would plan its own)
     // AQE prints "final plan ... == Initial Plan ==" — audit the final part only
     val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     val scans = "Scan parquet".r.findAllIn(fin).size
     val reused = "ReusedExchange".r.findAllIn(fin).size
-    assert(scans <= 6,
+    // RATIO, not a magic constant (ADVICE r12): the regression this
+    // guards against is the static one-scan-per-stage-reference count
+    // SURVIVING to runtime, so compare runtime scans against the
+    // static reference count instead of pinning an absolute number a
+    // Spark bump could shift. Reuse must collapse at least half.
+    assert(staticScans >= 2, s"static plan lost its stage references?\n$static")
+    assert(scans * 2 <= staticScans,
       s"documents must be scanned once per stage-group, not once per stage " +
-        s"reference: $scans live scans, $reused reused exchanges\n$fin")
+        s"reference: $scans live scans of $staticScans static references, " +
+        s"$reused reused exchanges\n$fin")
     assert(reused >= 1,
       s"expected the dedup-survivor exchange to be reused across stages:\n$fin")
   }

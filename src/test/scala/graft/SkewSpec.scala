@@ -60,4 +60,25 @@ class SkewSpec extends AnyFunSuite {
     val saltedById = Skew.saltedCount(facts, "k", 8, saltBy = Seq("payload"))
     assert(saltedById.except(plain).isEmpty && plain.except(saltedById).isEmpty)
   }
+
+  test("salted linkage candidate pairs equal the unsalted pair set exactly") {
+    import graft.operators.Linkage
+    // one giant block (half the records) + a tail of small blocks
+    val recs = (1L to 200L).map { i =>
+      val blk = if (i % 2 == 0) "giant" else s"b${i % 13}"
+      (i, s"name${i % 37}x", blk)
+    }.toDF("rec_id", "name", "blk")
+    val plain = Linkage.linkByEditDistance(recs, "rec_id", "name", Seq("blk"), maxDist = 2)
+    val salted = Linkage.linkByEditDistance(recs, "rec_id", "name", Seq("blk"),
+      maxDist = 2, salts = 8)
+    assert(plain.count() > 0, "probe must produce real links, not hold vacuously")
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty,
+      "salting must not add, drop, or duplicate any linked pair")
+    assert(salted.count() == plain.count(), "per-pair multiplicity must be 1")
+    // the giant block's a-side rows really do spread across salts
+    val spreadBuckets = recs.filter($"blk" === "giant")
+      .withColumn("__salt", pmod(xxhash64($"rec_id"), lit(8L)))
+      .groupBy("__salt").count().count()
+    assert(spreadBuckets >= 6, s"giant block should spread over salts, got $spreadBuckets")
+  }
 }

@@ -387,6 +387,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer emits unmatched purchases null-padded after watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStream.intervalJoin(
+      purchases.toDF().select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts")),
+      clicks.toDF().select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts")),
+      "p_user", "c_user", "p_ts", "c_ts", lookback = "1 hour",
+      watermark = "30 minutes", joinType = "left_outer")
+    val q = joined.select("p_id", "c_id")
+      .writeStream.format("memory").queryName("ssjoin_outer").outputMode("append").start()
+    try {
+      clicks.addData(Event(1, 10, ts(0), "click", 0.0))
+      purchases.addData(
+        Event(1, 100, ts(30), "purchase", 9.99), // click 30 min before → match
+        Event(5, 101, ts(30), "purchase", 1.0))  // no click → outer row
+      q.processAllAvailable()
+      val eager = spark.table("ssjoin_outer").as[(Long, Option[Long])].collect().toSet
+      assert(eager.contains((100L, Some(10L))), s"matched row must emit eagerly: $eager")
+      assert(!eager.exists(_._1 == 101L),
+        s"outer row must wait for the watermark to prove no match can arrive: $eager")
+      // advance both watermarks far past purchase-ts + lookback; a second
+      // advancing batch flushes the outer row (state-cleanup then emit)
+      clicks.addData(Event(9, 98, ts(600), "click", 0.0))
+      purchases.addData(Event(9, 99, ts(600), "purchase", 0.0))
+      q.processAllAvailable()
+      clicks.addData(Event(9, 97, ts(700), "click", 0.0))
+      purchases.addData(Event(9, 96, ts(700), "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_outer").as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((101L, None)),
+        s"unmatched purchase must emit null-padded after the watermark: $got")
+    } finally q.stop()
+  }
+
   test("intervalJoin evicts right-side state past watermark + lookback") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -119,17 +119,33 @@ class TableSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
-  test("upsert rejects duplicate-key deltas and mismatched schemas") {
+  test("upsert rejects duplicate-key deltas and column drops") {
     val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/ud"
     TableSink.writeTruncate(Seq((1L, "a")).toDF("k", "v"), dir)
     intercept[IllegalArgumentException] {
       TableSink.upsert(spark, dir, Seq((2L, "x"), (2L, "y")).toDF("k", "v"), Seq("k"))
     }
-    intercept[IllegalArgumentException] {
-      TableSink.upsert(spark, dir, Seq((2L, "x", 9)).toDF("k", "v", "extra"), Seq("k"))
+    // a delta missing a table column would silently vanish data
+    val e = intercept[IllegalArgumentException] {
+      TableSink.upsert(spark, dir, Seq(2L).toDF("k"), Seq("k"))
     }
+    assert(e.getMessage.contains("missing table columns"))
     // failed upserts must not have touched the table
     assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("upsert evolves the schema additively: new delta column null-fills old rows") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/ue"
+    TableSink.writeTruncate(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    TableSink.upsert(spark, dir,
+      Seq((2L, "B2", 7), (3L, "c", 9)).toDF("k", "v", "extra"), Seq("k"))
+    val back = spark.read.parquet(dir)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("extra", "k", "v"))
+    val rows = back.select("k", "v", "extra")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "a", None), (2L, "B2", Some(7)), (3L, "c", Some(9))))
   }
 
   test("upsert rejects same-name different-type deltas (no silent coercion)") {
@@ -140,7 +156,7 @@ class TableSinkSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       TableSink.upsert(spark, dir, Seq((2L, 20)).toDF("k", "v"), Seq("k"))
     }
-    assert(e.getMessage.contains("schema"))
+    assert(e.getMessage.contains("type changes refused"))
     assert(spark.read.parquet(dir).schema("v").dataType.typeName == "long")
   }
 
