@@ -233,20 +233,44 @@ object ScaleProbe {
     // giant-block candidate pair lands on one reducer). The salted
     // variant must produce the IDENTICAL pair set (the saltedJoin
     // oracle pattern) while spreading the giant block's verify.
-    val recs = docs.filter(col("doc_id") < 4000)
+    // 10k records, 5k in the giant block → ~12.5M in-block pairs, and
+    // a 160-char compare field at maxDist 8 so the banded-DP verify
+    // (not shuffle overhead) is the dominant cost the salt spreads —
+    // the realistic record-linkage regime (address/description
+    // fields), where one reducer owning the giant block binds
+    val recs = docs.filter(col("doc_id") < 10000)
       .select(col("doc_id").as("rec_id"),
-        substring(coalesce(col("text"), lit("")), 1, 24).as("name"),
+        substring(coalesce(col("text"), lit("")), 1, 160).as("name"),
         when(pmod(col("doc_id"), lit(2)) === 0, lit("giant"))
           .otherwise(concat(lit("b"), pmod(col("doc_id"), lit(64)).cast("string")))
           .as("blk"))
-    val linked0 = timedRun("linkage blocked, 50%-giant block") {
-      graft.operators.Linkage.linkByEditDistance(
-        recs, "rec_id", "name", Seq("blk"), maxDist = 3)
-    }
-    val linkedS = timedRun("linkage salted x32, same block skew") {
-      graft.operators.Linkage.linkByEditDistance(
-        recs, "rec_id", "name", Seq("blk"), maxDist = 3, salts = 32)
-    }
+    // The salt lever exists for the SHUFFLE-join regime (at 100 TB the
+    // record side is never broadcastable, the join hashes on the block
+    // key, and one reducer owns the whole giant block). At probe bytes
+    // Catalyst would broadcast the build side (no per-block reducer at
+    // all) and AQE would coalesce the kilobyte salt buckets, so both
+    // are pinned off during the timed section — for BOTH variants —
+    // to measure the regime the lever is for.
+    val broadcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevBroadcast = spark.conf.get(broadcastKey)
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(broadcastKey, "-1")
+    spark.conf.set(coalesceKey, "false")
+    val (linked0, linkedS) =
+      try {
+        (timedRun("linkage blocked, 50%-giant block") {
+          graft.operators.Linkage.linkByEditDistance(
+            recs, "rec_id", "name", Seq("blk"), maxDist = 8)
+        },
+        timedRun("linkage salted x32, same block skew") {
+          graft.operators.Linkage.linkByEditDistance(
+            recs, "rec_id", "name", Seq("blk"), maxDist = 8, salts = 32)
+        })
+      } finally {
+        spark.conf.set(broadcastKey, prevBroadcast)
+        spark.conf.set(coalesceKey, prevCoalesce)
+      }
     val linkDrift = linkedS.unionAll(linked0)
       .groupBy("id_a", "id_b", "dist").agg(count(lit(1)).as("c"))
       .filter(col("c") =!= 2).count()

@@ -441,7 +441,13 @@ object HashOps {
     sig
   }
 
-  /** Jaccard similarity of two sorted distinct long arrays (merge). */
+  /** Jaccard similarity of two sorted distinct long arrays (merge).
+   * Empty∪empty → 0.0, NOT the conventional 1.0 (ADVICE r12 family):
+   * a shingle-less document participates in no near-dup relation, so
+   * two degenerate docs must not count as duplicates — the brute-force
+   * exact-dedup queries apply this predicate to ALL pairs with no
+   * candidate-blocking step to shield them, and their string-space
+   * oracles emit no shingle rows for such docs. */
   def hashJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
@@ -461,14 +467,17 @@ object HashOps {
     while (i < na) { if (!a.isNullAt(i)) cntA += 1; i += 1 }
     while (j < nb) { if (!b.isNullAt(j)) cntB += 1; j += 1 }
     val union = cntA + cntB - inter
-    if (union == 0) 1.0 else inter.toDouble / union
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   /** Containment of A in B — |A∩B| / |A| — over two sorted distinct
    * long arrays (same merge as [[hashJaccard]]). Asymmetric by design:
    * a short document quoted inside a long one scores ~1.0 here while
    * its Jaccard is tiny (the union is dominated by the long side).
-   * Empty A (no non-null elements) is vacuously contained → 1.0. */
+   * Empty A → 0.0, not vacuous containment (same rationale as
+   * [[hashJaccard]]): a shingle-less doc must not die to every larger
+   * doc under the brute-force containment predicate when its oracle
+   * replay emits no shingle rows for it at all. */
   def hashContainment(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
@@ -484,7 +493,7 @@ object HashOps {
       }
     }
     while (i < na) { if (!a.isNullAt(i)) cntA += 1; i += 1 }
-    if (cntA == 0) 1.0 else inter.toDouble / cntA
+    if (cntA == 0) 0.0 else inter.toDouble / cntA
   }
 
   private val EmptyUtf8Array = new Array[org.apache.spark.unsafe.types.UTF8String](0)

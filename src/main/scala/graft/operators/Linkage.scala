@@ -39,7 +39,13 @@ object Linkage {
   def candidatePairs(records: DataFrame, idCol: String, compareCol: String,
                      blockCols: Seq[String], salts: Int = 1): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val a = records.select(
+    // Spread the probe side before the CPU-heavy verify (the
+    // Dedup.spread rationale): when the build side broadcasts — the
+    // common small-records case — the join inherits the probe side's
+    // partitioning, and a few-file input would run the whole
+    // quadratic verify in one task. A many-partition input (the
+    // 100 TB case) passes through untouched.
+    val a = graft.dedup.Dedup.spread(records).select(
       (col(idCol).as("id_a") +: col(compareCol).as(s"${compareCol}_a")
         +: blockCols.map(col)): _*)
     val b = records.select(

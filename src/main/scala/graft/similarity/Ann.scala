@@ -96,8 +96,31 @@ object Ann {
       .select("probe_id", "rank", "vec_id", "cos")
   }
 
+  /** The `k` lowest-min-id DISTINCT-VALUE corpus vectors — the
+   * deterministic quantizer init seed. Grouping by VALUE (not id)
+   * makes the init immune to mass duplication: a corpus where every
+   * vector has 20 exact copies (the ScaleProbe shape, and what real
+   * crawled embeddings look like before dedup) would otherwise seed
+   * all k centroids with copies of the same few vectors, collapsing
+   * the trained quantizer and with it recall (the r13 probe caught
+   * exactly this). It also makes training replication-INVARIANT:
+   * same init + uniformly-duplicated Lloyd means = bit-identical
+   * quantizers at 1× and N×. The group-by shuffles only distinct
+   * vectors after map-side combine — one extra aggregate against the
+   * 3 Lloyd scans the build already pays. */
+  private def distinctInitVectors(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): Array[Array[Double]] =
+    corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .groupBy("__v").agg(min("__id").as("__mid"))
+      .orderBy("__mid").limit(k).collect()
+      .map(_.get(0).asInstanceOf[scala.collection.Seq[Any]].map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }.toArray)
+
   /**
-   * Coarse-quantizer centroids: `numCells` lowest-id corpus vectors,
+   * Coarse-quantizer centroids: `numCells` lowest-id DISTINCT corpus
+   * vectors ([[distinctInitVectors]] — duplication-proof init),
    * optionally refined by `iters` rounds of distributed spherical
    * k-means (Lloyd). Each round is one pass: codegen'd nearest-cell
    * assignment, then a (cell, position) partial-aggregated mean of the
@@ -109,13 +132,8 @@ object Ann {
    */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, numCells: Int, iters: Int = 0): Array[Double] = {
-    val init: Array[Double] = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(numCells).collect().flatMap { r =>
-        r.get(1).asInstanceOf[scala.collection.Seq[Any]].map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-        }
-      }
+    val init: Array[Double] =
+      distinctInitVectors(corpus, idCol, vecCol, numCells).flatten
     var centroids = init
     val spreadCorpus = Dedup.spread(corpus)
     for (_ <- 1 to iters) {
@@ -183,8 +201,9 @@ object Ann {
    * blocks of dim/m; each block gets its own `ks`-centroid L2
    * quantizer (plain Lloyd, NOT spherical — block magnitudes carry
    * into the full vector's norm and dot, see HashOps.pqEncode).
-   * Init is deterministic (block j of the ks lowest-id vectors);
-   * each refinement round is one scan: codegen'd encode, then a
+   * Init is deterministic (block j of the ks lowest-id DISTINCT
+   * vectors — [[distinctInitVectors]], duplication-proof); each
+   * refinement round is one scan: codegen'd encode, then a
    * (block, code, position) partial-aggregated mean — the shuffle is
    * m x ks x subdim rows regardless of corpus size, so training is
    * scan-bound at 100 TB exactly like [[trainCentroids]]. Empty
@@ -197,12 +216,8 @@ object Ann {
     val subdim = dim / m
     import graft.functions.expressions.pqEncode
     val init = new Array[Double](m * ks * subdim)
-    corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(ks)
-      .collect().zipWithIndex.foreach { case (r, c) =>
-        val v = r.get(1).asInstanceOf[scala.collection.Seq[Any]].map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-        }
+    distinctInitVectors(corpus, idCol, vecCol, ks).zipWithIndex.foreach {
+      case (v, c) =>
         var i = 0
         while (i < math.min(v.length, dim)) {
           init((i / subdim * ks + c) * subdim + i % subdim) = v(i)

@@ -41,7 +41,8 @@ class CorpusAssemblySpec extends AnyFunSuite {
 
   private def jaccard(a: Set[String], b: Set[String]): Double = {
     val u = (a ++ b).size
-    if (u == 0) 1.0 else (a & b).size.toDouble / u
+    // empty∪empty → 0.0: shingle-less docs are in no dup relation
+    if (u == 0) 0.0 else (a & b).size.toDouble / u
   }
 
   private val docs = Seq(
@@ -91,6 +92,33 @@ class CorpusAssemblySpec extends AnyFunSuite {
     assert(got.contains(11L) && got.contains(12L),
       "accent-distinct docs must both survive at 0.8")
     assert(!got.contains(13L), "case-folded ASCII copy must die")
+  }
+
+  test("brute-force pair predicates keep shingle-less docs (no blocking to shield them)") {
+    import graft.dedup.Dedup
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    // the q_dedup_jaccard_exact shape: ALL ordered pairs, no candidate
+    // generation — the predicate itself must not relate degenerate docs
+    val base = df.select(col("doc_id"),
+      graft.functions.expressions.wordShingleHashes(coalesce(col("text"), lit("")), 3).as("sh"))
+    val a = base.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val dupDead = a.join(b, col("id_b") < col("id_a") &&
+        graft.functions.expressions.hashJaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select("id_a").as[Long].collect().toSet
+    assert(!Set(4L, 5L, 6L, 7L, 8L).exists(dupDead.contains),
+      s"brute-force jaccard must not kill shingle-less docs: $dupDead")
+    assert(dupDead.contains(10L) && dupDead.contains(13L),
+      s"real near-dups must still die brute-force: $dupDead")
+    // the q_dedup_containment_exact shape: empty sets are NOT vacuously
+    // contained in every larger doc
+    val contDead = a.join(b, col("id_a") =!= col("id_b") &&
+        (size(col("sh_b")) > size(col("sh_a")) ||
+          (size(col("sh_b")) === size(col("sh_a")) && col("id_b") < col("id_a"))) &&
+        graft.functions.expressions.hashContainment(col("sh_a"), col("sh_b")) >= 0.9)
+      .select("id_a").as[Long].collect().toSet
+    assert(!Set(3L, 4L, 5L, 6L, 7L, 8L).exists(contDead.contains),
+      s"brute-force containment must not kill shingle-less docs: $contDead")
   }
 
   test("minhash near-dedup keeps every shingle-less doc and never bands them together") {

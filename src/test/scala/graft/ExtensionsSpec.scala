@@ -83,11 +83,13 @@ class ExtensionsSpec extends AnyFunSuite {
     // NULL input → NULL result (nullSafeEval skipped)
     assert(spark.sql("SELECT simhash64(NULL)").head().isNullAt(0))
     assert(spark.sql("SELECT minhash_sig(NULL)").head().isNullAt(0))
-    // array() is ArrayType(NullType) with no elements — evaluates fine
+    // array() is ArrayType(NullType) with no elements — evaluates fine;
+    // empty∪empty jaccard is 0.0 (degenerate-doc contract, round 13:
+    // shingle-less inputs are in no dup relation)
     assert(spark.sql("SELECT minhash_sig(array())").head().getSeq[Long](0).nonEmpty)
-    assert(spark.sql("SELECT hash_jaccard(array(), array())").head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT hash_jaccard(array(), array())").head().getDouble(0) == 0.0)
     // non-empty null-element arrays: nulls are ignored, no NPE
-    assert(spark.sql("SELECT hash_jaccard(array(NULL), array(NULL))").head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT hash_jaccard(array(NULL), array(NULL))").head().getDouble(0) == 0.0)
     assert(spark.sql("SELECT simhash64(array(NULL))").head().getLong(0) == 0L,
       "no tokens → no votes → zero signature")
   }

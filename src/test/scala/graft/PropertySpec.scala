@@ -27,7 +27,10 @@ class PropertySpec extends AnyFunSuite {
       val jab = HashOps.hashJaccard(arr(ha), arr(hb))
       assert(jab >= 0.0 && jab <= 1.0)
       assert(jab == HashOps.hashJaccard(arr(hb), arr(ha)))
-      assert(HashOps.hashJaccard(arr(ha), arr(ha)) == 1.0)
+      // self-similarity is 1.0 for any doc WITH shingles; a
+      // shingle-less doc (< 3 tokens) is in no dup relation, even
+      // with itself (the degenerate-doc contract, round 13)
+      assert(HashOps.hashJaccard(arr(ha), arr(ha)) == (if (ha.nonEmpty) 1.0 else 0.0))
     }
   }
 
@@ -64,7 +67,8 @@ class PropertySpec extends AnyFunSuite {
       val (ha, hb) = (sh(a), sh(b))
       val c = HashOps.hashContainment(arr(ha), arr(hb))
       assert(c >= 0.0 && c <= 1.0)
-      assert(HashOps.hashContainment(arr(ha), arr(ha)) == 1.0)
+      // empty A is NOT vacuously contained (degenerate-doc contract)
+      assert(HashOps.hashContainment(arr(ha), arr(ha)) == (if (ha.nonEmpty) 1.0 else 0.0))
       // |A∩B|/|A| ≥ |A∩B|/|A∪B| always — containment can only exceed
       // jaccard (the property that makes it catch near-subsets)
       assert(c >= HashOps.hashJaccard(arr(ha), arr(hb)) - 1e-12)
