@@ -919,6 +919,20 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** C44: SemDeDup ([[graft.dedup.SemDedup.semanticKeep]]) — k-means
+   * cells over embeddings, cosine dedup only within a cell. FULL
+   * oracle: DuckDB replays the distinct-value centroid seed, the
+   * argmax assignment (C29's margin argument: min top1−top2 gap on
+   * this corpus is orders above cross-engine float noise), and the
+   * in-cell pairwise threshold (C5b's proven-parity compare). */
+  private def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism) // single-file scan
+    graft.dedup.SemDedup.semanticKeep(e, "vec_id", "embedding",
+        graft.dedup.SemDedup.seedCentroids(e, "vec_id", "embedding", 8), 0.35)
+      .orderBy("vec_id")
+  }
+
   /** C13: corpus bigram heavy hitters — exact top-20 by count
    * (vocabulary/heavy-hitter statistics; Ngrams operator). */
   private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
@@ -1266,6 +1280,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C42: corpus-global duplicate-span excision ([[graft.text.DupSpans
+   * .exciseDuplicateSpans]]) — every non-canonical occurrence of a
+   * 5-gram appearing ≥2 times corpus-wide is cut, one canonical copy
+   * (lowest (doc_id, pos)) survives. Full string-space oracle: DuckDB
+   * replays the tokenization, gram counting, canonical pick, [i, i+n)
+   * cover merge, and ordered rebuild; clean_text hash-compares
+   * byte-for-byte. */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.text.DupSpans.exciseDuplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, minCount = 2L)
+      .orderBy("doc_id")
+
   /** C18: per-language quota sampling by deterministic hash order. */
   private def qQuotaSample(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling
@@ -1301,6 +1327,17 @@ object SparkEntry {
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
       .orderBy("doc_id", "rnk")
+
+  /** C43: BM25 ranked retrieval ([[graft.text.TfIdf.bm25TopK]]) —
+   * top-10 documents for a 3-term query under fixed-point BM25
+   * (rational-odds idf, one 64-bit integer division per term at ppm
+   * scale), FULL oracle: DuckDB replays tf/df/dl/N/S and the exact
+   * integer formula, so unlike the ln-based [[graft.text.TfIdf.bm25]]
+   * every score hash-compares bit-for-bit. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream", "window"), 10)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
 
   /** C21: corpus length histogram — fixed-width buckets over document
    * length (the length-distribution summary every corpus audit
@@ -2435,6 +2472,7 @@ object SparkEntry {
     "q_mixture_resample" -> qMixtureResample,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embed"    -> qDedupEmbed,
+    "q_semdedup"       -> qSemdedup,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_lsh"        -> qAnnLsh,
     "q_ann_ivf"        -> qAnnIvf,
@@ -2460,10 +2498,12 @@ object SparkEntry {
     "q_decontaminate"  -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_decontaminate_spans" -> qDecontaminateSpans,
+    "q_dup_spans"      -> qDupSpans,
     "q_quota_sample"   -> qQuotaSample,
     "q_pack_sequences" -> qPackSequences,
     "q_pack_materialize" -> qPackMaterialize,
     "q_tfidf"          -> qTfidf,
+    "q_bm25"           -> qBm25,
     "q_length_hist"    -> qLengthHist,
     "q_funnel"         -> qFunnel,
     "q_retention"      -> qRetention,
@@ -3127,6 +3167,30 @@ object SparkEntry {
            CAST(CASE WHEN t.doc_id IN (SELECT doc_id FROM hits)
                 THEN len(t.ts) - COALESCE(k.n_kept, 0) ELSE 0 END AS BIGINT) AS n_removed
          FROM tr t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""",
+    "q_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, i, array_to_string(ts[i : i + 4], ' ') AS gram
+           FROM d, UNNEST(range(1, len(ts) - 3)) AS u(i)),
+         hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         occ AS (SELECT g.*, row_number() OVER (
+             PARTITION BY gram ORDER BY doc_id, i) AS rn
+           FROM g WHERE gram IN (SELECT gram FROM hot)),
+         cov AS (SELECT DISTINCT doc_id, i + j AS k
+           FROM occ, UNNEST(range(0, 5)) AS v(j) WHERE rn > 1),
+         kept AS (SELECT t.doc_id, string_agg(t.ts[u.k], ' ' ORDER BY u.k) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM d t, UNNEST(range(1, len(ts) + 1)) AS u(k)
+           WHERE t.doc_id IN (SELECT doc_id FROM cov)
+             AND NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.k = u.k)
+           GROUP BY t.doc_id)
+         SELECT t.doc_id,
+           CASE WHEN t.doc_id IN (SELECT doc_id FROM cov)
+                THEN COALESCE(k.clean_text, '') ELSE t.text END AS clean_text,
+           CAST(CASE WHEN t.doc_id IN (SELECT doc_id FROM cov)
+                THEN len(t.ts) - COALESCE(k.n_kept, 0) ELSE 0 END AS BIGINT) AS n_removed
+         FROM d t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""",
     "q_quota_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang, row_number() OVER (
@@ -3166,6 +3230,24 @@ object SparkEntry {
            PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk FROM scored)
          SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+         sc AS (SELECT tf.doc_id, tf.term,
+             (1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
+               // ((2 * df.df + 1) * (10 * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
+               AS score_ppm
+           FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(score_ppm) AS BIGINT) AS score_ppm
+         FROM sc WHERE term IN ('vector', 'stream', 'window')
+         GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 10""",
     "q_length_hist" ->
       """SELECT LEAST(n_chars // 200, 9) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
@@ -3537,6 +3619,21 @@ object SparkEntry {
          SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster
          FROM documents LEFT JOIN comp c ON doc_id = c.node
          ORDER BY doc_id""",
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cents AS (SELECT MIN(vec_id) AS cid, emb AS cv FROM e GROUP BY emb
+           ORDER BY cid LIMIT 8),
+         asg AS (SELECT vec_id, emb, cid AS cluster FROM (
+             SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.emb, c.cv) DESC, c.cid) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         dups AS (SELECT DISTINCT a.vec_id AS dup_id FROM asg a JOIN asg b
+           ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(a.emb, b.emb) >= 0.35)
+         SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           dup_id IS NULL AS keep
+         FROM asg a LEFT JOIN dups ON vec_id = dup_id ORDER BY vec_id""",
     "q_dedup_embed_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          dups AS (SELECT DISTINCT a.vec_id AS dup_id FROM e a JOIN e b

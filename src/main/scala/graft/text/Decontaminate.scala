@@ -69,13 +69,10 @@ object Decontaminate {
    *
    * Mechanics: gram starts come from `posexplode(wordNgrams(text, n))`
    * (pos = the gram's first token index), a hit covers tokens
-   * [pos, pos+n); covered indices dedup per doc. Only FLAGGED docs pay
-   * the token-level reconstruction (anti-join of their
-   * `wordNgrams(text, 1)` token stream — the same kernel, so the
-   * tokenization is identical by construction — against the covered
-   * set, then an in-doc ordered rebuild); the clean corpus streams
-   * through untouched with its ORIGINAL text. Output: (id, clean_text,
-   * n_removed). A fully-covered document yields ("", token count).
+   * [pos, pos+n); covered indices dedup per doc; the flagged-only
+   * ordered rebuild is the shared [[SpanExcision.excise]] kernel.
+   * Output: (id, clean_text, n_removed). A fully-covered document
+   * yields ("", token count).
    */
   def exciseContaminated(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
@@ -90,30 +87,7 @@ object Decontaminate {
       .join(benchGrams, Seq("__gh"), "left_semi")
       .select(col("__id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("__tok"))
       .distinct()
-    val dirtyIds = covered.select("__id").distinct()
-    val dirty = src.join(dirtyIds, Seq("__id"), "left_semi")
-    val toks = dirty.select(col("__id"), posexplode(wordNgrams(col("__text"), 1)))
-      .withColumnRenamed("col", "__tokstr")
-    val rebuilt = toks
-      .join(covered,
-        toks("__id") === covered("__id") && toks("pos") === covered("__tok"),
-        "left_anti")
-      .groupBy("__id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("__tokstr")))),
-          x => x.getField("__tokstr")), " ").as("__clean"),
-        count(lit(1)).as("__kept"))
-    val dirtyOut = dirty
-      .withColumn("__ntok", size(wordNgrams(col("__text"), 1)).cast("long"))
-      .join(rebuilt, Seq("__id"), "left") // missing = fully covered
-      .select(col("__id"),
-        coalesce(col("__clean"), lit("")).as("clean_text"),
-        (col("__ntok") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
-    val cleanOut = src.join(dirtyIds, Seq("__id"), "left_anti")
-      .select(col("__id"), col("__text").as("clean_text"),
-        lit(0L).as("n_removed"))
-    dirtyOut.unionByName(cleanOut).withColumnRenamed("__id", idCol)
+    SpanExcision.excise(src, covered).withColumnRenamed("__id", idCol)
   }
 
   def markContaminatedBig(train: DataFrame, bench: DataFrame,

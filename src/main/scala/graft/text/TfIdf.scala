@@ -68,4 +68,66 @@ object TfIdf {
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .select("doc_id", "term", "tf", "bm25")
   }
+
+  /**
+   * FIXED-POINT BM25 per (doc, term): the same k1 = 1.2 / b = 0.75
+   * scoring as [[bm25]], but with the ln idf replaced by its exact
+   * rational odds (N−df+½)/(df+½) and the whole score evaluated as ONE
+   * 64-bit integer division at ppm scale — ln's last-ulp rounding is
+   * libm-specific, while integer arithmetic is bit-identical across
+   * engines, so this variant is hash-verifiable cross-engine (the same
+   * trade [[topTerms]] and the ppm PageRank make). ln(1+x) is monotone
+   * in x, so single-term ranking is IDENTICAL to classic BM25;
+   * multi-term sums can reorder only documents whose classic scores
+   * were already within the log-vs-odds distortion of each other.
+   *
+   * With avgdl = S/N (S = corpus tokens, N = docs), the exact value is
+   *
+   *   score_ppm = ⌊10⁶ · (2N−2df+1) · 22·tf·S /
+   *                     ((2df+1) · (10·S·tf + 3·S + 9·dl·N))⌋
+   *
+   * (numerator and denominator each multiplied through by 10·S and the
+   * half-integers cleared). Overflow bound: the numerator needs
+   * 2.2·10⁷·(2N)·tf·S < 2⁶³, i.e. N·S ≲ 2·10¹¹/tf_max — beyond that
+   * (≈10⁹ docs · 10⁸ tokens), drop the scale to 10³ or lift the
+   * numerator into decimal(38,0) on both engines.
+   *
+   * Scale shape: tf is one (doc, term) hash aggregation; df and the
+   * 1-row (N, S) stats broadcast back (vocabulary ≪ corpus); the score
+   * itself is a per-row integer expression inside codegen.
+   */
+  def bm25Ppm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("s"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__num",
+        lit(1000000L) * (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)) *
+          lit(22L) * col("tf") * col("s"))
+      .withColumn("__den",
+        (lit(2L) * col("df") + lit(1L)) *
+          (lit(10L) * col("s") * col("tf") + lit(3L) * col("s") +
+            lit(9L) * col("dl") * col("n")))
+      .withColumn("score_ppm", expr("__num div __den"))
+      .select("doc_id", "term", "tf", "score_ppm")
+  }
+
+  /**
+   * Ranked retrieval: top-k documents for a bag-of-words query by
+   * summed [[bm25Ppm]] term scores (integer sums — reduction-order
+   * free), ties broken by doc id. The top-k is TakeOrdered (per
+   * partition heads + driver merge of k rows), never a global sort.
+   * Output: (doc_id, n_terms, score_ppm).
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame =
+    bm25Ppm(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("score_ppm").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
 }

@@ -143,6 +143,36 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("semanticKeep dedups within cells only, assigns by cosine argmax") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),      // seed centroid 0
+      (1L, Array(0f, 1f)),      // seed centroid 1
+      (2L, Array(0.99f, 0.14f)), // cell 0, cos(·, v0) ≈ 0.990 → dropped
+      (3L, Array(-1f, 0.1f)),   // cell 1 (cos vs v1 = 0.0995) → kept
+      (4L, Array(2f, 0f)),      // cell 0, same direction as v0 → dropped
+      (5L, Array(0.1f, 0.9f)))  // cell 1, cos(·, v1) ≈ 0.994 → dropped
+      .toDF("vec_id", "embedding")
+    val cents = graft.dedup.SemDedup.seedCentroids(vecs, "vec_id", "embedding", 2)
+    val got = graft.dedup.SemDedup
+      .semanticKeep(vecs, "vec_id", "embedding", cents, 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      0L -> ((0L, true)), 1L -> ((1L, true)), 2L -> ((0L, false)),
+      3L -> ((1L, true)), 4L -> ((0L, false)), 5L -> ((1L, false))), s"got $got")
+  }
+
+  test("seedCentroids is duplication-invariant (distinct-value seeding)") {
+    val base = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)))
+    val dup = base ++ base.map { case (i, v) => (i + 100L, v) } // exact copies
+    val c1 = graft.dedup.SemDedup
+      .seedCentroids(base.toDF("vec_id", "embedding"), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    val c2 = graft.dedup.SemDedup
+      .seedCentroids(dup.toDF("vec_id", "embedding"), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(c1 == c2)
+  }
+
   test("embedding near-dup finds planted duplicate vector, not orthogonal ones") {
     val rnd = new scala.util.Random(7)
     def randVec() = Array.fill(16)(rnd.nextGaussian().toFloat)

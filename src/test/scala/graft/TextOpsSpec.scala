@@ -64,6 +64,33 @@ class TextOpsSpec extends AnyFunSuite {
       4L -> ("", 3L)), s"got $got")
   }
 
+  test("exciseDuplicateSpans keeps one canonical copy of a hot gram, cuts the rest") {
+    val docs = Seq(
+      // canonical home of "a b c" (lowest (doc, pos)) → untouched
+      (1L, "a b c tail1"),
+      // non-canonical occurrence at pos 1 → tokens 1..3 cut
+      (2L, "pre a b c tail2"),
+      // fully covered → empty, 3 removed
+      (3L, "a b c"),
+      // no hot gram → original text
+      (4L, "unique words only here"),
+      // fewer than n tokens → emits no grams, untouched
+      (5L, "x y"),
+      // TWO non-canonical occurrences (pos 0 and 3) cover everything;
+      // the in-doc grams "b c a"/"c a b" stay below minCount
+      (6L, "a b c a b c")).toDF("doc_id", "text")
+    val got = graft.text.DupSpans
+      .exciseDuplicateSpans(docs, "doc_id", "text", n = 3, minCount = 2L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ("a b c tail1", 0L),
+      2L -> ("pre tail2", 3L),
+      3L -> ("", 3L),
+      4L -> ("unique words only here", 0L),
+      5L -> ("x y", 0L),
+      6L -> ("", 6L)), s"got $got")
+  }
+
   test("tfidf ranks rarer terms above common ones at equal tf") {
     val docs = Seq(
       (1L, "common rare1"),
@@ -86,6 +113,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(byKey((1L, "rare")) > byKey((1L, "common")),
       "df=1 term must outscore the everywhere-term in the same doc")
     assert(rows.forall(_._4 >= 0.0))
+  }
+
+  test("bm25Ppm matches a BigInt replay of the fixed-point formula and keeps per-term ranking") {
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common rare2"),
+      (3L, "common other rare2 rare2 filler"),
+      (4L, "common common common common common")).toDF("doc_id", "text")
+    def toks(t: String) = t.split("[ \t\n\r]+").filter(_.nonEmpty).toSeq
+    val corpus = Seq(
+      1L -> "rare common common common", 2L -> "common common rare2",
+      3L -> "common other rare2 rare2 filler",
+      4L -> "common common common common common")
+    val tf = corpus.flatMap { case (d, t) => toks(t).map(d -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dl = corpus.map { case (d, t) => d -> toks(t).size.toLong }.toMap
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = corpus.size.toLong
+    val s = dl.values.sum
+    def expected(d: Long, term: String): Long = {
+      val (t, w, l) = (BigInt(tf((d, term))), BigInt(dfm(term)), BigInt(dl(d)))
+      val num = BigInt(1000000L) * (2 * n - 2 * w + 1) * 22 * t * s
+      val den = (2 * w + 1) * (BigInt(10) * s * t + 3 * s + 9 * l * n)
+      (num / den).toLong
+    }
+    val fixed = graft.text.TfIdf.bm25Ppm(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+    fixed.foreach { case (d, term, _, got) =>
+      assert(got == expected(d, term), s"($d, $term)")
+    }
+    // per-term document ranking agrees with classic ln-idf bm25
+    // (idf is constant within a term, so only the shared tf-part ranks)
+    val classic = graft.text.TfIdf.bm25(docs, "doc_id", "text")
+      .as[(Long, String, Long, Double)].collect()
+    classic.map(_._2).distinct.foreach { term =>
+      val c = classic.filter(_._2 == term).sortBy(r => (-r._4, r._1)).map(_._1).toSeq
+      val f = fixed.filter(_._2 == term).sortBy(r => (-r._4, r._1)).map(_._1).toSeq
+      assert(c == f, s"term $term: classic $c vs fixed $f")
+    }
+    // multi-term retrieval: doc 3 holds the rarest terms at highest tf
+    val top = graft.text.TfIdf
+      .bm25TopK(docs, "doc_id", "text", Seq("rare2", "other"), 2)
+      .as[(Long, Long, Long)].collect()
+    assert(top.head._1 == 3L && top.head._2 == 2L)
   }
 
   test("sortStructArray orders exactly like array_sort on mixed types with nulls/NaN") {
