@@ -2376,6 +2376,21 @@ object SparkEntry {
     graft.operators.Profile
       .tableChecksum(t(s, dir, "documents"), Seq("doc_id", "lang", "source", "text"))
 
+  /** C45: cross-source corpus overlap via KMV sketches
+   * (operators/Overlap.scala) — each source's word-3-gram shingle set
+   * reduces to its k smallest distinct md5 hashes in ONE bounded
+   * algebraic aggregate (never more than k strings of state per
+   * partial, regardless of corpus size), then the #sources² sketch
+   * pairs yield the KMV Jaccard estimate |K(A∪B)∩K(A)∩K(B)|/|K(A∪B)|
+   * as an integer ppm. The graded companion of C31's equality
+   * checksum: "how much of source A is mirrored in B" without ever
+   * co-shuffling the corpora. Oracle replays the identical hash,
+   * k-min ranking, and integer division in DuckDB. */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Overlap
+      .sourceOverlap(t(s, dir, "documents"), "source", "text", k = 256)
+      .orderBy("src_a", "src_b")
+
   /** C32: record linkage / entity resolution over structured records
    * (operators/Linkage.scala) — block on (nation, segment), verify
    * only in-block pairs with codegen'd levenshtein; the multi-field
@@ -2554,6 +2569,7 @@ object SparkEntry {
     "q_pagerank"       -> qPagerank,
     "q_scd2"           -> qScd2,
     "q_table_checksum" -> qTableChecksum,
+    "q_source_overlap" -> qSourceOverlap,
     "q_record_linkage" -> qRecordLinkage,
     "q_winsorize"      -> qWinsorize,
     "q_mad_outliers"   -> qMadOutliers,
@@ -3862,6 +3878,27 @@ object SparkEntry {
            CAST(SUM(h) AS BIGINT) AS checksum_sum,
            CAST(BIT_XOR(h) AS BIGINT) AS checksum_xor
          FROM h""",
+    "q_source_overlap" ->
+      """WITH toks AS (SELECT source,
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM documents),
+         sh AS (SELECT DISTINCT source, md5(array_to_string(ts[i : i + 2], ' ')) AS h
+           FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+         r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+         k AS (SELECT source, h FROM r WHERE rn <= 256),
+         pairs AS (SELECT DISTINCT a.source AS sa, b.source AS sb
+           FROM k a, k b WHERE a.source < b.source),
+         uni AS (SELECT p.sa, p.sb, x.h,
+             MAX(CASE WHEN x.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN x.source = p.sb THEN 1 ELSE 0 END) AS in_b
+           FROM pairs p JOIN k x ON x.source = p.sa OR x.source = p.sb
+           GROUP BY 1, 2, 3),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uni)
+         SELECT sa AS src_a, sb AS src_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS matched,
+           CAST(COUNT(*) AS BIGINT) AS denom,
+           CAST(SUM(in_a * in_b) * 1000000 // COUNT(*) AS BIGINT) AS jaccard_ppm
+         FROM rk WHERE rn <= 256 GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_record_linkage" ->
       """WITH r AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer)
          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
