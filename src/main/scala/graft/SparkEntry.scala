@@ -1229,6 +1229,32 @@ object SparkEntry {
       .select(col("doc_id"), TextFunctions.redactPii(col("raw")).as("clean"))
       .orderBy("doc_id")
 
+  /** C46: Unicode corpus normalization (functions.NormalizeText —
+   * codegen'd NFC + accent-strip + case-fold + whitespace-collapse
+   * kernel with an ASCII fast path). The documents table is pure
+   * ASCII, so the query first builds a DETERMINISTIC messy variant —
+   * uppercased head, decomposed combining-acute injections, a
+   * composed-é / Angstrom-sign tail, tab + double-space runs — then
+   * normalizes it two ways (with and without accent stripping). The
+   * oracle replays the construction and the normalize→strip→fold→
+   * collapse order through DuckDB's utf8proc (nfc_normalize /
+   * strip_accents / lower) — two independent Unicode stacks agreeing
+   * byte-for-byte on every row. */
+  private def qNormalizeText(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(
+      upper(substring(col("text"), 1, 40)), lit("  \t"),
+      regexp_replace(substring(col("text"), 41, 40), "a", "á"),
+      lit(" café ANGSTROM Å end "))
+    t(s, dir, "documents")
+      .select(col("doc_id"), messy.as("messy"))
+      .select(col("doc_id"),
+        graft.functions.expressions.normalizeText(col("messy"), "NFC",
+          stripAccents = false, caseFold = true, collapseWs = true).as("norm"),
+        graft.functions.expressions.normalizeText(col("messy"), "NFC",
+          stripAccents = true, caseFold = true, collapseWs = true).as("norm_bare"))
+      .orderBy("doc_id")
+  }
+
   /** C16: URL domain extraction + per-domain corpus stats. */
   private def qDomainStats(s: SparkSession, dir: String): DataFrame =
     withContact(t(s, dir, "documents"))
@@ -2509,6 +2535,7 @@ object SparkEntry {
     "q_dedup_clusters_sound" -> qDedupClustersSound,
     "q_dedup_embed_sound" -> qDedupEmbedSound,
     "q_pii_redact"     -> qPiiRedact,
+    "q_normalize_text" -> qNormalizeText,
     "q_domain_stats"   -> qDomainStats,
     "q_decontaminate"  -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
@@ -3106,6 +3133,18 @@ object SparkEntry {
                            WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q_normalize_text" ->
+      """WITH m AS (SELECT doc_id,
+           upper(substr(text, 1, 40)) || '  ' || chr(9) ||
+           regexp_replace(substr(text, 41, 40), 'a', 'a' || chr(769), 'g') ||
+           ' caf' || chr(233) || ' ANGSTROM ' || chr(8491) || ' end ' AS messy
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(lower(nfc_normalize(messy)),
+             '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm,
+           trim(regexp_replace(lower(strip_accents(nfc_normalize(messy))),
+             '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm_bare
+         FROM m ORDER BY doc_id""",
     "q_pii_redact" ->
       """WITH raw AS (SELECT doc_id,
            substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||

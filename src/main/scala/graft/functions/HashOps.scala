@@ -751,6 +751,46 @@ object HashOps {
     picked.toArray
   }
 
+  // Unicode corpus normalization kernel. One static per-row call so
+  // the NormalizeText expression stays inside whole-stage codegen; the
+  // pure-ASCII fast path (the overwhelming majority of a web corpus)
+  // costs one byte scan and allocates nothing beyond the lowered copy.
+  private val WsRun = java.util.regex.Pattern.compile("[ \\t\\n\\u000B\\f\\r]+")
+  private val Marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** normalizeText(s, form, stripAccents, caseFold, collapseWs):
+   * Unicode-normalize (form: 0=NFC 1=NFD 2=NFKC 3=NFKD), optionally
+   * strip combining marks (NFD → drop Mn → recompose NFC), lowercase
+   * (root locale), collapse ASCII whitespace runs to single spaces and
+   * trim. Order matters and is part of the contract: normalize →
+   * strip → fold → collapse, the order the oracle replays. */
+  def normalizeText(s: org.apache.spark.unsafe.types.UTF8String, form: Int,
+      stripAccents: Boolean, caseFold: Boolean,
+      collapseWs: Boolean): org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    var str = s.toString
+    if (!ascii) {
+      val f = form match {
+        case 0 => java.text.Normalizer.Form.NFC
+        case 1 => java.text.Normalizer.Form.NFD
+        case 2 => java.text.Normalizer.Form.NFKC
+        case _ => java.text.Normalizer.Form.NFKD
+      }
+      str = java.text.Normalizer.normalize(str, f)
+      if (stripAccents) {
+        val decomposed = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+        val bare = Marks.matcher(decomposed).replaceAll("")
+        str = java.text.Normalizer.normalize(bare, java.text.Normalizer.Form.NFC)
+      }
+    }
+    if (caseFold) str = str.toLowerCase(java.util.Locale.ROOT)
+    if (collapseWs) str = WsRun.matcher(str).replaceAll(" ").trim
+    org.apache.spark.unsafe.types.UTF8String.fromString(str)
+  }
+
   // Count-Min probe statics: integral keys take the aggregate's addLong
   // path, string keys its addBinary(UTF-8) path — the probe MUST hash
   // exactly like CountMinSketchAgg.update or every estimate is garbage.

@@ -14,6 +14,26 @@ import org.apache.spark.unsafe.types.UTF8String
  * the hot path of a 100 TB dedup pass is exactly these per-row hashes.
  */
 
+/** normalize_text(s) → string: Unicode normalization + optional
+ * accent-strip / case-fold / whitespace-collapse, the canonical
+ * first stage of a corpus-cleaning pipeline. A per-row regex/ICU-free
+ * kernel ([[HashOps.normalizeText]]) with an ASCII fast path, called
+ * statically from generated code — the normalization pass over 100 TB
+ * of text stays inside whole-stage codegen. form: 0=NFC 1=NFD 2=NFKC
+ * 3=NFKD. */
+case class NormalizeText(child: Expression, form: Int, stripAccents: Boolean,
+    caseFold: Boolean, collapseWs: Boolean) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.normalizeText(input.asInstanceOf[UTF8String], form, stripAccents,
+      caseFold, collapseWs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.normalizeText($c, $form, $stripAccents, $caseFold, $collapseWs)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(newChild)
+}
+
 /** Element-type input check shared by the hash expressions: ArrayData
  * accessors (getLong/getUTF8String) read at a fixed byte width, so a
  * mistyped array (e.g. array<int> where array<long> is required) would
@@ -495,6 +515,18 @@ case class PqTableScore(left: Expression, right: Expression, normSq: Array[Doubl
 object expressions {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def normalizeText(c: Column, form: String = "NFC", stripAccents: Boolean = false,
+      caseFold: Boolean = false, collapseWs: Boolean = false): Column = {
+    val f = form match {
+      case "NFC" => 0
+      case "NFD" => 1
+      case "NFKC" => 2
+      case "NFKD" => 3
+      case other => throw new IllegalArgumentException(
+        s"normalizeText form must be NFC/NFD/NFKC/NFKD, got $other")
+    }
+    column(NormalizeText(expression(c), f, stripAccents, caseFold, collapseWs))
+  }
   def simhashText(c: Column): Column = column(SimHashText(expression(c)))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))

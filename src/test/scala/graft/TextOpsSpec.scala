@@ -182,6 +182,53 @@ class TextOpsSpec extends AnyFunSuite {
     assert(native == builtin)
   }
 
+  test("normalizeText: NFC composes, NFKC folds compatibility chars") {
+    import graft.functions.expressions.normalizeText
+    val rows = Seq(
+      "café",          // decomposed e + combining acute
+      "Å",              // Angstrom sign: NFC → U+00C5
+      "① ﬁ",       // circled one + fi ligature: NFKC-only folds
+      "already plain ascii")
+      .toDF("t")
+      .select(
+        normalizeText(col("t"), "NFC").as("nfc"),
+        normalizeText(col("t"), "NFKC").as("nfkc"))
+      .as[(String, String)].collect()
+    assert(rows(0) == (("café", "café")))
+    assert(rows(1) == (("Å", "Å")))
+    assert(rows(2)._1 == "① ﬁ")     // NFC leaves compatibility chars
+    assert(rows(2)._2 == "1 fi")              // NFKC folds them
+    assert(rows(3) == (("already plain ascii", "already plain ascii")))
+  }
+
+  test("normalizeText: strip → fold → collapse order and null safety") {
+    import graft.functions.expressions.normalizeText
+    val rows = Seq(
+      Some("  Voilà,\tNAÏVE Ångström  text \n"),
+      Some("ÁBC"),     // decomposed mark on an UPPERCASE base
+      None)
+      .toDF("t")
+      .select(normalizeText(col("t"), "NFC", stripAccents = true,
+        caseFold = true, collapseWs = true).as("n"))
+      .as[Option[String]].collect()
+    assert(rows(0).contains("voila, naive angstrom text"))
+    // strip runs on the normalized form, before folding: Á → A → a
+    assert(rows(1).contains("abc"))
+    assert(rows(2).isEmpty)
+  }
+
+  test("normalizeText ASCII fast path is byte-identical to the full path") {
+    import graft.functions.expressions.normalizeText
+    // pure-ASCII rows take the skip-normalization branch; fold+collapse
+    // must still run there
+    val got = Seq("  MiXeD   CaSe\tText  ")
+      .toDF("t")
+      .select(normalizeText(col("t"), "NFKC", stripAccents = true,
+        caseFold = true, collapseWs = true).as("n"))
+      .as[String].collect()
+    assert(got(0) == "mixed case text")
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
