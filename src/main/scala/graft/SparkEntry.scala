@@ -1971,6 +1971,22 @@ object SparkEntry {
       .toDF()
       .orderBy("window_start_us", "item")
 
+  /** D10: streaming windowed quantiles (EventStream.histogramStream +
+   * histogramQuantiles) run in batch — per-hour integer value
+   * histograms (the bounded mergeable summary; exact streaming
+   * quantiles are unbounded-state) finalized to p50/p90/p99 at bucket
+   * precision. Integer buckets, counts, and edges end to end, so the
+   * oracle replays the whole pipeline — bucketing, cumulative rank,
+   * quantile pick — in DuckDB exactly. StreamingSpec drives the same
+   * histogram incrementally and checks cross-micro-batch additivity. */
+  private def qStreamQuantile(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.streaming.EventStream.histogramStream(
+      withEventTime(t(s, dir, "events")), "1 hour", "10 minutes", bucketCents = 100L)
+    graft.streaming.EventStream
+      .histogramQuantiles(hist, Seq(500000L, 900000L, 990000L), bucketCents = 100L)
+      .orderBy("window_start_us", "q_ppm")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -2573,6 +2589,7 @@ object SparkEntry {
     "q_stream_topk_weighted" -> qStreamTopkWeighted,
     "q_sliding_window" -> qSlidingWindow,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
+    "q_stream_quantile" -> qStreamQuantile,
     "q_interval_join" -> qIntervalJoin,
     "q_interval_join_outer" -> qIntervalJoinOuter,
     "q_stream_dedup"  -> qStreamDedup,
@@ -2842,6 +2859,21 @@ object SparkEntry {
          event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
          true AS within_band
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_stream_quantile" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           CAST(round(value * 100, 0) AS BIGINT) // 100 AS bucket
+           FROM events),
+         h AS (SELECT window_start_us, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM e GROUP BY 1, 2),
+         c AS (SELECT *,
+             SUM(cnt) OVER (PARTITION BY window_start_us ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY window_start_us) AS total FROM h),
+         f AS (SELECT window_start_us, q_ppm, MIN(bucket) AS qb
+           FROM c, (VALUES (500000), (900000), (990000)) AS q(q_ppm)
+           WHERE cum * 1000000 >= total * q_ppm GROUP BY 1, 2)
+         SELECT window_start_us, CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST((qb + 1) * 100 AS BIGINT) AS value_cents_ub
+         FROM f ORDER BY 1, 2""",
     "q_interval_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
                     WHERE event_type = 'purchase'),

@@ -89,6 +89,53 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"))
 
+  /** D10: streaming windowed distribution sketch — per-window integer
+   * HISTOGRAM maintenance (bucket = value-cents div `bucketCents`).
+   * Exact per-window quantiles are unbounded-state under streaming
+   * (the same wall as D8's COUNT DISTINCT / D9's top-k); a
+   * fixed-width histogram is the mergeable summary: state per open
+   * window is at most (value-range / bucketCents) counters, counts
+   * are additive across micro-batches (a plain windowed SUM — no
+   * custom state), and any quantile resolves from the finalized
+   * histogram to bucket precision. All integers end to end, so the
+   * batch twin carries a full DuckDB replay oracle — no float
+   * quantile estimator to diverge. */
+  def histogramStream(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes", bucketCents: Long = 100L): DataFrame =
+    events
+      .withColumn("bucket",
+        expr(s"cast(round(value * 100, 0) as bigint) div ${bucketCents}L"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("bucket"), col("cnt"))
+
+  /** Finalize: quantiles at `quantilesPpm` (e.g. 500000 = p50) from a
+   * histogram emitted by [[histogramStream]] — smallest bucket whose
+   * cumulative count reaches ⌈total·q⌉, reported as the bucket's
+   * EXCLUSIVE upper value edge in cents ("q-quantile ≤ this"). Runs
+   * over finalized (window, bucket, cnt) rows — post-sink in a
+   * streaming deployment, same-plan in batch — and shuffles only
+   * histogram rows, never events. */
+  def histogramQuantiles(hist: DataFrame, quantilesPpm: Seq[Long],
+      bucketCents: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWin = Window.partitionBy("window_start_us")
+    import hist.sparkSession.implicits._
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byWin.orderBy("bucket")))
+      .withColumn("total", sum("cnt").over(byWin))
+    // one scan of the histogram: broadcast the (tiny) quantile list,
+    // keep buckets at-or-past each target, take the smallest
+    cum.crossJoin(broadcast(quantilesPpm.toDF("q_ppm")))
+      .filter(col("cum") * 1000000L >= col("total") * col("q_ppm"))
+      .groupBy("window_start_us", "q_ppm")
+      .agg(min("bucket").as("qbucket"))
+      .select(col("window_start_us"), col("q_ppm"),
+        ((col("qbucket") + 1L) * bucketCents).as("value_cents_ub"))
+  }
+
   /** Streaming heavy hitters: per-window Misra-Gries frequency
    * summaries in BOUNDED state — `capacity` counters per open window
    * regardless of stream length or item cardinality (exact per-window

@@ -495,4 +495,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((1L, 3L), (2L, 1L), (3L, 1L)))
     } finally q.stop()
   }
+
+  test("histogramStream adds counts across micro-batches; quantiles from the sink") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 1-cent buckets: value 1.00 → bucket 100, 2.00 → 200 (bucketCents=1)
+    val q = EventStream.histogramStream(in.toDF(), "1 hour", "10 minutes", bucketCents = 1L)
+      .writeStream.format("memory").queryName("hq").outputMode("append").start()
+    try {
+      // same hour fed across TWO batches: three 1.00s then one 9.00
+      in.addData(Event(1, 1, ts(0), "a", 1.0), Event(1, 2, ts(1), "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, 3, ts(2), "a", 1.0), Event(2, 4, ts(3), "a", 9.0))
+      q.processAllAvailable()
+      in.addData(Event(9, 5, ts(120), "a", 1.0)) // advance watermark, close hour
+      q.processAllAvailable()
+      val hist = spark.table("hq")
+      val winStart = (1700000000000000L / 3600000000L) * 3600000000L
+      val rows = hist.as[(Long, Long, Long)].collect().toSet
+      // counts MERGED across the two batches: bucket 100 has all 3 ones
+      assert(rows.contains((winStart, 100L, 3L)) && rows.contains((winStart, 900L, 1L)))
+      // finalize on the sink output: p50 within the ones, p90 at the 9.00
+      val qs = EventStream.histogramQuantiles(
+          hist.filter($"window_start_us" === winStart), Seq(500000L, 900000L), bucketCents = 1L)
+        .as[(Long, Long, Long)].collect().toMap2
+      assert(qs((winStart, 500000L)) == 101L) // upper edge of bucket 100
+      assert(qs((winStart, 900000L)) == 901L)
+    } finally q.stop()
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
 }
