@@ -2159,6 +2159,35 @@ object SparkEntry {
     s.read.parquet(path).orderBy("o_orderkey")
   }
 
+  /** B53: date-partitioned fact layout + DYNAMIC partition pruning —
+   * the standard 100 TB ingest layout (one directory per day) plus
+   * the read-side payoff: joining against a filtered dimension prunes
+   * the fact scan to matching partitions AT RUNTIME (Catalyst inserts
+   * a dynamicpruning subquery on the partition column from the
+   * broadcast side — LayoutSpec asserts it fires; a static filter
+   * can't express "the dates the dim selects"). The query writes the
+   * events table date-partitioned to scratch, joins it with a
+   * deterministic dim slice (every 5th day-of-month), and aggregates;
+   * the oracle replays the join-as-filter on the raw table — equal
+   * results prove the pruned scan lost no rows. */
+  private def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${graft.Scratch.root(s)}/part_events_${new java.io.File(dir).getName}"
+    val ev = withEventTime(t(s, dir, "events"))
+      .withColumn("event_date", col("ts").cast("date"))
+      .select(col("event_date"), cents(col("value")).as("c"))
+    graft.sinks.TableSink.writeTruncate(ev, path, partitionBy = Seq("event_date"))
+    val facts = s.read.parquet(path)
+    val dim = withEventTime(t(s, dir, "events"))
+      .select(col("ts").cast("date").as("d")).distinct()
+      .filter(dayofmonth(col("d")) % 5 === 0)
+    facts.join(broadcast(dim), facts("event_date") === dim("d"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"))
+      .select(col("event_date").cast("string").as("event_date"),
+        col("n"), col("sum_cents"))
+      .orderBy("event_date")
+  }
+
   /** A12 (oracled, ADVICE r12): the CLI's end-to-end path — the same
    * flatDenorm-with-lookups → TableSink.writeTruncate → read-back
    * round trip `Run simple-with-lookups` drives — summarized through
@@ -2598,6 +2627,7 @@ object SparkEntry {
     "q_stream_enrich" -> qStreamEnrich,
     "q_upsert"        -> qUpsert,
     "q_cli_run"       -> qCliRun,
+    "q_partition_prune" -> qPartitionPrune,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_media_frames"   -> qMediaFrames,
@@ -2964,6 +2994,13 @@ object SparkEntry {
            CAST(SUM(h) AS BIGINT) AS checksum_sum,
            CAST(BIT_XOR(h) AS BIGINT) AS checksum_xor
          FROM h""",
+    "q_partition_prune" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS event_date,
+           CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
+         SELECT CAST(event_date AS VARCHAR) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sum_cents
+         FROM e WHERE day(event_date) % 5 = 0
+         GROUP BY 1 ORDER BY 1""",
     "q_top_ngrams" ->
       """WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '') AS ts
                        FROM documents),

@@ -121,4 +121,39 @@ class LayoutSpec extends AnyFunSuite {
       s"probe expression missing from plan:\n$plan")
     assert(!plan.contains("Exchange"), s"bloom prefilter must not shuffle:\n$plan")
   }
+
+  // --- Partitioned layout + dynamic partition pruning ---------------------
+
+  test("partitioned layout: dim join prunes fact partitions at runtime (DPP)") {
+    val dir = Files.createTempDirectory("graft_dpp").toFile.getAbsolutePath
+    // 20 partitions of 50 rows each
+    val facts = spark.range(1000)
+      .select(concat(lit("p"), $"id" % 20).as("pk"), $"id".as("v"))
+    graft.sinks.TableSink.writeTruncate(facts, dir, partitionBy = Seq("pk"))
+    val dim = spark.range(20)
+      .select(concat(lit("p"), $"id").as("dk"), $"id".as("attr"))
+      .filter($"attr" < 3) // selects 3 of 20 partitions — only at runtime
+    val joined = spark.read.parquet(dir)
+      .join(broadcast(dim), $"pk" === $"dk")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+    // pruning must lose no rows: 3 partitions x 50 rows — collect()
+    // executes THIS queryExecution, so its scan metrics populate
+    assert(joined.collect().length == 150)
+    // and the executed scan reports only the pruned partition set
+    // (recurse through the AQE wrappers to reach the physical scan)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numPartitions").value == 3,
+      "fact scan should touch exactly the 3 dim-selected partitions")
+  }
 }
