@@ -1255,6 +1255,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C47: fixed-point unigram surprisal (text/Surprisal.scala) — the
+   * perplexity-proxy quality score with −log2 quantized to bit length
+   * (`length(bin(count))`, identical on both engines), so rare-token
+   * density is scored in whole bits with zero floats. Monotone in
+   * 1/frequency; the ppm-PageRank verifiability trade again. */
+  private def qSurprisal(s: SparkSession, dir: String): DataFrame =
+    graft.text.Surprisal.docSurprisal(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** C16: URL domain extraction + per-domain corpus stats. */
   private def qDomainStats(s: SparkSession, dir: String): DataFrame =
     withContact(t(s, dir, "documents"))
@@ -2472,6 +2481,34 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), maxDist = 1)
       .orderBy("id_a", "id_b")
 
+  /** B54: grouped top-k in bounded state (operators/TopK.scala) — the
+   * scale-safe twin of B5's window row_number: a k-bounded ordered
+   * aggregate buffer (map-side combined, ≤ k rows per partition per
+   * group cross the shuffle) instead of sort-shuffling every row of
+   * every group. Deterministic (score desc, id asc) tie-break; the
+   * oracle replays the WINDOW formulation in DuckDB — equality proves
+   * the bounded aggregate drops exactly the right rows. */
+  private def qGroupTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.topKPerGroup(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        cents(col("o_totalprice")).as("score"), col("o_orderkey").as("id")),
+      Seq("o_orderpriority"), "score", "id", k = 5)
+      .orderBy("o_orderpriority", "rank")
+
+  /** B55: exact triangle counting (operators/Graph.triangleCount) over
+   * the co-purchase graph (parts sharing an order) — degree-ordered
+   * orientation caps every wedge fan-out at O(√m), the bound that
+   * keeps the join shuffle-safe on hub-heavy graphs. Oracle replays
+   * the identical orientation and self-joins in DuckDB. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Graph.triangleCount(e, "src", "dst")
+  }
+
   /** B50: winsorization (percentile outlier clamping) — clamp order
    * totals to the exact cents-space [p05, p95] band and report the
    * clamped aggregate; the standard robust-statistics cleaning step
@@ -2581,6 +2618,7 @@ object SparkEntry {
     "q_dedup_embed_sound" -> qDedupEmbedSound,
     "q_pii_redact"     -> qPiiRedact,
     "q_normalize_text" -> qNormalizeText,
+    "q_surprisal"      -> qSurprisal,
     "q_domain_stats"   -> qDomainStats,
     "q_decontaminate"  -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
@@ -2646,6 +2684,8 @@ object SparkEntry {
     "q_source_overlap" -> qSourceOverlap,
     "q_record_linkage" -> qRecordLinkage,
     "q_winsorize"      -> qWinsorize,
+    "q_group_topk"     -> qGroupTopk,
+    "q_triangles"      -> qTriangles,
     "q_mad_outliers"   -> qMadOutliers,
   )
 
@@ -3202,6 +3242,16 @@ object SparkEntry {
                            WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '')) AS w
+           FROM documents),
+         c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT length(bin(SUM(cnt))) AS bits_total FROM c)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits_total - length(bin(cnt))) AS BIGINT) AS surprisal_sum,
+           CAST(SUM(bits_total - length(bin(cnt))) * 1000 // COUNT(*) AS BIGINT) AS surprisal_milli
+         FROM toks JOIN c USING (w), tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_normalize_text" ->
       """WITH m AS (SELECT doc_id,
            upper(substr(text, 1, 40)) || '  ' || chr(9) ||
@@ -4016,6 +4066,31 @@ object SparkEntry {
            AND a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
+    "q_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
+             CAST(b.l_partkey AS BIGINT) AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT n, COUNT(*) AS d FROM
+           (SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY 1),
+         k AS (SELECT n, d * 10000000 + n AS kk FROM deg),
+         o AS (SELECT CASE WHEN kl.kk < kh.kk THEN e0.lo ELSE e0.hi END AS src,
+               CASE WHEN kl.kk < kh.kk THEN e0.hi ELSE e0.lo END AS dst,
+               CASE WHEN kl.kk < kh.kk THEN kh.kk ELSE kl.kk END AS k_dst
+           FROM e0 JOIN k kl ON kl.n = e0.lo JOIN k kh ON kh.n = e0.hi),
+         w AS (SELECT x.dst AS tv, y.dst AS tw
+           FROM o x JOIN o y ON x.src = y.src AND x.k_dst < y.k_dst)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM w JOIN o ON o.src = w.tv AND o.dst = w.tw""",
+    "q_group_topk" ->
+      """WITH p AS (SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS score,
+           CAST(o_orderkey AS BIGINT) AS id,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY round(o_totalprice * 100, 0) DESC, o_orderkey) AS rn
+           FROM orders)
+         SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, score, id
+         FROM p WHERE rn <= 5 ORDER BY o_orderpriority, rank""",
     "q_winsorize" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders),
          p AS (SELECT CAST(FLOOR(quantile_cont(c, 0.05)) AS BIGINT) AS lo,

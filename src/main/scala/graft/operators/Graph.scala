@@ -76,4 +76,50 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * Exact triangle counting via DEGREE-ORDERED edge orientation — the
+   * other classic iterative-free graph statistic (clustering /
+   * community-density signal for link graphs). The naive wedge join
+   * (every node joins all neighbor pairs) explodes on hubs: a
+   * degree-d node contributes d² wedge candidates. Orienting every
+   * undirected edge from its LOWER-ranked endpoint to its
+   * higher-ranked one under the total order (degree, id) caps every
+   * node's out-degree at O(√m) (a node of out-degree t has t
+   * neighbors of degree ≥ its own, so t² ≤ 2m) — the standard bound
+   * that makes the wedge join shuffle-safe at any scale. Each
+   * triangle {u,v,w} with u<v<w in the order is counted EXACTLY once:
+   * as the wedge (v,w) at u closed by the oriented edge v→w.
+   *
+   * Everything is integer/equi-join (two self-joins on the oriented
+   * edge list), so the oracle replays the identical orientation and
+   * joins in DuckDB.
+   */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set: (lo, hi), self-loops dropped
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val deg = und.select(col("lo").as("n")).unionAll(und.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // total-order key: degree first, node id as tie-break. Degrees and
+    // ids both < 10^7 at any realistic per-table scale here; at true
+    // web scale widen to two-column ordering — same plan shape.
+    val key = deg.select(col("n"), (col("d") * 10000000L + col("n")).as("k"))
+    val oriented = und
+      .join(key.select(col("n").as("lo"), col("k").as("k_lo")), "lo")
+      .join(key.select(col("n").as("hi"), col("k").as("k_hi")), "hi")
+      .select(
+        when(col("k_lo") < col("k_hi"), col("lo")).otherwise(col("hi")).as("src"),
+        when(col("k_lo") < col("k_hi"), col("hi")).otherwise(col("lo")).as("dst"),
+        when(col("k_lo") < col("k_hi"), col("k_hi")).otherwise(col("k_lo")).as("k_dst"))
+    val x = oriented.select(col("src"), col("dst").as("v"), col("k_dst").as("kv"))
+    val y = oriented.select(col("src"), col("dst").as("w"), col("k_dst").as("kw"))
+    val wedges = x.join(y, Seq("src")).filter(col("kv") < col("kw"))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    wedges.join(closing, Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

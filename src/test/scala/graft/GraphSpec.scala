@@ -57,4 +57,25 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L)))
   }
+
+  test("triangleCount: K4 has 4 triangles, a path has none") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("s", "d")
+    assert(Graph.triangleCount(k4, "s", "d").as[Long].head() == 4L)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.triangleCount(path, "s", "d").as[Long].head() == 0L)
+  }
+
+  test("triangleCount canonicalizes input: duplicates, reversals, self-loops") {
+    // one triangle fed as a mess of both directions, repeats, and loops
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 3L), (1L, 1L)).toDF("s", "d")
+    assert(Graph.triangleCount(messy, "s", "d").as[Long].head() == 1L)
+  }
+
+  test("triangleCount on a hub graph counts each triangle exactly once") {
+    // hub 0 connected to 1..6; ring among leaves 1-2,3-4,5-6 → 3 triangles
+    val edges = ((1L to 6L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L), (5L, 6L)))
+      .toDF("s", "d")
+    assert(Graph.triangleCount(edges, "s", "d").as[Long].head() == 3L)
+  }
 }

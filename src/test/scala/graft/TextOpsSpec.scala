@@ -229,6 +229,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(0) == "mixed case text")
   }
 
+  test("docSurprisal matches the hand-computed bit-length formula") {
+    // counts: a=2 b=2 c=1, total=5 → bits_total=3; bitlen: a,b→2 c→1
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    val got = graft.text.Surprisal.docSurprisal(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "surprisal_sum", "surprisal_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // d1: (3-2)+(3-2)+(3-2)=3 over 3 tokens; d2: (3-2)+(3-1)=3 over 2
+    // d3 has no tokens and is absent
+    assert(got == Seq((1L, 3L, 3L, 1000L), (2L, 2L, 3L, 1500L)))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
