@@ -2168,6 +2168,27 @@ object SparkEntry {
     s.read.parquet(path).orderBy("o_orderkey")
   }
 
+  /** A14: malformed-record quarantine (sources/CsvLines.scala) — the
+   * reference's line reader silently NULLs unparseable input
+   * (JSONReader.java:42-57); at 100 TB that silence is unbudgeted
+   * data loss. PERMISSIVE parse with a corrupt-record column keeps
+   * good rows typed, bad rows quarantined with their raw bytes. The
+   * query builds deterministic CSV lines (every 97th order gets an
+   * unparseable numeric field), parses, and emits parse results +
+   * quarantine; the oracle replays the conditional in SQL. */
+  private def qCsvQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val lines = t(s, dir, "orders").select(col("o_orderkey").as("src_key"),
+      concat_ws(",", col("o_orderkey"), col("o_orderpriority"),
+        concat(when(col("o_orderkey") % 97 === 0, lit("x")).otherwise(lit("")),
+          cents(col("o_totalprice")))).as("line"))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("pr", StringType), StructField("v", LongType)))
+    graft.sources.CsvLines.parseWithQuarantine(lines, "line", schema)
+      .select("src_key", "k", "pr", "v", "is_corrupt", "quarantine")
+      .orderBy("src_key")
+  }
+
   /** B53: date-partitioned fact layout + DYNAMIC partition pruning —
    * the standard 100 TB ingest layout (one directory per day) plus
    * the read-side payoff: joining against a filtered dimension prunes
@@ -2666,6 +2687,7 @@ object SparkEntry {
     "q_upsert"        -> qUpsert,
     "q_cli_run"       -> qCliRun,
     "q_partition_prune" -> qPartitionPrune,
+    "q_csv_quarantine" -> qCsvQuarantine,
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_media_frames"   -> qMediaFrames,
@@ -3034,6 +3056,18 @@ object SparkEntry {
            CAST(SUM(h) AS BIGINT) AS checksum_sum,
            CAST(BIT_XOR(h) AS BIGINT) AS checksum_xor
          FROM h""",
+    "q_csv_quarantine" ->
+      """WITH l AS (SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+         SELECT CAST(o_orderkey AS BIGINT) AS src_key,
+           CAST(o_orderkey AS BIGINT) AS k,
+           o_orderpriority AS pr,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE cents END AS v,
+           (o_orderkey % 97 = 0) AS is_corrupt,
+           CASE WHEN o_orderkey % 97 = 0 THEN
+             CAST(o_orderkey AS VARCHAR) || ',' || o_orderpriority || ',x' ||
+             CAST(cents AS VARCHAR) END AS quarantine
+         FROM l ORDER BY 1""",
     "q_partition_prune" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS event_date,
            CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)

@@ -46,4 +46,31 @@ class JsonTablesSpec extends AnyFunSuite {
     val bad = df.filter(df("t_id").isNull).collect()
     assert(bad.length == 1 && bad(0).toSeq.forall(_ == null))
   }
+
+  test("CsvLines quarantines malformed lines and keeps partial parses") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("pr", StringType),
+      StructField("v", LongType)))
+    val lines = Seq(
+      (1L, "10,HIGH,500"),      // clean
+      (2L, "20,LOW,xnum"),      // type failure on v
+      (3L, "30,MED"),           // missing trailing field
+      (4L, "40,URGENT,7,extra") // excess tokens
+    ).toDF("src_id", "line")
+    val got = graft.sources.CsvLines.parseWithQuarantine(lines, "line", schema)
+      .orderBy("src_id")
+      .select("src_id", "k", "pr", "v", "is_corrupt", "quarantine")
+      .collect()
+    assert(got(0).toSeq == Seq(1L, 10L, "HIGH", 500L, false, null))
+    // type failure: parseable prefix fields kept, bad field null, line quarantined
+    assert(got(1).toSeq == Seq(2L, 20L, "LOW", null, true, "20,LOW,xnum"))
+    // missing trailing field: token-count mismatch is malformed too —
+    // parsed prefix kept, missing field null, line quarantined
+    assert(got(2).getBoolean(4) == true && got(2).isNullAt(3))
+    assert(got(2).getString(5) == "30,MED")
+    // excess tokens: quarantined
+    assert(got(3).getBoolean(4) == true && got(3).getString(5) == "40,URGENT,7,extra")
+  }
 }
