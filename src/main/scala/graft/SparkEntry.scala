@@ -2218,6 +2218,115 @@ object SparkEntry {
       .orderBy("event_date")
   }
 
+  /** A10c/D6 companion (r13): changelog (CDC) apply with deletes —
+   * [[graft.sinks.TableSink.applyCdc]] replays three deterministic
+   * Debezium-shaped batches over the orders table. Batch 0 bootstraps
+   * (every key upserted); batches 1–2 touch keys `k % 4 IN (b, 3)`
+   * and mark `k % 6 = b` as deletes, so the sequence exercises
+   * update-after-update, delete-after-update, AND re-insert-after-
+   * delete (e.g. key 7: upserted in 0, deleted in 1, re-upserted
+   * in 2). The oracle replays the changelog in SQL: final state =
+   * each key's max-batch touch, kept iff that touch was an upsert. */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("base_cents"))
+    val path = s"${graft.Scratch.root(s)}/cdc_${new java.io.File(dir).getName}"
+    for (b <- 0 to 2) {
+      val touched =
+        if (b == 0) orders
+        else orders.filter(col("o_orderkey") % 4 === b || col("o_orderkey") % 4 === 3)
+      val delta = touched.select(
+        col("o_orderkey"),
+        (col("base_cents") + b).as("upd_cents"),
+        lit(b.toLong).as("src_batch"),
+        when(lit(b) > 0 && col("o_orderkey") % 6 === b, "D").otherwise("U").as("_op"))
+      graft.sinks.TableSink.applyCdc(s, path, delta, Seq("o_orderkey"))
+    }
+    s.read.parquet(path).orderBy("o_orderkey")
+  }
+
+  /** A10d (r13): partition-tree compaction —
+   * [[graft.sinks.TableSink.compactPartitioned]] rewrites each
+   * `col=value` leaf of a date-partitioned fact independently (plain
+   * `compact` rejects partitioned layouts). The query plants a
+   * deliberately fragmented layout (round-robin repartition(6) before
+   * a partitionBy write → ~6 small files per date), compacts every
+   * leaf to one file, and re-aggregates from the compacted table; the
+   * oracle replays the aggregate on the RAW events table, so equality
+   * proves the rewrite preserved every row. MaintenanceSpec asserts
+   * the file mechanics (counts drop, layout/pruning intact). */
+  private def qCompactPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${graft.Scratch.root(s)}/compactp_${new java.io.File(dir).getName}"
+    val ev = withEventTime(t(s, dir, "events"))
+      .withColumn("event_date", col("ts").cast("date"))
+      .select(col("event_date"), col("event_id"), cents(col("value")).as("c"))
+    graft.sinks.TableSink.writeTruncate(
+      ev.repartition(6), path, partitionBy = Seq("event_date"))
+    graft.sinks.TableSink.compactPartitioned(s, path): Unit
+    s.read.parquet(path)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"),
+        sum("event_id").as("sum_ids"))
+      .select(col("event_date").cast("string").as("event_date"),
+        col("n"), col("sum_cents"), col("sum_ids"))
+      .orderBy("event_date")
+  }
+
+  /** B56 (r13): time-weighted average — the state-duration aggregate
+   * (mean price/latency/level while it HELD, not per observation;
+   * sensor and pricing pipelines need this, plain AVG is wrong when
+   * sampling is irregular). Each event's value holds until the user's
+   * next event; weights are whole seconds and values cents, so the
+   * weighted sum is one exact integer per user and the final mean one
+   * integer division (milli-cents) — reduction-order-free, hence
+   * engine-replayable. One shuffle (window by user), no global sort.
+   * Overflow bound: cents·dur_s ≲ 1e12 per interval, 1e16 per user
+   * at 1e4 events/user — 600× under Long even at 100 TB row counts,
+   * because the sum is per-user, not global. */
+  private def qTimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        cents(col("value")).as("c"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev.withColumn("next_us", lead("ts_us", 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", expr("(next_us - ts_us) div 1000000"))
+      .groupBy("user_id")
+      .agg(sum(expr("c * dur_s")).as("num"), sum("dur_s").as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("num"), col("den"),
+        expr("(num * 1000) div den").as("twa_milli"))
+      .orderBy("user_id")
+  }
+
+  /** D11 (r13): late-data audit — the batch replay of watermark
+   * semantics, as a DEAD-LETTER SPLIT instead of Spark's silent
+   * streaming drop: which rows would a 30-minute watermark discard,
+   * and by how much did each miss it? Arrival order is modeled as
+   * event time plus a deterministic md5-derived ingestion delay of
+   * 0–7199 s (the testdata's ingest ids are perfectly time-ordered,
+   * so real lateness only appears under transport jitter); the
+   * watermark is per-key (user), the Kafka-partition-level shape that
+   * scales — a GLOBAL arrival window would funnel every row through
+   * one reducer. Window max over preceding arrivals, partitioned by
+   * user: one shuffle, bounded frame state. */
+  private def qLateEvents(s: SparkSession, dir: String): DataFrame = {
+    val allowedUs = 1800L * 1000000L
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("arr_us",
+        col("ts_us") + expr(
+          "conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10)")
+          .cast("long") % 7200L * 1000000L)
+    val byArrival = Window.partitionBy("user_id").orderBy("arr_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("wm_us", max("ts_us").over(byArrival) - allowedUs)
+      .filter(col("wm_us").isNotNull && col("ts_us") < col("wm_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        (col("wm_us") - col("ts_us")).as("late_by_us"))
+      .orderBy("event_id")
+  }
+
   /** A12 (oracled, ADVICE r12): the CLI's end-to-end path — the same
    * flatDenorm-with-lookups → TableSink.writeTruncate → read-back
    * round trip `Run simple-with-lookups` drives — summarized through
@@ -2685,6 +2794,10 @@ object SparkEntry {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_stream_enrich" -> qStreamEnrich,
     "q_upsert"        -> qUpsert,
+    "q_cdc_apply"     -> qCdcApply,
+    "q_compact_partitioned" -> qCompactPartitioned,
+    "q_time_weighted" -> qTimeWeighted,
+    "q_late_events"   -> qLateEvents,
     "q_cli_run"       -> qCliRun,
     "q_partition_prune" -> qPartitionPrune,
     "q_csv_quarantine" -> qCsvQuarantine,
@@ -3031,6 +3144,59 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // Changelog replay: final state per key = its max-batch touch,
+    // kept iff that touch was an upsert ('U').
+    "q_cdc_apply" ->
+      """WITH d AS (SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS base_cents
+           FROM orders),
+         batches AS (
+           SELECT 0 AS b, k, base_cents + 0 AS upd_cents, 'U' AS op FROM d
+           UNION ALL
+           SELECT 1, k, base_cents + 1,
+             CASE WHEN k % 6 = 1 THEN 'D' ELSE 'U' END FROM d WHERE k % 4 IN (1, 3)
+           UNION ALL
+           SELECT 2, k, base_cents + 2,
+             CASE WHEN k % 6 = 2 THEN 'D' ELSE 'U' END FROM d WHERE k % 4 IN (2, 3)),
+         last AS (SELECT k, MAX(b) AS b FROM batches GROUP BY k)
+         SELECT t.k AS o_orderkey, t.upd_cents, CAST(t.b AS BIGINT) AS src_batch
+         FROM batches t JOIN last l ON t.k = l.k AND t.b = l.b
+         WHERE t.op = 'U'
+         ORDER BY t.k""",
+    // Compaction preserves every row: replay the aggregate on the RAW
+    // events table.
+    "q_compact_partitioned" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS event_date, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
+         SELECT CAST(event_date AS VARCHAR) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sum_cents,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+         FROM e GROUP BY 1 ORDER BY 1""",
+    "q_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+         nx AS (SELECT *, LEAD(ts_us) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us FROM e),
+         iv AS (SELECT user_id, c, (next_us - ts_us) // 1000000 AS dur_s
+           FROM nx WHERE next_us IS NOT NULL),
+         agg AS (SELECT user_id, SUM(c * dur_s) AS num, SUM(dur_s) AS den
+           FROM iv GROUP BY user_id)
+         SELECT user_id, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+           CAST((num * 1000) // den AS BIGINT) AS twa_milli
+         FROM agg WHERE den > 0 ORDER BY user_id""",
+    "q_late_events" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) + CAST(concat('0x',
+               substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 7200 * 1000000 AS arr_us
+           FROM events),
+         w AS (SELECT *, MAX(ts_us) OVER
+             (PARTITION BY user_id ORDER BY arr_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - 1800000000 AS wm_us FROM e)
+         SELECT event_id, user_id, ts_us, wm_us - ts_us AS late_by_us
+         FROM w WHERE wm_us IS NOT NULL AND ts_us < wm_us
+         ORDER BY event_id""",
     // The CLI round trip replayed: flat denorm (q_flat_denorm's join
     // tree) rendered to stable strings, then the C31 checksum shape.
     "q_cli_run" ->

@@ -147,41 +147,190 @@ object TableSink {
       throw new IllegalArgumentException(
         s"upsert: $path is Hive-partitioned; upsert per partition directory instead")
     val current = spark.read.format(format).load(path)
-    // Shared columns: name AND type equality — unionByName would
-    // otherwise coerce silently (int delta vs bigint table rewrites the
-    // whole table with changed column types instead of failing loudly).
-    val currentTypes = current.dtypes.toMap
-    val deltaTypes = delta.dtypes.toMap
-    val typeChanged = currentTypes.keySet.intersect(deltaTypes.keySet).toSeq.sorted
-      .collect { case c if currentTypes(c) != deltaTypes(c) =>
-        s"$c: ${currentTypes(c)} -> ${deltaTypes(c)}" }
-    require(typeChanged.isEmpty,
-      s"upsert: column type changes refused (rewrite the table explicitly): " +
-        typeChanged.mkString("; "))
-    val dropped = (currentTypes.keySet -- deltaTypes.keySet).toSeq.sorted
-    require(dropped.isEmpty,
-      s"upsert: delta is missing table columns ${dropped.mkString(",")}; " +
-        "dropping columns is not additive evolution")
-    // Additive evolution: null-fill the new columns on the existing
-    // rows so the merged table carries the widened schema.
-    import org.apache.spark.sql.functions.lit
-    val newCols = delta.schema.fields.filterNot(f => currentTypes.contains(f.name))
-    val evolved = newCols.foldLeft(current) { (df, f) =>
-      df.withColumn(f.name, lit(null).cast(f.dataType))
-    }
+    val evolved = evolveAdditively(current, delta, "upsert")
     val merged = evolved
       .join(delta.select(keyCols.map(delta(_)): _*), keyCols, "left_anti")
       .unionByName(delta)
-    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__upsert_tmp")
-    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__upsert_bak")
+    swapInto(fs, hPath, merged, format, "upsert")
+  }
+
+  /**
+   * Changelog (CDC) apply — the delete-carrying generalization of
+   * `upsert`, the shape a Debezium/binlog-style feed demands: each
+   * delta row carries an op marker, `"U"` (insert-or-update) or `"D"`
+   * (delete). Upserts follow `upsert`'s exact semantics including
+   * additive schema evolution; deletes remove the keyed row, and a
+   * delete for an absent key is a no-op, so replaying an
+   * already-applied batch is idempotent. One op per key per batch
+   * (checked — a key that is both updated and deleted in one batch is
+   * producer nondeterminism, refused loudly).
+   *
+   * Scale shape is identical to `upsert`: one anti join of the current
+   * table against ALL delta keys (updates and deletes alike — a small
+   * delta broadcasts, so the big side never shuffles), then a union
+   * with the upsert rows. Same crash-safe tmp/bak rename swap.
+   */
+  def applyCdc(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "_op",
+      format: String = "parquet",
+      checkUniqueKeys: Boolean = true): Unit = {
+    require(keyCols.nonEmpty, "applyCdc needs at least one key column")
+    require(delta.columns.contains(opCol), s"applyCdc: delta lacks op column $opCol")
+    require(!keyCols.contains(opCol), s"applyCdc: op column $opCol cannot be a key")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    if (checkUniqueKeys) {
+      // One aggregation validates both invariants: key uniqueness and
+      // the op domain ({U, D} only).
+      val badOp = delta.filter(!col(opCol).isin("U", "D")).limit(1).count()
+      require(badOp == 0, s"applyCdc: $opCol values must be 'U' or 'D'")
+      val dup = delta.groupBy(keyCols.map(delta(_)): _*)
+        .agg(count(lit(1)).as("__n")).filter("__n > 1").limit(1).count()
+      require(dup == 0, s"applyCdc: delta has duplicate keys on ${keyCols.mkString(",")}")
+    }
+    val ups = delta.filter(col(opCol) === "U").drop(opCol)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      // First batch bootstraps the table from its upserts; a delete-only
+      // first batch has nothing to create and must not plant an empty
+      // table whose schema would then pin future evolution.
+      if (ups.limit(1).count() > 0)
+        ups.write.mode(SaveMode.ErrorIfExists).format(format).save(path)
+      return
+    }
+    if (fs.listStatus(hPath).exists(e =>
+        e.isDirectory && e.getPath.getName.contains("=")))
+      throw new IllegalArgumentException(
+        s"applyCdc: $path is Hive-partitioned; apply per partition directory instead")
+    val current = spark.read.format(format).load(path)
+    val evolved = evolveAdditively(current, ups, "applyCdc")
+    val merged = evolved
+      .join(delta.select(keyCols.map(delta(_)): _*), keyCols, "left_anti")
+      .unionByName(ups)
+    swapInto(fs, hPath, merged, format, "applyCdc")
+  }
+
+  /**
+   * Shared columns: name AND type equality — unionByName would
+   * otherwise coerce silently (int delta vs bigint table rewrites the
+   * whole table with changed column types instead of failing loudly).
+   * New incoming columns are ADDED with existing rows null-filled;
+   * dropped columns are refused (not additive).
+   */
+  private def evolveAdditively(
+      current: DataFrame, incoming: DataFrame, who: String): DataFrame = {
+    val currentTypes = current.dtypes.toMap
+    val incomingTypes = incoming.dtypes.toMap
+    val typeChanged = currentTypes.keySet.intersect(incomingTypes.keySet).toSeq.sorted
+      .collect { case c if currentTypes(c) != incomingTypes(c) =>
+        s"$c: ${currentTypes(c)} -> ${incomingTypes(c)}" }
+    require(typeChanged.isEmpty,
+      s"$who: column type changes refused (rewrite the table explicitly): " +
+        typeChanged.mkString("; "))
+    val dropped = (currentTypes.keySet -- incomingTypes.keySet).toSeq.sorted
+    require(dropped.isEmpty,
+      s"$who: delta is missing table columns ${dropped.mkString(",")}; " +
+        "dropping columns is not additive evolution")
+    import org.apache.spark.sql.functions.lit
+    val newCols = incoming.schema.fields.filterNot(f => currentTypes.contains(f.name))
+    newCols.foldLeft(current) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+  }
+
+  /** Crash-safe swap: fully materialize `merged` beside the target,
+   * then rename through a backup (rolled back on failure). */
+  private def swapInto(
+      fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path,
+      merged: DataFrame,
+      format: String,
+      who: String): Unit = {
+    val path = hPath.toString
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + s"__${who}_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + s"__${who}_bak")
     merged.write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
     if (!fs.rename(hPath, bak))
-      throw new java.io.IOException(s"upsert: rename $path -> $bak failed")
+      throw new java.io.IOException(s"$who: rename $path -> $bak failed")
     if (!fs.rename(tmp, hPath)) {
       fs.rename(bak, hPath) // roll back; original untouched
-      throw new java.io.IOException(s"upsert: rename $tmp -> $path failed (rolled back)")
+      throw new java.io.IOException(s"$who: rename $tmp -> $path failed (rolled back)")
     }
-    fs.delete(bak, true) // best effort; leftover bak is harmless
+    fs.delete(bak, true): Unit // best effort; leftover bak is harmless
+  }
+
+  /**
+   * Compaction for Hive-partitioned (`col=value`) layouts — the case
+   * plain `compact` deliberately REJECTS. Walks the partition tree to
+   * its leaf directories (multi-level `a=1/b=2` layouts included) and
+   * compacts each leaf independently through `compact`, so the
+   * directory structure — and with it partition pruning and the
+   * partition-column types — is never touched: leaf data files hold no
+   * partition columns, and each leaf's rewrite is the same crash-safe
+   * rename swap.
+   *
+   * The leaf walk is driver-side metadata (one listStatus per
+   * directory level — the same cost Spark's own file index pays to
+   * plan a scan), and each leaf compaction is an independent
+   * idempotent unit: a killed run leaves every completed leaf
+   * compacted and every untouched leaf intact, and the rerun skips
+   * already-compacted leaves via compact's no-op guard. That
+   * restart-by-construction is the property a 10k-partition nightly
+   * maintenance job actually needs — not one giant all-or-nothing
+   * rewrite.
+   *
+   * Leaves compact CONCURRENTLY (`maxConcurrency` driver threads,
+   * each submitting independent Spark jobs): a leaf rewrite is a tiny
+   * job dominated by fixed scheduling latency, so a sequential loop
+   * over 10k partitions would serialize 10k scheduling round trips
+   * while the cluster idles. The Spark scheduler interleaves the
+   * concurrent jobs across executors; per-leaf crash isolation is
+   * unchanged (each leaf still swaps through its own hidden tmp/bak).
+   *
+   * Returns the number of leaf partitions whose files were rewritten.
+   */
+  def compactPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      format: String = "parquet",
+      maxConcurrency: Int = 8): Int = {
+    require(maxConcurrency > 0, "maxConcurrency must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      // hidden (./_-led) dirs are swap remnants or metadata, never leaves
+      val subs = fs.listStatus(p).filter(e =>
+        e.isDirectory && e.getPath.getName.contains("=") &&
+          !e.getPath.getName.startsWith(".") && !e.getPath.getName.startsWith("_"))
+      if (subs.isEmpty) Seq(p) else subs.toSeq.flatMap(e => leaves(e.getPath))
+    }
+    require(fs.listStatus(hPath).exists(e =>
+        e.isDirectory && e.getPath.getName.contains("=")),
+      s"compactPartitioned: $path has no col=value partition directories; use compact")
+    val all = leaves(hPath)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrency, math.max(1, all.size)))
+    val rewritten = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val futures = all.map { leaf =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            def liveFiles = fs.listStatus(leaf).count(e => e.isFile &&
+              !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+            val before = liveFiles
+            compact(spark, leaf.toString, targetFileBytes, format)
+            if (liveFiles < before) rewritten.incrementAndGet(): Unit
+          }
+        })
+      }
+      futures.foreach(_.get()) // propagate the first leaf failure
+    } finally pool.shutdown()
+    rewritten.get()
   }
 
   def compact(
@@ -203,8 +352,15 @@ object TableSink {
     val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes)
       .max(BigInt(1)).min(BigInt(Int.MaxValue)).toInt
     if (nFiles >= curFiles) return // nothing to merge
-    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_bak")
+    // Dot-prefixed swap siblings: when the target is a LEAF of a
+    // partitioned table (compactPartitioned), an undotted
+    // `part=p0__compact_tmp` sibling would sit inside the partition
+    // tree and feed Spark's partition inference — hidden (`.`-led)
+    // paths are skipped by every Hadoop/Spark file index, so a crash
+    // remnant or mid-swap state is invisible to concurrent readers.
+    val parent = hPath.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent, "." + hPath.getName + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(parent, "." + hPath.getName + "__compact_bak")
     df.coalesce(nFiles).write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
     if (!fs.rename(hPath, bak))
       throw new java.io.IOException(s"compact: rename $path -> $bak failed")

@@ -171,4 +171,104 @@ class TableSinkSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "part=01").exists(),
       "refused upsert must not touch the partition layout")
   }
+
+  // --- applyCdc -------------------------------------------------------------
+
+  test("applyCdc upserts, deletes, and re-inserts across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cdc"
+    // bootstrap
+    TableSink.applyCdc(spark, dir,
+      Seq((1L, "a", "U"), (2L, "b", "U"), (3L, "c", "U")).toDF("k", "v", "_op"),
+      Seq("k"))
+    // update 1, delete 2, insert 4
+    TableSink.applyCdc(spark, dir,
+      Seq((1L, "A2", "U"), (2L, "b", "D"), (4L, "d", "U")).toDF("k", "v", "_op"),
+      Seq("k"))
+    // re-insert the deleted key, delete an absent key (idempotent no-op)
+    TableSink.applyCdc(spark, dir,
+      Seq((2L, "B3", "U"), (9L, "x", "D")).toDF("k", "v", "_op"), Seq("k"))
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "A2"), (2L, "B3"), (3L, "c"), (4L, "d")))
+    assert(!spark.read.parquet(dir).columns.contains("_op"),
+      "op marker must not leak into the table")
+  }
+
+  test("applyCdc: delete-only first batch does not plant an empty table") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cdc0"
+    TableSink.applyCdc(spark, dir,
+      Seq((1L, "a", "D")).toDF("k", "v", "_op"), Seq("k"))
+    assert(!new java.io.File(dir).exists(),
+      "a delete against a missing table must not create one")
+  }
+
+  test("applyCdc evolves additively and rejects bad ops / dup keys") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cdce"
+    TableSink.applyCdc(spark, dir,
+      Seq((1L, "a", "U"), (2L, "b", "U")).toDF("k", "v", "_op"), Seq("k"))
+    // new column arrives with a delete in the same batch
+    TableSink.applyCdc(spark, dir,
+      Seq((2L, "x", 7, "D"), (3L, "c", 9, "U")).toDF("k", "v", "extra", "_op"),
+      Seq("k"))
+    val rows = spark.read.parquet(dir).select("k", "v", "extra")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", None), (3L, "c", Some(9))))
+    intercept[IllegalArgumentException] {
+      TableSink.applyCdc(spark, dir,
+        Seq((5L, "e", 1, "UPSERT")).toDF("k", "v", "extra", "_op"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      TableSink.applyCdc(spark, dir,
+        Seq((5L, "e", 1, "U"), (5L, "e", 1, "D")).toDF("k", "v", "extra", "_op"),
+        Seq("k"))
+    }
+    // failed batches must not have touched the table
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  // --- compactPartitioned ---------------------------------------------------
+
+  test("compactPartitioned merges each leaf, keeps layout + data + pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cp"
+    val df = (1 to 200).map(i => (i.toLong, s"p${i % 3}")).toDF("k", "part")
+    // round-robin fragmentation: every task writes a file per partition
+    TableSink.writeTruncate(df.repartition(5), dir, partitionBy = Seq("part"))
+    def leafFiles(p: String): Int = new java.io.File(dir, p).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(leafFiles("part=p0") > 1, "fixture should start fragmented")
+    val rewritten = TableSink.compactPartitioned(spark, dir)
+    assert(rewritten == 3, s"all 3 leaves should compact, got $rewritten")
+    Seq("part=p0", "part=p1", "part=p2").foreach(p =>
+      assert(leafFiles(p) == 1, s"$p not compacted"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200 && back.agg(sum("k")).as[Long].head() == 20100L)
+    // partition pruning must survive the rewrite
+    val plan = back.where($"part" === "p1").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"),
+      s"pruning lost after compaction:\n$plan")
+    // idempotent: a rerun finds nothing to do
+    assert(TableSink.compactPartitioned(spark, dir) == 0)
+  }
+
+  test("compactPartitioned walks multi-level partition trees") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cp2"
+    val df = (1 to 100).map(i => (i.toLong, s"a${i % 2}", s"b${i % 2}"))
+      .toDF("k", "pa", "pb")
+    TableSink.writeTruncate(df.repartition(4), dir, partitionBy = Seq("pa", "pb"))
+    val rewritten = TableSink.compactPartitioned(spark, dir)
+    assert(rewritten == 2, s"both leaf partitions should compact, got $rewritten")
+    val leaf = new java.io.File(dir, "pa=a0/pb=b0").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(leaf == 1)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("compactPartitioned refuses unpartitioned directories") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cpf"
+    TableSink.writeTruncate(Seq((1L, "a")).toDF("k", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      TableSink.compactPartitioned(spark, dir)
+    }
+    assert(e.getMessage.contains("no col=value partition"))
+  }
 }
