@@ -2327,6 +2327,19 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** C48 (r13): exact set-similarity self-join via prefix filtering
+   * ([[graft.operators.SimJoin.jaccardSelfJoin]]) — every pair of
+   * documents whose 3-word-shingle Jaccard is >= 0.5, with NO
+   * probabilistic miss (the deterministic complement to C2's MinHash
+   * LSH). The oracle brute-forces the same definition in DuckDB
+   * (co-shingle pairs → intersection counts → integer threshold), so
+   * equality proves both the prefix filter's completeness (no pair
+   * lost to the candidate pruning) and the exact integer verify. */
+  private def qSimjoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SimJoin
+      .jaccardSelfJoin(t(s, dir, "documents"), "doc_id", "text", tMilli = 500)
+      .orderBy("id1", "id2")
+
   /** A12 (oracled, ADVICE r12): the CLI's end-to-end path — the same
    * flatDenorm-with-lookups → TableSink.writeTruncate → read-back
    * round trip `Run simple-with-lookups` drives — summarized through
@@ -2795,6 +2808,7 @@ object SparkEntry {
     "q_stream_enrich" -> qStreamEnrich,
     "q_upsert"        -> qUpsert,
     "q_cdc_apply"     -> qCdcApply,
+    "q_simjoin"       -> qSimjoin,
     "q_compact_partitioned" -> qCompactPartitioned,
     "q_time_weighted" -> qTimeWeighted,
     "q_late_events"   -> qLateEvents,
@@ -3144,6 +3158,24 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // Brute-force replay of the exact shingle-Jaccard join: equality
+    // proves the prefix filter lost no candidate pair.
+    "q_simjoin" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS token
+                FROM w, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+                   FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id1, id2, inter, s1.n + s2.n - inter AS uni
+               FROM pairs JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id)
+         SELECT id1, id2, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+           CAST((inter * 1000) // uni AS BIGINT) AS jac_milli
+         FROM j WHERE inter * 1000 >= 500 * uni
+         ORDER BY id1, id2""",
     // Changelog replay: final state per key = its max-batch touch,
     // kept iff that touch was an upsert ('U').
     "q_cdc_apply" ->
