@@ -2327,6 +2327,38 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B57 (r13): last-touch marketing attribution — each purchase's
+   * revenue is credited to the channel (click/view/signup) of the
+   * user's most recent touch at or before the purchase, but only
+   * within a 24-hour lookback; no in-window touch → 'direct'. This is
+   * the documented tolerance composition of B15's as-of join (AsOf
+   * .scala: put the right time in the payload, filter the gap after),
+   * exercised end-to-end: one sort-merge-shaped carry-forward, never
+   * a per-purchase range probe. Touches are pre-deduplicated per
+   * (user, ts) with an arg-max on ingest id — the as-of contract's
+   * uniqueness requirement, made deterministic. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 24L * 3600L * 1000000L
+    val ev = withEventTime(t(s, dir, "events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        cents(col("value")).as("rev_cents"))
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .groupBy(col("user_id").as("t_user"), col("ts_us").as("t_ts_us"))
+      .agg(max(struct(col("event_id"), col("event_type")))
+        .getField("event_type").as("t_type"))
+    graft.operators.AsOf
+      .asofJoin(purchases, touches, "user_id", "t_user", "ts_us", "t_ts_us",
+        rightPayload = Seq("t_type", "t_ts_us"), outPrefix = "")
+      .withColumn("channel",
+        when(col("t_ts_us").isNotNull &&
+          col("ts_us") - col("t_ts_us") <= lookbackUs, col("t_type"))
+          .otherwise("direct"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("rev_cents").as("rev_cents"))
+      .orderBy("channel")
+  }
+
   /** C48 (r13): exact set-similarity self-join via prefix filtering
    * ([[graft.operators.SimJoin.jaccardSelfJoin]]) — every pair of
    * documents whose 3-word-shingle Jaccard is >= 0.5, with NO
@@ -2809,6 +2841,7 @@ object SparkEntry {
     "q_upsert"        -> qUpsert,
     "q_cdc_apply"     -> qCdcApply,
     "q_simjoin"       -> qSimjoin,
+    "q_attribution"   -> qAttribution,
     "q_compact_partitioned" -> qCompactPartitioned,
     "q_time_weighted" -> qTimeWeighted,
     "q_late_events"   -> qLateEvents,
@@ -3158,6 +3191,26 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // Last-touch attribution replay: within-window arg_max equals the
+    // unbounded as-of match + gap filter (older touches have larger
+    // gaps, so the in-window latest IS the overall latest when any
+    // in-window touch exists).
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS rev
+           FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, epoch_us(ts) AS t_ts,
+             arg_max(event_type, event_id) AS t_type
+           FROM events WHERE event_type IN ('click', 'view', 'signup')
+           GROUP BY 1, 2),
+         att AS (SELECT p.event_id, ANY_VALUE(p.rev) AS rev,
+             COALESCE(arg_max(t.t_type, t.t_ts), 'direct') AS channel
+           FROM p LEFT JOIN t ON p.user_id = t.user_id
+             AND t.t_ts <= p.ts_us AND p.ts_us - t.t_ts <= 86400000000
+           GROUP BY p.event_id)
+         SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents
+         FROM att GROUP BY 1 ORDER BY 1""",
     // Brute-force replay of the exact shingle-Jaccard join: equality
     // proves the prefix filter lost no candidate pair.
     "q_simjoin" ->
