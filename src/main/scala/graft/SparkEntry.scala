@@ -2327,6 +2327,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B58 (r13): BFS shortest paths ([[graft.operators.Graph
+   * .shortestPaths]]) over the bipartite order–part graph (lineitem
+   * rows ARE the edges — no self-join needed to build the graph;
+   * part ids offset by 1e9 into a disjoint node space). Single source
+   * (min orderkey), 4 hops; the rollup (dist, n_nodes, sum_nodes) is
+   * fully discriminative of the per-node assignment. Oracle: a DuckDB
+   * RECURSIVE CTE replays the frontier expansion — set-semantics
+   * UNION bounds the recursion exactly like the anti join bounds the
+   * Spark frontier. */
+  private def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("o"),
+        (col("l_partkey").cast("long") + 1000000000L).as("p"))
+    val edges = li.select(col("o").as("a"), col("p").as("b"))
+      .unionByName(li.select(col("p").as("a"), col("o").as("b")))
+    val src = t(s, dir, "orders").agg(min(col("o_orderkey")).cast("long").as("snode"))
+    graft.operators.Graph.shortestPaths(edges, "a", "b", src, "snode", maxHops = 4)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_nodes"))
+      .orderBy("dist")
+  }
+
   /** B57 (r13): last-touch marketing attribution — each purchase's
    * revenue is credited to the channel (click/view/signup) of the
    * user's most recent touch at or before the purchase, but only
@@ -2842,6 +2864,7 @@ object SparkEntry {
     "q_cdc_apply"     -> qCdcApply,
     "q_simjoin"       -> qSimjoin,
     "q_attribution"   -> qAttribution,
+    "q_bfs"           -> qBfs,
     "q_compact_partitioned" -> qCompactPartitioned,
     "q_time_weighted" -> qTimeWeighted,
     "q_late_events"   -> qLateEvents,
@@ -3191,6 +3214,21 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // BFS frontier expansion replayed as a recursive CTE: UNION's set
+    // semantics dedupe (node, d) pairs exactly as the anti join
+    // bounds the Spark frontier; MIN(d) per node = first settle.
+    "q_bfs" ->
+      """WITH RECURSIVE e AS (
+           SELECT l_orderkey AS a, l_partkey + 1000000000 AS b FROM lineitem
+           UNION SELECT l_partkey + 1000000000, l_orderkey FROM lineitem),
+         bfs(node, d) AS (
+           SELECT MIN(o_orderkey), 0 FROM orders
+           UNION
+           SELECT e.b, bfs.d + 1 FROM bfs, e WHERE e.a = bfs.node AND bfs.d < 4),
+         best AS (SELECT node, MIN(d) AS dist FROM bfs GROUP BY node)
+         SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_nodes
+         FROM best GROUP BY 1 ORDER BY 1""",
     // Last-touch attribution replay: within-window arg_max equals the
     // unbounded as-of match + gap filter (older touches have larger
     // gaps, so the in-window latest IS the overall latest when any

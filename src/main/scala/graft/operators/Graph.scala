@@ -122,4 +122,60 @@ object Graph {
     wedges.join(closing, Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * Multi-source BFS shortest paths (hop distance), the Pregel
+   * frontier shape: each round expands the CURRENT frontier through
+   * one (frontier ⋈ edges) equi-join shuffle, drops already-settled
+   * nodes with one anti join, and settles the remainder at distance
+   * d. Work per round is proportional to the frontier's out-edges —
+   * never the whole graph — and rounds are bounded by `maxHops`, so
+   * the 100 TB story is the CC/PageRank one: edge list as the only
+   * large state, per-round parquet materialization as a restartable,
+   * executor-loss-safe lineage truncation (same trade-off measured in
+   * the pageRank doc above — localCheckpoint pins block-manager state
+   * that degrades a long-lived session).
+   *
+   * `edges` is DIRECTED; pass both orientations for an undirected
+   * graph. Unreachable nodes (within maxHops) are absent from the
+   * output — their distance is unknown, not infinite. Sources listed
+   * in `sources` settle at distance 0 even if isolated. Determinism:
+   * hop distance is unique per node (min over rounds is the FIRST
+   * round that reaches it), so the result is partition-order-free.
+   *
+   * Output: (node, dist) for every node reachable in <= maxHops hops.
+   */
+  def shortestPaths(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    val scratch = s"${graft.Scratch.root(spark)}/bfs_${callSeq.incrementAndGet()}"
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$scratch/$name")
+      spark.read.parquet(s"$scratch/$name")
+    }
+    val e = materialize(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct(), "edges")
+    var settled = materialize(
+      sources.select(col(sourceCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)), "settled_0")
+    var frontier = settled
+    var d = 0L
+    while (d < maxHops && !frontier.isEmpty) {
+      d += 1
+      val next = materialize(
+        frontier.join(e, frontier("node") === e("a"))
+          .select(col("b").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .withColumn("dist", lit(d)),
+        s"frontier_$d")
+      settled = materialize(settled.unionByName(next), s"settled_$d")
+      frontier = next
+    }
+    settled
+  }
 }

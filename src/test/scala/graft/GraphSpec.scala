@@ -78,4 +78,38 @@ class GraphSpec extends AnyFunSuite {
       .toDF("s", "d")
     assert(Graph.triangleCount(edges, "s", "d").as[Long].head() == 3L)
   }
+
+  private def bfs(
+      edges: Seq[(Long, Long)], sources: Seq[Long], maxHops: Int): Map[Long, Long] = {
+    // undirected: pass both orientations, as the operator contract asks
+    val e = (edges ++ edges.map(_.swap)).toDF("a", "b")
+    Graph.shortestPaths(e, "a", "b", sources.toDF("s"), "s", maxHops)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("shortestPaths: hop distances on a path graph, bounded by maxHops") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfs(path, Seq(1L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    assert(bfs(path, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      "nodes beyond maxHops must be absent, not infinite")
+  }
+
+  test("shortestPaths: cycles terminate; shorter of two routes wins") {
+    // 1-2-3-4-1 square plus chord 1-3: node 3 is 1 hop via the chord
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    assert(bfs(sq, Seq(1L), 10) == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("shortestPaths: multi-source settles at the nearest source") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfs(path, Seq(1L, 5L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("shortestPaths: isolated source settles at 0; disconnected node absent") {
+    val comp = Seq((1L, 2L))
+    assert(bfs(comp, Seq(9L), 5) == Map(9L -> 0L))
+    assert(bfs(comp, Seq(1L), 5) == Map(1L -> 0L, 2L -> 1L))
+  }
 }
