@@ -2383,7 +2383,7 @@ object SparkEntry {
 
   /** C48 (r13): exact set-similarity self-join via prefix filtering
    * ([[graft.operators.SimJoin.jaccardSelfJoin]]) — every pair of
-   * documents whose 3-word-shingle Jaccard is >= 0.5, with NO
+   * documents whose 3-word-shingle Jaccard is >= 0.8, with NO
    * probabilistic miss (the deterministic complement to C2's MinHash
    * LSH). The oracle brute-forces the same definition in DuckDB
    * (co-shingle pairs → intersection counts → integer threshold), so
@@ -2391,7 +2391,7 @@ object SparkEntry {
    * lost to the candidate pruning) and the exact integer verify. */
   private def qSimjoin(s: SparkSession, dir: String): DataFrame =
     graft.operators.SimJoin
-      .jaccardSelfJoin(t(s, dir, "documents"), "doc_id", "text", tMilli = 500)
+      .jaccardSelfJoin(t(s, dir, "documents"), "doc_id", "text", tMilli = 800)
       .orderBy("id1", "id2")
 
   /** A12 (oracled, ADVICE r12): the CLI's end-to-end path — the same
@@ -3265,7 +3265,7 @@ object SparkEntry {
                FROM pairs JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id)
          SELECT id1, id2, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
            CAST((inter * 1000) // uni AS BIGINT) AS jac_milli
-         FROM j WHERE inter * 1000 >= 500 * uni
+         FROM j WHERE inter * 1000 >= 800 * uni
          ORDER BY id1, id2""",
     // Changelog replay: final state per key = its max-batch touch,
     // kept iff that touch was an upsert ('U').
