@@ -160,10 +160,14 @@ object Graph {
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct(), "edges")
-    var settled = materialize(
+    // Frontier shells are disjoint by construction (the anti join),
+    // so `settled` is just the lazy union of the frontier snapshots
+    // already on disk — no extra settled_k write+read per round.
+    var frontierPaths = List(s"$scratch/frontier_0")
+    var frontier = materialize(
       sources.select(col(sourceCol).cast("long").as("node")).distinct()
-        .withColumn("dist", lit(0L)), "settled_0")
-    var frontier = settled
+        .withColumn("dist", lit(0L)), "frontier_0")
+    def settled = spark.read.parquet(frontierPaths.reverse: _*)
     var d = 0L
     while (d < maxHops && !frontier.isEmpty) {
       d += 1
@@ -173,7 +177,7 @@ object Graph {
           .join(settled, Seq("node"), "left_anti")
           .withColumn("dist", lit(d)),
         s"frontier_$d")
-      settled = materialize(settled.unionByName(next), s"settled_$d")
+      frontierPaths ::= s"$scratch/frontier_$d"
       frontier = next
     }
     settled
