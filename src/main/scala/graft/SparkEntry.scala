@@ -2327,6 +2327,31 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B59 (r13): session transition matrix — the Markov view of user
+   * journeys (which step follows which, within a session): B6 gives
+   * the sessions, B34 checks ONE fixed sequence; this emits the full
+   * first-order transition counts product analytics actually browses.
+   * Same 30-min-gap session definition as B6, one extra lead() on the
+   * already-sorted per-user window (no new shuffle beyond the user
+   * partition), transitions never cross a session boundary. */
+  private def qSessionTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .withColumn("next_sess", lead("session_id", 1).over(byUser))
+    ev.filter(col("next_type").isNotNull && col("next_sess") === col("session_id"))
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** B58 (r13): BFS shortest paths ([[graft.operators.Graph
    * .shortestPaths]]) over the bipartite order–part graph (lineitem
    * rows ARE the edges — no self-join needed to build the graph;
@@ -2865,6 +2890,7 @@ object SparkEntry {
     "q_simjoin"       -> qSimjoin,
     "q_attribution"   -> qAttribution,
     "q_bfs"           -> qBfs,
+    "q_session_transitions" -> qSessionTransitions,
     "q_compact_partitioned" -> qCompactPartitioned,
     "q_time_weighted" -> qTimeWeighted,
     "q_late_events"   -> qLateEvents,
@@ -3214,6 +3240,24 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // B6's session assignment + one LEAD: transitions within sessions.
+    "q_session_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         lagged AS (
+           SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         flagged AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM lagged),
+         sess AS (
+           SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged),
+         nx AS (
+           SELECT *, LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type,
+             LEAD(session_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_sess FROM sess)
+         SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM nx WHERE next_type IS NOT NULL AND next_sess = session_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // BFS frontier expansion replayed as a recursive CTE: UNION's set
     // semantics dedupe (node, d) pairs exactly as the anti join
     // bounds the Spark frontier; MIN(d) per node = first settle.
