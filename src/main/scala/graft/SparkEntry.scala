@@ -2327,6 +2327,30 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B60 (r13): functional-dependency / candidate-key audit
+   * ([[graft.operators.Profile.fdViolations]]) — four declared
+   * invariants of the TPC-H-ish schema checked in one result: a held
+   * FD (nation id → name), a held composite candidate key
+   * (orderkey, linenumber), a VIOLATED FD (customer's nation does
+   * not determine market segment), and a violated uniqueness
+   * (custkey is not an orders key). The audit a pipeline runs before
+   * trusting a join key or a dimension mapping. */
+  private def qFdAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profile.fdViolations
+    val tests = Seq(
+      ("nation_name_fd",
+        fdViolations(t(s, dir, "nation"), Seq("n_nationkey"), Seq("n_name"))),
+      ("lineitem_pk",
+        fdViolations(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), Nil)),
+      ("cust_nation_to_segment",
+        fdViolations(t(s, dir, "customer"), Seq("c_nationkey"), Seq("c_mktsegment"))),
+      ("orders_custkey_unique",
+        fdViolations(t(s, dir, "orders"), Seq("o_custkey"), Nil)))
+    tests.map { case (name, df) => df.select(lit(name).as("test"), col("*")) }
+      .reduce(_ unionByName _)
+      .orderBy("test")
+  }
+
   /** B59 (r13): session transition matrix — the Markov view of user
    * journeys (which step follows which, within a session): B6 gives
    * the sessions, B34 checks ONE fixed sequence; this emits the full
@@ -2891,6 +2915,7 @@ object SparkEntry {
     "q_attribution"   -> qAttribution,
     "q_bfs"           -> qBfs,
     "q_session_transitions" -> qSessionTransitions,
+    "q_fd_audit"      -> qFdAudit,
     "q_compact_partitioned" -> qCompactPartitioned,
     "q_time_weighted" -> qTimeWeighted,
     "q_late_events"   -> qLateEvents,
@@ -3240,6 +3265,30 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // FD audit replay: per test, distinct-pair (or raw-row) group
+    // sizes, then groups / violations / max fan-out.
+    "q_fd_audit" ->
+      """WITH t1 AS (SELECT 'nation_name_fd' AS test, COUNT(*) AS n_groups,
+             SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS n_violating, MAX(m) AS mx
+           FROM (SELECT n_nationkey, COUNT(*) AS m
+                 FROM (SELECT DISTINCT n_nationkey, n_name FROM nation) GROUP BY 1)),
+         t2 AS (SELECT 'lineitem_pk', COUNT(*),
+             SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END), MAX(m)
+           FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS m
+                 FROM lineitem GROUP BY 1, 2)),
+         t3 AS (SELECT 'cust_nation_to_segment', COUNT(*),
+             SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END), MAX(m)
+           FROM (SELECT c_nationkey, COUNT(*) AS m
+                 FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) GROUP BY 1)),
+         t4 AS (SELECT 'orders_custkey_unique', COUNT(*),
+             SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END), MAX(m)
+           FROM (SELECT o_custkey, COUNT(*) AS m FROM orders GROUP BY 1)),
+         u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+               UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4)
+         SELECT test, CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_violating AS BIGINT) AS n_violating,
+           CAST(mx AS BIGINT) AS max_rhs_per_group
+         FROM u ORDER BY test""",
     // B6's session assignment + one LEAD: transitions within sessions.
     "q_session_transitions" ->
       """WITH e AS (

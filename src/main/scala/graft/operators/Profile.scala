@@ -101,4 +101,33 @@ object Profile {
           .when(col("__h_old") =!= col("__h_new"), "changed")
           .otherwise("unchanged").as("status")): _*)
   }
+
+  /**
+   * Functional-dependency / candidate-key audit — the dbt-style
+   * `unique` / `relationships` tests at warehouse scale: does
+   * `lhs → rhs` hold, and if not, how badly? One row:
+   * (n_groups, n_violating, max_rhs_per_group). `rhs` empty checks
+   * LHS UNIQUENESS instead (a candidate-key test: groups with more
+   * than one ROW violate).
+   *
+   * Two-level aggregation, not COUNT(DISTINCT) inside groups: the
+   * distinct (lhs, rhs) projection map-side-combines BEFORE its
+   * shuffle, so a 10⁹-row group with 3 distinct rhs values ships 3
+   * rows per partition, never the group. NULL rhs counts as a value
+   * (an FD that maps some keys to NULL and others to a value is
+   * violated — SQL DISTINCT semantics, identical in the oracle).
+   */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: Seq[String]): DataFrame = {
+    require(lhs.nonEmpty, "fdViolations needs at least one LHS column")
+    val groups =
+      if (rhs.isEmpty)
+        df.groupBy(lhs.map(col): _*).agg(count(lit(1)).as("__m"))
+      else
+        df.select((lhs ++ rhs).map(col): _*).distinct()
+          .groupBy(lhs.map(col): _*).agg(count(lit(1)).as("__m"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__m") > 1, 1L).otherwise(0L)).as("n_violating"),
+      max(col("__m")).as("max_rhs_per_group"))
+  }
 }

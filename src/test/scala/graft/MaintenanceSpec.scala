@@ -191,6 +191,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(cand == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("fdViolations: held FD, violated FD, uniqueness, NULL-as-value") {
+    val df = Seq(
+      (1, "a", "x"), (1, "a", "x"),   // key 1: rhs always a (held)
+      (2, "b", "x"), (2, "c", "x"),   // key 2: two rhs values (violated)
+      (3, null.asInstanceOf[String], "x"), (3, "d", "x") // NULL is a value
+    ).toDF("k", "v", "pad")
+    val fd = Profile.fdViolations(df, Seq("k"), Seq("v"))
+      .as[(Long, Long, Long)].head()
+    assert(fd == ((3L, 2L, 2L)), s"got $fd")
+    // uniqueness mode: key 1 has 2 rows, 2 has 2, 3 has 2 → all violate
+    val uq = Profile.fdViolations(df, Seq("k"), Nil)
+      .as[(Long, Long, Long)].head()
+    assert(uq == ((3L, 3L, 2L)), s"got $uq")
+    // composite candidate key (k, v): the two (1, a) rows collide
+    val ck = Profile.fdViolations(df, Seq("k", "v"), Nil)
+      .as[(Long, Long, Long)].head()
+    assert(ck == ((5L, 1L, 2L)), s"got $ck")
+  }
+
   test("profile reports rows, non-nulls, distinct, and min/max per column") {
     val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (3L, Some("x")))
       .toDF("id", "s")
