@@ -2327,6 +2327,70 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B61 (r13): distribution drift audit — the ML-ops "did this
+   * week's data shift?" check (population-stability style), in exact
+   * integer space because PSI's Σ(p−q)·ln(p/q) drags in libm: two
+   * deterministic periods (day-of-month halves), equi-width value
+   * buckets ($20 in cents), per-bucket counts and ppm shares, and the
+   * absolute share drift — the max row IS the drift verdict. One
+   * scan, one bucket groupBy (map-side-combined), period totals via
+   * a broadcast 1-row aggregate. */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(
+        (dayofmonth(col("ts")) <= 15).as("is_a"),
+        (cents(col("value")) / 2000L).cast("long").as("bucket"))
+    val buckets = ev.groupBy("bucket").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+    val totals = buckets.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        expr("n_a * 1000000 div tot_a").as("share_a_ppm"),
+        expr("n_b * 1000000 div tot_b").as("share_b_ppm"),
+        abs(expr("n_a * 1000000 div tot_a") - expr("n_b * 1000000 div tot_b"))
+          .as("drift_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** C49 (r13): term co-occurrence association mining — which word
+   * pairs appear in the SAME document far more often than chance
+   * (market-basket lift over the corpus): C13 counts ADJACENT
+   * bigrams, this measures document-level association; lift is exact
+   * integer ppm (1e6·N·c_xy div (c_x·c_y)) — no logs, no floats —
+   * with a min-support floor so df-1 flukes can't top the list. The
+   * per-doc pair explode is C(tokens,2) bounded by doc length (the
+   * standard market-basket shape); counts map-side-combine and the
+   * top-20 is TakeOrdered, never a global sort. */
+  private def qCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .repartition(t(s, dir, "documents").sparkSession
+        .sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(filter(split(col("text"), "[ \t\n\r]+"), w => w =!= ""))
+          .as("ws"))
+    val nDocs = toks.agg(count(lit(1)).as("n_docs"))
+    val termCnt = toks.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairCnt = toks
+      .select(explode(expr(
+        """flatten(transform(ws, (x, i) ->
+             transform(slice(ws, i + 2, size(ws)), y ->
+               if(x < y, struct(x as t1, y as t2), struct(y as t1, x as t2)))))"""))
+        .as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 20)
+    pairCnt
+      .join(termCnt.select(col("tok").as("t1"), col("c").as("c_x")), "t1")
+      .join(termCnt.select(col("tok").as("t2"), col("c").as("c_y")), "t2")
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("c_xy * n_docs * 1000000 div (c_x * c_y)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
+      .limit(20)
+  }
+
   /** B60 (r13): functional-dependency / candidate-key audit
    * ([[graft.operators.Profile.fdViolations]]) — four declared
    * invariants of the TPC-H-ish schema checked in one result: a held
@@ -2916,6 +2980,8 @@ object SparkEntry {
     "q_bfs"           -> qBfs,
     "q_session_transitions" -> qSessionTransitions,
     "q_fd_audit"      -> qFdAudit,
+    "q_drift"         -> qDrift,
+    "q_cooccurrence"  -> qCooccurrence,
     "q_compact_partitioned" -> qCompactPartitioned,
     "q_time_weighted" -> qTimeWeighted,
     "q_late_events"   -> qLateEvents,
@@ -3265,6 +3331,40 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // Drift replay: same deterministic periods, buckets, and integer
+    // ppm shares (both engines floor non-negative integer division).
+    "q_drift" ->
+      """WITH e AS (SELECT day(ts) <= 15 AS is_a,
+             CAST(ROUND(value * 100, 0) AS BIGINT) // 2000 AS bucket FROM events),
+         b AS (SELECT bucket, SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b FROM e GROUP BY 1),
+         t AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM b)
+         SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_a * 1000000 // tot_a AS BIGINT) AS share_a_ppm,
+           CAST(n_b * 1000000 // tot_b AS BIGINT) AS share_b_ppm,
+           CAST(ABS(n_a * 1000000 // tot_a - n_b * 1000000 // tot_b) AS BIGINT)
+             AS drift_ppm
+         FROM b CROSS JOIN t ORDER BY bucket""",
+    // Co-occurrence replay: per-doc distinct tokens, all unordered
+    // in-doc pairs, min-support floor, integer-ppm lift, top 20 under
+    // a total order.
+    "q_cooccurrence" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+               x -> x <> '')) AS ws
+           FROM documents),
+         nd AS (SELECT COUNT(*) AS n_docs FROM d),
+         ex AS (SELECT doc_id, UNNEST(ws) AS t FROM d),
+         term AS (SELECT t AS tok, COUNT(*) AS c FROM ex GROUP BY 1),
+         pairs AS (SELECT a.t AS t1, b.t AS t2, COUNT(*) AS c_xy
+           FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.t < b.t
+           GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+         SELECT t1, t2, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(x.c AS BIGINT) AS c_x, CAST(y.c AS BIGINT) AS c_y,
+           CAST(c_xy * n_docs * 1000000 // (x.c * y.c) AS BIGINT) AS lift_ppm
+         FROM pairs JOIN term x ON t1 = x.tok JOIN term y ON t2 = y.tok
+         CROSS JOIN nd
+         ORDER BY lift_ppm DESC, t1, t2 LIMIT 20""",
     // FD audit replay: per test, distinct-pair (or raw-row) group
     // sizes, then groups / violations / max fan-out.
     "q_fd_audit" ->
