@@ -326,6 +326,54 @@ object ScaleProbe {
       val distinctComps = comps.select("component").distinct().count()
       require(distinctComps == 2000L, s"expected 2000 components, got $distinctComps")
     }
+
+    // CDC steady state: 10 delta batches against a 1.5M-row table —
+    // the merge-on-write shape where every batch pays one anti join +
+    // full rewrite. The invariant is the replayed changelog: final
+    // row count must equal base minus the keys whose LAST touch was
+    // a delete (keys k % 97 == b are deleted in batch b, later
+    // batches only ever re-upsert k % 31 == b).
+    val cdcBase = spark.range(1500000L).toDF("k")
+      .select(col("k"), (col("k") % 1000).as("v"))
+    val cdcPath = java.nio.file.Files.createTempDirectory("scale_cdc").toString + "/t"
+    graft.sinks.TableSink.writeTruncate(cdcBase, cdcPath)
+    time("applyCdc 10 batches over 1.5M rows") {
+      for (b <- 1 to 10) {
+        val delta = cdcBase
+          .filter(col("k") % 97 === b || col("k") % 31 === b)
+          .select(col("k"), (col("v") + b).as("v"),
+            when(col("k") % 97 === b && col("k") % 31 =!= b, "D")
+              .otherwise("U").as("_op"))
+        graft.sinks.TableSink.applyCdc(spark, cdcPath, delta, Seq("k"))
+      }
+    }
+    val cdcGot = spark.read.parquet(cdcPath).count()
+    // independent replay: last touch per key decides
+    val lastTouch = cdcBase.select(col("k"),
+      greatest((lit(0) +: (1 to 10).map(b =>
+        when(col("k") % 97 === b || col("k") % 31 === b, b).otherwise(0))): _*).as("lb"))
+    val deleted = lastTouch.filter(col("lb") > 0)
+      .filter(col("k") % 97 === col("lb") && col("k") % 31 =!= col("lb")).count()
+    require(cdcGot == 1500000L - deleted,
+      s"CDC final count $cdcGot != ${1500000L - deleted} (replay)")
+    println(s"SCALE applyCdc: 10 batches, final $cdcGot rows ($deleted deleted, drift 0)")
+
+    // partition-tree compaction at width: 120 date leaves x 8
+    // fragments each (the year of a daily ingest that wrote hourly
+    // files), concurrent leaf jobs; invariant = per-leaf file count 1
+    // and byte-exact row preservation.
+    val cpPath = java.nio.file.Files.createTempDirectory("scale_cp").toString + "/t"
+    val cpDf = spark.range(1200000L).toDF("i")
+      .select(col("i"), (col("i") % 120).cast("string").as("day"))
+    graft.sinks.TableSink.writeTruncate(cpDf.repartition(8), cpPath,
+      partitionBy = Seq("day"))
+    val cpRewritten = time("compactPartitioned 120 leaves x 8 files") {
+      graft.sinks.TableSink.compactPartitioned(spark, cpPath)
+    }
+    require(cpRewritten == 120, s"expected 120 leaves compacted, got $cpRewritten")
+    val cpSum = spark.read.parquet(cpPath).agg(sum("i")).head().getLong(0)
+    require(cpSum == 1200000L * (1200000L - 1) / 2, s"row loss after compaction: $cpSum")
+    println(s"SCALE compactPartitioned: 120 leaves -> 1 file each (sum invariant holds)")
     spark.stop()
   }
 }

@@ -2327,6 +2327,51 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** A15 (r13): exactly-once incremental file ingest
+   * ([[graft.sources.IngestLedger.ingestIncremental]]) — six
+   * deterministic JSON arrivals ingested across two runs with a
+   * full idempotence replay in between (run 1: batches 0–3; rerun:
+   * must ingest 0; run 2: batches 4–5). The output listing is the
+   * ledger (deterministically-named per-file outputs + atomic
+   * staging rename), so the re-run can only skip or overwrite —
+   * never duplicate. The oracle aggregates the RAW events table:
+   * equality proves no arrival was lost or double-ingested. */
+  private def qIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/ingest_${new java.io.File(dir).getName}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("c"))
+    def stageBatch(b: Int): Unit = {
+      val stage = s"$root/stage_$b"
+      ev.filter(col("event_id") % 6 === b).coalesce(1)
+        .write.mode("overwrite").json(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dest = new org.apache.hadoop.fs.Path(s"$root/in/batch_$b.json")
+      fs.mkdirs(dest.getParent)
+      fs.delete(dest, false)
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(s"stage rename failed for batch $b")
+    }
+    def ingest(): Int = graft.sources.IngestLedger.ingestIncremental(
+      s, s"$root/in", s"$root/out",
+      df => df.withColumn("is_purchase", col("event_type") === "purchase"),
+      suffix = ".json")
+    (0 until 4).foreach(stageBatch)
+    ingest(): Unit
+    val rerun = ingest() // idempotence: everything already ledgered
+    require(rerun == 0, s"re-run must ingest nothing, got $rerun")
+    (4 until 6).foreach(stageBatch)
+    ingest(): Unit
+    s.read.parquet(s"$root/out/part_*")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"),
+        sum(when(col("is_purchase"), 1L).otherwise(0L)).as("n_purchase"))
+      .orderBy("event_type")
+  }
+
   /** B61 (r13): distribution drift audit — the ML-ops "did this
    * week's data shift?" check (population-stability style), in exact
    * integer space because PSI's Σ(p−q)·ln(p/q) drags in libm: two
@@ -2366,8 +2411,14 @@ object SparkEntry {
     val toks = t(s, dir, "documents")
       .repartition(t(s, dir, "documents").sparkSession
         .sparkContext.defaultParallelism)
+      // cap the per-doc distinct-token list: the pair explode is
+      // C(len, 2), so one pathological 1M-token doc would emit 5e11
+      // pairs — 512 first-occurrence tokens bound any doc's
+      // contribution at ~131k pairs (no-op on this corpus, mirrored
+      // in the oracle)
       .select(col("doc_id"),
-        array_distinct(filter(split(col("text"), "[ \t\n\r]+"), w => w =!= ""))
+        slice(array_distinct(
+          filter(split(col("text"), "[ \t\n\r]+"), w => w =!= "")), 1, 512)
           .as("ws"))
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
     val termCnt = toks.select(explode(col("ws")).as("tok"))
@@ -2981,6 +3032,7 @@ object SparkEntry {
     "q_session_transitions" -> qSessionTransitions,
     "q_fd_audit"      -> qFdAudit,
     "q_drift"         -> qDrift,
+    "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
     "q_compact_partitioned" -> qCompactPartitioned,
     "q_time_weighted" -> qTimeWeighted,
@@ -3331,6 +3383,14 @@ object SparkEntry {
            CAST(t.b AS BIGINT) AS src_batch
          FROM batches t JOIN last l ON t.o_orderkey = l.o_orderkey AND t.b = l.b
          ORDER BY t.o_orderkey""",
+    // Ingest replay: the raw events table IS the union of all six
+    // arrivals — equality proves exactly-once across runs and reruns.
+    "q_ingest" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase
+         FROM events GROUP BY 1 ORDER BY 1""",
     // Drift replay: same deterministic periods, buckets, and integer
     // ppm shares (both engines floor non-negative integer division).
     "q_drift" ->
@@ -3349,10 +3409,11 @@ object SparkEntry {
     // in-doc pairs, min-support floor, integer-ppm lift, top 20 under
     // a total order.
     "q_cooccurrence" ->
-      """WITH d AS (SELECT doc_id,
+      """WITH d0 AS (SELECT doc_id,
              list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
-               x -> x <> '')) AS ws
+               x -> x <> '')) AS ws0
            FROM documents),
+         d AS (SELECT doc_id, ws0[1 : 512] AS ws FROM d0),
          nd AS (SELECT COUNT(*) AS n_docs FROM d),
          ex AS (SELECT doc_id, UNNEST(ws) AS t FROM d),
          term AS (SELECT t AS tok, COUNT(*) AS c FROM ex GROUP BY 1),
