@@ -182,11 +182,13 @@ object TableSink {
     require(delta.columns.contains(opCol), s"applyCdc: delta lacks op column $opCol")
     require(!keyCols.contains(opCol), s"applyCdc: op column $opCol cannot be a key")
     import org.apache.spark.sql.functions.{col, count, lit}
+    // The op-domain check is UNCONDITIONAL (not gated by
+    // checkUniqueKeys): a row whose op is neither U nor D would
+    // otherwise be silently dropped by the U/D split below — data
+    // loss, not a performance knob.
+    val badOp = delta.filter(!col(opCol).isin("U", "D")).limit(1).count()
+    require(badOp == 0, s"applyCdc: $opCol values must be 'U' or 'D'")
     if (checkUniqueKeys) {
-      // One aggregation validates both invariants: key uniqueness and
-      // the op domain ({U, D} only).
-      val badOp = delta.filter(!col(opCol).isin("U", "D")).limit(1).count()
-      require(badOp == 0, s"applyCdc: $opCol values must be 'U' or 'D'")
       val dup = delta.groupBy(keyCols.map(delta(_)): _*)
         .agg(count(lit(1)).as("__n")).filter("__n > 1").limit(1).count()
       require(dup == 0, s"applyCdc: delta has duplicate keys on ${keyCols.mkString(",")}")

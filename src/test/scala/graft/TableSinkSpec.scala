@@ -217,6 +217,13 @@ class TableSinkSpec extends AnyFunSuite {
       TableSink.applyCdc(spark, dir,
         Seq((5L, "e", 1, "UPSERT")).toDF("k", "v", "extra", "_op"), Seq("k"))
     }
+    // the op-domain check must hold even with uniqueness checking off —
+    // an unknown op would otherwise vanish from the U/D split silently
+    intercept[IllegalArgumentException] {
+      TableSink.applyCdc(spark, dir,
+        Seq((5L, "e", 1, "X")).toDF("k", "v", "extra", "_op"), Seq("k"),
+        checkUniqueKeys = false)
+    }
     intercept[IllegalArgumentException] {
       TableSink.applyCdc(spark, dir,
         Seq((5L, "e", 1, "U"), (5L, "e", 1, "D")).toDF("k", "v", "extra", "_op"),
