@@ -55,6 +55,14 @@ object IngestLedger {
     }.map(_.getPath).sortBy(_.getName)
     def outName(in: org.apache.hadoop.fs.Path): String =
       f"part_${fnv64(in.getName)}%016x"
+    // a 64-bit name-hash collision would silently map two arrivals to
+    // ONE output slot (second overwrites first) — refuse loudly; the
+    // check is a driver-side map over the listing we already hold
+    val collided = arrivals.groupBy(outName).collect {
+      case (_, vs) if vs.length > 1 => vs.map(_.getName).mkString(" <-> ")
+    }
+    require(collided.isEmpty,
+      s"ingest: output-name hash collision between arrivals: ${collided.mkString("; ")}")
     val pending = arrivals.filter { in =>
       !fs.exists(new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(target, outName(in)), "_SUCCESS"))
