@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
  * options/BQETLOptions.java) re-expressed: pick a pipeline variant,
  * point it at an input directory, truncate-and-load the output table.
  *
- *   runMain graft.pipelines.Run simple|simple-with-lookups|nested|corpus \
+ *   runMain graft.pipelines.Run simple|simple-with-lookups|nested|corpus|ingest \
  *     [inDir] [outPath] [--sf=0.001] [--stages=quality,exact,near,decon,sample,pack] \
  *     [--near=minhash|exact]
+ *
+ * `ingest` drives [[graft.sources.IngestLedger]]: inDir is a
+ * directory of line-JSON arrivals, outPath the exactly-once target —
+ * rerunning the same command ingests only new files.
  *
  * `corpus` drives the C41 corpus-assembly flagship end-to-end (read
  * documents → assemble → truncate-and-load), the way run.sh drives
@@ -38,6 +42,16 @@ object Run {
 
     val spark = graft.Sessions.local()
 
+    if (variant == "ingest") {
+      // the exactly-once sink IS the pipeline here: no truncate-load
+      val n = graft.sources.IngestLedger.ingestIncremental(
+        spark, inDir, outPath, identity, suffix = ".json")
+      val rows = spark.read.parquet(s"$outPath/part_*").count()
+      println(s"""RUN_RESULT variant=ingest files=$n rows=$rows out=$outPath""")
+      spark.stop()
+      return
+    }
+
     val out = variant match {
       case "simple"              => Denorm.flatDenorm(spark, inDir, performLookups = false)
       case "simple-with-lookups" => Denorm.flatDenorm(spark, inDir, performLookups = true)
@@ -58,7 +72,7 @@ object Run {
         CorpusAssembly.assembleStaged(docs, CorpusAssembly.Config(), near, stages)
       case other =>
         System.err.println(
-          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus)")
+          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest)")
         sys.exit(2)
     }
     TableSink.writeTruncate(out, outPath)
