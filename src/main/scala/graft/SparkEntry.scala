@@ -2895,6 +2895,126 @@ object SparkEntry {
         sum("clip_hi").as("n_clipped_high"))
   }
 
+  /** B62 (r13): gaps-and-islands ([[graft.operators.Islands]]) —
+   * each customer's ordering activity grouped into maximal runs of
+   * CONSECUTIVE active months (streak length, island count, first /
+   * last active month). The `pos - row_number()` constant-per-run
+   * trick does it in one window pass — no self-join, no recursion;
+   * the month dedup ahead of the window bounds per-key work by the
+   * calendar, not the order count. */
+  private def qIslands(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("mi"))
+    graft.operators.Islands.streakStats(m, "o_custkey", "mi")
+      .select(col("o_custkey"), col("n_islands"),
+        col("n_active").as("n_active_months"), col("longest_streak"),
+        col("first_pos").as("first_month"), col("last_pos").as("last_month"))
+      .orderBy("o_custkey")
+  }
+
+  /** B63 (r13): peak concurrency via a distributed sweep line
+   * ([[graft.operators.Sweep]]) — max simultaneously-open 1-hour
+   * activity windows per hour, the "how many things were in flight
+   * at once" capacity question. The classic sorted running sum is
+   * sequential; the operator's two-level segmented prefix sum keeps
+   * the data-sized sort partitioned by bucket and leaves only a
+   * one-row-per-bucket cumulative pass global. Oracle replays the
+   * GLOBAL running sum in DuckDB and takes the same per-hour max —
+   * equality proves the segmented decomposition exact. */
+  private def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val iv = withEventTime(t(s, dir, "events"))
+      .select(col("ts_us").as("s_us"), (col("ts_us") + hourUs).as("e_us"))
+    graft.operators.Sweep.peakConcurrent(iv, "s_us", "e_us", hourUs)
+      .select(col("bucket").as("hour_idx"), col("peak"), col("n_deltas"))
+      .orderBy("hour_idx")
+  }
+
+  /** B64 (r13): trailing 7-day rolling distinct customers per day
+   * ([[graft.operators.Rolling]]) — the WAU-by-day panel. COUNT
+   * (DISTINCT) OVER RANGE is unsupported and a day×orders range join
+   * rescans the fact table per day; the operator trades a bounded ×7
+   * cover-day explode (on already-deduped (customer, day) pairs) for
+   * three keyed exchanges and zero rescans. Oracle is the
+   * independent range-join formulation in DuckDB. */
+  private def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "orders").select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    graft.operators.Rolling.rollingDistinct(act, "o_custkey", "d", windowDays = 7)
+      .select(col("day"), col("n_distinct").as("n_customers"))
+      .orderBy("day")
+  }
+
+  /** B65 (r13): static range-dimension (band) lookup without a join
+   * ([[graft.functions.SearchSortedLong]]) — every lineitem priced
+   * into a band of the part retail-price distribution. Breaks are
+   * derived deterministically (every 100th distinct price cent in
+   * rank order — a bounded domain, so the global rank window is over
+   * the dimension, never the facts) and collapse to a plan-embedded
+   * sorted array (the Ann centroid precedent for bounded dim state);
+   * each fact row then binary-searches its band INSIDE whole-stage
+   * codegen. No shuffle, no broadcast hash table, O(log n) per row —
+   * the shape that replaces a BETWEEN BroadcastNestedLoopJoin for
+   * IP→geo / SLA-tier / price-band lookups at 100 TB. */
+  private def qBandLookup(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "part").select(cents(col("p_retailprice")).as("v")).distinct()
+    val breaks = v
+      .withColumn("rn", row_number().over(Window.orderBy("v")))
+      .filter(col("rn") % 100 === 0)
+      .orderBy("v")
+      .collect().map(_.getLong(0))
+    val li = t(s, dir, "lineitem").select(cents(col("l_extendedprice")).as("c"))
+    li.select(
+        graft.functions.expressions.searchSortedLong(col("c"), breaks)
+          .cast("long").as("band_idx"), col("c"))
+      .groupBy("band_idx")
+      .agg(count(lit(1)).as("n_items"), sum("c").as("sum_cents"),
+        min("c").as("min_cents"), max("c").as("max_cents"))
+      .orderBy("band_idx")
+  }
+
+  /** C50 (r13): RFM segmentation — the classic customer scoring
+   * (recency / frequency / monetary, each binned into quintiles,
+   * segment = RFM digits). The textbook ntile(5) is a GLOBAL
+   * single-partition window over every customer — the anti-pattern
+   * at 100 TB — so scores come from four broadcast percentile_disc
+   * cut points per metric instead: one map-side-combined customer
+   * rollup, one 1-row cuts aggregate, one broadcast compare pass;
+   * ties share a score deterministically (rank-based ntile splits
+   * them by arbitrary row order). percentile_disc ≡ DuckDB
+   * quantile_disc (B52 precedent), recency negated so all three
+   * metrics score "bigger is better" through one formula. */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").groupBy("o_custkey").agg(
+      datediff(to_date(lit("2001-09-01")), max(to_date(col("o_orderdate"))))
+        .cast("long").as("recency_days"),
+      count(lit(1)).as("frequency"),
+      sum(cents(col("o_totalprice"))).as("monetary_cents"))
+      .withColumn("rec_neg", -col("recency_days"))
+    def cutsOf(c: String, p: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map {
+      case (q, i) =>
+        expr(s"percentile_disc($q) within group (order by $c)")
+          .cast("long").as(s"$p${i + 1}")
+    }
+    val allCuts = cutsOf("rec_neg", "r") ++ cutsOf("frequency", "f") ++
+      cutsOf("monetary_cents", "m")
+    val cuts = base.agg(allCuts.head, allCuts.tail: _*)
+    def score(c: String, p: String) =
+      (1 to 4).map(i => (col(c) > col(s"$p$i")).cast("long"))
+        .foldLeft(lit(1L))(_ + _)
+    base.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        score("rec_neg", "r").as("r_score"),
+        score("frequency", "f").as("f_score"),
+        score("monetary_cents", "m").as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .orderBy("o_custkey")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3061,6 +3181,11 @@ object SparkEntry {
     "q_group_topk"     -> qGroupTopk,
     "q_triangles"      -> qTriangles,
     "q_mad_outliers"   -> qMadOutliers,
+    "q_islands"        -> qIslands,
+    "q_peak_concurrency" -> qPeakConcurrency,
+    "q_rolling_distinct" -> qRollingDistinct,
+    "q_band_lookup"    -> qBandLookup,
+    "q_rfm"            -> qRfm,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4689,5 +4814,89 @@ object SparkEntry {
            CAST(ANY_VALUE(md.mad) AS BIGINT) AS mad,
            CAST(SUM(CASE WHEN d.ad > 5 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          FROM d, md""",
+    // pos - ROW_NUMBER is constant within a consecutive run: the same
+    // one-window-pass islands construction, replayed independently.
+    "q_islands" ->
+      """WITH m AS (SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi
+           FROM orders),
+         isl AS (SELECT o_custkey, mi,
+             mi - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mi) AS g
+           FROM m),
+         st AS (SELECT o_custkey, g, COUNT(*) AS len, MIN(mi) AS s, MAX(mi) AS e
+           FROM isl GROUP BY 1, 2)
+         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len) AS BIGINT) AS n_active_months,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(MIN(s) AS BIGINT) AS first_month,
+           CAST(MAX(e) AS BIGINT) AS last_month
+         FROM st GROUP BY 1 ORDER BY 1""",
+    // GLOBAL running sum over all endpoint deltas (the sequential
+    // textbook sweep), per-hour max — equality proves the Spark
+    // side's segmented two-level prefix sum decomposes it exactly.
+    "q_peak_concurrency" ->
+      """WITH e AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + 3600000000 AS t_end
+           FROM events),
+         d AS (SELECT s AS t, 1 AS delta FROM e
+               UNION ALL SELECT t_end, -1 FROM e),
+         r AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+           FROM d)
+         SELECT t // 3600000000 AS hour_idx, CAST(MAX(rs) AS BIGINT) AS peak,
+           CAST(COUNT(*) AS BIGINT) AS n_deltas
+         FROM r GROUP BY 1 ORDER BY 1""",
+    // independent range-join formulation: for each calendar day in the
+    // data span, distinct customers active in [day-6, day]; inner join
+    // drops zero-coverage days exactly as the cover-day explode does.
+    "q_rolling_distinct" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS c,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+           FROM orders),
+         lim AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM p),
+         days AS (SELECT UNNEST(generate_series(lo, hi)) AS day FROM lim)
+         SELECT day, CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers
+         FROM days JOIN p ON p.d BETWEEN day - 6 AND day
+         GROUP BY 1 ORDER BY 1""",
+    // independent non-equi formulation: band = count of breaks <= value
+    // via a correlated aggregate — equality proves the plan-embedded
+    // binary search assigns every row the same band as the BETWEEN join
+    // semantics it replaces.
+    "q_band_lookup" ->
+      """WITH v AS (SELECT DISTINCT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS v FROM part),
+         r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
+         b AS (SELECT v FROM r WHERE rn % 100 = 0),
+         l AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem),
+         band AS (SELECT c, (SELECT COUNT(*) FROM b WHERE b.v <= l.c) AS band_idx FROM l)
+         SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(c) AS BIGINT) AS sum_cents,
+           CAST(MIN(c) AS BIGINT) AS min_cents, CAST(MAX(c) AS BIGINT) AS max_cents
+         FROM band GROUP BY 1 ORDER BY 1""",
+    // quantile_disc ≡ Spark percentile_disc (B52 precedent); scores are
+    // threshold compares so ties land identically in both engines.
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey,
+             CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_cents
+           FROM orders GROUP BY 1),
+         s AS (SELECT *, -recency_days AS rec_neg FROM base),
+         cuts AS (SELECT
+             quantile_disc(rec_neg, 0.2) AS r1, quantile_disc(rec_neg, 0.4) AS r2,
+             quantile_disc(rec_neg, 0.6) AS r3, quantile_disc(rec_neg, 0.8) AS r4,
+             quantile_disc(frequency, 0.2) AS f1, quantile_disc(frequency, 0.4) AS f2,
+             quantile_disc(frequency, 0.6) AS f3, quantile_disc(frequency, 0.8) AS f4,
+             quantile_disc(monetary_cents, 0.2) AS m1, quantile_disc(monetary_cents, 0.4) AS m2,
+             quantile_disc(monetary_cents, 0.6) AS m3, quantile_disc(monetary_cents, 0.8) AS m4
+           FROM s),
+         sc AS (SELECT o_custkey, recency_days, frequency, monetary_cents,
+             CAST(1 + (rec_neg > r1)::INT + (rec_neg > r2)::INT
+                    + (rec_neg > r3)::INT + (rec_neg > r4)::INT AS BIGINT) AS r_score,
+             CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+                    + (frequency > f3)::INT + (frequency > f4)::INT AS BIGINT) AS f_score,
+             CAST(1 + (monetary_cents > m1)::INT + (monetary_cents > m2)::INT
+                    + (monetary_cents > m3)::INT + (monetary_cents > m4)::INT AS BIGINT) AS m_score
+           FROM s, cuts)
+         SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+         FROM sc ORDER BY o_custkey""",
   )
 }

@@ -799,4 +799,18 @@ object HashOps {
   def cmsCountString(cms: org.apache.spark.util.sketch.CountMinSketch,
       s: org.apache.spark.unsafe.types.UTF8String): Long =
     cms.estimateCount(s.getBytes)
+
+  /** Number of `breaks` elements <= v (breaks ascending-sorted):
+   * the bucket index of v among n+1 half-open bands
+   * (-inf, b0], (b0, b1], ... (bn-1, +inf). Branch-light binary
+   * search — called per row from generated code. */
+  def searchSorted(breaks: Array[Long], v: Long): Int = {
+    var lo = 0
+    var hi = breaks.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (breaks(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }

@@ -415,6 +415,34 @@ case class CmsEstimate(child: Expression, sketch: Array[Byte]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** search_sorted(v) against an ascending plan-embedded long[] →
+ * int bucket index = count of breaks <= v (0..n). The static
+ * range-dimension lookup (price bands, IP→geo ranges, SLA tiers):
+ * a bounded sorted break table rides the plan as a reference object
+ * and every row resolves its band by binary search INSIDE whole-stage
+ * codegen — no join, no shuffle, no broadcast hash table, and (unlike
+ * a BroadcastNestedLoopJoin on a BETWEEN predicate) O(log n) per row
+ * instead of O(n). */
+case class SearchSortedLong(child: Expression, breaks: Array[Long])
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"search_sorted requires an integral value, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.searchSorted(breaks, input.asInstanceOf[Number].longValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("breaks", breaks, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.searchSorted($ref, (long) $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SearchSortedLong =
+    copy(child = newChild)
+}
+
 /** nearest_centroids(vec) against a fixed centroid matrix → array<int>
  * of the nProbe most-similar centroid indices (IVF cell assignment /
  * multiprobe list). */
@@ -552,6 +580,12 @@ object expressions {
   def vecNorm(a: Column): Column = column(VecNorm(expression(a)))
   def hyperplaneSig(v: Column, planes: Array[Double], dim: Int): Column =
     column(HyperplaneSig(expression(v), planes, dim))
+  def searchSortedLong(v: Column, breaks: Array[Long]): Column = {
+    require(breaks.nonEmpty, "searchSortedLong: empty breaks")
+    require((1 until breaks.length).forall(i => breaks(i - 1) <= breaks(i)),
+      "searchSortedLong: breaks must be ascending")
+    column(SearchSortedLong(expression(v), breaks))
+  }
   def nearestCentroids(v: Column, centroids: Array[Double], dim: Int, nProbe: Int): Column =
     column(NearestCentroids(expression(v), centroids, dim, nProbe))
   def pqEncode(v: Column, codebooks: Array[Double], m: Int, subdim: Int): Column =

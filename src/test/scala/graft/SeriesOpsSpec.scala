@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Islands, Rolling, Sweep}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Islands (B62), Sweep (B63), Rolling (B64): hand-checked edge
+  * semantics the driver oracles exercise only statistically. */
+class SeriesOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("islands groups consecutive runs, collapses duplicates, splits on gaps") {
+    val df = Seq(
+      (1L, 3L), (1L, 4L), (1L, 4L), (1L, 5L), // run 3-5 with a dup
+      (1L, 7L),                               // singleton after a gap
+      (2L, 10L)                               // other key untouched
+    ).toDF("k", "p")
+    val out = Islands.islands(df, "k", "p")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 5L, 3L), (1L, 7L, 7L, 1L), (2L, 10L, 10L, 1L)))
+  }
+
+  test("streakStats summarizes per key") {
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 5L), (1L, 6L), (1L, 7L)).toDF("k", "p")
+    val r = Islands.streakStats(df, "k", "p")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(r == List((1L, 2L, 5L, 3L, 1L, 7L)))
+  }
+
+  test("sweep peak matches the sequential running-sum max per bucket") {
+    // intervals (us): [0,25) [10,35) [20,45) with bucket width 20:
+    // deltas: b0: +1@0 +1@10, b1: +1@20 -1@25 -1@35(b1? 35 div 20 = 1) ,
+    // sequential levels: 1,2,3(@20),2(@25),1(@35),0(@45)
+    val iv = Seq((0L, 25L), (10L, 35L), (20L, 45L)).toDF("s", "e")
+    val out = Sweep.peakConcurrent(iv, "s", "e", 20L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(out == List((0L, 2L, 2L), (1L, 3L, 3L), (2L, 0L, 1L)))
+  }
+
+  test("sweep end-exclusive: an interval ending when another starts never overlaps it") {
+    val iv = Seq((0L, 10L), (10L, 20L)).toDF("s", "e")
+    val peaks = Sweep.peakConcurrent(iv, "s", "e", 100L)
+      .as[(Long, Long, Long)].collect().toList
+    assert(peaks == List((0L, 1L, 4L)), "back-to-back intervals peak at 1")
+  }
+
+  test("searchSortedLong bands: below-first, on-break (inclusive), between, above-last") {
+    import org.apache.spark.sql.functions.col
+    val breaks = Array(10L, 20L, 30L)
+    val out = Seq(5L, 10L, 11L, 20L, 29L, 30L, 99L).toDF("v")
+      .select(col("v"), graft.functions.expressions.searchSortedLong(col("v"), breaks).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(5L -> 0, 10L -> 1, 11L -> 1, 20L -> 2, 29L -> 2, 30L -> 3, 99L -> 3))
+  }
+
+  test("searchSortedLong rejects unsorted breaks") {
+    import org.apache.spark.sql.functions.col
+    intercept[IllegalArgumentException] {
+      graft.functions.expressions.searchSortedLong(col("v"), Array(3L, 1L))
+    }
+  }
+
+  test("rollingDistinct counts a window entity once and clips trailing ghosts") {
+    // entity 1 active days 10 and 12 (once in any 7-day window that
+    // spans both); entity 2 active day 12 only; max day 12 → no
+    // cover days past 12 emitted.
+    val df = Seq((1L, 10L), (1L, 10L), (1L, 12L), (2L, 12L)).toDF("e", "d")
+    val out = Rolling.rollingDistinct(df, "e", "d", 7)
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(out == List((10L, 1L), (11L, 1L), (12L, 2L)))
+  }
+}
