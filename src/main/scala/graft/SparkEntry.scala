@@ -3015,6 +3015,53 @@ object SparkEntry {
       .orderBy("o_custkey")
   }
 
+  /** B66 (r13): incremental JOIN-view maintenance
+   * ([[graft.operators.Incremental.deltaJoin]]) — the missing member
+   * of the incremental family (B46 maintains aggregates, C37 dedup
+   * state; joined views need the classic delta rule). Orders and
+   * lineitem are split deterministically into old/delta slices
+   * (orderkey mod), the maintained view is refreshed as view_old ∪
+   * Δ(A⋈B), and the rollup is compared against the ORACLE'S FULL
+   * RECOMPUTE of the join — equality proves the delta rule emits
+   * every new pair exactly once (no old×old rescan, no duplicates,
+   * delta-sized shuffles only). */
+  private def qIncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val (oOld, oDelta) = (o.filter(col("o_orderkey") % 5 =!= 0),
+      o.filter(col("o_orderkey") % 5 === 0))
+    val (lOld, lDelta) = (l.filter(col("l_orderkey") % 7 =!= 0),
+      l.filter(col("l_orderkey") % 7 === 0))
+    val viewOld = oOld.join(lOld, col("o_orderkey") === col("l_orderkey"))
+    val viewNew = viewOld.unionByName(
+      graft.operators.Incremental.deltaJoin(
+        oOld, oDelta, lOld, lDelta, "o_orderkey", "l_orderkey"))
+    viewNew.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum("rev").as("rev_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** B67 (r13): exact weighted quantiles
+   * ([[graft.operators.WeightedQuantile]]) — quantity-weighted
+   * price percentiles of lineitem (p25/p50/p90/p99 in cents). The
+   * naive form is a global sort with a running weight sum (single
+   * partition over the facts); the operator's two-level bucket
+   * decomposition makes both data-sized passes scans and confines
+   * sorting to the bounded bucket domain. All integer arithmetic —
+   * the oracle replays the sequential running-sum definition and
+   * must match bit-for-bit. */
+  private def qWeightedQuantile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(cents(col("l_extendedprice")).as("v"),
+      col("l_quantity").cast("long").as("w"))
+    graft.operators.WeightedQuantile.weightedQuantiles(li, "v", "w",
+        ppms = Seq(250000L, 500000L, 900000L, 990000L), bucketWidth = 100000L)
+      .select(col("q_ppm"), col("value").as("value_cents"))
+      .orderBy("q_ppm")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3186,6 +3233,8 @@ object SparkEntry {
     "q_rolling_distinct" -> qRollingDistinct,
     "q_band_lookup"    -> qBandLookup,
     "q_rfm"            -> qRfm,
+    "q_incremental_join" -> qIncrementalJoin,
+    "q_weighted_quantile" -> qWeightedQuantile,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4898,5 +4947,30 @@ object SparkEntry {
            FROM s, cuts)
          SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
          FROM sc ORDER BY o_custkey""",
+    // FULL recompute of the joined view — equality proves the Spark
+    // side's delta rule (ΔA⋈B_new ∪ A_old⋈ΔB) emits every pair of
+    // the old∪delta join exactly once.
+    "q_incremental_join" ->
+      """WITH j AS (SELECT o_orderpriority,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS rev
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // the sequential textbook definition: running weight sum over
+    // values in order, min value reaching ceil(q·W) — equality proves
+    // the two-level bucket decomposition exact.
+    "q_weighted_quantile" ->
+      """WITH f AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+         tot AS (SELECT SUM(w) AS tw FROM f),
+         pv AS (SELECT v, SUM(w) AS wv FROM f GROUP BY v),
+         c AS (SELECT v, SUM(wv) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM pv),
+         q AS (SELECT UNNEST([250000, 500000, 900000, 990000]) AS q_ppm),
+         t AS (SELECT q_ppm, (q_ppm * tw + 999999) // 1000000 AS r FROM q, tot)
+         SELECT CAST(t.q_ppm AS BIGINT) AS q_ppm,
+           CAST(MIN(c.v) AS BIGINT) AS value_cents
+         FROM t JOIN c ON c.cw >= t.r GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -125,4 +125,27 @@ object Incremental {
       .agg(min(col("bucket")).as("qb"))
       .select(col("n_rows"), (col("qb") * width).as("q_lo"))
   }
+
+  /**
+   * Incremental inner-equi-join view maintenance under inserts
+   * (classic delta rule): Δ(A ⋈ B) = ΔA ⋈ B_old ∪ A_old ⋈ ΔB
+   * ∪ ΔA ⋈ ΔB, folded here as ΔA ⋈ (B_old ∪ ΔB) ∪ A_old ⋈ ΔB —
+   * every term joins a DELTA against something, so a daily refresh
+   * of a 100 TB joined view shuffles delta-sized inputs only
+   * (A_old/B_old enter as the probe side of delta-keyed joins,
+   * prunable by partition/bucket on the join key; the old×old
+   * product — the full-rebuild cost — is never recomputed).
+   * Column sets must be disjoint; the maintained view's refresh is
+   * `view_old unionByName deltaJoin(...)`.
+   */
+  def deltaJoin(
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      aKey: String, bKey: String): DataFrame = {
+    require(aOld.columns.toSet.intersect(bOld.columns.toSet).isEmpty,
+      "deltaJoin: alias the two sides' columns apart first")
+    val bNew = bOld.unionByName(bDelta)
+    aDelta.join(bNew, col(aKey) === col(bKey))
+      .unionByName(aOld.join(bDelta, col(aKey) === col(bKey)))
+  }
 }
