@@ -374,6 +374,115 @@ object ScaleProbe {
     val cpSum = spark.read.parquet(cpPath).agg(sum("i")).head().getLong(0)
     require(cpSum == 1200000L * (1200000L - 1) / 2, s"row loss after compaction: $cpSum")
     println(s"SCALE compactPartitioned: 120 leaves -> 1 file each (sum invariant holds)")
+
+    // Sweep (B63) at 5M intervals (10M endpoint deltas): the
+    // segmented two-level prefix sum vs the sequential global-window
+    // baseline it replaces — equality on every bucket peak is the
+    // exactness invariant, the timing gap is the scale story.
+    import org.apache.spark.sql.expressions.Window
+    val sweepIv = spark.range(5000000L).toDF("i").select(
+      ((col("i") * 2654435761L) % 86400000000L).as("s_us"),
+      (((col("i") * 2654435761L) % 86400000000L) +
+        1000000L + (col("i") % 3600000000L)).as("e_us"))
+    val segPeaks = timedRun("sweep segmented 5M intervals") {
+      graft.operators.Sweep.peakConcurrent(sweepIv, "s_us", "e_us", 3600000000L)
+        .select("bucket", "peak")
+    }
+    val globalPeaks = timedRun("sweep GLOBAL-window baseline 5M intervals") {
+      val d = sweepIv.select(col("s_us").as("t"), lit(1L).as("delta"))
+        .unionAll(sweepIv.select(col("e_us").as("t"), lit(-1L).as("delta")))
+      d.withColumn("rs", sum("delta").over(Window.orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(expr("t div 3600000000L").as("bucket"))
+        .agg(max("rs").as("peak"))
+    }
+    val sweepDrift = segPeaks.unionAll(globalPeaks)
+      .groupBy("bucket", "peak").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(sweepDrift == 0, s"sweep segmented vs global drift: $sweepDrift buckets")
+    println("SCALE sweep: segmented == global on every bucket")
+
+    // Rolling distinct (B64) at 10M activity rows over 50k entities x
+    // 365 days: w=1 must equal the direct per-day distinct count, and
+    // w=7 is spot-checked against direct window recomputes.
+    val act = spark.range(10000000L).toDF("i").select(
+      (col("i") % 50000L).as("e"),
+      ((col("i") * 1103515245L + col("i") % 97) % 365L).as("d"))
+    val r7 = timedRun("rollingDistinct w=7 10M rows") {
+      graft.operators.Rolling.rollingDistinct(act, "e", "d", 7)
+    }
+    val r1 = graft.operators.Rolling.rollingDistinct(act, "e", "d", 1)
+    val direct1 = act.groupBy(col("d").as("day"))
+      .agg(countDistinct("e").as("n_distinct"))
+    val r1Drift = r1.unionAll(direct1)
+      .groupBy("day", "n_distinct").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(r1Drift == 0, s"rolling w=1 vs direct distinct drift: $r1Drift days")
+    for (day <- Seq(6L, 100L, 364L)) {
+      val want = act.filter(col("d").between(day - 6, day))
+        .select("e").distinct().count()
+      val got = r7.filter(col("day") === day).head().getLong(1)
+      require(got == want, s"rolling w=7 day $day: $got != direct $want")
+    }
+    println("SCALE rolling: w=1 == direct; w=7 spot-checks hold")
+
+    // Band lookup (B65): plan-embedded binary search at 20M rows x
+    // 10k breaks, and assignment equality vs the BETWEEN
+    // BroadcastNestedLoopJoin it replaces (BNLJ at 2M x 100 — the
+    // baseline is already O(bands) per row, which is the point).
+    val bands10k = Array.tabulate(10000)(i => i.toLong * 100000L)
+    val facts20m = spark.range(20000000L).toDF("i")
+      .select(((col("i") * 2654435761L) % 1000000000L).as("v"))
+    timedRun("searchSorted 20M rows x 10k breaks") {
+      facts20m.select(graft.functions.expressions
+          .searchSortedLong(col("v"), bands10k).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+    }
+    val bands100 = Array.tabulate(100)(i => i.toLong * 10000000L)
+    val facts2m = spark.range(2000000L).toDF("i")
+      .select(((col("i") * 2654435761L) % 1000000000L).as("v"))
+    val viaSearch = facts2m.select(col("v"),
+      graft.functions.expressions.searchSortedLong(col("v"), bands100)
+        .cast("long").as("b"))
+    val bandTable = spark.createDataFrame(
+      (0 until 100).map(i => (bands100(i),
+        if (i == 99) Long.MaxValue else bands100(i + 1), i.toLong + 1))
+      ).toDF("lo", "hi", "b2")
+    val viaJoin = timedRun("BETWEEN BNLJ baseline 2M rows x 100 bands") {
+      facts2m.join(broadcast(bandTable),
+        col("v") >= col("lo") && col("v") < col("hi"))
+        .select(col("v"), col("b2"))
+    }
+    // duplicate v values make a row-level v-join fan out; per-band
+    // count equality is the collision-safe assignment check
+    val bandDrift = viaSearch.groupBy(col("b").as("band")).agg(count(lit(1)).as("n"))
+      .unionAll(viaJoin.groupBy(col("b2").as("band")).agg(count(lit(1)).as("n")))
+      .groupBy("band", "n").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(bandDrift == 0,
+      s"searchSorted vs BETWEEN join per-band count drift: $bandDrift bands")
+    println("SCALE band lookup: binary search == BETWEEN join per-band on 2M rows")
+
+    // Weighted quantiles (B67) at 10M rows: with unit weights the
+    // weighted definition must collapse to percentile_disc exactly.
+    val wq = spark.range(10000000L).toDF("i")
+      .select(((col("i") * 2654435761L) % 10000000L).as("v"), lit(1L).as("w"))
+    val wqGot = time("weightedQuantiles 10M rows") {
+      graft.operators.WeightedQuantile.weightedQuantiles(
+          wq, "v", "w", Seq(250000L, 500000L, 900000L, 990000L), 100000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val wqWant = wq.agg(
+      expr("percentile_disc(0.25) within group (order by v)").cast("long"),
+      expr("percentile_disc(0.5) within group (order by v)").cast("long"),
+      expr("percentile_disc(0.9) within group (order by v)").cast("long"),
+      expr("percentile_disc(0.99) within group (order by v)").cast("long")).head()
+    val wqPairs = Seq(250000L -> wqWant.getLong(0), 500000L -> wqWant.getLong(1),
+      900000L -> wqWant.getLong(2), 990000L -> wqWant.getLong(3))
+    wqPairs.foreach { case (ppm, want) =>
+      require(wqGot(ppm) == want, s"weighted q$ppm: ${wqGot(ppm)} != disc $want")
+    }
+    println("SCALE weighted quantiles: unit-weight == percentile_disc at 4 ppms")
     spark.stop()
   }
 }

@@ -3062,6 +3062,48 @@ object SparkEntry {
       .orderBy("q_ppm")
   }
 
+  /** B68 (r13): join preflight diagnostics
+   * ([[graft.operators.JoinDiag]]) — the hot-key report run BEFORE
+   * an expensive equi-join (here: the lineitem co-purchase self-join
+   * shape B55 actually pays). Shuffles carry one row per DISTINCT
+   * key, never the facts; top-20 by output contribution under a
+   * total order is TakeOrdered, not a global sort. The report is
+   * what decides broadcast vs B13's saltedJoin vs filter. */
+  private def qJoinProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.operators.JoinDiag.joinProfile(
+      li, li.filter(col("l_returnflag") === "R"),
+      "l_partkey", "l_partkey", topN = 20)
+  }
+
+  /** B69 (r13): point-in-time join to a type-2 dimension
+   * ([[graft.operators.Scd.pitJoin]]) — each purchase joined to the
+   * activity state the user was in AT purchase time (dimension =
+   * A13's SCD2 build over the user's non-purchase events). The
+   * canonical fact→SCD2 temporal join, ridden on B15's one-exchange
+   * as-of carry-forward instead of an interval-containment range
+   * probe; purchases before the user's first state row report
+   * 'none'. Oracle replays the interval-containment join literally —
+   * equality proves the as-of reduction (intervals tile the
+   * timeline) and the zero-width-interval drop exact. */
+  private def qPitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"), col("value"))
+    val dim = graft.operators.Scd.type2(
+      ev.filter(col("event_type") =!= "purchase").drop("value"),
+      "user_id", "ts_us", Seq("event_type"), tieCol = "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        cents(col("value")).as("rev_cents"))
+    graft.operators.Scd.pitJoin(purchases, dim,
+        "user_id", "user_id", "ts_us", payload = Seq("event_type"))
+      .select(col("event_id"),
+        coalesce(col("pit_event_type"), lit("none")).as("state"),
+        col("rev_cents"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3235,6 +3277,8 @@ object SparkEntry {
     "q_rfm"            -> qRfm,
     "q_incremental_join" -> qIncrementalJoin,
     "q_weighted_quantile" -> qWeightedQuantile,
+    "q_join_profile"   -> qJoinProfile,
+    "q_pit_join"       -> qPitJoin,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4972,5 +5016,41 @@ object SparkEntry {
          SELECT CAST(t.q_ppm AS BIGINT) AS q_ppm,
            CAST(MIN(c.v) AS BIGINT) AS value_cents
          FROM t JOIN c ON c.cw >= t.r GROUP BY 1 ORDER BY 1""",
+    // per-key count tables full-outer-joined; top-20 contributions
+    // under the same (out_rows desc, key) total order.
+    "q_join_profile" ->
+      """WITH ca AS (SELECT l_partkey AS key, COUNT(*) AS n_left
+           FROM lineitem GROUP BY 1),
+         cb AS (SELECT l_partkey AS key, COUNT(*) AS n_right
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         j AS (SELECT COALESCE(ca.key, cb.key) AS key,
+             COALESCE(n_left, 0) AS n_left, COALESCE(n_right, 0) AS n_right
+           FROM ca FULL OUTER JOIN cb ON ca.key = cb.key)
+         SELECT key, CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(n_left * n_right AS BIGINT) AS out_rows
+         FROM j ORDER BY out_rows DESC, key LIMIT 20""",
+    // literal interval-containment join against the replayed SCD2
+    // dimension (zero-width intervals excluded exactly as pitJoin
+    // drops them) — equality proves the as-of reduction.
+    "q_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             value FROM events),
+         ne AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+         chg AS (SELECT *, lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM ne),
+         cp AS (SELECT user_id, event_id, event_type, ts_us FROM chg
+                WHERE prev IS NULL OR prev <> event_type),
+         v AS (SELECT user_id, event_type AS state, ts_us AS vf,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS vt
+           FROM cp),
+         live AS (SELECT * FROM v WHERE vt IS NULL OR vf <> vt),
+         p AS (SELECT event_id, user_id, ts_us,
+             CAST(round(value * 100, 0) AS BIGINT) AS rev_cents
+           FROM e WHERE event_type = 'purchase')
+         SELECT p.event_id, COALESCE(live.state, 'none') AS state, p.rev_cents
+         FROM p LEFT JOIN live ON p.user_id = live.user_id
+           AND live.vf <= p.ts_us AND (live.vt IS NULL OR p.ts_us < live.vt)
+         ORDER BY p.event_id""",
   )
 }

@@ -40,4 +40,36 @@ object Scd {
       .select((Seq(col(keyCol)) ++ attrCols.map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
   }
+
+  /**
+   * Point-in-time (temporal) join: attach to each fact row the
+   * dimension state that was valid AT the fact's own timestamp —
+   * the canonical warehouse pattern for joining facts to a type-2
+   * dimension ("what segment was this customer in when they
+   * bought"). A direct interval-containment join is a per-key range
+   * probe; this rides [[AsOf.asofJoin]]'s one-exchange carry-forward
+   * on `validFrom`: type-2 intervals tile each key's timeline, so
+   * the latest valid_from <= ts IS the covering interval.
+   *
+   * Zero-width intervals (two change points at one instant — the
+   * first covers nothing) are dropped up front, which also restores
+   * the as-of (key, time)-uniqueness contract; the matched interval's
+   * `validTo` is re-checked null-safely so hand-built dims with GAPS
+   * in coverage yield a null state, never a stale one. Output: every
+   * fact row plus one `pit_`-prefixed column per payload entry.
+   */
+  def pitJoin(
+      facts: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, factTs: String,
+      payload: Seq[String],
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val live = dim.filter(col(validTo).isNull || col(validFrom) =!= col(validTo))
+    val joined = AsOf.asofJoin(facts, live, factKey, dimKey, factTs, validFrom,
+      rightPayload = payload :+ validTo, outPrefix = "pit_")
+    val covered = col(s"pit_$validTo").isNull || col(factTs) < col(s"pit_$validTo")
+    payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"pit_$c", when(covered, col(s"pit_$c")))
+    }.drop(s"pit_$validTo")
+  }
 }
