@@ -41,6 +41,18 @@ object GraftExtensions {
       args(i).eval().asInstanceOf[Number].intValue()
     }
 
+  private def boolArg(name: String, args: Seq[Expression], i: Int, default: Boolean): Boolean =
+    if (args.length <= i) default
+    else {
+      val v = if (args(i).foldable) args(i).eval() else null
+      v match {
+        case b: java.lang.Boolean => b
+        case n: Number => n.intValue() != 0
+        case _ => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a literal boolean")
+      }
+    }
+
   private def strArg(name: String, args: Seq[Expression], i: Int): String = {
     val ok = args(i).foldable && args(i).dataType == org.apache.spark.sql.types.StringType
     val v = if (ok) args(i).eval() else null
@@ -95,6 +107,43 @@ object GraftExtensions {
     ("word_chunks_strided", "word_chunks_strided(text, window, stride) - overlapping window-word chunks every stride words",
       arity("word_chunks_strided", 3)(args => WordChunksStrided(args.head,
         intArg("word_chunks_strided", args, 1, 64), intArg("word_chunks_strided", args, 2, 48)))),
+    ("normalize_text", "normalize_text(text[, form, strip_accents, case_fold, collapse_ws]) - Unicode-normalize (NFC/NFD/NFKC/NFKD) with optional accent-strip/case-fold/whitespace-collapse",
+      arity("normalize_text", 1, 5)(args => {
+        val form = (if (args.length > 1) strArg("normalize_text", args, 1) else "NFC") match {
+          case "NFC" => 0
+          case "NFD" => 1
+          case "NFKC" => 2
+          case "NFKD" => 3
+          case other => throw new IllegalArgumentException(
+            s"normalize_text: form must be NFC/NFD/NFKC/NFKD, got '$other'")
+        }
+        NormalizeText(args.head, form,
+          boolArg("normalize_text", args, 2, default = false),
+          boolArg("normalize_text", args, 3, default = false),
+          boolArg("normalize_text", args, 4, default = false))
+      })),
+    ("search_sorted", "search_sorted(v, array(b0, b1, ...)) - bucket index of v among ascending literal breaks (count of breaks <= v)",
+      arity("search_sorted", 2)(args => {
+        if (!args(1).foldable)
+          throw new IllegalArgumentException(
+            "search_sorted: breaks must be a literal array")
+        val breaks = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            args(1).dataType match {
+              case org.apache.spark.sql.types.ArrayType(et, _) =>
+                (0 until a.numElements()).map(i =>
+                  a.get(i, et).asInstanceOf[Number].longValue()).toArray
+              case other => throw new IllegalArgumentException(
+                s"search_sorted: breaks must be an integral array, got ${other.sql}")
+            }
+          case _ => throw new IllegalArgumentException(
+            "search_sorted: breaks must be a non-null literal array")
+        }
+        if (breaks.isEmpty || (1 until breaks.length).exists(i => breaks(i - 1) > breaks(i)))
+          throw new IllegalArgumentException(
+            "search_sorted: breaks must be non-empty and ascending")
+        SearchSortedLong(args.head, breaks)
+      })),
   )
 
   /** Register all graft functions on an existing session. */

@@ -3104,6 +3104,75 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B70 (r13): window-function conformance — the full ranking/
+   * navigation surface (rank, dense_rank, percent_rank, cume_dist,
+   * ntile, lag/lead, first/last/nth_value with an explicit
+   * full-partition frame) on one deterministic total order,
+   * value-compared per row against DuckDB. The row that certifies a
+   * reference user's window queries transfer wholesale; percent_rank
+   * and cume_dist are IEEE divisions of identical integers, so even
+   * the doubles compare bit-stable. */
+  private def qWindowConformance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("c"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag("c", 1).over(w).as("prev_c"),
+        lead("c", 1).over(w).as("next_c"),
+        first("c").over(full).as("first_c"),
+        last("c").over(full).as("last_c"),
+        nth_value(col("c"), 2).over(full).as("second_c"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** B71 (r13): NULL-semantics conformance — the aggregate/distinct/
+   * grouping/null-safe-join behaviors every migration trips over,
+   * pinned in one result: COUNT(*) vs COUNT(col) vs COUNT(DISTINCT
+   * col) under nulls, SUM over an all-null slice, nulls as their own
+   * GROUP BY key, and a null-safe equality join (Spark `<=>` ≡ SQL
+   * IS NOT DISTINCT FROM) counting the null-key match the plain
+   * equi-join drops. Nulls are carved deterministically out of
+   * order priorities. */
+  private def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio"),
+      cents(col("o_totalprice")).as("c"))
+    val counts = o.agg(
+      count(lit(1)).as("a"), count(col("prio")).as("b"),
+      countDistinct(col("prio")).as("cd"),
+      sum(when(col("prio").isNull, col("c"))).as("d"))
+      .select(explode(array(
+        struct(lit("count_star").as("metric"), col("a").as("value")),
+        struct(lit("count_col").as("metric"), col("b").as("value")),
+        struct(lit("count_distinct").as("metric"), col("cd").as("value")),
+        struct(lit("sum_null_slice_cents").as("metric"), col("d").as("value"))))
+        .as("m"))
+      .select(col("m.metric"), col("m.value"))
+    val nullGroup = o.groupBy("prio").agg(count(lit(1)).as("n"))
+      .select(concat(lit("group:"), coalesce(col("prio"), lit("NULL"))).as("metric"),
+        col("n").as("value"))
+    val l = o.select(col("prio").as("lp"))
+    val r = o.select(col("prio").as("rp")).distinct()
+    val joins = l.join(r, col("lp") === col("rp"))
+      .agg(count(lit(1)).as("eq"))
+      .crossJoin(l.join(r, col("lp") <=> col("rp"))
+        .agg(count(lit(1)).as("nseq")))
+      .select(explode(array(
+        struct(lit("join_eq_rows").as("metric"), col("eq").as("value")),
+        struct(lit("join_null_safe_rows").as("metric"), col("nseq").as("value"))))
+        .as("m"))
+      .select(col("m.metric"), col("m.value"))
+    counts.unionByName(nullGroup).unionByName(joins).orderBy("metric")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3279,6 +3348,8 @@ object SparkEntry {
     "q_weighted_quantile" -> qWeightedQuantile,
     "q_join_profile"   -> qJoinProfile,
     "q_pit_join"       -> qPitJoin,
+    "q_window_conformance" -> qWindowConformance,
+    "q_null_semantics" -> qNullSemantics,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5052,5 +5123,48 @@ object SparkEntry {
          FROM p LEFT JOIN live ON p.user_id = live.user_id
            AND live.vf <= p.ts_us AND (live.vt IS NULL OR p.ts_us < live.vt)
          ORDER BY p.event_id""",
+    // identical total order; first/last/nth carry the explicit
+    // full-partition ROWS frame on both sides.
+    "q_window_conformance" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders)
+         SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           lag(c, 1) OVER w AS prev_c,
+           lead(c, 1) OVER w AS next_c,
+           first_value(c) OVER wf AS first_c,
+           last_value(c) OVER wf AS last_c,
+           nth_value(c, 2) OVER wf AS second_c
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    // Spark `<=>` ≡ IS NOT DISTINCT FROM; aggregate/distinct/grouping
+    // null behaviors pinned as one metric table.
+    "q_null_semantics" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders),
+         counts AS (
+           SELECT 'count_star' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM o
+           UNION ALL SELECT 'count_col', CAST(COUNT(prio) AS BIGINT) FROM o
+           UNION ALL SELECT 'count_distinct', CAST(COUNT(DISTINCT prio) AS BIGINT) FROM o
+           UNION ALL SELECT 'sum_null_slice_cents',
+             CAST(SUM(CASE WHEN prio IS NULL THEN c END) AS BIGINT) FROM o),
+         grp AS (SELECT 'group:' || COALESCE(prio, 'NULL') AS metric,
+             CAST(COUNT(*) AS BIGINT) AS value FROM o GROUP BY 1),
+         r AS (SELECT DISTINCT prio AS rp FROM o),
+         joins AS (
+           SELECT 'join_eq_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+           FROM o JOIN r ON o.prio = r.rp
+           UNION ALL
+           SELECT 'join_null_safe_rows', CAST(COUNT(*) AS BIGINT)
+           FROM o JOIN r ON o.prio IS NOT DISTINCT FROM r.rp)
+         SELECT * FROM counts UNION ALL SELECT * FROM grp
+         UNION ALL SELECT * FROM joins ORDER BY metric""",
   )
 }

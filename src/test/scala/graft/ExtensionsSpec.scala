@@ -62,6 +62,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](2) == Seq("a b c d", "c d e f", "e f g", "g"))
   }
 
+  test("round-13 additions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+         normalize_text('Café  du   Monde', 'NFKC', true, true, true) AS norm,
+         normalize_text('abc') AS noop,
+         search_sorted(25L, array(10L, 20L, 30L)) AS band,
+         search_sorted(5L, array(10L, 20L, 30L)) AS below,
+         search_sorted(30L, array(10L, 20L, 30L)) AS on_break
+       """).head()
+    assert(r.getString(0) == "cafe du monde")
+    assert(r.getString(1) == "abc")
+    assert(r.getInt(2) == 2 && r.getInt(3) == 0 && r.getInt(4) == 3)
+    val bad = intercept[Exception](
+      spark.sql("SELECT search_sorted(1L, array(3L, 1L))").head())
+    assert(bad.getMessage.contains("ascending"), s"unexpected: ${bad.getMessage}")
+  }
+
   test("mistyped array inputs are rejected at analysis, not silently misread") {
     // ArrayData reads at fixed byte widths: array<int> into getLong
     // would yield garbage hashes — must fail analysis instead
