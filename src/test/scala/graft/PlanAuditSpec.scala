@@ -285,4 +285,34 @@ class PlanAuditSpec extends AnyFunSuite {
         s"cc_sessions scan reads the event payload it never uses: $s")
     }
   }
+
+  test("round-13 operators plan lean (band lookup join-free, profile key-only, sweep windowed)") {
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+    // band lookup: the banding is a codegen'd expression, so the fact
+    // path is scan → aggregate with NO join node of any kind — the
+    // whole point vs a BETWEEN BroadcastNestedLoopJoin
+    val bl = plan("q_band_lookup")
+    assert(!bl.contains("Join"), s"band lookup must be join-free:\n$bl")
+    schemas.findAllMatchIn(bl).map(_.group(1)).foreach { s =>
+      assert(!s.contains("l_quantity") && !s.contains("l_discount"),
+        s"band lookup scan reads columns it never uses: $s")
+    }
+    // join profile: both fact scans must be pruned to the key (plus
+    // the one filter column) — the report never ships fact payloads
+    schemas.findAllMatchIn(plan("q_join_profile")).map(_.group(1)).foreach { s =>
+      assert(!s.contains("l_extendedprice") && !s.contains("l_orderkey"),
+        s"join profile scan reads fact payload columns: $s")
+    }
+    // sweep: windows + aggregates only — no join enters the plan
+    val pc = plan("q_peak_concurrency")
+    assert(!pc.contains("Join"), s"peak concurrency must be join-free:\n$pc")
+    // rolling distinct and weighted quantile: their only nested-loop
+    // is the documented 1-row bound broadcast (tfidf precedent);
+    // a cartesian product is always a regression
+    Seq("q_rolling_distinct", "q_weighted_quantile", "q_islands", "q_rfm")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      }
+  }
 }
