@@ -3173,6 +3173,28 @@ object SparkEntry {
     counts.unionByName(nullGroup).unionByName(joins).orderBy("metric")
   }
 
+  /** A15 (r13): ORC sink/source fidelity — the second columnar
+   * format a lake migration meets (Hive-era tables are ORC). A typed
+   * slice of orders — longs, strings WITH a null carve, timestamps,
+   * cents-scaled money — is written to ORC, read back, and rolled
+   * up; the oracle computes the same rollup from the ORIGINAL
+   * parquet table, so any type coercion, timezone shift, or null
+   * mangling in the ORC writer/reader path fails the row rather
+   * than slipping through a same-path roundtrip compare. */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${graft.Scratch.root(s)}/orc_${new java.io.File(dir).getName}"
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("cents"))
+      .write.mode("overwrite").orc(path)
+    val back = s.read.orc(path)
+    back.groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"),
+        sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_null_prio"),
+        countDistinct("o_custkey").as("n_cust"))
+      .orderBy("yr")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3350,6 +3372,7 @@ object SparkEntry {
     "q_pit_join"       -> qPitJoin,
     "q_window_conformance" -> qWindowConformance,
     "q_null_semantics" -> qNullSemantics,
+    "q_orc_roundtrip"  -> qOrcRoundtrip,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5166,5 +5189,17 @@ object SparkEntry {
            FROM o JOIN r ON o.prio IS NOT DISTINCT FROM r.rp)
          SELECT * FROM counts UNION ALL SELECT * FROM grp
          UNION ALL SELECT * FROM joins ORDER BY metric""",
+    // the same rollup from the ORIGINAL parquet table — a value that
+    // mutates crossing the ORC boundary cannot cancel out here.
+    "q_orc_roundtrip" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+             nullif(o_orderpriority, '1-URGENT') AS prio, o_orderdate,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_prio,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         FROM o GROUP BY 1 ORDER BY 1""",
   )
 }
