@@ -3195,6 +3195,27 @@ object SparkEntry {
       .orderBy("yr")
   }
 
+  /** B72 (r13): adaptive (hot-key-only) salted join
+   * ([[graft.operators.Skew.adaptiveSaltedJoin]]) — B13 salts every
+   * key, replicating the whole build side; the production shape
+   * detects hot probe keys inline (B68's preflight as one
+   * distinct-key count), broadcasts the bounded hot set, salts ONLY
+   * the hot slices and joins the cold rest plain. Skew is carved
+   * deterministically (~30% of lineitem rows collapse onto one part
+   * key); oracle is the plain unsalted join — equality proves the
+   * hot/cold split partitions both sides consistently. */
+  private def qAdaptiveSalt(s: SparkSession, dir: String): DataFrame = {
+    val probe = t(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 10 < 3, 1L).otherwise(col("l_partkey")).as("k"),
+      cents(col("l_extendedprice")).as("c"))
+    val build = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.operators.Skew.adaptiveSaltedJoin(probe, build, "k", "p_partkey",
+        saltFactor = 16, hotThreshold = 1000L)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), sum("c").as("sum_cents"))
+      .orderBy("p_brand")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3373,6 +3394,7 @@ object SparkEntry {
     "q_window_conformance" -> qWindowConformance,
     "q_null_semantics" -> qNullSemantics,
     "q_orc_roundtrip"  -> qOrcRoundtrip,
+    "q_adaptive_salt"  -> qAdaptiveSalt,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5201,5 +5223,14 @@ object SparkEntry {
            CAST(SUM(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_prio,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
          FROM o GROUP BY 1 ORDER BY 1""",
+    // the plain unsalted join — equality proves the hot/cold split +
+    // salted-hot union loses and duplicates nothing.
+    "q_adaptive_salt" ->
+      """WITH probe AS (SELECT
+             CASE WHEN l_orderkey % 10 < 3 THEN 1 ELSE l_partkey END AS k,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem)
+         SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(c) AS BIGINT) AS sum_cents
+         FROM probe JOIN part ON k = p_partkey GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -99,4 +99,47 @@ object Skew {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum("__partial").as("n"))
+
+  /**
+   * Hot-key-only salting: [[saltedJoin]] replicates the ENTIRE build
+   * side `saltFactor` times — at 100 TB the fan-out of the 99.9% of
+   * keys that were never skewed dominates the job. The production
+   * shape detects the hot probe keys first (one map-side-combined
+   * count whose shuffle carries distinct keys, the JoinDiag
+   * preflight run inline), broadcasts the bounded hot set, and
+   * splits: hot slices join salted, cold slices join plain, results
+   * union. Build replication is then `saltFactor` × hot-key rows
+   * only.
+   *
+   * `hotThreshold` is the probe-row count above which a key salts —
+   * set it high enough that the hot set is broadcast-small (it is,
+   * by construction: at most |probe| / hotThreshold keys qualify).
+   * Probe-preserving join types only, as in [[saltedJoin]]; the
+   * hot/cold split partitions BOTH sides consistently, so the union
+   * equals the unsalted join row-for-row.
+   */
+  def adaptiveSaltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      saltFactor: Int,
+      hotThreshold: Long,
+      joinType: String = "inner",
+      saltBy: Seq[String] = Nil): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"adaptiveSaltedJoin supports probe-preserving keyed join types only, got '$joinType'")
+    val hot = probe.groupBy(col(probeKey)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold)
+      .select(col(probeKey).as("__hk"))
+    def split(df: DataFrame, key: String): (DataFrame, DataFrame) = (
+      df.join(broadcast(hot), df(key) === col("__hk"), "left_semi"),
+      df.join(broadcast(hot), df(key) === col("__hk"), "left_anti"))
+    val (pHot, pCold) = split(probe, probeKey)
+    val (bHot, bCold) = split(build, buildKey)
+    saltedJoin(pHot, bHot, probeKey, buildKey, saltFactor, joinType, saltBy)
+      .unionByName(pCold.join(bCold, pCold(probeKey) === bCold(buildKey), joinType))
+  }
 }

@@ -81,4 +81,27 @@ class SkewSpec extends AnyFunSuite {
       .groupBy("__salt").count().count()
     assert(spreadBuckets >= 6, s"giant block should spread over salts, got $spreadBuckets")
   }
+
+  test("adaptiveSaltedJoin equals the unsalted join and salts only the hot slice") {
+    val plain = facts.join(dims, $"k" === $"dk").select("k", "payload", "label")
+    val adaptive = Skew.adaptiveSaltedJoin(facts, dims, "k", "dk",
+        saltFactor = 8, hotThreshold = 500L)
+      .select("k", "payload", "label")
+    assert(adaptive.count() == plain.count())
+    assert(adaptive.except(plain).isEmpty && plain.except(adaptive).isEmpty)
+    // threshold above every key's count -> nothing qualifies as hot,
+    // the whole join takes the plain path and still matches
+    val allCold = Skew.adaptiveSaltedJoin(facts, dims, "k", "dk",
+        saltFactor = 8, hotThreshold = 100000L)
+      .select("k", "payload", "label")
+    assert(allCold.except(plain).isEmpty && plain.except(allCold).isEmpty)
+  }
+
+  test("adaptiveSaltedJoin preserves probe rows under left outer") {
+    val out = Skew.adaptiveSaltedJoin(facts, dims, "k", "dk",
+      saltFactor = 4, hotThreshold = 500L, joinType = "left_outer")
+    assert(out.count() == facts.count(), "left outer keeps every probe row once")
+    assert(out.filter($"label".isNull).count() ==
+      facts.join(dims, $"k" === $"dk", "left_anti").count())
+  }
 }
