@@ -3216,6 +3216,29 @@ object SparkEntry {
       .orderBy("p_brand")
   }
 
+  /** C51 (r13): per-class embedding centroid audit — the
+   * embedding-space statistic a dataset curator watches (class
+   * centroids drift when an encoder or labeler changes; the
+   * per-class mean is also the seed for C44's SemDeDup cells).
+   * Exact integer space end-to-end: elements scale to micros, sums
+   * are longs, and the centroid is an integer division — Spark `div`
+   * and DuckDB `//` BOTH truncate toward zero (verified on negative
+   * sums; it is SQL-standard floor `//` engines like Python that
+   * would need the pmod floor-div adaptation here). One posexplode →
+   * map-side-combined (label, dim) aggregate; shuffle carries
+   * labels × dims rows, never vectors. */
+  private def qEmbeddingStats(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("x") * 1000000d, 0).cast("long").as("micro"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("s"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        expr("s div n_vecs").as("centroid_micro"))
+      .orderBy("label", "dim")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3395,6 +3418,7 @@ object SparkEntry {
     "q_null_semantics" -> qNullSemantics,
     "q_orc_roundtrip"  -> qOrcRoundtrip,
     "q_adaptive_salt"  -> qAdaptiveSalt,
+    "q_embedding_stats" -> qEmbeddingStats,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5232,5 +5256,16 @@ object SparkEntry {
          SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(c) AS BIGINT) AS sum_cents
          FROM probe JOIN part ON k = p_partkey GROUP BY 1 ORDER BY 1""",
+    // BIGINT // truncates toward zero exactly like Spark's `div`
+    // (verified on negative sums). The DOUBLE cast is load-bearing:
+    // DuckDB evaluates FLOAT * INT in FLOAT precision (Spark promotes
+    // to double), which shifts ~0.5% of element roundings by one micro.
+    "q_embedding_stats" ->
+      """SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT))
+             // COUNT(*) AS BIGINT) AS centroid_micro
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
