@@ -122,6 +122,9 @@ object GraftExtensions {
           boolArg("normalize_text", args, 3, default = false),
           boolArg("normalize_text", args, 4, default = false))
       })),
+    ("bitmap_distinct", "bitmap_distinct(key, domain) - exact distinct count of an integral key in [0, domain) via fixed-width bitmap aggregate state",
+      arity("bitmap_distinct", 2)(args =>
+        BitmapDistinct(args.head, intArg("bitmap_distinct", args, 1, 0)))),
     ("search_sorted", "search_sorted(v, array(b0, b1, ...)) - bucket index of v among ascending literal breaks (count of breaks <= v)",
       arity("search_sorted", 2)(args => {
         if (!args(1).foldable)

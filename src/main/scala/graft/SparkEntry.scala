@@ -3239,6 +3239,24 @@ object SparkEntry {
       .orderBy("label", "dim")
   }
 
+  /** B73 (r13): exact distinct over a bounded key domain via a
+   * custom Catalyst AGGREGATE ([[graft.functions.BitmapDistinct]],
+   * the library's TypedImperativeAggregate example — scalar codegen
+   * expressions are C8-C35's tool; this is the aggregate half of the
+   * extension surface). COUNT(DISTINCT) plans an Expand whose first
+   * shuffle carries every distinct (group, key) pair; the bitmap's
+   * partial is domain/8 bytes regardless of row count, merges are a
+   * byte OR, and the whole thing is one map-side-combined pass —
+   * the fixed-width roaring-bitmap idea for enum-sized domains. */
+  private def qBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.bitmapDistinct
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        bitmapDistinct(col("l_suppkey"), 1 << 20).as("n_supp"),
+        bitmapDistinct(col("l_partkey"), 1 << 20).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3419,6 +3437,7 @@ object SparkEntry {
     "q_orc_roundtrip"  -> qOrcRoundtrip,
     "q_adaptive_salt"  -> qAdaptiveSalt,
     "q_embedding_stats" -> qEmbeddingStats,
+    "q_bitmap_distinct" -> qBitmapDistinct,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5267,5 +5286,11 @@ object SparkEntry {
              // COUNT(*) AS BIGINT) AS centroid_micro
          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
   )
 }

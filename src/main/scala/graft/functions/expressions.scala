@@ -580,6 +580,8 @@ object expressions {
   def vecNorm(a: Column): Column = column(VecNorm(expression(a)))
   def hyperplaneSig(v: Column, planes: Array[Double], dim: Int): Column =
     column(HyperplaneSig(expression(v), planes, dim))
+  def bitmapDistinct(c: Column, domain: Int): Column =
+    column(BitmapDistinct(expression(c), domain).toAggregateExpression())
   def searchSortedLong(v: Column, breaks: Array[Long]): Column = {
     require(breaks.nonEmpty, "searchSortedLong: empty breaks")
     require((1 until breaks.length).forall(i => breaks(i - 1) <= breaks(i)),

@@ -79,6 +79,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("ascending"), s"unexpected: ${bad.getMessage}")
   }
 
+  test("bitmap_distinct: exact vs COUNT(DISTINCT), null-safe, loud out-of-domain") {
+    import spark.implicits._
+    // duplicates across partitions force partial-state merges
+    val df = ((1 to 500).map(i => i.toLong % 37) ++ Seq.fill(10)(5L))
+      .toDF("k").repartition(7)
+    df.createOrReplaceTempView("bm_in")
+    val r = spark.sql(
+      "SELECT bitmap_distinct(k, 64) AS b, COUNT(DISTINCT k) AS cd FROM bm_in").head()
+    assert(r.getLong(0) == r.getLong(1))
+    // nulls are ignored, like every SQL aggregate
+    val n = spark.sql(
+      "SELECT bitmap_distinct(x, 8) FROM VALUES (0L), (NULL), (3L), (3L) AS t(x)").head()
+    assert(n.getLong(0) == 2L)
+    val e = intercept[Exception](
+      spark.sql("SELECT bitmap_distinct(x, 4) FROM VALUES (9L) AS t(x)").head())
+    assert(e.getMessage.contains("outside declared domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside declared domain")),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("mistyped array inputs are rejected at analysis, not silently misread") {
     // ArrayData reads at fixed byte widths: array<int> into getLong
     // would yield garbage hashes — must fail analysis instead
