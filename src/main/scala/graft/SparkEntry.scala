@@ -3257,6 +3257,25 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** B74 (r13): hierarchical subtree rollup
+   * ([[graft.operators.Graph.subtreeRollup]]) — the org-chart /
+   * bill-of-materials aggregate SQL needs a recursive CTE for:
+   * every node's count + balance sum over its ENTIRE subtree. The
+   * hierarchy is a deterministic 10-ary forest over customers
+   * (parent = custkey div 10, roots below 10); the operator builds
+   * the node→ancestor closure in depth-many keyed joins (closure
+   * size n·depth, no dedup needed on a tree's strictly-shrinking
+   * chains) and rolls up with one map-side-combined aggregate.
+   * Oracle is the literal recursive CTE. */
+  private def qSubtreeRollup(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "customer").select(col("c_custkey"),
+      when(col("c_custkey") >= 10, expr("c_custkey div 10")).as("parent"),
+      cents(col("c_acctbal")).as("bal"))
+    graft.operators.Graph.subtreeRollup(nodes, "c_custkey", "parent", "bal",
+        maxDepth = 6)
+      .orderBy("id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3438,6 +3457,7 @@ object SparkEntry {
     "q_adaptive_salt"  -> qAdaptiveSalt,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_bitmap_distinct" -> qBitmapDistinct,
+    "q_subtree_rollup" -> qSubtreeRollup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5292,5 +5312,18 @@ object SparkEntry {
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
            CAST(COUNT(*) AS BIGINT) AS n_rows
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // the literal recursive CTE the operator replaces; ancestor-or-self
+    // closure then one rollup on the ancestor key.
+    "q_subtree_rollup" ->
+      """WITH RECURSIVE anc AS (
+           SELECT c_custkey AS v, c_custkey AS a FROM customer
+           UNION ALL
+           SELECT v, a // 10 FROM anc WHERE a >= 10),
+         cv AS (SELECT c_custkey,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal FROM customer)
+         SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(cv.bal) AS BIGINT) AS sum_value
+         FROM anc JOIN cv ON anc.v = cv.c_custkey
+         GROUP BY 1 ORDER BY 1""",
   )
 }

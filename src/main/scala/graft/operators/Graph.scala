@@ -182,4 +182,57 @@ object Graph {
     }
     settled
   }
+
+  /**
+   * Hierarchical subtree rollup — the org-chart / bill-of-materials
+   * aggregation: for every node of a parent-pointer forest, the
+   * count and value sum over its ENTIRE subtree (self included).
+   * SQL needs a recursive CTE; Spark has none, and per-node
+   * subtree queries are a join per level per node.
+   *
+   * Scale shape: build the (node → ancestor) closure by walking
+   * parent pointers — `maxDepth` rounds of ONE equi-join each, every
+   * join keyed and map-side prunable, intermediate size bounded by
+   * n·depth (a tree's closure, never a general-graph explosion; the
+   * strictly-shrinking ancestor chain needs no dedup pass). The
+   * rollup is then a single map-side-combined aggregate on the
+   * ancestor key. Depth is log-branching-factor of the id space —
+   * 7 rounds cover 10^7 nodes at 10-ary fan-in — so the round count
+   * is a calendar-like constant, not data-sized.
+   *
+   * `nodes`: (`id`, `parent`, `value`) with parent NULL at roots;
+   * ids non-negative longs. Output: (`id`, `n_nodes`, `sum_value`).
+   */
+  def subtreeRollup(
+      nodes: DataFrame, idCol: String, parentCol: String, valueCol: String,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val base = nodes.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("parent"),
+      col(valueCol).cast("long").as("value"))
+    val parents = base.select(col("id").as("c"), col("parent").as("p"))
+      .filter(col("p").isNotNull)
+    // closure rows (v, a): a is an ancestor-or-self of v. Ancestor
+    // chains are strictly shrinking, so plain unionAll never
+    // duplicates a pair.
+    var closure = base.select(col("id").as("v"), col("id").as("a"))
+    var frontier = closure
+    var hops = 0
+    while (hops < maxDepth && !frontier.isEmpty) {
+      hops += 1
+      frontier = frontier.join(parents, frontier("a") === parents("c"))
+        .select(col("v"), col("p").as("a"))
+      closure = closure.unionAll(frontier)
+    }
+    // completeness probe: a chain of EXACTLY maxDepth leaves its last
+    // frontier non-empty — only a further step still finding parents
+    // means the closure is truncated (silent undercount otherwise)
+    require(frontier.isEmpty ||
+      frontier.join(parents, frontier("a") === parents("c")).isEmpty,
+      s"subtreeRollup: ancestor chains longer than maxDepth=$maxDepth — raise it")
+    closure
+      .join(base.select(col("id").as("v"), col("value")), "v")
+      .groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("n_nodes"), sum("value").as("sum_value"))
+  }
 }

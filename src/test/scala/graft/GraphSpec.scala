@@ -112,4 +112,36 @@ class GraphSpec extends AnyFunSuite {
     assert(bfs(comp, Seq(9L), 5) == Map(9L -> 0L))
     assert(bfs(comp, Seq(1L), 5) == Map(1L -> 0L, 2L -> 1L))
   }
+
+  test("subtreeRollup sums whole subtrees, forest roots independent") {
+    import spark.implicits._
+    //      1(10)           6(1)
+    //     /    \
+    //   2(20)  3(30)
+    //   /
+    // 4(40)
+    val nodes = Seq(
+      (1L, None: Option[Long], 10L), (2L, Some(1L), 20L), (3L, Some(1L), 30L),
+      (4L, Some(2L), 40L), (6L, None: Option[Long], 1L)
+    ).toDF("id", "parent", "v")
+    val out = graft.operators.Graph.subtreeRollup(nodes, "id", "parent", "v", 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> ((4L, 100L)), 2L -> ((2L, 60L)), 3L -> ((1L, 30L)),
+      4L -> ((1L, 40L)), 6L -> ((1L, 1L))))
+  }
+
+  test("subtreeRollup refuses chains deeper than maxDepth instead of undercounting") {
+    import spark.implicits._
+    val chain = Seq((1L, None: Option[Long], 1L), (2L, Some(1L), 1L),
+      (3L, Some(2L), 1L), (4L, Some(3L), 1L)).toDF("id", "parent", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Graph.subtreeRollup(chain, "id", "parent", "v", maxDepth = 2)
+    }
+    assert(e.getMessage.contains("longer than maxDepth"))
+    // deep enough succeeds and the root sees the whole chain
+    val ok = graft.operators.Graph.subtreeRollup(chain, "id", "parent", "v", 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(ok(1L) == 4L)
+  }
 }
