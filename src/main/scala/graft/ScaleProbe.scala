@@ -483,6 +483,38 @@ object ScaleProbe {
       require(wqGot(ppm) == want, s"weighted q$ppm: ${wqGot(ppm)} != disc $want")
     }
     println("SCALE weighted quantiles: unit-weight == percentile_disc at 4 ppms")
+
+    // Adaptive salting (B72) under real skew: 10M probe rows with 30%
+    // on ONE key, 100k-row build side. Full-table salting replicates
+    // the whole build x32; adaptive replicates only the hot key's
+    // build rows. Invariant: per-brandish rollup equal across plain /
+    // full-salt / adaptive.
+    // build is 2M rows — past the broadcast threshold, so all three
+    // variants really pay a shuffle join and the skew is real
+    val skewProbe = spark.range(10000000L).toDF("i").select(
+      when(col("i") % 10 < 3, 500L)
+        .otherwise((col("i") * 2654435761L) % 2000000L).as("k"),
+      (col("i") % 1000L).as("w"))
+    val skewBuild = spark.range(2000000L).toDF("bk")
+      .select(col("bk"), (col("bk") % 97L).as("grp"))
+    def rollup(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("grp").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+    val plainJ = timedRun("skew join UNSALTED 10M x 2M (1 hot key)") {
+      rollup(skewProbe.join(skewBuild, col("k") === col("bk")))
+    }
+    val fullJ = timedRun("skew join FULL salt x16") {
+      rollup(graft.operators.Skew.saltedJoin(
+        skewProbe, skewBuild, "k", "bk", saltFactor = 16))
+    }
+    val adaptJ = timedRun("skew join ADAPTIVE salt x16 (hot only)") {
+      rollup(graft.operators.Skew.adaptiveSaltedJoin(
+        skewProbe, skewBuild, "k", "bk", saltFactor = 16, hotThreshold = 100000L))
+    }
+    val saltDrift = plainJ.unionAll(fullJ).unionAll(adaptJ)
+      .groupBy("grp", "n", "sw").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 3).count()
+    require(saltDrift == 0, s"salted rollups drifted on $saltDrift groups")
+    println("SCALE adaptive salt: plain == full-salt == adaptive on every group")
     spark.stop()
   }
 }

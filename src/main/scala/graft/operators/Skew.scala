@@ -128,6 +128,11 @@ object Skew {
       joinType: String = "inner",
       saltBy: Seq[String] = Nil): DataFrame = {
     require(hotThreshold > 0, "hotThreshold must be positive")
+    // the hot and cold slices union after their joins — duplicate
+    // column names across the two sides would make that union
+    // ambiguous (COLUMN_ALREADY_EXISTS at analysis)
+    require(probe.columns.toSet.intersect(build.columns.toSet).isEmpty,
+      "adaptiveSaltedJoin: alias probe/build columns apart first")
     val jt = joinType.toLowerCase.replace("_", "")
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"adaptiveSaltedJoin supports probe-preserving keyed join types only, got '$joinType'")
