@@ -44,6 +44,22 @@ class DeltaViewSpec extends AnyFunSuite {
     assert(out == Map(250000L -> 1L, 500000L -> 2L, 750000L -> 3L, 1000000L -> 3L))
   }
 
+  test("weightedQuantiles equals the sequential definition on seeded random data") {
+    val rnd = new scala.util.Random(0xACE)
+    val rows = Seq.fill(500)((rnd.nextInt(1000).toLong, rnd.nextInt(9).toLong + 1))
+    val ppms = Seq(1L, 250000L, 500000L, 750000L, 999999L, 1000000L)
+    val got = WeightedQuantile.weightedQuantiles(rows.toDF("v", "w"), "v", "w", ppms, 37L)
+      .as[(Long, Long)].collect().toMap
+    val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val total = byV.map(_._2).sum
+    ppms.foreach { p =>
+      val r = (p * total + 999999L) / 1000000L
+      var cum = 0L
+      val want = byV.find { case (_, w) => cum += w; cum >= r }.get._1
+      assert(got(p) == want, s"q_ppm=$p got=${got(p)} want=$want")
+    }
+  }
+
   test("weightedQuantiles: heavy single value dominates every mid quantile") {
     val df = Seq((5L, 1L), (7L, 98L), (9L, 1L)).toDF("v", "w")
     val out = WeightedQuantile.weightedQuantiles(df, "v", "w",

@@ -168,4 +168,14 @@ class PropertySpec extends AnyFunSuite {
         s"len=$len bytes=$b winnow=$n")
     }
   }
+
+  test("searchSorted equals the linear count of breaks <= v (random sorted breaks)") {
+    for (_ <- 1 to 500) {
+      val breaks = Array.fill(rnd.nextInt(40) + 1)(rnd.nextLong() % 1000L).sorted
+      val v = rnd.nextLong() % 1200L
+      val got = HashOps.searchSorted(breaks, v)
+      assert(got == breaks.count(_ <= v), s"breaks=${breaks.toSeq} v=$v got=$got")
+      assert(got >= 0 && got <= breaks.length)
+    }
+  }
 }

@@ -60,6 +60,42 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("islands partition the distinct positions exactly (seeded random sets)") {
+    val rnd = new scala.util.Random(0xBEEF)
+    val rows = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(40).toLong))
+    val df = rows.toDF("k", "p")
+    val got = Islands.islands(df, "k", "p")
+      .as[(Long, Long, Long, Long)].collect()
+    // every island is a maximal consecutive run of the key's distinct set
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    got.foreach { case (k, s, e, len) =>
+      assert(len == e - s + 1, s"len mismatch on ($k,$s,$e)")
+      (s to e).foreach(p => assert(byKey(k).contains(p), s"island covers missing pos $p"))
+      assert(!byKey(k).contains(s - 1) && !byKey(k).contains(e + 1),
+        s"island ($s,$e) for key $k is not maximal")
+    }
+    // islands cover each distinct position exactly once
+    assert(got.map(_._4).sum == byKey.values.map(_.size).sum)
+  }
+
+  test("sweep peak equals a sequential reference on seeded random intervals") {
+    val rnd = new scala.util.Random(0xFEED)
+    val iv = Seq.fill(400) { val s = rnd.nextInt(1000).toLong; (s, s + 1 + rnd.nextInt(300)) }
+    val got = Sweep.peakConcurrent(iv.toDF("s", "e"), "s", "e", 100L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // sequential sweep: sort all deltas by (t, delta), running sum, max per bucket
+    val deltas = iv.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy(identity)
+    var level = 0L
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    deltas.foreach { case (t, d) =>
+      level += d
+      val b = t / 100L
+      want(b) = math.max(want.getOrElse(b, Long.MinValue), level)
+    }
+    assert(got == want.toMap)
+  }
+
   test("rollingDistinct counts a window entity once and clips trailing ghosts") {
     // entity 1 active days 10 and 12 (once in any 7-day window that
     // spans both); entity 2 active day 12 only; max day 12 → no
