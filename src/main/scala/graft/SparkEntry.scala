@@ -3276,6 +3276,30 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** A17 (r13): schema-drift audit on schema-on-read ingest — the
+   * complement of A14's quarantine: A14 catches MALFORMED lines,
+   * this catches well-formed lines whose producer started emitting
+   * NEW KEYS the declared schema silently drops (`from_json`
+   * discards unknown fields — an upstream v2 rollout costs data with
+   * no error anywhere). One codegen'd `json_object_keys` pass →
+   * explode → anti-filter against the declared key set →
+   * map-side-combined count per unknown key. Drift is carved
+   * deterministically (two conditional fields on orderkey moduli;
+   * `to_json` omits null fields, so presence is the conditional). */
+  private def qSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val declared = Seq("order_key", "priority")
+    val lines = t(s, dir, "orders").select(to_json(struct(
+      col("o_orderkey").as("order_key"),
+      col("o_orderpriority").as("priority"),
+      when(col("o_orderkey") % 37 === 0, lit("v2")).as("src_v2_field"),
+      when(col("o_orderkey") % 101 === 0, col("o_totalprice")).as("exp_tag")))
+      .as("line"))
+    lines.select(explode(expr("json_object_keys(line)")).as("key"))
+      .filter(!col("key").isInCollection(declared))
+      .groupBy("key").agg(count(lit(1)).as("n_rows"))
+      .orderBy("key")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3458,6 +3482,7 @@ object SparkEntry {
     "q_embedding_stats" -> qEmbeddingStats,
     "q_bitmap_distinct" -> qBitmapDistinct,
     "q_subtree_rollup" -> qSubtreeRollup,
+    "q_schema_drift"   -> qSchemaDrift,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5325,5 +5350,17 @@ object SparkEntry {
            CAST(SUM(cv.bal) AS BIGINT) AS sum_value
          FROM anc JOIN cv ON anc.v = cv.c_custkey
          GROUP BY 1 ORDER BY 1""",
+    // presence of a drifting key == its deterministic conditional
+    // (to_json omits nulls), so the replay counts the conditionals.
+    "q_schema_drift" ->
+      """WITH u AS (
+           SELECT 'src_v2_field' AS key,
+             CAST(SUM(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+           FROM orders
+           UNION ALL
+           SELECT 'exp_tag',
+             CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders)
+         SELECT key, n_rows FROM u WHERE n_rows > 0 ORDER BY key""",
   )
 }
