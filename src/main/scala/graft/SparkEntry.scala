@@ -3300,6 +3300,39 @@ object SparkEntry {
       .orderBy("key")
   }
 
+  /** B75 (r13): nightly-warehouse flagship — the B-side analog of
+   * C41's corpus flagship: raw CSV arrivals → quarantine split (A14)
+   * → typed parse → broadcast dimension denorm (A4/A7) → revenue
+   * rollup, composed as ONE lazy Catalyst plan with the quarantine
+   * count carried to the output as a pseudo-segment row. The row
+   * that verifies stage-to-stage contracts (corrupt rows excluded
+   * from the join, parse types surviving into the rollup, the
+   * dimension broadcast) that no per-operator oracle sees together;
+   * a divergence at ANY stage shifts the rollup and fails the
+   * full-value compare. */
+  private def qWarehousePipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val lines = t(s, dir, "orders").select(
+      concat_ws(",", col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        concat(when(col("o_orderkey") % 89 === 0, lit("x")).otherwise(lit("")),
+          cents(col("o_totalprice")))).as("line"))
+    val schema = StructType(Seq(StructField("ok", LongType),
+      StructField("ck", LongType), StructField("pr", StringType),
+      StructField("cents", LongType)))
+    val parsed = graft.sources.CsvLines.parseWithQuarantine(lines, "line", schema)
+    val facts = parsed.filter(!col("is_corrupt"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("ck") === col("c_custkey"))
+    val rollup = facts.groupBy(col("c_mktsegment").as("segment"), col("pr"))
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val dead = parsed.filter(col("is_corrupt"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(lit("__quarantine").as("segment"), lit("__quarantine").as("pr"),
+        col("n_orders"), lit(0L).as("rev_cents"))
+    rollup.unionByName(dead).orderBy("segment", "pr")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3483,6 +3516,7 @@ object SparkEntry {
     "q_bitmap_distinct" -> qBitmapDistinct,
     "q_subtree_rollup" -> qSubtreeRollup,
     "q_schema_drift"   -> qSchemaDrift,
+    "q_warehouse_pipeline" -> qWarehousePipeline,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5362,5 +5396,21 @@ object SparkEntry {
              CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT)
            FROM orders)
          SELECT key, n_rows FROM u WHERE n_rows > 0 ORDER BY key""",
+    // full string-space replay of every stage: the 1-in-89 corruption
+    // excludes rows from the join, the rest denorm and roll up.
+    "q_warehouse_pipeline" ->
+      """WITH good AS (SELECT o_custkey, o_orderpriority AS pr,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 89 <> 0),
+         rollup AS (SELECT c_mktsegment AS segment, pr,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+           FROM good JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         dead AS (SELECT '__quarantine' AS segment, '__quarantine' AS pr,
+             CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(0 AS BIGINT) AS rev_cents
+           FROM orders WHERE o_orderkey % 89 = 0)
+         SELECT * FROM rollup UNION ALL SELECT * FROM dead
+         ORDER BY segment, pr""",
   )
 }

@@ -314,5 +314,12 @@ class PlanAuditSpec extends AnyFunSuite {
         val p = plan(n)
         assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
       }
+    // warehouse flagship: the dimension must broadcast and the
+    // composed plan stay cartesian/BNLJ-free
+    val wp = plan("q_warehouse_pipeline")
+    assert(wp.contains("BroadcastHashJoin"),
+      s"warehouse pipeline must broadcast the customer dimension:\n$wp")
+    assert(!wp.contains("CartesianProduct") && !wp.contains("BroadcastNestedLoopJoin"),
+      s"warehouse pipeline must stay equi-join only:\n$wp")
   }
 }
