@@ -45,6 +45,27 @@ class PitJoinSpec extends AnyFunSuite {
     assert(out(3L).contains("b"))
   }
 
+  test("pitJoin equals brute-force interval containment on seeded random dims") {
+    val rnd = new scala.util.Random(0xD1CE)
+    // random per-key interval chains (contiguous from type2's shape)
+    val dims = (1L to 20L).flatMap { k =>
+      val starts = Seq.fill(rnd.nextInt(5) + 1)(rnd.nextInt(100).toLong).distinct.sorted
+      starts.zipWithIndex.map { case (s, i) =>
+        val end = if (i + 1 < starts.length) Some(starts(i + 1)) else None
+        (k, s"s$s", s, end)
+      }
+    }
+    val facts = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(20).toLong + 1, rnd.nextInt(120).toLong))
+    val dimDf = dims.toDF("k", "state", "valid_from", "valid_to")
+    val out = Scd.pitJoin(facts.toDF("fid", "k", "ts"), dimDf, "k", "k", "ts", Seq("state"))
+      .select("fid", "pit_state").as[(Long, Option[String])].collect().toMap
+    facts.foreach { case (fid, k, ts) =>
+      val want = dims.filter(d => d._1 == k && d._3 <= ts &&
+        d._4.forall(ts < _) && !d._4.contains(d._3)).map(_._2).headOption
+      assert(out(fid) == want, s"fid=$fid k=$k ts=$ts")
+    }
+  }
+
   test("joinProfile reports hot keys by contribution, including one-sided keys") {
     val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("ka")
     val b = Seq(1L, 1L, 2L, 4L).toDF("kb")

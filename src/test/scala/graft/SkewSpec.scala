@@ -97,6 +97,19 @@ class SkewSpec extends AnyFunSuite {
     assert(allCold.except(plain).isEmpty && plain.except(allCold).isEmpty)
   }
 
+  test("adaptiveSaltedJoin equals the plain join on seeded random multisets") {
+    val rnd = new scala.util.Random(0x5A17)
+    val p = Seq.fill(400)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong)).toDF("k", "pv")
+    val b = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(1000).toLong)).toDF("bk", "bv")
+    for (thr <- Seq(1L, 20L, 1000L)) {
+      val plain = p.join(b, $"k" === $"bk").select("k", "pv", "bv")
+        .as[(Long, Long, Long)].collect().sorted.toList
+      val adaptive = Skew.adaptiveSaltedJoin(p, b, "k", "bk", 4, thr)
+        .select("k", "pv", "bv").as[(Long, Long, Long)].collect().sorted.toList
+      assert(adaptive == plain, s"threshold $thr")
+    }
+  }
+
   test("adaptiveSaltedJoin preserves probe rows under left outer") {
     val out = Skew.adaptiveSaltedJoin(facts, dims, "k", "dk",
       saltFactor = 4, hotThreshold = 500L, joinType = "left_outer")
