@@ -3333,6 +3333,34 @@ object SparkEntry {
     rollup.unionByName(dead).orderBy("segment", "pr")
   }
 
+  /** B76 (r13): array-function conformance — the collection surface
+   * (sort, distinct-then-sort, slice, element lookup, fold, zip,
+   * flatten-of-sequence) value-compared per row against DuckDB's
+   * list functions, on arrays built deterministically from each
+   * order's lineitem quantities. Complements B70/B71: nested-typed
+   * columns are where migrations diverge quietest (ordering of
+   * distinct, 1-based vs 0-based indexing, fold semantics). All
+   * integer element math. */
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val arrs = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+    // arrays serialize to csv strings: the driver's compare (and its
+    // DuckDB DESCRIBE portability gate) speaks scalar types only
+    arrs.select(col("l_orderkey"),
+        array_join(col("qs"), ",").as("qs"),
+        array_join(sort_array(array_distinct(col("qs"))), ",").as("dedup_sorted"),
+        array_join(slice(col("qs"), 1, 3), ",").as("first3"),
+        element_at(col("qs"), -1).as("last_q"),
+        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("fold_sum"),
+        array_join(zip_with(col("qs"), reverse(col("qs")), (a, b) => a + b), ",")
+          .as("zip_sum"),
+        array_join(flatten(array(col("qs"), sequence(lit(1L), lit(3L)))), ",")
+          .as("flat"),
+        size(col("qs")).cast("long").as("n"))
+      .orderBy("l_orderkey")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3517,6 +3545,7 @@ object SparkEntry {
     "q_subtree_rollup" -> qSubtreeRollup,
     "q_schema_drift"   -> qSchemaDrift,
     "q_warehouse_pipeline" -> qWarehousePipeline,
+    "q_array_funcs"    -> qArrayFuncs,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5412,5 +5441,22 @@ object SparkEntry {
            FROM orders WHERE o_orderkey % 89 = 0)
          SELECT * FROM rollup UNION ALL SELECT * FROM dead
          ORDER BY segment, pr""",
+    // DuckDB list functions replay the battery; arrays compare as csv
+    // strings (the harness gate is scalar-typed).
+    "q_array_funcs" ->
+      """WITH arrs AS (SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey,
+           array_to_string(qs, ',') AS qs,
+           array_to_string(list_sort(list_distinct(qs)), ',') AS dedup_sorted,
+           array_to_string(qs[1:3], ',') AS first3,
+           CAST(qs[-1] AS BIGINT) AS last_q,
+           CAST(list_sum(qs) AS BIGINT) AS fold_sum,
+           array_to_string(list_transform(range(1, len(qs) + 1),
+             i -> qs[i] + qs[len(qs) - i + 1]), ',') AS zip_sum,
+           array_to_string(flatten([qs, [1, 2, 3]]), ',') AS flat,
+           CAST(len(qs) AS BIGINT) AS n
+         FROM arrs ORDER BY 1""",
   )
 }
