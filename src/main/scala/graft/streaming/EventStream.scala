@@ -341,6 +341,30 @@ object EventStream {
           checkUniqueKeys = checkUniqueKeys)
       }
 
+  /** Streaming vector-search enrichment (D12): each micro-batch of
+   * query vectors is answered against a PERSISTED IVF index
+   * ([[graft.similarity.Ann.ivfTopKIndexed]]) and the top-k appended
+   * to `outPath` — the serving shape of a real-time embedding
+   * lookup (recommendation candidates, near-dup screening on
+   * ingest). The heavy structure (centroids, cell partitions) was
+   * paid once at index build; each batch reads only its probes'
+   * pruned cells, so per-batch cost tracks the batch, not the
+   * corpus. Batch answers are byte-identical to calling
+   * ivfTopKIndexed directly — the stream adds delivery, not math
+   * (StreamingSpec asserts the equality). */
+  def vectorSearchSink(queries: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, dim: Int, k: Int, nProbe: Int,
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.Ann
+            .ivfTopKIndexed(indexPath, batch.toDF(), idCol, vecCol, dim, k, nProbe)
+            .write.mode("append").parquet(outPath)
+      }
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within
    * the watermark window. State is bounded — keys older than the
    * watermark are evicted, which is what makes exact dedup feasible on

@@ -570,4 +570,37 @@ class StreamingSpec extends AnyFunSuite {
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
+
+  test("vectorSearchSink: streamed answers equal direct index queries across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = 4
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(dim)(d => (((seed * 7 + d * 3) % 11) - 5).toDouble)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("vss").toString
+    val (idx, out, ckpt) = (s"$base/idx", s"$base/out", s"$base/ckpt")
+    graft.similarity.Ann.buildIvfIndex(corpus, "vec_id", "embedding", dim, idx,
+      numCells = 4, kmeansIters = 2)
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = EventStream.vectorSearchSink(
+        in.toDF.toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+        dim, k = 3, nProbe = 2, out)
+      .option("checkpointLocation", ckpt).start()
+    in.addData((100L, vec(100L)), (101L, vec(101L)))
+    q.processAllAvailable()
+    in.addData((102L, vec(102L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val probes = Seq(100L, 101L, 102L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val want = graft.similarity.Ann
+      .ivfTopKIndexed(idx, probes, "vec_id", "embedding", dim, 3, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got == want,
+      s"streamed ${got.size} rows != direct ${want.size}")
+  }
 }
