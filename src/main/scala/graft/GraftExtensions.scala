@@ -130,15 +130,24 @@ object GraftExtensions {
         if (!args(1).foldable)
           throw new IllegalArgumentException(
             "search_sorted: breaks must be a literal array")
+        // check the ELEMENT type, not just array-ness: a double array
+        // would silently truncate toward zero and band against breaks
+        // the user never wrote; strings/null elements get a clean
+        // message instead of a raw CCE/NPE
+        import org.apache.spark.sql.types.{ArrayType, ByteType, ShortType, IntegerType, LongType}
+        val elemType = args(1).dataType match {
+          case ArrayType(et @ (ByteType | ShortType | IntegerType | LongType), _) => et
+          case other => throw new IllegalArgumentException(
+            s"search_sorted: breaks must be an integral array, got ${other.sql}")
+        }
         val breaks = args(1).eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-            args(1).dataType match {
-              case org.apache.spark.sql.types.ArrayType(et, _) =>
-                (0 until a.numElements()).map(i =>
-                  a.get(i, et).asInstanceOf[Number].longValue()).toArray
-              case other => throw new IllegalArgumentException(
-                s"search_sorted: breaks must be an integral array, got ${other.sql}")
-            }
+            (0 until a.numElements()).map { i =>
+              val v = a.get(i, elemType)
+              if (v == null) throw new IllegalArgumentException(
+                "search_sorted: breaks must not contain NULL elements")
+              v.asInstanceOf[Number].longValue()
+            }.toArray
           case _ => throw new IllegalArgumentException(
             "search_sorted: breaks must be a non-null literal array")
         }

@@ -802,7 +802,8 @@ object HashOps {
 
   /** Number of `breaks` elements <= v (breaks ascending-sorted):
    * the bucket index of v among n+1 half-open bands
-   * (-inf, b0], (b0, b1], ... (bn-1, +inf). Branch-light binary
+   * (-inf, b0), [b0, b1), ... [bn-1, +inf) — a value equal to a
+   * break belongs to the band STARTING at it. Branch-light binary
    * search — called per row from generated code. */
   def searchSorted(breaks: Array[Long], v: Long): Int = {
     var lo = 0

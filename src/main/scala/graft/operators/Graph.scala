@@ -207,22 +207,35 @@ object Graph {
       nodes: DataFrame, idCol: String, parentCol: String, valueCol: String,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val spark = nodes.sparkSession
+    val scratch = s"${graft.Scratch.root(spark)}/subtree_${callSeq.incrementAndGet()}"
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$scratch/$name")
+      spark.read.parquet(s"$scratch/$name")
+    }
     val base = nodes.select(col(idCol).cast("long").as("id"),
       col(parentCol).cast("long").as("parent"),
       col(valueCol).cast("long").as("value"))
-    val parents = base.select(col("id").as("c"), col("parent").as("p"))
-      .filter(col("p").isNotNull)
+    val parents = materialize(base.select(col("id").as("c"), col("parent").as("p"))
+      .filter(col("p").isNotNull), "parents")
     // closure rows (v, a): a is an ancestor-or-self of v. Ancestor
-    // chains are strictly shrinking, so plain unionAll never
-    // duplicates a pair.
-    var closure = base.select(col("id").as("v"), col("id").as("a"))
-    var frontier = closure
+    // chains are strictly shrinking, so the frontiers never repeat a
+    // pair and their union IS the closure. Each frontier materializes
+    // to scratch (the shortestPaths pattern): the isEmpty probe, the
+    // next hop, and the final rollup each read a parquet snapshot
+    // instead of re-executing the growing join chain — O(depth)
+    // executed joins, not O(depth²).
+    var frontierPaths = List(s"$scratch/frontier_0")
+    var frontier = materialize(
+      base.select(col("id").as("v"), col("id").as("a")), "frontier_0")
     var hops = 0
     while (hops < maxDepth && !frontier.isEmpty) {
       hops += 1
-      frontier = frontier.join(parents, frontier("a") === parents("c"))
-        .select(col("v"), col("p").as("a"))
-      closure = closure.unionAll(frontier)
+      frontier = materialize(
+        frontier.join(parents, frontier("a") === parents("c"))
+          .select(col("v"), col("p").as("a")),
+        s"frontier_$hops")
+      frontierPaths ::= s"$scratch/frontier_$hops"
     }
     // completeness probe: a chain of EXACTLY maxDepth leaves its last
     // frontier non-empty — only a further step still finding parents
@@ -230,7 +243,7 @@ object Graph {
     require(frontier.isEmpty ||
       frontier.join(parents, frontier("a") === parents("c")).isEmpty,
       s"subtreeRollup: ancestor chains longer than maxDepth=$maxDepth — raise it")
-    closure
+    spark.read.parquet(frontierPaths.reverse: _*)
       .join(base.select(col("id").as("v"), col("value")), "v")
       .groupBy(col("a").as("id"))
       .agg(count(lit(1)).as("n_nodes"), sum("value").as("sum_value"))

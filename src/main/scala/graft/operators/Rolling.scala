@@ -38,8 +38,11 @@ object Rolling {
       day: String,
       windowDays: Int): DataFrame = {
     require(windowDays > 0, "windowDays must be positive")
+    // NULL entities/days never participate: COUNT(DISTINCT entity)
+    // ignores NULLs, and a NULL day has no place on the day line
     val pairs = df
       .select(col(entity).as("e"), col(day).cast("long").as("d"))
+      .filter(col("e").isNotNull && col("d").isNotNull)
       .distinct()
     val hi = pairs.agg(max("d").as("hi"))
     val byEntity = org.apache.spark.sql.expressions.Window

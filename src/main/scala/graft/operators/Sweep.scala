@@ -46,8 +46,12 @@ object Sweep {
       endUs: String,
       bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
-    val deltas = intervals.select(col(startUs).as("t"), lit(1L).as("delta"))
-      .unionAll(intervals.select(col(endUs).as("t"), lit(-1L).as("delta")))
+    // drop intervals with a NULL endpoint up front (asofJoin
+    // precedent): a NULL bucket would sort first and fold its
+    // unbalanced total into every real bucket's carry-in
+    val live = intervals.filter(col(startUs).isNotNull && col(endUs).isNotNull)
+    val deltas = live.select(col(startUs).as("t"), lit(1L).as("delta"))
+      .unionAll(live.select(col(endUs).as("t"), lit(-1L).as("delta")))
       .withColumn("bucket", expr(s"t div ${bucketUs}L"))
     val inBucket = Window.partitionBy("bucket").orderBy("t", "delta")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -53,7 +53,12 @@ object WeightedQuantile {
     val targets = cum
       .crossJoin(broadcast(ppms.toDF("q_ppm")))
       .crossJoin(broadcast(tot))
-      .withColumn("r", expr("(q_ppm * tw + 999999L) div 1000000L"))
+      // overflow-safe ceil(q_ppm·tw / 1e6): tw = a·1e6 + b splits the
+      // product so neither term exceeds ~tw (q_ppm·tw itself wraps a
+      // long once total weight passes ~9.2e12 — squarely in range for
+      // duration-weighted sums)
+      .withColumn("r", expr(
+        "(tw div 1000000L) * q_ppm + ((tw % 1000000L) * q_ppm + 999999L) div 1000000L"))
       .filter(col("cum_before") + col("bw") >= col("r"))
       .groupBy("q_ppm", "r")
       // min struct = lexicographic: the lowest qualifying bucket,

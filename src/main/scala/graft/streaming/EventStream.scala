@@ -351,18 +351,24 @@ object EventStream {
    * pruned cells, so per-batch cost tracks the batch, not the
    * corpus. Batch answers are byte-identical to calling
    * ivfTopKIndexed directly — the stream adds delivery, not math
-   * (StreamingSpec asserts the equality). */
+   * (StreamingSpec asserts the equality). Each batch writes its own
+   * `batch=<id>` subdirectory with overwrite, so a batch REPLAYED
+   * after a crash-before-checkpoint lands on the same directory
+   * instead of appending duplicates — exactly-once output, the
+   * upsertSink idempotence contract for an append-shaped sink.
+   * Read the sink with `spark.read.parquet(outPath)` (the batch
+   * column is partition-discovered; drop it if unwanted). */
   def vectorSearchSink(queries: DataFrame, indexPath: String,
       idCol: String, vecCol: String, dim: Int, k: Int, nProbe: Int,
       outPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.similarity.Ann
             .ivfTopKIndexed(indexPath, batch.toDF(), idCol, vecCol, dim, k, nProbe)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
 
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within

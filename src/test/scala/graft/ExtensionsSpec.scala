@@ -77,6 +77,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val bad = intercept[Exception](
       spark.sql("SELECT search_sorted(1L, array(3L, 1L))").head())
     assert(bad.getMessage.contains("ascending"), s"unexpected: ${bad.getMessage}")
+    // a double array must be rejected, not silently truncated to ints
+    val dbl = intercept[Exception](
+      spark.sql("SELECT search_sorted(1L, array(1.5D, 2.5D))").head())
+    assert(dbl.getMessage.contains("integral array"), s"unexpected: ${dbl.getMessage}")
+    val nul = intercept[Exception](
+      spark.sql("SELECT search_sorted(1L, array(1L, NULL))").head())
+    assert(nul.getMessage.contains("NULL elements"), s"unexpected: ${nul.getMessage}")
   }
 
   test("bitmap_distinct: exact vs COUNT(DISTINCT), null-safe, loud out-of-domain") {

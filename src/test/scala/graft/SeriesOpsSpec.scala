@@ -60,6 +60,22 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingDistinct ignores NULL entities and days, like COUNT(DISTINCT)") {
+    val df = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(2L), None))
+      .toDF("e", "d")
+    val out = Rolling.rollingDistinct(df, "e", "d", 7)
+      .as[(Long, Long)].collect().toList
+    assert(out == List((10L, 1L)), "null entity/day rows must not count")
+  }
+
+  test("sweep drops intervals with a NULL endpoint instead of skewing carry-in") {
+    val iv = Seq((Some(0L), Some(10L)), (Some(5L), None), (None, Some(7L)))
+      .toDF("s", "e")
+    val out = Sweep.peakConcurrent(iv, "s", "e", 100L)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((0L, 1L, 2L)), "only the complete interval participates")
+  }
+
   test("islands partition the distinct positions exactly (seeded random sets)") {
     val rnd = new scala.util.Random(0xBEEF)
     val rows = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(40).toLong))

@@ -594,6 +594,7 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val got = spark.read.parquet(out)
+      .select("probe_id", "rank", "vec_id", "cos") // drop the batch partition col
       .as[(Long, Long, Long, Double)].collect().toSet
     val probes = Seq(100L, 101L, 102L).map(i => (i, vec(i)))
       .toDF("vec_id", "embedding")
