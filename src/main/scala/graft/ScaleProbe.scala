@@ -515,6 +515,52 @@ object ScaleProbe {
       .filter(col("c") =!= 3).count()
     require(saltDrift == 0, s"salted rollups drifted on $saltDrift groups")
     println("SCALE adaptive salt: plain == full-salt == adaptive on every group")
+
+    // Subtree rollup (B74) over a 1M-node 10-ary forest (depth 6):
+    // conservation invariants — root subtrees partition the forest,
+    // so root n_nodes sum to N and root sum_value to the global sum;
+    // leaves (ids with no children in [1, N)) roll up exactly
+    // themselves.
+    val n10 = 1000000L
+    val forest = spark.range(1L, n10 + 1).toDF("id").select(col("id"),
+      when(col("id") >= 10L, expr("id div 10")).as("parent"),
+      (col("id") % 1000L).as("value"))
+    val roll = timedRun("subtreeRollup 1M nodes depth 6") {
+      graft.operators.Graph.subtreeRollup(forest, "id", "parent", "value", maxDepth = 7)
+    }
+    val rootAgg = roll.filter(col("id") < 10L)
+      .agg(sum("n_nodes").as("n"), sum("sum_value").as("s")).head()
+    val wantSum = forest.agg(sum("value")).head().getLong(0)
+    require(rootAgg.getLong(0) == n10 && rootAgg.getLong(1) == wantSum,
+      s"root subtrees must partition the forest: ${rootAgg.getLong(0)}/$n10, " +
+        s"${rootAgg.getLong(1)}/$wantSum")
+    val badLeaves = roll
+      .filter(col("id") * 10L > n10 && col("n_nodes") =!= 1L).count()
+    require(badLeaves == 0, s"$badLeaves leaves with n_nodes != 1")
+    println("SCALE subtree rollup: root partition + leaf invariants hold at 1M nodes")
+
+    // Point-in-time join (B69) at 5M facts vs a 300k-interval SCD2
+    // dimension (100k keys x 3 states): every fact must land in the
+    // interval containing its timestamp — verified by re-deriving the
+    // expected state arithmetically (intervals are [0,1000),
+    // [1000,2000), [2000,open) per key, so state = min(ts div 1000, 2)).
+    val pitDim = spark.range(100000L).toDF("k").select(col("k"),
+        explode(sequence(lit(0L), lit(2L))).as("s"))
+      .select(col("k"), concat(lit("st"), col("s")).as("state"),
+        (col("s") * 1000L).as("valid_from"),
+        when(col("s") < 2L, (col("s") + 1L) * 1000L).as("valid_to"))
+    val pitFacts = spark.range(5000000L).toDF("i").select(col("i").as("fid"),
+      (col("i") % 100000L).as("k"),
+      ((col("i") * 2654435761L) % 3000L).as("ts"))
+    val pitOut = timedRun("pitJoin 5M facts x 300k intervals") {
+      graft.operators.Scd.pitJoin(pitFacts, pitDim, "k", "k", "ts", Seq("state"))
+    }
+    val pitBad = pitOut.filter(
+      col("pit_state") =!= concat(lit("st"), least(expr("ts div 1000"), lit(2L)))).count()
+    val pitNulls = pitOut.filter(col("pit_state").isNull).count()
+    require(pitBad == 0 && pitNulls == 0,
+      s"pitJoin state drift: $pitBad wrong, $pitNulls null")
+    println("SCALE pit join: all 5M facts matched their covering interval")
     spark.stop()
   }
 }
