@@ -3361,6 +3361,21 @@ object SparkEntry {
       .orderBy("l_orderkey")
   }
 
+  /** C52 (r13): bigram surprisal with stupid-backoff
+   * ([[graft.text.Surprisal.docBigramSurprisal]]) — the held-out
+   * strengthening of C47's unigram score toward CCNet's KenLM
+   * scoring: the model trains on the EVEN-id half of the corpus and
+   * scores every document, so odd docs genuinely exercise the
+   * unseen-bigram backoff branch (1-bit penalty + unigram bits) and
+   * unseen-unigram ceiling. Whole-bit integers end-to-end — the
+   * oracle replays the model exactly. */
+  private def qBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Surprisal
+      .docBigramSurprisal(docs, docs.filter(col("doc_id") % 2 === 0))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3546,6 +3561,7 @@ object SparkEntry {
     "q_schema_drift"   -> qSchemaDrift,
     "q_warehouse_pipeline" -> qWarehousePipeline,
     "q_array_funcs"    -> qArrayFuncs,
+    "q_bigram_surprisal" -> qBigramSurprisal,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5458,5 +5474,32 @@ object SparkEntry {
            array_to_string(flatten([qs, [1, 2, 3]]), ',') AS flat,
            CAST(len(qs) AS BIGINT) AS n
          FROM arrs ORDER BY 1""",
+    // the whole bigram model replayed: train-half counts, per-bigram
+    // CASE between the seen branch and the stupid-backoff branch.
+    "q_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM documents),
+         pairs AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+           FROM w, UNNEST(range(1, len(ts))) AS u(i)),
+         tr AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+         trtok AS (SELECT unnest(ts) AS w FROM tr),
+         uni AS (SELECT w, COUNT(*) AS cu FROM trtok GROUP BY 1),
+         bic AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS cb
+           FROM tr, UNNEST(range(1, len(ts))) AS u(i) GROUP BY 1, 2),
+         tot AS (SELECT length(bin(COUNT(*))) AS bits_n FROM trtok),
+         scored AS (SELECT p.doc_id,
+             CASE WHEN bic.cb IS NOT NULL
+                  THEN length(bin(u1.cu)) - length(bin(bic.cb))
+                  ELSE 1 + tot.bits_n - COALESCE(length(bin(u2.cu)), 0) END AS s
+           FROM pairs p
+           LEFT JOIN uni u1 ON p.w1 = u1.w
+           LEFT JOIN bic ON p.w1 = bic.w1 AND p.w2 = bic.w2
+           LEFT JOIN uni u2 ON p.w2 = u2.w
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+           CAST(SUM(s) * 1000 // COUNT(*) AS BIGINT) AS surprisal_milli
+         FROM scored GROUP BY 1 ORDER BY 1""",
   )
 }

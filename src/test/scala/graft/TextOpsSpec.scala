@@ -241,6 +241,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 3L, 1000L), (2L, 2L, 3L, 1500L)))
   }
 
+  test("docBigramSurprisal: seen, backoff, and unseen-unigram branches by hand") {
+    // train doc: "a b a b c" → uni: a=2 b=2 c=1 (N=5, bits_n=3);
+    // bigrams: (a,b)=2 (b,a)=1 (b,c)=1.
+    val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"),  // (a,b) seen: 2-2=0... bits(cu1=2)=2, bits(cb=2)=2 → 0;
+                      // (b,c) seen: bits(2)-bits(1)=1
+      (2L, "c a"),    // (c,a) UNSEEN bigram, a seen → 1 + 3 - bits(2) = 2
+      (3L, "a z"),    // (a,z) unseen bigram, z unseen unigram → 1 + 3 - 0 = 4
+      (4L, "a")       // no bigrams → absent
+    ).toDF("doc_id", "text")
+    val got = graft.text.Surprisal.docBigramSurprisal(score, train)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "surprisal_sum", "surprisal_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 500L), (2L, 1L, 2L, 2000L), (3L, 1L, 4L, 4000L)))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
