@@ -3376,6 +3376,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** B77 (r13): lenient-cast (TRY_CAST) conformance — the
+   * dirty-string-to-typed boundary every ingest crosses: numeric
+   * strings with whitespace/sign/decimal tails, garbage, empties,
+   * overflow-range integers, and date strings, each TRY_CASTed to
+   * long/double/date with null-on-failure semantics compared
+   * value-per-row. Inputs are carved deterministically from order
+   * priorities and keys so every branch (clean parse, trim parse,
+   * fraction truncation, garbage→null, overflow→null) has rows. */
+  private def qTryCast(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "orders").select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, concat(lit(" "), col("o_orderkey"), lit(" ")))
+        .when(col("o_orderkey") % 7 === 1, concat(col("o_orderkey"), lit(".75")))
+        .when(col("o_orderkey") % 7 === 2, lit("garbage"))
+        .when(col("o_orderkey") % 7 === 3, lit(""))
+        .when(col("o_orderkey") % 7 === 4, lit("99999999999999999999"))
+        .when(col("o_orderkey") % 7 === 5, lit("-42"))
+        .otherwise(col("o_orderkey").cast("string")).as("nstr"),
+      when(col("o_orderkey") % 3 === 0, lit("1995-07-16"))
+        .when(col("o_orderkey") % 3 === 1, lit("not-a-date"))
+        .otherwise(lit("1999-02-28")).as("dstr"))
+    raw.select(col("o_orderkey"),
+        expr("try_cast(nstr as bigint)").as("as_long"),
+        expr("try_cast(nstr as double)").as("as_double"),
+        expr("try_cast(dstr as date)").cast("string").as("as_date"))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3562,6 +3589,7 @@ object SparkEntry {
     "q_warehouse_pipeline" -> qWarehousePipeline,
     "q_array_funcs"    -> qArrayFuncs,
     "q_bigram_surprisal" -> qBigramSurprisal,
+    "q_try_cast"       -> qTryCast,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5501,5 +5529,21 @@ object SparkEntry {
            CAST(SUM(s) AS BIGINT) AS surprisal_sum,
            CAST(SUM(s) * 1000 // COUNT(*) AS BIGINT) AS surprisal_milli
          FROM scored GROUP BY 1 ORDER BY 1""",
+    // branch replay of Spark's lenient-cast rules (probed, not
+    // assumed): ' n ' trims, fraction strings → NULL as bigint
+    // (DuckDB's own TRY_CAST ROUNDS them — the divergence this row
+    // pins), out-of-range → NULL as bigint but 1e20 as double,
+    // garbage/empty → NULL, ISO dates parse.
+    "q_try_cast" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 IN (0, 6) THEN o_orderkey
+                WHEN o_orderkey % 7 = 5 THEN -42 END AS as_long,
+           CASE WHEN o_orderkey % 7 IN (0, 6) THEN CAST(o_orderkey AS DOUBLE)
+                WHEN o_orderkey % 7 = 1 THEN CAST(o_orderkey AS DOUBLE) + 0.75
+                WHEN o_orderkey % 7 = 4 THEN 1e20
+                WHEN o_orderkey % 7 = 5 THEN CAST(-42 AS DOUBLE) END AS as_double,
+           CASE WHEN o_orderkey % 3 = 0 THEN '1995-07-16'
+                WHEN o_orderkey % 3 = 2 THEN '1999-02-28' END AS as_date
+         FROM orders ORDER BY o_orderkey""",
   )
 }
