@@ -3403,6 +3403,28 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** B78 (r13): regex conformance on the PORTABLE subset — anchored
+   * group extraction, extract-all, global replacement with group
+   * backreferences, and match flags, value-compared per row. The
+   * engines speak different dialects where it bites: Spark (Java
+   * regex) writes replacement groups `$1` and replaces globally by
+   * default, DuckDB (RE2) writes `\1` and needs the 'g' flag — the
+   * oracle uses each engine's own spelling of the SAME semantics,
+   * which is exactly what a migration must do. Patterns stay inside
+   * the dialect-portable subset (classes, quantifiers, anchors,
+   * groups). */
+  private def qRegexConformance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        // Spark defaults the group index to 1 — a group-less pattern
+        // needs an explicit 0 (DuckDB defaults to the full match)
+        array_join(expr("regexp_extract_all(p_name, '[a-z]{5,}', 0)"), ",")
+          .as("long_words"),
+        regexp_replace(col("p_name"), "([aeiou])([a-z])", "$2$1").as("swapped"),
+        col("p_name").rlike("^[a-z]+ (widget|bolt)$").as("is_two_word_part"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("devowel_type"))
+      .orderBy("p_partkey")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3590,6 +3612,7 @@ object SparkEntry {
     "q_array_funcs"    -> qArrayFuncs,
     "q_bigram_surprisal" -> qBigramSurprisal,
     "q_try_cast"       -> qTryCast,
+    "q_regex_conformance" -> qRegexConformance,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5545,5 +5568,17 @@ object SparkEntry {
            CASE WHEN o_orderkey % 3 = 0 THEN '1995-07-16'
                 WHEN o_orderkey % 3 = 2 THEN '1999-02-28' END AS as_date
          FROM orders ORDER BY o_orderkey""",
+    // same semantics in RE2's dialect: \1 backrefs and an explicit 'g'
+    // flag where Java regex writes $1 and replaces globally by default.
+    "q_regex_conformance" ->
+      """SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           -- DuckDB's array_to_string of an EMPTY list is NULL where
+           -- Spark's array_join is '' — coalesce to Spark's semantics
+           COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), ','), '') AS long_words,
+           regexp_replace(p_name, '([aeiou])([a-z])', '\2\1', 'g') AS swapped,
+           regexp_matches(p_name, '^[a-z]+ (widget|bolt)$') AS is_two_word_part,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel_type
+         FROM part ORDER BY p_partkey""",
   )
 }
