@@ -3425,6 +3425,31 @@ object SparkEntry {
         regexp_replace(col("p_type"), "[AEIOU]", "_").as("devowel_type"))
       .orderBy("p_partkey")
 
+  /** B79 (r13): approximate rolling distinct
+   * ([[graft.operators.Rolling.rollingDistinctApprox]]) — B64's
+   * long-window scale path: one HLL sketch per day, trailing window
+   * = union of w sketches over the CALENDAR-sized daily table, so a
+   * 90-day window over 10⁹ entities costs w small merges per day
+   * instead of w× entity fan-out. Sketches are deterministic for
+   * fixed input and lgK, so the oracle asserts the ±10% accuracy
+   * band as a boolean invariant against the EXACT range-join count
+   * (the declared-bound pattern of the approximate family). */
+  private def qRollingDistinctApprox(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "orders").select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val approx = graft.operators.Rolling
+      .rollingDistinctApprox(act, "o_custkey", "d", windowDays = 7)
+    val exact = graft.operators.Rolling
+      .rollingDistinct(act, "o_custkey", "d", windowDays = 7)
+      .select(col("day"), col("n_distinct").as("n_exact"))
+    approx.join(exact, "day")
+      .select(col("day"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) * 10L <= col("n_exact"))
+          .as("within_10pct"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3613,6 +3638,7 @@ object SparkEntry {
     "q_bigram_surprisal" -> qBigramSurprisal,
     "q_try_cast"       -> qTryCast,
     "q_regex_conformance" -> qRegexConformance,
+    "q_rolling_distinct_approx" -> qRollingDistinctApprox,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5580,5 +5606,18 @@ object SparkEntry {
            regexp_matches(p_name, '^[a-z]+ (widget|bolt)$') AS is_two_word_part,
            regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel_type
          FROM part ORDER BY p_partkey""",
+    // exact range-join count + the declared accuracy band asserted
+    // TRUE: a sketch drifting past ±10% flips the boolean and fails
+    // the value hash (deterministic sketches make this a hard gate).
+    "q_rolling_distinct_approx" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS c,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+           FROM orders),
+         lim AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM p),
+         days AS (SELECT UNNEST(generate_series(lo, hi)) AS day FROM lim)
+         SELECT day, CAST(COUNT(DISTINCT c) AS BIGINT) AS n_exact,
+           TRUE AS within_10pct
+         FROM days JOIN p ON p.d BETWEEN day - 6 AND day
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -58,4 +58,38 @@ object Rolling {
       .groupBy("day")
       .agg(count(lit(1)).as("n_distinct"))
   }
+
+  /**
+   * Approximate trailing-window rolling distinct — the long-window /
+   * huge-cardinality companion of [[rollingDistinct]]: the exact
+   * form's cover-day work grows with w × |entities|, which a 90-day
+   * window over 10⁹ entities can't pay. Here each day collapses to
+   * ONE HLL sketch (map-side mergeable, KBs), and the trailing
+   * window is a union of w sketches — the cover-day explode runs
+   * over the CALENDAR-sized daily-sketch table, so window width
+   * costs w small merges per day regardless of entity count.
+   * Sketches are deterministic for fixed input and lgK, so the
+   * ±error band is a checkable invariant, not a flaky bound.
+   * Output: (`day`, `n_approx`).
+   */
+  def rollingDistinctApprox(
+      df: DataFrame,
+      entity: String,
+      day: String,
+      windowDays: Int,
+      lgK: Int = 12): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val pairs = df
+      .select(col(entity).as("e"), col(day).cast("long").as("d"))
+      .filter(col("e").isNotNull && col("d").isNotNull)
+    val daily = pairs.groupBy("d")
+      .agg(expr(s"hll_sketch_agg(e, $lgK)").as("sk"))
+    val hi = daily.agg(max("d").as("hi"))
+    daily.crossJoin(broadcast(hi))
+      .select(explode(sequence(col("d"),
+        least(col("d") + lit(windowDays - 1).cast("long"), col("hi")))).as("day"),
+        col("sk"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_approx"))
+  }
 }
