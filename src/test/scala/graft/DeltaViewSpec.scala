@@ -26,6 +26,25 @@ class DeltaViewSpec extends AnyFunSuite {
     assert(rebuild.count(_ == ((3L, "a3d", 30L))) == 1, "delta-A × old-B pair present once")
   }
 
+  test("deltaJoin ≡ rebuild on seeded random delta splits") {
+    val rnd = new scala.util.Random(0xDE17A)
+    val all = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+    val bAll = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+    // row-level random split: the same key lands in BOTH old and delta
+    // slices, exercising every term of the delta rule
+    val (aO, aD) = all.partition(_ => rnd.nextBoolean())
+    val (bO, bD) = bAll.partition(_ => rnd.nextBoolean())
+    val (aOld, aDelta) = (aO.toDF("ak", "av"), aD.toDF("ak", "av"))
+    val (bOld, bDelta) = (bO.toDF("bk", "bv"), bD.toDF("bk", "bv"))
+    val incremental = aOld.join(bOld, col("ak") === col("bk"))
+      .unionByName(Incremental.deltaJoin(aOld, aDelta, bOld, bDelta, "ak", "bk"))
+      .select("ak", "av", "bv").as[(Long, Long, Long)].collect().sorted.toList
+    val rebuild = aOld.unionByName(aDelta)
+      .join(bOld.unionByName(bDelta), col("ak") === col("bk"))
+      .select("ak", "av", "bv").as[(Long, Long, Long)].collect().sorted.toList
+    assert(incremental == rebuild)
+  }
+
   test("deltaJoin refuses overlapping column names") {
     val x = Seq((1L, 1L)).toDF("k", "v")
     intercept[IllegalArgumentException] {

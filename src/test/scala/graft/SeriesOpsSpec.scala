@@ -76,6 +76,21 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(out == List((0L, 1L, 2L)), "only the complete interval participates")
   }
 
+  test("rollingDistinctApprox: deterministic across runs, within band of exact") {
+    val rnd = new scala.util.Random(0x40110)
+    val rows = Seq.fill(3000)((rnd.nextInt(400).toLong, rnd.nextInt(60).toLong))
+    val df = rows.toDF("e", "d")
+    def run() = Rolling.rollingDistinctApprox(df, "e", "d", 7)
+      .as[(Long, Double)].collect().sortBy(_._1).toList
+    assert(run() == run(), "sketch estimates must be run-to-run deterministic")
+    val exact = Rolling.rollingDistinct(df, "e", "d", 7)
+      .as[(Long, Long)].collect().toMap
+    run().foreach { case (day, approx) =>
+      val e = exact(day)
+      assert(math.abs(approx - e) * 10 <= e, s"day $day: approx $approx vs exact $e")
+    }
+  }
+
   test("islands partition the distinct positions exactly (seeded random sets)") {
     val rnd = new scala.util.Random(0xBEEF)
     val rows = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(40).toLong))
