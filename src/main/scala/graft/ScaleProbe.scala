@@ -411,6 +411,21 @@ object ScaleProbe {
     val r7 = timedRun("rollingDistinct w=7 10M rows") {
       graft.operators.Rolling.rollingDistinct(act, "e", "d", 7)
     }
+    // approximate path (B79): same 10M rows, w=28 — the window width
+    // the exact fan-out pays 4x for costs the sketch path only 4x
+    // more per-day merges on the calendar-sized daily table. Band
+    // check against exact w=28 on three spot days.
+    val ra = timedRun("rollingDistinctApprox w=28 10M rows") {
+      graft.operators.Rolling.rollingDistinctApprox(act, "e", "d", 28)
+    }
+    for (day <- Seq(27L, 180L, 364L)) {
+      val e28 = act.filter(col("d").between(day - 27, day))
+        .select("e").distinct().count()
+      val a28 = ra.filter(col("day") === day).head().getLong(1)
+      require(math.abs(a28 - e28) * 10 <= e28,
+        s"approx w=28 day $day: $a28 vs exact $e28")
+    }
+    println("SCALE rolling approx: w=28 within 10% of exact on spot days")
     val r1 = graft.operators.Rolling.rollingDistinct(act, "e", "d", 1)
     val direct1 = act.groupBy(col("d").as("day"))
       .agg(countDistinct("e").as("n_distinct"))
