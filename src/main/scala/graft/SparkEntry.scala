@@ -5228,13 +5228,13 @@ object SparkEntry {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
          deg AS (SELECT n, COUNT(*) AS d FROM
            (SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY 1),
-         k AS (SELECT n, d * 10000000 + n AS kk FROM deg),
-         o AS (SELECT CASE WHEN kl.kk < kh.kk THEN e0.lo ELSE e0.hi END AS src,
-               CASE WHEN kl.kk < kh.kk THEN e0.hi ELSE e0.lo END AS dst,
-               CASE WHEN kl.kk < kh.kk THEN kh.kk ELSE kl.kk END AS k_dst
-           FROM e0 JOIN k kl ON kl.n = e0.lo JOIN k kh ON kh.n = e0.hi),
+         o AS (SELECT CASE WHEN (kl.d, kl.n) < (kh.d, kh.n) THEN e0.lo ELSE e0.hi END AS src,
+               CASE WHEN (kl.d, kl.n) < (kh.d, kh.n) THEN e0.hi ELSE e0.lo END AS dst,
+               CASE WHEN (kl.d, kl.n) < (kh.d, kh.n) THEN kh.d ELSE kl.d END AS d_dst
+           FROM e0 JOIN deg kl ON kl.n = e0.lo JOIN deg kh ON kh.n = e0.hi),
          w AS (SELECT x.dst AS tv, y.dst AS tw
-           FROM o x JOIN o y ON x.src = y.src AND x.k_dst < y.k_dst)
+           FROM o x JOIN o y ON x.src = y.src
+             AND (x.d_dst, x.dst) < (y.d_dst, y.dst))
          SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM w JOIN o ON o.src = w.tv AND o.dst = w.tw""",
     "q_group_topk" ->

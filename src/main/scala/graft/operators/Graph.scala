@@ -104,20 +104,24 @@ object Graph {
       .distinct()
     val deg = und.select(col("lo").as("n")).unionAll(und.select(col("hi").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    // total-order key: degree first, node id as tie-break. Degrees and
-    // ids both < 10^7 at any realistic per-table scale here; at true
-    // web scale widen to two-column ordering — same plan shape.
-    val key = deg.select(col("n"), (col("d") * 10000000L + col("n")).as("k"))
+    // total order: genuine two-column (degree, id) comparison — NOT a
+    // packed single key (d*C + n overflows/collides silently once ids
+    // reach C; the composite condition is domain-free and the plan
+    // shape is identical, just two columns instead of one through the
+    // two self-joins).
+    val loFirst = col("d_lo") < col("d_hi") ||
+      (col("d_lo") === col("d_hi") && col("lo") < col("hi"))
     val oriented = und
-      .join(key.select(col("n").as("lo"), col("k").as("k_lo")), "lo")
-      .join(key.select(col("n").as("hi"), col("k").as("k_hi")), "hi")
+      .join(deg.select(col("n").as("lo"), col("d").as("d_lo")), "lo")
+      .join(deg.select(col("n").as("hi"), col("d").as("d_hi")), "hi")
       .select(
-        when(col("k_lo") < col("k_hi"), col("lo")).otherwise(col("hi")).as("src"),
-        when(col("k_lo") < col("k_hi"), col("hi")).otherwise(col("lo")).as("dst"),
-        when(col("k_lo") < col("k_hi"), col("k_hi")).otherwise(col("k_lo")).as("k_dst"))
-    val x = oriented.select(col("src"), col("dst").as("v"), col("k_dst").as("kv"))
-    val y = oriented.select(col("src"), col("dst").as("w"), col("k_dst").as("kw"))
-    val wedges = x.join(y, Seq("src")).filter(col("kv") < col("kw"))
+        when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+        when(loFirst, col("d_hi")).otherwise(col("d_lo")).as("d_dst"))
+    val x = oriented.select(col("src"), col("dst").as("v"), col("d_dst").as("dv"))
+    val y = oriented.select(col("src"), col("dst").as("w"), col("d_dst").as("dw"))
+    val wedges = x.join(y, Seq("src"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
     wedges.join(closing, Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))

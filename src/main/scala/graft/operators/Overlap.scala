@@ -81,7 +81,13 @@ object Overlap {
 
   /** Per-group KMV sketch: (grp, kmin: array<string>) with kmin the k
    * smallest distinct md5 hashes of the group's word-3-gram shingle
-   * set, ascending. One distinct + one bounded aggregate. */
+   * set, ascending. ONE bounded aggregate, no pre-distinct: the
+   * TreeSet buffer deduplicates as it inserts (reduce is a set
+   * insert), so a prior `.distinct()` would only repeat the dedup at
+   * the cost of a full corpus-sized shuffle of every distinct shingle
+   * — exactly the cost the KMV design exists to avoid. Map-side
+   * partials are ≤ k entries each; the only shuffle is #groups rows
+   * of ≤ k-hash buffers. */
   def kmvSketches(docs: DataFrame, groupCol: String, textCol: String,
       k: Int = 256, shingleN: Int = 3): DataFrame = {
     val kmin = udaf(new KMinAgg(k))
@@ -89,7 +95,6 @@ object Overlap {
       .select(col(groupCol).as("grp"),
         explode(strictShingles(col(textCol), shingleN)).as("shingle"))
       .select(col("grp"), md5(col("shingle")).as("h"))
-      .distinct()
       .groupBy("grp")
       .agg(kmin(col("h")).as("kmin"))
   }

@@ -72,6 +72,23 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleCount(messy, "s", "d").as[Long].head() == 1L)
   }
 
+  test("triangleCount is exact at node ids >= 1e7 (packed-key collision graph)") {
+    // Crafted so the FORMER packed order key d*1e7 + n collides:
+    // node 5 (degree 3) and node 10_000_005 (degree 2) both packed to
+    // 30_000_005, which dropped the wedge at node 1 and returned 0.
+    // Genuine (degree, id) ordering must count the one triangle.
+    val edges = Seq(
+      (5L, 10000005L), (5L, 1L), (10000005L, 1L), // triangle {1, 5, 1e7+5}
+      (5L, 99L)                                   // pendant makes deg(5)=3
+    ).toDF("s", "d")
+    assert(Graph.triangleCount(edges, "s", "d").as[Long].head() == 1L)
+    // and a whole K4 shifted far past the old 1e7 domain bound
+    val off = 100000000L
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+      yield (a + off, b + off)).toDF("s", "d")
+    assert(Graph.triangleCount(k4, "s", "d").as[Long].head() == 4L)
+  }
+
   test("triangleCount on a hub graph counts each triangle exactly once") {
     // hub 0 connected to 1..6; ring among leaves 1-2,3-4,5-6 → 3 triangles
     val edges = ((1L to 6L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L), (5L, 6L)))
