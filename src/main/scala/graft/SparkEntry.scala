@@ -2951,19 +2951,18 @@ object SparkEntry {
    * ([[graft.functions.SearchSortedLong]]) — every lineitem priced
    * into a band of the part retail-price distribution. Breaks are
    * derived deterministically (every 100th distinct price cent in
-   * rank order — a bounded domain, so the global rank window is over
-   * the dimension, never the facts) and collapse to a plan-embedded
-   * sorted array (the Ann centroid precedent for bounded dim state);
-   * each fact row then binary-searches its band INSIDE whole-stage
-   * codegen. No shuffle, no broadcast hash table, O(log n) per row —
-   * the shape that replaces a BETWEEN BroadcastNestedLoopJoin for
-   * IP→geo / SLA-tier / price-band lookups at 100 TB. */
+   * rank order) via [[graft.operators.Rank.everyKthDistinct]] — the
+   * two-level range-partitioned rank, so even the DIMENSION pass has
+   * no single-partition window (r13 ADVICE) — and collapse to a
+   * plan-embedded sorted array (the Ann centroid precedent for
+   * bounded dim state); each fact row then binary-searches its band
+   * INSIDE whole-stage codegen. No shuffle, no broadcast hash table,
+   * O(log n) per row — the shape that replaces a BETWEEN
+   * BroadcastNestedLoopJoin for IP→geo / SLA-tier / price-band
+   * lookups at 100 TB. */
   private def qBandLookup(s: SparkSession, dir: String): DataFrame = {
-    val v = t(s, dir, "part").select(cents(col("p_retailprice")).as("v")).distinct()
-    val breaks = v
-      .withColumn("rn", row_number().over(Window.orderBy("v")))
-      .filter(col("rn") % 100 === 0)
-      .orderBy("v")
+    val v = t(s, dir, "part").select(cents(col("p_retailprice")).as("v"))
+    val breaks = graft.operators.Rank.everyKthDistinct(v, "v", k = 100)
       .collect().map(_.getLong(0))
     val li = t(s, dir, "lineitem").select(cents(col("l_extendedprice")).as("c"))
     li.select(
