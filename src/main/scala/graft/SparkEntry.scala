@@ -1996,6 +1996,88 @@ object SparkEntry {
       .orderBy("window_start_us", "q_ppm")
   }
 
+  /** D2 (r14): custom stateful gap sessionization
+   * ([[graft.streaming.EventStream.sessionize]],
+   * flatMapGroupsWithState) run on the batch input — Spark's unified
+   * API executes the SAME state function per user group, and batch
+   * end-of-input closes each user's trailing session (complete
+   * history; the dedupStream degeneration argument), so the output is
+   * the full session set and the oracle is the q_sessionize-style
+   * lag/cumsum replay. Semantics differ from B6 in two ways the
+   * oracle mirrors: time is MILLISECOND-space (the state function
+   * keys on Timestamp.getTime) and values ride through the state as
+   * cents-valued doubles (integer-valued doubles sum exactly in any
+   * order, so the double accumulator is oracle-safe). StreamingSpec
+   * separately drives the watermark/timeout path incrementally. */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 100, 0).as("value"))
+      .as[graft.streaming.Event]
+    graft.streaming.EventStream.sessionize(ev, gapSeconds = 1800)
+      .toDF()
+      .select(col("user_id"),
+        (unix_millis(col("session_start")) * 1000L).as("session_start_us"),
+        (unix_millis(col("session_end")) * 1000L).as("session_end_us"),
+        col("n_events"), col("sum_value").cast("long").as("sum_cents"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** D12 (r14): the streaming vector-search sink
+   * ([[graft.streaming.EventStream.vectorSearchSink]]) promoted from
+   * spec-only to a driver-gated row. The query drives the REAL
+   * writeStream sink — MemoryStream probes over two micro-batches,
+   * checkpointed foreachBatch appends into batch=<id> dirs — against
+   * the same persisted IVF index q_ann_ivf_indexed serves, reads the
+   * sink back, and emits per-probe equality against a direct
+   * [[graft.similarity.Ann.ivfTopKIndexed]] call (identical
+   * deterministic code path, so cos doubles are byte-equal). The
+   * oracle asserts the bounded invariant: every probe answered with
+   * exactly k rows and zero sink/direct divergence. Driver state is
+   * the 3 probe vectors only. */
+  private def qVectorSearchSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val emb = t(s, dir, "embeddings")
+    val idx = withBuiltIndex(s, dir, "ivf_index")(
+      graft.similarity.Ann.buildIvfIndex(emb, "vec_id", "embedding", 64, _))
+    val probes = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val probeRows = probes.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val base = s"${graft.Scratch.root(s)}/vss_${sinkSeq.incrementAndGet()}"
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EventStream.vectorSearchSink(
+        in.toDF.toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+        dim = 64, k = 5, nProbe = 5, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(probeRows.take(2).toSeq)
+      q.processAllAvailable()
+      in.addData(probeRows.drop(2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.read.parquet(out)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+    val want = graft.similarity.Ann
+      .ivfTopKIndexed(idx, probes, "vec_id", "embedding", 64, 5, nProbe = 5)
+      .select(col("probe_id").as("w_probe"), col("rank").as("w_rank"),
+        col("vec_id").as("w_vec"), col("cos").as("w_cos"))
+    val matched = got.join(want,
+        col("probe_id") === col("w_probe") && col("rank") === col("w_rank") &&
+          col("vec_id") === col("w_vec") && col("cos") === col("w_cos"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+    got.groupBy("probe_id").agg(count(lit(1)).as("n_got"))
+      .join(matched, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_got").as("k_rows"),
+        (col("n_got") === lit(5L) &&
+          coalesce(col("n_match"), lit(0L)) === col("n_got"))
+          .as("sink_matches_direct"))
+      .orderBy("probe_id")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -3572,6 +3654,8 @@ object SparkEntry {
     "q_sliding_window" -> qSlidingWindow,
     "q_windowed_approx_distinct" -> qWindowedApproxDistinct,
     "q_stream_quantile" -> qStreamQuantile,
+    "q_stream_sessionize" -> qStreamSessionize,
+    "q_vector_search_sink" -> qVectorSearchSink,
     "q_interval_join" -> qIntervalJoin,
     "q_interval_join_outer" -> qIntervalJoinOuter,
     "q_stream_dedup"  -> qStreamDedup,
@@ -3895,6 +3979,33 @@ object SparkEntry {
          SELECT window_start_us, CAST(q_ppm AS BIGINT) AS q_ppm,
            CAST((qb + 1) * 100 AS BIGINT) AS value_cents_ub
          FROM f ORDER BY 1, 2""",
+    // ms-space replay of the stateful sessionizer's batch twin: the
+    // state function keys on Timestamp.getTime (millis, µs truncated),
+    // so the lag/cumsum runs on epoch_us // 1000; cents sums are
+    // integer-exact in any order
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           epoch_us(ts) // 1000 AS ts_ms FROM events),
+         lagged AS (SELECT *, LAG(ts_ms) OVER
+             (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+         flagged AS (SELECT *, CASE WHEN prev_ms IS NULL
+             OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess FROM lagged),
+         sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged)
+         SELECT user_id, CAST(MIN(ts_ms) * 1000 AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_ms) * 1000 AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
+    // bounded invariant (the ANN recall-gate pattern): every probe
+    // answered through the REAL streaming sink with exactly k rows,
+    // byte-equal to the direct indexed query
+    "q_vector_search_sink" ->
+      """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(5 AS BIGINT) AS k_rows,
+         true AS sink_matches_direct
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_interval_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
                     WHERE event_type = 'purchase'),

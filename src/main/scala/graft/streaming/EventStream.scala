@@ -390,10 +390,18 @@ object EventStream {
 
   /** Stateful gap-sessionization: close a user's session when no event
    * arrives within `gapSeconds` (by event time). Emits closed sessions
-   * (append mode); open sessions close via event-time timeout. */
+   * (append mode); open sessions close via event-time timeout.
+   *
+   * On a BATCH input the trailing session of each user is emitted at
+   * end-of-input instead of waiting for a timeout that batch never
+   * fires: batch has the COMPLETE history, so end-of-input closes it
+   * (the same degeneration argument [[dedupStream]] makes), and the
+   * batch run becomes a full-history twin oracle-checkable against a
+   * lag/cumsum replay (`q_stream_sessionize`). */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000L
+    val streaming = events.isStreaming
 
     def fn(userId: Long, batch: Iterator[Event],
         state: GroupState[OpenSession]): Iterator[Session] = {
@@ -426,8 +434,14 @@ object EventStream {
           }
         }
         val s = open.get
-        state.update(s)
-        state.setTimeoutTimestamp(s.lastMs + gapMs)
+        if (streaming) {
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        } else {
+          // complete history: end-of-input closes the trailing session
+          out += Session(userId, new java.sql.Timestamp(s.startMs),
+            new java.sql.Timestamp(s.lastMs), s.n, s.sum)
+        }
       }
       out.iterator
     }
