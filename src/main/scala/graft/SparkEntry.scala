@@ -672,9 +672,14 @@ object SparkEntry {
     graft.dedup.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("keep_id")
 
-  /** C2: MinHash+LSH near-dup keep-table. Not SQL-expressible — the
-   * driver records a rows-only check; DedupSpec verifies semantics on
-   * planted near-duplicates. */
+  /** C2: MinHash+LSH near-dup keep-table — FULL oracle since r14: the
+   * banded LSH verifies exact Jaccard before any drop, so its
+   * keep-table equals the exact layered relation whenever recall
+   * holds, and the oracle replays that relation brute-force over
+   * shingle strings in DuckDB (the C4b tokenizer). A hash mismatch IS
+   * a recall regression — precisely what the row should catch. The
+   * q_dedup_minhash_sound gate independently hedges soundness;
+   * DedupSpec verifies semantics on planted near-duplicates. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.minhashKeep(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
@@ -876,25 +881,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** C5: embedding-cosine near-dup keep-table (rows-only + spec). */
+  /** C5: embedding-cosine near-dup keep-table — FULL oracle since
+   * r14: the hyperplane-LSH buckets verify exact cosine before any
+   * drop, so the keep-table equals the exact threshold relation
+   * whenever recall holds, and the oracle replays that relation
+   * brute-force in DuckDB (the C5b proven-parity compare; nearest
+   * pair sits 8.6e-4 from the threshold — orders above cross-engine
+   * float noise). Threshold 0.6 rather than the 0.95 default: the
+   * synthetic corpus has no ≥0.95 pair at either SF (the relation
+   * would be vacuously all-keep), while 0.6 exercises a genuine drop
+   * at sf0.1 and stays inside the LSH's exact-recall regime (probed
+   * r14: 0.35 drops recall to ~0.6 — the regime LSH is NOT for). A
+   * hash mismatch IS a recall regression. */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.embeddingKeep(t(s, dir, "embeddings"), "vec_id", "embedding", 64)
+    graft.dedup.Dedup.embeddingKeep(t(s, dir, "embeddings"), "vec_id", "embedding", 64,
+        threshold = 0.6)
       .orderBy("vec_id")
 
   /** C5c: embedding-LSH dedup soundness — vectors dropped by the
-   * bucketed pipeline with no genuine earlier ≥0.95-cosine partner
-   * under brute-force comparison. Must be empty (in-bucket drops
-   * verify exact cosine). Oracle: the empty relation. */
+   * bucketed pipeline with no genuine earlier ≥0.6-cosine partner
+   * under brute-force comparison (threshold mirrors C5). Must be
+   * empty (in-bucket drops verify exact cosine). Oracle: the empty
+   * relation. */
   private def qDedupEmbedSound(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val dropped = graft.dedup.Dedup.embeddingKeep(e, "vec_id", "embedding", 64)
+    val dropped = graft.dedup.Dedup.embeddingKeep(e, "vec_id", "embedding", 64,
+        threshold = 0.6)
       .filter(!col("keep")).select("vec_id")
     val a = e.repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     val genuine = a.join(broadcast(b),
         col("id_b") < col("id_a") &&
-          graft.dedup.Dedup.cosine(col("emb_a"), col("emb_b")) >= 0.95)
+          graft.dedup.Dedup.cosine(col("emb_a"), col("emb_b")) >= 0.6)
       .select(col("id_a").as("dup_id")).distinct()
     dropped.join(genuine, col("vec_id") === col("dup_id"), "left_anti")
       .orderBy("vec_id")
@@ -1891,8 +1910,14 @@ object SparkEntry {
   }
 
   /** C14: transitive duplicate clusters — MinHash near-dup pairs →
-   * connected components → per-cluster min-id survivor (rows-only +
-   * ComponentsSpec chain semantics). */
+   * connected components → per-cluster min-id survivor. FULL oracle
+   * since r14: the banded LSH verifies exact Jaccard before any pair
+   * enters the closure, so whenever recall holds the clustering
+   * equals the exact-pair closure, and the oracle replays THAT with
+   * the C14b recursive CTE (string-space shingles + transitive
+   * reach). A hash mismatch means a missed pair changed a component
+   * — the recall regression the row should catch. ComponentsSpec
+   * covers chain semantics; the _sound gate hedges pair soundness. */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = graft.dedup.Dedup
@@ -4926,6 +4951,34 @@ object SparkEntry {
                AND len(list_intersect(a.sh, b.sh)) * 1.0 /
                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
          SELECT doc_id FROM documents ANTI JOIN d ON doc_id = id ORDER BY doc_id""",
+    // full keep-table replay of the LAYERED minhash dedup (exact text
+    // collapse first, then >= 0.8-Jaccard pairs among the reps) via
+    // brute-force shingle STRINGS — valid because the banded LSH's
+    // verify stage confirms exact Jaccard before any drop, so its
+    // keep-table equals the exact relation whenever recall holds;
+    // a hash mismatch here IS a recall regression, which is exactly
+    // what the row should catch (the standing _sound gate still
+    // hedges soundness independently)
+    "q_dedup_minhash" ->
+      """WITH keyed AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+         reps AS (SELECT text, MIN(doc_id) AS rep_id FROM keyed GROUP BY text),
+         toks AS (SELECT rep_id,
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM reps),
+         g AS (SELECT rep_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY rep_id),
+         dead AS (SELECT b.rep_id AS dead_rep, CAST(COUNT(*) AS BIGINT) AS n_near
+               FROM g a JOIN g b ON a.rep_id < b.rep_id
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+               GROUP BY 1)
+         SELECT k.doc_id,
+           CAST(CASE WHEN k.doc_id <> r.rep_id THEN 1 ELSE 0 END
+             + COALESCE(d.n_near, 0) AS BIGINT) AS n_dups_smaller,
+           (k.doc_id = r.rep_id AND d.n_near IS NULL) AS keep
+         FROM keyed k JOIN reps r ON k.text = r.text
+         LEFT JOIN dead d ON r.rep_id = d.dead_rep
+         ORDER BY doc_id""",
     "q_dedup_containment_sound" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_containment_exact" ->
@@ -5058,6 +5111,29 @@ object SparkEntry {
          SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster
          FROM documents LEFT JOIN comp c ON doc_id = c.node
          ORDER BY doc_id""",
+    // full replay of the MinHash-candidate clustering (C14): the LSH
+    // verifies exact Jaccard before a pair enters the closure, so the
+    // clustering equals the exact-pair transitive closure whenever
+    // recall holds — same recursive CTE as C14b, plus the keep column
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
+         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach(src, dst) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+         comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src)
+         SELECT doc_id, CAST(COALESCE(c.cluster, doc_id) AS BIGINT) AS cluster_id,
+           doc_id = COALESCE(c.cluster, doc_id) AS keep
+         FROM documents LEFT JOIN comp c ON doc_id = c.node
+         ORDER BY doc_id""",
     "q_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cents AS (SELECT MIN(vec_id) AS cid, emb AS cv FROM e GROUP BY emb
@@ -5079,6 +5155,17 @@ object SparkEntry {
            ON b.vec_id < a.vec_id
            AND list_cosine_similarity(a.emb, b.emb) >= 0.35)
          SELECT vec_id FROM e ANTI JOIN dups ON vec_id = dup_id ORDER BY vec_id""",
+    // full keep-table replay of the embedding-LSH dedup at 0.6 (the
+    // bucketed pipeline verifies exact cosine before dropping; its
+    // keep-table equals the exact relation whenever recall holds —
+    // a mismatch IS a recall regression)
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         dups AS (SELECT a.vec_id AS dup_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM e a JOIN e b ON b.vec_id < a.vec_id
+           AND list_cosine_similarity(a.emb, b.emb) >= 0.6 GROUP BY 1)
+         SELECT e.vec_id, COALESCE(d.n, 0) AS n_dups_smaller, d.n IS NULL AS keep
+         FROM e LEFT JOIN dups d ON e.vec_id = d.dup_id ORDER BY vec_id""",
     // The Spark path collapses segments by xxhash64; grouping the
     // segment STRINGS here re-proves hash-space ≡ string-space.
     "q_segment_dedup" ->
