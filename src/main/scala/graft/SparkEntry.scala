@@ -2520,12 +2520,16 @@ object SparkEntry {
         .sparkContext.defaultParallelism)
       // cap the per-doc distinct-token list: the pair explode is
       // C(len, 2), so one pathological 1M-token doc would emit 5e11
-      // pairs — 512 first-occurrence tokens bound any doc's
-      // contribution at ~131k pairs (no-op on this corpus, mirrored
-      // in the oracle)
+      // pairs — the 512 lexicographically-SMALLEST distinct tokens
+      // bound any doc's contribution at ~131k pairs (no-op on this
+      // corpus). Sorted-then-sliced on BOTH sides (r13 ADVICE): a
+      // first-occurrence cap would pin the truncation to Spark's
+      // array_distinct order, which DuckDB's list_distinct does not
+      // guarantee — order-independent truncation keeps the oracle
+      // valid the day a doc exceeds the cap
       .select(col("doc_id"),
-        slice(array_distinct(
-          filter(split(col("text"), "[ \t\n\r]+"), w => w =!= "")), 1, 512)
+        slice(array_sort(array_distinct(
+          filter(split(col("text"), "[ \t\n\r]+"), w => w =!= ""))), 1, 512)
           .as("ws"))
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
     val termCnt = toks.select(explode(col("ws")).as("tok"))
@@ -3279,7 +3283,7 @@ object SparkEntry {
     counts.unionByName(nullGroup).unionByName(joins).orderBy("metric")
   }
 
-  /** A15 (r13): ORC sink/source fidelity — the second columnar
+  /** A16 (r13): ORC sink/source fidelity — the second columnar
    * format a lake migration meets (Hive-era tables are ORC). A typed
    * slice of orders — longs, strings WITH a null carve, timestamps,
    * cents-scaled money — is written to ORC, read back, and rolled
@@ -4123,8 +4127,8 @@ object SparkEntry {
     // a total order.
     "q_cooccurrence" ->
       """WITH d0 AS (SELECT doc_id,
-             list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
-               x -> x <> '')) AS ws0
+             list_sort(list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+               x -> x <> ''))) AS ws0
            FROM documents),
          d AS (SELECT doc_id, ws0[1 : 512] AS ws FROM d0),
          nd AS (SELECT COUNT(*) AS n_docs FROM d),

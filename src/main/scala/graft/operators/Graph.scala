@@ -36,11 +36,35 @@ import org.apache.spark.sql.functions._
  * anyway (a restartable, executor-loss-safe round snapshot). Scratch
  * location: [[graft.Scratch]] — set `spark.graft.scratchDir` to a
  * durable shared filesystem on a cluster; the local default is a
- * per-application temp dir deleted by one JVM-exit hook.
+ * per-application temp dir deleted by one JVM-exit hook. Each call
+ * additionally drops its own intermediate round snapshots before
+ * returning (keeping only the final snapshot the result reads), so a
+ * long-lived session's scratch holds one result-sized artifact per
+ * call, not the whole iteration history (r13 ADVICE).
  */
 object Graph {
 
   private val callSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop every per-round snapshot under this call's scratch dir
+   * except `keep` (the final materialized result the returned
+   * DataFrame reads). Without this, every call leaks closure-sized
+   * frontier/round snapshots for the life of the scratch root (r13
+   * ADVICE); after it, a call's residue is exactly its result
+   * snapshot — freed by the app-exit hook for the local default, and
+   * the one artifact a durable-scratch deployment actually wants to
+   * keep (the restartable round snapshot doc below). Hadoop FS API so
+   * a remote scratch scheme resolves the same way the writes do. */
+  private def dropAllBut(spark: org.apache.spark.sql.SparkSession,
+      scratch: String, keep: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(scratch)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName != keep) fs.delete(st.getPath, true): Unit
+      }
+  }
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3): DataFrame = {
@@ -74,6 +98,9 @@ object Graph {
           (lit(150000L) + expr("85 * coalesce(in_sum, 0L) div 100")).as("rank")),
         s"ranks_$i")
     }
+    // the final round is already on disk; earlier rounds + edge/degree
+    // snapshots are dead weight from here on
+    dropAllBut(spark, scratch, s"ranks_$iters")
     ranks
   }
 
@@ -184,7 +211,11 @@ object Graph {
       frontierPaths ::= s"$scratch/frontier_$d"
       frontier = next
     }
-    settled
+    // collapse the frontier shells into ONE result snapshot, then drop
+    // them — the call's residue is its result, not its whole history
+    val result = materialize(settled, "settled")
+    dropAllBut(spark, scratch, "settled")
+    result
   }
 
   /**
@@ -247,9 +278,15 @@ object Graph {
     require(frontier.isEmpty ||
       frontier.join(parents, frontier("a") === parents("c")).isEmpty,
       s"subtreeRollup: ancestor chains longer than maxDepth=$maxDepth — raise it")
-    spark.read.parquet(frontierPaths.reverse: _*)
-      .join(base.select(col("id").as("v"), col("value")), "v")
-      .groupBy(col("a").as("id"))
-      .agg(count(lit(1)).as("n_nodes"), sum("value").as("sum_value"))
+    // materialize the (node-sized) rollup, then drop the closure-sized
+    // frontier snapshots — the call's residue is its result
+    val result = materialize(
+      spark.read.parquet(frontierPaths.reverse: _*)
+        .join(base.select(col("id").as("v"), col("value")), "v")
+        .groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("n_nodes"), sum("value").as("sum_value")),
+      "result")
+    dropAllBut(spark, scratch, "result")
+    result
   }
 }

@@ -163,7 +163,15 @@ object TableSink {
    * delete for an absent key is a no-op, so replaying an
    * already-applied batch is idempotent. One op per key per batch
    * (checked — a key that is both updated and deleted in one batch is
-   * producer nondeterminism, refused loudly).
+   * producer nondeterminism, refused loudly). With
+   * `checkUniqueKeys = false` that refusal is waived and intra-batch
+   * U+D on one key resolves deterministically: THE DELETE WINS (the
+   * U is dropped before the merge). Without that resolution the anti
+   * join would remove the row and the U re-insert it — the delete
+   * silently LOST, a data-loss mode, not mere nondeterminism (r13
+   * ADVICE). U+U on one key under the waived check remains
+   * nondeterministic (both rows land); keep the check on unless the
+   * producer guarantees per-key uniqueness.
    *
    * Scale shape is identical to `upsert`: one anti join of the current
    * table against ALL delta keys (updates and deletes alike — a small
@@ -193,7 +201,14 @@ object TableSink {
         .agg(count(lit(1)).as("__n")).filter("__n > 1").limit(1).count()
       require(dup == 0, s"applyCdc: delta has duplicate keys on ${keyCols.mkString(",")}")
     }
-    val ups = delta.filter(col(opCol) === "U").drop(opCol)
+    val ups0 = delta.filter(col(opCol) === "U").drop(opCol)
+    // D wins over a same-key U within one batch (class doc): only
+    // reachable when the unique-keys check is waived, and the anti
+    // join runs delta-vs-delta — broadcast-sized, never the table
+    val ups = if (checkUniqueKeys) ups0
+    else ups0.join(
+      delta.filter(col(opCol) === "D").select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) {

@@ -11,12 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * directory under the target (`part_<fnv64(input name)>`), so the
  * OUTPUT LISTING IS THE LEDGER:
  *
- *  - a file whose output directory exists (with its `_SUCCESS`
- *    marker) is already ingested — reruns skip it;
+ *  - a file whose output directory EXISTS is already ingested —
+ *    reruns skip it. Directory existence is the whole ledger: the
+ *    published directory only ever appears via a rename performed
+ *    AFTER the write completed, so it cannot be a partial output.
+ *    (Deliberately NOT the committer's `_SUCCESS` marker, which only
+ *    exists when `mapreduce.fileoutputcommitter.marksuccessfuljobs`
+ *    is on — keying on it would reprocess every arrival per run on
+ *    clusters without it, r13 ADVICE);
  *  - a crashed attempt leaves either nothing or a staging directory
  *    (dot-prefixed — invisible to readers, see TableSink.compact's
  *    hidden-sibling rationale) — the rerun reprocesses the file and
- *    the atomic rename publishes it exactly once;
+ *    the atomic rename publishes it exactly once. The rename is
+ *    atomic on HDFS and local filesystems; object stores emulate
+ *    directory rename as copy+delete, so deploy the target on a
+ *    rename-atomic filesystem (the withBuiltIndex publication
+ *    caveat) or front publication with a coordination service;
  *  - reprocessing is IDEMPOTENT by construction: the same input file
  *    always maps to the same output name, so a double-run overwrites
  *    rather than duplicates.
@@ -64,8 +74,9 @@ object IngestLedger {
     require(collided.isEmpty,
       s"ingest: output-name hash collision between arrivals: ${collided.mkString("; ")}")
     val pending = arrivals.filter { in =>
-      !fs.exists(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(target, outName(in)), "_SUCCESS"))
+      // published-directory existence IS the ledger (class doc): the
+      // dir only appears via the post-write rename, never partially
+      !fs.exists(new org.apache.hadoop.fs.Path(target, outName(in)))
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(maxConcurrency, math.max(1, pending.length)))
@@ -77,7 +88,10 @@ object IngestLedger {
             val staging = new org.apache.hadoop.fs.Path(target, "." + outName(in) + "_tmp")
             transform(spark.read.format(format).load(in.toString))
               .write.mode("overwrite").parquet(staging.toString)
-            fs.delete(done, true) // a marker-less crash remnant, if any
+            // normally absent (existence would have skipped this file);
+            // clears a concurrent run's publish so the rename below
+            // resolves the race by last-writer-wins on identical output
+            fs.delete(done, true)
             if (!fs.rename(staging, done))
               throw new java.io.IOException(s"ingest: rename $staging -> $done failed")
           }

@@ -49,10 +49,23 @@ class IngestSpec extends AnyFunSuite {
     val (in, out) = (base + "/in", base + "/out")
     writeArrival(in, "a.json", Seq((1L, "x"), (2L, "y")))
     IngestLedger.ingestIncremental(spark, in, out, identity, suffix = ".json"): Unit
-    // simulate a crash between output write and marker: delete _SUCCESS
+    // the ledger is directory existence, NOT the committer's _SUCCESS
+    // marker: with the marker gone the output still counts as ingested
+    // (clusters without marksuccessfuljobs must not reprocess per run)
     val outDir = new java.io.File(out).listFiles()
       .find(f => f.getName.startsWith("part_")).get
     assert(new java.io.File(outDir, "_SUCCESS").delete())
+    assert(IngestLedger.ingestIncremental(spark, in, out, identity,
+      suffix = ".json") == 0)
+    assert(totals(out) == ((2L, 3L)))
+    // simulate a crash mid-write: only a partial dot-staging dir
+    // remains (the only state a crash can leave under rename-publish)
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+      f.delete(): Unit
+    }
+    new java.io.File(out, "." + outDir.getName + "_tmp").mkdirs()
+    deleteTree(outDir)
     // the rerun reprocesses that file; the deterministic name means
     // overwrite, never a duplicate
     assert(IngestLedger.ingestIncremental(spark, in, out, identity,

@@ -233,6 +233,26 @@ class TableSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("applyCdc with the uniqueness check waived: intra-batch U+D, D wins") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cdcd"
+    TableSink.applyCdc(spark, dir,
+      Seq((1L, "a", "U"), (2L, "b", "U")).toDF("k", "v", "_op"), Seq("k"))
+    // same batch updates AND deletes key 1: the delete must win —
+    // without the resolution the anti join removes the row and the U
+    // re-inserts it, silently losing the delete
+    TableSink.applyCdc(spark, dir,
+      Seq((1L, "A2", "U"), (1L, "a", "D"), (3L, "c", "U")).toDF("k", "v", "_op"),
+      Seq("k"), checkUniqueKeys = false)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((2L, "b"), (3L, "c")))
+    // D-wins also guards the bootstrap batch
+    val dir2 = java.nio.file.Files.createTempDirectory("sink").toString + "/cdcd2"
+    TableSink.applyCdc(spark, dir2,
+      Seq((1L, "a", "U"), (1L, "a", "D"), (2L, "b", "U")).toDF("k", "v", "_op"),
+      Seq("k"), checkUniqueKeys = false)
+    assert(spark.read.parquet(dir2).as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
   // --- compactPartitioned ---------------------------------------------------
 
   test("compactPartitioned merges each leaf, keeps layout + data + pruning") {
