@@ -2103,6 +2103,45 @@ object SparkEntry {
       .orderBy("probe_id")
   }
 
+  /** D13 (r14): streaming changelog apply
+   * ([[graft.streaming.EventStream.cdcSink]]) — a Debezium-shaped
+   * change feed driven through the REAL checkpointed writeStream sink
+   * (MemoryStream, two micro-batches): batch 1 bootstraps a keyed
+   * slice of orders as upserts, batch 2 updates the even keys and
+   * deletes the odd multiples of 3. The query returns the final
+   * serving table, and the oracle computes the same end state
+   * directly from orders in SQL — a full-value check that the
+   * streamed applyCdc path (merge, delete, rewrite-swap, per-batch
+   * checkpoint) loses and invents nothing. Driver state is the
+   * bounded changelog slice (o_orderkey % 37 = 0), the D12 probe
+   * precedent. */
+  private def qCdcSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val slice = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("v"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val batch1 = slice.map { case (k, v) => (k, v, "U") }
+    val batch2 = slice.collect {
+      case (k, v) if k % 2 == 0 => (k, v + 7L, "U")
+      case (k, _) if k % 3 == 0 => (k, 0L, "D")
+    }
+    val base = s"${graft.Scratch.root(s)}/cdc_sink_${sinkSeq.incrementAndGet()}"
+    val (table, ckpt) = (s"$base/table", s"$base/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.EventStream.cdcSink(
+        in.toDF.toDF("k", "v", "_op"), table, Seq("k"))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(batch1.toSeq)
+      q.processAllAvailable()
+      in.addData(batch2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(table).select(col("k"), col("v")).orderBy("k")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -2551,6 +2590,30 @@ object SparkEntry {
         expr("c_xy * n_docs * 1000000 div (c_x * c_y)").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
       .limit(20)
+  }
+
+  /** B80 (r14): declarative data-quality constraint audit
+   * ([[graft.operators.Constraints.audit]]) — the dbt-tests/Deequ
+   * capability: NOT NULL / uniqueness / accepted-values / range /
+   * referential integrity over orders in one call, one output row
+   * per constraint with violation counts. All row-local constraints
+   * share ONE conditional-aggregate scan; uniqueness is one hash
+   * aggregate (total − distinct — the second-occurrence count, never
+   * a pair count); the FK check is one broadcast anti-join count.
+   * The constraint mix deliberately includes violated ones
+   * (duplicate custkeys, status 'P', custkeys above 99) so nonzero
+   * counting is exercised, plus clean ones proving no false
+   * positives. Oracle recomputes every row in SQL. */
+  private def qConstraintAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Constraints._
+    audit(t(s, dir, "orders"), Seq(
+      NotNull("o_orderpriority"),
+      Unique(Seq("o_orderkey")),
+      Unique(Seq("o_custkey")),
+      AcceptedValues("o_orderstatus", Seq("F", "O")),
+      InRange("o_custkey", 0L, 99L),
+      RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+      .orderBy("constraint")
   }
 
   /** B60 (r13): functional-dependency / candidate-key audit
@@ -3685,6 +3748,7 @@ object SparkEntry {
     "q_stream_quantile" -> qStreamQuantile,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_vector_search_sink" -> qVectorSearchSink,
+    "q_cdc_sink"      -> qCdcSink,
     "q_interval_join" -> qIntervalJoin,
     "q_interval_join_outer" -> qIntervalJoinOuter,
     "q_stream_dedup"  -> qStreamDedup,
@@ -3698,6 +3762,7 @@ object SparkEntry {
     "q_bfs"           -> qBfs,
     "q_session_transitions" -> qSessionTransitions,
     "q_fd_audit"      -> qFdAudit,
+    "q_constraint_audit" -> qConstraintAudit,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -4028,6 +4093,47 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(cents) AS BIGINT) AS sum_cents
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
+    // end-state replay of the two-batch streamed changelog: batch 1
+    // upserts the slice, batch 2 bumps even keys by 7 and deletes odd
+    // multiples of 3 (a key matching both rules is even -> updated)
+    "q_cdc_sink" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             + CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE 0 END AS BIGINT) AS v
+         FROM orders
+         WHERE o_orderkey % 37 = 0
+           AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+         ORDER BY k""",
+    // every constraint row recomputed in SQL; "constraint" quoted (a
+    // reserved word in DuckDB)
+    "q_constraint_audit" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+         rows_out AS (
+           SELECT 'not_null(o_orderpriority)' AS c,
+             CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT) AS violations
+           FROM orders
+           UNION ALL
+           SELECT 'unique(o_orderkey)',
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'unique(o_custkey)',
+             CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'accepted_values(o_orderstatus)',
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'in_range(o_custkey)',
+             CAST(COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+               AND (CAST(o_custkey AS BIGINT) < 0
+                 OR CAST(o_custkey AS BIGINT) > 99)) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'ref_integrity(o_custkey)',
+             CAST(COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+           FROM orders)
+         SELECT r.c AS "constraint", r.violations, n.n_rows
+         FROM rows_out r, n ORDER BY "constraint"""",
     // bounded invariant (the ANN recall-gate pattern): every probe
     // answered through the REAL streaming sink with exactly k rows,
     // byte-equal to the direct indexed query

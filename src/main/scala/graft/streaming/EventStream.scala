@@ -341,6 +341,32 @@ object EventStream {
           checkUniqueKeys = checkUniqueKeys)
       }
 
+  /** Streaming changelog apply (D13): each micro-batch of U/D change
+   * rows MERGEs into a parquet serving table via
+   * [[graft.sinks.TableSink.applyCdc]] — the delete-carrying
+   * generalization of [[upsertSink]], i.e. a Debezium/binlog feed
+   * continuously applied to a queryable table. Semantics are
+   * applyCdc's: additive schema evolution, delete-of-absent-key
+   * no-op, idempotent replay (a crash-replayed batch overwrites the
+   * same keys and re-deletes the same rows — exactly-once table
+   * state without a transaction log). `checkUniqueKeys` defaults to
+   * TRUE here, the opposite of upsertSink: a CDC stream is raw
+   * producer output, not update-mode aggregation, so per-key
+   * uniqueness within a batch is NOT structural — disable only with
+   * the D-wins intra-batch resolution in mind (TableSink doc).
+   * upsertSink's cost model applies unchanged: plain-parquet MERGE
+   * rewrites the serving table per trigger — size triggers in
+   * minutes, or point the sink at a transactional table format. */
+  def cdcSink(changes: DataFrame, path: String, keyCols: Seq[String],
+      opCol: String = "_op", checkUniqueKeys: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.TableSink.applyCdc(batch.sparkSession, path, batch.toDF(),
+          keyCols, opCol, checkUniqueKeys = checkUniqueKeys)
+      }
+
   /** Streaming vector-search enrichment (D12): each micro-batch of
    * query vectors is answered against a PERSISTED IVF index
    * ([[graft.similarity.Ann.ivfTopKIndexed]]) and the top-k appended

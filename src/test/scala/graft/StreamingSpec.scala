@@ -496,6 +496,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdcSink applies upserts and deletes across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString + "/cdc"
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStream.cdcSink(in.toDF().toDF("k", "v", "_op"), dir, Seq("k"))
+      .option("checkpointLocation", dir + "_ckpt").start()
+    try {
+      in.addData((1L, "a", "U"), (2L, "b", "U"), (3L, "c", "U"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // update 1, delete 2, delete an absent key (no-op), insert 4
+      in.addData((1L, "A2", "U"), (2L, "b", "D"), (9L, "x", "D"), (4L, "d", "U"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+        Set((1L, "A2"), (3L, "c"), (4L, "d")))
+      assert(!spark.read.parquet(dir).columns.contains("_op"),
+        "op marker must not leak into the serving table")
+    } finally q.stop()
+  }
+
   test("windowedAgg recovers open-window state across a stop/restart (checkpoint)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
