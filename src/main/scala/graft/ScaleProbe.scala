@@ -576,6 +576,68 @@ object ScaleProbe {
     require(pitBad == 0 && pitNulls == 0,
       s"pitJoin state drift: $pitBad wrong, $pitNulls null")
     println("SCALE pit join: all 5M facts matched their covering interval")
+
+    // Distributed rank (r14, the B65 break derivation) at 10M distinct
+    // values: v = 3i + 1 makes the true rank i + 1 arithmetically
+    // checkable per row — no serial reference needed — and proves the
+    // percentile-boundary + prefix-offset decomposition exact when
+    // every range partition holds ~300k rows.
+    val rankIn = spark.range(10000000L).toDF("i")
+      .select((col("i") * 3L + 1L).as("v"))
+    val rankBad = time("distinctRanks 10M values") {
+      graft.operators.Rank.distinctRanks(rankIn, "v", partitions = 32)
+        .filter(col("rank") =!= (col("v") - 1L) / 3L + 1L).count()
+    }
+    require(rankBad == 0, s"distinctRanks drift at 10M: $rankBad wrong ranks")
+    println("SCALE distinct ranks: 10M ranks exact across 32 ranges")
+
+    // Constraint audit (B80) at 10M rows with ARITHMETICALLY known
+    // violation counts: nulls on i%10==0, value 'bad' on i%100==7
+    // (never null — 7%10 != 0), out-of-range every 1000th, key space
+    // 5M (so unique violations = exactly 5M), FK dim = evens
+    // (orphans = odd keys, two copies each).
+    val audIn = spark.range(10000000L).toDF("i").select(
+      (col("i") % 5000000L).as("k"),
+      when(col("i") % 10L =!= 0L,
+        when(col("i") % 100L === 7L, lit("bad")).otherwise(lit("ok"))).as("s"),
+      when(col("i") % 1000L === 0L, lit(-5L)).otherwise(col("i") % 50L).as("x"))
+    val audDim = spark.range(2500000L).toDF("d").select((col("d") * 2L).as("pk"))
+    import graft.operators.Constraints._
+    val audGot = time("constraint audit 10M rows x 5 constraints") {
+      graft.operators.Constraints.audit(audIn, Seq(
+        NotNull("s"), AcceptedValues("s", Seq("ok")), InRange("x", 0L, 49L),
+        Unique(Seq("k")), RefIntegrity("k", audDim, "pk", broadcastDim = false)))
+        .select(col("constraint"), col("violations"))
+        .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toMap
+    }
+    val audWant = Map(
+      "not_null(s)" -> 1000000L,       // i % 10 == 0
+      "accepted_values(s)" -> 100000L, // i % 100 == 7
+      "in_range(x)" -> 10000L,         // i % 1000 == 0
+      "unique(k)" -> 5000000L,         // each key seen exactly twice
+      "ref_integrity(k)" -> 5000000L)  // odd keys, two copies each
+    require(audGot == audWant, s"audit drift at 10M: got $audGot want $audWant")
+    println("SCALE constraint audit: 10M-row counts exact on all constraints")
+
+    // Triangle count (B55) with node ids ~1e9 — the exact regime the
+    // r14 two-column ordering fix exists for: 200k disjoint triangles
+    // offset far past any packable id domain must count EXACTLY 200k.
+    val triOff = 1000000000L
+    val triEdges = spark.range(200000L).toDF("t").select(
+      explode(array(
+        struct((col("t") * 3 + triOff).as("s"), (col("t") * 3 + 1 + triOff).as("d")),
+        struct((col("t") * 3 + 1 + triOff).as("s"), (col("t") * 3 + 2 + triOff).as("d")),
+        struct((col("t") * 3 + 2 + triOff).as("s"), (col("t") * 3 + triOff).as("d"))))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    val triGot = time("triangles 200k cliques at ids ~1e9") {
+      graft.operators.Graph.triangleCount(triEdges, "s", "d")
+        .head().getLong(0)
+    }
+    require(triGot == 200000L, s"triangle count drift at 1e9 ids: $triGot")
+    println("SCALE triangles: 200k exact at 1e9-range node ids")
     spark.stop()
   }
 }
