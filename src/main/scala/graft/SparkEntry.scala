@@ -5500,7 +5500,7 @@ object SparkEntry {
          FROM h""",
     "q_source_overlap" ->
       """WITH toks AS (SELECT source,
-           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\r]+'), t -> t <> '') AS ts
            FROM documents),
          sh AS (SELECT DISTINCT source, md5(array_to_string(ts[i : i + 2], ' ')) AS h
            FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)),

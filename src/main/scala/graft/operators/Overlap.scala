@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
 
 /**
  * Cross-source corpus-overlap estimation via k-minimum-values (KMV)
@@ -67,17 +66,18 @@ object Overlap {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
-  /** Word-3-gram shingles with NO short-document fallback (a <n-word
+  /** Word-n-gram shingles with NO short-document fallback (a <n-word
    * document contributes nothing): the overlap metric is defined on
    * the shingle SET, and a whole-text pseudo-shingle would make
-   * unrelated short docs collide. */
-  private def strictShingles(text: Column, n: Int): Column = {
-    val ws = TextFunctions.words(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array())
-  }
+   * unrelated short docs collide. Computed by the codegen'd
+   * [[graft.functions.expressions.wordNgrams]] kernel
+   * (literal-whitespace tokens, byte-preserving — the C19/C30
+   * tokenizer): the equivalent split→transform→slice→concat_ws tree
+   * of higher-order functions always runs INTERPRETED and measured
+   * 12× slower on this exact path (r14 probe: 3.3 s → 0.27 s for the
+   * shingle+md5 stage at sf0.1). */
+  private def strictShingles(text: Column, n: Int): Column =
+    graft.functions.expressions.wordNgrams(coalesce(text, lit("")), n)
 
   /** Per-group KMV sketch: (grp, kmin: array<string>) with kmin the k
    * smallest distinct md5 hashes of the group's word-3-gram shingle
