@@ -1927,6 +1927,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C53 (r14): quality-aware cluster survivor selection
+   * ([[graft.operators.Components.keepBest]]) — same verified
+   * MinHash-candidate clusters as C14, but each cluster keeps its
+   * LONGEST doc (token count via the codegen'd wordNgrams kernel;
+   * ties → smallest id) instead of the smallest id: the rule corpus
+   * dedup actually wants (keep the best version of a mirrored page,
+   * not whichever crawled first). The argmax is one
+   * map-side-combined (score, −id)-struct max — no window, no
+   * per-cluster sort. Oracle replays the C14b recursive-CTE closure
+   * plus a row_number argmax; valid on the same LSH-recall argument
+   * as q_dedup_clusters (byte-identical clusters proven r14). */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup
+      .minhashCandidates(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+    val scored = docs.select(col("doc_id"),
+      size(graft.functions.expressions.wordNgrams(
+        coalesce(col("text"), lit("")), 1)).cast("long").as("n_tokens"))
+    graft.operators.Components.keepBest(scored, "doc_id", "n_tokens", pairs)
+      .orderBy("doc_id")
+  }
+
   /** C14c: clusters-primary soundness — every CC input pair on the
    * MinHash-candidate path (the pairs q_dedup_clusters clusters over)
    * must be a genuine ≥0.8-Jaccard pair when its texts are re-joined
@@ -3701,6 +3724,7 @@ object SparkEntry {
     "q_cc_sessions"    -> qCcSessions,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_clusters_exact" -> qDedupClustersExact,
+    "q_dedup_keep_best" -> qDedupKeepBest,
     "q_dedup_minhash_sound" -> qDedupMinhashSound,
     "q_dedup_simhash_sound" -> qDedupSimhashSound,
     "q_dedup_clusters_sound" -> qDedupClustersSound,
@@ -5220,6 +5244,34 @@ object SparkEntry {
          comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src)
          SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster
          FROM documents LEFT JOIN comp c ON doc_id = c.node
+         ORDER BY doc_id""",
+    // C53: the C14b closure plus a per-cluster argmax (token count
+    // desc, id asc) — the keep-best survivor rule
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
+         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach(src, dst) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+         comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src),
+         scored AS (SELECT d.doc_id,
+             CAST(len(list_filter(string_split_regex(COALESCE(d.text, ''), '[ \x09\x0a\x0d]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+             ORDER BY n_tokens DESC, doc_id) AS rn FROM scored),
+         reps AS (SELECT cluster_id, doc_id AS rep_id FROM ranked WHERE rn = 1)
+         SELECT s.doc_id, s.cluster_id, CAST(r.rep_id AS BIGINT) AS rep_id,
+           s.doc_id = r.rep_id AS keep
+         FROM scored s JOIN reps r ON s.cluster_id = r.cluster_id
          ORDER BY doc_id""",
     // full replay of the MinHash-candidate clustering (C14): the LSH
     // verifies exact Jaccard before a pair enters the closure, so the

@@ -184,4 +184,37 @@ object Components {
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
+
+  /**
+   * Quality-aware cluster survivor selection: like [[dedupClusters]],
+   * but the survivor of each transitive near-dup cluster is the doc
+   * with the HIGHEST `scoreCol` (ties → smallest id) instead of the
+   * smallest id — the rule production corpus dedup actually wants
+   * (keep the longest / highest-quality version of a mirrored page,
+   * not whichever crawled first).
+   *
+   * The argmax is ONE map-side-combined aggregate: `max` over a
+   * (score, −id) struct compares lexicographically, so no per-cluster
+   * sort, no window, no second shuffle beyond the cluster key. Scores
+   * must be non-negative-id-safe longs (id is negated for the
+   * tie-break). Output: (doc_id, cluster_id, rep_id, keep).
+   */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    requireIntegralId(docs, idCol, "keepBest")
+    val labeled = connectedComponents(pairs, aCol, bCol)
+    val clustered = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("__score"))
+      .join(labeled, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("__score"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val best = clustered.groupBy("cluster_id")
+      .agg(max(struct(col("__score").as("s"), (-col("doc_id")).as("nid")))
+        .as("__best"))
+      .select(col("cluster_id"), (-col("__best.nid")).as("rep_id"))
+    clustered.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("keep"))
+  }
 }

@@ -48,4 +48,18 @@ class ComponentsSpec extends AnyFunSuite {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (4L, 4L, true), (9L, 9L, true)))
   }
+
+  test("keepBest: highest score survives, ties break to the smallest id") {
+    // cluster {1,2,3}: doc 2 has the best score; cluster {5,6}: tied
+    // scores -> 5 wins; 9 is a singleton and keeps itself
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (5L, 7L), (6L, 7L), (9L, 0L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Components.keepBest(docs, "doc_id", "score", pairs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (5L, 5L, 5L, true), (6L, 5L, 5L, false),
+      (9L, 9L, 9L, true)))
+  }
 }

@@ -518,6 +518,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize recovers an OPEN session across a stop/restart (checkpoint)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("stream").toString
+    val (out, ckpt) = (base + "/sess_out", base + "/sess_ckpt")
+    val in = MemoryStream[Event]
+    def start() = EventStream.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // run 1: two events 10 min apart — ONE open session, alive only in
+    // the state store at stop
+    val q1 = start()
+    try {
+      in.addData(Event(1, 1, ts(0), "click", 1.0), Event(1, 2, ts(10), "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, " +
+          "n_events long, sum_value double")
+      .parquet(out).count() == 0, "session must still be open at stop")
+    // restart: a third event 10 min later must EXTEND the recovered
+    // session (lost state would start a fresh one); then far-future
+    // events advance the watermark past the timeout and flush it
+    val q2 = start()
+    try {
+      in.addData(Event(1, 3, ts(20), "click", 4.0))
+      q2.processAllAvailable()
+      in.addData(Event(2, 9, ts(600), "x", 0.0))
+      q2.processAllAvailable()
+      in.addData(Event(2, 10, ts(1200), "x", 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out).filter($"user_id" === 1L)
+      .select("n_events", "sum_value").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((3L, 7.0)),
+      s"expected ONE recovered 3-event session, got $got")
+  }
+
   test("windowedAgg recovers open-window state across a stop/restart (checkpoint)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
