@@ -2337,6 +2337,26 @@ object SparkEntry {
     s.read.parquet(path).orderBy("o_orderkey")
   }
 
+  /** A18 (r14): version-guarded upsert (TableSink.upsertVersioned) —
+   * last-writer-wins MERGE for OUT-OF-ORDER feeds: the newer batch
+   * (ver 2, every third key) is applied FIRST and a full older
+   * backfill (ver 1) arrives after it; order-trusting upsert would
+   * regress those keys, the version guard must not. Replays are
+   * convergent (LWW is commutative + idempotent), so the bench's
+   * repeated executions re-merge onto the same table harmlessly.
+   * Oracle computes the converged end state per key in SQL. */
+  private def qUpsertVersioned(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("c"))
+    val path = s"${graft.Scratch.root(s)}/upsert_ver_${new java.io.File(dir).getName}"
+    val newer = orders.filter(col("k") % 3 === 0)
+      .select(col("k"), col("c"), lit(2L).as("ver"))
+    val older = orders.select(col("k"), (col("c") + 5L).as("c"), lit(1L).as("ver"))
+    graft.sinks.TableSink.upsertVersioned(s, path, newer, Seq("k"), "ver")
+    graft.sinks.TableSink.upsertVersioned(s, path, older, Seq("k"), "ver")
+    s.read.parquet(path).select("k", "c", "ver").orderBy("k")
+  }
+
   /** A14: malformed-record quarantine (sources/CsvLines.scala) — the
    * reference's line reader silently NULLs unparseable input
    * (JSONReader.java:42-57); at 100 TB that silence is unbudgeted
@@ -3780,6 +3800,7 @@ object SparkEntry {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_stream_enrich" -> qStreamEnrich,
     "q_upsert"        -> qUpsert,
+    "q_upsert_versioned" -> qUpsertVersioned,
     "q_cdc_apply"     -> qCdcApply,
     "q_simjoin"       -> qSimjoin,
     "q_attribution"   -> qAttribution,
@@ -4117,6 +4138,15 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(cents) AS BIGINT) AS sum_cents
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
+    // LWW convergence: ver-2 keys (every third) keep their first-batch
+    // value; everything else takes the older backfill's c+5 at ver 1
+    "q_upsert_versioned" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(CASE WHEN o_orderkey % 3 = 0
+             THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) + 5 END AS BIGINT) AS c,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+         FROM orders ORDER BY k""",
     // end-state replay of the two-batch streamed changelog: batch 1
     // upserts the slice, batch 2 bumps even keys by 7 and deletes odd
     // multiples of 3 (a key matching both rules is even -> updated)

@@ -155,6 +155,85 @@ object TableSink {
   }
 
   /**
+   * Version-guarded upsert (last-writer-wins MERGE) — the
+   * OUT-OF-ORDER complement of `upsert`/`applyCdc`, which both trust
+   * batch order: an at-least-once feed (retried producers, replayed
+   * partitions, racing backfills) can deliver an OLDER version of a
+   * key AFTER a newer one, and order-trusting merge would regress the
+   * row. Here every row carries a monotone `versionCol` (event
+   * timestamp, LSN, binlog offset) and the merge keeps, per key, the
+   * row with the HIGHEST version across current ∪ delta — so applying
+   * batches in ANY order, any number of times, converges to the same
+   * table (commutative + idempotent, the CRDT register argument).
+   *
+   * Ties (same key, same version, different payloads) are refused
+   * loudly: silently picking one is partition-order nondeterminism.
+   * Exact same-row duplicates collapse harmlessly. Scale shape: one
+   * (score, row)-struct max aggregate on the key — map-side combined,
+   * ONE shuffle of current ∪ delta, no window, no join. Schema
+   * evolution is `upsert`'s additive rule. Same crash-safe rename
+   * swap.
+   */
+  def upsertVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      format: String = "parquet"): Unit = {
+    require(keyCols.nonEmpty, "upsertVersioned needs at least one key column")
+    require(delta.columns.contains(versionCol),
+      s"upsertVersioned: delta lacks version column $versionCol")
+    require(!keyCols.contains(versionCol),
+      s"upsertVersioned: version column $versionCol cannot be a key")
+    import org.apache.spark.sql.functions.{col, max, min, struct}
+    // a NULL version can neither win nor lose deterministically
+    require(delta.filter(col(versionCol).isNull).limit(1).count() == 0,
+      s"upsertVersioned: NULL $versionCol in delta")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (!fs.exists(hPath)) delta
+      else {
+        if (fs.listStatus(hPath).exists(e =>
+            e.isDirectory && e.getPath.getName.contains("=")))
+          throw new IllegalArgumentException(
+            s"upsertVersioned: $path is Hive-partitioned; merge per partition directory")
+        val current = spark.read.format(format).load(path)
+        evolveAdditively(current, delta, "upsertVersioned").unionByName(delta)
+      }
+    // ONE aggregate: per key, the whole row riding a (version, row)
+    // struct max — versions compare in long space (epoch / LSN /
+    // offset). Conflict detection at the WINNING version only (a
+    // superseded version's duplicates are irrelevant to the result):
+    // `hi` = largest version, lexicographically-largest payload;
+    // `lo` = largest version, lexicographically-SMALLEST payload (a
+    // min over the negated version). Differing payloads mean a true
+    // tie at the winning version — refused loudly; exact duplicates
+    // collapse to hi == lo and merge fine.
+    val keyCs = keyCols.map(col)
+    val payload = all.columns.filterNot(keyCols.contains)
+    val v = col(versionCol).cast("long")
+    val rowStruct = struct(payload.map(col): _*)
+    val merged = all
+      .groupBy(keyCs: _*)
+      .agg(
+        max(struct(v.as("__v"), rowStruct.as("__row"))).as("__hi"),
+        min(struct((-v).as("__nv"), rowStruct.as("__row"))).as("__lo"))
+    val conflicted = merged
+      .filter(col("__hi.__row") =!= col("__lo.__row")).limit(1).count()
+    require(conflicted == 0,
+      s"upsertVersioned: conflicting payloads tied at the winning " +
+        s"($versionCol) version for some key on ${keyCols.mkString(",")} " +
+        "— ties must not be silently resolved")
+    val resolved = merged.select(
+      keyCs ++ payload.map(c => col(s"__hi.__row.$c").as(c)): _*)
+    if (!fs.exists(hPath))
+      resolved.write.mode(SaveMode.ErrorIfExists).format(format).save(path)
+    else swapInto(fs, hPath, resolved, format, "upsertVersioned")
+  }
+
+  /**
    * Changelog (CDC) apply — the delete-carrying generalization of
    * `upsert`, the shape a Debezium/binlog-style feed demands: each
    * delta row carries an op marker, `"U"` (insert-or-update) or `"D"`

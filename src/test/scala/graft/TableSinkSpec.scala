@@ -172,6 +172,47 @@ class TableSinkSpec extends AnyFunSuite {
       "refused upsert must not touch the partition layout")
   }
 
+  // --- upsertVersioned --------------------------------------------------------
+
+  test("upsertVersioned: any batch order converges to last-writer-wins") {
+    val base = java.nio.file.Files.createTempDirectory("sink").toString
+    val b1 = Seq((1L, "v2", 20L), (2L, "b1", 10L)).toDF("k", "v", "ver")
+    val b2 = Seq((1L, "v1", 10L), (2L, "b3", 30L), (3L, "c1", 5L)).toDF("k", "v", "ver")
+    val want = Set((1L, "v2", 20L), (2L, "b3", 30L), (3L, "c1", 5L))
+    // forward order, reverse order, and a replay: same table
+    for ((order, dir0) <- Seq(Seq(b1, b2) -> "/fwd", Seq(b2, b1) -> "/rev",
+        Seq(b1, b2, b1) -> "/replay")) {
+      val dir = base + dir0
+      order.foreach(TableSink.upsertVersioned(spark, dir, _, Seq("k"), "ver"))
+      assert(spark.read.parquet(dir).as[(Long, String, Long)].collect().toSet == want,
+        s"order $dir0 diverged")
+    }
+  }
+
+  test("upsertVersioned: exact duplicates collapse; winning-version ties refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/vt"
+    // the same (key, version, payload) twice in one batch is harmless
+    TableSink.upsertVersioned(spark, dir,
+      Seq((1L, "a", 10L), (1L, "a", 10L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    assert(spark.read.parquet(dir).as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L)))
+    // two DIFFERENT payloads at the winning version must fail loudly
+    intercept[IllegalArgumentException] {
+      TableSink.upsertVersioned(spark, dir,
+        Seq((1L, "x", 50L), (1L, "y", 50L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    }
+    // a conflict at a SUPERSEDED version is irrelevant and must merge
+    TableSink.upsertVersioned(spark, dir,
+      Seq((1L, "x", 5L), (1L, "y", 5L), (1L, "new", 99L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver")
+    assert(spark.read.parquet(dir).as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "new", 99L)))
+    intercept[IllegalArgumentException] {
+      TableSink.upsertVersioned(spark, dir,
+        Seq((1L, Some("z"), None: Option[Long])).toDF("k", "v", "ver"), Seq("k"), "ver")
+    }
+  }
+
   // --- applyCdc -------------------------------------------------------------
 
   test("applyCdc upserts, deletes, and re-inserts across batches") {
