@@ -1303,6 +1303,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C54 (r14): SEMANTIC decontamination ([[graft.text.Decontaminate
+   * .markContaminatedSemantic]]) — flag corpus vectors within cosine
+   * 0.35 of any benchmark vector (every 25th vec id): the
+   * meaning-level leak the n-gram ladder (C17/C17b/C17c) misses on
+   * paraphrases. Benchmark broadcasts whole; one corpus scan, exact
+   * recall (no LSH — the r14 probe showed ~0.6 recall at mid-range
+   * cosines). Integer hit counts keep the row float-hash-safe; the
+   * threshold compare uses the identical `cos*1000 >= 350` form on
+   * both engines (the C5b parity precedent). */
+  private def qDecontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.text.Decontaminate.markContaminatedSemantic(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", thresholdMilli = 350)
+      .orderBy("vec_id")
+  }
+
   /** C17b: Bloom-accelerated decontamination ([[graft.text
    * .Decontaminate.markContaminatedBig]]) — the many-benchmark regime
    * where the gram set no longer broadcasts: bloom-prune the corpus
@@ -3755,6 +3773,7 @@ object SparkEntry {
     "q_domain_stats"   -> qDomainStats,
     "q_decontaminate"  -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_decontaminate_semantic" -> qDecontaminateSemantic,
     "q_decontaminate_spans" -> qDecontaminateSpans,
     "q_dup_spans"      -> qDupSpans,
     "q_quota_sample"   -> qQuotaSample,
@@ -4754,6 +4773,20 @@ object SparkEntry {
            COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
+    // C54: per-corpus-vector count of benchmark vectors within cosine
+    // 0.35; the compare uses the identical cos*1000 >= 350 form as the
+    // Spark side (C5b float-parity precedent)
+    "q_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         bench AS (SELECT emb FROM e WHERE vec_id % 25 = 0),
+         train AS (SELECT vec_id, emb FROM e WHERE vec_id % 25 <> 0),
+         hits AS (SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+           FROM train t JOIN bench b
+             ON list_cosine_similarity(t.emb, b.emb) * 1000 >= 350
+           GROUP BY 1)
+         SELECT t.vec_id, COALESCE(h.n_bench_hits, 0) AS n_bench_hits,
+           COALESCE(h.n_bench_hits, 0) > 0 AS contaminated
+         FROM train t LEFT JOIN hits h USING (vec_id) ORDER BY vec_id""",
     // same oracle as q_decontaminate: the bloom pre-filter must be
     // output-invisible (false positives die in the exact confirm join)
     "q_decontaminate_bloom" ->

@@ -45,6 +45,46 @@ object Decontaminate {
   }
 
   /**
+   * SEMANTIC contamination (C54): flag training vectors whose
+   * embedding is within cosine `thresholdMilli/1000` of ANY benchmark
+   * vector — the meaning-level leak the n-gram tests above
+   * structurally miss (a paraphrased or translated benchmark answer
+   * shares no 8-gram with the original). Completes the
+   * decontamination ladder: exact substring (C17), hashed-gram at
+   * Bloom scale (C17b), span excision (C17c), and this for rewording.
+   *
+   * Scale shape: the benchmark side is tiny relative to a 100 TB
+   * corpus, so it broadcasts WHOLE and the pass is one corpus scan
+   * through a broadcast nested-loop join — no corpus shuffle, no
+   * index build, and recall is EXACT by construction. The exactness
+   * matters: a decontamination pass must not miss leaks, which rules
+   * out the LSH shortcut here (the r14 probe measured hyperplane-LSH
+   * recall ~0.6 at the mid-range cosines paraphrase detection needs).
+   * Per-row cost is |bench| cosines — the honest price of exact
+   * recall, linear in the corpus, embarrassingly parallel.
+   *
+   * Output: (id, n_bench_hits, contaminated) for every train row —
+   * integer hit counts, not raw cosines, so the row is
+   * engine-replayable without float-hash hazards.
+   */
+  def markContaminatedSemantic(train: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, thresholdMilli: Int): DataFrame = {
+    require(thresholdMilli > 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in (0,1000], got $thresholdMilli")
+    val b = broadcast(bench.select(col(vecCol).as("__bvec")))
+    val hits = graft.dedup.Dedup.spread(train)
+      .select(col(idCol).as("__id"), col(vecCol).as("__tvec"))
+      .join(b, graft.dedup.Dedup.cosine(col("__tvec"), col("__bvec")) * 1000
+        >= thresholdMilli)
+      .groupBy("__id").agg(count(lit(1)).as("n_bench_hits"))
+    train.select(col(idCol))
+      .join(hits, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"))
+      .withColumn("contaminated", col("n_bench_hits") > 0)
+  }
+
+  /**
    * [[markContaminated]] for the MANY-benchmark regime, where the
    * combined gram set no longer broadcasts (dozens of eval suites ×
    * millions of grams): a Bloom filter over the benchmark gram hashes
