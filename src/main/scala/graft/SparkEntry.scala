@@ -2183,6 +2183,38 @@ object SparkEntry {
     s.read.parquet(table).select(col("k"), col("v")).orderBy("k")
   }
 
+  /** D14 (r14): streaming version-guarded upsert
+   * ([[graft.streaming.EventStream.versionedUpsertSink]]) — the A18
+   * LWW merge driven through the REAL checkpointed sink with the
+   * batches deliberately OUT OF ORDER across micro-batches: the newer
+   * versions stream first, the full older backfill second, and the
+   * serving table must converge to the same end state
+   * q_upsert_versioned reaches (the oracle is the same SQL). Driver
+   * state is the bounded changelog slice (the D12/D13 precedent). */
+  private def qUpsertVersionedStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val slice = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("v"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val newer = slice.collect { case (k, v) if k % 3 == 0 => (k, v, 2L) }
+    val older = slice.map { case (k, v) => (k, v + 5L, 1L) }
+    val base = s"${graft.Scratch.root(s)}/vup_sink_${sinkSeq.incrementAndGet()}"
+    val (table, ckpt) = (s"$base/table", s"$base/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.EventStream.versionedUpsertSink(
+        in.toDF.toDF("k", "v", "ver"), table, Seq("k"), "ver")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(newer.toSeq)
+      q.processAllAvailable()
+      in.addData(older.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(table).select(col("k"), col("v"), col("ver")).orderBy("k")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -3812,6 +3844,7 @@ object SparkEntry {
     "q_stream_sessionize" -> qStreamSessionize,
     "q_vector_search_sink" -> qVectorSearchSink,
     "q_cdc_sink"      -> qCdcSink,
+    "q_upsert_versioned_stream" -> qUpsertVersionedStream,
     "q_interval_join" -> qIntervalJoin,
     "q_interval_join_outer" -> qIntervalJoinOuter,
     "q_stream_dedup"  -> qStreamDedup,
@@ -4166,6 +4199,15 @@ object SparkEntry {
              ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) + 5 END AS BIGINT) AS c,
            CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
          FROM orders ORDER BY k""",
+    // the A18 LWW end state over the slice, reached through the REAL
+    // streaming sink with batches out of order across micro-batches
+    "q_upsert_versioned_stream" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(CASE WHEN o_orderkey % 3 = 0
+             THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) + 5 END AS BIGINT) AS v,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+         FROM orders WHERE o_orderkey % 37 = 0 ORDER BY k""",
     // end-state replay of the two-batch streamed changelog: batch 1
     // upserts the slice, batch 2 bumps even keys by 7 and deletes odd
     // multiples of 3 (a key matching both rules is even -> updated)

@@ -367,6 +367,26 @@ object EventStream {
           keyCols, opCol, checkUniqueKeys = checkUniqueKeys)
       }
 
+  /** Streaming version-guarded upsert (D14): each micro-batch MERGEs
+   * via [[graft.sinks.TableSink.upsertVersioned]] — last-writer-wins
+   * by a monotone version column, so a feed whose batches arrive OUT
+   * OF ORDER (late backfills, replayed partitions, multi-producer
+   * races) still converges to the same serving table in any delivery
+   * order, any number of replays. This is the property [[cdcSink]]
+   * cannot give (applyCdc trusts batch order); the price is no
+   * deletes (LWW registers don't express tombstone-free deletion —
+   * carry an is_deleted payload column if needed). Cost model is
+   * upsertSink's: plain-parquet MERGE rewrites the table per trigger. */
+  def versionedUpsertSink(updates: DataFrame, path: String,
+      keyCols: Seq[String], versionCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.TableSink.upsertVersioned(batch.sparkSession, path,
+          batch.toDF(), keyCols, versionCol)
+      }
+
   /** Streaming vector-search enrichment (D12): each micro-batch of
    * query vectors is answered against a PERSISTED IVF index
    * ([[graft.similarity.Ann.ivfTopKIndexed]]) and the top-k appended

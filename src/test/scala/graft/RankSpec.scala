@@ -35,6 +35,16 @@ class RankSpec extends AnyFunSuite {
     assert(Rank.everyKthDistinct(small, "x", k = 100).count() == 0L)
   }
 
+  test("distinctRanks equals a serial sort on random duplicate-heavy data, negatives included") {
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(5000)(rnd.nextInt(800).toLong - 400L)
+    val want = vals.distinct.sorted.zipWithIndex
+      .map { case (v, i) => (v, (i + 1).toLong) }.toMap
+    val got = Rank.distinctRanks(vals.toDF("x"), "x")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("distinctRanks ignores nulls and handles a single partition") {
     val vals = Seq(Some(5L), None, Some(3L), Some(5L)).toDF("x")
     val got = Rank.distinctRanks(vals, "x", partitions = 1)

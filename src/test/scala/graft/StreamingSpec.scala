@@ -556,6 +556,27 @@ class StreamingSpec extends AnyFunSuite {
       s"expected ONE recovered 3-event session, got $got")
   }
 
+  test("versionedUpsertSink: out-of-order micro-batches converge to last-writer-wins") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString + "/vup"
+    val in = MemoryStream[(Long, String, Long)]
+    val q = EventStream.versionedUpsertSink(
+        in.toDF().toDF("k", "v", "ver"), dir, Seq("k"), "ver")
+      .option("checkpointLocation", dir + "_ckpt").start()
+    try {
+      // NEWER versions arrive first
+      in.addData((1L, "new1", 20L), (2L, "new2", 20L))
+      q.processAllAvailable()
+      // the older backfill lands after: keys 1-2 must NOT regress,
+      // key 3 (only in the backfill) must appear
+      in.addData((1L, "old1", 10L), (2L, "old2", 10L), (3L, "old3", 10L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dir).as[(Long, String, Long)].collect().toSet ==
+        Set((1L, "new1", 20L), (2L, "new2", 20L), (3L, "old3", 10L)))
+    } finally q.stop()
+  }
+
   test("windowedAgg recovers open-window state across a stop/restart (checkpoint)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
