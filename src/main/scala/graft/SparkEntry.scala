@@ -356,6 +356,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B15c (r14): NEAREST as-of join ([[graft.operators.AsOf
+   * .asofNearest]]) — for each purchase, the user's click CLOSEST in
+   * time in either direction (the sensor-fusion / quote-matching
+   * variant), ties resolving backward, tolerance 2h (farther matches
+   * null out, the row survives). Two sort-merge as-of passes + a
+   * row-local argmin — no range probe. Oracle ranks each purchase's
+   * clicks by (|gap| asc, direction: backward first) in DuckDB. */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"))
+      .agg(max("event_id").as("click_id"))
+    graft.operators.AsOf
+      .asofNearest(purchases, clicks, "user_id", "c_user", "ts_us", "click_ts_us",
+        rightPayload = Seq("click_id", "click_ts_us"), outPrefix = "",
+        maxGap = Some(2L * 3600L * 1000000L))
+      .orderBy("event_id")
+  }
+
   /** B16: banded range join — same-user event pairs within one hour,
    * aggregated per user (Ranged operator: bin + replicate, no theta
    * nested loop). */
@@ -3745,6 +3766,7 @@ object SparkEntry {
     "q_part_stats"     -> qPartStats,
     "q_asof_join"      -> qAsofJoin,
     "q_asof_forward"   -> qAsofForward,
+    "q_asof_nearest"   -> qAsofNearest,
     "q_range_pairs"    -> qRangePairs,
     "q_pivot"          -> qPivot,
     "q_unpivot"        -> qUnpivot,
@@ -4574,6 +4596,30 @@ object SparkEntry {
          SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.click_ts_us
          FROM purchases p ASOF LEFT JOIN clicks c
            ON p.user_id = c.c_user AND p.ts_us >= c.click_ts_us
+         ORDER BY p.event_id""",
+    // nearest in either direction, |gap| asc then backward-first,
+    // tolerance 2h (7_200_000_000 us) nulls the match, keeps the row
+    "q_asof_nearest" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+         clicks AS (
+           SELECT user_id AS c_user, epoch_us(ts) AS click_ts_us,
+                  MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         cand AS (
+           SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.click_ts_us,
+             ABS(c.click_ts_us - p.ts_us) AS gap,
+             CASE WHEN c.click_ts_us <= p.ts_us THEN 0 ELSE 1 END AS fwd,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+               ORDER BY ABS(c.click_ts_us - p.ts_us),
+                        CASE WHEN c.click_ts_us <= p.ts_us THEN 0 ELSE 1 END)
+               AS rn
+           FROM purchases p JOIN clicks c ON p.user_id = c.c_user),
+         best AS (SELECT * FROM cand WHERE rn = 1 AND gap <= 7200000000)
+         SELECT p.event_id, p.user_id, p.ts_us,
+           b.click_id, b.click_ts_us, CAST(b.gap AS BIGINT) AS gap
+         FROM purchases p LEFT JOIN best b USING (event_id)
          ORDER BY p.event_id""",
     "q_asof_forward" ->
       """WITH purchases AS (

@@ -93,4 +93,55 @@ object AsOf {
         (left.columns.map(c => col("__lrow").getField(c).as(c)) ++
           rightPayload.map(c => col("__fpay").getField(c).as(s"$outPrefix$c"))).toIndexedSeq: _*)
   }
+
+  /**
+   * NEAREST as-of join (B15c): for each left row, the right row with
+   * the smallest |right-time − left-time| for the same key, searching
+   * BOTH directions — the sensor-fusion / quote-matching variant
+   * (match the closest reading, not the latest). Ties (equal gap both
+   * sides) resolve BACKWARD deterministically. `maxGap` (same units
+   * as the time columns, which must be integral — epoch micros) nulls
+   * out matches farther than the tolerance instead of dropping the
+   * left row.
+   *
+   * Composition, not a new kernel: one backward and one forward
+   * [[asofJoin]] (each ONE exchange + sort on the key), then a
+   * row-local argmin over the two candidates — 2 sort-merge passes
+   * total, no range probe, no per-key blowup. Output: every left row
+   * + `outPrefix`-payload columns from the winning side +
+   * `<outPrefix>gap` (null when no match within tolerance).
+   */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      outPrefix: String = "near_",
+      maxGap: Option[Long] = None): DataFrame = {
+    val payloadWithT = (rightPayload :+ rightTime).distinct
+    val b = asofJoin(left, right, leftKey, rightKey, leftTime, rightTime,
+      payloadWithT, "__b_", "backward")
+    val both = asofJoin(b, right, leftKey, rightKey, leftTime, rightTime,
+      payloadWithT, "__f_", "forward")
+    val bt = col(s"__b_$rightTime").cast("long")
+    val ft = col(s"__f_$rightTime").cast("long")
+    val lt = col(leftTime).cast("long")
+    val bGap = lt - bt
+    val fGap = ft - lt
+    // backward wins ties; a side with no match loses to any match
+    val backWins = bt.isNotNull && (ft.isNull || bGap <= fGap)
+    val gap0 = when(backWins, bGap).otherwise(fGap)
+    val inTol = maxGap.map(g => gap0 <= g).getOrElse(lit(true))
+    val picked = rightPayload.map { c =>
+      when(inTol && backWins, col(s"__b_$c"))
+        .when(inTol && !backWins, col(s"__f_$c"))
+        .as(s"$outPrefix$c")
+    }
+    both.select(
+      (left.columns.map(col) ++ picked :+
+        when(inTol, gap0).as(s"${outPrefix}gap")).toIndexedSeq: _*)
+  }
 }

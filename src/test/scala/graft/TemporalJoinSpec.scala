@@ -100,6 +100,52 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 hash exchange, plan:\n$plan")
   }
 
+  test("asofNearest picks the closer side, ties go backward, tolerance nulls") {
+    val left = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 500L), (4L, "z", 10L))
+      .toDF("lid", "lk", "lt")
+    val right = Seq(("k", 90L, 1L), ("k", 110L, 2L), ("k", 200L, 3L), ("k", 210L, 4L))
+      .toDF("rk", "rt", "rid")
+    val got = graft.operators.AsOf.asofNearest(left, right,
+        "lk", "rk", "lt", "rt", Seq("rid"), outPrefix = "m_", maxGap = Some(50L))
+      .select("lid", "m_rid", "m_gap")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // lid 1 at t=100: 90 (gap 10) vs 110 (gap 10) — tie, backward wins
+    assert(got(1L) == ((Some(1L), Some(10L))))
+    // lid 2 at t=205: 200 (5) beats 210 (5)? tie again -> backward (200)
+    assert(got(2L) == ((Some(3L), Some(5L))))
+    // lid 3 at t=500: nearest is 210 at gap 290 > maxGap 50 -> nulls
+    assert(got(3L) == ((None, None)))
+    // lid 4: key with no right rows -> nulls
+    assert(got(4L) == ((None, None)))
+  }
+
+  test("asofNearest equals the quadratic argmin on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong)).toDF("lid", "lk", "lt")
+    val rightRows = (1 to 150).map(i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong, i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, time)
+    val right = rightRows.toDF("rk", "rt", "rid")
+    val got = graft.operators.AsOf.asofNearest(left, right,
+        "lk", "rk", "lt", "rt", Seq("rid"), outPrefix = "m_")
+      .select("lid", "m_rid").as[(Long, Option[Long])].collect().toMap
+    val want = left.as[(Long, String, Long)].collect().map { case (lid, lk, lt) =>
+      val cands = rightRows.filter(_._1 == lk)
+      val best =
+        if (cands.isEmpty) None
+        else {
+          val minGap = cands.map(r => math.abs(r._2 - lt)).min
+          val tied = cands.filter(r => math.abs(r._2 - lt) == minGap)
+          // backward wins ties; within a side (key, time) is unique
+          Some(tied.find(_._2 <= lt).getOrElse(tied.head)._3)
+        }
+      lid -> best
+    }.toMap
+    assert(got == want)
+  }
+
   test("bandedJoin finds exactly the in-band pairs, each once") {
     val a = Seq(("u", 0L, 1L), ("u", 100L, 2L), ("u", 250L, 3L), ("v", 0L, 4L))
       .toDF("ka", "ta", "ida")
