@@ -1669,6 +1669,32 @@ object SparkEntry {
         min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
       .orderBy("split")
 
+  /** C55 (r14): leakage-safe train/val/test split — split assignment
+   * at NEAR-DUP-CLUSTER granularity, not per doc: a per-doc hash
+   * split (C24) lets two near-duplicates straddle train and test,
+   * leaking training content into evaluation. Clusters come from the
+   * same verified MinHash pairs as C14; the whole cluster hashes to
+   * one split via the C24 md5-bucket arithmetic on the CLUSTER id.
+   * One CC pass + one codegen'd hash per row — no extra shuffle over
+   * C14. The oracle replays closure + bucket arithmetic and the
+   * no-straddle property follows by construction (split is a pure
+   * function of cluster_id). */
+  private def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup
+      .minhashCandidates(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+    graft.operators.Components.dedupClusters(docs, "doc_id", pairs)
+      .withColumn("bucket",
+        expr("conv(substring(md5(concat('lsplit:', cast(cluster_id as string))), 1, 8), 16, 10)")
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .select("doc_id", "cluster_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** C37: incremental dedup equivalence gate — split the corpus at
    * the id midpoint (1-row bounds broadcast, date-spine pattern),
    * build text-free [[graft.dedup.Dedup.minhashState]] from the first
@@ -3817,6 +3843,7 @@ object SparkEntry {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_clusters_exact" -> qDedupClustersExact,
     "q_dedup_keep_best" -> qDedupKeepBest,
+    "q_leakage_split"  -> qLeakageSplit,
     "q_dedup_minhash_sound" -> qDedupMinhashSound,
     "q_dedup_simhash_sound" -> qDedupSimhashSound,
     "q_dedup_clusters_sound" -> qDedupClustersSound,
@@ -5396,6 +5423,34 @@ object SparkEntry {
          SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster
          FROM documents LEFT JOIN comp c ON doc_id = c.node
          ORDER BY doc_id""",
+    // C55: the C14b closure plus the C24 md5-bucket arithmetic on the
+    // CLUSTER id — split is a pure function of cluster, so near-dups
+    // cannot straddle train/test by construction
+    "q_leakage_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
+         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach(src, dst) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+         comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src),
+         assigned AS (SELECT d.doc_id,
+             CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         b AS (SELECT *,
+             CAST(concat('0x', substr(md5(concat('lsplit:', CAST(cluster_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bucket
+           FROM assigned)
+         SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+             ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
     // C53: the C14b closure plus a per-cluster argmax (token count
     // desc, id asc) — the keep-best survivor rule
     "q_dedup_keep_best" ->
