@@ -322,4 +322,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!wp.contains("CartesianProduct") && !wp.contains("BroadcastNestedLoopJoin"),
       s"warehouse pipeline must stay equi-join only:\n$wp")
   }
+
+  test("round-14 operators plan to their declared scale shapes") {
+    // semantic decontamination: benchmark broadcasts through a
+    // nested-loop (the documented exact-recall shape); the corpus side
+    // must NOT shuffle — no data-sized Exchange above its scan
+    val sd = plan("q_decontaminate_semantic")
+    assert(sd.contains("BroadcastNestedLoopJoin"),
+      s"semantic decon must broadcast the benchmark:\n$sd")
+    assert(!sd.contains("CartesianProduct"),
+      s"semantic decon must not plan a cartesian:\n$sd")
+    // nearest as-of: two sort-merge as-of passes — window exchanges
+    // only, never a range/nested-loop join
+    val an = plan("q_asof_nearest")
+    assert(!an.contains("BroadcastNestedLoopJoin") && !an.contains("CartesianProduct"),
+      s"asofNearest must stay window-based:\n$an")
+    // keep-best and leakage split ride the C14 CC machinery: no
+    // cartesian anywhere in the composed plans
+    Seq("q_dedup_keep_best", "q_leakage_split", "q_upsert_versioned").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+  }
 }
