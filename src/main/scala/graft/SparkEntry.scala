@@ -2805,6 +2805,38 @@ object SparkEntry {
       .orderBy("from_type", "to_type")
   }
 
+  /** B81 (r14): top session PATHS — the "top user journeys" panel:
+   * the full ordered event-type sequence per 30-min-gap session,
+   * counted corpus-wide, top 20. Complements B59's first-order
+   * transition matrix with the whole-path view (the Markov matrix
+   * can't distinguish A→B→A from A→B + B→A mixtures). Sessions ride
+   * the standard B6 lag/cumsum assignment; the per-session path is a
+   * sort_array over (ts, id, type) structs (deterministic order,
+   * per-session arrays — never a data-sized sort); the top-20 plans
+   * as TakeOrderedAndProject (per-partition top-k then a 20-row
+   * merge — no global sort of the path domain). */
+  private def qSessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), "->").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** B58 (r13): BFS shortest paths ([[graft.operators.Graph
    * .shortestPaths]]) over the bipartite order–part graph (lineitem
    * rows ARE the edges — no self-join needed to build the graph;
@@ -3907,6 +3939,7 @@ object SparkEntry {
     "q_attribution"   -> qAttribution,
     "q_bfs"           -> qBfs,
     "q_session_transitions" -> qSessionTransitions,
+    "q_session_paths" -> qSessionPaths,
     "q_fd_audit"      -> qFdAudit,
     "q_constraint_audit" -> qConstraintAudit,
     "q_drift"         -> qDrift,
@@ -4455,6 +4488,26 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n
          FROM nx WHERE next_type IS NOT NULL AND next_sess = session_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // B81: full ordered path per session (string_agg over the same
+    // (ts, id) order as Spark's struct sort), corpus top 20 by
+    // (count desc, path asc)
+    "q_session_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         lagged AS (
+           SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         flagged AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM lagged),
+         sess AS (
+           SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM flagged),
+         paths AS (
+           SELECT user_id, session_id,
+             string_agg(event_type, '->' ORDER BY ts_us, event_id) AS path
+           FROM sess GROUP BY 1, 2)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM paths GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
     // BFS frontier expansion replayed as a recursive CTE: UNION's set
     // semantics dedupe (node, d) pairs exactly as the anti join
     // bounds the Spark frontier; MIN(d) per node = first settle.
