@@ -89,6 +89,27 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleCount(k4, "s", "d").as[Long].head() == 4L)
   }
 
+  test("triangleCount matches brute force on random graphs at random huge id offsets") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 4) {
+      val n = 10
+      val off = math.abs(rnd.nextLong()) % (1L << 40)
+      val base = (for {
+        a <- 0 until n; b <- 0 until n
+        if a < b && rnd.nextInt(3) == 0
+      } yield (a.toLong, b.toLong)).toVector
+      val brute = (for {
+        x <- 0 until n; y <- x + 1 until n; z <- y + 1 until n
+        if base.contains((x.toLong, y.toLong)) &&
+          base.contains((y.toLong, z.toLong)) &&
+          base.contains((x.toLong, z.toLong))
+      } yield 1).size.toLong
+      val edges = base.map { case (a, b) => (a + off, b + off) }.toDF("s", "d")
+      val got = Graph.triangleCount(edges, "s", "d").as[Long].head()
+      assert(got == brute, s"offset $off: got $got want $brute (edges $base)")
+    }
+  }
+
   test("triangleCount on a hub graph counts each triangle exactly once") {
     // hub 0 connected to 1..6; ring among leaves 1-2,3-4,5-6 → 3 triangles
     val edges = ((1L to 6L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L), (5L, 6L)))
