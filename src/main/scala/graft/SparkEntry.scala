@@ -1635,6 +1635,38 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  /** C56 (r14): corpus-order NOVELTY / memorization-risk scoring —
+   * per doc, the fraction of its distinct 3-gram shingles already
+   * seen in an EARLIER doc (first occurrence = min doc id per gram):
+   * the cross-document complement of C23's within-doc repetition and
+   * the graded signal dedup's binary keep/drop can't express
+   * (curriculum ordering, near-dup-tail weighting, memorization-risk
+   * audits score by HOW MUCH of a doc is recycled). Scale shape: one
+   * gram-keyed min aggregate (map-side combined) + one join back on
+   * the gram hash + one doc rollup — all hash-keyed shuffles, nothing
+   * global; the shingle kernel is the codegen'd wordShingleHashes,
+   * hash-space ≡ string-space re-proven by the string-replaying
+   * oracle per run (the C40 argument). Shingle-less docs report 0
+   * grams and a NULL ratio (integer div by zero is NULL in both
+   * engines). */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.expressions.wordShingleHashes(
+        coalesce(col("text"), lit("")), 3)).as("gh"))
+    val first = grams.groupBy("gh").agg(min("doc_id").as("first_id"))
+    val per = grams.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("seen_ppm", expr("n_seen * 1000000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** C23: within-document repetition audit (Gopher-style signal) —
    * unique-token and unique-2-gram rates per source as ppm of
    * integer sums; the n-gram kernel is the codegen'd wordNgrams. */
@@ -3905,6 +3937,7 @@ object SparkEntry {
     "q_important_parts" -> qImportantParts,
     "q_excess_suppliers" -> qExcessSuppliers,
     "q_repetition"     -> qRepetition,
+    "q_novelty"        -> qNovelty,
     "q_hash_split"     -> qHashSplit,
     "q_json_extract"   -> qJsonExtract,
     "q_bloom_semi_join" -> qBloomSemiJoin,
@@ -5476,6 +5509,24 @@ object SparkEntry {
          SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster
          FROM documents LEFT JOIN comp c ON doc_id = c.node
          ORDER BY doc_id""",
+    // C56: per-doc fraction of distinct shingles first seen in an
+    // earlier doc — string-space replay of the hash-space pipeline;
+    // x div 0 is NULL in both engines (shingle-less docs)
+    "q_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(translate(COALESCE(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS gram
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+         fst AS (SELECT gram, MIN(doc_id) AS first_id FROM g GROUP BY 1),
+         per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN fst.first_id < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+           FROM g JOIN fst USING (gram) GROUP BY 1)
+         SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_seen, 0) AS n_seen,
+           CAST(COALESCE(p.n_seen, 0) * 1000000 // COALESCE(p.n_grams, 0) AS BIGINT) AS seen_ppm
+         FROM documents d LEFT JOIN per p USING (doc_id)
+         ORDER BY d.doc_id""",
     // C55: the C14b closure plus the C24 md5-bucket arithmetic on the
     // CLUSTER id — split is a pure function of cluster, so near-dups
     // cannot straddle train/test by construction
