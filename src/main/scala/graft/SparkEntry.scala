@@ -1727,6 +1727,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** B82 (r14): revenue concentration (Lorenz-by-deciles) — "what
+   * share of revenue do the top customer deciles hold": per-customer
+   * revenue rollup, decile assignment from NINE broadcast
+   * percentile_disc cuts (the C50/B52 rank-statistic pattern — NO
+   * global sort, no ntile's single-partition window), then per-decile
+   * counts and integer ppm shares. The textbook Gini needs a global
+   * rank over every customer; the decile report answers the same
+   * business question with one map-side rollup + a 1-row cuts
+   * aggregate + a broadcast compare pass — the formulation that
+   * survives 10⁹ customers. Ties share a decile deterministically. */
+  private def qConcentration(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    val cutCols = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.${i}) within group (order by rev_cents)")
+        .cast("long").as(s"c$i"))
+    val cuts = base.agg(cutCols.head, cutCols.tail: _*)
+    val total = base.agg(sum("rev_cents").as("total_cents"),
+      count(lit(1)).as("n_total"))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        (1 to 9).map(i => (col("rev_cents") > col(s"c$i")).cast("long"))
+          .reduce(_ + _) + 1L)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("rev_cents").as("sum_cents"))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_customers"), col("sum_cents"),
+        expr("sum_cents * 1000000 div total_cents").as("share_ppm"))
+      .orderBy("decile")
+  }
+
   /** C37: incremental dedup equivalence gate — split the corpus at
    * the id midpoint (1-row bounds broadcast, date-spine pattern),
    * build text-free [[graft.dedup.Dedup.minhashState]] from the first
@@ -4010,6 +4041,7 @@ object SparkEntry {
     "q_rolling_distinct" -> qRollingDistinct,
     "q_band_lookup"    -> qBandLookup,
     "q_rfm"            -> qRfm,
+    "q_concentration"  -> qConcentration,
     "q_incremental_join" -> qIncrementalJoin,
     "q_weighted_quantile" -> qWeightedQuantile,
     "q_join_profile"   -> qJoinProfile,
@@ -5509,6 +5541,30 @@ object SparkEntry {
          SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster
          FROM documents LEFT JOIN comp c ON doc_id = c.node
          ORDER BY doc_id""",
+    // B82: decile by quantile_disc cuts (≡ Spark percentile_disc, the
+    // B52 precedent); integer ppm shares
+    "q_concentration" ->
+      """WITH base AS (SELECT o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM orders GROUP BY 1),
+         cuts AS (SELECT
+             quantile_disc(rev_cents, 0.1) AS c1, quantile_disc(rev_cents, 0.2) AS c2,
+             quantile_disc(rev_cents, 0.3) AS c3, quantile_disc(rev_cents, 0.4) AS c4,
+             quantile_disc(rev_cents, 0.5) AS c5, quantile_disc(rev_cents, 0.6) AS c6,
+             quantile_disc(rev_cents, 0.7) AS c7, quantile_disc(rev_cents, 0.8) AS c8,
+             quantile_disc(rev_cents, 0.9) AS c9 FROM base),
+         tot AS (SELECT SUM(rev_cents) AS total_cents FROM base),
+         dec AS (SELECT b.o_custkey, b.rev_cents,
+             CAST(1 + (b.rev_cents > c1)::INT + (b.rev_cents > c2)::INT
+               + (b.rev_cents > c3)::INT + (b.rev_cents > c4)::INT
+               + (b.rev_cents > c5)::INT + (b.rev_cents > c6)::INT
+               + (b.rev_cents > c7)::INT + (b.rev_cents > c8)::INT
+               + (b.rev_cents > c9)::INT AS BIGINT) AS decile
+           FROM base b, cuts)
+         SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(rev_cents) * 1000000 // tot.total_cents AS BIGINT) AS share_ppm
+         FROM dec, tot GROUP BY decile, tot.total_cents ORDER BY decile""",
     // C56: per-doc fraction of distinct shingles first seen in an
     // earlier doc — string-space replay of the hash-space pipeline;
     // x div 0 is NULL in both engines (shingle-less docs)
