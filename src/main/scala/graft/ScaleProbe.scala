@@ -638,6 +638,51 @@ object ScaleProbe {
     }
     require(triGot == 200000L, s"triangle count drift at 1e9 ids: $triGot")
     println("SCALE triangles: 200k exact at 1e9-range node ids")
+
+    // Nearest as-of (B15c) at 5M facts vs 300k quotes (100k keys ×
+    // times {0, 1000, 2000}): the expected match is pure arithmetic —
+    // round ts to the nearest quote time, remainder 500 ties backward,
+    // ts ≥ 2000 clamps to the last quote — so every row self-checks.
+    val anDim = spark.range(100000L).toDF("kk").select(col("kk"),
+        explode(sequence(lit(0L), lit(2L))).as("s"))
+      .select(col("kk").as("rk"), (col("s") * 1000L).as("rt"))
+    val anFacts = spark.range(5000000L).toDF("i").select(col("i").as("fid"),
+      (col("i") % 100000L).as("k"),
+      ((col("i") * 2654435761L) % 3000L).as("ts"))
+    val anOut = timedRun("asofNearest 5M facts x 300k quotes") {
+      graft.operators.AsOf.asofNearest(anFacts, anDim, "k", "rk", "ts", "rt",
+        Seq("rt"), outPrefix = "m_")
+    }
+    val anWant = when(col("ts") % 1000L < 500L, expr("ts div 1000") * 1000L)
+      .when(col("ts") % 1000L > 500L,
+        least(lit(2000L), (expr("ts div 1000") + 1L) * 1000L))
+      .otherwise(expr("ts div 1000") * 1000L)
+    val anBad = anOut.filter(col("m_rt").isNull || col("m_rt") =!= anWant).count()
+    require(anBad == 0, s"asofNearest drift at 5M: $anBad wrong matches")
+    println("SCALE asof nearest: all 5M facts matched the arithmetic nearest quote")
+
+    // Version-guarded upsert (A18) at 1.5M keys, three batches applied
+    // OUT OF ORDER (v3 slice, then the full v1 backfill, then a v2
+    // slice): the converged row is pure arithmetic per key.
+    val upBase = s"${graft.Scratch.root(spark)}/scale_upver"
+    def upBatch(filterMod: Option[Long], ver: Long) = {
+      val all = spark.range(1500000L).toDF("k")
+      filterMod.map(m => all.filter(col("k") % m === 0L)).getOrElse(all)
+        .select(col("k"), (col("k") * 10L + ver).as("v"), lit(ver).as("ver"))
+    }
+    time("upsertVersioned 3 out-of-order batches over 1.5M keys") {
+      graft.sinks.TableSink.upsertVersioned(spark, upBase, upBatch(Some(2L), 3L), Seq("k"), "ver")
+      graft.sinks.TableSink.upsertVersioned(spark, upBase, upBatch(None, 1L), Seq("k"), "ver")
+      graft.sinks.TableSink.upsertVersioned(spark, upBase, upBatch(Some(3L), 2L), Seq("k"), "ver")
+    }
+    val upGot = spark.read.parquet(upBase)
+    val upWantVer = when(col("k") % 2L === 0L, 3L)
+      .when(col("k") % 3L === 0L, 2L).otherwise(1L)
+    val upBad = upGot.filter(col("ver") =!= upWantVer ||
+      col("v") =!= col("k") * 10L + upWantVer).count()
+    require(upGot.count() == 1500000L && upBad == 0,
+      s"upsertVersioned LWW drift: ${upGot.count()} rows, $upBad wrong")
+    println("SCALE versioned upsert: 1.5M keys converged LWW under out-of-order batches")
     spark.stop()
   }
 }
