@@ -1758,6 +1758,36 @@ object SparkEntry {
       .orderBy("decile")
   }
 
+  /** C57 (r14): token-budget mixture PLANNING — the step BEFORE C22's
+   * mixture resampling: given target mixture weights and a token
+   * budget, compute each source's sampling rate
+   * (min(1, budget·weight ÷ available)) and the expected token yield,
+   * flagging under-supplied sources (rate pinned at 1 means the
+   * corpus cannot fill that slice of the budget — the signal to
+   * up-weight elsewhere or upsample). One map-side token rollup per
+   * source + pure integer ppm arithmetic — the whole plan is one
+   * aggregate over the corpus regardless of scale; weights ride a
+   * deterministic CASE (a real deployment joins a tiny weights dim).
+   * Token counts via the codegen'd wordNgrams kernel. */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budgetTokens = 100000L
+    val weightPpm = when(col("source").isin("src1", "src2"), 150000L)
+      .otherwise(lit(700000L / 18L)) // remaining 70% spread over 18 sources
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(graft.functions.expressions.wordNgrams(
+          coalesce(col("text"), lit("")), 1)).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .withColumn("weight_ppm", weightPpm)
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr(s"$budgetTokens * weight_ppm div n_tokens")))
+      .withColumn("expected_tokens", expr("n_tokens * rate_ppm div 1000000"))
+      .withColumn("under_supplied", col("rate_ppm") === 1000000L)
+      .orderBy("source")
+  }
+
   /** C37: incremental dedup equivalence gate — split the corpus at
    * the id midpoint (1-row bounds broadcast, date-spine pattern),
    * build text-free [[graft.dedup.Dedup.minhashState]] from the first
@@ -3918,6 +3948,7 @@ object SparkEntry {
     "q_corpus_shuffle" -> qCorpusShuffle,
     "q_context_chunks" -> qContextChunks,
     "q_mixture_resample" -> qMixtureResample,
+    "q_token_budget"   -> qTokenBudget,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embed"    -> qDedupEmbed,
     "q_semdedup"       -> qSemdedup,
@@ -5541,6 +5572,22 @@ object SparkEntry {
          SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster
          FROM documents LEFT JOIN comp c ON doc_id = c.node
          ORDER BY doc_id""",
+    // C57: the planning arithmetic replayed over the same
+    // whitespace-token counts; all integer ppm
+    "q_token_budget" ->
+      """WITH toks AS (SELECT source,
+           CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\r]+'), t -> t <> '')) AS BIGINT) AS n_toks
+           FROM documents),
+         per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+         w AS (SELECT *, CAST(CASE WHEN source IN ('src1', 'src2')
+             THEN 150000 ELSE 700000 // 18 END AS BIGINT) AS weight_ppm FROM per),
+         r AS (SELECT *, LEAST(1000000, 100000 * weight_ppm // n_tokens) AS rate_ppm FROM w)
+         SELECT source, n_docs, n_tokens, weight_ppm,
+           CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(n_tokens * rate_ppm // 1000000 AS BIGINT) AS expected_tokens,
+           rate_ppm = 1000000 AS under_supplied
+         FROM r ORDER BY source""",
     // B82: decile by quantile_disc cuts (≡ Spark percentile_disc, the
     // B52 precedent); integer ppm shares
     "q_concentration" ->
