@@ -1758,6 +1758,202 @@ object SparkEntry {
       .orderBy("decile")
   }
 
+  /** B83 (r14): per-group OLS trend ([[graft.operators.Regression]]) —
+   * per-nation revenue trend: x = days since 1992-01-01 of the order
+   * date, y = order total in cents, fit y = a + b·x per nation. The
+   * five sufficient statistics are exact decimal(38,0) sums in ONE
+   * map-side-combined aggregation (never REGR_SLOPE's reduction-order
+   * float accumulation, never a per-group collect), and slope/
+   * intercept come out as exact integral quotients — slope in
+   * micro-cents/day, intercept in cents — that DuckDB replays
+   * bit-for-bit in HUGEINT. The customer/nation dimensions broadcast. */
+  private def qGroupOls(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+        .cast("long").as("x"),
+      cents(col("o_totalprice")).as("y"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    graft.operators.Regression.groupedOls(joined, Seq("n_name"), "x", "y")
+      .select(col("n_name"), col("n").as("n_orders"),
+        col("slope_scaled").as("slope_udpm"),
+        col("intercept").as("intercept_cents"))
+      .orderBy("n_name")
+  }
+
+  /** B84 (r14): time-series gap-fill with exact linear interpolation
+   * ([[graft.operators.Interpolate.linearFill]]) — the per-nation
+   * daily-revenue panel densified over each nation's own [first, last]
+   * day span, absent days filled with the integer lerp of the nearest
+   * present neighbors. One window pass per nation (partition-local
+   * sort over a span-bounded series, no global ordering), spine
+   * generated per key — the densify step B48's calendar spine leaves
+   * to the caller, done value-exactly. */
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+        .cast("long").as("d"),
+      cents(col("o_totalprice")).as("rev_cents"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val daily = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "d").agg(sum("rev_cents").as("rev_cents"))
+    graft.operators.Interpolate.linearFill(daily, Seq("n_name"), "d", "rev_cents")
+      .orderBy("n_name", "d")
+  }
+
+  /** B85 (r14): exact per-group mode with deterministic tie-break
+   * ([[graft.operators.Mode.groupedMode]]) — dominant return flag per
+   * part brand. The raw facts are touched once (map-side-combined
+   * pair count); everything after runs on the bounded distinct-pair
+   * relation, and ties resolve to the smallest value so the output is
+   * a pure function of the data — the property DuckDB's own mode()
+   * does not give (its ties are arrival-order). */
+  private def qGroupMode(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_returnflag"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val j = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    graft.operators.Mode.groupedMode(j, Seq("p_brand"), "l_returnflag")
+      .orderBy("p_brand")
+  }
+
+  /** B86 (r14): chi-square independence audit
+   * ([[graft.operators.Contingency.chiSquare]]) — is order priority
+   * independent of market segment? Per-cell exact decomposition
+   * (O·T − R·C)²·10⁶ div (T·R·C) in decimal(38,0) — the float
+   * Σ(O−E)²/E pipeline is neither replayable nor reduction-order-free.
+   * One map-side pair count touches the data; marginals derive from
+   * the bounded cell relation and broadcast. */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderpriority"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    graft.operators.Contingency.chiSquare(j, "o_orderpriority", "c_mktsegment")
+      .orderBy("o_orderpriority", "c_mktsegment")
+  }
+
+  /** B87 (r14): period-over-period comparison with CALENDAR alignment
+   * — per-nation monthly revenue with month-over-month and
+   * year-over-year deltas in exact ppm. The naive lag() over present
+   * months silently compares against the previous PRESENT month when
+   * a month is missing; here the bounded nation×month grid (B48's
+   * spine pattern, zero-filled) pins lag(1)/lag(12) to true calendar
+   * neighbors, and the window sorts only the 25×~84 panel — never
+   * facts. */
+  private def qPeriodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      ((year(to_date(col("o_orderdate"))) - 1992) * 12 +
+        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
+      cents(col("o_totalprice")).as("rev"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val monthly = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "m").agg(sum("rev").as("rev_cents"))
+    val months = monthly.agg(max("m").as("mx"))
+      .select(explode(sequence(lit(0L), col("mx"))).as("m"))
+    val panel = n.select(col("n_name")).crossJoin(broadcast(months))
+      .join(monthly, Seq("n_name", "m"), "left")
+      .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
+    val w = Window.partitionBy("n_name").orderBy("m")
+    panel
+      .withColumn("prev", lag("rev_cents", 1).over(w))
+      .withColumn("prev_yr", lag("rev_cents", 12).over(w))
+      .select(col("n_name"), col("m"), col("rev_cents"),
+        expr("(rev_cents - prev) * 1000000 div nullif(prev, 0)").as("mom_ppm"),
+        expr("(rev_cents - prev_yr) * 1000000 div nullif(prev_yr, 0)")
+          .as("yoy_ppm"))
+      .orderBy("n_name", "m")
+  }
+
+  /** D16 (r14): streaming distribution-drift monitor
+   * ([[graft.streaming.EventStream.histogramDrift]]) run in batch —
+   * 6-hour value histograms (histogramStream's bounded counters)
+   * finalized against a pinned reference histogram (the deterministic
+   * even-event_id slice). Integer ppm shares end to end; the oracle
+   * replays window bucketing, both share computations, the full-outer
+   * bucket union, and the smallest-worst-bucket tie-break. */
+  private def qStreamDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val hist = graft.streaming.EventStream.histogramStream(
+      ev.select(col("ts"), col("value")),
+      windowLen = "6 hours", bucketCents = 500L)
+    val ref = ev.where(col("event_id") % 2 === 0)
+      .select(expr("cast(round(value * 100, 0) as bigint) div 500").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("ref_cnt"))
+    graft.streaming.EventStream.histogramDrift(hist, ref)
+      .orderBy("window_start_us")
+  }
+
+  /** C58 (r14): random-projection (JL) embedding sketch
+   * ([[graft.similarity.Projection]]) — every embedding reduced 64→16
+   * dims against a plan-embedded md5-parity ±1 matrix (derived once
+   * on the driver, the Ann-centroid bounded-state precedent), plus
+   * the norm-preservation ratio (Σp²)·10⁶ div (k·Σq²) whose JL
+   * expectation is 10⁶. Projections are EXACT integers (micro-unit
+   * quantization before the signed dot product), so DuckDB replays
+   * every output coordinate bit-for-bit — a float random projection
+   * could never be hash-checked. The O(k·d) kernel runs inside
+   * whole-stage codegen; the ratio diagnostics use bounded 16/64-
+   * element higher-order folds. */
+  private def qJlProject(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val dim = 64
+    val proj = graft.similarity.Projection
+      .project(t(s, dir, "embeddings"), "embedding", "proj", k, dim)
+    proj
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0).cast("long")))
+      .select(col("vec_id"),
+        array_join(transform(col("proj"), _.cast("string")), ",").as("proj"),
+        expr(s"""(cast(aggregate(proj, 0L, (a, x) -> a + x * x) as decimal(38,0))
+                  * 1000000)
+                 div nullif($k * cast(aggregate(q, 0L, (a, x) -> a + x * x)
+                  as decimal(38,0)), 0)""").as("norm_ratio_ppm"))
+      .orderBy("vec_id")
+  }
+
+  /** C59 (r14): rule-based weak labeling
+   * ([[graft.text.WeakLabel.label]]) — four keyword rules compiled
+   * into ONE codegen'd projection over the corpus (no per-rule pass,
+   * no UDF, no regex union); `primary_label` is the first matching
+   * rule in priority order, so the output is a pure function of data
+   * + rule list. */
+  private def qWeakLabel(s: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      "sql" -> Seq("join", "agg", "group"),
+      "perf" -> Seq("fast", "slow"),
+      "storage" -> Seq("row", "column", "table"),
+      "stream" -> Seq("stream", "batch", "window"))
+    graft.text.WeakLabel.label(t(s, dir, "documents"), "text", rules)
+      .select(col("doc_id"), col("labels"), col("primary_label"),
+        col("n_labels"))
+      .orderBy("doc_id")
+  }
+
+  /** D15 (r14): streaming per-key anomaly detection
+   * ([[graft.streaming.EventStream.anomalyStream]]) run in batch —
+   * the full-history deterministic twin (events replayed per user in
+   * (ts, event_id) order, verdicts from PRIOR events only). Emits the
+   * flagged rows; the oracle replays the exact integer z² inequality
+   * with DuckDB prefix windows row-for-row. StreamingSpec drives the
+   * same operator incrementally through MemoryStream. */
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Event]
+    graft.streaming.EventStream.anomalyStream(ev)
+      .toDF()
+      .where(col("is_anomaly"))
+      .select(col("user_id"), col("event_id"), col("cents"), col("n_prior"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** C57 (r14): token-budget mixture PLANNING — the step BEFORE C22's
    * mixture resampling: given target mixture weights and a token
    * budget, compute each source's sampling rate
@@ -4037,6 +4233,15 @@ object SparkEntry {
     "q_session_paths" -> qSessionPaths,
     "q_fd_audit"      -> qFdAudit,
     "q_constraint_audit" -> qConstraintAudit,
+    "q_group_ols"     -> qGroupOls,
+    "q_interpolate"   -> qInterpolate,
+    "q_group_mode"    -> qGroupMode,
+    "q_jl_project"    -> qJlProject,
+    "q_weak_label"    -> qWeakLabel,
+    "q_anomaly"       -> qAnomaly,
+    "q_chi_square"    -> qChiSquare,
+    "q_period_over_period" -> qPeriodOverPeriod,
+    "q_stream_drift"  -> qStreamDrift,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -4427,6 +4632,213 @@ object SparkEntry {
            FROM orders)
          SELECT r.c AS "constraint", r.violations, n.n_rows
          FROM rows_out r, n ORDER BY "constraint"""",
+    // exact OLS from HUGEINT sufficient statistics — the same closed
+    // forms as the Spark decimal(38,0) side, truncating // division.
+    "q_group_ols" ->
+      """WITH d AS (SELECT n_name,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         s AS (SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM d GROUP BY 1),
+         f AS (SELECT n_name, n, n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den, sx, sy FROM s)
+         SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+           CAST((num * 1000000) // den AS BIGINT) AS slope_udpm,
+           CAST((sy * den - num * sx) // (n * den) AS BIGINT) AS intercept_cents
+         FROM f ORDER BY n_name""",
+    // full spine + window replay of the integer lerp; IGNORE NULLS
+    // frames mirror Spark's last/first(ignoreNulls).
+    "q_interpolate" ->
+      """WITH o AS (SELECT o_custkey,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+         v AS (SELECT n_name, d, SUM(cents) AS rev FROM o
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+         b AS (SELECT n_name, MIN(d) AS d0, MAX(d) AS d1 FROM v GROUP BY 1),
+         spine AS (SELECT n_name, UNNEST(range(d0, d1 + 1)) AS d FROM b),
+         j AS (SELECT spine.n_name, spine.d, v.rev
+           FROM spine LEFT JOIN v ON spine.n_name = v.n_name AND spine.d = v.d),
+         f AS (SELECT n_name, d, rev,
+             last_value(rev IGNORE NULLS) OVER (PARTITION BY n_name ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY n_name ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+             first_value(rev IGNORE NULLS) OVER (PARTITION BY n_name ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY n_name ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+           FROM j)
+         SELECT n_name, d,
+           CAST(CASE WHEN rev IS NOT NULL THEN rev
+             ELSE pv + ((nv - pv) * (d - pp)) // (np - pp) END AS BIGINT) AS rev_cents,
+           (rev IS NULL) AS is_gap
+         FROM f ORDER BY n_name, d""",
+    // per-cell chi-square decomposition replayed in HUGEINT — same
+    // closed form, same truncating divisions.
+    "q_chi_square" ->
+      """WITH j AS (SELECT o_orderpriority AS a, c_mktsegment AS b
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (SELECT a, b, COUNT(*) AS observed FROM j GROUP BY 1, 2),
+         rm AS (SELECT a, SUM(observed) AS r FROM cells GROUP BY 1),
+         cm AS (SELECT b, SUM(observed) AS c FROM cells GROUP BY 1),
+         tt AS (SELECT SUM(observed) AS t, COUNT(DISTINCT a) AS na,
+             COUNT(DISTINCT b) AS nb FROM cells)
+         SELECT cells.a AS o_orderpriority, cells.b AS c_mktsegment,
+           CAST(observed AS BIGINT) AS observed,
+           CAST((r * c * 1000) // t AS BIGINT) AS expected_milli,
+           CAST(((observed * t - r * c) * (observed * t - r * c) * 1000000)
+             // (t * r * c) AS BIGINT) AS term_ppm,
+           CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+           CAST(t AS BIGINT) AS n_total
+         FROM cells, rm, cm, tt WHERE cells.a = rm.a AND cells.b = cm.b
+         ORDER BY 1, 2""",
+    // calendar-aligned panel replay: zero-filled nation x month grid,
+    // lag(1)/lag(12) over the grid, ppm deltas with NULL on zero base.
+    "q_period_over_period" ->
+      """WITH o AS (SELECT o_custkey,
+             CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS rev
+           FROM orders),
+         monthly AS (SELECT n_name, m, SUM(rev) AS rev_cents FROM o
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+         months AS (SELECT UNNEST(range(0,
+             (SELECT MAX(m) FROM monthly) + 1)) AS m),
+         grid AS (SELECT n_name, m FROM nation CROSS JOIN months),
+         panel AS (SELECT g.n_name, g.m,
+             COALESCE(mo.rev_cents, 0) AS rev_cents
+           FROM grid g
+           LEFT JOIN monthly mo ON g.n_name = mo.n_name AND g.m = mo.m),
+         lagd AS (SELECT n_name, m, rev_cents,
+             lag(rev_cents, 1) OVER (PARTITION BY n_name ORDER BY m) AS prev,
+             lag(rev_cents, 12) OVER (PARTITION BY n_name ORDER BY m) AS prev_yr
+           FROM panel)
+         SELECT n_name, m, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST((rev_cents - prev) * 1000000 // nullif(prev, 0) AS BIGINT)
+             AS mom_ppm,
+           CAST((rev_cents - prev_yr) * 1000000 // nullif(prev_yr, 0) AS BIGINT)
+             AS yoy_ppm
+         FROM lagd ORDER BY n_name, m""",
+    // full drift replay: window bucketing, both ppm share relations,
+    // the full-outer bucket union, L1/max, smallest-worst tie-break.
+    "q_stream_drift" ->
+      """WITH e AS (SELECT event_id,
+             (epoch_us(ts) // 21600000000) * 21600000000 AS w,
+             CAST(round(value * 100, 0) AS BIGINT) // 500 AS bucket
+           FROM events),
+         h AS (SELECT w, bucket, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+         wt AS (SELECT w, SUM(cnt) AS n_events FROM h GROUP BY 1),
+         sh AS (SELECT h.w, h.bucket, h.cnt * 1000000 // wt.n_events AS share
+           FROM h JOIN wt ON h.w = wt.w),
+         r AS (SELECT bucket, COUNT(*) AS rc FROM e
+           WHERE event_id % 2 = 0 GROUP BY 1),
+         rt AS (SELECT SUM(rc) AS rtot FROM r),
+         rs AS (SELECT bucket, rc * 1000000 // rtot AS rshare FROM r, rt),
+         grid AS (SELECT wt.w, rs.bucket, rs.rshare FROM wt, rs),
+         fj AS (SELECT COALESCE(sh.w, grid.w) AS w,
+             COALESCE(sh.bucket, grid.bucket) AS bucket,
+             abs(COALESCE(sh.share, 0) - COALESCE(grid.rshare, 0)) AS drift
+           FROM sh FULL JOIN grid
+             ON sh.w = grid.w AND sh.bucket = grid.bucket),
+         agg AS (SELECT w, SUM(drift) AS l1, MAX(drift) AS mx
+           FROM fj GROUP BY 1),
+         worst AS (SELECT fj.w, MIN(fj.bucket) AS wb FROM fj
+           JOIN agg ON fj.w = agg.w AND fj.drift = agg.mx GROUP BY 1)
+         SELECT agg.w AS window_start_us,
+           CAST(wt.n_events AS BIGINT) AS n_events,
+           CAST(agg.l1 AS BIGINT) AS l1_ppm,
+           CAST(agg.mx AS BIGINT) AS max_ppm,
+           CAST(worst.wb AS BIGINT) AS worst_bucket
+         FROM agg JOIN wt ON agg.w = wt.w JOIN worst ON agg.w = worst.w
+         ORDER BY 1""",
+    // full integer replay of the JL sketch: the md5-parity sign matrix,
+    // the micro-unit quantization, every projected coordinate, and the
+    // norm-preservation ratio — bit-for-bit.
+    "q_jl_project" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+           FROM embeddings),
+         p AS (SELECT vec_id, q,
+             list_transform(range(0, 16), i ->
+               list_sum(list_transform(range(1, len(q) + 1), j ->
+                 (CASE WHEN CAST(concat('0x',
+                     substr(md5(concat('jl_', i, '_', j - 1)), 1, 8)) AS BIGINT)
+                     % 2 = 0
+                   THEN 1 ELSE -1 END) * q[j]))) AS proj
+           FROM q)
+         SELECT vec_id,
+           array_to_string(proj, ',') AS proj,
+           CAST((list_sum(list_transform(proj, x -> x * x)) * 1000000)
+             // (16 * list_sum(list_transform(q, x -> x * x))) AS BIGINT)
+             AS norm_ratio_ppm
+         FROM p ORDER BY vec_id""",
+    // every rule replayed as substring probes; labels list, priority
+    // pick, and count rebuilt from the same booleans.
+    "q_weak_label" ->
+      """WITH m AS (SELECT doc_id, lower(coalesce(text, '')) AS tx FROM documents),
+         r AS (SELECT doc_id,
+             (instr(tx, 'join') > 0 OR instr(tx, 'agg') > 0
+               OR instr(tx, 'group') > 0) AS l_sql,
+             (instr(tx, 'fast') > 0 OR instr(tx, 'slow') > 0) AS l_perf,
+             (instr(tx, 'row') > 0 OR instr(tx, 'column') > 0
+               OR instr(tx, 'table') > 0) AS l_storage,
+             (instr(tx, 'stream') > 0 OR instr(tx, 'batch') > 0
+               OR instr(tx, 'window') > 0) AS l_stream
+           FROM m)
+         SELECT doc_id,
+           array_to_string(list_filter([
+             CASE WHEN l_sql THEN 'sql' END,
+             CASE WHEN l_perf THEN 'perf' END,
+             CASE WHEN l_storage THEN 'storage' END,
+             CASE WHEN l_stream THEN 'stream' END], x -> x IS NOT NULL), ',')
+             AS labels,
+           COALESCE(CASE WHEN l_sql THEN 'sql' END,
+             CASE WHEN l_perf THEN 'perf' END,
+             CASE WHEN l_storage THEN 'storage' END,
+             CASE WHEN l_stream THEN 'stream' END, 'unlabeled') AS primary_label,
+           CAST(l_sql::INT + l_perf::INT + l_storage::INT + l_stream::INT
+             AS BIGINT) AS n_labels
+         FROM r ORDER BY doc_id""",
+    // prefix-window replay of the exact integer z² inequality over
+    // PRIOR events per user in (ts, event_id) order.
+    "q_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+           FROM events),
+         p AS (SELECT user_id, event_id, c,
+             COUNT(*) OVER w AS n_prior,
+             COALESCE(SUM(c) OVER w, 0) AS s,
+             COALESCE(SUM(c * c) OVER w, 0) AS q
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, CAST(c AS BIGINT) AS cents,
+           CAST(n_prior AS BIGINT) AS n_prior
+         FROM p
+         WHERE n_prior >= 10
+           AND (n_prior * c - s) * (n_prior * c - s) > 9 * (n_prior * q - s * s)
+         ORDER BY user_id, event_id""",
+    // pair counts → per-key max → tied winners → MIN: the deterministic
+    // tie-break replayed literally (never DuckDB's arrival-order mode()).
+    "q_group_mode" ->
+      """WITH j AS (SELECT p_brand, l_returnflag
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         c AS (SELECT p_brand, l_returnflag, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+         t AS (SELECT p_brand, MAX(cnt) AS mode_count, COUNT(*) AS n_distinct
+           FROM c GROUP BY 1)
+         SELECT c.p_brand, MIN(c.l_returnflag) AS mode_value,
+           CAST(t.mode_count AS BIGINT) AS mode_count,
+           CAST(t.n_distinct AS BIGINT) AS n_distinct
+         FROM c JOIN t ON c.p_brand = t.p_brand AND c.cnt = t.mode_count
+         GROUP BY c.p_brand, t.mode_count, t.n_distinct
+         ORDER BY c.p_brand""",
     // bounded invariant (the ANN recall-gate pattern): every probe
     // answered through the REAL streaming sink with exactly k rows,
     // byte-equal to the direct indexed query

@@ -26,6 +26,42 @@ object HashOps {
     s
   }
 
+  /** Signed-projection (Johnson–Lindenstrauss sketch) kernel: each
+   * coordinate quantizes to micro-units exactly as SQL
+   * round(x·1e6) does (BigDecimal HALF_UP — the rounding DuckDB's
+   * round() also applies, so the whole projection replays
+   * engine-independently), then the k outputs are EXACT integer dot
+   * products p_i = Σ_j signs(i·dim+j)·q_j against a plan-embedded ±1
+   * matrix. All-integer → reduction-order-free and oracle-replayable,
+   * unlike a float random projection. */
+  def signedProjection(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      signs: Array[Long], dim: Int, isFloat: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = signs.length / dim
+    val n = math.min(v.numElements(), dim)
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      q(j) = java.math.BigDecimal.valueOf(x * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      j += 1
+    }
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var s = 0L
+      val off = i * dim
+      var jj = 0
+      while (jj < n) {
+        s += signs(off + jj) * q(jj)
+        jj += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** L2 norm of a numeric array in double precision. */
   def l2norm(a: org.apache.spark.sql.catalyst.util.ArrayData, isFloat: Boolean): Double = {
     val n = a.numElements()

@@ -381,6 +381,29 @@ case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** signed_projection(vec) against a plan-embedded ±1 sign matrix →
+ * array<long> of k exact micro-unit projections (the JL sketch
+ * kernel). The matrix rides the plan as a reference object like
+ * HyperplaneSig's planes; the O(k·d) per-row work runs inside
+ * whole-stage codegen. */
+case class SignedProjection(child: Expression, signs: Array[Long], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.check("signed_projection", Seq(child.dataType))
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.signedProjection(input.asInstanceOf[ArrayData], signs, dim, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signs", signs, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.signedProjection($c, $ref, $dim, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignedProjection =
+    copy(child = newChild)
+}
+
 /** cms_estimate(key) against a serialized Count-Min sketch → long
  * estimated frequency. The sketch bytes embed in the plan as a
  * reference object (deserialized once per task, like a broadcast
@@ -580,6 +603,11 @@ object expressions {
   def vecNorm(a: Column): Column = column(VecNorm(expression(a)))
   def hyperplaneSig(v: Column, planes: Array[Double], dim: Int): Column =
     column(HyperplaneSig(expression(v), planes, dim))
+  def signedProjection(v: Column, signs: Array[Long], dim: Int): Column = {
+    require(signs.nonEmpty && signs.length % dim == 0,
+      "signedProjection: signs must be a k x dim matrix")
+    column(SignedProjection(expression(v), signs, dim))
+  }
   def bitmapDistinct(c: Column, domain: Int): Column =
     column(BitmapDistinct(expression(c), domain).toAggregateExpression())
   def searchSortedLong(v: Column, breaks: Array[Long]): Column = {

@@ -21,6 +21,12 @@ case class HeavyHitter(window_start_us: Long, item: String,
 
 private case class MgSummary(counters: Map[String, Long], n: Long, wendUs: Long)
 
+/** Per-event anomaly verdict against the key's own running history. */
+case class AnomalyVerdict(user_id: Long, event_id: Long, cents: Long,
+    n_prior: Long, is_anomaly: Boolean)
+
+private case class RunningStats(n: Long, sum: Long, sumSq: Long)
+
 /**
  * Structured Streaming operators over the event stream. The same
  * transformations run on a batch DataFrame (Spark's unified API), so
@@ -134,6 +140,53 @@ object EventStream {
       .agg(min("bucket").as("qbucket"))
       .select(col("window_start_us"), col("q_ppm"),
         ((col("qbucket") + 1L) * bucketCents).as("value_cents_ub"))
+  }
+
+  /** D16: streaming distribution-drift monitor — the ML-ops "did this
+   * hour's data shift?" gate (B61's batch audit made continuous):
+   * per-window value histograms from [[histogramStream]] are finalized
+   * against a pinned REFERENCE histogram, emitting per window the L1
+   * share drift, the max per-bucket drift, and WHICH bucket drives it.
+   * All integer ppm arithmetic (shares via truncating div) — no PSI
+   * logarithms, no floats — so a drift alert is replayable evidence,
+   * not an estimate.
+   *
+   * Scale: the reference is a bounded (bucket, count) relation that
+   * BROADCASTS (never re-shuffled per window); drift runs over
+   * histogram rows only — windows × buckets, never events — and the
+   * streaming state cost is histogramStream's bounded counters. The
+   * worst bucket ties break to the SMALLEST bucket (pure function of
+   * the data, the B85 rule). */
+  def histogramDrift(hist: DataFrame, ref: DataFrame): DataFrame = {
+    // fresh attribute ids per use: a histogram read back from a sink
+    // (memory/parquet view) carries the same ids into both sides of
+    // the total-vs-rows self-join, which the analyzer rejects as
+    // conflicting references (MemoryPlan INTERNAL_ERROR)
+    def fresh(df: DataFrame) =
+      df.select(df.columns.map(c => col(c).as(c)): _*)
+    val refTot = ref.agg(sum("ref_cnt").as("ref_total"))
+    val refShares = ref.crossJoin(broadcast(refTot))
+      .select(col("bucket"),
+        expr("ref_cnt * 1000000 div nullif(ref_total, 0)").as("ref_share_ppm"))
+    val wTot = fresh(hist).groupBy("window_start_us")
+      .agg(sum("cnt").as("n_events"))
+    val shares = fresh(hist).join(wTot, "window_start_us")
+      .select(col("window_start_us"), col("bucket"),
+        expr("cnt * 1000000 div n_events").as("share_ppm"))
+    // every window × every reference bucket, so a bucket the window
+    // LOST entirely still contributes its full reference share
+    val refGrid = wTot.select(col("window_start_us"))
+      .crossJoin(broadcast(refShares))
+    shares.join(refGrid, Seq("window_start_us", "bucket"), "full")
+      .select(col("window_start_us"), col("bucket"),
+        abs(coalesce(col("share_ppm"), lit(0L)) -
+          coalesce(col("ref_share_ppm"), lit(0L))).as("drift"))
+      .groupBy("window_start_us")
+      .agg(sum("drift").as("l1_ppm"),
+        max(struct(col("drift"), (-col("bucket")).as("nb"))).as("worst"))
+      .join(wTot, "window_start_us")
+      .select(col("window_start_us"), col("n_events"), col("l1_ppm"),
+        col("worst.drift").as("max_ppm"), (-col("worst.nb")).as("worst_bucket"))
   }
 
   /** Streaming heavy hitters: per-window Misra-Gries frequency
@@ -496,6 +549,65 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** D15: streaming per-key anomaly detection — flag each event whose
+   * value deviates from ITS OWN key's running history by more than
+   * `zThreshold` standard deviations. The monitoring primitive every
+   * ingest wants inline (fraud spikes, sensor faults, price glitches),
+   * and the float z-score form is both non-replayable (variance
+   * accumulates in reduction order) and unbounded under streaming if
+   * done as "join each event to a global profile". Here the state per
+   * key is THREE integers (n, Σv, Σv²) in cents, the verdict is the
+   * exact integer inequality
+   *
+   *   (n·v − Σv)² > z²·(n·Σv² − (Σv)²)      [⇔ (v−μ)²/σ² > z²]
+   *
+   * evaluated in BigInt (no silent overflow at any magnitude), and an
+   * all-equal history (zero variance) flags ANY deviation — the
+   * fail-loud reading of an infinite z. Verdicts use only PRIOR
+   * events (a spike judges against history, then joins it), and the
+   * first `minPrior` events of a key never flag (no baseline yet).
+   *
+   * Scale: state is O(keys)·24 bytes regardless of stream length; the
+   * running sums add without rescanning (Σv² overflow fails loudly at
+   * ~3e9 max-value events per key, never wraps). In batch the same
+   * code degenerates to a full-history replay in (ts, event_id) order
+   * — the deterministic twin `q_anomaly` oracle-checks row-for-row
+   * against a DuckDB prefix-window replay. */
+  def anomalyStream(events: Dataset[Event], minPrior: Long = 10L,
+      zThreshold: Long = 3L): Dataset[AnomalyVerdict] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+
+    def isAnomaly(st: RunningStats, cents: Long): Boolean =
+      st.n >= minPrior && {
+        val n = BigInt(st.n); val sv = BigInt(st.sum); val q = BigInt(st.sumSq)
+        val dev = n * BigInt(cents) - sv
+        dev * dev > BigInt(zThreshold * zThreshold) * (n * q - sv * sv)
+      }
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[RunningStats]): Iterator[AnomalyVerdict] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(RunningStats(0L, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyVerdict]
+      for (e <- sorted) {
+        val cents = Math.round(e.value * 100.0)
+        out += AnomalyVerdict(userId, e.event_id, cents, st.n,
+          isAnomaly(st, cents))
+        val c2 = cents * cents
+        require(st.sumSq <= Long.MaxValue - c2,
+          s"anomalyStream: sum-of-squares overflow for key $userId — " +
+            "widen the state before trusting another verdict")
+        st = RunningStats(st.n + 1, st.sum + cents, st.sumSq + c2)
+      }
+      if (streaming) state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Stream-static enrichment: join each streaming event to a static

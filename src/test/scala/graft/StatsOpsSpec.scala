@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Contingency, Interpolate, Mode, Regression}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("groupedOls recovers an exact linear fit") {
+    // y = 3x + 7 exactly: slope_scaled = 3_000_000, intercept = 7
+    val df = (0L to 20L).map(x => ("g", x, 3 * x + 7)).toDF("g", "x", "y")
+    val r = Regression.groupedOls(df, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(r == List(("g", 21L, 3000000L, 7L)))
+  }
+
+  test("groupedOls matches the closed form on a non-linear group") {
+    // points (0,0),(1,1),(2,4): num = 3*9-3*5 = 12, den = 3*5-9 = 6
+    // slope = 2.0 -> 2_000_000; intercept = (5*6-12*3) div (3*6)
+    //   = -6 div 18 = 0 (truncation toward zero)
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 1L), ("g", 2L, 4L)).toDF("g", "x", "y")
+    val r = Regression.groupedOls(df, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(r == List(("g", 3L, 2000000L, 0L)))
+  }
+
+  test("groupedOls emits NULL slope for a single-x group, never crashes") {
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 9L)).toDF("g", "x", "y")
+    val r = Regression.groupedOls(df, Seq("g"), "x", "y").collect()
+    assert(r.length == 1 && r(0).isNullAt(2) && r(0).isNullAt(3))
+  }
+
+  test("groupedOls is partitioning-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("a", "b", "c"); i <- 1 to 400
+    } yield (g, rnd.nextInt(1000).toLong, rnd.nextInt(100000).toLong)
+    val df = rows.toDF("g", "x", "y")
+    val one = Regression.groupedOls(df.coalesce(1), Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val many = Regression.groupedOls(df.repartition(13), Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(one == many && one.size == 3)
+  }
+
+  test("linearFill fills interior gaps with the exact integer lerp") {
+    val df = Seq(("a", 0L, 10L), ("a", 4L, 30L)).toDF("k", "d", "v")
+    val r = Interpolate.linearFill(df, Seq("k"), "d", "v")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._2).toList
+    assert(r == List(("a", 0L, 10L, false), ("a", 1L, 15L, true),
+      ("a", 2L, 20L, true), ("a", 3L, 25L, true), ("a", 4L, 30L, false)))
+  }
+
+  test("linearFill truncates a negative slope toward zero (div semantics)") {
+    // (0,10) -> (3,0): d=1 fill = 10 + (-10 * 1) div 3 = 10 - 3 = 7
+    val df = Seq(("a", 0L, 10L), ("a", 3L, 0L)).toDF("k", "d", "v")
+    val r = Interpolate.linearFill(df, Seq("k"), "d", "v")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._2).toList
+    assert(r.map(_._3) == List(10L, 7L, 4L, 0L))
+  }
+
+  test("linearFill leaves present rows untouched and keys independent") {
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 99L), ("a", 3L, 1L),
+      ("b", 10L, 7L)).toDF("k", "d", "v")
+    val r = Interpolate.linearFill(df, Seq("k"), "d", "v")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(r == Set(("a", 1L, 5L, false), ("a", 2L, 99L, false),
+      ("a", 3L, 1L, false), ("b", 10L, 7L, false)))
+  }
+
+  test("groupedMode breaks frequency ties to the smallest value") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("k", "v")
+    val r = Mode.groupedMode(df, Seq("k"), "v")
+      .as[(String, String, Long, Long)].collect().toList
+    assert(r == List(("g", "a", 2L, 3L)))
+  }
+
+  test("groupedMode is partitioning-invariant on skewed data") {
+    val rows = (1 to 5000).map(i => ("hot", s"v${i % 7}")) ++
+      (1 to 40).map(i => ("cold", s"v${i % 3}"))
+    val df = rows.toDF("k", "v")
+    val one = Mode.groupedMode(df.coalesce(1), Seq("k"), "v")
+      .as[(String, String, Long, Long)].collect().toSet
+    val many = Mode.groupedMode(df.repartition(17), Seq("k"), "v")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(one == many)
+    // hot: i%7 over 1..5000 -> residues 1,2 appear 715 times, tie -> v1
+    assert(one.contains(("hot", "v1", 715L, 7L)))
+  }
+
+  test("chiSquare matches the hand-computed 2x2 decomposition") {
+    // cells: (x,u)=10 (x,v)=20 (y,u)=20 (y,v)=10; all E = 15
+    // term = (O*60 - 900)^2 * 1e6 div (60*30*30) = 9e10 div 54000 = 1666666
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(10)(("y", "v"))
+    val got = Contingency.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("x", "u", 10L, 15000L, 1666666L, 1L, 60L),
+      ("x", "v", 20L, 15000L, 1666666L, 1L, 60L),
+      ("y", "u", 20L, 15000L, 1666666L, 1L, 60L),
+      ("y", "v", 10L, 15000L, 1666666L, 1L, 60L)))
+  }
+
+  test("chiSquare emits zero terms for an exactly independent table") {
+    val rows = for { a <- Seq("x", "y", "z"); b <- Seq("u", "v")
+      _ <- 1 to (if (a == "x") 4 else 2) } yield (a, b)
+    val got = Contingency.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .select("term_ppm", "dof").as[(Long, Long)].collect()
+    assert(got.length == 6 && got.forall(_ == ((0L, 2L))))
+  }
+
+  test("chiSquare is partitioning-invariant") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(4000)((s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(3)}"))
+    val one = Contingency.chiSquare(rows.toDF("a", "b").coalesce(1), "a", "b")
+      .collect().map(_.toString).toSet
+    val many = Contingency.chiSquare(rows.toDF("a", "b").repartition(11), "a", "b")
+      .collect().map(_.toString).toSet
+    assert(one == many && one.size == 12)
+  }
+}

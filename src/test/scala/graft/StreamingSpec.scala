@@ -685,4 +685,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want,
       s"streamed ${got.size} rows != direct ${want.size}")
   }
+
+  test("histogramDrift: hand-checked shares, lost-bucket contribution, tie-break") {
+    import spark.implicits._
+    // window w1: buckets {0:3, 1:1} -> shares {750000, 250000}
+    // ref: {0:1, 1:1, 2:2} -> shares {250000, 250000, 500000}
+    // drift: b0=500000, b1=0, b2=500000 (lost bucket counts fully)
+    // l1=1000000, max=500000, worst = min(0, 2) = 0
+    val hist = Seq((7L, 0L, 3L), (7L, 1L, 1L)).toDF("window_start_us", "bucket", "cnt")
+    val ref = Seq((0L, 1L), (1L, 1L), (2L, 2L)).toDF("bucket", "ref_cnt")
+    val got = EventStream.histogramDrift(hist, ref)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((7L, 4L, 1000000L, 500000L, 0L)))
+    // identical distribution -> zero drift everywhere
+    val same = Seq((7L, 0L, 2L), (7L, 1L, 2L), (7L, 2L, 4L))
+      .toDF("window_start_us", "bucket", "cnt")
+    val zero = EventStream.histogramDrift(same, ref)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(zero == List((7L, 8L, 0L, 0L, 0L)))
+  }
+
+  test("histogramDrift finalizes a streamed histogram identically to batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val events = (1 to 60).map(i =>
+      Event(i % 5L, i.toLong, ts(i % 90), "m", (i % 7) * 1.0))
+    val ref = Seq((0L, 5L), (3L, 5L), (6L, 2L)).toDF("bucket", "ref_cnt")
+    val direct = EventStream.histogramDrift(
+      EventStream.histogramStream(events.toDF(), "1 hour", bucketCents = 100L), ref)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val in = MemoryStream[Event]
+    val q = EventStream.histogramStream(in.toDF(), "1 hour", "10 minutes", bucketCents = 100L)
+      .writeStream.format("memory").queryName("hd").outputMode("append").start()
+    try {
+      events.grouped(20).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      in.addData(Event(9, 999, ts(600), "m", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val streamedWindows = spark.table("hd")
+        .filter($"window_start_us".isin(direct.map(_._1).toSeq: _*))
+      val got = EventStream.histogramDrift(streamedWindows, ref)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == direct)
+    } finally q.stop()
+  }
+
+  test("anomalyStream flags a spike against the key's prior history only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.anomalyStream(in.toDS(), minPrior = 5, zThreshold = 3)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      // 10 steady events at 1.00, then a 50.00 spike, then steady again
+      in.addData((1 to 10).map(i => Event(7, i, ts(i), "m", 1.0)): _*)
+      q.processAllAvailable()
+      in.addData(Event(7, 11, ts(11), "m", 50.0), Event(7, 12, ts(12), "m", 1.0))
+      q.processAllAvailable()
+      val flagged = spark.table("anom").where($"is_anomaly")
+        .select("event_id", "cents", "n_prior").as[(Long, Long, Long)].collect().toSet
+      // zero-variance history: any deviation flags; the spike is event 11.
+      // event 12 (back to 1.00) judges against a history CONTAINING the
+      // spike — variance is now large, so it must not flag.
+      assert(flagged == Set((11L, 5000L, 10L)), s"got $flagged")
+      // warm-up: a different key's first events never flag
+      in.addData(Event(8, 20, ts(20), "m", 999.0))
+      q.processAllAvailable()
+      assert(spark.table("anom").where($"user_id" === 8 && $"is_anomaly").isEmpty)
+    } finally q.stop()
+  }
+
+  test("anomalyStream streaming verdicts equal the batch full-history twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 120).map { i =>
+      Event(i % 3L, i.toLong, ts(i),
+        "m", if (i % 37 == 0) 80.0 + i else rnd.nextDouble() * 4.0)
+    }
+    val want = EventStream.anomalyStream(events.toDS(), minPrior = 5)
+      .collect().toSet
+    val in = MemoryStream[Event]
+    val q = EventStream.anomalyStream(in.toDS(), minPrior = 5)
+      .writeStream.format("memory").queryName("anom_eq").outputMode("append").start()
+    try {
+      // deliver in event order across three micro-batches: the running
+      // state must accumulate identically to the batch replay
+      events.grouped(40).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val got = spark.table("anom_eq")
+        .as[graft.streaming.AnomalyVerdict].collect().toSet
+      assert(got == want && want.exists(_.is_anomaly))
+    } finally q.stop()
+  }
 }
