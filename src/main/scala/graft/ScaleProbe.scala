@@ -683,6 +683,70 @@ object ScaleProbe {
     require(upGot.count() == 1500000L && upBad == 0,
       s"upsertVersioned LWW drift: ${upGot.count()} rows, $upBad wrong")
     println("SCALE versioned upsert: 1.5M keys converged LWW under out-of-order batches")
+
+    // Grouped OLS (B83) at 10M rows / 1000 groups: y = 7x + g exactly
+    // per group, so every decimal(38,0) sufficient-statistic path must
+    // recover slope_scaled = 7e6 and intercept = g with zero drift.
+    val olsIn = spark.range(10000000L).toDF("i").select(
+      (col("i") % 1000L).as("g"),
+      (col("i") / 1000L).cast("long").as("x"))
+      .withColumn("y", col("x") * 7L + col("g"))
+    val olsOut = timedRun("groupedOls 10M rows / 1000 groups") {
+      graft.operators.Regression.groupedOls(olsIn, Seq("g"), "x", "y")
+    }
+    val olsBad = olsOut.filter(col("slope_scaled") =!= 7000000L ||
+      col("intercept") =!= col("g") || col("n") =!= 10000L).count()
+    require(olsBad == 0, s"groupedOls drift at 10M: $olsBad groups wrong")
+    println("SCALE grouped OLS: 1000 exact fits recovered from 10M rows")
+
+    // Grouped mode (B85) under a 9M-row hot key: the hot key must cost
+    // one pair per distinct value, and the tie-break must stay exact.
+    // hot: values v0..v9 each get exactly 900k rows -> all ten tied,
+    // tie-break -> v0; cold keys exercise the join's small side.
+    val modeIn = spark.range(9000045L).toDF("i").select(
+      when(col("i") < 9000000L, lit("hot")).otherwise(concat(lit("c"), col("i") % 15L)).as("k"),
+      when(col("i") < 9000000L,
+          concat(lit("v"), expr("i % 10")))
+        .otherwise(concat(lit("w"), col("i") % 2L)).as("v"))
+    val modeOut = timedRun("groupedMode 9M-row hot key + 15 cold keys") {
+      graft.operators.Mode.groupedMode(modeIn, Seq("k"), "v")
+    }
+    val hotRow = modeOut.filter(col("k") === "hot").collect()(0)
+    require(hotRow.getString(1) == "v0" && hotRow.getLong(2) == 900000L,
+      s"hot-key mode drift: $hotRow")
+    println("SCALE grouped mode: hot key resolved from 10 pair rows")
+
+    // Linear gap-fill (B84) at 10k keys x 1001-day spans (10M output
+    // rows): endpoints (0,0) and (1000,1000) make every filled value
+    // provably equal its position.
+    val fillIn = spark.range(10000L).toDF("k").select(col("k"),
+        explode(array(lit(0L), lit(1000L))).as("d"))
+      .withColumn("v", col("d"))
+    val fillOut = timedRun("linearFill 10k keys -> 10M filled rows") {
+      graft.operators.Interpolate.linearFill(fillIn, Seq("k"), "d", "v")
+    }
+    val fillBad = fillOut.filter(col("v") =!= col("d")).count()
+    require(fillBad == 0, s"linearFill drift at 10M rows: $fillBad wrong fills")
+    println("SCALE linear fill: 10M interpolated values exact")
+
+    // Streaming anomaly state machine (D15) at 10M events / 10k keys:
+    // constant 1.00 history with a 100.00 spike at position 500 per key
+    // -> exactly one flag per key (zero-variance history flags any
+    // deviation; warm-up never flags).
+    import spark.implicits._
+    val anomIn = spark.range(10000000L).toDF("i").select(
+        (col("i") % 10000L).as("user_id"),
+        col("i").as("event_id"),
+        expr("timestamp_micros((i div 10000) * 1000000)").as("ts"),
+        lit("m").as("event_type"),
+        when(expr("i div 10000") === 500L, 100.0).otherwise(1.0).as("value"))
+      .as[graft.streaming.Event]
+    val anomFlags = time("anomalyStream batch 10M events / 10k keys") {
+      graft.streaming.EventStream.anomalyStream(anomIn)
+        .filter(col("is_anomaly")).count()
+    }
+    require(anomFlags == 10000L, s"anomaly flag drift at 10M: $anomFlags flags")
+    println("SCALE anomaly: exactly one spike flagged per key at 10M events")
     spark.stop()
   }
 }
