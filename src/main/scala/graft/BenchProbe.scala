@@ -38,6 +38,32 @@ object BenchProbe {
     time("q_nested_denorm") {
       noop(SparkEntry.queries("q_nested_denorm")(spark, dir))
     }
+
+    // B84 interpolate stage costs: the daily rollup alone, the spine
+    // join without windows, and the shipped operator (running +
+    // unbounded-following frames) — isolates where the time goes.
+    {
+      val nation = Tables.table(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val daily = orders.select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+            .cast("long").as("d"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("rev_cents"))
+        .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "d").agg(sum("rev_cents").as("rev_cents"))
+      time("interp: daily rollup only")(noop(daily))
+      val span = daily.groupBy("n_name")
+        .agg(min("d").as("p0"), max("d").as("p1"))
+        .select(col("n_name"), explode(sequence(col("p0"), col("p1"))).as("d"))
+      time("interp: spine + left join, no windows") {
+        noop(span.join(daily, Seq("n_name", "d"), "left"))
+      }
+      time("interp: shipped linearFill") {
+        noop(graft.operators.Interpolate.linearFill(daily, Seq("n_name"), "d", "rev_cents"))
+      }
+    }
     spark.stop()
   }
 }

@@ -1820,6 +1820,80 @@ object SparkEntry {
       .orderBy("p_brand")
   }
 
+  /** A19 (r14): atomic multi-table snapshot publish + time travel
+   * ([[graft.sinks.Snapshot]]) — publish v1 = {customer rollup,
+   * nation dim}, then v2 with a changed rollup; read the CURRENT
+   * version and the PINNED v1 back through the manifest and emit both
+   * rollups. The oracle computes both versions' content directly from
+   * the source tables — equality proves write→pointer-flip→read
+   * fidelity AND that v1 stayed intact after v2's publish (version
+   * immutability is what makes time travel trustworthy). */
+  private def qSnapshotPublish(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/snap_${sinkSeq.incrementAndGet()}"
+    def rollup(onlyPositive: Boolean) = {
+      val c = t(s, dir, "customer")
+      (if (onlyPositive) c.filter(col("c_acctbal") > 0) else c)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"))
+    }
+    val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val v1 = graft.sinks.Snapshot.publish(s, root,
+      Map("cust" -> rollup(onlyPositive = false), "nation" -> nation))
+    graft.sinks.Snapshot.publish(s, root,
+      Map("cust" -> rollup(onlyPositive = true), "nation" -> nation))
+    def readBack(version: Option[Long], tag: Long) =
+      graft.sinks.Snapshot.read(s, root, "cust", version)
+        .join(graft.sinks.Snapshot.read(s, root, "nation", version),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(lit(tag).as("version"), col("n_name"), col("n_cust"),
+          col("bal_cents"))
+    readBack(None, 2L).unionByName(readBack(Some(v1), 1L))
+      .orderBy("version", "n_name")
+  }
+
+  /** C60 (r14): per-source dataset card — the one-page audit manifest
+   * a corpus release ships with (docs, tokens, exact-dup rate,
+   * dominant predicted language, median length), composed from the
+   * verified C-operators' kernels: wordNgrams token counts (C10),
+   * langId (C8) summarized by the B85 deterministic mode, exact-dup
+   * ppm from md5 distinct (C1's key), and the median via
+   * bounded-domain cumulative counts (the B67 pattern — no
+   * all-values percentile state). One pass over the corpus feeds
+   * every column; everything after runs on bounded per-source
+   * relations. */
+  private def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .select(col("source"), coalesce(col("text"), lit("")).as("text"))
+      .select(col("source"),
+        size(graft.functions.expressions.wordNgrams(col("text"), 1))
+          .cast("long").as("toks"),
+        md5(col("text")).as("h"),
+        TextFunctions.langId(col("text")).as("lang"),
+        length(col("text")).cast("long").as("chars"))
+    val base = per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        countDistinct("h").as("n_distinct"))
+      .withColumn("dup_ppm",
+        expr("(n_docs - n_distinct) * 1000000 div n_docs"))
+    val langMode = graft.operators.Mode
+      .groupedMode(per.select("source", "lang"), Seq("source"), "lang")
+      .select(col("source"), col("mode_value").as("top_lang"),
+        col("mode_count"))
+    val wsrc = Window.partitionBy("source")
+    val med = per.groupBy("source", "chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wsrc.orderBy("chars")))
+      .withColumn("tot", sum("c").over(wsrc))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("source").agg(min("chars").as("median_chars"))
+    base.join(langMode, "source").join(med, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("dup_ppm"),
+        col("top_lang"),
+        expr("mode_count * 1000000 div n_docs").as("top_lang_ppm"),
+        col("median_chars"))
+      .orderBy("source")
+  }
+
   /** B86 (r14): chi-square independence audit
    * ([[graft.operators.Contingency.chiSquare]]) — is order priority
    * independent of market segment? Per-cell exact decomposition
@@ -4242,6 +4316,8 @@ object SparkEntry {
     "q_chi_square"    -> qChiSquare,
     "q_period_over_period" -> qPeriodOverPeriod,
     "q_stream_drift"  -> qStreamDrift,
+    "q_snapshot_publish" -> qSnapshotPublish,
+    "q_dataset_card"  -> qDatasetCard,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -4679,6 +4755,69 @@ object SparkEntry {
              ELSE pv + ((nv - pv) * (d - pp)) // (np - pp) END AS BIGINT) AS rev_cents,
            (rev IS NULL) AS is_gap
          FROM f ORDER BY n_name, d""",
+    // both snapshot versions recomputed directly from the source
+    // tables: equality proves publish->flip->read fidelity and v1
+    // immutability after v2's publish.
+    "q_snapshot_publish" ->
+      """WITH v1 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal
+           FROM customer GROUP BY 1),
+         v2 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal
+           FROM customer WHERE c_acctbal > 0 GROUP BY 1),
+         u AS (SELECT CAST(2 AS BIGINT) AS version, n_name, n_cust, bal
+             FROM v2 JOIN nation ON c_nationkey = n_nationkey
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), n_name, n_cust, bal
+             FROM v1 JOIN nation ON c_nationkey = n_nationkey)
+         SELECT version, n_name, n_cust, bal AS bal_cents
+         FROM u ORDER BY version, n_name""",
+    // the whole card replayed: whitespace token counts (C10), md5
+    // exact-dup ppm, the langId CASE (C8) summarized by the B85
+    // min-tie-break mode, and the lower-median via cumulative counts.
+    "q_dataset_card" ->
+      """WITH d AS (SELECT source, COALESCE(text, '') AS text FROM documents),
+         per AS (SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+               t -> t <> '')) AS BIGINT) AS toks,
+             md5(text) AS h,
+             length(text) AS chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               t -> t <> '') AS ts
+           FROM d),
+         lang AS (SELECT source, toks, h, chars, CASE
+             WHEN en = 0 AND fr = 0 AND es = 0 AND de = 0 THEN 'und'
+             WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+             WHEN fr >= es AND fr >= de THEN 'fr'
+             WHEN es >= de THEN 'es' ELSE 'de' END AS lang
+           FROM (SELECT source, toks, h, chars,
+             len(list_filter(ts, t -> list_contains(['the','and','of','to','is','in','that','it','with','for','this','are'], t))) AS en,
+             len(list_filter(ts, t -> list_contains(['le','la','les','des','est','et','une','dans','que','pour','pas','vous'], t))) AS fr,
+             len(list_filter(ts, t -> list_contains(['el','los','las','es','y','una','que','en','por','para','con','su'], t))) AS es,
+             len(list_filter(ts, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','ich'], t))) AS de
+             FROM per)),
+         base AS (SELECT source, COUNT(*) AS n_docs, SUM(toks) AS n_tokens,
+             COUNT(DISTINCT h) AS n_distinct FROM lang GROUP BY 1),
+         lc AS (SELECT source, lang, COUNT(*) AS cnt FROM lang GROUP BY 1, 2),
+         lt AS (SELECT source, MAX(cnt) AS mode_count FROM lc GROUP BY 1),
+         lm AS (SELECT lc.source, MIN(lc.lang) AS top_lang, lt.mode_count
+           FROM lc JOIN lt ON lc.source = lt.source AND lc.cnt = lt.mode_count
+           GROUP BY 1, 3),
+         cc AS (SELECT source, chars, COUNT(*) AS c FROM lang GROUP BY 1, 2),
+         cw AS (SELECT source, chars,
+             SUM(c) OVER (PARTITION BY source ORDER BY chars) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS tot FROM cc),
+         med AS (SELECT source, MIN(chars) AS median_chars FROM cw
+           WHERE cum * 2 >= tot GROUP BY 1)
+         SELECT base.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+           top_lang,
+           CAST(mode_count * 1000000 // n_docs AS BIGINT) AS top_lang_ppm,
+           CAST(median_chars AS BIGINT) AS median_chars
+         FROM base JOIN lm ON base.source = lm.source
+         JOIN med ON base.source = med.source
+         ORDER BY base.source""",
     // per-cell chi-square decomposition replayed in HUGEINT — same
     // closed form, same truncating divisions.
     "q_chi_square" ->

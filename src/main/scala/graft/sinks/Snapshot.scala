@@ -1,0 +1,110 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Atomic multi-table snapshot publish with version-pinned reads
+ * (A19) — the "one logical commit across N tables" capability a
+ * warehouse load needs and plain directory writes cannot give: a
+ * nightly build that rewrites `facts` and `dims` one after the other
+ * exposes readers to a torn state (new facts joined against old
+ * dims). Here every publish writes a fresh immutable version
+ * directory and flips ONE pointer file afterwards, so readers always
+ * resolve a complete, mutually consistent table set — and old
+ * versions stay readable (time travel) until explicitly vacuumed.
+ *
+ * Protocol (the IngestLedger publication discipline):
+ *  - tables write under `root/v<N>/<table>` where N = current manifest
+ *    version + 1. The version dir is invisible to readers until the
+ *    manifest names it, so a crashed publish leaves dead files, never
+ *    a torn read;
+ *  - the manifest flip is ONE rename of a freshly-written pointer
+ *    file (`MANIFEST.tmp.<N>` → `MANIFEST`), atomic on HDFS/local
+ *    filesystems — object stores emulate rename, so deploy the root
+ *    on a rename-atomic filesystem or front it with a coordination
+ *    service (the IngestLedger caveat, same wording by design);
+ *  - the manifest's content is just the version number: everything
+ *    else (the table list, schemas) is self-describing from the
+ *    version directory, so there is no metadata to drift.
+ *
+ * Scale: a publish costs the data writes + one 8-byte pointer flip
+ * regardless of table count or size; readers pay one tiny file read
+ * to resolve a version, then scan parquet as usual (all pruning/
+ * pushdown intact — the pointer indirection is invisible to
+ * Catalyst). Concurrent publishers are NOT arbitrated beyond
+ * last-flip-wins; serialize publishes externally (single nightly
+ * driver — the normal deployment).
+ */
+object Snapshot {
+
+  private def fs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/MANIFEST")
+
+  /** Version the manifest currently names, or 0 if never published. */
+  def currentVersion(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val mp = manifestPath(root)
+    if (!f.exists(mp)) 0L
+    else {
+      val in = f.open(mp)
+      try {
+        val s = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        s.toLong
+      } finally in.close()
+    }
+  }
+
+  /** Publish all `tables` as one atomic version; returns the new
+   * version number. Readers resolving through [[read]] see either the
+   * previous complete version or this one, never a mix. */
+  def publish(
+      spark: SparkSession,
+      root: String,
+      tables: Map[String, DataFrame]): Long = {
+    require(tables.nonEmpty, "snapshot publish: no tables")
+    tables.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"snapshot publish: unsafe table name '$n'"))
+    val f = fs(spark, root)
+    val next = currentVersion(spark, root) + 1
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
+    }
+    // pointer flip: write-then-rename, never write-in-place (a reader
+    // must not observe a half-written manifest)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.tmp.$next")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(root))) {
+      // HDFS/local rename-over-existing: delete-then-rename window is
+      // acceptable for the single-publisher deployment; fail loudly if
+      // even that cannot complete
+      f.delete(manifestPath(root), false)
+      require(f.rename(tmp, manifestPath(root)),
+        s"snapshot publish: manifest flip failed for v$next")
+    }
+    next
+  }
+
+  /** Read `table` at the current version, or pinned at `asOfVersion`
+   * (time travel). A version the manifest never named (crashed
+   * publish) is unreadable by construction. */
+  def read(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val v = asOfVersion.getOrElse {
+      val cur = currentVersion(spark, root)
+      require(cur > 0, s"snapshot read: nothing published under $root")
+      cur
+    }
+    spark.read.parquet(s"$root/v$v/$table")
+  }
+}
