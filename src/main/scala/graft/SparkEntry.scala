@@ -1894,6 +1894,63 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** B88 (r14): daily balance panel via LOCF
+   * ([[graft.operators.Interpolate.locfFill]]) — per-nation CUMULATIVE
+   * revenue carried forward over gap days: the inventory/balance
+   * "state as of every day" snapshot where the value HOLDS between
+   * observations (linear blending would invent movements). Running
+   * cumsum over present days (partition-local window), then the
+   * step-function densify — one ascending frame, O(span) per key. */
+  private def qRunningBalance(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+        .cast("long").as("d"),
+      cents(col("o_totalprice")).as("rev"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val daily = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "d").agg(sum("rev").as("delta"))
+    val wcum = Window.partitionBy("n_name").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("balance_cents", sum("delta").over(wcum))
+      .select("n_name", "d", "balance_cents")
+    graft.operators.Interpolate.locfFill(cum, Seq("n_name"), "d", "balance_cents")
+      .orderBy("n_name", "d")
+  }
+
+  /** C61 (r14): RAG retrieval flagship — the chunk→index→query
+   * composition a retrieval pipeline actually runs: strided context
+   * chunks (C35's codegen'd kernel), BM25 statistics over the CHUNK
+   * corpus (C43's fixed-point scoring — integer ppm end to end), and
+   * top-5 answers for three bag-of-words queries via TakeOrdered
+   * (per-partition heads + a k-row driver merge, never a global
+   * sort). The composition row verifies the chunk-id contract and
+   * tokenization agreement between the two operators that no
+   * per-operator oracle sees together. (A deployment shares the
+   * tf/df/stats relations across queries; the three branches here
+   * make each query's plan independently auditable.) */
+  private def qRagTopk(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.expressions.wordChunksStrided(
+          coalesce(col("text"), lit("")), 64, 48)))
+      .select((col("doc_id") * 1000L + col("pos")).as("chunk_id"),
+        col("col").as("chunk"))
+    val queries = Seq(
+      ("q_vector", Seq("vector", "stream", "window")),
+      ("q_join", Seq("join", "merge", "batch")),
+      ("q_cust", Seq("customer", "order", "line")))
+    queries.map { case (qn, terms) =>
+      graft.text.TfIdf.bm25TopK(chunks, "chunk_id", "chunk", terms, 5)
+        .withColumn("query", lit(qn))
+    }.reduce(_.unionByName(_))
+      .select(col("query"), col("doc_id").as("chunk_id"), col("n_terms"),
+        col("score_ppm"))
+      .orderBy(col("query"), col("score_ppm").desc, col("chunk_id"))
+  }
+
   /** B86 (r14): chi-square independence audit
    * ([[graft.operators.Contingency.chiSquare]]) — is order priority
    * independent of market segment? Per-cell exact decomposition
@@ -4318,6 +4375,8 @@ object SparkEntry {
     "q_stream_drift"  -> qStreamDrift,
     "q_snapshot_publish" -> qSnapshotPublish,
     "q_dataset_card"  -> qDatasetCard,
+    "q_running_balance" -> qRunningBalance,
+    "q_rag_topk"      -> qRagTopk,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -4755,6 +4814,71 @@ object SparkEntry {
              ELSE pv + ((nv - pv) * (d - pp)) // (np - pp) END AS BIGINT) AS rev_cents,
            (rev IS NULL) AS is_gap
          FROM f ORDER BY n_name, d""",
+    // cumsum over present days + spine + LOCF running frame: the
+    // balance panel replayed row-for-row.
+    "q_running_balance" ->
+      """WITH o AS (SELECT o_custkey,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS rev
+           FROM orders),
+         daily AS (SELECT n_name, d, SUM(rev) AS delta FROM o
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+         cum AS (SELECT n_name, d,
+             SUM(delta) OVER (PARTITION BY n_name ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+           FROM daily),
+         b AS (SELECT n_name, MIN(d) AS d0, MAX(d) AS d1 FROM cum GROUP BY 1),
+         spine AS (SELECT n_name, UNNEST(range(d0, d1 + 1)) AS d FROM b),
+         j AS (SELECT spine.n_name, spine.d, cum.bal
+           FROM spine LEFT JOIN cum
+             ON spine.n_name = cum.n_name AND spine.d = cum.d)
+         SELECT n_name, d,
+           CAST(last_value(bal IGNORE NULLS) OVER (PARTITION BY n_name
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS balance_cents,
+           (bal IS NULL) AS is_gap
+         FROM j ORDER BY n_name, d""",
+    // chunking + the BM25 closed form + per-query top-5, replayed over
+    // the CHUNK corpus with the same chunk-id arithmetic.
+    "q_rag_topk" ->
+      """WITH toks0 AS (SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\r]+'),
+               t -> t <> '') AS ts
+           FROM documents),
+         chunk AS (SELECT doc_id * 1000 + CAST(p / 48 AS BIGINT) AS chunk_id,
+             ts[p + 1 : p + 64] AS cts
+           FROM toks0, UNNEST(range(0, len(ts), 48)) AS u(p)),
+         tfr AS (SELECT chunk_id, unnest(cts) AS term FROM chunk),
+         tf AS (SELECT chunk_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tfr GROUP BY 1, 2),
+         dl AS (SELECT chunk_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+         sc AS (SELECT tf.chunk_id, tf.term,
+             (1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
+               // ((2 * df.df + 1) * (10 * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
+               AS score_ppm
+           FROM tf JOIN dl USING (chunk_id) JOIN df USING (term) CROSS JOIN g),
+         q1 AS (SELECT 'q_vector' AS query, chunk_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(score_ppm) AS BIGINT) AS score_ppm
+           FROM sc WHERE term IN ('vector', 'stream', 'window')
+           GROUP BY 2 ORDER BY score_ppm DESC, chunk_id LIMIT 5),
+         q2 AS (SELECT 'q_join' AS query, chunk_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(score_ppm) AS BIGINT) AS score_ppm
+           FROM sc WHERE term IN ('join', 'merge', 'batch')
+           GROUP BY 2 ORDER BY score_ppm DESC, chunk_id LIMIT 5),
+         q3 AS (SELECT 'q_cust' AS query, chunk_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(score_ppm) AS BIGINT) AS score_ppm
+           FROM sc WHERE term IN ('customer', 'order', 'line')
+           GROUP BY 2 ORDER BY score_ppm DESC, chunk_id LIMIT 5)
+         SELECT * FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2
+           UNION ALL SELECT * FROM q3)
+         ORDER BY query, score_ppm DESC, chunk_id""",
     // both snapshot versions recomputed directly from the source
     // tables: equality proves publish->flip->read fidelity and v1
     // immutability after v2's publish.

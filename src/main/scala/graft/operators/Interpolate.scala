@@ -35,17 +35,25 @@ object Interpolate {
    * is_gap) — one row per key per position in the key's span, present
    * values passed through untouched.
    */
+  /** Densify each key to its own [min(pos), max(pos)] range: one row
+   * per key per position, absent positions carrying NULL valCol. */
+  private def densify(
+      df: DataFrame, keyCols: Seq[String], posCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val span = df
+      .groupBy(keys: _*)
+      .agg(min(posCol).as("__p0"), max(posCol).as("__p1"))
+      .select(keys :+ explode(sequence(col("__p0"), col("__p1"))).as(posCol): _*)
+    span.join(df, keyCols :+ posCol, "left")
+  }
+
   def linearFill(
       df: DataFrame,
       keyCols: Seq[String],
       posCol: String,
       valCol: String): DataFrame = {
     val keys = keyCols.map(col)
-    val span = df
-      .groupBy(keys: _*)
-      .agg(min(posCol).as("__p0"), max(posCol).as("__p1"))
-      .select(keys :+ explode(sequence(col("__p0"), col("__p1"))).as(posCol): _*)
-    val joined = span.join(df, keyCols :+ posCol, "left")
+    val joined = densify(df, keyCols, posCol)
     // both neighbor lookups as RUNNING frames (one ascending, one
     // descending): Spark evaluates [unboundedPreceding, currentRow]
     // in one O(n) pass per partition, while the textbook
@@ -72,6 +80,30 @@ object Interpolate {
             .otherwise(expr(
               s"__pv + ((__nv - __pv) * ($posCol - __pp)) div (__np - __pp)"))
             .as(valCol),
+          col(valCol).isNull.as("is_gap")): _*)
+  }
+
+  /** Last-observation-carried-forward fill (B88) — the step-function
+   * densify for STATE series (account balances, inventory levels,
+   * prices in force): between observations the value HOLDS, so a gap
+   * day carries the last present value unchanged — linear blending
+   * ([[linearFill]]) would invent movements that never happened. Same
+   * spine and shuffle shape as linearFill, ONE ascending running
+   * frame (O(span) per key). */
+  def locfFill(
+      df: DataFrame,
+      keyCols: Seq[String],
+      posCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val behind = Window.partitionBy(keys: _*).orderBy(posCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    densify(df, keyCols, posCol)
+      .withColumn("__pv", last(valCol, ignoreNulls = true).over(behind))
+      .select(
+        keys ++ Seq(
+          col(posCol),
+          col("__pv").as(valCol),
           col(valCol).isNull.as("is_gap")): _*)
   }
 }

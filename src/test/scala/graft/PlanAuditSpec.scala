@@ -344,4 +344,38 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
     }
   }
+
+  test("round-14 session additions plan to their declared scale shapes") {
+    // stats family: dims broadcast, facts touched once, no cartesian
+    Seq("q_group_ols", "q_interpolate", "q_group_mode", "q_running_balance",
+      "q_period_over_period", "q_dataset_card").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$n must broadcast its dims:\n$p")
+    }
+    // interpolate/balance: every window is a RUNNING frame — the
+    // unbounded-following frame re-aggregates the tail per row
+    // (O(span²) per key, the 12.8s→1.6s fix) and must never come back
+    Seq("q_interpolate", "q_running_balance").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Following"), s"$n re-grew a following frame:\n$p")
+    }
+    // JL projection and weak labeling are single-pass projections:
+    // no join, no shuffle except the final sort
+    Seq("q_jl_project", "q_weak_label").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n must stay join-free:\n$p")
+    }
+    // chi-square: only broadcast joins over the bounded cell/marginal
+    // relations above the single pair-count shuffle
+    val chi = plan("q_chi_square")
+    assert(!chi.contains("CartesianProduct") && !chi.contains("SortMergeJoin"),
+      s"chi-square must keep its marginal joins broadcast:\n$chi")
+    // rag: BM25's only nested loop is the documented 1-row stats
+    // broadcast; the vocabulary (df) side broadcasts
+    val rag = plan("q_rag_topk")
+    assert(!rag.contains("CartesianProduct"), s"rag cartesian:\n$rag")
+    assert(rag.contains("BroadcastHashJoin"), s"rag must broadcast df:\n$rag")
+    assert(rag.contains("TakeOrdered"), s"rag top-5 must be TakeOrdered:\n$rag")
+  }
 }

@@ -90,6 +90,15 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(one.contains(("hot", "v1", 715L, 7L)))
   }
 
+  test("locfFill carries the last present value, never blends") {
+    val df = Seq(("a", 0L, 10L), ("a", 3L, 40L), ("a", 5L, 0L)).toDF("k", "d", "v")
+    val r = Interpolate.locfFill(df, Seq("k"), "d", "v")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._2).toList
+    assert(r == List(("a", 0L, 10L, false), ("a", 1L, 10L, true),
+      ("a", 2L, 10L, true), ("a", 3L, 40L, false), ("a", 4L, 40L, true),
+      ("a", 5L, 0L, false)))
+  }
+
   test("chiSquare matches the hand-computed 2x2 decomposition") {
     // cells: (x,u)=10 (x,v)=20 (y,u)=20 (y,v)=10; all E = 15
     // term = (O*60 - 900)^2 * 1e6 div (60*30*30) = 9e10 div 54000 = 1666666
