@@ -1894,6 +1894,52 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** A20 (r14): incrementally-refreshed materialized view under
+   * versioned publish — B46's mergePartials driven through A19's
+   * Snapshot across three daily refreshes: each refresh aggregates
+   * ONLY its delta slice, merges with the currently-published view,
+   * and publishes a new immutable version. The oracle's FULL
+   * recompute over all three slices must equal the final published
+   * version (delta refresh ≡ rebuild), and version 1 must still equal
+   * the first slice's rollup (immutability under repeated refresh).
+   * At 100 TB this is the nightly-view shape: delta-sized aggregation
+   * + view-sized merge + one pointer flip, never a history rescan. */
+  private def qMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/mv_${sinkSeq.incrementAndGet()}"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"), cents(col("o_totalprice")).as("rev"))
+    def rollup(m: Long) = o.filter(col("o_orderkey") % 3 === m)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum("rev").as("rev_cents"),
+        max("rev").as("max_cents"))
+    graft.sinks.Snapshot.publish(s, root, Map("mv" -> rollup(0L)))
+    Seq(1L, 2L).foreach { m =>
+      val merged = graft.operators.Incremental.mergePartials(
+        Seq(graft.sinks.Snapshot.read(s, root, "mv"), rollup(m)),
+        Seq("o_orderpriority"),
+        Seq("n_orders" -> "sum", "rev_cents" -> "sum", "max_cents" -> "max"))
+      graft.sinks.Snapshot.publish(s, root, Map("mv" -> merged))
+    }
+    val fin = graft.sinks.Snapshot.read(s, root, "mv")
+      .withColumn("version", lit(3L))
+    val v1 = graft.sinks.Snapshot.read(s, root, "mv", Some(1L))
+      .withColumn("version", lit(1L))
+    fin.unionByName(v1)
+      .select("version", "o_orderpriority", "n_orders", "rev_cents", "max_cents")
+      .orderBy("version", "o_orderpriority")
+  }
+
+  /** B89 (r14): edit-distance fuzzy matching
+   * ([[graft.operators.Fuzzy.fuzzyNamePairs]]) — every pair of
+   * distinct part names within 2 edits, candidates via the q-gram
+   * count-filter equi-join, verified with exact levenshtein. The
+   * oracle is the UNBLOCKED all-pairs ground truth, so a pair the
+   * blocking missed fails the row — the pigeonhole bound is
+   * machine-checked, not cited. */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.fuzzyNamePairs(t(s, dir, "part"), "p_name", maxDist = 2)
+      .orderBy("name_a", "name_b")
+
   /** B88 (r14): daily balance panel via LOCF
    * ([[graft.operators.Interpolate.locfFill]]) — per-nation CUMULATIVE
    * revenue carried forward over gap days: the inventory/balance
@@ -4377,6 +4423,8 @@ object SparkEntry {
     "q_dataset_card"  -> qDatasetCard,
     "q_running_balance" -> qRunningBalance,
     "q_rag_topk"      -> qRagTopk,
+    "q_mv_refresh"    -> qMvRefresh,
+    "q_fuzzy_match"   -> qFuzzyMatch,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -4814,6 +4862,34 @@ object SparkEntry {
              ELSE pv + ((nv - pv) * (d - pp)) // (np - pp) END AS BIGINT) AS rev_cents,
            (rev IS NULL) AS is_gap
          FROM f ORDER BY n_name, d""",
+    // delta-refresh equivalence: v3 must equal the FULL recompute over
+    // all slices, v1 the first slice's rollup (refresh never rescanned
+    // history, yet converged to the rebuild).
+    "q_mv_refresh" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS rev
+           FROM orders),
+         v3 AS (SELECT CAST(3 AS BIGINT) AS version, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(rev) AS BIGINT) AS rev_cents,
+             CAST(MAX(rev) AS BIGINT) AS max_cents
+           FROM o GROUP BY 2),
+         v1 AS (SELECT CAST(1 AS BIGINT), o_orderpriority,
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(rev) AS BIGINT),
+             CAST(MAX(rev) AS BIGINT)
+           FROM o WHERE o_orderkey % 3 = 0 GROUP BY 2)
+         SELECT * FROM v3 UNION ALL SELECT * FROM v1
+         ORDER BY version, o_orderpriority""",
+    // UNBLOCKED all-pairs ground truth: if the q-gram blocking missed
+    // any within-distance pair, this row fails.
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+           WHERE p_name IS NOT NULL),
+         p AS (SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+           FROM n a JOIN n b ON a.name < b.name)
+         SELECT name_a, name_b, dist FROM p WHERE dist <= 2
+         ORDER BY name_a, name_b""",
     // cumsum over present days + spine + LOCF running frame: the
     // balance panel replayed row-for-row.
     "q_running_balance" ->
