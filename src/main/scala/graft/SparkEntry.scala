@@ -1940,6 +1940,58 @@ object SparkEntry {
     graft.operators.Fuzzy.fuzzyNamePairs(t(s, dir, "part"), "p_name", maxDist = 2)
       .orderBy("name_a", "name_b")
 
+  /** A21 (r14): surgical key delete
+   * ([[graft.sinks.TableSink.deleteKeys]]) — the right-to-be-forgotten
+   * operation over the writeSorted layout: footer min/max statistics
+   * prune the file set (no data read for planning), only intersecting
+   * files rewrite. The rollup oracles the post-delete table against
+   * the anti-join ground truth; `surgical` asserts the rewrite
+   * touched SOME but not ALL files — the efficiency claim as a
+   * machine-checked boolean rather than prose. */
+  private def qTargetedDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/tdel_${sinkSeq.incrementAndGet()}"
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      col("o_orderpriority"), cents(col("o_totalprice")).as("rev"))
+    graft.sinks.TableSink.writeSorted(o, root, Seq("o_custkey"),
+      targetPartitions = 8)
+    val rep = graft.sinks.TableSink.deleteKeys(s, root, "o_custkey",
+      Seq(3L, 7L, 11L))
+    val touched = rep.nRewritten + rep.nDeletedFiles
+    s.read.parquet(root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum("rev").as("rev_cents"))
+      .withColumn("surgical", lit(touched >= 1 && touched < rep.nFiles))
+      .orderBy("o_orderpriority")
+  }
+
+  /** D17 (r14): exactly-once streaming append
+   * ([[graft.streaming.EventStream.appendSink]]) — an orders slice
+   * streamed through the REAL checkpointed epoch-directory sink over
+   * two micro-batches, then epoch 0 is deliberately RE-APPLIED (the
+   * crash-replay): the read-back must equal the slice exactly once —
+   * idempotence by layout, no sink commit log to lose. */
+  private def qAppendSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val slice = t(s, dir, "orders").filter(col("o_orderkey") % 41 === 0)
+      .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("v"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val (b1, b2) = slice.splitAt(slice.length / 2)
+    val base = s"${graft.Scratch.root(s)}/append_${sinkSeq.incrementAndGet()}"
+    val (table, ckpt) = (s"$base/table", s"$base/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStream.appendSink(in.toDF.toDF("k", "v"), table)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(b1.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.streaming.EventStream.appendEpoch(b1.toSeq.toDF("k", "v"), table, 0L)
+    s.read.parquet(table).select(col("k"), col("v")).orderBy("k")
+  }
+
   /** B88 (r14): daily balance panel via LOCF
    * ([[graft.operators.Interpolate.locfFill]]) — per-nation CUMULATIVE
    * revenue carried forward over gap days: the inventory/balance
@@ -4425,6 +4477,8 @@ object SparkEntry {
     "q_rag_topk"      -> qRagTopk,
     "q_mv_refresh"    -> qMvRefresh,
     "q_fuzzy_match"   -> qFuzzyMatch,
+    "q_targeted_delete" -> qTargetedDelete,
+    "q_append_sink"   -> qAppendSink,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -4862,6 +4916,20 @@ object SparkEntry {
              ELSE pv + ((nv - pv) * (d - pp)) // (np - pp) END AS BIGINT) AS rev_cents,
            (rev IS NULL) AS is_gap
          FROM f ORDER BY n_name, d""",
+    // anti-join ground truth for the post-delete table; `surgical`
+    // (some-but-not-all files touched) must come back TRUE.
+    "q_targeted_delete" ->
+      """WITH keep AS (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS rev
+           FROM orders WHERE o_custkey NOT IN (3, 7, 11))
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents, TRUE AS surgical
+         FROM keep GROUP BY 1 ORDER BY 1""",
+    // the slice exactly once, despite the deliberately replayed epoch.
+    "q_append_sink" ->
+      """SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+         FROM orders WHERE o_orderkey % 41 = 0 ORDER BY k""",
     // delta-refresh equivalence: v3 must equal the FULL recompute over
     // all slices, v1 the first slice's rollup (refresh never rescanned
     // history, yet converged to the rebuild).

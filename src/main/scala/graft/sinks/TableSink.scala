@@ -466,4 +466,97 @@ object TableSink {
     }
     fs.delete(bak, true) // best effort; leftover bak is harmless
   }
+
+  /** Outcome of [[deleteKeys]]: how surgical the delete was. */
+  final case class DeleteReport(nFiles: Int, nRewritten: Int, nDeletedFiles: Int)
+
+  /**
+   * Surgical key delete (A21) — remove every row of the given keys by
+   * rewriting ONLY the files whose footer min/max range can contain
+   * them (the right-to-be-forgotten / targeted-correction operation at
+   * warehouse scale: a full-table rewrite for a handful of keys is the
+   * naive form, and on a [[writeSorted]] layout the affected keys live
+   * in a handful of range-disjoint files).
+   *
+   * File pruning reads PARQUET FOOTERS only (column statistics — no
+   * data pages, no Spark job), so the planning cost is one metadata
+   * read per file; each affected file is rewritten in place
+   * (filter → temp sibling → swap), files that go empty are removed,
+   * and untouched files keep their bytes — byte-identity of the
+   * untouched set is the machine-checkable "surgical" claim.
+   *
+   * Crash-safety: per-file delete-then-rename (not atomic); a rerun
+   * of the same delete is IDEMPOTENT (filtering absent keys is a
+   * no-op rewrite, a leftover tmp sibling is hidden from readers by
+   * its dot prefix and overwritten on retry). Long keys only — the
+   * footer statistics comparison is typed.
+   */
+  def deleteKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keyCol: String,
+      keys: Seq[Long]): DeleteReport = {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    require(keys.nonEmpty, "deleteKeys: empty key set")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(conf)
+    val files = fs.listStatus(hPath).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith(".")
+        && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+    val keySet = keys.toSet
+    def rangeOf(p: org.apache.hadoop.fs.Path): Option[(Long, Long)] = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val ranges = rd.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol)
+            .map(_.getStatistics)
+            .collect {
+              case st: org.apache.parquet.column.statistics.LongStatistics
+                  if st.hasNonNullValue =>
+                (st.genericGetMin.longValue(), st.genericGetMax.longValue())
+            }
+        }
+        if (ranges.isEmpty) None
+        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      } finally rd.close()
+    }
+    var rewritten = 0
+    var removed = 0
+    files.foreach { p =>
+      // no stats (all-null or missing column) → must rewrite: never
+      // skip a file the footer cannot prove clean
+      val hit = rangeOf(p).forall { case (lo, hi) =>
+        keys.exists(k => k >= lo && k <= hi)
+      }
+      if (hit) {
+        val kept = spark.read.parquet(p.toString)
+          .filter(!col(keyCol).isin(keySet.toSeq: _*))
+        if (kept.isEmpty) {
+          // every row deleted: removing the file IS the rewrite (an
+          // empty parquet part would otherwise take its place)
+          fs.delete(p, false)
+          removed += 1
+        } else {
+          val tmpDir = new org.apache.hadoop.fs.Path(
+            p.getParent, s".${p.getName}__delete_tmp")
+          fs.delete(tmpDir, true)
+          kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+          val newPart = fs.listStatus(tmpDir).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new java.io.IOException(
+              s"deleteKeys: rewrite of $p produced no part file"))
+          fs.delete(p, false)
+          require(fs.rename(newPart, p), s"deleteKeys: swap failed for $p")
+          rewritten += 1
+          fs.delete(tmpDir, true)
+        }
+      }
+    }
+    DeleteReport(files.length, rewritten, removed)
+  }
 }

@@ -384,6 +384,36 @@ object EventStream {
    * caller WITHOUT that guarantee (e.g. flatMapGroupsWithState
    * emitting several rows per key per batch) must pass true, or
    * duplicate-key rows insert into the serving table permanently. */
+  /** One epoch of [[appendSink]]: write a batch into its OWN
+   * batch-id-keyed directory, overwriting any previous attempt of the
+   * SAME epoch. Exposed so a crash replay is directly testable: the
+   * call is idempotent per (path, batchId) by construction. */
+  def appendEpoch(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/batch=$batchId")
+
+  /** D17: exactly-once streaming APPEND into a parquet fact table —
+   * the unkeyed complement of [[upsertSink]]/[[cdcSink]]: raw fact
+   * ingestion (events, logs, lineitems) has no merge key, and a plain
+   * `.format("parquet")` append relies on the sink's own commit log
+   * for exactly-once — lose or relocate that log and a replayed
+   * micro-batch DUPLICATES rows silently. Here each epoch owns a
+   * batch-id directory ([[appendEpoch]]): a crash-replayed epoch
+   * OVERWRITES its own directory instead of appending twice, so the
+   * table equals the exact union of epochs under any number of
+   * replays — idempotence by layout, no log to lose. Readers scan
+   * `path` as one table (batch=N is a partition column; prune on it
+   * for incremental consumers). Per-epoch cost tracks the batch,
+   * never the table; compact small epoch dirs downstream (A10's
+   * compactPartitioned is the matching maintenance pass). */
+  def appendSink(rows: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendEpoch(batch.toDF(), path, id)
+      }
+
   def upsertSink(updates: DataFrame, path: String, keyCols: Seq[String],
       checkUniqueKeys: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -686,6 +686,27 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${got.size} rows != direct ${want.size}")
   }
 
+  test("appendSink: epochs land once; a replayed epoch never duplicates") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/appspec_${System.nanoTime()}"
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.appendSink(in.toDF().toDF("k", "v"), s"$base/t")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // crash replay of epoch 0 — with different physical row order, even
+    val replay = Seq((2L, "b"), (1L, "a")).toDF("k", "v")
+    EventStream.appendEpoch(replay, s"$base/t", 0L)
+    val got = spark.read.parquet(s"$base/t").select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("histogramDrift: hand-checked shares, lost-bucket contribution, tie-break") {
     import spark.implicits._
     // window w1: buckets {0:3, 1:1} -> shares {750000, 250000}

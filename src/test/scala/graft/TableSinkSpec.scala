@@ -339,4 +339,42 @@ class TableSinkSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no col=value partition"))
   }
+
+  test("deleteKeys rewrites only intersecting files; untouched bytes identical") {
+    val dir = java.nio.file.Files.createTempDirectory("tdel").toString + "/t"
+    val df = (0L until 8000L).map(k => (k, s"v$k")).toDF("k", "v")
+    TableSink.writeSorted(df, dir, Seq("k"), targetPartitions = 8)
+    def fileHashes(): Map[String, String] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val before = fileHashes()
+    val rep = TableSink.deleteKeys(spark, dir, "k", Seq(5L, 17L, 42L))
+    assert(rep.nFiles == before.size && rep.nRewritten >= 1
+      && rep.nRewritten < rep.nFiles && rep.nDeletedFiles == 0, s"$rep")
+    val after = fileHashes()
+    // every file NOT rewritten kept its exact bytes
+    val changed = before.keys.filter(k => after.get(k) != before.get(k))
+    assert(changed.size == rep.nRewritten, s"changed=$changed rep=$rep")
+    val back = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(back == (0L until 8000L).toSet -- Set(5L, 17L, 42L))
+    // idempotent rerun: same table, nothing newly removed
+    TableSink.deleteKeys(spark, dir, "k", Seq(5L, 17L, 42L))
+    assert(spark.read.parquet(dir).count() == 7997L)
+  }
+
+  test("deleteKeys removes a file whose every row is deleted") {
+    val dir = java.nio.file.Files.createTempDirectory("tdel2").toString + "/t"
+    // two range files: 0-99 and 1000-1099; wipe the whole low range
+    val df = ((0L until 100L) ++ (1000L until 1100L)).map(k => (k, k * 2)).toDF("k", "v")
+    TableSink.writeSorted(df, dir, Seq("k"), targetPartitions = 2)
+    val rep = TableSink.deleteKeys(spark, dir, "k", (0L until 100L).toSeq)
+    assert(rep.nDeletedFiles >= 1, s"$rep")
+    val back = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(back == (1000L until 1100L).toSet)
+  }
 }
