@@ -1992,6 +1992,62 @@ object SparkEntry {
     s.read.parquet(table).select(col("k"), col("v")).orderBy("k")
   }
 
+  /** A22 (r14): snapshot change feed
+   * ([[graft.sinks.Snapshot.changesBetween]]) — publish two versions
+   * of a customer rollup, then DERIVE the keyed I/U/D delta between
+   * them: time travel makes change capture an after-the-fact join
+   * rather than write-path instrumentation, and the feed is the
+   * minimal delta (unchanged rows drop via null-safe struct compare).
+   * The oracle computes the same diff directly from the source
+   * table's two slices. */
+  private def qSnapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/chg_${sinkSeq.incrementAndGet()}"
+    def rollup(onlyPositive: Boolean) = {
+      val c = t(s, dir, "customer")
+      (if (onlyPositive) c.filter(col("c_acctbal") > 0) else c)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"))
+    }
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> rollup(false)))
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> rollup(true)))
+    graft.sinks.Snapshot
+      .changesBetween(s, root, "cust", 1L, 2L, Seq("c_nationkey"))
+      .orderBy("c_nationkey")
+  }
+
+  /** C62 (r14): temperature-balanced mixture weights — the standard
+   * multilingual/multi-source balancing (weights ∝ n^α, α = 1/2):
+   * proportional sampling drowns small sources, uniform overweights
+   * them; the square-root temperature is the published middle ground.
+   * Exactness: isqrt via floor(sqrt(double)) — IEEE sqrt is
+   * CORRECTLY ROUNDED in both engines, and floor of it on integer
+   * inputs < 2⁵² is the exact integer square root, so the whole plan
+   * stays in replayable integer space (the C57 planning arithmetic
+   * downstream of it unchanged). One token rollup per source + a
+   * 1-row broadcast total. */
+  private def qMixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    val budget = 750000L
+    val perSource = t(s, dir, "documents")
+      .select(col("source"),
+        size(graft.functions.expressions.wordNgrams(
+          coalesce(col("text"), lit("")), 1)).cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("n_tokens"))
+      .withColumn("weight",
+        expr("cast(floor(sqrt(cast(n_tokens as double))) as bigint)"))
+    val tot = perSource.agg(sum("n_tokens").as("tot_tokens"),
+      sum("weight").as("tot_weight"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        expr("n_tokens * 1000000 div tot_tokens").as("prop_share_ppm"),
+        expr("weight * 1000000 div tot_weight").as("temp_share_ppm"),
+        expr(s"$budget * (weight * 1000000 div tot_weight) div 1000000")
+          .as("planned_tokens"))
+      .withColumn("boost_ppm",
+        col("temp_share_ppm") - col("prop_share_ppm"))
+      .orderBy("source")
+  }
+
   /** B88 (r14): daily balance panel via LOCF
    * ([[graft.operators.Interpolate.locfFill]]) — per-nation CUMULATIVE
    * revenue carried forward over gap days: the inventory/balance
@@ -4479,6 +4535,8 @@ object SparkEntry {
     "q_fuzzy_match"   -> qFuzzyMatch,
     "q_targeted_delete" -> qTargetedDelete,
     "q_append_sink"   -> qAppendSink,
+    "q_snapshot_changes" -> qSnapshotChanges,
+    "q_mixture_temperature" -> qMixtureTemperature,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -4916,6 +4974,48 @@ object SparkEntry {
              ELSE pv + ((nv - pv) * (d - pp)) // (np - pp) END AS BIGINT) AS rev_cents,
            (rev IS NULL) AS is_gap
          FROM f ORDER BY n_name, d""",
+    // the I/U/D delta recomputed directly from the two slices: U where
+    // the positive-only rollup differs, D where a nation loses every
+    // customer, I impossible here (filtering never adds keys).
+    "q_snapshot_changes" ->
+      """WITH v1 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal
+           FROM customer GROUP BY 1),
+         v2 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal
+           FROM customer WHERE c_acctbal > 0 GROUP BY 1)
+         SELECT CASE WHEN v1.c_nationkey IS NULL THEN 'I'
+             WHEN v2.c_nationkey IS NULL THEN 'D' ELSE 'U' END AS op,
+           COALESCE(v2.c_nationkey, v1.c_nationkey) AS c_nationkey,
+           CASE WHEN v2.c_nationkey IS NULL THEN v1.n_cust ELSE v2.n_cust END
+             AS n_cust,
+           CASE WHEN v2.c_nationkey IS NULL THEN v1.bal ELSE v2.bal END
+             AS bal_cents
+         FROM v1 FULL JOIN v2 ON v1.c_nationkey = v2.c_nationkey
+         WHERE v1.c_nationkey IS NULL OR v2.c_nationkey IS NULL
+            OR v1.n_cust <> v2.n_cust OR v1.bal <> v2.bal
+         ORDER BY c_nationkey""",
+    // floor(sqrt()) is exact integer isqrt in BOTH engines (IEEE sqrt
+    // is correctly rounded); everything else is integer ppm.
+    "q_mixture_temperature" ->
+      """WITH toks AS (SELECT source,
+             CAST(len(list_filter(string_split_regex(COALESCE(text, ''),
+               '[ \t\n\r]+'), t -> t <> '')) AS BIGINT) AS toks
+           FROM documents),
+         per AS (SELECT source, SUM(toks) AS n_tokens FROM toks GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+           FROM per),
+         tot AS (SELECT SUM(n_tokens) AS tt, SUM(weight) AS tw FROM w)
+         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(n_tokens * 1000000 // tt AS BIGINT) AS prop_share_ppm,
+           CAST(weight * 1000000 // tw AS BIGINT) AS temp_share_ppm,
+           CAST(750000 * (weight * 1000000 // tw) // 1000000 AS BIGINT)
+             AS planned_tokens,
+           CAST(weight * 1000000 // tw - n_tokens * 1000000 // tt AS BIGINT)
+             AS boost_ppm
+         FROM w, tot ORDER BY source""",
     // anti-join ground truth for the post-delete table; `surgical`
     // (some-but-not-all files touched) must come back TRUE.
     "q_targeted_delete" ->

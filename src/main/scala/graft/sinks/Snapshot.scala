@@ -92,6 +92,56 @@ object Snapshot {
     next
   }
 
+  /** Change feed between two published versions (A22) — the keyed
+   * I/U/D delta a downstream incremental consumer applies instead of
+   * re-reading the whole table after every publish: time travel
+   * (immutable versions) makes the diff DERIVABLE after the fact, no
+   * change capture at write time. One full-outer key join of the two
+   * versions; unchanged rows drop via a null-safe struct compare, so
+   * the feed is exactly the minimal delta. Output: op ('I'/'U'/'D'),
+   * key columns, then every non-key column carrying the NEW value
+   * (I/U) or the deleted row's OLD value (D).
+   *
+   * Scale: both sides are straight parquet scans of their version
+   * dirs; the join shuffles on the key like any incremental MERGE —
+   * and a downstream applying this feed with TableSink.applyCdc
+   * closes the loop (publish → diff → apply elsewhere). */
+  def changesBetween(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      fromVersion: Long,
+      toVersion: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // presence markers (not key-column nullness) drive the I/U/D
+    // classification: the key join is null-safe, so a NULL key value
+    // is a legitimate matched key, not an absence signal
+    def fresh(df: DataFrame, tag: String) =
+      df.select(df.columns.map(c => col(c).as(s"${tag}$c"))
+        :+ lit(true).as(s"${tag}present"): _*)
+    val oldDf = fresh(read(spark, root, table, Some(fromVersion)), "__o_")
+    val newDf = fresh(read(spark, root, table, Some(toVersion)), "__n_")
+    val cols = read(spark, root, table, Some(toVersion)).columns.toSeq
+    require(keyCols.forall(cols.contains), s"changesBetween: keys not in $cols")
+    val valCols = cols.filterNot(keyCols.contains)
+    val joinCond = keyCols.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _)
+    val oldStruct = struct(valCols.map(c => col(s"__o_$c")): _*)
+    val newStruct = struct(valCols.map(c => col(s"__n_$c")): _*)
+    val anyNewKey = col("__n_present")
+    val anyOldKey = col("__o_present")
+    oldDf.join(newDf, joinCond, "full")
+      .withColumn("op",
+        when(anyOldKey.isNull, lit("I"))
+          .when(anyNewKey.isNull, lit("D"))
+          .when(!(oldStruct <=> newStruct), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +:
+        keyCols.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++:
+        valCols.map(c => when(col("op") === "D", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)): _*)
+  }
+
   /** Read `table` at the current version, or pinned at `asOfVersion`
    * (time travel). A version the manifest never named (crashed
    * publish) is unreadable by construction. */

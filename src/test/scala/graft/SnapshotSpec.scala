@@ -42,6 +42,20 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, root, "t").as[Long].collect().toList == List(7L))
   }
 
+  test("changesBetween derives the minimal I/U/D delta, dropping unchanged rows") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" ->
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "n")))
+    Snapshot.publish(spark, root, Map("t" ->
+      Seq((1L, "a", 10L), (2L, "B", 20L), (4L, "d", 40L)).toDF("k", "s", "n")))
+    val got = Snapshot.changesBetween(spark, root, "t", 1L, 2L, Seq("k"))
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      ("U", 2L, "B", 20L),  // value changed -> new values
+      ("D", 3L, "c", 30L),  // gone -> old values
+      ("I", 4L, "d", 40L))) // new -> new values; (1,a,10) unchanged: absent
+  }
+
   test("reading an unpublished root or publishing unsafe names fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException](Snapshot.read(spark, root, "t"))
