@@ -1758,6 +1758,46 @@ object SparkEntry {
       .orderBy("decile")
   }
 
+  /** B90 (r14): union-of-intervals coverage per user
+   * ([[graft.operators.Intervals.unionCoverage]]) — total time each
+   * user was "active" counting overlaps ONCE (utilization/uptime):
+   * each event opens a window of (1 + event_id mod 7) ten-minute
+   * units, all-integer microseconds so the measure replays exactly.
+   * Two window passes over one per-key sort — no self-join, no
+   * per-minute explode; a year-long interval costs one row. */
+  private def qIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val iv = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("ts_us").as("s_us"),
+        (col("ts_us") + (lit(1L) + col("event_id") % 7L) * 600000000L)
+          .as("e_us"))
+    graft.operators.Intervals.unionCoverage(iv, "user_id", "s_us", "e_us")
+      .select(col("user_id"), col("n_intervals"), col("n_segments"),
+        col("covered").as("covered_us"), col("span").as("span_us"))
+      .orderBy("user_id")
+  }
+
+  /** B91 (r14): per-nation Gini concentration of customer spend
+   * ([[graft.operators.Concentration.giniPpm]]) — the inequality
+   * index B82's decile report deliberately avoided computing
+   * GLOBALLY: per group, the rank window is partitioned by nation, so
+   * the sort is the ordinary within-key sort every keyed window pays,
+   * and the Σ(2i−n−1)x numerator runs in decimal(38,0) (bigint Σi·x
+   * silently overflows at 10⁹-member groups — the B55 class). DuckDB
+   * replays the quotient bit-for-bit in HUGEINT. */
+  private def qGiniNation(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("v"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val j = spend.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("v"), col("c_custkey"))
+    graft.operators.Concentration.giniPpm(j, Seq("n_name"), "v", "c_custkey")
+      .select(col("n_name"), col("n").as("n_customers"),
+        col("sum_v").as("sum_cents"), col("gini_ppm"))
+      .orderBy("n_name")
+  }
+
   /** B83 (r14): per-group OLS trend ([[graft.operators.Regression]]) —
    * per-nation revenue trend: x = days since 1992-01-01 of the order
    * date, y = order total in cents, fit y = a + b·x per nation. The
@@ -4537,6 +4577,8 @@ object SparkEntry {
     "q_append_sink"   -> qAppendSink,
     "q_snapshot_changes" -> qSnapshotChanges,
     "q_mixture_temperature" -> qMixtureTemperature,
+    "q_interval_coverage" -> qIntervalCoverage,
+    "q_gini_nation"   -> qGiniNation,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -4995,6 +5037,51 @@ object SparkEntry {
          WHERE v1.c_nationkey IS NULL OR v2.c_nationkey IS NULL
             OR v1.n_cust <> v2.n_cust OR v1.bal <> v2.bal
          ORDER BY c_nationkey""",
+    // the same merged-segments sweep: running-max-end window marks
+    // segment starts, a cumulative flag sum labels segments, covered =
+    // Σ per-segment (max(e) − min(s)); all-integer microseconds.
+    "q_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + (1 + event_id % 7) * 600000000 AS e
+           FROM events),
+         m AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         g AS (SELECT user_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+           FROM m),
+         seg AS (SELECT user_id, gid, MIN(s) AS ss, MAX(e) AS se,
+             COUNT(*) AS nn
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(nn) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(se - ss) AS BIGINT) AS covered_us,
+           CAST(MAX(se) - MIN(ss) AS BIGINT) AS span_us
+         FROM seg GROUP BY user_id ORDER BY user_id""",
+    // rank-weighted Gini replayed in HUGEINT: ties occupy consecutive
+    // ranks so Σi·x over a tied block is order-invariant; // truncates
+    // toward zero exactly like Spark's decimal div.
+    "q_gini_nation" ->
+      """WITH s AS (SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS v
+           FROM orders GROUP BY 1),
+         j AS (SELECT n_name, v, c_custkey FROM s
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         r AS (SELECT n_name, v,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY v, c_custkey) AS i
+           FROM j),
+         g AS (SELECT n_name, COUNT(*) AS n, SUM(v) AS sv,
+             SUM(CAST(i AS HUGEINT) * v) AS six
+           FROM r GROUP BY 1)
+         SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+           CAST(sv AS BIGINT) AS sum_cents,
+           CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sv) * 1000000
+             // (CAST(n AS HUGEINT) * sv) AS BIGINT) AS gini_ppm
+         FROM g ORDER BY n_name""",
     // floor(sqrt()) is exact integer isqrt in BOTH engines (IEEE sqrt
     // is correctly rounded); everything else is integer ppm.
     "q_mixture_temperature" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Islands, Rolling, Sweep}
+import graft.operators.{Intervals, Islands, Rolling, Sweep}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Islands (B62), Sweep (B63), Rolling (B64): hand-checked edge
@@ -135,5 +135,42 @@ class SeriesOpsSpec extends AnyFunSuite {
     val out = Rolling.rollingDistinct(df, "e", "d", 7)
       .as[(Long, Long)].collect().sortBy(_._1).toList
     assert(out == List((10L, 1L), (11L, 1L), (12L, 2L)))
+  }
+
+  test("unionCoverage merges overlaps once, splits on gaps, keeps keys apart") {
+    val df = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L),   // overlap -> merged
+      (1L, 12L, 15L),                 // touching (s == running max end): s > pm
+                                      // is false, so adjacency chains the segment
+      (1L, 20L, 25L),                 // gap -> second segment
+      (2L, 0L, 1L)
+    ).toDF("k", "s", "e")
+    val out = Intervals.unionCoverage(df, "k", "s", "e")
+      .select("k", "n_intervals", "n_segments", "covered", "span", "n_invalid")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // key 1: [0,15) (adjacent intervals chain: covered 15) + [20,25) = 20
+    assert(out == Set((1L, 4L, 2L, 20L, 25L, 0L), (2L, 1L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("unionCoverage: contained intervals never shrink the running max") {
+    // [0,100) contains [10,20) and [30,40): one segment, covered 100
+    val df = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 30L, 40L)).toDF("k", "s", "e")
+    val r = Intervals.unionCoverage(df, "k", "s", "e")
+      .select("n_segments", "covered").as[(Long, Long)].head()
+    assert(r == ((1L, 100L)))
+  }
+
+  test("unionCoverage counts and excludes invalid rows; invariant to partitioning") {
+    val rows = (0L until 500L).flatMap { i =>
+      Seq((i % 7, i * 3, i * 3 + 5), (i % 7, i * 3 + 1, i * 3 + 1)) // 2nd invalid
+    }
+    val a = Intervals.unionCoverage(rows.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(_.toString).toSet
+    val b = Intervals.unionCoverage(rows.reverse.toDF("k", "s", "e").repartition(13),
+      "k", "s", "e").collect().map(_.toString).toSet
+    assert(a == b)
+    val inv = Intervals.unionCoverage(rows.toDF("k", "s", "e"), "k", "s", "e")
+      .agg(org.apache.spark.sql.functions.sum("n_invalid")).as[Long].head()
+    assert(inv == 500L)
   }
 }

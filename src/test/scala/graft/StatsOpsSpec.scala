@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Contingency, Interpolate, Mode, Regression}
+import graft.operators.{Concentration, Contingency, Interpolate, Mode, Regression}
 import org.scalatest.funsuite.AnyFunSuite
 
 class StatsOpsSpec extends AnyFunSuite {
@@ -129,5 +129,42 @@ class StatsOpsSpec extends AnyFunSuite {
     val many = Contingency.chiSquare(rows.toDF("a", "b").repartition(11), "a", "b")
       .collect().map(_.toString).toSet
     assert(one == many && one.size == 12)
+  }
+
+  test("giniPpm: uniform distribution scores 0, total concentration near 1e6") {
+    val eq = Seq(("g", 5L, 1L), ("g", 5L, 2L), ("g", 5L, 3L), ("g", 5L, 4L))
+      .toDF("g", "v", "id")
+    val g0 = Concentration.giniPpm(eq, Seq("g"), "v", "id")
+      .select("gini_ppm").as[Long].head()
+    assert(g0 == 0L)
+    // one member holds everything: G = (n-1)/n = 3/4 -> 750000 ppm
+    val conc = Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 0L, 3L), ("g", 100L, 4L))
+      .toDF("g", "v", "id")
+    val g1 = Concentration.giniPpm(conc, Seq("g"), "v", "id")
+      .select("gini_ppm").as[Long].head()
+    assert(g1 == 750000L)
+  }
+
+  test("giniPpm matches the rank formula by hand and is tie-order invariant") {
+    // values 1,2,3,4: G = sum((2i-n-1)x)/(n*sumx) = ((-3)*1+(-1)*2+1*3+3*4)/(4*10)
+    //               = 10/40 -> 250000 ppm
+    val df = Seq(("g", 1L, 9L), ("g", 2L, 8L), ("g", 3L, 7L), ("g", 4L, 6L))
+      .toDF("g", "v", "id")
+    assert(Concentration.giniPpm(df, Seq("g"), "v", "id")
+      .select("gini_ppm").as[Long].head() == 250000L)
+    // duplicated value block: internal order of the tie cannot matter
+    val tied = Seq(("g", 2L, 1L), ("g", 2L, 2L), ("g", 2L, 3L), ("g", 6L, 4L))
+    val a = Concentration.giniPpm(tied.toDF("g", "v", "id"), Seq("g"), "v", "id")
+      .select("gini_ppm").as[Long].head()
+    val b = Concentration.giniPpm(tied.reverse.toDF("g", "v", "id").repartition(7),
+      Seq("g"), "v", "id").select("gini_ppm").as[Long].head()
+    assert(a == b)
+  }
+
+  test("giniPpm fails loudly on negative values") {
+    val df = Seq(("g", -1L, 1L), ("g", 5L, 2L)).toDF("g", "v", "id")
+    val e = intercept[Exception](
+      Concentration.giniPpm(df, Seq("g"), "v", "id").collect())
+    assert(e.getMessage != null)
   }
 }
