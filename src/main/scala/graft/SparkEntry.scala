@@ -2309,6 +2309,45 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** C63 (r14): max-min fair token allocation under repetition caps
+   * ([[graft.operators.Allocation.maxMinFair]]) — the allocation step
+   * AFTER C57's supply check and C62's temperature weighting: every
+   * source gets an equal slice of the token budget except none may
+   * exceed its cap (2 epochs of its corpus here); spare capacity
+   * redistributes to the others — progressive filling's closed form,
+   * no iteration, all-integer. Caps are quality-tiered — sources with
+   * below-average doc length get 1 epoch, the rest 3 (the tier
+   * compare is an exact cross product, n_tokens·tot_docs <
+   * tot_tokens·n_docs, no division) — so at budget 3/2·total the
+   * low-tier sources cap out and the surplus redistributes; Σ
+   * allocated ≡ budget exactly (unit-remainder spread is
+   * deterministic). The global sort window runs over the per-SOURCE
+   * relation (a dim), never over data; the heavy pass is the one
+   * token rollup. */
+  private def qFairAllocation(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .select(col("source"),
+        size(graft.functions.expressions.wordNgrams(
+          coalesce(col("text"), lit("")), 1)).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val tot = per.agg(sum("n_docs").as("tot_docs"),
+      sum("n_tokens").as("tot_tokens"))
+    val tiered = per.crossJoin(broadcast(tot))
+      .withColumn("epochs",
+        when(col("n_tokens") * col("tot_docs") < col("tot_tokens") * col("n_docs"),
+          1L).otherwise(3L))
+      .withColumn("cap_tokens", col("epochs") * col("n_tokens"))
+      .drop("tot_docs", "tot_tokens")
+    val budget = per.agg(expr("3 * sum(n_tokens) div 2").as("budget"))
+    graft.operators.Allocation
+      .maxMinFair(tiered, "source", "cap_tokens", budget)
+      .select(col("source"), col("n_tokens"), col("epochs"),
+        col("cap_tokens"), col("allocated").as("allocated_tokens"),
+        col("capped"), col("fill_level"))
+      .orderBy("source")
+  }
+
   /** C37: incremental dedup equivalence gate — split the corpus at
    * the id midpoint (1-row bounds broadcast, date-spine pattern),
    * build text-free [[graft.dedup.Dedup.minhashState]] from the first
@@ -4579,6 +4618,7 @@ object SparkEntry {
     "q_mixture_temperature" -> qMixtureTemperature,
     "q_interval_coverage" -> qIntervalCoverage,
     "q_gini_nation"   -> qGiniNation,
+    "q_fair_allocation" -> qFairAllocation,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -5082,6 +5122,47 @@ object SparkEntry {
            CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sv) * 1000000
              // (CAST(n AS HUGEINT) * sv) AS BIGINT) AS gini_ppm
          FROM g ORDER BY n_name""",
+    // progressive filling replayed: capped set = prefix of the
+    // cap-ascending order, boundary = first exact-product failure,
+    // uncapped split = base + deterministic unit-remainder spread.
+    "q_fair_allocation" ->
+      """WITH toks AS (SELECT source,
+             CAST(len(list_filter(string_split_regex(COALESCE(text, ''),
+               '[ \t\n\r]+'), t -> t <> '')) AS BIGINT) AS toks
+           FROM documents),
+         per AS (SELECT source, COUNT(*) AS n_docs, SUM(toks) AS n_tokens
+           FROM toks GROUP BY 1),
+         tiers AS (SELECT per.*,
+             CASE WHEN n_tokens * tot_docs < tot_tokens * n_docs
+                  THEN 1 ELSE 3 END AS epochs,
+             CASE WHEN n_tokens * tot_docs < tot_tokens * n_docs
+                  THEN n_tokens ELSE 3 * n_tokens END AS cap
+           FROM per, (SELECT SUM(n_docs) AS tot_docs,
+               SUM(n_tokens) AS tot_tokens FROM per)),
+         b AS (SELECT 3 * SUM(n_tokens) // 2 AS budget,
+             COUNT(*) AS m FROM per),
+         r AS (SELECT tiers.*, budget, m,
+             ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+           FROM tiers, b),
+         f AS (SELECT *, cap * (m - i + 1) > budget - cumprev AS fail FROM r),
+         ff AS (SELECT MIN(CASE WHEN fail THEN i END) AS ffi FROM f),
+         c2 AS (SELECT f.*, (ffi IS NULL OR i < ffi) AS capped, ffi
+           FROM f, ff),
+         lv AS (SELECT SUM(CASE WHEN capped THEN cap ELSE 0 END) AS granted,
+             SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS u FROM c2)
+         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(epochs AS BIGINT) AS epochs,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN capped THEN cap
+             ELSE (budget - granted) // u
+               + (CASE WHEN i - ffi + 1 <= (budget - granted) % u
+                  THEN 1 ELSE 0 END) END AS BIGINT) AS allocated_tokens,
+           capped,
+           CAST(CASE WHEN u > 0 THEN (budget - granted) // u END AS BIGINT)
+             AS fill_level
+         FROM c2, lv ORDER BY source""",
     // floor(sqrt()) is exact integer isqrt in BOTH engines (IEEE sqrt
     // is correctly rounded); everything else is integer ppm.
     "q_mixture_temperature" ->

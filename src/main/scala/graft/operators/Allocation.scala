@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Max-min fair budget allocation under per-key caps (C63) — the
+ * progressive-filling allocation ("water-filling with ceilings"): give
+ * every key an equal share of the budget, except that no key may
+ * receive more than its cap; capacity a capped key cannot absorb is
+ * redistributed equally among the others. The training-data mixture
+ * use: cap = max-epochs × available tokens per source, budget = the
+ * run's total token budget — proportional sampling drowns small
+ * sources, uncapped equal shares over-repeat them; max-min fairness is
+ * the published middle ground (progressive filling, the classic
+ * link-bandwidth fairness construction).
+ *
+ * Closed form, no iteration: with keys sorted by cap ascending, the
+ * capped set is a PREFIX — key i caps iff cap_i·(m−i+1) ≤ R_i where
+ * R_i is the budget left after fully granting every smaller cap
+ * (exact product comparison, no division); the first failure is the
+ * boundary, because the fill level only rises while capping and every
+ * later cap is larger still. Uncapped keys split the remaining budget
+ * exactly: base = R div u, and the first (R mod u) of them in sort
+ * order get one extra unit, so Σ allocated ≡ budget whenever the caps
+ * can absorb it (all-integer, replayable bit-for-bit). If Σcap <
+ * budget, every key gets its cap and `shortfall` reports the rest.
+ *
+ * Scale: the input here is the PER-KEY relation (one row per source —
+ * dimension-bounded, like the Ann centroid state), produced upstream
+ * by a map-side-combined rollup over the corpus; the global sort
+ * window runs over that bounded dim, never over data. The heavy pass
+ * at 100 TB is the upstream token count, which stays one aggregate.
+ */
+object Allocation {
+
+  /**
+   * `df`: one row per key with an integral `cap` column. `budget`: a
+   * 1-row DataFrame with an integral `budget` column (derived from
+   * data upstream — never a driver collect). Returns `df`'s columns
+   * plus `allocated`, `capped`, `fill_level` (NULL when every key
+   * capped) and `shortfall` (0 unless Σcap < budget).
+   */
+  def maxMinFair(df: DataFrame, key: String, cap: String, budget: DataFrame): DataFrame = {
+    val w = Window.orderBy(col(cap), col(key))
+    val m = df.agg(count(lit(1)).cast("long").as("__m"))
+    val ranked = df.crossJoin(broadcast(budget)).crossJoin(broadcast(m))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__cumprev", coalesce(
+        sum(col(cap)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__fail",
+        col(cap) * (col("__m") - col("__i") + 1L) > col("budget") - col("__cumprev"))
+    val boundary = ranked.agg(min(when(col("__fail"), col("__i"))).as("__ff"))
+    val marked = ranked.crossJoin(broadcast(boundary))
+      .withColumn("capped", col("__ff").isNull || col("__i") < col("__ff"))
+    val pool = marked.agg(
+      sum(when(col("capped"), col(cap)).otherwise(lit(0L))).as("__granted"),
+      sum(when(col("capped"), lit(0L)).otherwise(lit(1L))).as("__u"))
+    marked.crossJoin(broadcast(pool))
+      .withColumn("__r", col("budget") - col("__granted"))
+      .withColumn("fill_level",
+        when(col("__u") > 0, expr("__r div __u")).otherwise(lit(null).cast("long")))
+      .withColumn("allocated",
+        when(col("capped"), col(cap)).otherwise(
+          col("fill_level") +
+            when(col("__i") - col("__ff") + 1L <= col("__r") % col("__u"), 1L)
+              .otherwise(0L)))
+      .withColumn("shortfall",
+        when(col("__u") === 0L, col("__r")).otherwise(lit(0L)))
+      .drop("__i", "__cumprev", "__fail", "__ff", "__m", "__granted", "__u", "__r",
+        "budget")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Allocation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Max-min fair allocation (C63): hand-checked boundaries plus the
+  * fairness invariants on seeded random instances. */
+class AllocationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def alloc(caps: Seq[(String, Long)], budget: Long) =
+    Allocation.maxMinFair(
+      caps.toDF("k", "cap"), "k", "cap",
+      Seq(budget).toDF("budget"))
+
+  test("progressive filling by hand: small caps grant fully, surplus splits") {
+    // caps 1, 10, 10 with budget 12: cap 1 grants, remaining 11 over 2
+    // -> base 5 rem 1 -> first uncapped in sort order gets 6
+    val out = alloc(Seq(("a", 1L), ("b", 10L), ("c", 10L)), 12L)
+      .select("k", "allocated", "capped").as[(String, Long, Boolean)]
+      .collect().toSet
+    assert(out == Set(("a", 1L, true), ("b", 6L, false), ("c", 5L, false)))
+  }
+
+  test("all-capped: every key gets its cap and shortfall reports the rest") {
+    val out = alloc(Seq(("a", 3L), ("b", 4L)), 10L)
+      .select("k", "allocated", "capped", "shortfall")
+      .as[(String, Long, Boolean, Long)].collect().toSet
+    assert(out == Set(("a", 3L, true, 3L), ("b", 4L, true, 3L)))
+  }
+
+  test("nobody capped: equal split with deterministic unit remainder") {
+    val out = alloc(Seq(("a", 100L), ("b", 100L), ("c", 100L)), 11L)
+      .select("k", "allocated").as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 4L), ("b", 4L), ("c", 3L)))
+  }
+
+  test("fairness invariants hold on seeded random instances") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val caps = (0 until 50).map(i => (f"k$i%02d", 1L + rnd.nextInt(1000).toLong))
+      val budget = 1L + rnd.nextInt(30000).toLong
+      val rows = alloc(caps, budget)
+        .select("k", "cap", "allocated", "capped")
+        .as[(String, Long, Long, Boolean)].collect()
+      val totCap = caps.map(_._2).sum
+      // budget exhausted exactly (or the whole supply granted)
+      assert(rows.map(_._3).sum == math.min(budget, totCap), s"trial $trial")
+      // nobody exceeds their cap; capped keys get exactly their cap
+      assert(rows.forall(r => r._3 <= r._2))
+      assert(rows.filter(_._4).forall(r => r._3 == r._2))
+      // max-min property: every capped key's grant is <= every
+      // uncapped key's grant, and uncapped grants differ by <= 1
+      val un = rows.filterNot(_._4).map(_._3)
+      if (un.nonEmpty) {
+        assert(un.max - un.min <= 1)
+        assert(rows.filter(_._4).forall(_._3 <= un.min + 1))
+      }
+    }
+  }
+
+  test("partitioning invariance") {
+    val caps = (0 until 40).map(i => (f"k$i%02d", (i * 37 % 11 + 1).toLong))
+    val b = Seq(120L).toDF("budget")
+    val a = Allocation.maxMinFair(caps.toDF("k", "cap"), "k", "cap", b)
+      .collect().map(_.toString).toSet
+    val c = Allocation.maxMinFair(
+      caps.reverse.toDF("k", "cap").repartition(13), "k", "cap", b)
+      .collect().map(_.toString).toSet
+    assert(a == c)
+  }
+}
