@@ -2056,6 +2056,36 @@ object SparkEntry {
       .orderBy("c_nationkey")
   }
 
+  /** A23 (r14): snapshot version retention
+   * ([[graft.sinks.Snapshot.vacuum]]) — bound the time-travel window:
+   * publish three versions, vacuum to the newest two, and read BOTH
+   * survivors back through the manifest. The oracle recomputes both
+   * surviving rollups directly and pins `n_vacuumed` = 1 — proving
+   * the expired version went away, the survivors are untouched, and
+   * the current pointer still resolves. Deletion is pure namespace
+   * metadata (no data read), oldest-first so a crash leaves a
+   * contiguous suffix. */
+  private def qSnapshotVacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/vac_${sinkSeq.incrementAndGet()}"
+    def rollup(minBal: Double) = t(s, dir, "customer")
+      .filter(col("c_acctbal") > minBal)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).as("bal_cents"))
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> rollup(-1e18)))
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> rollup(0.0)))
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> rollup(1000.0)))
+    val deleted = graft.sinks.Snapshot.vacuum(s, root, keepLast = 2)
+    val v2 = graft.sinks.Snapshot.read(s, root, "cust", Some(2L))
+      .withColumn("version", lit(2L))
+    val v3 = graft.sinks.Snapshot.read(s, root, "cust", Some(3L))
+      .withColumn("version", lit(3L))
+    v2.unionByName(v3)
+      .withColumn("n_vacuumed", lit(deleted.size.toLong))
+      .select("version", "c_nationkey", "n_cust", "bal_cents", "n_vacuumed")
+      .orderBy("version", "c_nationkey")
+  }
+
   /** C62 (r14): temperature-balanced mixture weights — the standard
    * multilingual/multi-source balancing (weights ∝ n^α, α = 1/2):
    * proportional sampling drowns small sources, uniform overweights
@@ -4615,6 +4645,7 @@ object SparkEntry {
     "q_targeted_delete" -> qTargetedDelete,
     "q_append_sink"   -> qAppendSink,
     "q_snapshot_changes" -> qSnapshotChanges,
+    "q_snapshot_vacuum" -> qSnapshotVacuum,
     "q_mixture_temperature" -> qMixtureTemperature,
     "q_interval_coverage" -> qIntervalCoverage,
     "q_gini_nation"   -> qGiniNation,
@@ -5122,6 +5153,21 @@ object SparkEntry {
            CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sv) * 1000000
              // (CAST(n AS HUGEINT) * sv) AS BIGINT) AS gini_ppm
          FROM g ORDER BY n_name""",
+    // both surviving rollups recomputed from source; n_vacuumed pinned
+    // to the literal 1 — the expired version count is deterministic.
+    "q_snapshot_vacuum" ->
+      """WITH v2 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+           FROM customer WHERE c_acctbal > 0 GROUP BY 1),
+         v3 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+           FROM customer WHERE c_acctbal > 1000 GROUP BY 1)
+         SELECT CAST(2 AS BIGINT) AS version, c_nationkey, n_cust, bal_cents,
+           CAST(1 AS BIGINT) AS n_vacuumed FROM v2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), c_nationkey, n_cust, bal_cents,
+           CAST(1 AS BIGINT) FROM v3
+         ORDER BY version, c_nationkey""",
     // progressive filling replayed: capped set = prefix of the
     // cap-ascending order, boundary = first exact-product failure,
     // uncapped split = base + deterministic unit-remainder spread.

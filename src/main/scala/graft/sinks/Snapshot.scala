@@ -142,6 +142,36 @@ object Snapshot {
           .otherwise(col(s"__n_$c")).as(c)): _*)
   }
 
+  /** Version retention (A23) — delete version directories older than
+   * the newest `keepLast`, bounding the time-travel window so storage
+   * stops growing with publish count. The current version is never
+   * deletable (keepLast ≥ 1 enforced), deletion starts from the
+   * OLDEST version so a crash mid-vacuum leaves a contiguous
+   * still-consistent suffix, and a rerun is idempotent. Version dirs
+   * ABOVE the manifest (a crashed publish's orphan) are left alone:
+   * the next publish overwrites them, and touching them here would
+   * race an in-flight publisher. Returns the deleted version numbers.
+   *
+   * Scale: pure namespace metadata work — one directory listing +
+   * one recursive delete per expired version; no data is read. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"snapshot vacuum: keepLast must be >= 1, got $keepLast")
+    val cur = currentVersion(spark, root)
+    require(cur > 0, s"snapshot vacuum: nothing published under $root")
+    val f = fs(spark, root)
+    val floor = cur - keepLast + 1
+    val doomed = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .filter(_ < floor).sorted.toSeq
+    doomed.foreach { v =>
+      require(f.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true),
+        s"snapshot vacuum: failed to delete v$v under $root")
+    }
+    doomed
+  }
+
   /** Read `table` at the current version, or pinned at `asOfVersion`
    * (time travel). A version the manifest never named (crashed
    * publish) is unreadable by construction. */

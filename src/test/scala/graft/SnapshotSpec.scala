@@ -56,6 +56,33 @@ class SnapshotSpec extends AnyFunSuite {
       ("I", 4L, "d", 40L))) // new -> new values; (1,a,10) unchanged: absent
   }
 
+  test("vacuum keeps the newest versions, is idempotent, spares orphans above") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
+    Snapshot.publish(spark, root, Map("t" -> Seq(2L).toDF("x")))
+    Snapshot.publish(spark, root, Map("t" -> Seq(3L).toDF("x")))
+    // orphan from a crashed publish above the manifest: must survive
+    Seq(99L).toDF("x").write.parquet(s"$root/v4/t")
+    assert(Snapshot.vacuum(spark, root, keepLast = 2) == Seq(1L))
+    assert(Snapshot.read(spark, root, "t").as[Long].collect().toList == List(3L))
+    assert(Snapshot.read(spark, root, "t", Some(2L)).as[Long].collect().toList ==
+      List(2L))
+    // the vacuumed version is gone, loudly
+    intercept[Exception](
+      Snapshot.read(spark, root, "t", Some(1L)).collect())
+    // rerun deletes nothing further; the orphan is untouched
+    assert(Snapshot.vacuum(spark, root, keepLast = 2).isEmpty)
+    assert(spark.read.parquet(s"$root/v4/t").as[Long].collect().toList ==
+      List(99L))
+  }
+
+  test("vacuum refuses keepLast < 1 and unpublished roots") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException](Snapshot.vacuum(spark, root, 2))
+    Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
+    intercept[IllegalArgumentException](Snapshot.vacuum(spark, root, 0))
+  }
+
   test("reading an unpublished root or publishing unsafe names fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException](Snapshot.read(spark, root, "t"))
