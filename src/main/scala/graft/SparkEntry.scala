@@ -2945,6 +2945,43 @@ object SparkEntry {
     s.read.parquet(table).select(col("k"), col("v"), col("ver")).orderBy("k")
   }
 
+  /** D18 (r14): snapshot-versioned stream enrichment
+   * ([[graft.streaming.EventStream.snapshotEnrichSink]]) — a stream
+   * enriched against a dimension REPUBLISHED mid-stream through the
+   * A19 snapshot: batch 1 (even keys) must carry v1 labels, then the
+   * dim flips atomically, and batch 2 (odd keys) must carry v2's
+   * rewritten labels plus the new version stamp — no restart, no torn
+   * dim, every row auditable to the dim state that enriched it. The
+   * oracle replays the batch→version mapping in SQL. */
+  private def qSnapshotEnrichStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = s"${graft.Scratch.root(s)}/snap_enrich_${sinkSeq.incrementAndGet()}"
+    val (root, out, ckpt) = (s"$base/dim", s"$base/out", s"$base/ckpt")
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    graft.sinks.Snapshot.publish(s, root, Map("nation" -> nation))
+    val slice = t(s, dir, "customer").filter(col("c_custkey") % 53 === 0)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStream.snapshotEnrichSink(
+        in.toDF.toDF("c_custkey", "c_nationkey"), root, "nation",
+        "c_nationkey", "n_nationkey", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(slice.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      graft.sinks.Snapshot.publish(s, root, Map("nation" ->
+        nation.withColumn("n_name", concat(col("n_name"), lit("#2")))))
+      in.addData(slice.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(out)
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"),
+        col("dim_version"))
+      .orderBy("c_custkey")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -4644,6 +4681,7 @@ object SparkEntry {
     "q_fuzzy_match"   -> qFuzzyMatch,
     "q_targeted_delete" -> qTargetedDelete,
     "q_append_sink"   -> qAppendSink,
+    "q_snapshot_enrich_stream" -> qSnapshotEnrichStream,
     "q_snapshot_changes" -> qSnapshotChanges,
     "q_snapshot_vacuum" -> qSnapshotVacuum,
     "q_mixture_temperature" -> qMixtureTemperature,
@@ -5153,6 +5191,17 @@ object SparkEntry {
            CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sv) * 1000000
              // (CAST(n AS HUGEINT) * sv) AS BIGINT) AS gini_ppm
          FROM g ORDER BY n_name""",
+    // the batch -> dim-version mapping is deterministic by
+    // construction (even keys enriched before the flip, odd after).
+    "q_snapshot_enrich_stream" ->
+      """SELECT c_custkey, c_nationkey,
+           CASE WHEN c_custkey % 2 = 0 THEN n_name
+                ELSE n_name || '#2' END AS n_name,
+           CAST(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS dim_version
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_custkey % 53 = 0
+         ORDER BY c_custkey""",
     // both surviving rollups recomputed from source; n_vacuumed pinned
     // to the literal 1 — the expired version count is deterministic.
     "q_snapshot_vacuum" ->

@@ -653,6 +653,47 @@ object EventStream {
     // name as the stream must not fail with AMBIGUOUS_REFERENCE
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
 
+  /** Snapshot-versioned stream enrichment (D18) — [[enrichStream]]
+   * against a dimension that is REPUBLISHED independently through
+   * [[graft.sinks.Snapshot]]: each micro-batch resolves the currently
+   * published version (one tiny manifest read per trigger), broadcast
+   * left-joins the batch against that version's parquet, and appends
+   * the enriched rows STAMPED with the dim version that served them.
+   * This is how a long-running stream tracks a slowly-changing
+   * dimension without restart: a publish flips atomically between
+   * triggers (A19 — never a torn dim), the next trigger picks it up,
+   * and the per-row `dim_version` stamp makes every output row
+   * auditable to the exact dim state that enriched it — the lineage a
+   * reprocessing debate needs ("was this row labeled before or after
+   * the dim fix?").
+   *
+   * Exactly-once: [[appendEpoch]]'s batch-id-directory layout — a
+   * crash-replayed epoch overwrites its own directory. Note the stamp
+   * is what makes replay-under-republish VISIBLE rather than silent:
+   * a replayed epoch re-enriched against a newer dim version carries
+   * the new stamp, so downstream sees the re-label instead of
+   * mistaking it for the original. Per-trigger cost: one manifest
+   * read + one broadcast of the dim (dims are broadcast-sized by
+   * definition here; a fact-sized "dimension" belongs in a
+   * stream-stream join instead). */
+  def snapshotEnrichSink(stream: DataFrame, snapshotRoot: String,
+      dimTable: String, streamKey: String, dimKey: String, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val ver = graft.sinks.Snapshot.currentVersion(s, snapshotRoot)
+        val dim = graft.sinks.Snapshot.read(s, snapshotRoot, dimTable, Some(ver))
+        // the dim key is redundant after the left join (equals the
+        // stream key on match, null on miss) and collides on same-name
+        // keys when the epoch writes — the stream key is authoritative
+        val enriched = enrichStream(batch.toDF(), dim, streamKey, dimKey)
+          .drop(dim(dimKey))
+          .withColumn("dim_version", lit(ver))
+        appendEpoch(enriched, path, id)
+      }
+
   /** Stream-stream interval join: each left event joined to the right
    * events with the same key whose timestamp falls in
    * [left.ts − lookback, left.ts] (attribution: purchase ← clicks in

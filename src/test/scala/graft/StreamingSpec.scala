@@ -707,6 +707,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("snapshotEnrichSink: mid-stream dim flip picked up next trigger, stamped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/snapenr_${System.nanoTime()}"
+    val dimRoot = s"$base/dim"
+    graft.sinks.Snapshot.publish(spark, dimRoot,
+      Map("d" -> Seq((10L, "old")).toDF("dk", "label")))
+    val in = MemoryStream[(Long, Long)]
+    val q = EventStream.snapshotEnrichSink(
+        in.toDF().toDF("id", "dk"), dimRoot, "d", "dk", "dk", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      in.addData((1L, 10L), (2L, 99L)) // 99: no dim row — must survive
+      q.processAllAvailable()
+      graft.sinks.Snapshot.publish(spark, dimRoot,
+        Map("d" -> Seq((10L, "new"), (99L, "late")).toDF("dk", "label")))
+      in.addData((3L, 10L), (4L, 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "label", "dim_version")
+      .as[(Long, Option[String], Long)].collect().toSet
+    assert(got == Set(
+      (1L, Some("old"), 1L), (2L, None, 1L),        // v1 enriched; miss kept
+      (3L, Some("new"), 2L), (4L, Some("late"), 2L) // v2 after the flip
+    ))
+  }
+
   test("histogramDrift: hand-checked shares, lost-bucket contribution, tie-break") {
     import spark.implicits._
     // window w1: buckets {0:3, 1:1} -> shares {750000, 250000}
