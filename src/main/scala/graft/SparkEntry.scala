@@ -4169,6 +4169,46 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B92 (r14): bitemporal join ([[graft.operators.Bitemporal]]) —
+   * B69 asks "what state was VALID at purchase time"; this asks the
+   * two-timeline question "what state did the warehouse BELIEVE at
+   * the purchase's audit time, about the state valid at purchase
+   * time". Dim: the SCD2 state history, each version recorded
+   * 1–5 hours late (deterministic lag), every third interval later
+   * CORRECTED (payload starred, +10 hours knowledge lag). Facts audit
+   * 7 hours after the event — so early purchases must resolve to the
+   * original version and late ones to the correction, and purchases
+   * before the first known state survive as 'none'. The oracle
+   * replays the full two-timeline resolution in SQL. */
+  private def qBitemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"), col("value"))
+    val base = graft.operators.Scd.type2(
+      ev.filter(col("event_type") =!= "purchase").drop("value"),
+      "user_id", "ts_us", Seq("event_type"), tieCol = "event_id")
+    val dim0 = base.withColumn("sf",
+      col("valid_from") + (expr("(valid_from div 1000000) % 5") + 1L) * hourUs)
+    val corr = dim0.filter(expr("(valid_from div 1000000) % 3 = 0"))
+      .withColumn("event_type", concat(col("event_type"), lit("*")))
+      .withColumn("sf", col("sf") + lit(10L) * hourUs)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        cents(col("value")).as("rev_cents"),
+        (col("ts_us") + lit(7L) * hourUs).as("audit_us"))
+    graft.operators.Bitemporal.bitemporalJoin(
+        purchases, dim0.unionByName(corr),
+        factId = "event_id", factKey = "user_id", dimKey = "user_id",
+        validAt = "ts_us", auditAt = "audit_us",
+        validFrom = "valid_from", validTo = "valid_to", sysFrom = "sf",
+        payload = Seq("event_type"), tieCol = "valid_from")
+      .select(col("event_id"),
+        coalesce(col("bt_event_type"), lit("none")).as("state"),
+        col("bt_sys_from").as("known_sys_us"), col("rev_cents"))
+      .orderBy("event_id")
+  }
+
   /** B70 (r13): window-function conformance — the full ranking/
    * navigation surface (rank, dense_rank, percent_rank, cume_dist,
    * ntile, lag/lead, first/last/nth_value with an explicit
@@ -4728,6 +4768,7 @@ object SparkEntry {
     "q_weighted_quantile" -> qWeightedQuantile,
     "q_join_profile"   -> qJoinProfile,
     "q_pit_join"       -> qPitJoin,
+    "q_bitemporal_join" -> qBitemporalJoin,
     "q_window_conformance" -> qWindowConformance,
     "q_null_semantics" -> qNullSemantics,
     "q_orc_roundtrip"  -> qOrcRoundtrip,
@@ -7344,6 +7385,39 @@ object SparkEntry {
            CAST(n_right AS BIGINT) AS n_right,
            CAST(n_left * n_right AS BIGINT) AS out_rows
          FROM j ORDER BY out_rows DESC, key LIMIT 20""",
+    // the full two-timeline resolution replayed literally: SCD2
+    // rebuild, lagged knowledge versions + starred corrections, valid
+    // containment AND sys_from <= audit, latest-knowledge winner.
+    "q_bitemporal_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             value FROM events),
+         ne AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+         chg AS (SELECT *, lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM ne),
+         cp AS (SELECT user_id, event_id, event_type, ts_us FROM chg
+                WHERE prev IS NULL OR prev <> event_type),
+         v AS (SELECT user_id, event_type AS state, ts_us AS vf,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS vt
+           FROM cp),
+         dim0 AS (SELECT user_id, state, vf, vt,
+             vf + ((vf // 1000000) % 5 + 1) * 3600000000 AS sf FROM v),
+         dim AS (SELECT * FROM dim0
+           UNION ALL
+           SELECT user_id, state || '*', vf, vt, sf + 10 * 3600000000
+           FROM dim0 WHERE (vf // 1000000) % 3 = 0),
+         p AS (SELECT event_id, user_id, ts_us,
+             CAST(round(value * 100, 0) AS BIGINT) AS rev_cents,
+             ts_us + 7 * 3600000000 AS audit_us
+           FROM e WHERE event_type = 'purchase'),
+         m AS (SELECT p.event_id, p.rev_cents, dim.state, dim.sf,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+               ORDER BY dim.sf DESC, dim.vf DESC) AS rn
+           FROM p LEFT JOIN dim ON p.user_id = dim.user_id
+             AND p.ts_us >= dim.vf AND (dim.vt IS NULL OR p.ts_us < dim.vt)
+             AND dim.sf <= p.audit_us)
+         SELECT event_id, COALESCE(state, 'none') AS state,
+           CAST(sf AS BIGINT) AS known_sys_us, rev_cents
+         FROM m WHERE rn = 1 ORDER BY event_id""",
     // literal interval-containment join against the replayed SCD2
     // dimension (zero-width intervals excluded exactly as pitJoin
     // drops them) — equality proves the as-of reduction.

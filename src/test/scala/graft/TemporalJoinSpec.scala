@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Ranged}
+import graft.operators.{AsOf, Bitemporal, Ranged}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -179,5 +179,44 @@ class TemporalJoinSpec extends AnyFunSuite {
       .select("ida", "idb")
     assert(banded.count() == naive.count())
     assert(banded.except(naive).isEmpty && naive.except(banded).isEmpty)
+  }
+
+  test("bitemporalJoin: audit time decides original vs correction vs none") {
+    // dim for key K: interval [10, 20) originally 'a' (known at 12),
+    // corrected to 'A' (known at 30); open interval [20, null) 'b' (known 22)
+    val dim = Seq(
+      ("K", 10L, Some(20L), 12L, "a", 1L),
+      ("K", 10L, Some(20L), 30L, "A", 2L),
+      ("K", 20L, None,      22L, "b", 3L)
+    ).toDF("k", "vf", "vt", "sf", "state", "seq")
+    // facts: valid time 15 (interval 1) audited at 13 / 35; valid 25
+    // (open interval) audited at 25; valid 5 (before history) audited 99
+    val facts = Seq(
+      (1L, "K", 15L, 13L), // only the original known -> 'a'
+      (2L, "K", 15L, 35L), // correction known -> 'A'
+      (3L, "K", 25L, 25L), // open interval -> 'b'
+      (4L, "K", 5L, 99L),  // valid before any interval -> none
+      (5L, "K", 15L, 11L)  // NOTHING yet known about [10,20) -> none
+    ).toDF("fid", "k", "v", "a")
+    val out = Bitemporal.bitemporalJoin(facts, dim,
+        "fid", "k", "k", "v", "a", "vf", "vt", "sf", Seq("state"), "seq")
+      .select(col("fid"), coalesce(col("bt_state"), lit("none")).as("st"),
+        col("bt_sys_from"))
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "a", Some(12L)), (2L, "A", Some(30L)), (3L, "b", Some(22L)),
+      (4L, "none", None), (5L, "none", None)))
+  }
+
+  test("bitemporalJoin breaks exact sys-time ties by the tie column, deterministically") {
+    val dim = Seq(
+      ("K", 10L, Option.empty[Long], 12L, "x", 1L),
+      ("K", 10L, Option.empty[Long], 12L, "y", 2L) // same sf: higher seq wins
+    ).toDF("k", "vf", "vt", "sf", "state", "seq")
+    val facts = Seq((1L, "K", 15L, 99L)).toDF("fid", "k", "v", "a")
+    val st = Bitemporal.bitemporalJoin(facts, dim,
+        "fid", "k", "k", "v", "a", "vf", "vt", "sf", Seq("state"), "seq")
+      .select("bt_state").as[String].head()
+    assert(st == "y")
   }
 }
