@@ -981,6 +981,21 @@ object SparkEntry {
       t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
       "text", n = 2, k = 20)
 
+  /** C64 (r14): per-source out-of-vocabulary rate
+   * ([[graft.operators.Ngrams.oovStats]]) — vocabulary = tokens seen
+   * ≥ 5 times corpus-wide; each source reports how much of its token
+   * MASS is corpus-rare (boilerplate ids, noise, under-covered
+   * languages). One corpus scan: occurrences collapse to (source,
+   * token) pairs map-side, global totals re-derive from the pairs,
+   * nothing occurrence-sized shuffles. Tokenizer is the byte-exact
+   * `[ \t\n\r]+` kernel, so DuckDB replays token identity, the
+   * threshold, and every ppm bit-for-bit. */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ngrams.oovStats(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "source", "text", minCount = 5L)
+      .orderBy("source")
+
   /** C6: brute-force cosine top-5 for probe vectors (vec_id < 3). */
   private def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -4632,6 +4647,7 @@ object SparkEntry {
     "q_token_count"    -> qTokenCount,
     "q_fingerprint"    -> qFingerprint,
     "q_top_ngrams"     -> qTopNgrams,
+    "q_oov_rate"       -> qOovRate,
     "q_cc_sessions"    -> qCcSessions,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_clusters_exact" -> qDedupClustersExact,
@@ -5984,6 +6000,27 @@ object SparkEntry {
                 FROM toks, UNNEST(range(1, len(ts))) AS u(i))
          SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
          GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
+    // token identity replayed with the same byte-exact whitespace
+    // split; vocabulary threshold and ppm all-integer.
+    "q_oov_rate" ->
+      """WITH occ AS (SELECT source, UNNEST(list_filter(
+             regexp_split_to_array(COALESCE(text, ''), '[ \t\n\r]+'),
+             t -> t <> '')) AS tok
+           FROM documents),
+         pairs AS (SELECT source, tok, COUNT(*) AS cnt
+           FROM occ GROUP BY 1, 2),
+         totals AS (SELECT tok, SUM(cnt) AS gcnt FROM pairs GROUP BY 1)
+         SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN gcnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+             AS oov_occurrences,
+           CAST(SUM(CASE WHEN gcnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_types,
+           CAST(SUM(CASE WHEN gcnt < 5 THEN cnt ELSE 0 END) * 1000000
+             // SUM(cnt) AS BIGINT) AS oov_ppm
+         FROM pairs JOIN totals USING (tok)
+         GROUP BY source ORDER BY source""",
     "q_asof_join" ->
       """WITH purchases AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events

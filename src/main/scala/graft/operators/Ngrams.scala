@@ -41,4 +41,43 @@ object Ngrams {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
+
+  /** Per-source out-of-vocabulary statistics (C64) — vocabulary =
+   * tokens whose GLOBAL occurrence count ≥ `minCount`; per source:
+   * total/distinct token counts, OOV occurrences and types, and the
+   * OOV rate in ppm. The signal a tokenizer/mixture decision needs:
+   * a source whose token mass is dominated by corpus-rare types
+   * (boilerplate ids, non-text noise, a language the vocab under-
+   * covers) inflates sequence lengths and starves the shared vocab.
+   *
+   * Scale: the corpus scans ONCE — explode feeds a (source, token)
+   * hash aggregation whose map-side combine collapses occurrences
+   * before the shuffle (distinct pairs move, not token instances);
+   * global totals then derive from THAT pair relation (token-keyed
+   * re-aggregation — never a second corpus pass), the vocab flag is
+   * a token-keyed join of two pair-sized relations, and the source
+   * rollup is one more bounded exchange. AQE reuses the pair
+   * relation's shuffle for both consumers. Nothing occurrence-sized
+   * ever crosses the wire.
+   */
+  def oovStats(docs: DataFrame, sourceCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val pairs = docs
+      .select(col(sourceCol).as("source"), explode(
+        graft.functions.expressions.wordNgrams(
+          coalesce(col(textCol), lit("")), 1)).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("tok").agg(sum("cnt").as("gcnt"))
+    pairs.join(totals, "tok")
+      .groupBy("source")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("gcnt") < minCount, col("cnt")).otherwise(0L))
+          .as("oov_occurrences"),
+        sum(when(col("gcnt") < minCount, 1L).otherwise(0L))
+          .as("n_oov_types"))
+      .withColumn("oov_ppm", expr("oov_occurrences * 1000000 div n_tokens"))
+  }
 }

@@ -68,4 +68,31 @@ class NgramsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"expected partial+final aggregation:\n$plan")
   }
+
+  test("oovStats: hand-checked vocabulary threshold and per-source rollup") {
+    import spark.implicits._
+    // global counts: "the"=4 (vocab at min 3), "rare"=2 (oov), "x"=1 (oov)
+    val docs = Seq(
+      ("s1", "the the rare"),
+      ("s1", null.asInstanceOf[String]),       // null text: zero tokens
+      ("s2", "the the rare x")
+    ).toDF("source", "text")
+    val got = Ngrams.oovStats(docs, "source", "text", minCount = 3L)
+      .select("source", "n_tokens", "n_distinct", "oov_occurrences",
+        "n_oov_types", "oov_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s1", 3L, 2L, 1L, 1L, 333333L),
+      ("s2", 4L, 3L, 2L, 2L, 500000L)))
+  }
+
+  test("oovStats is partitioning-invariant") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i => (s"s${i % 3}", s"tok${i % 40} tok${i % 7} filler"))
+    val a = Ngrams.oovStats(docs.toDF("source", "text"), "source", "text", 5L)
+      .collect().map(_.toString).toSet
+    val b = Ngrams.oovStats(docs.reverse.toDF("source", "text").repartition(13),
+      "source", "text", 5L).collect().map(_.toString).toSet
+    assert(a == b)
+  }
 }
