@@ -2997,6 +2997,34 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** A24 (r14): gated publish ([[graft.sinks.Snapshot.publishChecked]])
+   * — attempt 1 publishes a consistent fact+dim pair under an FK rule
+   * and must flip; attempt 2 writes a TORN extract (dim missing the
+   * high nations) and must count every dangling fact key and REFUSE
+   * the flip — readers keep serving v1. The abort path is A19's
+   * crashed-publish invisibility: no flip, no torn read, orphan
+   * overwritten by the next publish. */
+  private def qPublishGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${graft.Scratch.root(s)}/gate_${sinkSeq.incrementAndGet()}"
+    val facts = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("rev_cents"))
+    val dimFull = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val rules = Seq(graft.sinks.Snapshot.FkCheck(
+      "orders", "o_custkey", "customer", "c_custkey"))
+    val (v1, ok1, rep1) = graft.sinks.Snapshot.publishChecked(s, root,
+      Map("orders" -> facts, "customer" -> dimFull), rules)
+    val (v2, ok2, rep2) = graft.sinks.Snapshot.publishChecked(s, root,
+      Map("orders" -> facts,
+        "customer" -> dimFull.filter(col("c_nationkey") < 13)), rules)
+    val cur = graft.sinks.Snapshot.currentVersion(s, root)
+    Seq((1L, v1, ok1, rep1.head._2, cur), (2L, v2, ok2, rep2.head._2, cur))
+      .toDF("attempt", "candidate_version", "published", "fk_violations",
+        "current_version")
+      .orderBy("attempt")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -4738,6 +4766,7 @@ object SparkEntry {
     "q_targeted_delete" -> qTargetedDelete,
     "q_append_sink"   -> qAppendSink,
     "q_snapshot_enrich_stream" -> qSnapshotEnrichStream,
+    "q_publish_gate" -> qPublishGate,
     "q_snapshot_changes" -> qSnapshotChanges,
     "q_snapshot_vacuum" -> qSnapshotVacuum,
     "q_mixture_temperature" -> qMixtureTemperature,
@@ -5248,6 +5277,19 @@ object SparkEntry {
            CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sv) * 1000000
              // (CAST(n AS HUGEINT) * sv) AS BIGINT) AS gini_ppm
          FROM g ORDER BY n_name""",
+    // attempt 1 flips (0 violations); attempt 2's dangling-key count
+    // is the torn extract's high-nation order rows; readers stay on 1.
+    "q_publish_gate" ->
+      """SELECT CAST(1 AS BIGINT) AS attempt, CAST(1 AS BIGINT) AS candidate_version,
+           TRUE AS published, CAST(0 AS BIGINT) AS fk_violations,
+           CAST(1 AS BIGINT) AS current_version
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), FALSE,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderkey % 7 = 0 AND c.c_nationkey >= 13),
+           CAST(1 AS BIGINT)
+         ORDER BY attempt""",
     // the batch -> dim-version mapping is deterministic by
     // construction (even keys enriched before the flip, odd after).
     "q_snapshot_enrich_stream" ->

@@ -75,8 +75,14 @@ object Snapshot {
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
-    // pointer flip: write-then-rename, never write-in-place (a reader
-    // must not observe a half-written manifest)
+    flipManifest(f, root, next)
+    next
+  }
+
+  // pointer flip: write-then-rename, never write-in-place (a reader
+  // must not observe a half-written manifest)
+  private def flipManifest(f: org.apache.hadoop.fs.FileSystem,
+      root: String, next: Long): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$root/MANIFEST.tmp.$next")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -89,7 +95,59 @@ object Snapshot {
       require(f.rename(tmp, manifestPath(root)),
         s"snapshot publish: manifest flip failed for v$next")
     }
-    next
+  }
+
+  /** A referential-integrity rule for [[publishChecked]]: every
+   * non-null `factCol` value in `factTable` must exist as a `dimCol`
+   * value in `dimTable` (SQL FK semantics — NULL keys pass). */
+  final case class FkCheck(factTable: String, factCol: String,
+      dimTable: String, dimCol: String)
+
+  /** Gated atomic publish (A24) — write the candidate version, check
+   * referential integrity ON THE WRITTEN FILES (what will actually
+   * serve, not the input plans), and flip the manifest ONLY if every
+   * rule holds. The abort path costs nothing to design: a failing
+   * gate simply does not flip, and A19's crashed-publish invisibility
+   * already guarantees readers never see a manifest-less version —
+   * the next publish overwrites the orphan. This is the "publish
+   * gate" a nightly build needs: a torn upstream extract (facts
+   * referencing dim keys that didn't land) must abort the flip, not
+   * serve nulls to every downstream join until someone notices.
+   *
+   * Returns (candidateVersion, published, per-rule violation counts).
+   * Scale: each rule is one left-anti join of the written fact
+   * against the written dim, counted — dim-keyed shuffle, no data
+   * rewritten; the candidate write itself is the same cost as
+   * [[publish]]. */
+  def publishChecked(
+      spark: SparkSession,
+      root: String,
+      tables: Map[String, DataFrame],
+      checks: Seq[FkCheck]): (Long, Boolean, Seq[(String, Long)]) = {
+    require(tables.nonEmpty, "snapshot publish: no tables")
+    tables.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"snapshot publish: unsafe table name '$n'"))
+    checks.foreach { c =>
+      require(tables.contains(c.factTable) && tables.contains(c.dimTable),
+        s"publishChecked: rule references a table not being published: $c")
+    }
+    val f = fs(spark, root)
+    val next = currentVersion(spark, root) + 1
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
+    }
+    import org.apache.spark.sql.functions.col
+    val report = checks.map { c =>
+      val fact = spark.read.parquet(s"$root/v$next/${c.factTable}")
+        .select(col(c.factCol)).filter(col(c.factCol).isNotNull)
+      val dim = spark.read.parquet(s"$root/v$next/${c.dimTable}")
+        .select(col(c.dimCol))
+      val bad = fact.join(dim, fact(c.factCol) === dim(c.dimCol), "left_anti").count()
+      (s"${c.factTable}.${c.factCol}->${c.dimTable}.${c.dimCol}", bad)
+    }
+    val ok = report.forall(_._2 == 0L)
+    if (ok) flipManifest(f, root, next)
+    (next, ok, report)
   }
 
   /** Change feed between two published versions (A22) — the keyed

@@ -83,6 +83,29 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshot.vacuum(spark, root, 0))
   }
 
+  test("publishChecked flips only when every FK rule holds; abort leaves prior version") {
+    val root = freshRoot()
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("dk", "label")
+    val good = Seq((10L, Option(1L)), (11L, Option(2L)), (12L, Option.empty[Long]))
+      .toDF("fid", "fk")
+    val rules = Seq(Snapshot.FkCheck("f", "fk", "d", "dk"))
+    // null fact keys pass (SQL FK semantics)
+    val (v1, ok1, rep1) = Snapshot.publishChecked(spark, root,
+      Map("f" -> good, "d" -> dim), rules)
+    assert(v1 == 1L && ok1 && rep1 == Seq(("f.fk->d.dk", 0L)))
+    assert(Snapshot.currentVersion(spark, root) == 1L)
+    // two dangling keys: no flip, violation count exact
+    val bad = Seq((10L, 1L), (11L, 7L), (12L, 9L)).toDF("fid", "fk")
+    val (v2, ok2, rep2) = Snapshot.publishChecked(spark, root,
+      Map("f" -> bad, "d" -> dim), rules)
+    assert(v2 == 2L && !ok2 && rep2 == Seq(("f.fk->d.dk", 2L)))
+    assert(Snapshot.currentVersion(spark, root) == 1L)
+    assert(Snapshot.read(spark, root, "f").count() == 3L) // still v1's table
+    // a rule naming an unpublished table fails loudly
+    intercept[IllegalArgumentException](Snapshot.publishChecked(spark, root,
+      Map("f" -> good), rules))
+  }
+
   test("reading an unpublished root or publishing unsafe names fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException](Snapshot.read(spark, root, "t"))
