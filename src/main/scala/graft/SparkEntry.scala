@@ -4212,6 +4212,35 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B93 (r14): top-k + OTHERS report
+   * ([[graft.operators.TopK.topKWithOthers]]) — each nation's top-3
+   * part brands by revenue plus the completeness bucket: the rows
+   * account for 100% of the nation's mass, so "top 3 are 40%" and
+   * "the tail is the story" are both readable. The rank window sorts
+   * the (nation, brand) ROLLUP — label domains, never facts — and
+   * the OTHERS fold + share window reuse the same partitioning.
+   * Revenue stays in exact cents×pct integers. */
+  private def qTopkOthers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+      (cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")))
+        .as("rev_e4"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val rollup = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("n_name", "p_brand").agg(sum("rev_e4").as("rev_e4"))
+    graft.operators.TopK.topKWithOthers(rollup, Seq("n_name"), "p_brand",
+        "rev_e4", k = 3)
+      .select(col("n_name"), col("p_brand"), col("rank"), col("rev_e4"),
+        col("n_members"), col("share_ppm"))
+      .orderBy("n_name", "rank")
+  }
+
   /** B92 (r14): bitemporal join ([[graft.operators.Bitemporal]]) —
    * B69 asks "what state was VALID at purchase time"; this asks the
    * two-timeline question "what state did the warehouse BELIEVE at
@@ -4814,6 +4843,7 @@ object SparkEntry {
     "q_join_profile"   -> qJoinProfile,
     "q_pit_join"       -> qPitJoin,
     "q_bitemporal_join" -> qBitemporalJoin,
+    "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
     "q_null_semantics" -> qNullSemantics,
     "q_orc_roundtrip"  -> qOrcRoundtrip,
@@ -7464,6 +7494,29 @@ object SparkEntry {
            CAST(n_right AS BIGINT) AS n_right,
            CAST(n_left * n_right AS BIGINT) AS out_rows
          FROM j ORDER BY out_rows DESC, key LIMIT 20""",
+    // the window formulation replayed over the same rollup; OTHERS
+    // folds ranks > 3, shares are exact HUGEINT ppm of nation mass.
+    "q_topk_others" ->
+      """WITH r AS (SELECT n_name, p_brand,
+             SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+             ORDER BY rev DESC, p_brand) AS rn FROM r),
+         folded AS (SELECT n_name,
+             CASE WHEN rn <= 3 THEN p_brand ELSE 'OTHERS' END AS p_brand,
+             SUM(rev) AS rev_e4, COUNT(*) AS n_members, MIN(rn) AS rank
+           FROM rk GROUP BY 1, 2)
+         SELECT n_name, p_brand, CAST(rank AS BIGINT) AS rank,
+           CAST(rev_e4 AS BIGINT) AS rev_e4,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(CAST(rev_e4 AS HUGEINT) * 1000000
+             // SUM(rev_e4) OVER (PARTITION BY n_name) AS BIGINT) AS share_ppm
+         FROM folded ORDER BY n_name, rank""",
     // the full two-timeline resolution replayed literally: SCD2
     // rebuild, lagged knowledge versions + starred corrections, valid
     // containment AND sys_from <= audit, latest-knowledge winner.

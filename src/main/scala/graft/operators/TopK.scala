@@ -68,4 +68,39 @@ object TopK {
       .select(gs ++ Seq((col("pos") + 1L).as("rank"),
         col("col.score").as("score"), col("col.id").as("id")): _*)
   }
+
+  /** Top-k labels per group PLUS an `OTHERS` completeness bucket
+   * (B93) — the reporting contract [[topKPerGroup]] cannot give: the
+   * emitted rows must account for 100% of each group's mass, so a
+   * reader can tell "top 3 brands are 40% of the nation" from "the
+   * tail is the story". Input is the (group, label, value) ROLLUP —
+   * already aggregated, domain-bounded (the B62 dedup-ahead-of-window
+   * discipline) — so the rank window sorts label DOMAINS, never
+   * facts, and the OTHERS fold plus the share window reuse the same
+   * group partitioning: one keyed exchange end to end. Ties rank
+   * deterministically (value desc, label asc); OTHERS carries rank
+   * k+1, its member count, and like every row its exact integer ppm
+   * share of the group total.
+   */
+  def topKWithOthers(rollup: DataFrame, group: Seq[String], label: String,
+      value: String, k: Int, othersLabel: String = "OTHERS"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val gs: Seq[Column] = group.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col(value).desc, col(label))
+    val wg = Window.partitionBy(gs: _*)
+    rollup
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__lab",
+        when(col("__rn") <= k, col(label)).otherwise(lit(othersLabel)))
+      .groupBy(gs :+ col("__lab").as(label): _*)
+      .agg(sum(col(value)).as(value), count(lit(1)).as("n_members"),
+        min("__rn").as("rank"))
+      .withColumn("__tot", sum(col(value)).over(wg))
+      // decimal(38,0) ahead of the ×1e6: a bigint product silently
+      // needs group mass < 9.2e12 — the B55 overflow class
+      .withColumn("share_ppm",
+        expr(s"cast($value as decimal(38,0)) * 1000000 div __tot"))
+      .drop("__tot")
+  }
 }

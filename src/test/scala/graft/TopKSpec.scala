@@ -49,4 +49,29 @@ class TopKSpec extends AnyFunSuite {
       .orderBy("rank").select("rank", "id").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 6L), (2L, 7L)))
   }
+
+  test("topKWithOthers: OTHERS accounts for the full tail; shares over group mass") {
+    import spark.implicits._
+    val rollup = Seq(
+      ("g", "a", 50L), ("g", "b", 30L), ("g", "c", 15L), ("g", "d", 5L),
+      ("h", "x", 10L) // fewer labels than k: no OTHERS row
+    ).toDF("grp", "lab", "v")
+    val out = graft.operators.TopK.topKWithOthers(rollup, Seq("grp"), "lab", "v", k = 2)
+      .select("grp", "lab", "rank", "v", "n_members", "share_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("g", "a", 1L, 50L, 1L, 500000L),
+      ("g", "b", 2L, 30L, 1L, 300000L),
+      ("g", "OTHERS", 3L, 20L, 2L, 200000L),
+      ("h", "x", 1L, 10L, 1L, 1000000L)))
+  }
+
+  test("topKWithOthers ties rank deterministically by label") {
+    import spark.implicits._
+    val rollup = Seq(("g", "b", 10L), ("g", "a", 10L), ("g", "c", 10L))
+      .toDF("grp", "lab", "v")
+    val out = graft.operators.TopK.topKWithOthers(rollup, Seq("grp"), "lab", "v", k = 2)
+      .select("lab", "rank").as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 1L), ("b", 2L), ("OTHERS", 3L)))
+  }
 }
