@@ -981,6 +981,33 @@ object SparkEntry {
       t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
       "text", n = 2, k = 20)
 
+  /** C65 (r14): k-anonymity audit ([[graft.operators.Anonymity]]) —
+   * release-gate evidence for the customer table under the classic
+   * quasi-identifier triple (nation, segment, $1000 balance band):
+   * every combination shared by fewer than k=3 rows re-identifies
+   * its members by linkage. One map-side-combined aggregation over
+   * the QI projection; nothing row-sized shuffles twice. */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = t(s, dir, "customer")
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("bal_cents div 100000").as("bal_kband"))
+    graft.operators.Anonymity.kAnonymityViolations(qi,
+        Seq("c_nationkey", "c_mktsegment", "bal_kband"), k = 3L)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_kband")
+  }
+
+  /** C65 summary row: totals, rows-at-risk ppm, and the anonymity
+   * level (min class size) the table actually satisfies. */
+  private def qKAnonymitySummary(s: SparkSession, dir: String): DataFrame = {
+    val qi = t(s, dir, "customer")
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("bal_cents div 100000").as("bal_kband"))
+    graft.operators.Anonymity.kAnonymitySummary(qi,
+      Seq("c_nationkey", "c_mktsegment", "bal_kband"), k = 3L)
+  }
+
   /** C64 (r14): per-source out-of-vocabulary rate
    * ([[graft.operators.Ngrams.oovStats]]) — vocabulary = tokens seen
    * ≥ 5 times corpus-wide; each source reports how much of its token
@@ -4705,6 +4732,8 @@ object SparkEntry {
     "q_fingerprint"    -> qFingerprint,
     "q_top_ngrams"     -> qTopNgrams,
     "q_oov_rate"       -> qOovRate,
+    "q_k_anonymity"    -> qKAnonymity,
+    "q_k_anonymity_summary" -> qKAnonymitySummary,
     "q_cc_sessions"    -> qCcSessions,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_clusters_exact" -> qDedupClustersExact,
@@ -6072,6 +6101,30 @@ object SparkEntry {
                 FROM toks, UNNEST(range(1, len(ts))) AS u(i))
          SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
          GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
+    // equivalence classes replayed with the same truncating banding;
+    // NULL-safe grouping is GROUP BY's default in both engines.
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000 AS bal_kband,
+           CAST(COUNT(*) AS BIGINT) AS class_size
+         FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 3
+         ORDER BY 1, 2, 3""",
+    "q_k_anonymity_summary" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000 AS b,
+             COUNT(*) AS n
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS anonymity_level,
+           CAST(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) * 1000000
+             // SUM(n) AS BIGINT) AS risk_ppm,
+           MIN(n) >= 3 AS satisfies_k
+         FROM cls""",
     // token identity replayed with the same byte-exact whitespace
     // split; vocabulary threshold and ppm all-integer.
     "q_oov_rate" ->
