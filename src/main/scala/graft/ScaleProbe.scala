@@ -747,6 +747,38 @@ object ScaleProbe {
     }
     require(anomFlags == 10000L, s"anomaly flag drift at 10M: $anomFlags flags")
     println("SCALE anomaly: exactly one spike flagged per key at 10M events")
+
+    // Union coverage (B90) at 10M intervals / 100k keys, answer provable
+    // per key: even keys chain (step 10 < width 15 -> ONE segment,
+    // covered = 99*10 + 15 = 1005); odd keys gap (step 20 -> 100
+    // segments, covered = 100*15 = 1500).
+    val covIn = spark.range(10000000L).toDF("i").select(
+        (col("i") % 100000L).as("k"), expr("i div 100000").as("j"))
+      .withColumn("step", when(col("k") % 2 === 0, 10L).otherwise(20L))
+      .select(col("k"), (col("j") * col("step")).as("s"),
+        (col("j") * col("step") + 15L).as("e"))
+    val covOut = timedRun("unionCoverage 10M intervals / 100k keys") {
+      graft.operators.Intervals.unionCoverage(covIn, "k", "s", "e")
+    }
+    val covBad = covOut.filter(
+      (col("k") % 2 === 0 && (col("covered") =!= 1005L || col("n_segments") =!= 1L)) ||
+      (col("k") % 2 === 1 && (col("covered") =!= 1500L || col("n_segments") =!= 100L)) ||
+      col("n_invalid") =!= 0L).count()
+    require(covBad == 0, s"unionCoverage drift at 10M: $covBad keys wrong")
+    println("SCALE union coverage: 100k keys exact under chain and gap regimes")
+
+    // Per-group Gini (B91) at 10M rows / 100 groups: x_i = i over
+    // 1..100000 has the closed form G = (n-1)/(3n) -> exactly
+    // 333330 ppm under integral division.
+    val giniIn = spark.range(10000000L).toDF("i").select(
+      (col("i") % 100L).as("g"), expr("i div 100 + 1").as("v"), col("i").as("id"))
+    val giniOut = timedRun("giniPpm 10M rows / 100 groups") {
+      graft.operators.Concentration.giniPpm(giniIn, Seq("g"), "v", "id")
+    }
+    val giniBad = giniOut.filter(col("gini_ppm") =!= 333330L ||
+      col("n") =!= 100000L).count()
+    require(giniBad == 0, s"giniPpm drift at 10M: $giniBad groups wrong")
+    println("SCALE gini: 100 groups recover the closed form exactly at 10M rows")
     spark.stop()
   }
 }

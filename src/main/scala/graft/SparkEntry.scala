@@ -2098,6 +2098,39 @@ object SparkEntry {
       .orderBy("c_nationkey")
   }
 
+  /** A25 (r14): named snapshot tags
+   * ([[graft.sinks.Snapshot.tag]]/[[graft.sinks.Snapshot.readTag]]) —
+   * the dataset-registry pattern: consumers pin the 'prod' TAG while
+   * publishes advance the head; promoting a validated version is a
+   * metadata-only pointer flip. The query proves the pin holds across
+   * a publish (tag still serves v1 after v2 lands) and that promotion
+   * re-points without data movement. */
+  private def qSnapshotTag(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/tag_${sinkSeq.incrementAndGet()}"
+    def rollup(onlyPositive: Boolean) = {
+      val c = t(s, dir, "customer")
+      (if (onlyPositive) c.filter(col("c_acctbal") > 0) else c)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"))
+    }
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> rollup(false)))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> rollup(true)))
+    val pinned = graft.sinks.Snapshot.readTag(s, root, "cust", "prod")
+      .withColumn("phase", lit("pinned"))
+      .withColumn("tag_version",
+        lit(graft.sinks.Snapshot.tagVersion(s, root, "prod")))
+    graft.sinks.Snapshot.tag(s, root, "prod", 2L)
+    val promoted = graft.sinks.Snapshot.readTag(s, root, "cust", "prod")
+      .withColumn("phase", lit("promoted"))
+      .withColumn("tag_version",
+        lit(graft.sinks.Snapshot.tagVersion(s, root, "prod")))
+    pinned.unionByName(promoted)
+      .select("phase", "tag_version", "c_nationkey", "n_cust", "bal_cents")
+      .orderBy("phase", "c_nationkey")
+  }
+
   /** A23 (r14): snapshot version retention
    * ([[graft.sinks.Snapshot.vacuum]]) — bound the time-travel window:
    * publish three versions, vacuum to the newest two, and read BOTH
@@ -4827,6 +4860,7 @@ object SparkEntry {
     "q_publish_gate" -> qPublishGate,
     "q_snapshot_changes" -> qSnapshotChanges,
     "q_snapshot_vacuum" -> qSnapshotVacuum,
+    "q_snapshot_tag" -> qSnapshotTag,
     "q_mixture_temperature" -> qMixtureTemperature,
     "q_interval_coverage" -> qIntervalCoverage,
     "q_gini_nation"   -> qGiniNation,
@@ -5360,6 +5394,21 @@ object SparkEntry {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE c_custkey % 53 = 0
          ORDER BY c_custkey""",
+    // pinned phase = the FULL rollup (tag still v1 after v2 lands);
+    // promoted phase = the positive-only rollup under tag_version 2.
+    "q_snapshot_tag" ->
+      """WITH v1 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+           FROM customer GROUP BY 1),
+         v2 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+           FROM customer WHERE c_acctbal > 0 GROUP BY 1)
+         SELECT 'pinned' AS phase, CAST(1 AS BIGINT) AS tag_version,
+           c_nationkey, n_cust, bal_cents FROM v1
+         UNION ALL
+         SELECT 'promoted', CAST(2 AS BIGINT), c_nationkey, n_cust, bal_cents
+         FROM v2
+         ORDER BY phase, c_nationkey""",
     // both surviving rollups recomputed from source; n_vacuumed pinned
     // to the literal 1 — the expired version count is deterministic.
     "q_snapshot_vacuum" ->

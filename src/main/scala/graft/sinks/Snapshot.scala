@@ -230,6 +230,48 @@ object Snapshot {
     doomed
   }
 
+  /** Named version refs (A25) — "prod points at v7" as one tiny
+   * pointer file per tag, flipped with the same write-then-rename
+   * discipline as the manifest: consumers pin a TAG (stable contract)
+   * while publishes advance the head version freely, and promoting a
+   * validated version to prod is a metadata-only flip — the
+   * dataset-registry pattern (git tags for tables). A tag survives
+   * vacuum only if its version does: [[vacuum]] counts versions from
+   * the HEAD, so pin retention ≥ the tag distance or re-tag before
+   * vacuuming (resolving a vacuumed tag fails loudly at read). */
+  def tag(spark: SparkSession, root: String, name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"snapshot tag: unsafe name '$name'")
+    val cur = currentVersion(spark, root)
+    require(version >= 1 && version <= cur,
+      s"snapshot tag: v$version not published (head is v$cur)")
+    val f = fs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/TAG.tmp.$name")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(s"$root/TAG.$name")
+    if (!f.rename(tmp, dest)) {
+      f.delete(dest, false)
+      require(f.rename(tmp, dest), s"snapshot tag: flip failed for '$name'")
+    }
+  }
+
+  /** The version a tag names; fails loudly on unknown tags. */
+  def tagVersion(spark: SparkSession, root: String, name: String): Long = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"snapshot tag: unsafe name '$name'")
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/TAG.$name")
+    require(f.exists(p), s"snapshot tag: no tag '$name' under $root")
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  /** Read `table` at the version a tag names. */
+  def readTag(spark: SparkSession, root: String, table: String, name: String): DataFrame =
+    read(spark, root, table, Some(tagVersion(spark, root, name)))
+
   /** Read `table` at the current version, or pinned at `asOfVersion`
    * (time travel). A version the manifest never named (crashed
    * publish) is unreadable by construction. */

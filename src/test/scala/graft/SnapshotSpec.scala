@@ -106,6 +106,24 @@ class SnapshotSpec extends AnyFunSuite {
       Map("f" -> good), rules))
   }
 
+  test("tags pin across publishes, promote by pointer flip, and fail loudly") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.publish(spark, root, Map("t" -> Seq(2L, 3L).toDF("x")))
+    // pinned: the tag still serves v1 while head moved to v2
+    assert(Snapshot.readTag(spark, root, "t", "prod").as[Long].collect().toList ==
+      List(1L))
+    assert(Snapshot.read(spark, root, "t").as[Long].collect().toSet == Set(2L, 3L))
+    Snapshot.tag(spark, root, "prod", 2L) // promote: pointer flip only
+    assert(Snapshot.readTag(spark, root, "t", "prod").as[Long].collect().toSet ==
+      Set(2L, 3L))
+    // refusals: unknown tag, unpublished version, unsafe name
+    intercept[IllegalArgumentException](Snapshot.tagVersion(spark, root, "stage"))
+    intercept[IllegalArgumentException](Snapshot.tag(spark, root, "prod", 9L))
+    intercept[IllegalArgumentException](Snapshot.tag(spark, root, "../evil", 1L))
+  }
+
   test("reading an unpublished root or publishing unsafe names fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException](Snapshot.read(spark, root, "t"))
