@@ -3085,6 +3085,28 @@ object SparkEntry {
       .orderBy("attempt")
   }
 
+  /** D19 (batch side of the unified API): interval anti join
+   * ([[graft.streaming.EventStream.intervalAntiJoin]]) — clicks that
+   * did NOT convert to a purchase by the same user within the
+   * following hour (abandonment). In batch the watermark is a no-op
+   * and the operator degenerates to exact NOT EXISTS, which is
+   * precisely the oracle's formulation; StreamingSpec drives the same
+   * operator through micro-batches and checks watermark-final
+   * absence verdicts. */
+  private def qIntervalAnti(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    graft.streaming.EventStream.intervalAntiJoin(
+        clicks, purchases, "c_user", "p_user", "c_ts", "p_ts",
+        window = "1 hour")
+      .select(col("click_id"), col("c_user").as("user_id"))
+      .orderBy("click_id")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -4857,6 +4879,7 @@ object SparkEntry {
     "q_targeted_delete" -> qTargetedDelete,
     "q_append_sink"   -> qAppendSink,
     "q_snapshot_enrich_stream" -> qSnapshotEnrichStream,
+    "q_interval_anti" -> qIntervalAnti,
     "q_publish_gate" -> qPublishGate,
     "q_snapshot_changes" -> qSnapshotChanges,
     "q_snapshot_vacuum" -> qSnapshotVacuum,
@@ -5383,6 +5406,15 @@ object SparkEntry {
             WHERE o.o_orderkey % 7 = 0 AND c.c_nationkey >= 13),
            CAST(1 AS BIGINT)
          ORDER BY attempt""",
+    // exact NOT EXISTS over the same one-hour follow-up window.
+    "q_interval_anti" ->
+      """SELECT c.event_id AS click_id, c.user_id
+         FROM events c
+         WHERE c.event_type = 'click' AND NOT EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+         ORDER BY click_id""",
     // the batch -> dim-version mapping is deterministic by
     // construction (even keys enriched before the flip, odd after).
     "q_snapshot_enrich_stream" ->

@@ -735,4 +735,41 @@ object EventStream {
       s"`$rightTs` >= `$leftTs` - INTERVAL '$lookback' AND `$rightTs` <= `$leftTs`"),
       joinType)
   }
+
+  /** Stream-stream interval ANTI join (D19) — each left event that has
+   * NO right event for its key within `window` AFTER it: timeout /
+   * SLA-breach / abandonment detection (the click that never
+   * converted, the order never acknowledged, the heartbeat that
+   * stopped). Spark offers no streaming NOT EXISTS; the absence test
+   * rides the watermarked left_outer interval join — an unmatched
+   * left row is emitted exactly once, when the watermark PROVES the
+   * match can no longer arrive (absence is only decidable
+   * event-time-late, which is why the watermark is mandatory, and why
+   * the verdict is deterministic rather than racy). State stays
+   * bounded: both sides evict at watermark + window, the same budget
+   * [[intervalJoin]] runs on an unbounded stream.
+   *
+   * Output: the left columns, unchanged. Batch mode: the watermark is
+   * a no-op and this degenerates to exact NOT EXISTS — the unified
+   * API twin the oracle checks. */
+  def intervalAntiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "alias left/right columns apart before a stream-stream self-join")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+        s"`$leftKey` = `$rightKey` AND " +
+        s"`$rightTs` >= `$leftTs` AND `$rightTs` <= `$leftTs` + INTERVAL '$window'"),
+        "left_outer")
+      .filter(col(rightKey).isNull)
+      .select(left.columns.map(col): _*)
+  }
 }

@@ -735,6 +735,35 @@ class StreamingSpec extends AnyFunSuite {
     ))
   }
 
+  test("intervalAntiJoin: absence verdicts emit only when the watermark proves them") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/anti_${System.nanoTime()}"
+    val lin = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rin = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val out = EventStream.intervalAntiJoin(
+      lin.toDF().toDF("id", "k", "lts"), rin.toDF().toDF("rk", "rts"),
+      "k", "rk", "lts", "rts", window = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("anti_res")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      // left: id 1 (k=7, t=0) converts at t=5; id 2 (k=7, t=30) has the
+      // purchase BEFORE its window; id 3 (k=9, t=2) no right activity
+      lin.addData((1L, 7L, ts(0)), (2L, 7L, ts(30)), (3L, 9L, ts(2)))
+      rin.addData((7L, ts(5)))
+      q.processAllAvailable()
+      // nothing final yet: watermark has not passed t+window for any row
+      assert(spark.table("anti_res").count() == 0L)
+      // advance event time far past every deadline on BOTH sides
+      lin.addData((99L, 1L, ts(120))); rin.addData((1L, ts(120)))
+      q.processAllAvailable()
+      val got = spark.table("anti_res").select("id").as[Long].collect().toSet
+      assert(got == Set(2L, 3L)) // 1 converted; 2 and 3 proven unmatched
+    } finally q.stop()
+  }
+
   test("histogramDrift: hand-checked shares, lost-bucket contribution, tie-break") {
     import spark.implicits._
     // window w1: buckets {0:3, 1:1} -> shares {750000, 250000}
