@@ -378,4 +378,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rag.contains("BroadcastHashJoin"), s"rag must broadcast df:\n$rag")
     assert(rag.contains("TakeOrdered"), s"rag top-5 must be TakeOrdered:\n$rag")
   }
+
+  test("second round-14 session wave plans to its declared scale shapes") {
+    // topk+others: every dim broadcast, the only SMJ is lineitem⋈orders
+    val tko = plan("q_topk_others")
+    assert(!tko.contains("CartesianProduct"), s"topk_others cartesian:\n$tko")
+    assert(tko.contains("BroadcastHashJoin"),
+      s"topk_others must broadcast its dims:\n$tko")
+    // oov: single corpus scan — the pair relation is aggregated with a
+    // partial (map-side) combine before anything shuffles
+    val oov = plan("q_oov_rate")
+    assert(!oov.contains("CartesianProduct") && !oov.contains("NestedLoop"),
+      s"oov joins wrong:\n$oov")
+    assert("partial_count".r.findAllIn(oov).nonEmpty ||
+      "HashAggregate".r.findAllIn(oov).size >= 4,
+      s"oov pair relation must combine map-side:\n$oov")
+    // interval coverage and gini: ONE exchange per operator core (the
+    // windows and rollups reuse the keyed partitioning); no join at all
+    // in coverage, only broadcasts in gini
+    val cov = plan("q_interval_coverage")
+    assert("SortMergeJoin".r.findAllIn(cov).isEmpty &&
+      !cov.contains("CartesianProduct"), s"coverage must stay join-lean:\n$cov")
+    val gini = plan("q_gini_nation")
+    assert(!gini.contains("SortMergeJoin") && !gini.contains("CartesianProduct"),
+      s"gini dims must broadcast:\n$gini")
+    // fair allocation / mixture temperature: the sort window runs over
+    // the per-source dim; the corpus rollup must partial-combine
+    Seq("q_fair_allocation", "q_mixture_temperature").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$n bounded relations must broadcast:\n$p")
+    }
+    // bitemporal: the fact-key equi-join must be a real hash/merge join
+    // (never nested-loop containment), the resolve window keyed on fact id
+    val bt = plan("q_bitemporal_join")
+    assert(!bt.contains("CartesianProduct") && !bt.contains("NestedLoop"),
+      s"bitemporal must equi-join on the key:\n$bt")
+  }
 }
