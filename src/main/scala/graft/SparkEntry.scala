@@ -2131,6 +2131,86 @@ object SparkEntry {
       .orderBy("phase", "c_nationkey")
   }
 
+  /** A26 (r14): governed release flagship — the composition row for
+   * the session's governance pieces, end to end: k-anonymity audit
+   * (C65) on the raw projection REFUSES the release; generalizing the
+   * balance band 5× still leaves rare classes; suppressing the
+   * residual violators yields a provably k-anonymous table, which
+   * then passes the gated publish (A24 machinery) and gets the
+   * `release` tag (A25). Every phase's verdict and counts are
+   * DuckDB-replayed — the full enforce-generalize-suppress-publish
+   * loop a real data release runs, with no step trusting the
+   * previous one's claim. */
+  private def qGovernedRelease(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${graft.Scratch.root(s)}/release_${sinkSeq.incrementAndGet()}"
+    val qis = Seq("c_nationkey", "c_mktsegment", "bal_band")
+    def projected(bandCents: Long) = t(s, dir, "customer")
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr(s"bal_cents div $bandCents").as("bal_band"))
+    def audit(df: DataFrame, phase: String) = {
+      val r = graft.operators.Anonymity.kAnonymitySummary(df, qis, k = 3L)
+        .select("n_rows", "n_rows_at_risk", "anonymity_level", "satisfies_k")
+        .as[(Long, Long, Long, Boolean)].head()
+      (phase, r._1, r._2, r._3, r._4)
+    }
+    val raw = audit(projected(100000L), "audit_raw")
+    val coarse = projected(500000L)
+    val coarseAudit = audit(coarse, "audit_coarse")
+    // suppression: drop every row whose class is still under k
+    val classes = coarse.groupBy(qis.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val released = coarse.join(broadcast(classes.filter(col("class_size") < 3L)),
+      qis, "left_anti")
+    val relAudit = audit(released, "audit_released")
+    require(relAudit._5, "governed release: suppression must reach k-anonymity")
+    val (ver, ok, _) = graft.sinks.Snapshot.publishChecked(s, root,
+      Map("release" -> released), checks = Nil)
+    require(ok, "governed release: gated publish refused a passing table")
+    graft.sinks.Snapshot.tag(s, root, "release", ver)
+    val nPub = graft.sinks.Snapshot.readTag(s, root, "release", "release").count()
+    Seq(raw, coarseAudit, relAudit,
+        ("published_v" + ver, nPub, 0L, relAudit._4, true))
+      .toDF("phase", "n_rows", "n_rows_at_risk", "anonymity_level",
+        "ok")
+      .orderBy("phase")
+  }
+
+  /** A22b (r14): the publish→diff→apply loop CLOSED — A22's change
+   * feed, derived between two published versions, drives A10's
+   * applyCdc against a replica bootstrapped at v1; the replica must
+   * land EXACTLY on v2 ('I' rows map to upserts like 'U' — applyCdc's
+   * merge is insert-or-update by construction). This is the
+   * incremental-consumer contract the change feed exists for: a
+   * downstream copy pays one keyed merge per publish, never a
+   * re-read of the table — and the oracle checks the END STATE, so a
+   * feed that dropped or invented any row fails the row, not a log
+   * line. */
+  private def qChangeApply(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/chgapply_${sinkSeq.incrementAndGet()}"
+    def rollup(maxNation: Int) = t(s, dir, "customer")
+      .filter(col("c_nationkey") < maxNation)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).as("bal_cents"))
+    // v1: nations 0..19; v2: nations 0..14 with positive balances only
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> rollup(20)))
+    graft.sinks.Snapshot.publish(s, root, Map("cust" ->
+      rollup(15).filter(col("bal_cents") > 0)))
+    val feed = graft.sinks.Snapshot
+      .changesBetween(s, root, "cust", 1L, 2L, Seq("c_nationkey"))
+      .withColumn("_op", when(col("op") === "D", lit("D")).otherwise(lit("U")))
+      .drop("op")
+    val replica = s"$root/replica"
+    graft.sinks.Snapshot.read(s, root, "cust", Some(1L))
+      .write.parquet(replica) // bootstrap at v1
+    graft.sinks.TableSink.applyCdc(s, replica, feed, Seq("c_nationkey"))
+    s.read.parquet(replica)
+      .select("c_nationkey", "n_cust", "bal_cents")
+      .orderBy("c_nationkey")
+  }
+
   /** A23 (r14): snapshot version retention
    * ([[graft.sinks.Snapshot.vacuum]]) — bound the time-travel window:
    * publish three versions, vacuum to the newest two, and read BOTH
@@ -4883,7 +4963,9 @@ object SparkEntry {
     "q_publish_gate" -> qPublishGate,
     "q_snapshot_changes" -> qSnapshotChanges,
     "q_snapshot_vacuum" -> qSnapshotVacuum,
+    "q_change_apply" -> qChangeApply,
     "q_snapshot_tag" -> qSnapshotTag,
+    "q_governed_release" -> qGovernedRelease,
     "q_mixture_temperature" -> qMixtureTemperature,
     "q_interval_coverage" -> qIntervalCoverage,
     "q_gini_nation"   -> qGiniNation,
@@ -5426,6 +5508,36 @@ object SparkEntry {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE c_custkey % 53 = 0
          ORDER BY c_custkey""",
+    // all four phases replayed: raw and coarse audits, the suppressed
+    // release's size and floor (>= 3 by construction), the publish.
+    "q_governed_release" ->
+      """WITH raw AS (SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000 AS b,
+             COUNT(*) AS n
+           FROM customer GROUP BY 1, 2, 3),
+         coarse AS (SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) // 500000 AS b,
+             COUNT(*) AS n
+           FROM customer GROUP BY 1, 2, 3),
+         rel AS (SELECT * FROM coarse WHERE n >= 3)
+         SELECT 'audit_raw' AS phase, CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS anonymity_level, MIN(n) >= 3 AS ok
+         FROM raw
+         UNION ALL
+         SELECT 'audit_coarse', CAST(SUM(n) AS BIGINT),
+           CAST(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) AS BIGINT),
+           CAST(MIN(n) AS BIGINT), MIN(n) >= 3
+         FROM coarse
+         UNION ALL
+         SELECT 'audit_released', CAST(SUM(n) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(MIN(n) AS BIGINT), TRUE
+         FROM rel
+         UNION ALL
+         SELECT 'published_v1', CAST(SUM(n) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(MIN(n) AS BIGINT), TRUE
+         FROM rel
+         ORDER BY phase""",
     // pinned phase = the FULL rollup (tag still v1 after v2 lands);
     // promoted phase = the positive-only rollup under tag_version 2.
     "q_snapshot_tag" ->
@@ -5441,6 +5553,17 @@ object SparkEntry {
          SELECT 'promoted', CAST(2 AS BIGINT), c_nationkey, n_cust, bal_cents
          FROM v2
          ORDER BY phase, c_nationkey""",
+    // the END STATE of the replica after the feed: exactly v2's
+    // definition recomputed from source — a feed that dropped or
+    // invented any row diverges here.
+    "q_change_apply" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+         FROM customer WHERE c_nationkey < 15
+         GROUP BY 1
+         HAVING SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) > 0
+         ORDER BY c_nationkey""",
     // both surviving rollups recomputed from source; n_vacuumed pinned
     // to the literal 1 — the expired version count is deterministic.
     "q_snapshot_vacuum" ->
