@@ -4403,6 +4403,29 @@ object SparkEntry {
       .orderBy("n_name", "rank")
   }
 
+  /** B94 (r14): clamped running balance
+   * ([[graft.operators.Balance.clampedFinal]]) — per-user wallet
+   * where credits are purchases/signups and debits are views/errors,
+   * and the balance CANNOT go negative (an over-large debit partially
+   * absorbs to zero). The recurrence y_t = max(0, y_{t−1}+x_t) looks
+   * recursion-only; the prefix-min closed form does it in two
+   * running windows over one sort, and `rejected_cents` is the
+   * cumulative clamped-away demand. The oracle replays both windows
+   * sequential-definition-style. */
+  private def qClampedBalance(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .filter(col("event_type").isin("purchase", "signup", "view", "error"))
+      .select(col("user_id"),
+        struct(col("ts_us"), col("event_id")).as("ord"),
+        when(col("event_type").isin("purchase", "signup"), cents(col("value")))
+          .otherwise(-cents(col("value"))).as("delta"))
+    graft.operators.Balance.clampedFinal(ev, "user_id", "ord", "delta")
+      .select(col("user_id"), col("n_tx"), col("net").as("net_cents"),
+        col("rejected_total").as("rejected_cents"),
+        col("final_balance").as("balance_cents"))
+      .orderBy("user_id")
+  }
+
   /** B92 (r14): bitemporal join ([[graft.operators.Bitemporal]]) —
    * B69 asks "what state was VALID at purchase time"; this asks the
    * two-timeline question "what state did the warehouse BELIEVE at
@@ -5011,6 +5034,7 @@ object SparkEntry {
     "q_join_profile"   -> qJoinProfile,
     "q_pit_join"       -> qPitJoin,
     "q_bitemporal_join" -> qBitemporalJoin,
+    "q_clamped_balance" -> qClampedBalance,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
     "q_null_semantics" -> qNullSemantics,
@@ -7774,6 +7798,28 @@ object SparkEntry {
            CAST(CAST(rev_e4 AS HUGEINT) * 1000000
              // SUM(rev_e4) OVER (PARTITION BY n_name) AS BIGINT) AS share_ppm
          FROM folded ORDER BY n_name, rank""",
+    // the same prefix + running-min windows; rejected = -min(0, runmin)
+    // is the cumulative clamp absorption, final = net + rejected.
+    "q_clamped_balance" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE -CAST(round(value * 100, 0) AS BIGINT) END AS d
+           FROM events
+           WHERE event_type IN ('purchase', 'signup', 'view', 'error')),
+         p AS (SELECT user_id, ts_us, event_id, d,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+           FROM e),
+         m AS (SELECT user_id, d,
+             MIN(pre) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+           FROM p)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_tx,
+           CAST(SUM(d) AS BIGINT) AS net_cents,
+           CAST(MAX(GREATEST(0, -rm)) AS BIGINT) AS rejected_cents,
+           CAST(SUM(d) + MAX(GREATEST(0, -rm)) AS BIGINT) AS balance_cents
+         FROM m GROUP BY user_id ORDER BY user_id""",
     // the full two-timeline resolution replayed literally: SCD2
     // rebuild, lagged knowledge versions + starred corrections, valid
     // containment AND sys_from <= audit, latest-knowledge winner.

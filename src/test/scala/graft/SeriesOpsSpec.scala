@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Intervals, Islands, Rolling, Sweep}
+import graft.operators.{Balance, Intervals, Islands, Rolling, Sweep}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Islands (B62), Sweep (B63), Rolling (B64): hand-checked edge
@@ -172,5 +172,33 @@ class SeriesOpsSpec extends AnyFunSuite {
     val inv = Intervals.unionCoverage(rows.toDF("k", "s", "e"), "k", "s", "e")
       .agg(org.apache.spark.sql.functions.sum("n_invalid")).as[Long].head()
     assert(inv == 500L)
+  }
+
+  test("clampedRunningSum: partial absorption, recovery, and the rejected ledger") {
+    // deltas 5, -10, 3: balance 5 -> 0 (7 rejected) -> 3
+    val df = Seq((1L, 1L, 5L), (1L, 2L, -10L), (1L, 3L, 3L)).toDF("k", "o", "d")
+    val got = Balance.clampedRunningSum(df, "k", "o", "d")
+      .select("o", "prefix", "balance", "rejected")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 5L, 5L, 0L), (2L, -5L, 0L, 5L), (3L, -2L, 3L, 5L)))
+    val fin = Balance.clampedFinal(df, "k", "o", "d")
+      .select("n_tx", "net", "rejected_total", "final_balance")
+      .as[(Long, Long, Long, Long)].head()
+    assert(fin == ((3L, -2L, 5L, 3L)))
+  }
+
+  test("clampedRunningSum equals the sequential fold on seeded random series") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 0L until 40L; o <- 0L until 100L)
+      yield (k, o, rnd.nextInt(41).toLong - 20L)
+    val got = Balance.clampedRunningSum(
+        rows.toDF("k", "o", "d").repartition(13), "k", "o", "d")
+      .select("k", "o", "balance").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).map { case (k, g) =>
+        k -> g.sortBy(_._2).map(_._3).toList }
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      k -> g.sortBy(_._2).map(_._3)
+        .scanLeft(0L)((y, x) => math.max(0L, y + x)).tail.toList }
+    assert(got == want)
   }
 }
