@@ -2533,6 +2533,47 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** C66 (r14): budget materialization
+   * ([[graft.operators.Sampling.budgetMaterialize]]) — C63's fair
+   * allocation turned into per-doc COPY COUNTS: full epochs of every
+   * doc plus a deterministic md5-prefix partial epoch, stop-before-
+   * exceeding (undershoot < one doc, never an overdraw). The rollup
+   * proves the materialized token mass reconciles with the plan:
+   * materialized = full·n + partial-prefix sum, undershoot =
+   * allocated − materialized ≥ 0. Every number integer-replayable. */
+  private def qBudgetMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.expressions.wordNgrams(
+          coalesce(col("text"), lit("")), 1)).cast("long").as("toks"))
+    val per = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val tot = per.agg(sum("n_docs").as("tot_docs"),
+      sum("n_tokens").as("tot_tokens"))
+    val tiered = per.crossJoin(broadcast(tot))
+      .withColumn("epochs",
+        when(col("n_tokens") * col("tot_docs") < col("tot_tokens") * col("n_docs"),
+          1L).otherwise(3L))
+      .withColumn("cap_tokens", col("epochs") * col("n_tokens"))
+      .drop("tot_docs", "tot_tokens")
+    val budget = per.agg(expr("3 * sum(n_tokens) div 2").as("budget"))
+    val alloc = graft.operators.Allocation
+      .maxMinFair(tiered, "source", "cap_tokens", budget)
+    graft.operators.Sampling
+      .budgetMaterialize(perDoc, "source", "doc_id", "toks", alloc)
+      .groupBy("source")
+      .agg(sum(when(col("copies") > 0, 1L).otherwise(0L)).as("n_docs_used"),
+        max("copies").as("max_copies"),
+        sum(col("copies") * col("toks")).as("materialized_tokens"))
+      .join(broadcast(alloc.select(col("source"),
+        col("allocated").as("allocated_tokens"))), Seq("source"))
+      .withColumn("undershoot",
+        col("allocated_tokens") - col("materialized_tokens"))
+      .select("source", "allocated_tokens", "n_docs_used", "max_copies",
+        "materialized_tokens", "undershoot")
+      .orderBy("source")
+  }
+
   /** C37: incremental dedup equivalence gate — split the corpus at
    * the id midpoint (1-row bounds broadcast, date-spine pattern),
    * build text-free [[graft.dedup.Dedup.minhashState]] from the first
@@ -4993,6 +5034,7 @@ object SparkEntry {
     "q_interval_coverage" -> qIntervalCoverage,
     "q_gini_nation"   -> qGiniNation,
     "q_fair_allocation" -> qFairAllocation,
+    "q_budget_materialize" -> qBudgetMaterialize,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -5603,6 +5645,57 @@ object SparkEntry {
          SELECT CAST(3 AS BIGINT), c_nationkey, n_cust, bal_cents,
            CAST(1 AS BIGINT) FROM v3
          ORDER BY version, c_nationkey""",
+    // the full allocation replayed (q_fair_allocation's SQL) plus the
+    // md5-prefix partial epoch and the reconciliation arithmetic.
+    "q_budget_materialize" ->
+      """WITH toks AS (SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(COALESCE(text, ''),
+               '[ 	
+]+'), t -> t <> '')) AS BIGINT) AS toks
+           FROM documents),
+         per AS (SELECT source, COUNT(*) AS n_docs, SUM(toks) AS n_tokens
+           FROM toks GROUP BY 1),
+         tiers AS (SELECT per.*,
+             CASE WHEN n_tokens * tot_docs < tot_tokens * n_docs
+                  THEN n_tokens ELSE 3 * n_tokens END AS cap
+           FROM per, (SELECT SUM(n_docs) AS tot_docs,
+               SUM(n_tokens) AS tot_tokens FROM per)),
+         b AS (SELECT 3 * SUM(n_tokens) // 2 AS budget,
+             COUNT(*) AS m FROM per),
+         r AS (SELECT tiers.*, budget, m,
+             ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+           FROM tiers, b),
+         f AS (SELECT *, cap * (m - i + 1) > budget - cumprev AS fail FROM r),
+         ff AS (SELECT MIN(CASE WHEN fail THEN i END) AS ffi FROM f),
+         c2 AS (SELECT f.*, (ffi IS NULL OR i < ffi) AS capped, ffi
+           FROM f, ff),
+         lv AS (SELECT SUM(CASE WHEN capped THEN cap ELSE 0 END) AS granted,
+             SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS u FROM c2),
+         alloc AS (SELECT source, n_tokens,
+             CASE WHEN capped THEN cap
+               ELSE (budget - granted) // u
+                 + (CASE WHEN i - ffi + 1 <= (budget - granted) % u
+                    THEN 1 ELSE 0 END) END AS a
+           FROM c2, lv),
+         cum AS (SELECT t.source, t.doc_id, t.toks, a.a, a.n_tokens,
+             SUM(t.toks) OVER (PARTITION BY t.source
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM toks t JOIN alloc a USING (source)),
+         cp AS (SELECT source, doc_id, toks,
+             a // n_tokens
+               + (CASE WHEN cum <= a % n_tokens THEN 1 ELSE 0 END) AS copies,
+             a
+           FROM cum)
+         SELECT source, CAST(MAX(a) AS BIGINT) AS allocated_tokens,
+           CAST(SUM(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_used,
+           CAST(MAX(copies) AS BIGINT) AS max_copies,
+           CAST(SUM(copies * toks) AS BIGINT) AS materialized_tokens,
+           CAST(MAX(a) - SUM(copies * toks) AS BIGINT) AS undershoot
+         FROM cp GROUP BY source ORDER BY source""",
     // progressive filling replayed: capped set = prefix of the
     // cap-ascending order, boundary = first exact-product failure,
     // uncapped split = base + deterministic unit-remainder spread.

@@ -155,6 +155,41 @@ object Sampling {
    * serialize onto one reducer). `tokens` is any integer column
    * expression (e.g. a codegen'd token count).
    */
+  /**
+   * Materialize a per-source token allocation into per-doc copy
+   * counts (C66) — the terminal step after C63's fair allocation: an
+   * allocation `a` for a source holding `n` total tokens means
+   * floor(a/n) FULL epochs of every doc, plus ONE partial epoch of
+   * ≈ (a mod n) tokens filled by a deterministic md5-order prefix
+   * (stop before exceeding, so the undershoot is < one document —
+   * never an overdraw). Repetition-with-partial-epoch is exactly how
+   * a training run consumes an over-cap allocation; the md5 order
+   * makes the partial epoch a uniform sample, reproducible across
+   * engines, partitionings, and reruns.
+   *
+   * `alloc`: one row per source carrying `allocCol` (e.g. the
+   * maxMinFair output — dimension-sized, broadcast). Output: every
+   * input row plus `copies` (full + 0/1; a doc can carry 0). Scale:
+   * one keyed exchange for the per-source prefix window; the joins
+   * are broadcasts of per-source relations.
+   */
+  def budgetMaterialize(df: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, alloc: DataFrame, allocCol: String = "allocated"): DataFrame = {
+    val tot = df.groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__n_tok"))
+    val order = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(order, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.join(broadcast(alloc.select(col(sourceCol), col(allocCol).as("__alloc"))),
+        Seq(sourceCol))
+      .join(broadcast(tot), Seq(sourceCol))
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("copies",
+        (expr("__alloc div __n_tok") +
+          when(col("__cum") <= expr("__alloc % __n_tok"), 1L).otherwise(0L))
+          .cast("long"))
+      .drop("__alloc", "__n_tok", "__cum")
+  }
+
   def packSequences(df: DataFrame, shardCol: String, idCol: String,
       tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")

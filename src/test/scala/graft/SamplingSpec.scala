@@ -117,4 +117,43 @@ class SamplingSpec extends AnyFunSuite {
       ("s1", 1L, 1L, 100L, "gamma"),
       ("s2", 0L, 1L, 600L, "delta")))
   }
+
+  test("budgetMaterialize: exact multiples give uniform epochs; remainders prefix-fill") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(("s", 1L, 4L), ("s", 2L, 3L), ("s", 3L, 3L)).toDF("source", "doc_id", "toks")
+    // alloc = 2n exactly: every doc gets exactly 2 copies, no partial
+    val even = graft.operators.Sampling.budgetMaterialize(docs, "source", "doc_id",
+      "toks", Seq(("s", 20L)).toDF("source", "allocated"))
+    assert(even.select("copies").as[Long].collect().toList == List(2L, 2L, 2L))
+    // alloc = 23 = 2n + 3: a 3-token prefix fits exactly one more doc...
+    // unless md5 order puts the 4-token doc first (then nothing fits).
+    val odd = graft.operators.Sampling.budgetMaterialize(docs, "source", "doc_id",
+      "toks", Seq(("s", 23L)).toDF("source", "allocated"))
+      .select("doc_id", "toks", "copies").as[(Long, Long, Long)].collect()
+    assert(odd.forall(r => r._3 == 2L || r._3 == 3L))
+    val mat = odd.map(r => r._2 * r._3).sum
+    assert(mat <= 23L && 23L - mat < 4L + 1L)
+    // determinism across partitioning
+    val again = graft.operators.Sampling.budgetMaterialize(
+        docs.repartition(7), "source", "doc_id", "toks",
+        Seq(("s", 23L)).toDF("source", "allocated"))
+      .select("doc_id", "copies").as[(Long, Long)].collect().toSet
+    assert(again == odd.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("budgetMaterialize: zero full epochs when alloc < n; per-source isolation") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 3L, 5L))
+      .toDF("source", "doc_id", "toks")
+    val alloc = Seq(("a", 10L), ("b", 15L)).toDF("source", "allocated")
+    val got = graft.operators.Sampling.budgetMaterialize(docs, "source", "doc_id",
+        "toks", alloc)
+      .select("source", "doc_id", "copies").as[(String, Long, Long)]
+      .collect().toSet
+    // a: one of the two docs selected once (md5 prefix), other 0; b: 3 copies
+    val aCopies = got.filter(_._1 == "a").map(_._3).toList.sorted
+    assert(aCopies == List(0L, 1L))
+    assert(got.filter(_._1 == "b").map(_._3) == Set(3L))
+  }
 }
