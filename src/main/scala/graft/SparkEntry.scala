@@ -3228,6 +3228,26 @@ object SparkEntry {
       .orderBy("click_id")
   }
 
+  /** D20 (batch side of the unified API): streaming clamped balance
+   * ([[graft.streaming.EventStream.clampedBalanceStream]]) — the B94
+   * wallet as an online state machine (decline THIS withdrawal now),
+   * run in batch where the group call sees each key's full history in
+   * order. The oracle replays B94's closed form PER MOVEMENT — the
+   * sequential state machine and the prefix-min identity must agree
+   * on every row, which is exactly the claim that makes the batch and
+   * streaming forms one operator. */
+  private def qClampedBalanceStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val moves = withEventTime(t(s, dir, "events"))
+      .filter(col("event_type").isin("purchase", "signup", "view", "error"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type").isin("purchase", "signup"), cents(col("value")))
+          .otherwise(-cents(col("value"))).as("delta_cents"))
+      .as[graft.streaming.WalletDelta]
+    graft.streaming.EventStream.clampedBalanceStream(moves)
+      .toDF().orderBy("event_id")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -5077,6 +5097,7 @@ object SparkEntry {
     "q_pit_join"       -> qPitJoin,
     "q_bitemporal_join" -> qBitemporalJoin,
     "q_clamped_balance" -> qClampedBalance,
+    "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
     "q_null_semantics" -> qNullSemantics,
@@ -5651,7 +5672,8 @@ object SparkEntry {
       """WITH toks AS (SELECT source, doc_id,
              CAST(len(list_filter(string_split_regex(COALESCE(text, ''),
                '[ 	
-]+'), t -> t <> '')) AS BIGINT) AS toks
+
+]+'), t -> t <> '')) AS BIGINT) AS toks
            FROM documents),
          per AS (SELECT source, COUNT(*) AS n_docs, SUM(toks) AS n_tokens
            FROM toks GROUP BY 1),
@@ -7891,6 +7913,27 @@ object SparkEntry {
            CAST(CAST(rev_e4 AS HUGEINT) * 1000000
              // SUM(rev_e4) OVER (PARTITION BY n_name) AS BIGINT) AS share_ppm
          FROM folded ORDER BY n_name, rank""",
+    // B94's closed form replayed PER MOVEMENT: the online state
+    // machine must agree with the prefix-min identity on every row.
+    "q_clamped_balance_stream" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE -CAST(round(value * 100, 0) AS BIGINT) END AS d
+           FROM events
+           WHERE event_type IN ('purchase', 'signup', 'view', 'error')),
+         p AS (SELECT user_id, event_id, ts_us, d,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+           FROM e),
+         m AS (SELECT user_id, event_id, pre,
+             MIN(pre) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+           FROM p)
+         SELECT user_id, event_id,
+           CAST(pre + GREATEST(0, -rm) AS BIGINT) AS balance_cents,
+           CAST(GREATEST(0, -rm) AS BIGINT) AS rejected_cents
+         FROM m ORDER BY event_id""",
     // the same prefix + running-min windows; rejected = -min(0, runmin)
     // is the cumulative clamp absorption, final = net + rejected.
     "q_clamped_balance" ->

@@ -27,6 +27,17 @@ case class AnomalyVerdict(user_id: Long, event_id: Long, cents: Long,
 
 private case class RunningStats(n: Long, sum: Long, sumSq: Long)
 
+/** One wallet movement for [[EventStream.clampedBalanceStream]]. */
+case class WalletDelta(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, delta_cents: Long)
+
+/** Post-movement wallet state (clamped at zero; `rejected_cents` is
+ * the cumulative amount the clamp absorbed). */
+case class WalletMove(user_id: Long, event_id: Long, balance_cents: Long,
+    rejected_cents: Long)
+
+private case class WalletState(balance: Long, rejected: Long)
+
 /**
  * Structured Streaming operators over the event stream. The same
  * transformations run on a batch DataFrame (Spark's unified API), so
@@ -637,6 +648,37 @@ object EventStream {
     }
 
     events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming clamped balance (D20) — B94's floor-at-zero wallet as
+   * a LIVE per-key state machine: two longs of state (balance,
+   * cumulative rejected) per key, one verdict per movement, each
+   * micro-batch applied in (ts, event_id) order. The batch closed
+   * form (Balance.clampedRunningSum) answers "what are the balances";
+   * this answers "decline THIS withdrawal now" — the online
+   * admission-control form of the same recurrence, and the two must
+   * agree movement-for-movement (the StreamingSpec twin gate, the
+   * D15 anomaly precedent). State is O(1) per key forever — no
+   * window, no history, the smallest possible stateful operator. */
+  def clampedBalanceStream(moves: Dataset[WalletDelta]): Dataset[WalletMove] = {
+    import moves.sparkSession.implicits._
+    val streaming = moves.isStreaming
+    def fn(userId: Long, batch: Iterator[WalletDelta],
+        state: GroupState[WalletState]): Iterator[WalletMove] = {
+      val sorted = batch.toSeq.sortBy(m => (m.ts.getTime, m.event_id))
+      var st = state.getOption.getOrElse(WalletState(0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[WalletMove]
+      for (m <- sorted) {
+        val raw = st.balance + m.delta_cents
+        val clamped = math.max(0L, raw)
+        st = WalletState(clamped, st.rejected + (clamped - raw))
+        out += WalletMove(userId, m.event_id, st.balance, st.rejected)
+      }
+      if (streaming) state.update(st)
+      out.iterator
+    }
+    moves.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 

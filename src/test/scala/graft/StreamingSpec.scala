@@ -764,6 +764,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clampedBalanceStream carries wallet state across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/wallet_${System.nanoTime()}"
+    def ts(n: Long) = new java.sql.Timestamp(n * 1000L)
+    val in = MemoryStream[graft.streaming.WalletDelta]
+    val q = graft.streaming.EventStream.clampedBalanceStream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("wallet_res")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      // batch 1: +5 then -10 (clamps at 0, rejects 5)
+      in.addData(graft.streaming.WalletDelta(1L, 1L, ts(1), 5L),
+        graft.streaming.WalletDelta(1L, 2L, ts(2), -10L))
+      q.processAllAvailable()
+      // batch 2: +3 on the carried zero state, then -1
+      in.addData(graft.streaming.WalletDelta(1L, 3L, ts(3), 3L),
+        graft.streaming.WalletDelta(1L, 4L, ts(4), -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wallet_res")
+      .as[graft.streaming.WalletMove].collect().sortBy(_.event_id).toList
+    assert(got == List(
+      graft.streaming.WalletMove(1L, 1L, 5L, 0L),
+      graft.streaming.WalletMove(1L, 2L, 0L, 5L),
+      graft.streaming.WalletMove(1L, 3L, 3L, 5L),
+      graft.streaming.WalletMove(1L, 4L, 2L, 5L)))
+  }
+
   test("histogramDrift: hand-checked shares, lost-bucket contribution, tie-break") {
     import spark.implicits._
     // window w1: buckets {0:3, 1:1} -> shares {750000, 250000}
