@@ -4487,6 +4487,29 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** B95 (r14): FIFO cost basis ([[graft.operators.Fifo.fifoCogs]]) —
+   * per part, returns ('R' rows, the outflow) costed against the
+   * oldest unconsumed inflows in ship order. The sequential
+   * two-pointer walk becomes interval intersection on the
+   * cumulative-quantity axis (FIFO consumes units in arrival order,
+   * so lot assignment IS range overlap), ridden on the banded join —
+   * no recursion, no per-key nested loop. Oversold parts surface as
+   * `unmatched_qty`, never silently costed at zero. */
+  private def qFifoCogs(s: SparkSession, dir: String): DataFrame = {
+    val txns = t(s, dir, "lineitem").select(
+      col("l_partkey"),
+      struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")).as("ord"),
+      round(col("l_quantity"), 0).cast("long").as("q"),
+      (col("l_returnflag") === "R").as("is_out"),
+      expr(s"${"cast(round(l_extendedprice * 100, 0) as bigint)"} div cast(round(l_quantity, 0) as bigint)")
+        .as("unit_cost"))
+    graft.operators.Fifo.fifoCogs(txns, "l_partkey", "ord", "q", "is_out",
+        "unit_cost")
+      .select("l_partkey", "in_qty", "out_qty", "matched_qty",
+        "unmatched_qty", "cogs")
+      .orderBy("l_partkey")
+  }
+
   /** B92 (r14): bitemporal join ([[graft.operators.Bitemporal]]) —
    * B69 asks "what state was VALID at purchase time"; this asks the
    * two-timeline question "what state did the warehouse BELIEVE at
@@ -5097,6 +5120,7 @@ object SparkEntry {
     "q_pit_join"       -> qPitJoin,
     "q_bitemporal_join" -> qBitemporalJoin,
     "q_clamped_balance" -> qClampedBalance,
+    "q_fifo_cogs" -> qFifoCogs,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
@@ -7934,6 +7958,38 @@ object SparkEntry {
            CAST(pre + GREATEST(0, -rm) AS BIGINT) AS balance_cents,
            CAST(GREATEST(0, -rm) AS BIGINT) AS rejected_cents
          FROM m ORDER BY event_id""",
+    // FIFO as cumulative-interval intersection, replayed with a plain
+    // theta join (verify scale); oversell surfaces as unmatched.
+    "q_fifo_cogs" ->
+      """WITH t AS (SELECT l_partkey AS k, l_shipdate, l_orderkey, l_linenumber,
+             CAST(round(l_quantity, 0) AS BIGINT) AS q,
+             l_returnflag = 'R' AS is_out,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               // CAST(round(l_quantity, 0) AS BIGINT) AS c
+           FROM lineitem),
+         r AS (SELECT *, SUM(q) OVER (PARTITION BY k, is_out
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+           FROM t),
+         r2 AS (SELECT *, hi - q AS lo FROM r),
+         ins AS (SELECT k, lo, hi, c FROM r2 WHERE NOT is_out),
+         outs AS (SELECT k AS ok, lo AS olo, hi AS ohi FROM r2 WHERE is_out),
+         p AS (SELECT o.ok,
+             LEAST(i.hi, o.ohi) - GREATEST(i.lo, o.olo) AS ov, i.c
+           FROM outs o JOIN ins i
+             ON o.ok = i.k AND i.lo < o.ohi AND o.olo < i.hi),
+         m AS (SELECT ok, SUM(ov * c) AS cogs, SUM(ov) AS matched
+           FROM p WHERE ov > 0 GROUP BY 1),
+         tot AS (SELECT k, SUM(CASE WHEN is_out THEN q ELSE 0 END) AS out_q,
+             SUM(CASE WHEN is_out THEN 0 ELSE q END) AS in_q
+           FROM t GROUP BY 1)
+         SELECT tot.k AS l_partkey, CAST(in_q AS BIGINT) AS in_qty,
+           CAST(out_q AS BIGINT) AS out_qty,
+           CAST(COALESCE(matched, 0) AS BIGINT) AS matched_qty,
+           CAST(out_q - COALESCE(matched, 0) AS BIGINT) AS unmatched_qty,
+           CAST(COALESCE(cogs, 0) AS BIGINT) AS cogs
+         FROM tot LEFT JOIN m ON tot.k = m.ok
+         ORDER BY l_partkey""",
     // the same prefix + running-min windows; rejected = -min(0, runmin)
     // is the cumulative clamp absorption, final = net + rejected.
     "q_clamped_balance" ->
