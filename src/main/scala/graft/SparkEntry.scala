@@ -2211,6 +2211,34 @@ object SparkEntry {
       .orderBy("c_nationkey")
   }
 
+  /** A27 (r14): schema-compatibility publish gate
+   * ([[graft.sinks.Snapshot.publishCompatible]]) — additive evolution
+   * flips, breaking evolution (dropped or retyped columns readers
+   * already select) is refused BEFORE a byte is written; readers keep
+   * serving the prior version. A17's drift audit reports after the
+   * fact; this is the gate that stops the flip up front. */
+  private def qSchemaGuard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${graft.Scratch.root(s)}/schguard_${sinkSeq.incrementAndGet()}"
+    val base = t(s, dir, "customer").groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).as("bal_cents"))
+    val (v1, ok1, viol1) = graft.sinks.Snapshot.publishCompatible(s, root,
+      Map("cust" -> base))
+    val (v2, ok2, viol2) = graft.sinks.Snapshot.publishCompatible(s, root,
+      Map("cust" -> base.withColumn("avg_cents",
+        expr("bal_cents div n_cust")))) // additive: allowed
+    val (v3, ok3, viol3) = graft.sinks.Snapshot.publishCompatible(s, root,
+      Map("cust" -> base.drop("bal_cents")
+        .withColumn("n_cust", col("n_cust").cast("string")))) // breaking
+    val servedRows = graft.sinks.Snapshot.read(s, root, "cust").count()
+    Seq((1L, v1, ok1, viol1.size.toLong), (2L, v2, ok2, viol2.size.toLong),
+        (3L, v3, ok3, viol3.size.toLong))
+      .toDF("attempt", "candidate_version", "published", "n_violations")
+      .withColumn("rows_served", lit(servedRows))
+      .orderBy("attempt")
+  }
+
   /** A23 (r14): snapshot version retention
    * ([[graft.sinks.Snapshot.vacuum]]) — bound the time-travel window:
    * publish three versions, vacuum to the newest two, and read BOTH
@@ -5072,6 +5100,7 @@ object SparkEntry {
     "q_snapshot_vacuum" -> qSnapshotVacuum,
     "q_change_apply" -> qChangeApply,
     "q_snapshot_tag" -> qSnapshotTag,
+    "q_schema_guard" -> qSchemaGuard,
     "q_governed_release" -> qGovernedRelease,
     "q_mixture_temperature" -> qMixtureTemperature,
     "q_interval_coverage" -> qIntervalCoverage,
@@ -5649,6 +5678,19 @@ object SparkEntry {
            CAST(MIN(n) AS BIGINT), TRUE
          FROM rel
          ORDER BY phase""",
+    // additive flips (attempts 1-2); the breaking attempt is refused
+    // with THREE violations (bal_cents dropped, n_cust retyped, and
+    // v2's additive avg_cents also missing — the gate compares against
+    // the CURRENT version, not the original); served rows = nations.
+    "q_schema_guard" ->
+      """WITH served AS (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n
+           FROM customer)
+         SELECT CAST(1 AS BIGINT) AS attempt, CAST(1 AS BIGINT) AS candidate_version,
+           TRUE AS published, CAST(0 AS BIGINT) AS n_violations, n AS rows_served
+         FROM served
+         UNION ALL SELECT 2, 2, TRUE, 0, n FROM served
+         UNION ALL SELECT 3, 3, FALSE, 3, n FROM served
+         ORDER BY attempt""",
     // pinned phase = the FULL rollup (tag still v1 after v2 lands);
     // promoted phase = the positive-only rollup under tag_version 2.
     "q_snapshot_tag" ->

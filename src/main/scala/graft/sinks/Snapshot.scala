@@ -230,6 +230,52 @@ object Snapshot {
     doomed
   }
 
+  /** Schema-compatibility gate (A27) — refuse a publish that would
+   * BREAK READERS of the previous version: every column an existing
+   * table already serves must survive with the same dataType (readers
+   * select it by name and type); NEW columns are fine (additive
+   * evolution, the A10 upsert convention), and brand-new tables are
+   * fine. Unlike [[publishChecked]] this gate needs no data, so it
+   * runs BEFORE anything is written — a refused publish costs zero
+   * bytes. Returns the violation list; empty means the publish went
+   * through (same atomic flip as [[publish]]).
+   *
+   * This is the contract test a nightly schema drift otherwise breaks
+   * silently: the A17 drift AUDIT tells you what changed after the
+   * fact; this gate stops the incompatible flip up front. */
+  def publishCompatible(
+      spark: SparkSession,
+      root: String,
+      tables: Map[String, DataFrame]): (Long, Boolean, Seq[String]) = {
+    require(tables.nonEmpty, "snapshot publish: no tables")
+    tables.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"snapshot publish: unsafe table name '$n'"))
+    val cur = currentVersion(spark, root)
+    val violations =
+      if (cur == 0L) Seq.empty
+      else tables.toSeq.sorted(Ordering.by((t: (String, DataFrame)) => t._1))
+        .flatMap { case (name, df) =>
+          val f = fs(spark, root)
+          val prev = new org.apache.hadoop.fs.Path(s"$root/v$cur/$name")
+          if (!f.exists(prev)) Nil // brand-new table: fine
+          else {
+            val old = spark.read.parquet(prev.toString).schema
+            val neu = df.schema.map(x => x.name -> x.dataType).toMap
+            old.flatMap { field =>
+              neu.get(field.name) match {
+                case None => Some(s"$name: column '${field.name}' dropped")
+                case Some(dt) if dt != field.dataType =>
+                  Some(s"$name: column '${field.name}' retyped " +
+                    s"${field.dataType.simpleString} -> ${dt.simpleString}")
+                case _ => None
+              }
+            }
+          }
+        }
+    if (violations.nonEmpty) (cur + 1, false, violations)
+    else (publish(spark, root, tables), true, Nil)
+  }
+
   /** Named version refs (A25) — "prod points at v7" as one tiny
    * pointer file per tag, flipped with the same write-then-rename
    * discipline as the manifest: consumers pin a TAG (stable contract)

@@ -124,6 +124,31 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshot.tag(spark, root, "../evil", 1L))
   }
 
+  test("publishCompatible: additive evolution flips, breaking refuses pre-write") {
+    val root = freshRoot()
+    val v1 = Seq((1L, "a")).toDF("k", "s")
+    assert(Snapshot.publishCompatible(spark, root, Map("t" -> v1)) ==
+      ((1L, true, Nil))) // first publish: nothing to break
+    // additive column: flips
+    val (v2, ok2, _) = Snapshot.publishCompatible(spark, root,
+      Map("t" -> v1.withColumn("extra", org.apache.spark.sql.functions.lit(5L))))
+    assert(v2 == 2L && ok2)
+    // dropped + retyped: refused, nothing written, v2 still serves
+    val bad = Seq(("1", 9L)).toDF("k", "extra") // k retyped, s dropped
+    val (v3, ok3, viol) = Snapshot.publishCompatible(spark, root, Map("t" -> bad))
+    assert(v3 == 3L && !ok3 && viol.size == 2)
+    assert(viol.exists(_.contains("'s' dropped")) &&
+      viol.exists(_.contains("'k' retyped")))
+    assert(Snapshot.currentVersion(spark, root) == 2L)
+    // the refused candidate wrote ZERO bytes
+    assert(!new java.io.File(s"$root/v3").exists())
+    // a brand-new table alongside a compatible one: fine
+    val (v4, ok4, _) = Snapshot.publishCompatible(spark, root,
+      Map("t" -> v1.withColumn("extra", org.apache.spark.sql.functions.lit(6L)),
+        "u" -> Seq(1L).toDF("x")))
+    assert(v4 == 3L && ok4)
+  }
+
   test("reading an unpublished root or publishing unsafe names fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException](Snapshot.read(spark, root, "t"))
