@@ -4515,6 +4515,23 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** B96 (r14): market-basket association
+   * ([[graft.operators.Baskets.pairStats]]) — support / confidence /
+   * lift for part-brand pairs co-purchased in an order ("bought A,
+   * also bought B"), the association-rule relation MLlib only offers
+   * model-shaped. Pair generation is a per-order self-join (output
+   * bounded by basket width choose 2, never brand-domain²); marginals
+   * and the order total broadcast; lift runs in decimal(38,0). */
+  private def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    graft.operators.Baskets.pairStats(baskets, "l_orderkey", "p_brand",
+        minPairCount = 5L)
+      .orderBy("item_a", "item_b")
+  }
+
   /** B95 (r14): FIFO cost basis ([[graft.operators.Fifo.fifoCogs]]) —
    * per part, returns ('R' rows, the outflow) costed against the
    * oldest unconsumed inflows in ship order. The sequential
@@ -5150,6 +5167,7 @@ object SparkEntry {
     "q_bitemporal_join" -> qBitemporalJoin,
     "q_clamped_balance" -> qClampedBalance,
     "q_fifo_cogs" -> qFifoCogs,
+    "q_basket_lift" -> qBasketLift,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
@@ -8000,6 +8018,27 @@ object SparkEntry {
            CAST(pre + GREATEST(0, -rm) AS BIGINT) AS balance_cents,
            CAST(GREATEST(0, -rm) AS BIGINT) AS rejected_cents
          FROM m ORDER BY event_id""",
+    // the association relation replayed: distinct (order, brand),
+    // pair self-join a<b, marginals, HUGEINT lift.
+    "q_basket_lift" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT COUNT(DISTINCT b) AS nb FROM bi),
+         marg AS (SELECT i, COUNT(*) AS cnt FROM bi GROUP BY 1),
+         pr AS (SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_pair
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(ma.cnt AS BIGINT) AS n_a, CAST(mb.cnt AS BIGINT) AS n_b,
+           CAST(n_pair * 1000000 // nb AS BIGINT) AS support_ppm,
+           CAST(n_pair * 1000000 // ma.cnt AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(n_pair * 1000000 // mb.cnt AS BIGINT) AS conf_b_to_a_ppm,
+           CAST(CAST(n_pair AS HUGEINT) * nb * 1000000
+             // (CAST(ma.cnt AS HUGEINT) * mb.cnt) AS BIGINT) AS lift_ppm
+         FROM pr JOIN marg ma ON pr.item_a = ma.i
+           JOIN marg mb ON pr.item_b = mb.i
+           CROSS JOIN n
+         ORDER BY item_a, item_b""",
     // FIFO as cumulative-interval intersection, replayed with a plain
     // theta join (verify scale); oversell surfaces as unmatched.
     "q_fifo_cogs" ->

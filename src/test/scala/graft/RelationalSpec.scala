@@ -108,4 +108,34 @@ class RelationalSpec extends AnyFunSuite {
     val out = Relational.nestChunked(nested, "recordings", limit = 1000)
     assert(out.count() == nested.count())
   }
+
+  test("basket pairStats: hand-checked support, confidence, lift, and dedup") {
+    import spark.implicits._
+    // baskets: 1:{A,B}, 2:{A,B,C}, 3:{A}, 4:{B} (duplicates collapse)
+    val df = Seq((1L, "A"), (1L, "B"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (2L, "C"), (3L, "A"), (4L, "B")).toDF("b", "i")
+    val got = graft.operators.Baskets.pairStats(df, "b", "i")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // AB: n=2, nA=3, nB=3, N=4: support 500000, confs 666666,
+    // lift = 2*4*1e6/(3*3) = 888888
+    assert(got(("A", "B")) == (("A", "B", 2L, 3L, 3L, 500000L, 666666L,
+      666666L, 888888L)))
+    // AC and BC from basket 2 only: n=1, nC=1 -> conf C->X = 1000000
+    assert(got(("A", "C"))._9 == 1000000L * 4L / 3L) // 1*4e6/(3*1)=1333333
+    assert(got(("B", "C"))._8 == 1000000L)
+    assert(got.size == 3)
+  }
+
+  test("basket pairStats: minPairCount prunes, null baskets/items drop") {
+    import spark.implicits._
+    val df = Seq((Option(1L), Option("A")), (Option(1L), Option("B")),
+      (Option(2L), Option("A")), (Option(2L), Option("B")),
+      (Option(3L), Option("A")), (Option(3L), Option("C")),
+      (Option.empty[Long], Option("Z")), (Option(9L), Option.empty[String]))
+      .toDF("b", "i")
+    val pruned = graft.operators.Baskets.pairStats(df, "b", "i", minPairCount = 2L)
+      .select("item_a", "item_b").as[(String, String)].collect().toSet
+    assert(pruned == Set(("A", "B"))) // AC occurs once: pruned; Z/null gone
+  }
 }
