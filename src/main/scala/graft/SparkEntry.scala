@@ -4515,6 +4515,25 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** B97 (r14): ordered-sequence pattern matching
+   * ([[graft.operators.Patterns.matchPattern]]) — MATCH_RECOGNIZE's
+   * core over each user's chronological event initials: did the user
+   * view, then (eventually) click, then purchase — and how many
+   * view→purchase motifs with no error in between? Full regex over
+   * event ORDER; one hash aggregation builds the per-user symbol
+   * string, no window sort. */
+  private def qSequencePattern(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"),
+        struct(col("ts_us"), col("event_id")).as("ord"),
+        substring(col("event_type"), 1, 1).as("sym"))
+    graft.operators.Patterns
+      .matchPattern(ev, "user_id", "ord", "sym", "v[^e]*c[^e]*p")
+      .select(col("user_id"), col("seq_len"), col("matched"),
+        col("n_matches"))
+      .orderBy("user_id")
+  }
+
   /** B96 (r14): market-basket association
    * ([[graft.operators.Baskets.pairStats]]) — support / confidence /
    * lift for part-brand pairs co-purchased in an order ("bought A,
@@ -5168,6 +5187,7 @@ object SparkEntry {
     "q_clamped_balance" -> qClampedBalance,
     "q_fifo_cogs" -> qFifoCogs,
     "q_basket_lift" -> qBasketLift,
+    "q_sequence_pattern" -> qSequencePattern,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
@@ -8018,6 +8038,20 @@ object SparkEntry {
            CAST(pre + GREATEST(0, -rm) AS BIGINT) AS balance_cents,
            CAST(GREATEST(0, -rm) AS BIGINT) AS rejected_cents
          FROM m ORDER BY event_id""",
+    // the symbol string rebuilt with ORDER BY string_agg; regex
+    // find + non-overlapping count semantics agree across engines.
+    "q_sequence_pattern" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             substr(event_type, 1, 1) AS sym
+           FROM events),
+         sq AS (SELECT user_id,
+             string_agg(sym, '' ORDER BY ts_us, event_id) AS seq
+           FROM e GROUP BY user_id)
+         SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           regexp_matches(seq, 'v[^e]*c[^e]*p') AS matched,
+           CAST(len(regexp_extract_all(seq, 'v[^e]*c[^e]*p')) AS BIGINT)
+             AS n_matches
+         FROM sq ORDER BY user_id""",
     // the association relation replayed: distinct (order, brand),
     // pair self-join a<b, marginals, HUGEINT lift.
     "q_basket_lift" ->

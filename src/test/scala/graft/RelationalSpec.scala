@@ -138,4 +138,33 @@ class RelationalSpec extends AnyFunSuite {
       .select("item_a", "item_b").as[(String, String)].collect().toSet
     assert(pruned == Set(("A", "B"))) // AC occurs once: pruned; Z/null gone
   }
+
+  test("matchPattern: order-sensitive regex over per-key symbol sequences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "v"), (1L, 2L, "x"), (1L, 3L, "c"), (1L, 4L, "p"), // v..c..p
+      (2L, 1L, "c"), (2L, 2L, "v"), (2L, 3L, "p"),                // wrong order
+      (3L, 1L, "v"), (3L, 2L, "e"), (3L, 3L, "c"), (3L, 4L, "p")  // e blocks
+    ).toDF("k", "o", "sym")
+    val got = graft.operators.Patterns
+      .matchPattern(df, "k", "o", "sym", "v[^e]*c[^e]*p")
+      .select("k", "seq", "matched", "n_matches")
+      .as[(Long, String, Boolean, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "vxcp", true, 1L)))
+    assert(got(2L) == ((2L, "cvp", false, 0L)))
+    assert(got(3L) == ((3L, "vecp", false, 0L)))
+  }
+
+  test("matchPattern sequences are partition-order independent") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => ((i % 7).toLong, i.toLong,
+      "vcpes".charAt(i % 5).toString))
+    val a = graft.operators.Patterns.matchPattern(
+      rows.toDF("k", "o", "sym"), "k", "o", "sym", "vc+p")
+      .collect().map(_.toString).toSet
+    val b = graft.operators.Patterns.matchPattern(
+      rows.reverse.toDF("k", "o", "sym").repartition(11), "k", "o", "sym", "vc+p")
+      .collect().map(_.toString).toSet
+    assert(a == b)
+  }
 }
