@@ -4515,6 +4515,30 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** B98 (r14): layered interval resolution
+   * ([[graft.operators.Layers.effectiveIntervals]]) — overlapping
+   * price rules per part (each lineitem opens a rule for 10–29 days,
+   * priority = line number, unique tie = order·10+line) resolved into
+   * the minimal effective timeline: highest-priority covering price
+   * at every instant, uncovered gaps absent, adjacent same-winner
+   * segments merged. The oracle replays boundaries, covering join,
+   * lexicographic winner, and the run merge. */
+  private def qEffectiveConfig(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "lineitem").filter(col("l_partkey") % 7 === 0)
+      .select(col("l_partkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("vf"),
+        round(col("l_quantity"), 0).cast("long").as("q"),
+        col("l_linenumber").cast("long").as("prio"),
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("tie"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .withColumn("vt", col("vf") + 10L + col("q") % 20L)
+      .drop("q")
+    graft.operators.Layers.effectiveIntervals(iv, "l_partkey", "vf", "vt",
+        "prio", "tie", "price_cents")
+      .orderBy("l_partkey", "seg_start")
+  }
+
   /** B97 (r14): ordered-sequence pattern matching
    * ([[graft.operators.Patterns.matchPattern]]) — MATCH_RECOGNIZE's
    * core over each user's chronological event initials: did the user
@@ -5188,6 +5212,7 @@ object SparkEntry {
     "q_fifo_cogs" -> qFifoCogs,
     "q_basket_lift" -> qBasketLift,
     "q_sequence_pattern" -> qSequencePattern,
+    "q_effective_config" -> qEffectiveConfig,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
@@ -8038,6 +8063,41 @@ object SparkEntry {
            CAST(pre + GREATEST(0, -rm) AS BIGINT) AS balance_cents,
            CAST(GREATEST(0, -rm) AS BIGINT) AS rejected_cents
          FROM m ORDER BY event_id""",
+    // boundaries, covering join, lexicographic winner, run merge —
+    // the full resolution replayed (row_number DESC = struct max).
+    "q_effective_config" ->
+      """WITH iv AS (SELECT l_partkey AS k,
+             CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS BIGINT) AS vf,
+             CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS BIGINT) + 10 + CAST(round(l_quantity, 0) AS BIGINT) % 20 AS vt,
+             CAST(l_linenumber AS BIGINT) AS prio,
+             l_orderkey * 10 + l_linenumber AS tie,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS val
+           FROM lineitem WHERE l_partkey % 7 = 0),
+         b AS (SELECT k, vf AS p FROM iv UNION SELECT k, vt FROM iv),
+         segs AS (SELECT k, p AS s,
+             LEAD(p) OVER (PARTITION BY k ORDER BY p) AS e FROM b),
+         cov AS (SELECT s.k, s.s, s.e, i.prio, i.tie, i.vf, i.val,
+             ROW_NUMBER() OVER (PARTITION BY s.k, s.s
+               ORDER BY i.prio DESC, i.tie DESC, i.vf DESC, i.val DESC) AS rn
+           FROM segs s JOIN iv i
+             ON s.k = i.k AND i.vf <= s.s AND s.s < i.vt
+           WHERE s.e IS NOT NULL),
+         w AS (SELECT k, s, e, prio, tie, vf, val FROM cov WHERE rn = 1),
+         runs AS (SELECT *, CASE WHEN LAG(e) OVER wk IS NULL
+               OR LAG(e) OVER wk <> s OR LAG(tie) OVER wk <> tie
+               OR LAG(prio) OVER wk <> prio OR LAG(vf) OVER wk <> vf
+             THEN 1 ELSE 0 END AS nr
+           FROM w WINDOW wk AS (PARTITION BY k ORDER BY s)),
+         g AS (SELECT *, SUM(nr) OVER (PARTITION BY k ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM runs)
+         SELECT k AS l_partkey, CAST(MIN(s) AS BIGINT) AS seg_start,
+           CAST(MAX(e) AS BIGINT) AS seg_end,
+           CAST(MAX(prio) AS BIGINT) AS prio, CAST(MAX(tie) AS BIGINT) AS tie,
+           CAST(MAX(val) AS BIGINT) AS price_cents
+         FROM g GROUP BY k, run ORDER BY l_partkey, seg_start""",
     // the symbol string rebuilt with ORDER BY string_agg; regex
     // find + non-overlapping count semantics agree across engines.
     "q_sequence_pattern" ->
