@@ -416,4 +416,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!bt.contains("CartesianProduct") && !bt.contains("NestedLoop"),
       s"bitemporal must equi-join on the key:\n$bt")
   }
+
+  test("third round-14 session wave plans to its declared scale shapes") {
+    // fifo + layers: the interval-intersection joins ride the banded
+    // (key, bin) EQUI join — a nested-loop theta join must never come back
+    Seq("q_fifo_cogs", "q_effective_config").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$n must keep its interval join banded-equi:\n$p")
+    }
+    // clamped balance: RUNNING frames only (an unbounded-following frame
+    // re-aggregates the tail per row — the q_interpolate lesson)
+    Seq("q_clamped_balance", "q_clamped_balance_stream").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Following"), s"$n re-grew a following frame:\n$p")
+    }
+    // baskets: marginals and the 1-row total broadcast; the only
+    // data-sized joins are the per-basket equi self-join
+    val bl = plan("q_basket_lift")
+    assert(!bl.contains("CartesianProduct"), s"basket cartesian:\n$bl")
+    assert(bl.contains("BroadcastHashJoin"),
+      s"basket marginals must broadcast:\n$bl")
+    // sequence pattern: one aggregation, no join, no window
+    val sp = plan("q_sequence_pattern")
+    assert(!sp.contains("Join") && !sp.contains("Window"),
+      s"sequence pattern must stay a single aggregation:\n$sp")
+  }
 }
