@@ -779,6 +779,46 @@ object ScaleProbe {
       col("n") =!= 100000L).count()
     require(giniBad == 0, s"giniPpm drift at 10M: $giniBad groups wrong")
     println("SCALE gini: 100 groups recover the closed form exactly at 10M rows")
+
+    // FIFO matching (B95) at 10M movements / 100k keys, closed form:
+    // per key 70 buys of qty 10 at unit cost = lot index (0..69), then
+    // 30 sells of qty 10 -> first 30 lots consumed in full:
+    // cogs = 10 * (0+1+...+29) = 4350, matched 300, nothing unmatched.
+    val fifoIn = spark.range(10000000L).toDF("i").select(
+        (col("i") % 100000L).as("k"), expr("i div 100000").as("seq"))
+      .select(col("k"), col("seq"), lit(10L).as("q"),
+        (col("seq") >= 70L).as("is_out"),
+        when(col("seq") < 70L, col("seq")).otherwise(0L).as("c"))
+    val fifoOut = timedRun("fifoCogs 10M movements / 100k keys") {
+      graft.operators.Fifo.fifoCogs(fifoIn, "k", "seq", "q", "is_out", "c")
+    }
+    val fifoBad = fifoOut.filter(col("cogs") =!= 4350L ||
+      col("matched_qty") =!= 300L || col("unmatched_qty") =!= 0L).count()
+    require(fifoBad == 0, s"fifo drift at 10M: $fifoBad keys wrong")
+    println("SCALE fifo: 100k keys hit the closed-form cost basis at 10M movements")
+
+    // Layered resolution (B98) at 2M intervals / 100k keys: per key a
+    // base rule [0, 1000) and ~19 higher-priority overrides [50j, 50j+20)
+    // -> per key: overrides win their spans, base resumes between them.
+    val layerIn = spark.range(2000000L).toDF("i").select(
+        (col("i") % 100000L).as("k"), expr("i div 100000").as("j"))
+      .select(col("k"),
+        when(col("j") === 0L, 0L).otherwise(col("j") * 50L).as("vf"),
+        when(col("j") === 0L, 1000L).otherwise(col("j") * 50L + 20L).as("vt"),
+        when(col("j") === 0L, 1L).otherwise(2L).as("prio"),
+        col("j").as("tie"), (col("j") * 7L).as("v"))
+    val layerOut = timedRun("effectiveIntervals 2M intervals / 100k keys") {
+      graft.operators.Layers.effectiveIntervals(layerIn, "k", "vf", "vt",
+        "prio", "tie", "v")
+    }
+    // per key: 19 override segments + 20 base segments (before, between,
+    // after overrides: [0,50),[70,100),...,[920,950),[970,1000)) = 39
+    val segCounts = layerOut.groupBy("k").agg(count(lit(1)).as("n"),
+      sum(col("seg_end") - col("seg_start")).as("covered"))
+    val layerBad = segCounts.filter(col("n") =!= 39L ||
+      col("covered") =!= 1000L).count()
+    require(layerBad == 0, s"layers drift at 2M: $layerBad keys wrong")
+    println("SCALE layers: 100k keys resolve to exactly 39 segments covering 1000")
     spark.stop()
   }
 }

@@ -4515,6 +4515,41 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** B99 (r14): tail attribution — "which market segments drive the
+   * top decile of order values": the global p90 cut is ONE broadcast
+   * percentile_disc (the B82/C50 rank-statistic pattern, no global
+   * sort), and each segment reports its tail presence against its
+   * overall presence — over_rep_ppm > 1e6 means the segment is
+   * over-represented in the tail (the "who drives the p99 latency"
+   * question in revenue form). All-integer ppm. */
+  private def qTailAttribution(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), cents(col("o_totalprice")).as("c"))
+    val cut = o.agg(
+      expr("percentile_disc(0.9) within group (order by c)").cast("long")
+        .as("p90"))
+    val g = o.crossJoin(broadcast(cut))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("c") > col("p90"), 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("c") > col("p90"), col("c")).otherwise(0L))
+          .as("tail_cents"))
+    val tot = g.agg(sum("n_orders").as("n_all"), sum("n_tail").as("tail_all"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("overall_share_ppm", expr("n_orders * 1000000 div n_all"))
+      .withColumn("tail_share_ppm", expr("n_tail * 1000000 div tail_all"))
+      // over-representation index: (tail share) / (overall share), in
+      // decimal(38,0) — the cross product overflows bigint at ~1e9 rows
+      .withColumn("over_rep_ppm", expr(
+        """cast(n_tail as decimal(38,0)) * n_all * 1000000
+           div (cast(n_orders as decimal(38,0)) * tail_all)"""))
+      .drop("n_all", "tail_all")
+      .orderBy("c_mktsegment")
+  }
+
   /** B98 (r14): layered interval resolution
    * ([[graft.operators.Layers.effectiveIntervals]]) — overlapping
    * price rules per part (each lineitem opens a rule for 10–29 days,
@@ -5213,6 +5248,7 @@ object SparkEntry {
     "q_basket_lift" -> qBasketLift,
     "q_sequence_pattern" -> qSequencePattern,
     "q_effective_config" -> qEffectiveConfig,
+    "q_tail_attribution" -> qTailAttribution,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
@@ -8063,6 +8099,27 @@ object SparkEntry {
            CAST(pre + GREATEST(0, -rm) AS BIGINT) AS balance_cents,
            CAST(GREATEST(0, -rm) AS BIGINT) AS rejected_cents
          FROM m ORDER BY event_id""",
+    // quantile_disc ≡ percentile_disc; over-representation replayed
+    // in HUGEINT (tail share over overall share).
+    "q_tail_attribution" ->
+      """WITH o AS (SELECT c_mktsegment,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cut AS (SELECT CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90 FROM o),
+         g AS (SELECT c_mktsegment, COUNT(*) AS n_orders,
+             SUM(CASE WHEN c > p90 THEN 1 ELSE 0 END) AS n_tail,
+             SUM(CASE WHEN c > p90 THEN c ELSE 0 END) AS tail_cents
+           FROM o, cut GROUP BY 1),
+         t AS (SELECT SUM(n_orders) AS n_all, SUM(n_tail) AS tail_all FROM g)
+         SELECT c_mktsegment, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_tail AS BIGINT) AS n_tail,
+           CAST(tail_cents AS BIGINT) AS tail_cents,
+           CAST(n_orders * 1000000 // n_all AS BIGINT) AS overall_share_ppm,
+           CAST(n_tail * 1000000 // tail_all AS BIGINT) AS tail_share_ppm,
+           CAST(CAST(n_tail AS HUGEINT) * n_all * 1000000
+             // (CAST(n_orders AS HUGEINT) * tail_all) AS BIGINT)
+             AS over_rep_ppm
+         FROM g, t ORDER BY c_mktsegment""",
     // boundaries, covering join, lexicographic winner, run merge —
     // the full resolution replayed (row_number DESC = struct max).
     "q_effective_config" ->
