@@ -8,9 +8,15 @@ import org.apache.spark.sql.SparkSession
  * options/BQETLOptions.java) re-expressed: pick a pipeline variant,
  * point it at an input directory, truncate-and-load the output table.
  *
- *   runMain graft.pipelines.Run simple|simple-with-lookups|nested|corpus|ingest \
+ *   runMain graft.pipelines.Run \
+ *     simple|simple-with-lookups|nested|corpus|ingest|snapshot \
  *     [inDir] [outPath] [--sf=0.001] [--stages=quality,exact,near,decon,sample,pack] \
  *     [--near=minhash|exact]
+ *
+ * `snapshot` runs the governed-publish lifecycle: denorm →
+ * schema-gated atomic publish under outPath → advance the `prod`
+ * tag. Reruns append immutable versions; a breaking schema change
+ * refuses (exit 3) with the violations printed.
  *
  * `ingest` drives [[graft.sources.IngestLedger]]: inDir is a
  * directory of line-JSON arrivals, outPath the exactly-once target —
@@ -42,6 +48,25 @@ object Run {
 
     val spark = graft.Sessions.local()
 
+    if (variant == "snapshot") {
+      // the governed-publish lifecycle from the command line: denorm →
+      // schema-gated atomic publish under outPath → advance the 'prod'
+      // tag; rerunning appends immutable versions (A19/A25/A27), and a
+      // breaking schema change refuses with the violations printed
+      val table = Denorm.flatDenorm(spark, inDir, performLookups = true)
+      val (ver, ok, viol) = graft.sinks.Snapshot.publishCompatible(
+        spark, outPath, Map("denorm" -> table))
+      if (ok) graft.sinks.Snapshot.tag(spark, outPath, "prod", ver)
+      viol.foreach(v => System.err.println(s"SCHEMA_VIOLATION $v"))
+      val rows =
+        if (ok) graft.sinks.Snapshot.readTag(spark, outPath, "denorm", "prod").count()
+        else -1L
+      println(s"RUN_RESULT variant=snapshot version=$ver published=$ok rows=$rows out=$outPath")
+      spark.stop()
+      if (!ok) sys.exit(3)
+      return
+    }
+
     if (variant == "ingest") {
       // the exactly-once sink IS the pipeline here: no truncate-load
       val n = graft.sources.IngestLedger.ingestIncremental(
@@ -72,7 +97,7 @@ object Run {
         CorpusAssembly.assembleStaged(docs, CorpusAssembly.Config(), near, stages)
       case other =>
         System.err.println(
-          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest)")
+          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest|snapshot)")
         sys.exit(2)
     }
     TableSink.writeTruncate(out, outPath)
