@@ -3276,6 +3276,27 @@ object SparkEntry {
       .toDF().orderBy("event_id")
   }
 
+  /** D21 (batch side of the unified API): per-session pattern
+   * matching ([[graft.streaming.EventStream.patternSessions]]) —
+   * B97's regex applied the way a monitor consumes it: per
+   * gap-closed SESSION, emitted at close. Batch mode replays full
+   * histories; the oracle rebuilds sessionization (the D2 ms-space
+   * replay), the ordered symbol strings, and both regex verdicts. */
+  private def qPatternSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Event]
+    graft.streaming.EventStream.patternSessions(ev, "v[^e]*p")
+      .toDF()
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("seq"), col("truncated"), col("matched"), col("n_matches"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** B7: approximate distinct (HLL) per event type — the sketch value
    * has no SQL oracle, so the query emits the exact count plus the
    * deterministic "HLL within 10% of exact" invariant, both of which
@@ -5247,6 +5268,7 @@ object SparkEntry {
     "q_fifo_cogs" -> qFifoCogs,
     "q_basket_lift" -> qBasketLift,
     "q_sequence_pattern" -> qSequencePattern,
+    "q_pattern_sessions" -> qPatternSessions,
     "q_effective_config" -> qEffectiveConfig,
     "q_tail_attribution" -> qTailAttribution,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
@@ -8155,6 +8177,30 @@ object SparkEntry {
            CAST(MAX(prio) AS BIGINT) AS prio, CAST(MAX(tie) AS BIGINT) AS tie,
            CAST(MAX(val) AS BIGINT) AS price_cents
          FROM g GROUP BY k, run ORDER BY l_partkey, seg_start""",
+    // D2's ms-space sessionization replay + ordered string_agg + the
+    // same regex find / non-overlapping count.
+    "q_pattern_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym,
+             epoch_us(ts) // 1000 AS ts_ms FROM events),
+         lagged AS (SELECT *, LAG(ts_ms) OVER
+             (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+         flagged AS (SELECT *, CASE WHEN prev_ms IS NULL
+             OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM lagged),
+         sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         g AS (SELECT user_id, sid,
+             CAST(MIN(ts_ms) * 1000 AS BIGINT) AS session_start_us,
+             CAST(MAX(ts_ms) * 1000 AS BIGINT) AS session_end_us,
+             string_agg(sym, '' ORDER BY ts_ms, event_id) AS seq
+           FROM sess GROUP BY 1, 2)
+         SELECT user_id, session_start_us, session_end_us, seq,
+           FALSE AS truncated,
+           regexp_matches(seq, 'v[^e]*p') AS matched,
+           CAST(len(regexp_extract_all(seq, 'v[^e]*p')) AS BIGINT) AS n_matches
+         FROM g ORDER BY user_id, session_start_us""",
     // the symbol string rebuilt with ORDER BY string_agg; regex
     // find + non-overlapping count semantics agree across engines.
     "q_sequence_pattern" ->

@@ -27,6 +27,14 @@ case class AnomalyVerdict(user_id: Long, event_id: Long, cents: Long,
 
 private case class RunningStats(n: Long, sum: Long, sumSq: Long)
 
+/** A closed session's symbol sequence + pattern verdict (D21). */
+case class PatternSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, seq: String, truncated: Boolean,
+    matched: Boolean, n_matches: Long)
+
+private case class OpenPattern(startMs: Long, lastMs: Long, seq: String,
+    truncated: Boolean)
+
 /** One wallet movement for [[EventStream.clampedBalanceStream]]. */
 case class WalletDelta(user_id: Long, event_id: Long,
     ts: java.sql.Timestamp, delta_cents: Long)
@@ -582,6 +590,77 @@ object EventStream {
           out += Session(userId, new java.sql.Timestamp(s.startMs),
             new java.sql.Timestamp(s.lastMs), s.n, s.sum)
         }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming per-session pattern matching (D21) — B97's
+   * MATCH_RECOGNIZE core live: each gap-closed session emits its
+   * chronological symbol string and the regex verdict the moment the
+   * event-time timeout proves the session over ("alert when a session
+   * ends in error-without-recovery", "count funnel completions as
+   * they close"). Session boundary semantics are EXACTLY
+   * [[sessionize]]'s (same gap, same timeout machinery); state per
+   * key = the open session's symbol string, CAPPED at `maxSymbols`
+   * (a runaway session truncates and says so via `truncated` —
+   * bounded state on an unbounded stream, never an OOM; the verdict
+   * then applies to the kept prefix, fail-visible). In batch the
+   * same code replays full histories and closes trailing sessions at
+   * end of input — the unified-API twin the oracle replays with
+   * windowed SQL. */
+  def patternSessions(events: Dataset[Event], pattern: String,
+      gapSeconds: Long = 1800, maxSymbols: Int = 4096): Dataset[PatternSession] = {
+    import events.sparkSession.implicits._
+    require(maxSymbols > 0, "maxSymbols must be positive")
+    val gapMs = gapSeconds * 1000L
+    val streaming = events.isStreaming
+    val rx = pattern.r
+
+    def close(userId: Long, s: OpenPattern): PatternSession = {
+      val ms = rx.findAllMatchIn(s.seq).size.toLong
+      PatternSession(userId, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs), s.seq, s.truncated,
+        rx.findFirstIn(s.seq).isDefined, ms)
+    }
+    def extend(s: OpenPattern, ms: Long, sym: String): OpenPattern =
+      if (s.seq.length >= maxSymbols)
+        OpenPattern(s.startMs, math.max(s.lastMs, ms), s.seq, truncated = true)
+      else OpenPattern(math.min(s.startMs, ms), math.max(s.lastMs, ms),
+        s.seq + sym, s.truncated)
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[OpenPattern]): Iterator[PatternSession] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[PatternSession]
+      var open = state.getOption
+      if (sorted.isEmpty) {
+        if (state.hasTimedOut && open.isDefined) {
+          out += close(userId, open.get)
+          state.remove()
+        }
+      } else {
+        for (e <- sorted) {
+          val ms = e.ts.getTime
+          val sym = e.event_type.take(1)
+          open match {
+            case Some(s) if ms - s.lastMs <= gapMs => open = Some(extend(s, ms, sym))
+            case Some(s) =>
+              out += close(userId, s)
+              open = Some(OpenPattern(ms, ms, sym, truncated = false))
+            case None => open = Some(OpenPattern(ms, ms, sym, truncated = false))
+          }
+        }
+        val s = open.get
+        if (streaming) {
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        } else out += close(userId, s)
       }
       out.iterator
     }

@@ -792,6 +792,42 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.WalletMove(1L, 4L, 2L, 5L)))
   }
 
+  test("patternSessions: sessions close on timeout with the regex verdict; cap truncates") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/patsess_${System.nanoTime()}"
+    def ev(id: Long, u: Long, min: Long, t: String) = // day-1 base: an
+      // event AT the initial zero watermark would be dropped as late
+      graft.streaming.Event(u, id,
+        new java.sql.Timestamp(86400000L + min * 60000L), t, 0.0)
+    val in = MemoryStream[graft.streaming.Event]
+    val q = graft.streaming.EventStream
+      .patternSessions(in.toDS(), "vc*p", gapSeconds = 1800, maxSymbols = 3)
+      .writeStream.outputMode("append").format("memory").queryName("pat_res")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      // user 1: v,c spread across two micro-batches (state carries),
+      // then p -> one session "vcp", matched
+      in.addData(ev(1, 1L, 0, "view"), ev(2, 1L, 5, "click"))
+      q.processAllAvailable()
+      in.addData(ev(3, 1L, 10, "purchase"))
+      // user 2: four events -> capped at 3 symbols, truncated flag
+      in.addData(ev(4, 2L, 0, "view"), ev(5, 2L, 1, "click"),
+        ev(6, 2L, 2, "click"), ev(7, 2L, 3, "click"))
+      q.processAllAvailable()
+      assert(spark.table("pat_res").count() == 0L) // nothing timed out yet
+      // event far in the future moves the watermark past both timeouts
+      in.addData(ev(99, 9L, 600, "error"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pat_res")
+      .select("user_id", "seq", "truncated", "matched", "n_matches")
+      .as[(Long, String, Boolean, Boolean, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "vcp", false, true, 1L),
+      (2L, "vcc", true, false, 0L)))
+  }
+
   test("histogramDrift: hand-checked shares, lost-bucket contribution, tie-break") {
     import spark.implicits._
     // window w1: buckets {0:3, 1:1} -> shares {750000, 250000}
