@@ -4536,6 +4536,24 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** B100 (r14): exact correlation matrix
+   * ([[graft.operators.Correlation.pairwiseR2]]) — Pearson r² (ppm) +
+   * sign for every pair of four lineitem measures, WITHOUT floats:
+   * `corr()` accumulates doubles in reduction order (non-replayable);
+   * the integer sufficient statistics are exact under any order, and
+   * n-normalized before squaring so the quotient survives 10¹² rows.
+   * ONE single-pass aggregation computes all ten sums. */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      round(col("l_quantity"), 0).cast("long").as("qty"),
+      round(col("l_extendedprice"), 0).cast("long").as("price_usd"),
+      round(col("l_discount") * 100, 0).cast("long").as("disc_pct"),
+      round(col("l_tax") * 100, 0).cast("long").as("tax_pct"))
+    graft.operators.Correlation.pairwiseR2(li,
+        Seq("qty", "price_usd", "disc_pct", "tax_pct"))
+      .orderBy("measure_a", "measure_b")
+  }
+
   /** B99 (r14): tail attribution — "which market segments drive the
    * top decile of order values": the global p90 cut is ONE broadcast
    * percentile_disc (the B82/C50 rank-statistic pattern, no global
@@ -5271,6 +5289,7 @@ object SparkEntry {
     "q_pattern_sessions" -> qPatternSessions,
     "q_effective_config" -> qEffectiveConfig,
     "q_tail_attribution" -> qTailAttribution,
+    "q_corr_matrix" -> qCorrMatrix,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
@@ -8121,6 +8140,48 @@ object SparkEntry {
            CAST(pre + GREATEST(0, -rm) AS BIGINT) AS balance_cents,
            CAST(GREATEST(0, -rm) AS BIGINT) AS rejected_cents
          FROM m ORDER BY event_id""",
+    // the sufficient statistics replayed in HUGEINT with the same
+    // n-normalizing truncating division before the square.
+    "q_corr_matrix" ->
+      """WITH m AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice, 0) AS BIGINT) AS price_usd,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+             CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct
+           FROM lineitem),
+         s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(qty) AS HUGEINT) AS s1, CAST(SUM(price_usd) AS HUGEINT) AS s2,
+             CAST(SUM(disc_pct) AS HUGEINT) AS s3, CAST(SUM(tax_pct) AS HUGEINT) AS s4,
+             CAST(SUM(qty * qty) AS HUGEINT) AS q1,
+             CAST(SUM(price_usd * price_usd) AS HUGEINT) AS q2,
+             CAST(SUM(disc_pct * disc_pct) AS HUGEINT) AS q3,
+             CAST(SUM(tax_pct * tax_pct) AS HUGEINT) AS q4,
+             CAST(SUM(qty * price_usd) AS HUGEINT) AS p12,
+             CAST(SUM(qty * disc_pct) AS HUGEINT) AS p13,
+             CAST(SUM(qty * tax_pct) AS HUGEINT) AS p14,
+             CAST(SUM(price_usd * disc_pct) AS HUGEINT) AS p23,
+             CAST(SUM(price_usd * tax_pct) AS HUGEINT) AS p24,
+             CAST(SUM(disc_pct * tax_pct) AS HUGEINT) AS p34
+           FROM m),
+         pairs AS (
+           SELECT 'qty' AS a, 'price_usd' AS b, n, s1 AS sa, s2 AS sb,
+             (n*p12 - s1*s2) // n AS cov, (n*q1 - s1*s1) // n AS va,
+             (n*q2 - s2*s2) // n AS vb FROM s
+           UNION ALL SELECT 'qty', 'disc_pct', n, s1, s3,
+             (n*p13 - s1*s3) // n, (n*q1 - s1*s1) // n, (n*q3 - s3*s3) // n FROM s
+           UNION ALL SELECT 'qty', 'tax_pct', n, s1, s4,
+             (n*p14 - s1*s4) // n, (n*q1 - s1*s1) // n, (n*q4 - s4*s4) // n FROM s
+           UNION ALL SELECT 'price_usd', 'disc_pct', n, s2, s3,
+             (n*p23 - s2*s3) // n, (n*q2 - s2*s2) // n, (n*q3 - s3*s3) // n FROM s
+           UNION ALL SELECT 'price_usd', 'tax_pct', n, s2, s4,
+             (n*p24 - s2*s4) // n, (n*q2 - s2*s2) // n, (n*q4 - s4*s4) // n FROM s
+           UNION ALL SELECT 'disc_pct', 'tax_pct', n, s3, s4,
+             (n*p34 - s3*s4) // n, (n*q3 - s3*s3) // n, (n*q4 - s4*s4) // n FROM s)
+         SELECT a AS measure_a, b AS measure_b, CAST(n AS BIGINT) AS n,
+           CAST(sa AS BIGINT) AS sum_a, CAST(sb AS BIGINT) AS sum_b,
+           CAST(cov * cov * 1000000 // (va * vb) AS BIGINT) AS r2_ppm,
+           CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+             AS BIGINT) AS r_sign
+         FROM pairs ORDER BY measure_a, measure_b""",
     // quantile_disc ≡ percentile_disc; over-representation replayed
     // in HUGEINT (tail share over overall share).
     "q_tail_attribution" ->

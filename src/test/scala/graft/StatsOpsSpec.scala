@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Concentration, Contingency, Interpolate, Mode, Regression}
+import graft.operators.{Concentration, Contingency, Correlation, Interpolate, Mode, Regression}
 import org.scalatest.funsuite.AnyFunSuite
 
 class StatsOpsSpec extends AnyFunSuite {
@@ -166,5 +166,36 @@ class StatsOpsSpec extends AnyFunSuite {
     val e = intercept[Exception](
       Concentration.giniPpm(df, Seq("g"), "v", "id").collect())
     assert(e.getMessage != null)
+  }
+
+  test("pairwiseR2: perfect lines hit 1e6 with the right sign; independence near 0") {
+    val df = (1L to 100L).map(i => (i, 2 * i + 3, 500L - 5 * i, (i % 2) * 1000L))
+      .toDF("x", "y_pos", "y_neg", "alt")
+    val got = Correlation.pairwiseR2(df, Seq("x", "y_pos", "y_neg"))
+      .select("measure_a", "measure_b", "r2_ppm", "r_sign")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("x", "y_pos")) == ((1000000L, 1L)))
+    assert(got(("x", "y_neg")) == ((1000000L, -1L)))
+    assert(got(("y_pos", "y_neg")) == ((1000000L, -1L)))
+  }
+
+  test("pairwiseR2: zero variance yields NULL r2, never a fake 0 or crash") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "const")
+    val r = Correlation.pairwiseR2(df, Seq("x", "const"))
+      .select("r2_ppm").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("pairwiseR2 is exactly partitioning-invariant (the reason it exists)") {
+    val rnd = new scala.util.Random(1234)
+    val rows = Seq.fill(5000)((rnd.nextInt(1000).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val a = Correlation.pairwiseR2(rows.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .collect().map(_.toString).toSet
+    val b = Correlation.pairwiseR2(
+        rows.reverse.toDF("a", "b", "c").repartition(17), Seq("a", "b", "c"))
+      .collect().map(_.toString).toSet
+    assert(a == b)
   }
 }
