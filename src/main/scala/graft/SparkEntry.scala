@@ -4589,6 +4589,102 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** B101 (r14): business-day calendar arithmetic
+   * ([[graft.functions.Calendars]]) — per ship-month fulfilment
+   * report: working-day ship→receipt lag, 10-business-day SLA hit
+   * count, and the promised-date span, all via the CLOSED-FORM weekday
+   * ordinal (codegen'd integer ops on the scan) instead of the
+   * calendar-dimension range join that explodes every fact into its
+   * day span. The oracle counts weekdays the independent way —
+   * generate_series + isodow — so the closed form is machine-checked
+   * against the enumeration, not replayed. */
+  private def qBusinessDays(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Calendars
+    // receipt = ship + a deterministic 1..25-calendar-day lag (the
+    // driver's lineitem carries only l_shipdate; the B98 carve pattern)
+    val li = t(s, dir, "lineitem").select(
+      to_date(col("l_shipdate")).as("ship"),
+      date_add(to_date(col("l_shipdate")),
+        (round(col("l_quantity"), 0).cast("int") % 25) + 1).as("rcpt"))
+    li.withColumn("bd", Calendars.businessDaysBetween(col("ship"), col("rcpt")))
+      .withColumn("gap",
+        datediff(Calendars.addBusinessDays(col("ship"), 10), col("ship"))
+          .cast("long"))
+      .groupBy(date_format(col("ship"), "yyyy-MM").as("ym"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("bd").as("sum_bd"),
+        sum(when(col("bd") <= 10, 1L).otherwise(0L)).as("sla10_met"),
+        sum("gap").as("promised_gap_days"))
+      .withColumn("avg_bd_c", expr("sum_bd * 100 div n_items"))
+      .select(col("ym"), col("n_items"), col("sum_bd"), col("avg_bd_c"),
+        col("sla10_met"), col("promised_gap_days"))
+      .orderBy("ym")
+  }
+
+  /** B102 (r14): price–volume–mix revenue bridge
+   * ([[graft.operators.Bridge.priceVolumeMix]]) — 1994→1995 revenue
+   * change per brand decomposed into price, volume, new-part, and
+   * discontinued-part effects at PART grain (so brand mix shifts show
+   * as offsetting price/volume terms, not a meaningless brand-average
+   * price); the four effects re-add to the delta EXACTLY by
+   * construction. Facts touched once by a map-side (part, period)
+   * rollup; the decimal(38,0) volume product survives where bigint
+   * cents×quantity silently wraps. */
+  private def qPvmBridge(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("yr", year(to_date(col("l_shipdate"))))
+      .filter(col("yr").isin(1994, 1995))
+      .select(col("l_partkey"), (col("yr") === 1995).as("is_p2"),
+        round(col("l_quantity"), 0).cast("long").as("q"),
+        cents(col("l_extendedprice")).as("r"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val facts = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    graft.operators.Bridge
+      .priceVolumeMix(facts, "p_partkey", "p_brand", "is_p2", "q", "r")
+      .orderBy("p_brand")
+  }
+
+  /** B103 (r14): CUSUM drift alarms
+   * ([[graft.operators.Balance.cusumAlarms]]) — per-nation monthly
+   * revenue watched for a SUSTAINED level shift (a deterministic +50%
+   * shift injected from month 48 on nations ≡ 0 mod 5), reference =
+   * each nation's first-36-month mean, slack 5%, threshold = ref. The
+   * sequential-looking CUSUM recurrence runs as B94's prefix-min
+   * closed form: two running windows over one per-key sort. The
+   * oracle replays panel, reference, both windows, and the alarm
+   * rollup bit-for-bit. */
+  private def qCusumDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      ((year(to_date(col("o_orderdate"))) - 1992) * 12 +
+        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
+      cents(col("o_totalprice")).as("rev"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val monthly = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_nationkey", "n_name", "m").agg(sum("rev").as("rev_cents"))
+    val months = monthly.agg(max("m").as("mx"))
+      .select(explode(sequence(lit(0L), col("mx"))).as("m"))
+    val panel = n.crossJoin(broadcast(months))
+      .join(monthly, Seq("n_nationkey", "n_name", "m"), "left")
+      .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
+      .withColumn("x", col("rev_cents") +
+        when(col("m") >= 48 && col("n_nationkey") % 5 === 0,
+          expr("rev_cents div 2")).otherwise(0L))
+    val ref = panel
+      .groupBy(col("n_name").as("ref_name"))
+      .agg(expr("sum(case when m < 36 then x else 0 end) div 36").as("ref"))
+      .withColumn("slack", expr("ref div 20"))
+      .withColumn("h", col("ref"))
+    val series = panel.join(broadcast(ref), col("n_name") === col("ref_name"))
+    graft.operators.Balance
+      .cusumAlarms(series, "n_name", "m", "x", "ref", "slack", "h")
+      .select(col("n_name"), col("n_points"), col("max_cusum"),
+        col("n_alarm"), col("first_alarm_ord").as("first_alarm_m"))
+      .orderBy("n_name")
+  }
+
   /** B98 (r14): layered interval resolution
    * ([[graft.operators.Layers.effectiveIntervals]]) — overlapping
    * price rules per part (each lineitem opens a rule for 10–29 days,
@@ -5290,6 +5386,9 @@ object SparkEntry {
     "q_effective_config" -> qEffectiveConfig,
     "q_tail_attribution" -> qTailAttribution,
     "q_corr_matrix" -> qCorrMatrix,
+    "q_business_days" -> qBusinessDays,
+    "q_pvm_bridge" -> qPvmBridge,
+    "q_cusum_drift" -> qCusumDrift,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
@@ -8351,6 +8450,98 @@ object SparkEntry {
            CAST(MAX(GREATEST(0, -rm)) AS BIGINT) AS rejected_cents,
            CAST(SUM(d) + MAX(GREATEST(0, -rm)) AS BIGINT) AS balance_cents
          FROM m GROUP BY user_id ORDER BY user_id""",
+    // INDEPENDENT formulation: weekdays counted by enumeration
+    // (generate_series + isodow) — the closed form is checked against
+    // the definition, not replayed.
+    "q_business_days" ->
+      """WITH li AS (SELECT CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE)
+               + CAST(CAST(round(l_quantity, 0) AS BIGINT) % 25 + 1 AS INTEGER)
+               AS r FROM lineitem),
+         bd AS (SELECT s, r, strftime(s, '%Y-%m') AS ym,
+             (SELECT count(*) FROM UNNEST(generate_series(
+                  CAST(s AS TIMESTAMP) + INTERVAL 1 DAY,
+                  CAST(r AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d)
+               WHERE isodow(CAST(g.d AS DATE)) <= 5) AS bdays,
+             (SELECT CAST(g.d AS DATE) FROM UNNEST(generate_series(
+                  CAST(s AS TIMESTAMP) + INTERVAL 1 DAY,
+                  CAST(s AS TIMESTAMP) + INTERVAL 21 DAY, INTERVAL 1 DAY)) AS g(d)
+               WHERE isodow(CAST(g.d AS DATE)) <= 5
+               ORDER BY g.d LIMIT 1 OFFSET 9) AS promised
+           FROM li)
+         SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(bdays) AS BIGINT) AS sum_bd,
+           CAST(SUM(bdays) * 100 // COUNT(*) AS BIGINT) AS avg_bd_c,
+           CAST(SUM(CASE WHEN bdays <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS sla10_met,
+           CAST(SUM(promised - s) AS BIGINT) AS promised_gap_days
+         FROM bd GROUP BY ym ORDER BY ym""",
+    // part-grain period rollup, HUGEINT volume product, truncating //,
+    // price as the closure term — the bridge re-adds to delta exactly.
+    "q_pvm_bridge" ->
+      """WITH f AS (SELECT l_partkey AS pk,
+             year(CAST(l_shipdate AS DATE)) = 1995 AS p2,
+             CAST(round(l_quantity, 0) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS r
+           FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) IN (1994, 1995)),
+         bi AS (SELECT pk,
+             SUM(CASE WHEN p2 THEN 0 ELSE q END) AS q1,
+             SUM(CASE WHEN p2 THEN 0 ELSE r END) AS r1,
+             SUM(CASE WHEN p2 THEN q ELSE 0 END) AS q2,
+             SUM(CASE WHEN p2 THEN r ELSE 0 END) AS r2
+           FROM f GROUP BY pk),
+         e AS (SELECT p_brand, q1, r1, q2, r2, r2 - r1 AS delta,
+             CASE WHEN q1 > 0 AND q2 > 0
+                  THEN CAST(CAST(q2 - q1 AS HUGEINT) * r1 // q1 AS BIGINT)
+                  ELSE 0 END AS vol,
+             CASE WHEN q1 = 0 AND q2 > 0 THEN r2 ELSE 0 END AS newc,
+             CASE WHEN q2 = 0 AND q1 > 0 THEN -r1 ELSE 0 END AS discc
+           FROM bi JOIN part ON pk = p_partkey)
+         SELECT p_brand, CAST(SUM(q1) AS BIGINT) AS qty1,
+           CAST(SUM(q2) AS BIGINT) AS qty2,
+           CAST(SUM(r1) AS BIGINT) AS rev1_c, CAST(SUM(r2) AS BIGINT) AS rev2_c,
+           CAST(SUM(delta) AS BIGINT) AS delta_c,
+           CAST(SUM(vol) AS BIGINT) AS volume_c,
+           CAST(SUM(delta - vol - newc - discc) AS BIGINT) AS price_c,
+           CAST(SUM(newc) AS BIGINT) AS new_c,
+           CAST(SUM(discc) AS BIGINT) AS disc_c
+         FROM e GROUP BY p_brand ORDER BY p_brand""",
+    // panel + injected shift + reference + the two B94 windows + the
+    // alarm rollup, replayed bit-for-bit.
+    "q_cusum_drift" ->
+      """WITH o AS (SELECT o_custkey,
+             CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS rev FROM orders),
+         mo AS (SELECT n_nationkey, n_name, m, SUM(rev) AS rev
+           FROM o JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2, 3),
+         mx AS (SELECT MAX(m) AS mx FROM mo),
+         sp AS (SELECT n_nationkey, n_name, g.m
+           FROM nation, mx, UNNEST(range(0, mx + 1)) AS g(m)),
+         pan AS (SELECT sp.n_nationkey, sp.n_name, sp.m,
+             COALESCE(mo.rev, 0) + CASE
+               WHEN sp.m >= 48 AND sp.n_nationkey % 5 = 0
+               THEN COALESCE(mo.rev, 0) // 2 ELSE 0 END AS x
+           FROM sp LEFT JOIN mo
+             ON sp.n_nationkey = mo.n_nationkey AND sp.m = mo.m),
+         ref AS (SELECT n_name, SUM(CASE WHEN m < 36 THEN x ELSE 0 END) // 36
+             AS ref FROM pan GROUP BY 1),
+         d AS (SELECT pan.n_name, m, x - ref - ref // 20 AS dd, ref
+           FROM pan JOIN ref USING (n_name)),
+         p AS (SELECT n_name, m, ref, dd, SUM(dd) OVER (PARTITION BY n_name
+             ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+           FROM d),
+         sb AS (SELECT n_name, m, ref, pre + GREATEST(0, -MIN(pre) OVER
+             (PARTITION BY n_name ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bal
+           FROM p)
+         SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(bal) AS BIGINT) AS max_cusum,
+           CAST(SUM(CASE WHEN bal > ref THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm,
+           CAST(MIN(CASE WHEN bal > ref THEN m END) AS BIGINT) AS first_alarm_m
+         FROM sb GROUP BY n_name ORDER BY n_name""",
     // the full two-timeline resolution replayed literally: SCD2
     // rebuild, lagged knowledge versions + starred corrections, valid
     // containment AND sys_from <= audit, latest-knowledge winner.

@@ -54,4 +54,44 @@ object Balance {
         sum(col(delta)).as("net"),
         max("rejected").as("rejected_total"))
       .withColumn("final_balance", col("net") + col("rejected_total"))
+
+  /**
+   * One-sided CUSUM drift detection (B103) — the classic
+   * change-point / SLO-burn alarm over a per-key metric series:
+   *
+   *     S_t = max(0, S_{t−1} + (x_t − ref − slack)),  alarm when S_t > h
+   *
+   * S_t accumulates only SUSTAINED excess over the reference level
+   * (the slack forgives noise; any dip resets toward zero), so a level
+   * shift fires within a few points while a single spike does not —
+   * the reason monitoring uses CUSUM instead of per-point thresholds.
+   * The recurrence is the clamped-balance recurrence with a shifted
+   * delta, so it inherits [[clampedRunningSum]]'s prefix-min closed
+   * form: TWO running windows over ONE per-key sort — no recursion,
+   * no per-key sequential state, exactly the shuffle a running sum
+   * pays. All-integer, replayable bit-for-bit.
+   *
+   * `ref` / `slack` / `h` are COLUMNS (per-key references joined
+   * upstream — a global constant is the degenerate case), because at
+   * scale the reference level is itself per-series (per-nation
+   * baseline, per-tenant quota), never one number.
+   *
+   * Output: one row per key — points, max CUSUM reached, number of
+   * points in alarm, and the ord of the FIRST alarm (null when the
+   * series never crossed h). Ties on `ord` within a key must be
+   * impossible upstream (pass a composite struct).
+   */
+  def cusumAlarms(df: DataFrame, key: String, ord: String, value: String,
+      ref: String, slack: String, h: String): DataFrame = {
+    val shifted = df.withColumn("_cusum_delta",
+      col(value) - col(ref) - col(slack))
+    val s = clampedRunningSum(shifted, key, ord, "_cusum_delta")
+      .withColumn("_alarm", col("balance") > col(h))
+    s.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_points"),
+        max("balance").as("max_cusum"),
+        sum(when(col("_alarm"), 1L).otherwise(0L)).as("n_alarm"),
+        min(when(col("_alarm"), col(ord))).as("first_alarm_ord"))
+  }
 }

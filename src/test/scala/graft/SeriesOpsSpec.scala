@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Balance, Intervals, Islands, Rolling, Sweep}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Islands (B62), Sweep (B63), Rolling (B64): hand-checked edge
@@ -199,6 +200,55 @@ class SeriesOpsSpec extends AnyFunSuite {
     val want = rows.groupBy(_._1).map { case (k, g) =>
       k -> g.sortBy(_._2).map(_._3)
         .scanLeft(0L)((y, x) => math.max(0L, y + x)).tail.toList }
+    assert(got == want)
+  }
+
+  test("cusumAlarms: a sustained shift fires, a single spike does not") {
+    // ref 100, slack 10, h 50. Series A: level shift to 130 from t=5 —
+    // S accumulates 20/step, crosses 50 at t=7. Series B: one spike to
+    // 140 at t=3 — S jumps to 30, stays under h, and decays 10/step:
+    // the isolated spike never fires. Series C: flat at 100 — never
+    // fires. (first_alarm_ord read through coalesce(-1): a null only
+    // on the no-alarm keys.)
+    def mk(k: Long, xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong, x, 100L, 10L, 50L) }
+    val rows = mk(1L, Seq(100L, 100, 100, 100, 100, 130, 130, 130, 130, 130)) ++
+      mk(2L, Seq(100L, 100, 100, 140, 100, 100, 100, 100)) ++
+      mk(3L, Seq.fill(8)(100L))
+    val got = Balance.cusumAlarms(
+        rows.toDF("k", "o", "x", "ref", "slack", "h"),
+        "k", "o", "x", "ref", "slack", "h")
+      .select(col("k"), col("n_points"), col("max_cusum"), col("n_alarm"),
+        coalesce(col("first_alarm_ord"), lit(-1L)).as("fa"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // A: deltas -10.. then +20 from t=5: S = 20,40,60,80,100 -> first
+    //    alarm at t=7 (S=60), 3 alarm points, max 100
+    // B: spike +30 at t=3 -> S=30, then decays 20,10,0 — never crosses 50
+    // C: never fires
+    assert(got == List(
+      (1L, 10L, 100L, 3L, 7L),
+      (2L, 8L, 30L, 0L, -1L),
+      (3L, 8L, 0L, 0L, -1L)))
+  }
+
+  test("cusumAlarms equals the sequential CUSUM fold on seeded random series") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- 0L until 25L; o <- 0L until 80L)
+      yield (k, o, 100L + rnd.nextInt(61) - 30L, 100L, 5L, 40L)
+    val got = Balance.cusumAlarms(
+        rows.toDF("k", "o", "x", "ref", "slack", "h").repartition(9),
+        "k", "o", "x", "ref", "slack", "h")
+      .select(col("k"), col("max_cusum"), col("n_alarm"),
+        coalesce(col("first_alarm_ord"), lit(-1L)).as("fa"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      val s = g.sortBy(_._2).map(t => t._3 - t._4 - t._5)
+        .scanLeft(0L)((y, x) => math.max(0L, y + x)).tail
+      val alarms = s.zipWithIndex.filter(_._1 > 40L)
+      k -> ((s.max, alarms.size.toLong,
+        alarms.headOption.map(_._2.toLong).getOrElse(-1L)))
+    }
     assert(got == want)
   }
 }
