@@ -98,6 +98,11 @@ object GraftExtensions {
     ("winnow", "winnow(text[, k, w]) - winnowed k-gram fingerprint sample",
       arity("winnow", 1, 3)(args =>
         Winnow(args.head, intArg("winnow", args, 1, 8), intArg("winnow", args, 2, 16)))),
+    ("cdc_chunks", "cdc_chunks(text[, w, div, rem]) - content-defined chunk split on rolling-hash boundaries",
+      arity("cdc_chunks", 1, 4)(args =>
+        CdcChunks(args.head, intArg("cdc_chunks", args, 1, 16),
+          intArg("cdc_chunks", args, 2, 32).toLong,
+          intArg("cdc_chunks", args, 3, 9).toLong))),
     ("lang_id", "lang_id(text) - heuristic language code (marker-word profile)",
       arity("lang_id", 1)(args => LangId(args.head, TextFunctions.langMarkers))),
     ("word_chunks", "word_chunks(text, k) - non-overlapping k-word chunks (short tail kept)",

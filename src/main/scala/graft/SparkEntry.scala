@@ -2602,6 +2602,35 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** C67 (r14): content-defined chunk dedup
+   * ([[graft.functions.expressions.cdcChunks]]) — per-doc duplicated-
+   * passage stats over Rabin-style rolling-hash chunk boundaries:
+   * chunk edges follow CONTENT, not offsets, so a passage copied with
+   * an insertion ahead of it still lands in identical chunks (the
+   * shifted duplication C27's fixed segments and C42's stride
+   * windows only approximate). One codegen'd O(n) pass per doc, a
+   * map-side chunk-hash count, and a chunk-domain equi-join — never
+   * doc-pairs. The oracle recomputes the SAME polynomial hash per
+   * window position from scratch (recursive-CTE power table +
+   * windowed character sums — the closed definition, not the rolling
+   * update), then replays chunking, md5s, and sharing stats. */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ch = docs.select(col("doc_id"),
+        explode(graft.functions.expressions.cdcChunks(col("text"))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val byHash = ch.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    ch.join(byHash, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_chunks"),
+        min("h").as("min_md5"), max("h").as("max_md5"))
+      .withColumn("shared_ppm", expr("shared_chunks * 1000000 div n_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("shared_chunks"),
+        col("shared_ppm"), col("min_md5"), col("max_md5"))
+      .orderBy("doc_id")
+  }
+
   /** C37: incremental dedup equivalence gate — split the corpus at
    * the id midpoint (1-row bounds broadcast, date-spine pattern),
    * build text-free [[graft.dedup.Dedup.minhashState]] from the first
@@ -5337,6 +5366,7 @@ object SparkEntry {
     "q_gini_nation"   -> qGiniNation,
     "q_fair_allocation" -> qFairAllocation,
     "q_budget_materialize" -> qBudgetMaterialize,
+    "q_chunk_dedup" -> qChunkDedup,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -8450,6 +8480,42 @@ object SparkEntry {
            CAST(MAX(GREATEST(0, -rm)) AS BIGINT) AS rejected_cents,
            CAST(SUM(d) + MAX(GREATEST(0, -rm)) AS BIGINT) AS balance_cents
          FROM m GROUP BY user_id ORDER BY user_id""",
+    // the SAME polynomial window hash recomputed from the closed
+    // definition (recursive-CTE powers + windowed character sums —
+    // not the rolling update), then chunking, md5s, sharing replayed.
+    "q_chunk_dedup" ->
+      """WITH RECURSIVE pw(j, p) AS (
+             SELECT 0, CAST(1 AS BIGINT)
+             UNION ALL
+             SELECT j + 1, p * 257 % 1000000007 FROM pw WHERE j < 15),
+         d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         pos AS (SELECT doc_id, text, n, g.q
+           FROM d, UNNEST(range(1, n - 16 + 2)) AS g(q)),
+         hw AS (SELECT doc_id, n, q,
+             SUM(unicode(substr(text, CAST(q + o.o AS INTEGER), 1)) * pw.p)
+               % 1000000007 AS hh
+           FROM pos, UNNEST(range(0, 16)) AS o(o), pw
+           WHERE pw.j = 15 - o.o
+           GROUP BY doc_id, n, q),
+         cuts AS (SELECT doc_id, q + 15 AS b FROM hw
+           WHERE hh % 32 = 9 AND q + 15 < n),
+         bounds AS (SELECT doc_id, b FROM cuts
+           UNION ALL SELECT doc_id, n FROM d),
+         ch AS (SELECT doc_id,
+             COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS st,
+             b AS en FROM bounds),
+         chd AS (SELECT c.doc_id, md5(substr(d.text,
+               CAST(c.st + 1 AS INTEGER), CAST(c.en - c.st AS INTEGER))) AS h
+           FROM ch c JOIN d ON c.doc_id = d.doc_id),
+         byh AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chd GROUP BY h)
+         SELECT chd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS shared_ppm,
+           MIN(chd.h) AS min_md5, MAX(chd.h) AS max_md5
+         FROM chd JOIN byh ON chd.h = byh.h
+         GROUP BY chd.doc_id ORDER BY doc_id""",
     // INDEPENDENT formulation: weekdays counted by enumeration
     // (generate_series + isodow) — the closed form is checked against
     // the definition, not replayed.

@@ -836,6 +836,71 @@ object HashOps {
       s: org.apache.spark.unsafe.types.UTF8String): Long =
     cms.estimateCount(s.getBytes)
 
+  /** cdcChunks(text, w, div, rem): content-defined chunk split — the
+   * Rabin/FastCDC idea as a deterministic kernel. A boundary is cut
+   * after every w-code-point window whose polynomial rolling hash
+   *   H = Σ cp[j]·257^(w−1−j)  mod 1e9+7
+   * satisfies H mod div == rem, so boundaries depend ONLY on the w
+   * code points before them: inserting or deleting text re-chunks at
+   * most the chunks it touches, and every chunk after the edit
+   * re-aligns — the property that lets chunk-level dedup catch
+   * SHIFTED duplication that fixed-stride segmentation misses.
+   * O(n) per document (one rolling pass), called statically from
+   * generated code. Code-point indexed (not bytes) so the oracle's
+   * character arithmetic matches on non-ASCII too. Texts shorter
+   * than w (or empty) are one chunk; a boundary flush with the text
+   * end is dropped (chunks are never empty). Expected chunk length
+   * is `div` code points; min/max bounds are deliberately NOT
+   * enforced (they would make boundary acceptance depend on the
+   * previous cut — sequential state the closed replay can't share). */
+  def cdcChunks(s: org.apache.spark.unsafe.types.UTF8String,
+      w: Int, div: Long, rem: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val M = 1000000007L
+    val B = 257L
+    val str = s.toString
+    val len = str.length
+    // code points + the char offset where each begins (offs(n) = len)
+    val cps = new Array[Int](len + 1)
+    val offs = new Array[Int](len + 1)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp; offs(n) = i
+      n += 1; i += Character.charCount(cp)
+    }
+    offs(n) = len
+    if (n < w || n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(str)))
+    var pw = 1L
+    i = 1
+    while (i < w) { pw = pw * B % M; i += 1 }
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * B + cps(i)) % M; i += 1 }
+    if (h % div == rem && w < n) cuts += w
+    var p = 1
+    while (p + w <= n) {
+      h = (h - cps(p - 1) * pw % M + M) % M
+      h = (h * B + cps(p + w - 1)) % M
+      if (h % div == rem && p + w < n) cuts += (p + w)
+      p += 1
+    }
+    val out = new Array[Any](cuts.length + 1)
+    var prev = 0
+    i = 0
+    while (i < cuts.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        str.substring(offs(prev), offs(cuts(i))))
+      prev = cuts(i); i += 1
+    }
+    out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+      str.substring(offs(prev), len))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Number of `breaks` elements <= v (breaks ascending-sorted):
    * the bucket index of v among n+1 half-open bands
    * (-inf, b0), [b0, b1), ... [bn-1, +inf) — a value equal to a

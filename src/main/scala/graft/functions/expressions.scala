@@ -101,6 +101,25 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** cdc_chunks(text, w, div, rem) → array<string>: content-defined
+ * chunk split on rolling-hash boundaries ([[HashOps.cdcChunks]]) —
+ * chunk edges follow CONTENT, not offsets, so an insertion re-aligns
+ * every later chunk and chunk-level dedup catches shifted duplicate
+ * passages. One O(n) rolling pass per row inside whole-stage codegen. */
+case class CdcChunks(child: Expression, w: Int, div: Long, rem: Long)
+    extends UnaryExpression {
+  require(w > 0 && div > 0 && rem >= 0 && rem < div,
+    s"cdc_chunks: need w > 0 and 0 <= rem < div, got w=$w div=$div rem=$rem")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.cdcChunks(input.asInstanceOf[UTF8String], w, div, rem)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.cdcChunks($c, $w, ${div}L, ${rem}L)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 /** sort_struct_array(arr) → arr sorted by natural field-order struct
  * comparison — array_sort semantics with a compiled comparator (the
  * interpreted lambda eval is the nest operator's dominant cost on
@@ -581,6 +600,8 @@ object expressions {
   def simhashText(c: Column): Column = column(SimHashText(expression(c)))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
+  def cdcChunks(c: Column, w: Int = 16, div: Long = 32L, rem: Long = 9L): Column =
+    column(CdcChunks(expression(c), w, div, rem))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgrams(expression(c), n))
   def wordChunks(c: Column, k: Int): Column = column(WordChunks(expression(c), k))
   def wordChunksStrided(c: Column, window: Int, stride: Int): Column =
