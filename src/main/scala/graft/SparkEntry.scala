@@ -2602,6 +2602,21 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** C68 (r14): blocklist term-hit audit ([[graft.text.Blocklist]]) —
+   * the safety/policy pass scored per document from a severity-
+   * weighted term list: corpus tokenized ONCE, terms joined as a
+   * broadcast dimension against the exploded tokens (the map-side
+   * probe discards non-hits before any shuffle), never |terms| regex
+   * passes. Clean documents are retained with zero counts. */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq(("dup", 5L), ("slow", 2L), ("big", 1L))
+      .toDF("term", "severity")
+    graft.text.Blocklist.termHits(
+        t(s, dir, "documents"), "doc_id", "text", terms, flagThreshold = 8L)
+      .orderBy("doc_id")
+  }
+
   /** C67 (r14): content-defined chunk dedup
    * ([[graft.functions.expressions.cdcChunks]]) — per-doc duplicated-
    * passage stats over Rabin-style rolling-hash chunk boundaries:
@@ -5367,6 +5382,7 @@ object SparkEntry {
     "q_fair_allocation" -> qFairAllocation,
     "q_budget_materialize" -> qBudgetMaterialize,
     "q_chunk_dedup" -> qChunkDedup,
+    "q_blocklist" -> qBlocklist,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -8480,6 +8496,24 @@ object SparkEntry {
            CAST(MAX(GREATEST(0, -rm)) AS BIGINT) AS rejected_cents,
            CAST(SUM(d) + MAX(GREATEST(0, -rm)) AS BIGINT) AS balance_cents
          FROM m GROUP BY user_id ORDER BY user_id""",
+    // tokenizer + term join + severity rollup + zero-retaining left
+    // join replayed; flagged is the same integer threshold.
+    "q_blocklist" ->
+      """WITH terms(term, severity) AS (VALUES ('dup', 5), ('slow', 2), ('big', 1)),
+         tok AS (SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+           FROM documents),
+         h AS (SELECT doc_id, COUNT(DISTINCT term) AS nt, COUNT(*) AS nh,
+             SUM(severity) AS wh, MAX(severity) AS ms
+           FROM tok JOIN terms ON w = term GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(nt, 0) AS BIGINT) AS n_flag_terms,
+           CAST(COALESCE(nh, 0) AS BIGINT) AS n_flag_hits,
+           CAST(COALESCE(wh, 0) AS BIGINT) AS weighted_hits,
+           CAST(COALESCE(ms, 0) AS BIGINT) AS max_severity,
+           COALESCE(wh, 0) >= 8 AS flagged
+         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id""",
     // the SAME polynomial window hash recomputed from the closed
     // definition (recursive-CTE powers + windowed character sums —
     // not the rolling update), then chunking, md5s, sharing replayed.

@@ -262,4 +262,35 @@ class TextOpsSpec extends AnyFunSuite {
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
+
+  test("blocklist termHits: weighted severity, zero-hit retention, case fold") {
+    val docs = Seq(
+      ("d1", "Leak LEAK leak spam ok"),    // leak x3 (case-folded), spam x1
+      ("d2", "all clean words here"),      // zero hits — must survive
+      ("d3", "spam spam spam spam"),       // 4 low-severity hits
+      ("d4", "leak, spam; leak!")          // punctuation-split tokens
+    ).toDF("doc_id", "text")
+    val terms = Seq(("leak", 5L), ("spam", 1L)).toDF("term", "severity")
+    val got = graft.text.Blocklist
+      .termHits(docs, "doc_id", "text", terms, flagThreshold = 5L)
+      .select("doc_id", "n_flag_terms", "n_flag_hits", "weighted_hits",
+        "max_severity", "flagged")
+      .as[(String, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1).toList
+    assert(got == List(
+      ("d1", 2L, 4L, 16L, 5L, true),   // 3*5 + 1*1
+      ("d2", 0L, 0L, 0L, 0L, false),
+      ("d3", 1L, 4L, 4L, 1L, false),   // below threshold
+      ("d4", 2L, 3L, 11L, 5L, true)))  // 2*5 + 1, exact threshold edge above
+  }
+
+  test("blocklist termHits: threshold boundary is >= (inclusive)") {
+    val docs = Seq(("a", "bad bad"), ("b", "bad")).toDF("doc_id", "text")
+    val terms = Seq(("bad", 2L)).toDF("term", "severity")
+    val got = graft.text.Blocklist
+      .termHits(docs, "doc_id", "text", terms, flagThreshold = 4L)
+      .select("doc_id", "flagged").as[(String, Boolean)]
+      .collect().toMap
+    assert(got == Map("a" -> true, "b" -> false))
+  }
 }
