@@ -3320,6 +3320,28 @@ object SparkEntry {
       .toDF().orderBy("event_id")
   }
 
+  /** D22 (batch side of the unified API): per-key per-window rate cap
+   * ([[graft.streaming.EventStream.rateCapStream]]) — every event's
+   * arrival ordinal within its (user, hour) slot plus the admitted
+   * verdict at cap 3; the rejected half is emitted too (the B94
+   * rejected-ledger rule). In batch each slot's full history arrives
+   * sorted, so the verdicts equal the row_number() ≤ N formulation
+   * the oracle replays; StreamingSpec pins the cross-micro-batch
+   * counter continuity. */
+  private def qRateCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Event]
+    graft.streaming.EventStream
+      .rateCapStream(ev, windowUs = 3600000000L, maxPerWindow = 3)
+      .toDF()
+      .select(col("user_id"), col("event_id"), col("win_start_us"),
+        col("seq_in_window"), col("admitted"))
+      .orderBy("event_id")
+  }
+
   /** D21 (batch side of the unified API): per-session pattern
    * matching ([[graft.streaming.EventStream.patternSessions]]) —
    * B97's regex applied the way a monitor consumes it: per
@@ -5436,6 +5458,7 @@ object SparkEntry {
     "q_pvm_bridge" -> qPvmBridge,
     "q_cusum_drift" -> qCusumDrift,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
+    "q_rate_cap" -> qRateCap,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
     "q_null_semantics" -> qNullSemantics,
@@ -8496,6 +8519,17 @@ object SparkEntry {
            CAST(MAX(GREATEST(0, -rm)) AS BIGINT) AS rejected_cents,
            CAST(SUM(d) + MAX(GREATEST(0, -rm)) AS BIGINT) AS balance_cents
          FROM m GROUP BY user_id ORDER BY user_id""",
+    // the batch twin of the online rate cap: arrival ordinal within
+    // each (user, hour) slot = row_number over event time.
+    "q_rate_cap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         w AS (SELECT user_id, event_id, ts_us,
+             ts_us // 3600000000 * 3600000000 AS win_start_us FROM e),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, win_start_us
+             ORDER BY ts_us, event_id) AS rn FROM w)
+         SELECT user_id, event_id, win_start_us,
+           CAST(rn AS BIGINT) AS seq_in_window, rn <= 3 AS admitted
+         FROM r ORDER BY event_id""",
     // tokenizer + term join + severity rollup + zero-retaining left
     // join replayed; flagged is the same integer threshold.
     "q_blocklist" ->

@@ -46,6 +46,17 @@ case class WalletMove(user_id: Long, event_id: Long, balance_cents: Long,
 
 private case class WalletState(balance: Long, rejected: Long)
 
+/** Keyed row for [[EventStream.rateCapStream]] (window pre-computed
+ * so the state function never touches timestamp arithmetic). */
+case class CapInput(user_id: Long, event_id: Long, ts_us: Long,
+    win_start_us: Long)
+
+/** Per-event admission verdict from the per-key-per-window rate cap. */
+case class CapVerdict(user_id: Long, event_id: Long, win_start_us: Long,
+    seq_in_window: Long, admitted: Boolean)
+
+private case class CapState(count: Long)
+
 /**
  * Structured Streaming operators over the event stream. The same
  * transformations run on a batch DataFrame (Spark's unified API), so
@@ -758,6 +769,54 @@ object EventStream {
       out.iterator
     }
     moves.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /**
+   * Per-key per-window rate cap (D22) — the ingestion throttle /
+   * per-tenant quota sampler: every event gets its arrival ordinal
+   * within its (key, tumbling-window) slot and an `admitted` verdict
+   * (ordinal ≤ maxPerWindow). BOTH verdicts are emitted — the
+   * rejected ledger is the observability half a rate limiter owes its
+   * operators (B94's house rule), and downstream picks `admitted`
+   * rows for the throttled stream.
+   *
+   * State is ONE counter per active (key, window) — bytes, not
+   * events: the decision needs only the count so far, never the
+   * retained events. Windows are derived arithmetically from event
+   * time (no window() explode). In batch the group call sees each
+   * slot's full history sorted by event time, so the verdict set
+   * equals the row_number() ≤ N twin the oracle replays; in streaming
+   * the counter carries across micro-batches and admission is by
+   * ARRIVAL order (the online rate-limiter semantics — an
+   * out-of-order straggler is judged on arrival, which is the only
+   * decision an online limiter can make; StreamingSpec pins the
+   * cross-batch counter continuity).
+   */
+  def rateCapStream(events: Dataset[Event], windowUs: Long,
+      maxPerWindow: Int): Dataset[CapVerdict] = {
+    import events.sparkSession.implicits._
+    require(windowUs > 0 && maxPerWindow > 0,
+      s"rateCapStream: need windowUs > 0 and maxPerWindow > 0")
+    val streaming = events.isStreaming
+    val in = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr(s"unix_micros(ts) div ${windowUs}L * ${windowUs}L")
+          .as("win_start_us"))
+      .as[CapInput]
+    def fn(key: (Long, Long), batch: Iterator[CapInput],
+        state: GroupState[CapState]): Iterator[CapVerdict] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var n = state.getOption.map(_.count).getOrElse(0L)
+      val out = sorted.map { e =>
+        n += 1
+        CapVerdict(e.user_id, e.event_id, e.win_start_us, n,
+          n <= maxPerWindow)
+      }
+      if (streaming) state.update(CapState(n))
+      out.iterator
+    }
+    in.groupByKey(e => (e.user_id, e.win_start_us))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 

@@ -792,6 +792,37 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.WalletMove(1L, 4L, 2L, 5L)))
   }
 
+  test("rateCapStream carries the per-window counter across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/ratecap_${System.nanoTime()}"
+    // windowUs = 10s; events at seconds 1..5 share window 0, second 12
+    // opens window 1. Cap 2 per window.
+    def ev(id: Long, sec: Long) = graft.streaming.Event(
+      7L, id, new java.sql.Timestamp(sec * 1000L), "click", 1.0)
+    val in = MemoryStream[graft.streaming.Event]
+    val q = graft.streaming.EventStream
+      .rateCapStream(in.toDS(), windowUs = 10000000L, maxPerWindow = 2)
+      .writeStream.outputMode("append").format("memory").queryName("cap_res")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      in.addData(ev(1L, 1L), ev(2L, 2L)) // fills window 0's budget
+      q.processAllAvailable()
+      // batch 2: same window — counter must CONTINUE at 3, both denied;
+      // the new window starts a fresh counter
+      in.addData(ev(3L, 3L), ev(4L, 4L), ev(5L, 12L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cap_res")
+      .as[graft.streaming.CapVerdict].collect().sortBy(_.event_id).toList
+    assert(got == List(
+      graft.streaming.CapVerdict(7L, 1L, 0L, 1L, true),
+      graft.streaming.CapVerdict(7L, 2L, 0L, 2L, true),
+      graft.streaming.CapVerdict(7L, 3L, 0L, 3L, false),
+      graft.streaming.CapVerdict(7L, 4L, 0L, 4L, false),
+      graft.streaming.CapVerdict(7L, 5L, 10000000L, 1L, true)))
+  }
+
   test("patternSessions: sessions close on timeout with the regex verdict; cap truncates") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
