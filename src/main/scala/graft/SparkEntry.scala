@@ -2602,6 +2602,28 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** A28 (r14): policy-driven column masking
+   * ([[graft.operators.Masking.applyPolicy]]) — the release
+   * projection decided by a GOVERNANCE RELATION, not code: keep the
+   * key, pseudonymize the name (sha256 — stable joinability), prefix-
+   * truncate the segment, generalize balances to 100-dollar bands;
+   * c_nationkey is deliberately ABSENT from the policy and must be
+   * dropped (default-deny — a new sensitive column cannot leak
+   * through a stale policy). */
+  private def qMaskPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      cents(col("c_acctbal")).as("acctbal_cents"), col("c_nationkey"))
+    val policy = Seq(
+      ("c_custkey", "keep", 0L),
+      ("c_name", "sha256", 0L),
+      ("c_mktsegment", "prefix", 2L),
+      ("acctbal_cents", "bucket", 10000L))
+      .toDF("column", "action", "param")
+    graft.operators.Masking.applyPolicy(cust, policy).orderBy("c_custkey")
+  }
+
   /** C68 (r14): blocklist term-hit audit ([[graft.text.Blocklist]]) —
    * the safety/policy pass scored per document from a severity-
    * weighted term list: corpus tokenized ONCE, terms joined as a
@@ -5405,6 +5427,7 @@ object SparkEntry {
     "q_budget_materialize" -> qBudgetMaterialize,
     "q_chunk_dedup" -> qChunkDedup,
     "q_blocklist" -> qBlocklist,
+    "q_mask_policy" -> qMaskPolicy,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -8519,6 +8542,14 @@ object SparkEntry {
            CAST(MAX(GREATEST(0, -rm)) AS BIGINT) AS rejected_cents,
            CAST(SUM(d) + MAX(GREATEST(0, -rm)) AS BIGINT) AS balance_cents
          FROM m GROUP BY user_id ORDER BY user_id""",
+    // every mask action replayed; c_nationkey proven dropped by the
+    // schema compare (default-deny).
+    "q_mask_policy" ->
+      """SELECT c_custkey, sha256(c_name) AS c_name,
+           substr(c_mktsegment, 1, 2) || '***' AS c_mktsegment,
+           CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+             // 10000 * 10000 AS BIGINT) AS acctbal_cents
+         FROM customer ORDER BY c_custkey""",
     // the batch twin of the online rate cap: arrival ordinal within
     // each (user, hour) slot = row_number over event time.
     "q_rate_cap" ->
