@@ -819,6 +819,52 @@ object ScaleProbe {
       col("covered") =!= 1000L).count()
     require(layerBad == 0, s"layers drift at 2M: $layerBad keys wrong")
     println("SCALE layers: 100k keys resolve to exactly 39 segments covering 1000")
+
+    // CDC chunking (C67) under the same 20x replication: chunk
+    // boundaries are a pure function of content, so all 20 replicas of
+    // a doc MUST produce byte-identical chunk multisets — any drift
+    // means the rolling hash picked up per-partition or per-replica
+    // state. Gate: per original doc, exactly ONE distinct
+    // (n_chunks, multiset-hash, min, max) signature across replicas.
+    val chunkSig = timedRun(s"cdcChunks ${n}x corpus") {
+      big.select(col("doc_id"),
+          explode(graft.functions.expressions.cdcChunks(col("text")))
+            .as("chunk"))
+        .groupBy("doc_id")
+        // multiset hash: mod the 64-bit hashes into [0, 1e9+7) before
+        // summing — a raw xxhash64 sum overflows long under ANSI
+        .agg(count(lit(1)).as("nc"),
+          sum(pmod(xxhash64(col("chunk")), lit(1000000007L))).as("mh"),
+          min("chunk").as("mn"), max("chunk").as("mx"))
+    }
+    val chunkDrift = chunkSig
+      .groupBy(expr(s"doc_id div $n").as("orig"))
+      .agg(countDistinct(struct(col("nc"), col("mh"), col("mn"), col("mx")))
+        .as("sigs"), count(lit(1)).as("reps"))
+      .filter(col("sigs") =!= 1L || col("reps") =!= n.toLong).count()
+    require(chunkDrift == 0,
+      s"cdc chunking drifted under ${n}x replication: $chunkDrift docs")
+    println(s"SCALE cdc: every doc's $n replicas chunk identically")
+
+    // CUSUM closed form (B103) at 10M points / 100k keys: per key 100
+    // points at ref level for 50 steps then ref+40 for 50 steps
+    // (slack 10, h 500). Closed form: S stays 0 through the flat half,
+    // then climbs 30/step (S(o) = 30·(o−49)) -> first alarm at o=66
+    // (S=510), 34 alarm points, max 1500. Any drift breaks the
+    // prefix-min identity under real partitioning.
+    val cusumIn = spark.range(10000000L).toDF("i").select(
+        (col("i") % 100000L).as("k"), expr("i div 100000").as("o"))
+      .select(col("k"), col("o"),
+        when(col("o") < 50L, 100L).otherwise(140L).as("x"),
+        lit(100L).as("ref"), lit(10L).as("slack"), lit(500L).as("h"))
+    val cusumOut = timedRun("cusumAlarms 10M points / 100k keys") {
+      graft.operators.Balance.cusumAlarms(cusumIn, "k", "o", "x",
+        "ref", "slack", "h")
+    }
+    val cusumBad = cusumOut.filter(col("max_cusum") =!= 1500L ||
+      col("n_alarm") =!= 34L || col("first_alarm_ord") =!= 66L).count()
+    require(cusumBad == 0, s"cusum drift at 10M: $cusumBad keys wrong")
+    println("SCALE cusum: 100k keys hit the closed-form alarm profile at 10M points")
     spark.stop()
   }
 }

@@ -2624,6 +2624,43 @@ object SparkEntry {
     graft.operators.Masking.applyPolicy(cust, policy).orderBy("c_custkey")
   }
 
+  /** C69 (r14): cross-source exact passage overlap
+   * ([[graft.functions.expressions.cdcChunks]] composed) — "which
+   * sources copy from which": the pairwise matrix of byte-identical
+   * CDC chunks shared across sources, with containment ppm against
+   * the smaller side. Complements C45's KMV shingle ESTIMATE with
+   * exact passage-level evidence. The relation that matters is the
+   * DISTINCT (source, chunk-hash) set — chunk-domain sized, never
+   * corpus text — and the pair join fans out at most |sources| rows
+   * per hash; every (source_a, source_b) pair is emitted, zero
+   * sharing included (absence is a finding). */
+  private def qPassageOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.expressions.cdcChunks(col("text"))).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("h"))
+      .distinct()
+    val perSrc = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    val allPairs = perSrc.select(col("source").as("source_a"), col("n").as("na"))
+      .crossJoin(broadcast(
+        perSrc.select(col("source").as("source_b"), col("n").as("nb"))))
+      .filter(col("source_a") < col("source_b"))
+    allPairs
+      .join(shared,
+        col("source_a") === col("sa") && col("source_b") === col("sb"), "left")
+      .withColumn("shared_chunks", coalesce(col("shared"), lit(0L)))
+      .withColumn("containment_ppm",
+        expr("shared_chunks * 1000000 div least(na, nb)"))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("shared_chunks"), col("containment_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** C68 (r14): blocklist term-hit audit ([[graft.text.Blocklist]]) —
    * the safety/policy pass scored per document from a severity-
    * weighted term list: corpus tokenized ONCE, terms joined as a
@@ -4773,6 +4810,52 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** B104 (r14): leaderboard dynamics ("movers & shakers") — each
+   * month's product-type revenue ranking with the CALENDAR-aligned
+   * rank delta and churn status: a lag over present months silently
+   * compares against the previous PRESENT month (the B87 bug applied
+   * to ranks), so ranks ride the bounded month×type spine and an
+   * absence is an explicit 'exited' row, never a skipped comparison.
+   * Ranks are computed on the PRE-AGGREGATED month×group rollup (the
+   * B62 dedup-ahead-of-window discipline — the window sorts 200
+   * product groups per month, never facts) with a deterministic
+   * (rev desc, group asc) tie-break. Product group = partkey div 10:
+   * sparse enough (~3% absent months) that every churn branch
+   * genuinely fires. */
+  private def qRankMovers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      expr("l_partkey div 10").as("grp"),
+      ((year(to_date(col("l_shipdate"))) - 1992) * 12 +
+        month(to_date(col("l_shipdate"))) - 1).cast("long").as("m"),
+      cents(col("l_extendedprice")).as("rev"))
+    val monthly = li
+      .groupBy("m", "grp").agg(sum("rev").as("rev_cents"))
+    val ranked = monthly.withColumn("rank",
+      row_number().over(Window.partitionBy("m")
+        .orderBy(col("rev_cents").desc, col("grp").asc)).cast("long"))
+    val bounds = monthly.agg(min("m").as("mn"), max("m").as("mx"))
+    val months = bounds
+      .select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("m"))
+    val panel = t(s, dir, "part").select(expr("p_partkey div 10").as("grp"))
+      .distinct()
+      .crossJoin(broadcast(months))
+      .join(ranked, Seq("m", "grp"), "left")
+    val w = Window.partitionBy("grp").orderBy("m")
+    panel
+      .withColumn("prev_rank", lag("rank", 1).over(w))
+      .withColumn("status",
+        when(col("rank").isNotNull && col("m") === col("mn"), "first")
+          .when(col("rank").isNotNull && col("prev_rank").isNull, "entered")
+          .when(col("rank").isNull && col("prev_rank").isNotNull, "exited")
+          .otherwise("ranked"))
+      .filter(col("rank").isNotNull || col("prev_rank").isNotNull)
+      .withColumn("rank_delta", col("prev_rank") - col("rank"))
+      .select(col("m"), col("grp"), col("rev_cents"),
+        col("rank").as("rnk"), col("prev_rank").as("prev_rnk"),
+        col("rank_delta"), col("status"))
+      .orderBy("m", "grp")
+  }
+
   /** B98 (r14): layered interval resolution
    * ([[graft.operators.Layers.effectiveIntervals]]) — overlapping
    * price rules per part (each lineitem opens a rule for 10–29 days,
@@ -4854,6 +4937,31 @@ object SparkEntry {
       .select("l_partkey", "in_qty", "out_qty", "matched_qty",
         "unmatched_qty", "cogs")
       .orderBy("l_partkey")
+  }
+
+  /** B105 (r14): inventory aging report
+   * ([[graft.operators.Fifo.agingBuckets]]) — the balance-sheet
+   * complement of B95: under FIFO the on-hand remnant of each lot is
+   * CLOSED-FORM arithmetic on the cumulative axis (everything below
+   * the key's total outflow is consumed, everything above survives),
+   * so the whole report is one prefix window + a key-sized total
+   * join + a bucket rollup — no intersection join at all. Same
+   * movement carve as q_fifo_cogs; as-of day 2557 (past the last
+   * ship date), year-width age buckets. */
+  private def qInventoryAging(s: SparkSession, dir: String): DataFrame = {
+    val txns = t(s, dir, "lineitem").select(
+      col("l_partkey"),
+      struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")).as("ord"),
+      datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+        .cast("long").as("day"),
+      round(col("l_quantity"), 0).cast("long").as("q"),
+      (col("l_returnflag") === "R").as("is_out"),
+      expr("""cast(round(l_extendedprice * 100, 0) as bigint)
+              div cast(round(l_quantity, 0) as bigint)""").as("unit_cost"))
+    graft.operators.Fifo.agingBuckets(txns, "l_partkey", "ord", "day",
+        "q", "is_out", "unit_cost", asOfDay = 2557L,
+        breaks = Seq(365L, 730L, 1095L))
+      .orderBy("bucket")
   }
 
   /** B92 (r14): bitemporal join ([[graft.operators.Bitemporal]]) —
@@ -5428,6 +5536,7 @@ object SparkEntry {
     "q_chunk_dedup" -> qChunkDedup,
     "q_blocklist" -> qBlocklist,
     "q_mask_policy" -> qMaskPolicy,
+    "q_passage_overlap" -> qPassageOverlap,
     "q_drift"         -> qDrift,
     "q_ingest"        -> qIngest,
     "q_cooccurrence"  -> qCooccurrence,
@@ -5480,6 +5589,8 @@ object SparkEntry {
     "q_business_days" -> qBusinessDays,
     "q_pvm_bridge" -> qPvmBridge,
     "q_cusum_drift" -> qCusumDrift,
+    "q_rank_movers" -> qRankMovers,
+    "q_inventory_aging" -> qInventoryAging,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_topk_others" -> qTopkOthers,
@@ -8561,6 +8672,45 @@ object SparkEntry {
          SELECT user_id, event_id, win_start_us,
            CAST(rn AS BIGINT) AS seq_in_window, rn <= 3 AS admitted
          FROM r ORDER BY event_id""",
+    // the C67 chunk derivation (closed-definition window hashes) plus
+    // the distinct (source, hash) set, pair join, and ppm replayed;
+    // zero-sharing pairs present.
+    "q_passage_overlap" ->
+      """WITH RECURSIVE pw(j, p) AS (
+             SELECT 0, CAST(1 AS BIGINT)
+             UNION ALL
+             SELECT j + 1, p * 257 % 1000000007 FROM pw WHERE j < 15),
+         d AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
+         pos AS (SELECT doc_id, text, n, g.q
+           FROM d, UNNEST(range(1, n - 16 + 2)) AS g(q)),
+         hw AS (SELECT doc_id, n, q,
+             SUM(unicode(substr(text, CAST(q + o.o AS INTEGER), 1)) * pw.p)
+               % 1000000007 AS hh
+           FROM pos, UNNEST(range(0, 16)) AS o(o), pw
+           WHERE pw.j = 15 - o.o
+           GROUP BY doc_id, n, q),
+         cuts AS (SELECT doc_id, q + 15 AS b FROM hw
+           WHERE hh % 32 = 9 AND q + 15 < n),
+         bounds AS (SELECT doc_id, b FROM cuts
+           UNION ALL SELECT doc_id, n FROM d),
+         ch AS (SELECT doc_id,
+             COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS st,
+             b AS en FROM bounds),
+         sh AS (SELECT DISTINCT d.source, md5(substr(d.text,
+               CAST(c.st + 1 AS INTEGER), CAST(c.en - c.st AS INTEGER))) AS h
+           FROM ch c JOIN d ON c.doc_id = d.doc_id),
+         per AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+         pr AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT pa.source AS source_a, pb.source AS source_b,
+           CAST(pa.n AS BIGINT) AS na, CAST(pb.n AS BIGINT) AS nb,
+           CAST(COALESCE(shared, 0) AS BIGINT) AS shared_chunks,
+           CAST(COALESCE(shared, 0) * 1000000 // LEAST(pa.n, pb.n) AS BIGINT)
+             AS containment_ppm
+         FROM per pa JOIN per pb ON pa.source < pb.source
+         LEFT JOIN pr ON pa.source = pr.sa AND pb.source = pr.sb
+         ORDER BY source_a, source_b""",
     // tokenizer + term join + severity rollup + zero-retaining left
     // join replayed; flagged is the same integer threshold.
     "q_blocklist" ->
@@ -8671,6 +8821,66 @@ object SparkEntry {
            CAST(SUM(newc) AS BIGINT) AS new_c,
            CAST(SUM(discc) AS BIGINT) AS disc_c
          FROM e GROUP BY p_brand ORDER BY p_brand""",
+    // the FIFO remnant closed form, HUGEINT lot values, and the
+    // padded bucket labels replayed.
+    "q_inventory_aging" ->
+      """WITH t AS (SELECT l_partkey AS k, l_shipdate AS sd,
+             l_orderkey AS oky, l_linenumber AS ln,
+             date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+               AS day,
+             CAST(round(l_quantity, 0) AS BIGINT) AS q,
+             l_returnflag = 'R' AS is_out,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               // CAST(round(l_quantity, 0) AS BIGINT) AS uc
+           FROM lineitem),
+         c AS (SELECT *, SUM(q) OVER (PARTITION BY k, is_out
+             ORDER BY sd, oky, ln
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+           FROM t),
+         o AS (SELECT k, SUM(q) AS ot FROM t WHERE is_out GROUP BY k),
+         r AS (SELECT c.k, c.day, c.uc,
+             GREATEST(0, hi - GREATEST(hi - q, COALESCE(ot, 0))) AS rem
+           FROM c LEFT JOIN o ON c.k = o.k WHERE NOT is_out),
+         b AS (SELECT CASE WHEN 2557 - day <= 365 THEN '0000-0365'
+                WHEN 2557 - day <= 730 THEN '0366-0730'
+                WHEN 2557 - day <= 1095 THEN '0731-1095'
+                ELSE '1096+' END AS bucket, rem, uc
+           FROM r WHERE rem > 0)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_lots,
+           CAST(SUM(rem) AS BIGINT) AS on_hand_qty,
+           CAST(SUM(CAST(rem AS HUGEINT) * uc) AS BIGINT)
+             AS on_hand_value_cents
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    // ranks on the pre-aggregated rollup, spine-aligned lag, churn
+    // status and delta replayed row-for-row.
+    "q_rank_movers" ->
+      """WITH li AS (SELECT l_partkey // 10 AS grp,
+             CAST((year(CAST(l_shipdate AS DATE)) - 1992) * 12
+               + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS rev
+           FROM lineitem),
+         mo AS (SELECT m, grp, CAST(SUM(rev) AS BIGINT) AS rev_cents
+           FROM li GROUP BY 1, 2),
+         rk AS (SELECT m, grp, rev_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY m
+               ORDER BY rev_cents DESC, grp ASC) AS BIGINT) AS rnk
+           FROM mo),
+         mx AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM mo),
+         ty AS (SELECT DISTINCT p_partkey // 10 AS grp FROM part),
+         sp AS (SELECT ty.grp, mx.mn, g.m
+           FROM ty, mx, UNNEST(range(mx.mn, mx.mx + 1)) AS g(m)),
+         pan AS (SELECT sp.m, sp.grp, sp.mn, rk.rev_cents, rk.rnk
+           FROM sp LEFT JOIN rk ON sp.m = rk.m AND sp.grp = rk.grp),
+         lg AS (SELECT *, LAG(rnk) OVER (PARTITION BY grp ORDER BY m)
+             AS prev_rnk FROM pan)
+         SELECT m, grp, rev_cents, rnk, prev_rnk,
+           prev_rnk - rnk AS rank_delta,
+           CASE WHEN rnk IS NOT NULL AND m = mn THEN 'first'
+                WHEN rnk IS NOT NULL AND prev_rnk IS NULL THEN 'entered'
+                WHEN rnk IS NULL AND prev_rnk IS NOT NULL THEN 'exited'
+                ELSE 'ranked' END AS status
+         FROM lg WHERE rnk IS NOT NULL OR prev_rnk IS NOT NULL
+         ORDER BY m, grp""",
     // panel + injected shift + reference + the two B94 windows + the
     // alarm rollup, replayed bit-for-bit.
     "q_cusum_drift" ->

@@ -81,4 +81,65 @@ object Fifo {
       .withColumn("matched_qty", coalesce(col("matched_qty"), lit(0L)))
       .withColumn("unmatched_qty", col("out_qty") - col("matched_qty"))
   }
+
+  /**
+   * Inventory aging report (B105) — what's ON HAND after FIFO
+   * consumption, bucketed by lot age: the balance-sheet / write-down
+   * complement of [[fifoCogs]] ("how much stock is older than a
+   * year, and what is it worth"). Under FIFO the remnant of lot i is
+   * pure arithmetic on the same cumulative axis:
+   *
+   *     remaining_i = max(0, cumIn_i − max(cumIn_{i−1}, totalOut))
+   *
+   * — the oldest lots are consumed first, so everything below the
+   * key's total outflow is gone and everything above survives. NO
+   * intersection join at all this time: one prefix-sum window over
+   * the inflow sort plus a key-sized total-outflow aggregate joined
+   * back (co-partitioned on the key). Oversold keys surface as zero
+   * remnant everywhere, never negative stock.
+   *
+   * `ordDay` is the lot's integral acquisition day; age = asOfDay −
+   * ordDay, classified by ascending `breaks` into "000-b1" /
+   * "b1+1-b2" / … / "bn+1+" labels (zero-padded → label order IS age
+   * order). Lot values run in decimal(38,0) — a bigint qty×cost
+   * product wraps silently at warehouse scale (the B55 class).
+   */
+  def agingBuckets(txns: DataFrame, key: String, ord: String, ordDay: String,
+      qty: String, isOut: String, unitCost: String, asOfDay: Long,
+      breaks: Seq[Long]): DataFrame = {
+    require(breaks.nonEmpty && breaks == breaks.sorted,
+      s"agingBuckets: breaks must be ascending, got $breaks")
+    val w = Window.partitionBy(key, isOut).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = txns
+      .withColumn("__hi", sum(col(qty)).over(w))
+      .withColumn("__lo", col("__hi") - col(qty))
+    val outTot = txns.filter(col(isOut))
+      .groupBy(col(key)).agg(sum(col(qty)).as("__out"))
+    // pad to the widest boundary so label order IS age order
+    val padW = math.max(3, (breaks.last + 1).toString.length)
+    def pad(v: Long) = ("%0" + padW + "d").format(v)
+    val age = lit(asOfDay) - col(ordDay)
+    val bucket = {
+      val first = when(age <= breaks.head, lit(s"${pad(0)}-${pad(breaks.head)}"))
+      val mid = breaks.sliding(2).foldLeft(first) {
+        case (acc, Seq(lo, hi)) =>
+          acc.when(age <= hi, lit(s"${pad(lo + 1)}-${pad(hi)}"))
+        case (acc, _) => acc
+      }
+      mid.otherwise(lit(s"${pad(breaks.last + 1)}+"))
+    }
+    cum.filter(!col(isOut))
+      .join(outTot, Seq(key), "left")
+      .withColumn("__rem",
+        greatest(lit(0L),
+          col("__hi") - greatest(col("__lo"), coalesce(col("__out"), lit(0L)))))
+      .filter(col("__rem") > 0)
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_lots"),
+        sum("__rem").as("on_hand_qty"),
+        sum(expr(s"cast(__rem as decimal(38,0)) * $unitCost"))
+          .cast("long").as("on_hand_value_cents"))
+  }
 }

@@ -442,4 +442,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!sp.contains("Join") && !sp.contains("Window"),
       s"sequence pattern must stay a single aggregation:\n$sp")
   }
+
+  test("fourth round-14 session wave plans to its declared scale shapes") {
+    // business days: the whole point is NO calendar-dimension join —
+    // closed-form integer expressions riding the scan
+    val bd = plan("q_business_days")
+    assert(!bd.contains("Join") && !bd.contains("Window"),
+      s"business days must stay a join-free closed form:\n$bd")
+    // masking: a release projection is a scan, nothing else
+    val mp = plan("q_mask_policy")
+    assert(!mp.contains("Join") && !mp.contains("Window") &&
+      !mp.contains("Expand"),
+      s"mask policy must stay a pure projection:\n$mp")
+    // PVM bridge: the part dimension broadcasts; facts shuffle once
+    // into the item rollup — never a cartesian
+    val pvm = plan("q_pvm_bridge")
+    assert(pvm.contains("BroadcastHashJoin"),
+      s"pvm bridge must broadcast the part dim:\n$pvm")
+    assert(!pvm.contains("CartesianProduct") && !pvm.contains("NestedLoop"),
+      s"pvm bridge must stay equi-join only:\n$pvm")
+    // CUSUM: running frames only (the B94 closed form), and the only
+    // non-equi joins are the bounded month-spine/total broadcasts
+    val cu = plan("q_cusum_drift")
+    assert(!cu.contains("Following"), s"cusum re-grew a following frame:\n$cu")
+    assert(!cu.contains("CartesianProduct"), s"cusum cartesian:\n$cu")
+    // chunk dedup: chunk-hash count joins back as a plain equi join
+    val cd = plan("q_chunk_dedup")
+    assert(!cd.contains("CartesianProduct") && !cd.contains("NestedLoop"),
+      s"chunk dedup must stay equi-join only:\n$cd")
+    // blocklist: the term dimension must broadcast (the map-side
+    // discard-before-shuffle is the operator's scale claim)
+    val bl2 = plan("q_blocklist")
+    assert(bl2.contains("BroadcastHashJoin"),
+      s"blocklist terms must broadcast:\n$bl2")
+    assert(!bl2.contains("CartesianProduct"), s"blocklist cartesian:\n$bl2")
+    // rate cap: one keyed group operator (the batch rendering of
+    // flatMapGroupsWithState), one exchange, no joins
+    val rc = plan("q_rate_cap")
+    assert(rc.contains("MapGroups"),
+      s"rate cap must plan the keyed state operator:\n$rc")
+    assert(!rc.contains("Join"), s"rate cap must stay join-free:\n$rc")
+  }
 }
