@@ -98,6 +98,8 @@ object GraftExtensions {
     ("winnow", "winnow(text[, k, w]) - winnowed k-gram fingerprint sample",
       arity("winnow", 1, 3)(args =>
         Winnow(args.head, intArg("winnow", args, 1, 8), intArg("winnow", args, 2, 16)))),
+    ("common_prefix_len", "common_prefix_len(a, b) - code-point length of the longest common prefix",
+      arity("common_prefix_len", 2)(args => CommonPrefixLen(args.head, args(1)))),
     ("cdc_chunks", "cdc_chunks(text[, w, div, rem]) - content-defined chunk split on rolling-hash boundaries",
       arity("cdc_chunks", 1, 4)(args =>
         CdcChunks(args.head, intArg("cdc_chunks", args, 1, 16),

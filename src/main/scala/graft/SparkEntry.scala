@@ -2624,6 +2624,30 @@ object SparkEntry {
     graft.operators.Masking.applyPolicy(cust, policy).orderBy("c_custkey")
   }
 
+  /** C70 (r14): prefix-sharing report
+   * ([[graft.functions.expressions.commonPrefixLen]]) — the KV-cache
+   * planning statistic for inference batching: documents that share a
+   * prompt prefix can share its attention cache, and the saving per
+   * bucket is lcp × (n − 1). The group-wide longest common prefix
+   * needs NO pairwise comparison: every member sorts between the
+   * bucket's lexicographic MIN and MAX, so lcp(bucket) =
+   * lcp(min, max) — two ordinary aggregates plus one codegen'd
+   * comparison. */
+  private def qPrefixSharing(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .groupBy(substring(col("text"), 1, 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("text").as("mn"), max("text").as("mx"),
+        sum(length(col("text"))).as("total_chars"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("lcp_chars",
+        graft.functions.expressions.commonPrefixLen(col("mn"), col("mx")))
+      .withColumn("saved_chars", col("lcp_chars") * (col("n_docs") - 1))
+      .select(col("bucket"), col("n_docs"), col("total_chars"),
+        col("lcp_chars"), col("saved_chars"))
+      .orderBy("bucket")
+  }
+
   /** C69 (r14): cross-source exact passage overlap
    * ([[graft.functions.expressions.cdcChunks]] composed) — "which
    * sources copy from which": the pairwise matrix of byte-identical
@@ -4856,6 +4880,41 @@ object SparkEntry {
       .orderBy("m", "grp")
   }
 
+  /** B106 (r14): TIME-BOUNDED funnel — view → click within 1h →
+   * purchase within 24h, each stage anchored at the user's FIRST
+   * qualifying event: the conversion report B34's unbounded funnel
+   * and B97's order-only patterns cannot answer ("how many convert
+   * within the SLA window, and how fast"). Three keyed min-aggregates
+   * chained by co-partitioned user joins — the fact stream is
+   * touched once per stage, never self-joined event-to-event. */
+  private def qFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("vt"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_us") > col("vt") &&
+        col("ts_us") <= col("vt") + 3600000000L)
+      .groupBy("user_id").agg(min("ts_us").as("ct"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts_us") > col("ct") &&
+        col("ts_us") <= col("ct") + 86400000000L)
+      .groupBy("user_id").agg(min("ts_us").as("pt"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_viewed"),
+        count(col("ct")).as("n_clicked"),
+        count(col("pt")).as("n_purchased"),
+        sum(col("ct") - col("vt")).as("sum_click_lag_us"),
+        sum(col("pt") - col("ct")).as("sum_purchase_lag_us"))
+      .withColumn("view_click_ppm", expr("n_clicked * 1000000 div n_viewed"))
+      .withColumn("click_purchase_ppm",
+        expr("n_purchased * 1000000 div nullif(n_clicked, 0)"))
+  }
+
   /** B98 (r14): layered interval resolution
    * ([[graft.operators.Layers.effectiveIntervals]]) — overlapping
    * price rules per part (each lineitem opens a rule for 10–29 days,
@@ -5591,6 +5650,8 @@ object SparkEntry {
     "q_cusum_drift" -> qCusumDrift,
     "q_rank_movers" -> qRankMovers,
     "q_inventory_aging" -> qInventoryAging,
+    "q_funnel_windowed" -> qFunnelWindowed,
+    "q_prefix_sharing" -> qPrefixSharing,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_topk_others" -> qTopkOthers,
@@ -8821,6 +8882,46 @@ object SparkEntry {
            CAST(SUM(newc) AS BIGINT) AS new_c,
            CAST(SUM(discc) AS BIGINT) AS disc_c
          FROM e GROUP BY p_brand ORDER BY p_brand""",
+    // three chained first-qualifying-event stages + the lag sums and
+    // conversion ppms replayed.
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         v AS (SELECT user_id, MIN(ts_us) AS vt FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(ts_us) AS ct FROM e JOIN v USING (user_id)
+           WHERE event_type = 'click' AND ts_us > vt
+             AND ts_us <= vt + 3600000000 GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(ts_us) AS pt FROM e JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > ct
+             AND ts_us <= ct + 86400000000 GROUP BY 1)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_viewed,
+           CAST(COUNT(ct) AS BIGINT) AS n_clicked,
+           CAST(COUNT(pt) AS BIGINT) AS n_purchased,
+           CAST(SUM(ct - vt) AS BIGINT) AS sum_click_lag_us,
+           CAST(SUM(pt - ct) AS BIGINT) AS sum_purchase_lag_us,
+           CAST(COUNT(ct) * 1000000 // COUNT(*) AS BIGINT) AS view_click_ppm,
+           CAST(COUNT(pt) * 1000000 // NULLIF(COUNT(ct), 0) AS BIGINT)
+             AS click_purchase_ppm
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    // group lcp = lcp(min, max) — the lexicographic-bounds identity —
+    // recomputed in DuckDB by monotone prefix counting.
+    "q_prefix_sharing" ->
+      """WITH g AS (SELECT substr(text, 1, 8) AS bucket, COUNT(*) AS n_docs,
+             MIN(text) AS mn, MAX(text) AS mx,
+             SUM(length(text)) AS total_chars
+           FROM documents GROUP BY 1 HAVING COUNT(*) >= 2),
+         l AS (SELECT bucket, n_docs, total_chars,
+             (SELECT COUNT(*) FROM UNNEST(range(1,
+                  LEAST(length(mn), length(mx)) + 1)) AS u(i)
+               WHERE substr(mn, 1, CAST(i AS INTEGER))
+                   = substr(mx, 1, CAST(i AS INTEGER))) AS lcp
+           FROM g)
+         SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(lcp AS BIGINT) AS lcp_chars,
+           CAST(lcp * (n_docs - 1) AS BIGINT) AS saved_chars
+         FROM l ORDER BY bucket""",
     // the FIFO remnant closed form, HUGEINT lot values, and the
     // padded bucket labels replayed.
     "q_inventory_aging" ->

@@ -836,6 +836,21 @@ object HashOps {
       s: org.apache.spark.unsafe.types.UTF8String): Long =
     cms.estimateCount(s.getBytes)
 
+  /** commonPrefixLen(a, b): length in CODE POINTS of the longest
+   * common prefix of two strings. Compares UTF-16 units then backs
+   * off a trailing half surrogate pair so the count is valid code
+   * points (matching character-indexed engines). */
+  def commonPrefixLen(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val sa = a.toString
+    val sb = b.toString
+    val n = math.min(sa.length, sb.length)
+    var i = 0
+    while (i < n && sa.charAt(i) == sb.charAt(i)) i += 1
+    if (i > 0 && Character.isHighSurrogate(sa.charAt(i - 1))) i -= 1
+    sa.codePointCount(0, i).toLong
+  }
+
   /** cdcChunks(text, w, div, rem): content-defined chunk split — the
    * Rabin/FastCDC idea as a deterministic kernel. A boundary is cut
    * after every w-code-point window whose polynomial rolling hash

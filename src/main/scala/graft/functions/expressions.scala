@@ -270,6 +270,32 @@ case class HashJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** common_prefix_len(a, b) → bigint: code-point length of the longest
+ * common prefix of two strings. With a group's lexicographic MIN and
+ * MAX as arguments this is the group-wide common prefix (every member
+ * sorts between them), which turns "longest shared prefix per bucket"
+ * into two ordinary min/max aggregates + one codegen'd comparison —
+ * no pairwise scan. */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left.dataType, right.dataType)
+      .forall(t => t == StringType || t == NullType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"common_prefix_len requires string inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.commonPrefixLen(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.commonPrefixLen($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CommonPrefixLen =
+    copy(left = l, right = r)
+}
+
 /** hash_containment(a, b) = |A∩B| / |A| over sorted distinct long
  * arrays → double (the asymmetric dedup verify — see
  * HashOps.hashContainment). */
@@ -602,6 +628,8 @@ object expressions {
   def winnow(c: Column, k: Int = 8, w: Int = 16): Column = column(Winnow(expression(c), k, w))
   def cdcChunks(c: Column, w: Int = 16, div: Long = 32L, rem: Long = 9L): Column =
     column(CdcChunks(expression(c), w, div, rem))
+  def commonPrefixLen(a: Column, b: Column): Column =
+    column(CommonPrefixLen(expression(a), expression(b)))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgrams(expression(c), n))
   def wordChunks(c: Column, k: Int): Column = column(WordChunks(expression(c), k))
   def wordChunksStrided(c: Column, window: Int, stride: Int): Column =

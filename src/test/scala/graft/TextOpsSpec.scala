@@ -284,6 +284,33 @@ class TextOpsSpec extends AnyFunSuite {
       ("d4", 2L, 3L, 11L, 5L, true)))  // 2*5 + 1, exact threshold edge above
   }
 
+  test("commonPrefixLen: reference equality, surrogate safety, group identity") {
+    def ref(a: String, b: String): Long = {
+      val ca = a.codePoints.toArray
+      val cb = b.codePoints.toArray
+      ca.zip(cb).takeWhile { case (x, y) => x == y }.length.toLong
+    }
+    val cases = Seq(
+      ("", ""), ("", "abc"), ("abc", "abc"), ("abcdef", "abcxyz"),
+      ("the quick brown", "the quick brawn"),
+      ("a🙂x", "a🙂y"),   // shared emoji, then diverge
+      ("a🙂", "a🙃"),     // emojis sharing a HIGH surrogate
+      ("数据处理", "数据引擎"))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.expressions.commonPrefixLen(col("a"), col("b"))
+          .as("l"))
+      .as[(String, String, Long)].collect()
+    got.foreach { case (a, b, l) =>
+      assert(l == ref(a, b), s"lcp('$a', '$b')")
+    }
+    // the aggregate identity: lcp of a group == lcp(min, max)
+    val grp = Seq("prefix shared alpha", "prefix shared beta",
+      "prefix shunned gamma", "prefix shared omega")
+    val direct = grp.combinations(2).map { case Seq(x, y) => ref(x, y) }.min
+    assert(ref(grp.min, grp.max) == direct)
+  }
+
   test("blocklist termHits: threshold boundary is >= (inclusive)") {
     val docs = Seq(("a", "bad bad"), ("b", "bad")).toDF("doc_id", "text")
     val terms = Seq(("bad", 2L)).toDF("term", "severity")
