@@ -5235,6 +5235,23 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** B107 (r14): bill-of-materials explosion
+   * ([[graft.operators.Graph.bomExplode]]) — B74's closure with a
+   * MULTIPLICATIVE edge weight: effective units of every component
+   * per unit of every assembly = product of per-level quantities
+   * along the path (the recursive-CTE-with-arithmetic workload).
+   * Same 10-ary customer forest as B74, per-edge qty = key mod 5 + 1;
+   * the oracle runs the literal RECURSIVE CTE with the running
+   * product. */
+  private def qBomExplode(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "customer").select(col("c_custkey"),
+      when(col("c_custkey") >= 10, expr("c_custkey div 10")).as("parent"),
+      (col("c_custkey") % 5 + 1).as("qty"))
+    graft.operators.Graph.bomExplode(nodes, "c_custkey", "parent", "qty",
+        maxDepth = 6)
+      .orderBy("id")
+  }
+
   /** A17 (r13): schema-drift audit on schema-on-read ingest — the
    * complement of A14's quarantine: A14 catches MALFORMED lines,
    * this catches well-formed lines whose producer started emitting
@@ -5652,6 +5669,7 @@ object SparkEntry {
     "q_inventory_aging" -> qInventoryAging,
     "q_funnel_windowed" -> qFunnelWindowed,
     "q_prefix_sharing" -> qPrefixSharing,
+    "q_bom_explode" -> qBomExplode,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_topk_others" -> qTopkOthers,
@@ -8882,6 +8900,20 @@ object SparkEntry {
            CAST(SUM(newc) AS BIGINT) AS new_c,
            CAST(SUM(discc) AS BIGINT) AS disc_c
          FROM e GROUP BY p_brand ORDER BY p_brand""",
+    // the literal recursive CTE with the running path product.
+    "q_bom_explode" ->
+      """WITH RECURSIVE n AS (SELECT c_custkey AS id,
+             CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent,
+             c_custkey % 5 + 1 AS q FROM customer),
+         cl AS (
+           SELECT id AS v, id AS a, CAST(1 AS BIGINT) AS m FROM n
+           UNION ALL
+           SELECT cl.v, n.parent, cl.m * n.q FROM cl JOIN n ON cl.a = n.id
+           WHERE n.parent IS NOT NULL)
+         SELECT CAST(a AS BIGINT) AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(m) AS BIGINT) AS total_units
+         FROM cl WHERE v <> a GROUP BY a ORDER BY id""",
     // three chained first-qualifying-event stages + the lag sums and
     // conversion ppms replayed.
     "q_funnel_windowed" ->

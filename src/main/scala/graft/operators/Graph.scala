@@ -289,4 +289,65 @@ object Graph {
     dropAllBut(spark, scratch, "result")
     result
   }
+
+  /**
+   * Bill-of-materials explosion (B107) — [[subtreeRollup]] with a
+   * MULTIPLICATIVE edge weight: each node carries the quantity of
+   * itself per unit of its parent, and the effective requirement of a
+   * part in an assembly is the PRODUCT of quantities along the path
+   * ("how many screws per aircraft" through sub-assemblies) — the
+   * recursive-CTE-with-arithmetic workload, sixth leg of the graph
+   * family. Same materialized-frontier closure as subtreeRollup
+   * (frontiers never repeat a pair on a forest; O(depth) executed
+   * joins), with the running product carried per closure row; the
+   * same one-extra-hop completeness probe fails loudly on truncation.
+   * Products and sums run under ANSI: a multiplier that would wrap a
+   * long THROWS instead of silently corrupting the requirement (the
+   * B55 rule, delegated to the engine).
+   *
+   * Output per assembly (ancestor): `n_components` (strict
+   * descendants), `total_units` (Σ path products — total component
+   * units per one unit of the assembly).
+   */
+  def bomExplode(
+      nodes: DataFrame, idCol: String, parentCol: String, qtyCol: String,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val spark = nodes.sparkSession
+    val scratch = s"${graft.Scratch.root(spark)}/bom_${callSeq.incrementAndGet()}"
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$scratch/$name")
+      spark.read.parquet(s"$scratch/$name")
+    }
+    val base = nodes.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("parent"),
+      col(qtyCol).cast("long").as("q"))
+    val parents = materialize(base
+      .select(col("id").as("c"), col("parent").as("p"), col("q"))
+      .filter(col("p").isNotNull), "parents")
+    var frontierPaths = List(s"$scratch/frontier_0")
+    var frontier = materialize(
+      base.select(col("id").as("v"), col("id").as("a"), lit(1L).as("m")),
+      "frontier_0")
+    var hops = 0
+    while (hops < maxDepth && !frontier.isEmpty) {
+      hops += 1
+      frontier = materialize(
+        frontier.join(parents, frontier("a") === parents("c"))
+          .select(col("v"), col("p").as("a"), (col("m") * col("q")).as("m")),
+        s"frontier_$hops")
+      frontierPaths ::= s"$scratch/frontier_$hops"
+    }
+    require(frontier.isEmpty ||
+      frontier.join(parents, frontier("a") === parents("c")).isEmpty,
+      s"bomExplode: chains longer than maxDepth=$maxDepth — raise it")
+    val result = materialize(
+      spark.read.parquet(frontierPaths.reverse: _*)
+        .filter(col("v") =!= col("a"))
+        .groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("n_components"), sum("m").as("total_units")),
+      "result")
+    dropAllBut(spark, scratch, "result")
+    result
+  }
 }

@@ -182,4 +182,39 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(ok(1L) == 4L)
   }
+
+  test("bomExplode multiplies quantities along paths; hand-checked assembly") {
+    import spark.implicits._
+    // 1 (root assembly): contains 2 x sub-assembly(2), 5 x part(4);
+    // sub-assembly 2 contains 3 x part(3). Per unit of 1:
+    // 2 -> 2 units, 3 -> 2*3 = 6, 4 -> 5 -> total 13 units, 3 parts.
+    val bom = Seq(
+      (1L, None: Option[Long], 1L),
+      (2L, Some(1L), 2L),
+      (3L, Some(2L), 3L),
+      (4L, Some(1L), 5L)).toDF("id", "parent", "q")
+    val got = graft.operators.Graph.bomExplode(bom, "id", "parent", "q", 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((3L, 13L)), 2L -> ((1L, 3L))))
+  }
+
+  test("bomExplode refuses chains deeper than maxDepth; forests stay independent") {
+    import spark.implicits._
+    val two = Seq(
+      (1L, None: Option[Long], 1L), (2L, Some(1L), 4L),
+      (7L, None: Option[Long], 1L), (8L, Some(7L), 9L), (9L, Some(8L), 2L)
+    ).toDF("id", "parent", "q")
+    val got = graft.operators.Graph.bomExplode(two, "id", "parent", "q", 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // tree A: 1 <- 2(4). tree B: 7 <- 8(9) <- 9(2): 7 sees 8 (9 units)
+    // and 9 (9*2 = 18 units)
+    assert(got == Map(
+      1L -> ((1L, 4L)), 7L -> ((2L, 27L)), 8L -> ((1L, 2L))))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Graph.bomExplode(two, "id", "parent", "q", 1)
+    }
+    assert(e.getMessage.contains("longer than maxDepth"))
+  }
 }
