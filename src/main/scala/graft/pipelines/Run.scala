@@ -9,9 +9,14 @@ import org.apache.spark.sql.SparkSession
  * point it at an input directory, truncate-and-load the output table.
  *
  *   runMain graft.pipelines.Run \
- *     simple|simple-with-lookups|nested|corpus|ingest|snapshot \
+ *     simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask \
  *     [inDir] [outPath] [--sf=0.001] [--stages=quality,exact,near,decon,sample,pack] \
- *     [--near=minhash|exact]
+ *     [--near=minhash|exact] [--table=customer] \
+ *     [--policy=c_custkey:keep,c_name:sha256,...]
+ *
+ * `mask` applies the A28 policy-driven release projection to
+ * `$inDir/$table.parquet` (default-deny: unlisted columns dropped)
+ * and truncate-loads the masked output.
  *
  * `snapshot` runs the governed-publish lifecycle: denorm →
  * schema-gated atomic publish under outPath → advance the `prod`
@@ -35,9 +40,11 @@ object Run {
     def flag(name: String): Option[String] = flags.collectFirst {
       case f if f.startsWith(s"--$name=") => f.drop(name.length + 3)
     }
-    val unknown = flags.filterNot(f => Seq("sf", "stages", "near").exists(n => f.startsWith(s"--$n=")))
+    val unknown = flags.filterNot(f =>
+      Seq("sf", "stages", "near", "table", "policy")
+        .exists(n => f.startsWith(s"--$n=")))
     if (unknown.nonEmpty) {
-      System.err.println(s"unknown flags: ${unknown.mkString(" ")} (--sf= --stages= --near=)")
+      System.err.println(s"unknown flags: ${unknown.mkString(" ")} (--sf= --stages= --near= --table= --policy=)")
       sys.exit(2)
     }
     val variant = pos.headOption.getOrElse("simple-with-lookups")
@@ -64,6 +71,22 @@ object Run {
       println(s"RUN_RESULT variant=snapshot version=$ver published=$ok rows=$rows out=$outPath")
       spark.stop()
       if (!ok) sys.exit(3)
+      return
+    }
+
+    if (variant == "mask") {
+      // the A28 release projection from the command line: apply a
+      // policy relation parsed from --policy=col:action[:param],...
+      // to $inDir/$table.parquet and truncate-load the masked output
+      val table = flag("table").getOrElse("customer")
+      val policy = flag("policy").getOrElse {
+        System.err.println("mask requires --policy=col:action[:param],...")
+        spark.stop()
+        sys.exit(2)
+      }
+      val n = maskTable(spark, inDir, table, policy, outPath)
+      println(s"RUN_RESULT variant=mask table=$table rows=$n out=$outPath")
+      spark.stop()
       return
     }
 
@@ -97,12 +120,34 @@ object Run {
         CorpusAssembly.assembleStaged(docs, CorpusAssembly.Config(), near, stages)
       case other =>
         System.err.println(
-          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest|snapshot)")
+          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask)")
         sys.exit(2)
     }
     TableSink.writeTruncate(out, outPath)
     val n = spark.read.parquet(outPath).count()
     println(s"""RUN_RESULT variant=$variant rows=$n out=$outPath""")
     spark.stop()
+  }
+
+  /** The `mask` verb's core, separated so specs can drive it on a
+   * shared session: parse "col:action[:param],..." into the policy
+   * relation, apply it ([[graft.operators.Masking.applyPolicy]] —
+   * default-deny, fail-loud), truncate-load, return the row count. */
+  def maskTable(spark: SparkSession, inDir: String, table: String,
+      policy: String, outPath: String): Long = {
+    val rows = policy.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { r =>
+      r.split(":").toList match {
+        case c :: a :: Nil => (c, a, 0L)
+        case c :: a :: p :: Nil => (c, a, p.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"mask: bad policy entry '$r' (want col:action[:param])")
+      }
+    }
+    import spark.implicits._
+    val masked = graft.operators.Masking.applyPolicy(
+      spark.read.parquet(s"$inDir/$table.parquet"),
+      rows.toDF("column", "action", "param"))
+    TableSink.writeTruncate(masked, outPath)
+    spark.read.parquet(outPath).count()
   }
 }

@@ -42,6 +42,21 @@ class MaskingSpec extends AnyFunSuite {
     assert(out.select("cents").collect().forall(_.isNullAt(0)))
   }
 
+  test("CLI mask verb core: policy string parse, apply, write, read-back") {
+    val base = java.nio.file.Files.createTempDirectory("mask_cli").toString
+    df.write.parquet(s"$base/t.parquet")
+    val out = s"$base/out"
+    val n = graft.pipelines.Run.maskTable(spark, base, "t",
+      "id:keep,name:sha256,seg:prefix:2,cents:bucket:1000", out)
+    assert(n == 2L)
+    val back = spark.read.parquet(out)
+    assert(back.columns.toList == List("id", "name", "seg", "cents"))
+    assert(back.select("seg").as[String].collect().toSet == Set("BU***", "AU***"))
+    intercept[IllegalArgumentException] {
+      graft.pipelines.Run.maskTable(spark, base, "t", "id:keep,oops", out)
+    }
+  }
+
   test("fail-loud: absent column, unknown action, bucket on non-integral") {
     intercept[IllegalArgumentException] {
       Masking.applyPolicy(df, policy(("nope", "keep", 0L)))
