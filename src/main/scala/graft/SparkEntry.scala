@@ -3425,6 +3425,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** D23 (batch side of the unified API): live time-bounded funnel
+   * ([[graft.streaming.EventStream.funnelStream]]) — B106's funnel as
+   * an online per-user state machine (three timestamps of state,
+   * never retained events); in batch each user's full history arrives
+   * in event-time order, so the one row per user equals the
+   * first-qualifying-event formulation the oracle replays.
+   * StreamingSpec pins cross-batch state and window enforcement. */
+  private def qFunnelLive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Event]
+    graft.streaming.EventStream
+      .funnelStream(ev, clickWithinUs = 3600000000L,
+        purchaseWithinUs = 86400000000L)
+      .toDF()
+      .select(col("user_id"), col("stage"), col("vt_us"), col("ct_us"),
+        col("pt_us"))
+      .orderBy("user_id")
+  }
+
   /** D21 (batch side of the unified API): per-session pattern
    * matching ([[graft.streaming.EventStream.patternSessions]]) —
    * B97's regex applied the way a monitor consumes it: per
@@ -5235,6 +5257,38 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** B108 (r14): decimal rounding + sign-arithmetic conformance —
+   * the money-math rules a migration silently bends, certified
+   * value-per-row on EXACT decimal ties constructed from integers
+   * (never from doubles, whose binary ties diverge — the r4 lesson):
+   * HALF_UP round vs HALF_EVEN bround on genuine .x5 ties of both
+   * signs, floor/ceil toward ∓∞ on negatives, truncating integer
+   * div, dividend-sign %, and non-negative pmod (DuckDB has no pmod —
+   * the oracle replays it as ((a % b) + b) % b, pinning the exact
+   * translation a migration must write). All outputs rescaled to
+   * BIGINT so nothing compares in float space. */
+  private def qDecimalConformance(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      cents(col("l_extendedprice")).as("c"))
+      // a signed integer cent value ending in 5: an EXACT .x5 tie
+      // once placed at scale 2
+      .withColumn("s_c",
+        (expr("c div 10") * 10 + 5) *
+          when(col("l_orderkey") % 2 === 0, -1L).otherwise(1L))
+      .withColumn("v", expr("cast(s_c as decimal(18,0)) * 0.01"))
+    li.select(
+        col("l_orderkey"), col("l_linenumber"), col("s_c"),
+        expr("cast(round(v, 1) * 10 as bigint)").as("r_half_up"),
+        expr("cast(bround(v, 1) * 10 as bigint)").as("r_half_even"),
+        expr("cast(floor(v) as bigint)").as("fl"),
+        expr("cast(ceil(v) as bigint)").as("ce"),
+        expr("s_c div 7").as("idiv"),
+        (col("s_c") % 7).as("imod"),
+        pmod(col("s_c"), lit(7L)).as("pm"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** B107 (r14): bill-of-materials explosion
    * ([[graft.operators.Graph.bomExplode]]) — B74's closure with a
    * MULTIPLICATIVE edge weight: effective units of every component
@@ -5670,8 +5724,10 @@ object SparkEntry {
     "q_funnel_windowed" -> qFunnelWindowed,
     "q_prefix_sharing" -> qPrefixSharing,
     "q_bom_explode" -> qBomExplode,
+    "q_decimal_conformance" -> qDecimalConformance,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
+    "q_funnel_live" -> qFunnelLive,
     "q_topk_others" -> qTopkOthers,
     "q_window_conformance" -> qWindowConformance,
     "q_null_semantics" -> qNullSemantics,
@@ -8740,6 +8796,25 @@ object SparkEntry {
            CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
              // 10000 * 10000 AS BIGINT) AS acctbal_cents
          FROM customer ORDER BY c_custkey""",
+    // the same first-qualifying-stage CTEs as q_funnel_windowed,
+    // emitted per user — the state machine must agree row-for-row.
+    "q_funnel_live" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         v AS (SELECT user_id, MIN(ts_us) AS vt FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(ts_us) AS ct FROM e JOIN v USING (user_id)
+           WHERE event_type = 'click' AND ts_us > vt
+             AND ts_us <= vt + 3600000000 GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(ts_us) AS pt FROM e JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > ct
+             AND ts_us <= ct + 86400000000 GROUP BY 1)
+         SELECT user_id,
+           CAST(CASE WHEN pt IS NOT NULL THEN 2
+                     WHEN ct IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+           vt AS vt_us, ct AS ct_us, pt AS pt_us
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
     // the batch twin of the online rate cap: arrival ordinal within
     // each (user, hour) slot = row_number over event time.
     "q_rate_cap" ->
@@ -8900,6 +8975,35 @@ object SparkEntry {
            CAST(SUM(newc) AS BIGINT) AS new_c,
            CAST(SUM(discc) AS BIGINT) AS disc_c
          FROM e GROUP BY p_brand ORDER BY p_brand""",
+    // INDEPENDENT formulation: both tie roundings recomputed from
+    // the integer DEFINITION (every s_c ends in 5, so HALF_UP tens =
+    // k+1 away from zero and HALF_EVEN tens = k + (k mod 2) on the
+    // magnitude k = |s_c| // 10) — NOT DuckDB's round/roundbankers,
+    // whose decimal overloads detour through doubles and mis-break
+    // exact ties. floor/ceil keep the dialect functions (the integer
+    // boundary is never within double error of a .x5 value). pmod
+    // spelled out as ((a % b) + b) % b.
+    "q_decimal_conformance" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+           FROM lineitem),
+         t AS (SELECT l_orderkey, l_linenumber,
+             (c // 10 * 10 + 5) * (CASE WHEN l_orderkey % 2 = 0
+                                        THEN -1 ELSE 1 END) AS s_c
+           FROM li),
+         v AS (SELECT *, CAST(s_c AS DECIMAL(18,0)) * 0.01 AS v,
+             ABS(s_c) // 10 AS k,
+             CASE WHEN s_c >= 0 THEN 1 ELSE -1 END AS sg
+           FROM t)
+         SELECT l_orderkey, l_linenumber, s_c,
+           sg * (k + 1) AS r_half_up,
+           sg * (k + k % 2) AS r_half_even,
+           CAST(floor(v) AS BIGINT) AS fl,
+           CAST(ceil(v) AS BIGINT) AS ce,
+           s_c // 7 AS idiv,
+           s_c % 7 AS imod,
+           ((s_c % 7) + 7) % 7 AS pm
+         FROM v ORDER BY l_orderkey, l_linenumber""",
     // the literal recursive CTE with the running path product.
     "q_bom_explode" ->
       """WITH RECURSIVE n AS (SELECT c_custkey AS id,

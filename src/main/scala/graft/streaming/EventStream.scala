@@ -57,6 +57,14 @@ case class CapVerdict(user_id: Long, event_id: Long, win_start_us: Long,
 
 private case class CapState(count: Long)
 
+/** Per-user funnel progress emitted by [[EventStream.funnelStream]]:
+ * stage 0 = viewed, 1 = clicked in window, 2 = purchased in window;
+ * unreached stage timestamps are None. */
+case class FunnelUser(user_id: Long, stage: Long, vt_us: Option[Long],
+    ct_us: Option[Long], pt_us: Option[Long])
+
+private case class FunnelState(vt: Long, ct: Long, pt: Long)
+
 /**
  * Structured Streaming operators over the event stream. The same
  * transformations run on a batch DataFrame (Spark's unified API), so
@@ -817,6 +825,56 @@ object EventStream {
       out.iterator
     }
     in.groupByKey(e => (e.user_id, e.win_start_us))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /**
+   * Time-bounded funnel as an ONLINE state machine (D23) — B106's
+   * view → click-within-W1 → purchase-within-W2 progression tracked
+   * per user as events arrive: the "how far has this user got, right
+   * now" view a campaign monitor consumes live, where the batch twin
+   * (q_funnel_windowed) answers the same question retrospectively.
+   *
+   * State per user is THREE timestamps (first view; first qualifying
+   * click; first qualifying purchase) — bytes, never retained events.
+   * Each micro-batch emits the user's current (stage, timestamps) row;
+   * the latest row per user is the live funnel position. In batch the
+   * group call sees the full history in event-time order, so the
+   * single emitted row per user equals the first-qualifying-event
+   * formulation the oracle replays. Users with no view yet emit
+   * nothing (a funnel starts at its first stage, not before).
+   */
+  def funnelStream(events: Dataset[Event], clickWithinUs: Long,
+      purchaseWithinUs: Long): Dataset[FunnelUser] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val in = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    def fn(userId: Long, batch: Iterator[(Long, Long, Long, String)],
+        state: GroupState[FunnelState]): Iterator[FunnelUser] = {
+      val sorted = batch.toSeq.sortBy(e => (e._3, e._2))
+      var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      for ((_, _, ts, tpe) <- sorted) tpe match {
+        case "view" if st.vt < 0 => st = st.copy(vt = ts)
+        case "click" if st.vt >= 0 && st.ct < 0 &&
+            ts > st.vt && ts <= st.vt + clickWithinUs =>
+          st = st.copy(ct = ts)
+        case "purchase" if st.ct >= 0 && st.pt < 0 &&
+            ts > st.ct && ts <= st.ct + purchaseWithinUs =>
+          st = st.copy(pt = ts)
+        case _ => ()
+      }
+      if (streaming) state.update(st)
+      if (st.vt < 0) Iterator.empty
+      else {
+        val stage = if (st.pt >= 0) 2L else if (st.ct >= 0) 1L else 0L
+        Iterator.single(FunnelUser(userId, stage, Some(st.vt),
+          if (st.ct >= 0) Some(st.ct) else None,
+          if (st.pt >= 0) Some(st.pt) else None))
+      }
+    }
+    in.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 

@@ -823,6 +823,43 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.CapVerdict(7L, 5L, 10000000L, 1L, true)))
   }
 
+  test("funnelStream advances per-user stage across micro-batches with window enforcement") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/funnel_${System.nanoTime()}"
+    def ev(u: Long, id: Long, sec: Long, t: String) = graft.streaming.Event(
+      u, id, new java.sql.Timestamp(sec * 1000L), t, 1.0)
+    val in = MemoryStream[graft.streaming.Event]
+    // click window 10s, purchase window 100s
+    val q = graft.streaming.EventStream
+      .funnelStream(in.toDS(), clickWithinUs = 10000000L,
+        purchaseWithinUs = 100000000L)
+      .writeStream.outputMode("append").format("memory").queryName("funnel_res")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      // batch 1: user 1 views at t=1; user 2 views at t=1
+      in.addData(ev(1L, 1L, 1L, "view"), ev(2L, 2L, 1L, "view"))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks at t=5 (inside 10s window, carried
+      // across the batch boundary); user 2 clicks at t=20 (LATE —
+      // outside the window, must NOT advance)
+      in.addData(ev(1L, 3L, 5L, "click"), ev(2L, 4L, 20L, "click"))
+      q.processAllAvailable()
+      // batch 3: user 1 purchases at t=50 (inside 100s of the click)
+      in.addData(ev(1L, 5L, 50L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the LATEST row per user is the live funnel position
+    val got = spark.table("funnel_res")
+      .as[graft.streaming.FunnelUser].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_.stage) }
+    assert(got(1L) == graft.streaming.FunnelUser(1L, 2L,
+      Some(1000000L), Some(5000000L), Some(50000000L)))
+    assert(got(2L) == graft.streaming.FunnelUser(2L, 0L,
+      Some(1000000L), None, None))
+  }
+
   test("patternSessions: sessions close on timeout with the regex verdict; cap truncates") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
