@@ -2269,6 +2269,37 @@ object SparkEntry {
       .orderBy("version", "c_nationkey")
   }
 
+  /** A29 (r14): consistent multi-table snapshot read
+   * ([[graft.sinks.Snapshot.readAll]]) — facts and dim read PINNED to
+   * the single version the 'prod' tag named, while a newer version
+   * (with a filtered dim — the torn-read hazard) is already published:
+   * per-table readTag calls re-resolve the tag per call and can serve
+   * a fact/dim mix across versions with no error anywhere. The output
+   * carries the pinned version (the D18 lineage stamp rule); the
+   * oracle recomputes the v1 derivation directly. */
+  private def qSnapshotReadAll(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/readall_${sinkSeq.incrementAndGet()}"
+    def facts(mod: Long) = t(s, dir, "orders")
+      .filter(col("o_orderkey") % mod === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("rev_cents"))
+    val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    graft.sinks.Snapshot.publish(s, root,
+      Map("orders" -> facts(7), "customer" -> dim))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.publish(s, root,
+      Map("orders" -> facts(3),
+        "customer" -> dim.filter(col("c_nationkey") < 13)))
+    val (v, ts) = graft.sinks.Snapshot.readAll(s, root,
+      Seq("orders", "customer"), tag = Some("prod"))
+    ts("orders")
+      .join(ts("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum("rev_cents").as("rev_cents"))
+      .withColumn("pinned_version", lit(v))
+      .orderBy("c_nationkey")
+  }
+
   /** C62 (r14): temperature-balanced mixture weights — the standard
    * multilingual/multi-source balancing (weights ∝ n^α, α = 1/2):
    * proportional sampling drowns small sources, uniform overweights
@@ -5725,6 +5756,7 @@ object SparkEntry {
     "q_prefix_sharing" -> qPrefixSharing,
     "q_bom_explode" -> qBomExplode,
     "q_decimal_conformance" -> qDecimalConformance,
+    "q_snapshot_read_all" -> qSnapshotReadAll,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_funnel_live" -> qFunnelLive,
@@ -8975,6 +9007,17 @@ object SparkEntry {
            CAST(SUM(newc) AS BIGINT) AS new_c,
            CAST(SUM(discc) AS BIGINT) AS disc_c
          FROM e GROUP BY p_brand ORDER BY p_brand""",
+    // the v1 (tagged) derivation recomputed directly: mod-7 facts
+    // joined against the FULL dim — any torn mix with v2's filtered
+    // dim or mod-3 facts changes counts.
+    "q_snapshot_read_all" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           CAST(1 AS BIGINT) AS pinned_version
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 7 = 0
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     // INDEPENDENT formulation: both tie roundings recomputed from
     // the integer DEFINITION (every s_c ends in 5, so HALF_UP tens =
     // k+1 away from zero and HALF_EVEN tens = k + (k mod 2) on the

@@ -218,11 +218,22 @@ object Snapshot {
     require(cur > 0, s"snapshot vacuum: nothing published under $root")
     val f = fs(spark, root)
     val floor = cur - keepLast + 1
+    // TAG-PROTECTION: a version any tag names stays readable however
+    // old it is — deleting it would break every readTag of that tag
+    // with no error at vacuum time (the silent-wrongness class). The
+    // tag set is tiny governance metadata; one listing reads it.
+    val protectedVersions = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("TAG.") =>
+        tagVersion(spark, root, n.drop(4)) }
+      .toSet
     val doomed = f.listStatus(new org.apache.hadoop.fs.Path(root))
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-      .filter(_ < floor).sorted.toSeq
+      .filter(v => v < floor && !protectedVersions.contains(v))
+      .sorted.toSeq
     doomed.foreach { v =>
       require(f.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true),
         s"snapshot vacuum: failed to delete v$v under $root")
@@ -332,5 +343,33 @@ object Snapshot {
       cur
     }
     spark.read.parquet(s"$root/v$v/$table")
+  }
+
+  /**
+   * Consistent multi-table read (A29) — every requested table pinned
+   * to ONE version, resolved ONCE up front: per-table readTag calls
+   * resolve the tag per call, so a publish-plus-retag landing between
+   * two of them serves table A from v3 and table B from v4 — a TORN
+   * cross-table read that joins inconsistent facts and dims with no
+   * error anywhere. Resolution order: explicit `asOfVersion`, else
+   * the tag, else the current manifest version. Returns the pinned
+   * version alongside the frames so callers can stamp outputs with
+   * the exact snapshot that served them (the D18 lineage rule).
+   */
+  def readAll(
+      spark: SparkSession,
+      root: String,
+      tables: Seq[String],
+      tag: Option[String] = None,
+      asOfVersion: Option[Long] = None): (Long, Map[String, DataFrame]) = {
+    require(tables.nonEmpty, "snapshot readAll: no tables requested")
+    val v = asOfVersion
+      .orElse(tag.map(tagVersion(spark, root, _)))
+      .getOrElse {
+        val cur = currentVersion(spark, root)
+        require(cur > 0, s"snapshot read: nothing published under $root")
+        cur
+      }
+    (v, tables.map(t => t -> read(spark, root, t, Some(v))).toMap)
   }
 }

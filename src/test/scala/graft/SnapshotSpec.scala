@@ -155,4 +155,40 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Snapshot.publish(spark, root, Map("../evil" -> Seq(1L).toDF("x"))))
   }
+
+  test("vacuum never deletes a tagged version; readTag survives deep cleanup") {
+    val root = freshRoot()
+    (1 to 4).foreach(i =>
+      Snapshot.publish(spark, root, Map("t" -> Seq(i.toLong).toDF("x"))))
+    Snapshot.tag(spark, root, "hold", 1L)
+    val deleted = Snapshot.vacuum(spark, root, keepLast = 1)
+    // floor would doom 1..3, but v1 is tag-protected
+    assert(deleted == Seq(2L, 3L))
+    assert(Snapshot.readTag(spark, root, "t", "hold").as[Long]
+      .collect().toList == List(1L))
+    // re-vacuum after the tag moves on: v1 loses protection
+    Snapshot.tag(spark, root, "hold", 4L)
+    assert(Snapshot.vacuum(spark, root, keepLast = 1) == Seq(1L))
+  }
+
+  test("readAll pins every table to ONE version; a later retag cannot tear it") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root,
+      Map("f" -> Seq((1L, 10L)).toDF("k", "n"), "d" -> Seq((1L, "a")).toDF("k", "s")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.publish(spark, root,
+      Map("f" -> Seq((1L, 20L)).toDF("k", "n"), "d" -> Seq((1L, "b")).toDF("k", "s")))
+    val (v, ts) = Snapshot.readAll(spark, root, Seq("f", "d"), tag = Some("prod"))
+    assert(v == 1L)
+    // the tag advances AFTER resolution — the frames stay pinned at v1
+    Snapshot.tag(spark, root, "prod", 2L)
+    assert(ts("f").as[(Long, Long)].collect().toList == List((1L, 10L)))
+    assert(ts("d").as[(Long, String)].collect().toList == List((1L, "a")))
+    // explicit version wins over the tag; default is the current version
+    assert(Snapshot.readAll(spark, root, Seq("f"), tag = Some("prod"),
+      asOfVersion = Some(2L))._1 == 2L)
+    assert(Snapshot.readAll(spark, root, Seq("f"))._1 == 2L)
+    intercept[IllegalArgumentException](
+      Snapshot.readAll(spark, root, Seq.empty))
+  }
 }
