@@ -5251,6 +5251,34 @@ object SparkEntry {
       .orderBy("label", "dim")
   }
 
+  /** C71 (r14): centroid-distance outlier audit — the mislabel /
+   * contamination detector a curator runs over an embedded corpus:
+   * each vector's exact squared distance to its OWN class centroid
+   * (C51's integer-micros centroids — engine-reproducible, no float
+   * reduction order), top-3 farthest per class via B54's
+   * bounded-state top-k (never a per-class sort of all vectors).
+   * All-integer: micros ≤ ~4e6, so Σ₆₄ diff² ≤ ~4e15 — inside long
+   * with three orders of margin (the B55 audit, done up front). */
+  private def qCentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("dim").cast("long").as("dim"),
+        round(col("x") * 1000000d, 0).cast("long").as("micro"))
+    val cent = m.groupBy("label", "dim")
+      .agg(expr("sum(micro) div count(1)").as("cent"))
+    val dist = m.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("micro") - col("cent")) * (col("micro") - col("cent")))
+        .as("dist_sq"))
+    graft.operators.TopK
+      .topKPerGroup(dist, Seq("label"), "dist_sq", "vec_id", k = 3)
+      .select(col("label"), col("rank").as("rnk"), col("id").as("vec_id"),
+        col("score").as("dist_sq"))
+      .orderBy("label", "rnk")
+  }
+
   /** B73 (r13): exact distinct over a bounded key domain via a
    * custom Catalyst AGGREGATE ([[graft.functions.BitmapDistinct]],
    * the library's TypedImperativeAggregate example — scalar codegen
@@ -5757,6 +5785,7 @@ object SparkEntry {
     "q_bom_explode" -> qBomExplode,
     "q_decimal_conformance" -> qDecimalConformance,
     "q_snapshot_read_all" -> qSnapshotReadAll,
+    "q_centroid_outliers" -> qCentroidOutliers,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_funnel_live" -> qFunnelLive,
@@ -9007,6 +9036,26 @@ object SparkEntry {
            CAST(SUM(newc) AS BIGINT) AS new_c,
            CAST(SUM(discc) AS BIGINT) AS disc_c
          FROM e GROUP BY p_brand ORDER BY p_brand""",
+    // C51's scaling + truncating-div centroids, HUGEINT-safe diff
+    // squares, and the (dist desc, id asc) top-3 replayed.
+    "q_centroid_outliers" ->
+      """WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             u.i - 1 AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS micro
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         c AS (SELECT label, dim,
+             CAST(SUM(micro) // COUNT(*) AS BIGINT) AS cent
+           FROM m GROUP BY 1, 2),
+         d AS (SELECT vec_id, m.label,
+             SUM((micro - cent) * (micro - cent)) AS dist_sq
+           FROM m JOIN c ON m.label = c.label AND m.dim = c.dim
+           GROUP BY 1, 2),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY dist_sq DESC, vec_id) AS rnk FROM d)
+         SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id,
+           CAST(dist_sq AS BIGINT) AS dist_sq
+         FROM r WHERE rnk <= 3 ORDER BY label, rnk""",
     // the v1 (tagged) derivation recomputed directly: mod-7 facts
     // joined against the FULL dim — any torn mix with v2's filtered
     // dim or mod-3 facts changes counts.
