@@ -2269,6 +2269,40 @@ object SparkEntry {
       .orderBy("version", "c_nationkey")
   }
 
+  /** A30 (r14): right-to-erasure across snapshot history
+   * ([[graft.sinks.Snapshot.eraseKeys]]) — two published versions
+   * (v1 tagged 'prod'), then every customer with custkey ≡ 0 (mod 10)
+   * erased from BOTH; the output re-reads each version post-erasure
+   * and proves the subject gone (`erased_present` must be 0 — read
+   * back from disk, not echoed) alongside the surviving row/balance
+   * totals the oracle recomputes independently. */
+  private def qEraseHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/erase_${sinkSeq.incrementAndGet()}"
+    def cust(minBal: Double) = t(s, dir, "customer")
+      .filter(col("c_acctbal") > minBal)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust(-1e18)))
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust(0.0)))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    val keys = t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0).select(col("c_custkey"))
+    val removed = graft.sinks.Snapshot.eraseKeys(s, root, "cust", "c_custkey", keys)
+    removed.map { case (v, n) =>
+      graft.sinks.Snapshot.read(s, root, "cust", Some(v))
+        .agg(
+          count(lit(1)).as("rows_after"),
+          sum(when(col("c_custkey") % 10 === 0, 1L).otherwise(0L))
+            .as("erased_present"),
+          sum(col("bal_cents")).as("bal_cents_after"))
+        .withColumn("version", lit(v))
+        .withColumn("removed", lit(n))
+    }.reduce(_ unionByName _)
+      .select("version", "rows_after", "removed", "erased_present",
+        "bal_cents_after")
+      .orderBy("version")
+  }
+
   /** A29 (r14): consistent multi-table snapshot read
    * ([[graft.sinks.Snapshot.readAll]]) — facts and dim read PINNED to
    * the single version the 'prod' tag named, while a newer version
@@ -3476,6 +3510,27 @@ object SparkEntry {
       .select(col("user_id"), col("stage"), col("vt_us"), col("ct_us"),
         col("pt_us"))
       .orderBy("user_id")
+  }
+
+  /** D24 (batch side of the unified API): as-of enrichment — every
+   * purchase stamped with the user's latest prior view
+   * ([[graft.streaming.EventStream.asofEnrichStream]]: state = ONE
+   * remembered view per user, never an event buffer). Batch mode
+   * replays full per-user histories in (ts, event_id) order, so the
+   * output is the exact batch as-of relation; the oracle replays it
+   * as a last-non-null window over the same total order.
+   * StreamingSpec pins cross-batch state carry. */
+  private def qStreamAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Event]
+    graft.streaming.EventStream.asofEnrichStream(ev)
+      .toDF()
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("view_ts_us"), col("view_cents"))
+      .orderBy("event_id")
   }
 
   /** D21 (batch side of the unified API): per-session pattern
@@ -5279,6 +5334,152 @@ object SparkEntry {
       .orderBy("label", "rnk")
   }
 
+  /** C72 (r14): exact tie-aware ranking AUC per segment — the metric
+   * a curator runs to decide whether a cheap quality signal (here:
+   * document length) actually RANKS the gold label (lang = 'en')
+   * within each source, before spending it as a filter. Float AUC
+   * from a sort is not replayable evidence; this is the exact
+   * Mann-Whitney identity in integers: AUC · 2·P·N =
+   * 2·#{(pos,neg): score_pos > score_neg} + #{score ties across
+   * classes}. Computed WITHOUT per-row ranks: one (source, score)
+   * aggregate collapses the corpus to the distinct-score relation,
+   * a per-source prefix sum over that (score-domain-sized, never
+   * row-sized — the partitions are per-source, no global window)
+   * yields negatives-below, and one more aggregate closes the form.
+   * Capacity: P·N per source ≤ n² and the ×1e6 quotient runs in
+   * decimal(38,0), so no long overflow at any source size. */
+  private def qRankingAuc(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("source"),
+      col("n_chars").as("score"),
+      (col("lang") === "en").cast("long").as("pos"))
+    val byScore = d.groupBy("source", "score")
+      .agg(sum("pos").as("p"), (count(lit(1)) - sum("pos")).as("n"))
+    val below = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("n_below", coalesce(sum("n").over(below), lit(0L)))
+      .groupBy("source")
+      .agg(
+        sum("p").as("n_pos"), sum("n").as("n_neg"),
+        (sum(col("p") * col("n_below")) * 2L + sum(col("p") * col("n")))
+          .as("auc_num_2x"))
+      .withColumn("auc_den_2x", col("n_pos") * col("n_neg") * 2L)
+      .withColumn("auc_micros",
+        when(col("auc_den_2x") === 0L, lit(null).cast("long")).otherwise(
+          expr("CAST(CAST(auc_num_2x AS DECIMAL(38,0)) * 1000000 div auc_den_2x AS BIGINT)")))
+      .orderBy("source")
+  }
+
+  /** C73 (r14): vocabulary coverage curve per source — the tokenizer-
+   * planning statistic: how many distinct terms (ranked by frequency,
+   * ties lexicographic) cover 90% of a source's token occurrences,
+   * and what fraction the top-100 alone covers. A corpus where 500
+   * terms cover 90% tokenizes very differently from one needing 50k —
+   * this drives vocab-size and BPE-merge budgets before training.
+   * Scale: the corpus collapses to the (source, term) frequency
+   * relation in one map-side-combined aggregate; the rank/cumsum
+   * window runs on THAT (vocabulary-sized, partitioned per source —
+   * never a row-sized or global window); one closing aggregate. */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextFunctions.wsTokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val totals = tf.groupBy("source")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_terms"))
+    val byFreq = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok"))
+    tf
+      .withColumn("rnk", row_number().over(byFreq))
+      .withColumn("cum", sum("cnt").over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), "source")
+      .groupBy("source", "n_tokens", "n_terms")
+      .agg(
+        min(when(col("cum") * 10L >= col("n_tokens") * 9L, col("rnk")))
+          .cast("long").as("vocab90"),
+        sum(when(col("rnk") <= 100L, col("cnt")).otherwise(0L)).as("top100"))
+      .withColumn("top100_ppm", expr("top100 * 1000000 div n_tokens"))
+      .select("source", "n_tokens", "n_terms", "vocab90", "top100_ppm")
+      .orderBy("source")
+  }
+
+  /** B109 (r14): Allen interval-algebra classification — the complete
+   * 13-relation vocabulary (before/meets/overlaps/starts/during/
+   * finishes/equals + inverses) over interval pairs, the temporal-
+   * reasoning primitive scheduling-conflict and process-mining
+   * audits are built from (here: how a single order's line shipment
+   * windows interact; the synthetic lineitem carries no receipt
+   * date, so each window is [shipdate, shipdate + (qty mod 7 +
+   * linenumber) days] — deterministic, varied, and replayed
+   * identically by the oracle). The CASE ladder is a
+   * total, mutually-exclusive decision tree (disjointness checked
+   * first, then the (cmp(a1,b1), cmp(a2,b2)) grid on genuinely
+   * overlapping pairs), so every pair lands in exactly one bucket —
+   * a histogram that must sum to the pair count.
+   * Scale: pairs come from an EQUI self-join on the order key with
+   * per-group fan-out bounded by the lines-per-order cap (≤ 7 → ≤ 21
+   * pairs), never a time-band or cross join; the 13-value histogram
+   * combines map-side. */
+  private def qIntervalRelations(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_shipdate").cast("date").as("st"),
+      date_add(col("l_shipdate").cast("date"),
+        (col("l_quantity").cast("long") % 7L + col("l_linenumber").cast("long"))
+          .cast("int")).as("en"))
+    val a = li.select(col("ok"), col("ln").as("ln_a"),
+      col("st").as("a1"), col("en").as("a2"))
+    val b = li.select(col("ok"), col("ln").as("ln_b"),
+      col("st").as("b1"), col("en").as("b2"))
+    val rel = when(col("a2") < col("b1"), "before")
+      .when(col("a2") === col("b1"), "meets")
+      .when(col("a1") > col("b2"), "after")
+      .when(col("a1") === col("b2"), "met_by")
+      .when(col("a1") < col("b1") && col("a2") < col("b2"), "overlaps")
+      .when(col("a1") < col("b1") && col("a2") === col("b2"), "finished_by")
+      .when(col("a1") < col("b1") && col("a2") > col("b2"), "contains")
+      .when(col("a1") === col("b1") && col("a2") < col("b2"), "starts")
+      .when(col("a1") === col("b1") && col("a2") === col("b2"), "equals")
+      .when(col("a1") === col("b1") && col("a2") > col("b2"), "started_by")
+      .when(col("a1") > col("b1") && col("a2") < col("b2"), "during")
+      .when(col("a1") > col("b1") && col("a2") === col("b2"), "finishes")
+      .otherwise("overlapped_by")
+    a.join(b, Seq("ok")).filter(col("ln_a") < col("ln_b"))
+      .select(rel.as("relation"))
+      .groupBy("relation").agg(count(lit(1)).as("cnt"))
+      .orderBy("relation")
+  }
+
+  /** B110 (r14): Mann-Kendall trend statistic per series — the
+   * distribution-free "is this metric trending" test a monitoring
+   * deck runs per segment: S = Σ_{i<j} sign(v_j − v_i) over the
+   * time-ordered series, reported with its concordant/discordant/tie
+   * decomposition (all integers — no variance approximation, the
+   * exact statistic itself). Series: monthly order revenue (cents)
+   * per order priority.
+   * Scale: the pair join runs on the AGGREGATED series relation
+   * (groups × months — calendar-sized, never row-sized), keyed by
+   * the group so fan-out is months² within a group; the corpus-sized
+   * input collapses in one map-side-combined aggregate first. */
+  private def qKendallTrend(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "orders").select(
+      col("o_orderpriority").as("grp"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("grp", "mon").agg(sum("cents").as("v"))
+    val x = series.select(col("grp"), col("mon").as("m_a"), col("v").as("v_a"))
+    val y = series.select(col("grp"), col("mon").as("m_b"), col("v").as("v_b"))
+    x.join(y, Seq("grp")).filter(col("m_a") < col("m_b"))
+      .groupBy("grp").agg(
+        (countDistinct(col("m_a")) + lit(1L)).as("n_months"),
+        sum(signum(col("v_b") - col("v_a")).cast("long")).as("s_stat"),
+        sum(when(col("v_b") > col("v_a"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("v_b") < col("v_a"), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("v_b") === col("v_a"), 1L).otherwise(0L)).as("ties"))
+      .orderBy("grp")
+  }
+
   /** B73 (r13): exact distinct over a bounded key domain via a
    * custom Catalyst AGGREGATE ([[graft.functions.BitmapDistinct]],
    * the library's TypedImperativeAggregate example — scalar codegen
@@ -5786,6 +5987,12 @@ object SparkEntry {
     "q_decimal_conformance" -> qDecimalConformance,
     "q_snapshot_read_all" -> qSnapshotReadAll,
     "q_centroid_outliers" -> qCentroidOutliers,
+    "q_ranking_auc" -> qRankingAuc,
+    "q_interval_relations" -> qIntervalRelations,
+    "q_kendall_trend" -> qKendallTrend,
+    "q_stream_asof" -> qStreamAsof,
+    "q_erase_history" -> qEraseHistory,
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_funnel_live" -> qFunnelLive,
@@ -9056,6 +9263,124 @@ object SparkEntry {
          SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id,
            CAST(dist_sq AS BIGINT) AS dist_sq
          FROM r WHERE rnk <= 3 ORDER BY label, rnk""",
+    // the Mann-Whitney identity replayed from the pair DEFINITION in
+    // HUGEINT — concordant pairs ×2 plus cross-class ties, never ranks.
+    "q_ranking_auc" ->
+      """WITH d AS (SELECT source, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents),
+         g AS (SELECT source, score, SUM(pos) AS p, COUNT(*) - SUM(pos) AS n
+           FROM d GROUP BY 1, 2),
+         c AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below
+           FROM g)
+         SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n) AS BIGINT) AS n_neg,
+           CAST(SUM(p * n_below) * 2 + SUM(p * n) AS BIGINT) AS auc_num_2x,
+           CAST(2 * SUM(p) * SUM(n) AS BIGINT) AS auc_den_2x,
+           CAST(CASE WHEN SUM(p) = 0 OR SUM(n) = 0 THEN NULL
+             ELSE (SUM(p * n_below) * 2 + SUM(p * n)) * 1000000
+                  // (2 * SUM(p) * SUM(n)) END AS BIGINT) AS auc_micros
+         FROM c GROUP BY source ORDER BY source""",
+    // the C10 whitespace tokenization + (freq desc, term) ranking +
+    // integer 90% threshold (cum*10 >= total*9) replayed exactly.
+    "q_vocab_coverage" ->
+      """WITH tk AS (SELECT source, t AS tok FROM (
+             SELECT source,
+               list_filter(regexp_split_to_array(text, '[ \t\n\r]+'),
+                 x -> x <> '') AS ts
+             FROM documents), UNNEST(ts) AS u(t)),
+         tf AS (SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+         tot AS (SELECT source, SUM(cnt) AS n_tokens, COUNT(*) AS n_terms
+           FROM tf GROUP BY 1),
+         r AS (SELECT source, tok, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rnk,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY cnt DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM tf)
+         SELECT r.source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(MIN(CASE WHEN cum * 10 >= n_tokens * 9 THEN rnk END) AS BIGINT) AS vocab90,
+           CAST(SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) * 1000000
+             // MAX(n_tokens) AS BIGINT) AS top100_ppm
+         FROM r JOIN tot ON r.source = tot.source
+         GROUP BY r.source, n_tokens, n_terms ORDER BY r.source""",
+    // both versions' post-erasure state recomputed from the source:
+    // v1 = all customers, v2 = positive balances, minus the mod-10
+    // erasure set; erased_present is Spark's read-back, constant-0 here.
+    "q_erase_history" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+           FROM customer),
+         v AS (SELECT 1 AS version, * FROM c
+               UNION ALL SELECT 2, * FROM c WHERE c_acctbal > 0.0)
+         SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS rows_after,
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 10 = 0) AS BIGINT) AS removed,
+           CAST(0 AS BIGINT) AS erased_present,
+           CAST(SUM(cents) FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS bal_cents_after
+         FROM v GROUP BY version ORDER BY version""",
+    // the state machine's (ts, event_id) total order replayed as a
+    // last-non-null window: latest prior view per purchase, ties
+    // broken by event_id on both sides.
+    "q_stream_asof" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             event_type,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         w AS (SELECT *,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN ts_us END
+               IGNORE NULLS) OVER win AS view_ts_us,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN cents END
+               IGNORE NULLS) OVER win AS view_cents
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, ts_us, view_ts_us, view_cents
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+    // the same total 13-way decision ladder replayed; bucket sums
+    // must equal the pair count by construction on both sides.
+    "q_interval_relations" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+             CAST(l_shipdate AS DATE) AS st,
+             CAST(CAST(l_shipdate AS DATE)
+               + CAST(CAST(l_quantity AS BIGINT) % 7 + l_linenumber AS INTEGER)
+                 * INTERVAL 1 DAY AS DATE) AS en
+           FROM lineitem),
+         p AS (SELECT a.st AS a1, a.en AS a2, b.st AS b1, b.en AS b2
+           FROM li a JOIN li b ON a.ok = b.ok AND a.ln < b.ln)
+         SELECT CASE
+             WHEN a2 < b1 THEN 'before'
+             WHEN a2 = b1 THEN 'meets'
+             WHEN a1 > b2 THEN 'after'
+             WHEN a1 = b2 THEN 'met_by'
+             WHEN a1 < b1 AND a2 < b2 THEN 'overlaps'
+             WHEN a1 < b1 AND a2 = b2 THEN 'finished_by'
+             WHEN a1 < b1 AND a2 > b2 THEN 'contains'
+             WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+             WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+             WHEN a1 = b1 AND a2 > b2 THEN 'started_by'
+             WHEN a1 > b1 AND a2 < b2 THEN 'during'
+             WHEN a1 > b1 AND a2 = b2 THEN 'finishes'
+             ELSE 'overlapped_by' END AS relation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM p GROUP BY 1 ORDER BY 1""",
+    // exact S with its concordant/discordant/tie decomposition,
+    // replayed from the pair definition on the monthly cents series.
+    "q_kendall_trend" ->
+      """WITH s AS (SELECT o_orderpriority AS grp,
+             date_trunc('month', o_orderdate) AS mon,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS v
+           FROM orders GROUP BY 1, 2)
+         SELECT a.grp,
+           CAST(COUNT(DISTINCT a.mon) + 1 AS BIGINT) AS n_months,
+           CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+             ELSE 0 END) AS BIGINT) AS s_stat,
+           CAST(SUM(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+           CAST(SUM(CASE WHEN b.v < a.v THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+           CAST(SUM(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) AS BIGINT) AS ties
+         FROM s a JOIN s b ON a.grp = b.grp AND a.mon < b.mon
+         GROUP BY a.grp ORDER BY a.grp""",
     // the v1 (tagged) derivation recomputed directly: mod-7 facts
     // joined against the FULL dim — any torn mix with v2's filtered
     // dim or mod-3 facts changes counts.

@@ -241,6 +241,70 @@ object Snapshot {
     doomed
   }
 
+  /** Right-to-erasure across history (A30) — remove every row whose
+   * `keyCol` value appears in `keys` from EVERY on-disk version of
+   * `table`: retained, tag-protected, and crashed-publish orphans
+   * alike. [[targeted delete|A21]]-style fixes repair the HEAD;
+   * erasure is a legal obligation on the whole retention window —
+   * time travel must not resurrect the erased subject, and an orphan
+   * directory still holds the bytes even if no manifest names it.
+   * Each version's table dir is rewritten via write-temp → swap
+   * (rename the old dir aside, rename the new one in, drop the old —
+   * the TableSink discipline), so a concurrent reader sees the old
+   * complete version or the new complete version, never a partial
+   * dir (rename atomicity: HDFS/local, the A15 assumption).
+   * Returns (version, rowsRemoved) ascending, one row per version
+   * that carries the table; fails loudly if NO version does.
+   *
+   * Scale: per version, one doomed-row count + one filtered rewrite —
+   * both a single scan with a BROADCAST anti/semi join against the
+   * erasure key set (erasure requests are human-sized; no shuffle of
+   * the version). Cost proportional to retained bytes: the
+   * unavoidable floor for physical erasure on immutable files.
+   * Versions whose table holds none of the keys are left untouched
+   * (no rewrite, no new files — the count pass makes the common
+   * "subject not in this version" case free). */
+  def eraseKeys(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      keyCol: String,
+      keys: DataFrame): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(spark, root)
+    val keyDf = keys.select(col(keyCol)).distinct()
+    val versions = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .sorted.toSeq
+    val touched = versions.flatMap { v =>
+      val dirPath = new org.apache.hadoop.fs.Path(s"$root/v$v/$table")
+      if (!f.exists(dirPath)) None
+      else {
+        val cur = spark.read.parquet(dirPath.toString)
+        val doomed = cur.join(broadcast(keyDf), Seq(keyCol), "left_semi").count()
+        if (doomed == 0L) Some(v -> 0L)
+        else {
+          val tmp = s"$root/v$v/.erase_tmp_$table"
+          cur.join(broadcast(keyDf), Seq(keyCol), "left_anti")
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+          val bak = new org.apache.hadoop.fs.Path(s"$root/v$v/.erase_bak_$table")
+          f.delete(bak, true): Unit
+          require(f.rename(dirPath, bak),
+            s"snapshot erase: failed to move v$v/$table aside")
+          require(f.rename(new org.apache.hadoop.fs.Path(tmp), dirPath),
+            s"snapshot erase: failed to swap in scrubbed v$v/$table")
+          f.delete(bak, true): Unit // the erased bytes must actually go
+          Some(v -> doomed)
+        }
+      }
+    }
+    require(touched.nonEmpty,
+      s"snapshot erase: table '$table' exists in no version under $root")
+    touched
+  }
+
   /** Schema-compatibility gate (A27) — refuse a publish that would
    * BREAK READERS of the previous version: every column an existing
    * table already serves must survive with the same dataType (readers

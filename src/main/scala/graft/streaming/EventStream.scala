@@ -14,6 +14,12 @@ case class Session(user_id: Long, session_start: java.sql.Timestamp,
 
 private case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
 
+/** A purchase stamped with the user's latest prior view (D24). */
+case class AsofEnriched(user_id: Long, event_id: Long, ts_us: Long,
+    view_ts_us: Option[Long], view_cents: Option[Long])
+
+private case class AsofViewState(viewTs: Long, viewCents: Long)
+
 /** A per-window heavy-hitter summary row (Misra-Gries lower-bound
  * count; exact when the window's distinct items fit the capacity). */
 case class HeavyHitter(window_start_us: Long, item: String,
@@ -873,6 +879,49 @@ object EventStream {
           if (st.ct >= 0) Some(st.ct) else None,
           if (st.pt >= 0) Some(st.pt) else None))
       }
+    }
+    in.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming as-of enrichment (D24): every `purchase` event is
+   * stamped with the user's latest PRIOR `view` event (its time and
+   * cents) — the online form of the batch as-of join (B15): "which
+   * impression does this conversion attach to, right now". A
+   * stream-stream interval join buffers both sides state-heavy and
+   * emits only within a bounded band; the as-of shape needs exactly
+   * ONE remembered row per key, so the state here is two longs + the
+   * cents (the latest view), never a buffer of events. Prior-ness is
+   * the (ts, event_id) total order — a view at the same microsecond
+   * with a smaller event_id counts as prior, so batch replay and the
+   * oracle agree on ties. Batch mode (isStreaming = false) sees the
+   * full history per user in event-time order, making the output the
+   * exact batch as-of relation the oracle replays; streaming mode
+   * carries the latest view across micro-batches (StreamingSpec pins
+   * a view in batch 1 enriching a purchase in batch 2, and a
+   * pre-view purchase staying bare). */
+  def asofEnrichStream(events: Dataset[Event]): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val in = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[(Long, Long, Long, String, Long)]
+    def fn(userId: Long, batch: Iterator[(Long, Long, Long, String, Long)],
+        state: GroupState[AsofViewState]): Iterator[AsofEnriched] = {
+      val sorted = batch.toSeq.sortBy(e => (e._3, e._2))
+      var st = state.getOption.getOrElse(AsofViewState(-1L, -1L))
+      val out = Seq.newBuilder[AsofEnriched]
+      for ((_, eid, ts, tpe, cents) <- sorted) tpe match {
+        case "view" => st = AsofViewState(ts, cents)
+        case "purchase" =>
+          out += AsofEnriched(userId, eid, ts,
+            if (st.viewTs >= 0) Some(st.viewTs) else None,
+            if (st.viewTs >= 0) Some(st.viewCents) else None)
+        case _ => ()
+      }
+      if (streaming) state.update(st)
+      out.result().iterator
     }
     in.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)

@@ -76,6 +76,42 @@ class SnapshotSpec extends AnyFunSuite {
       List(99L))
   }
 
+  test("eraseKeys scrubs every version including tagged and orphan dirs") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" ->
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")))
+    Snapshot.publish(spark, root, Map("t" ->
+      Seq((2L, "B"), (3L, "C"), (4L, "d")).toDF("k", "v")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    // orphan above the manifest: its bytes must also be erased
+    Seq((2L, "orphan"), (5L, "e")).toDF("k", "v").write.parquet(s"$root/v3/t")
+    val removed = Snapshot.eraseKeys(spark, root, "t", "k",
+      Seq(2L).toDF("k"))
+    assert(removed == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // every version scrubbed, survivors intact, tag still resolves
+    assert(Snapshot.read(spark, root, "t", Some(1L))
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
+    assert(Snapshot.read(spark, root, "t", Some(2L))
+      .as[(Long, String)].collect().toSet == Set((3L, "C"), (4L, "d")))
+    assert(Snapshot.readTag(spark, root, "t", "prod")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
+    assert(spark.read.parquet(s"$root/v3/t")
+      .as[(Long, String)].collect().toSet == Set((5L, "e")))
+    // no leftover temp/backup dirs holding the erased bytes
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 3L).foreach { v =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$v/.erase_bak_t")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$v/.erase_tmp_t")))
+    }
+    // a version with no doomed rows reports 0 and is not rewritten
+    assert(Snapshot.eraseKeys(spark, root, "t", "k", Seq(2L).toDF("k")) ==
+      Seq(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // unknown table fails loudly
+    intercept[IllegalArgumentException](
+      Snapshot.eraseKeys(spark, root, "nope", "k", Seq(1L).toDF("k")))
+  }
+
   test("vacuum refuses keepLast < 1 and unpublished roots") {
     val root = freshRoot()
     intercept[IllegalArgumentException](Snapshot.vacuum(spark, root, 2))

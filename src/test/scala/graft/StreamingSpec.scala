@@ -860,6 +860,39 @@ class StreamingSpec extends AnyFunSuite {
       Some(1000000L), None, None))
   }
 
+  test("asofEnrichStream carries the latest view across batches; pre-view purchases stay bare") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/asofe_${System.nanoTime()}"
+    def ev(u: Long, id: Long, sec: Long, t: String, v: Double) =
+      graft.streaming.Event(u, id, new java.sql.Timestamp(sec * 1000L), t, v)
+    val in = MemoryStream[graft.streaming.Event]
+    val q = graft.streaming.EventStream.asofEnrichStream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("asof_res")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      // batch 1: user 1 purchases BEFORE any view (stays bare), then
+      // views at t=5; user 2 views at t=1
+      in.addData(ev(1L, 1L, 1L, "purchase", 9.0), ev(1L, 2L, 5L, "view", 2.5),
+        ev(2L, 3L, 1L, "view", 7.0))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases at t=50 — the t=5 view carried ACROSS
+      // the batch boundary enriches it; a newer view at t=60 then
+      // supersedes it for the t=70 purchase IN the same batch
+      in.addData(ev(1L, 4L, 50L, "purchase", 1.0),
+        ev(1L, 5L, 60L, "view", 3.75), ev(1L, 6L, 70L, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_res")
+      .as[graft.streaming.AsofEnriched].collect().map(r => r.event_id -> r).toMap
+    assert(got(1L) == graft.streaming.AsofEnriched(1L, 1L, 1000000L, None, None))
+    assert(got(4L) == graft.streaming.AsofEnriched(1L, 4L, 50000000L,
+      Some(5000000L), Some(250L)))
+    assert(got(6L) == graft.streaming.AsofEnriched(1L, 6L, 70000000L,
+      Some(60000000L), Some(375L)))
+    assert(!got.contains(3L), "views must not emit rows")
+  }
+
   test("patternSessions: sessions close on timeout with the regex verdict; cap truncates") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
