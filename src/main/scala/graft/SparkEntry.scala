@@ -2269,6 +2269,25 @@ object SparkEntry {
       .orderBy("version", "c_nationkey")
   }
 
+  /** A31 (r14): snapshot version catalog
+   * ([[graft.sinks.Snapshot.catalog]]) — the datasets-page
+   * introspection row: two published versions with different table
+   * sets, v1 tagged 'prod', head at v2; per-(version, table) row
+   * counts read back from the actual version dirs (footer-only
+   * counts), currency and tags resolved from the live manifest/tag
+   * files — the oracle recomputes every count from the source. */
+  private def qSnapshotCatalog(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/cat_${sinkSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust, "nat" -> nat))
+    graft.sinks.Snapshot.publish(s, root,
+      Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.catalog(s, root)
+      .orderBy("version", "table_name")
+  }
+
   /** A30 (r14): right-to-erasure across snapshot history
    * ([[graft.sinks.Snapshot.eraseKeys]]) — two published versions
    * (v1 tagged 'prod'), then every customer with custkey ≡ 0 (mod 10)
@@ -5371,6 +5390,119 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** C76 (r14): reciprocal-rank fusion — the standard hybrid-retrieval
+   * merge: a lexical ranking (C43's fixed-point BM25 top-20) and a
+   * semantic ranking (exact integer-micros distance to a probe
+   * embedding, top-20) fused as Σ 10⁶ div (60 + rank) per doc, a doc
+   * missing from a list contributing nothing. RRF is rank-only — no
+   * score normalization across incomparable scales — which is exactly
+   * why production hybrid search uses it. Both per-list rank windows
+   * run AFTER a TakeOrdered limit, so they sort 20 rows, never the
+   * corpus; the fusion join is 40 rows total. Integer throughout. */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.text.TfIdf.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("vector", "stream", "window"), 20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val m = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        round(col("x") * 1000000d, 0).cast("long").as("micro"))
+    val p = m.filter(col("vec_id") === 0L)
+      .select(col("dim"), col("micro").as("pm"))
+    val sem = m.join(broadcast(p), Seq("dim"))
+      .filter(col("vec_id") =!= 0L)
+      .groupBy("vec_id")
+      .agg(sum((col("micro") - col("pm")) * (col("micro") - col("pm")))
+        .as("dq"))
+      .orderBy(col("dq"), col("vec_id")).limit(20)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("dq"), col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+        coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(10)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf_ppm")
+  }
+
+  /** C77 (r14): MMR diversified re-rank
+   * ([[graft.similarity.Ann.mmrRerank]]) — top-8 exact candidates of
+   * probe 0, 4 selected by the doubled integer MMR objective
+   * (min-separation-from-selected − relevance, λ = 1/2); the oracle
+   * unrolls all four greedy steps as scalar-subquery CTE stages in
+   * HUGEINT space, so every pick, distance, and gain hash-compares. */
+  private def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Ann.mmrRerank(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", poolK = 8, selectK = 4)
+      .orderBy("sel_rank")
+  }
+
+  /** C74 (r14): hard-negative mining — for each probe vector, the
+   * NEAREST vector of a DIFFERENT label: the contrastive-training
+   * data a retrieval model needs (easy negatives teach nothing; the
+   * closest wrong-label example is the gradient that matters).
+   * Exact integer-micros distances (the C71 discipline — float
+   * reduction order isn't replayable evidence); the winner per probe
+   * is the lexicographic (dist, id) struct-MIN — one bounded
+   * aggregate, no per-probe sort. Probes broadcast (bounded set);
+   * the dim-keyed join against the exploded corpus is the C6
+   * brute-force baseline shape — at index scale the C7 IVF path
+   * generates candidates and this exact scorer re-ranks them. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("dim").cast("long").as("dim"),
+        round(col("x") * 1000000d, 0).cast("long").as("micro"))
+    val probes = m.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("dim"), col("micro").as("pm"))
+    m.join(broadcast(probes), Seq("dim"))
+      .filter(col("label") =!= col("probe_label"))
+      .groupBy("probe_id", "probe_label", "vec_id")
+      .agg(sum((col("micro") - col("pm")) * (col("micro") - col("pm")))
+        .as("dist_sq"))
+      .groupBy("probe_id", "probe_label")
+      .agg(min(struct(col("dist_sq"), col("vec_id"))).as("b"))
+      .select(col("probe_id"), col("probe_label"),
+        col("b").getField("vec_id").as("neg_id"),
+        col("b").getField("dist_sq").as("dist_sq"))
+      .orderBy("probe_id")
+  }
+
+  /** C75 (r14): code-switch detection — within-document language
+   * mixing: C8's stopword-argmax lang-id applied to each HALF of the
+   * document (character midpoint, integer div so both engines split
+   * identically); a doc whose halves disagree (neither undetermined)
+   * is flagged. The corpus is monolingual per doc, so a deterministic
+   * French-stopword tail is injected into every doc_id ≡ 0 (mod 3)
+   * (the withContact convention: the construction is mirrored exactly
+   * in the oracle) — those docs must flag, the rest must not.
+   * Scale: two codegen'd kernel calls per row, no join, no shuffle
+   * before the final per-source rollup. */
+  private def qCodeSwitch(s: SparkSession, dir: String): DataFrame = {
+    val mixed = t(s, dir, "documents").withColumn("mixed",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" le la les des est et une dans que pour pas vous")))
+        .otherwise(col("text")))
+    mixed
+      .withColumn("lang_head", TextFunctions.langId(
+        expr("substring(mixed, 1, length(mixed) div 2)")))
+      .withColumn("lang_tail", TextFunctions.langId(
+        expr("substring(mixed, length(mixed) div 2 + 1)")))
+      .select(col("doc_id"), col("source"), col("lang_head"), col("lang_tail"),
+        (col("lang_head") =!= col("lang_tail") &&
+          col("lang_head") =!= "und" && col("lang_tail") =!= "und")
+          .as("is_switch"))
+      .orderBy("doc_id")
+  }
+
   /** C73 (r14): vocabulary coverage curve per source — the tokenizer-
    * planning statistic: how many distinct terms (ranked by frequency,
    * ties lexicographic) cover 90% of a source's token occurrences,
@@ -5402,6 +5534,112 @@ object SparkEntry {
       .withColumn("top100_ppm", expr("top100 * 1000000 div n_tokens"))
       .select("source", "n_tokens", "n_terms", "vocab90", "top100_ppm")
       .orderBy("source")
+  }
+
+  /** B112 (r14): duplicate-payment audit — the classic AP-fraud /
+   * double-billing screen: two orders by the SAME customer for the
+   * SAME cent-exact amount within 30 days are a refund-or-fraud
+   * review queue. Organic synthetic prices almost never collide, so a
+   * deterministic duplicate set is planted (every orderkey ≡ 0
+   * (mod 100) re-billed 2 days later under a shifted key — the
+   * withContact convention, mirrored exactly in the oracle); the
+   * audit must find every plant and whatever organic pairs exist.
+   * Scale: ONE equi-join on (custkey, cents) — fan-out bounded by
+   * genuine amount collisions per customer (≈1) — with the date band
+   * as a residual filter; never a date-band or cross join. */
+  private def qDuplicatePayments(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("okey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("c"), col("o_orderdate").cast("date").as("d"))
+    val planted = base.filter(col("okey") % 100 === 0L)
+      .select((col("okey") + 10000000L).as("okey"), col("o_custkey"),
+        col("c"), date_add(col("d"), 2).as("d"))
+    val o = base.unionByName(planted)
+    val a = o.select(col("okey").as("key_lo"), col("o_custkey"),
+      col("c"), col("d").as("d_lo"))
+    val b = o.select(col("okey").as("key_hi"), col("o_custkey"),
+      col("c"), col("d").as("d_hi"))
+    a.join(b, Seq("o_custkey", "c"))
+      .filter(col("key_lo") < col("key_hi") &&
+        abs(datediff(col("d_hi"), col("d_lo"))) <= 30)
+      .select(col("o_custkey"), col("key_lo"), col("key_hi"), col("c").as("cents"),
+        datediff(col("d_hi"), col("d_lo")).cast("long").as("day_gap"))
+      .orderBy("o_custkey", "key_lo", "key_hi")
+  }
+
+  /** B113 (r14): critical path over a DAG
+   * ([[graft.operators.Graph.criticalPath]]) — longest weighted path
+   * ending at each node (PERT scheduling), the max-plus leg of the
+   * graph family. DAG constructed over the part-key domain (u → 2u,
+   * u → 3u where present, edge weight v mod 7 + 1 — multiple routes
+   * to every 6-divisible node make the max non-trivial); log-depth by
+   * construction, improvement-only Bellman-Ford relaxation, fail-loud
+   * on non-convergence (the cycle guard). */
+  private def qCriticalPath(s: SparkSession, dir: String): DataFrame = {
+    // key 0 is excluded: 2·0 = 0 would be a self-loop, and the guard
+    // (correctly) refuses cyclic input — found by the guard itself
+    val keys = t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("n"))
+      .filter(col("n") >= 1L).distinct()
+    def edgesTimes(k: Int) = keys
+      .join(keys.filter(col("n") % k === 0L)
+          .select(expr(s"n div $k").as("n"), col("n").as("v")), Seq("n"))
+      .select(col("n").as("u"), col("v"),
+        (col("v") % 7L + 1L).as("w"))
+    graft.operators.Graph.criticalPath(
+        edgesTimes(2).unionByName(edgesTimes(3)), "u", "v", "w")
+      .orderBy("id")
+  }
+
+  /** B114 (r14): cycle census of a functional graph
+   * ([[graft.operators.Graph.cycleStats]]) — every node has one
+   * out-edge (retry chains, next-state tables, alias maps); report
+   * each terminal cycle as (min member, size). The graph is the
+   * quadratic map u → (u² + 1) mod M over the customer-key domain —
+   * rho-shaped tails feeding small cycles, the shape that separates a
+   * cycle census from a permutation. Pointer doubling: ⌈log₂ n⌉
+   * self-join rounds carrying (2^t-step jump, min seen), never a
+   * step-by-step walk; the oracle walks every node step-by-step in a
+   * recursive CTE — an independent formulation. */
+  private def qCycleCensus(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic key domain is 0-based and dense (0..M−1), exactly
+    // the domain (u² + 1) mod M maps back into — every node keeps an
+    // out-edge, the functional-graph precondition
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"))
+    val m = c.agg(count(lit(1)).as("m"))
+    val nextDf = c.crossJoin(broadcast(m))
+      .select(col("id"), ((col("id") * col("id") + 1L) % col("m")).as("nxt"))
+    graft.operators.Graph.cycleStats(nextDf, "id", "nxt")
+      .orderBy("cycle_id")
+  }
+
+  /** B111 (r14): Benford first-digit audit — the classic fabricated-
+   * data screen: the leading significant digit of a naturally-grown
+   * monetary amount follows log10(1 + 1/d); per-digit observed ppm vs
+   * the expected ppm table with the absolute deviation, all integer
+   * (the expected constants are the SAME nine literals on both
+   * engines — nothing recomputes a log at query time). Synthetic
+   * uniform prices will deviate hugely: the audit REPORTS, thresholds
+   * are the caller's. Scale: one scan, a 9-bucket map-side-combined
+   * histogram, one tiny broadcast of the total. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val expected = "array(301030L, 176091L, 124939L, 96910L, 79181L, " +
+      "66947L, 57992L, 51153L, 45757L)"
+    val digits = t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("c"))
+      .filter(col("c") > 0L)
+      .select(expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(sum("cnt").as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("cnt * 1000000 div n_total"))
+      .withColumn("expected_ppm",
+        expr(s"element_at($expected, CAST(digit AS INT))"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("expected_ppm")))
+      .select("digit", "cnt", "obs_ppm", "expected_ppm", "dev_ppm")
+      .orderBy("digit")
   }
 
   /** B109 (r14): Allen interval-algebra classification — the complete
@@ -5993,6 +6231,15 @@ object SparkEntry {
     "q_stream_asof" -> qStreamAsof,
     "q_erase_history" -> qEraseHistory,
     "q_vocab_coverage" -> qVocabCoverage,
+    "q_hard_negatives" -> qHardNegatives,
+    "q_rrf_fusion" -> qRrfFusion,
+    "q_mmr_rerank" -> qMmrRerank,
+    "q_code_switch" -> qCodeSwitch,
+    "q_benford" -> qBenford,
+    "q_duplicate_payments" -> qDuplicatePayments,
+    "q_critical_path" -> qCriticalPath,
+    "q_cycle_census" -> qCycleCensus,
+    "q_snapshot_catalog" -> qSnapshotCatalog,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_funnel_live" -> qFunnelLive,
@@ -9282,6 +9529,227 @@ object SparkEntry {
              ELSE (SUM(p * n_below) * 2 + SUM(p * n)) * 1000000
                   // (2 * SUM(p) * SUM(n)) END AS BIGINT) AS auc_micros
          FROM c GROUP BY source ORDER BY source""",
+    // BM25 fixed-point scores + exact micros distances, both ranked,
+    // fused as integer reciprocal ranks — full replay of both lists.
+    "q_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+         sc AS (SELECT tf.doc_id,
+             (1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
+               // ((2 * df.df + 1) * (10 * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
+               AS score_ppm
+           FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g
+           WHERE term IN ('vector', 'stream', 'window')),
+         bm AS (SELECT doc_id, SUM(score_ppm) AS score FROM sc GROUP BY 1
+                ORDER BY score DESC, doc_id LIMIT 20),
+         lex AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM bm),
+         m AS (SELECT vec_id, u.i - 1 AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS micro
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         pq AS (SELECT dim, micro AS pm FROM m WHERE vec_id = 0),
+         dq AS (SELECT m.vec_id, SUM((m.micro - pq.pm) * (m.micro - pq.pm)) AS dq
+           FROM m JOIN pq USING (dim) WHERE m.vec_id <> 0 GROUP BY 1
+           ORDER BY dq, vec_id LIMIT 20),
+         sem AS (SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY dq, vec_id) AS sem_rank FROM dq)
+         SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+              + COALESCE(1000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf_ppm
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10""",
+    // all four greedy MMR picks unrolled as CTE stages: each step's
+    // argmax of (min separation to selected − relevance) in HUGEINT.
+    "q_mmr_rerank" ->
+      """WITH m AS (SELECT vec_id, u.i - 1 AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS micro
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         pq AS (SELECT dim, micro AS pm FROM m WHERE vec_id = 0),
+         dqall AS (SELECT m.vec_id, SUM((m.micro - pq.pm) * (m.micro - pq.pm)) AS dq
+           FROM m JOIN pq USING (dim) WHERE m.vec_id <> 0 GROUP BY 1),
+         pool AS (SELECT vec_id, dq FROM dqall ORDER BY dq, vec_id LIMIT 8),
+         pm2 AS (SELECT m.vec_id, m.dim, m.micro FROM m
+           JOIN pool USING (vec_id)),
+         pd AS (SELECT a.vec_id AS i, b.vec_id AS j,
+             SUM((a.micro - b.micro) * (a.micro - b.micro)) AS d
+           FROM pm2 a JOIN pm2 b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+         s1 AS (SELECT vec_id, dq FROM pool ORDER BY dq, vec_id LIMIT 1),
+         s2 AS (SELECT p.vec_id, p.dq, pd.d - p.dq AS gain
+           FROM pool p JOIN pd ON pd.i = p.vec_id
+             AND pd.j = (SELECT vec_id FROM s1)
+           WHERE p.vec_id <> (SELECT vec_id FROM s1)
+           ORDER BY gain DESC, p.vec_id LIMIT 1),
+         s3 AS (SELECT p.vec_id, p.dq, MIN(pd.d) - p.dq AS gain
+           FROM pool p JOIN pd ON pd.i = p.vec_id
+             AND pd.j IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+           WHERE p.vec_id NOT IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+           GROUP BY p.vec_id, p.dq
+           ORDER BY gain DESC, p.vec_id LIMIT 1),
+         s4 AS (SELECT p.vec_id, p.dq, MIN(pd.d) - p.dq AS gain
+           FROM pool p JOIN pd ON pd.i = p.vec_id
+             AND pd.j IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2),
+                          (SELECT vec_id FROM s3))
+           WHERE p.vec_id NOT IN ((SELECT vec_id FROM s1),
+             (SELECT vec_id FROM s2), (SELECT vec_id FROM s3))
+           GROUP BY p.vec_id, p.dq
+           ORDER BY gain DESC, p.vec_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+           CAST(dq AS BIGINT) AS dist_q, CAST(NULL AS BIGINT) AS gain FROM s1
+         UNION ALL SELECT 2, vec_id, CAST(dq AS BIGINT), CAST(gain AS BIGINT) FROM s2
+         UNION ALL SELECT 3, vec_id, CAST(dq AS BIGINT), CAST(gain AS BIGINT) FROM s3
+         UNION ALL SELECT 4, vec_id, CAST(dq AS BIGINT), CAST(gain AS BIGINT) FROM s4
+         ORDER BY sel_rank""",
+    // exact integer-micros distances + the (dist, id) struct-min
+    // replayed as a ROW_NUMBER pick in HUGEINT space.
+    "q_hard_negatives" ->
+      """WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             u.i - 1 AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS micro
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         p AS (SELECT vec_id AS probe_id, label AS probe_label, dim,
+             micro AS pm FROM m WHERE vec_id < 10),
+         d AS (SELECT p.probe_id, p.probe_label, m.vec_id,
+             SUM((m.micro - p.pm) * (m.micro - p.pm)) AS dist_sq
+           FROM m JOIN p ON m.dim = p.dim AND m.label <> p.probe_label
+           GROUP BY 1, 2, 3),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             ORDER BY dist_sq, vec_id) AS rk FROM d)
+         SELECT probe_id, probe_label, vec_id AS neg_id,
+           CAST(dist_sq AS BIGINT) AS dist_sq
+         FROM r WHERE rk = 1 ORDER BY probe_id""",
+    // the C8 stopword-argmax lang-id replayed per half, same integer
+    // midpoint split and same injected French tail on doc_id % 3 = 0.
+    "q_code_switch" ->
+      """WITH base AS (SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN text ||
+               ' le la les des est et une dans que pour pas vous'
+             ELSE text END AS mixed
+           FROM documents),
+         halves AS (
+           SELECT doc_id, source, 1 AS part,
+             substring(mixed, 1, CAST(len(mixed) // 2 AS INTEGER)) AS t
+           FROM base
+           UNION ALL
+           SELECT doc_id, source, 2,
+             substring(mixed, CAST(len(mixed) // 2 AS INTEGER) + 1)
+           FROM base),
+         toks AS (SELECT doc_id, source, part,
+             list_filter(string_split_regex(lower(t), '[^a-z0-9_]+'),
+               x -> x <> '') AS ts
+           FROM halves),
+         h AS (SELECT doc_id, source, part,
+             len(list_filter(ts, t -> list_contains(['the','and','of','to','is','in','that','it','with','for','this','are'], t))) AS en,
+             len(list_filter(ts, t -> list_contains(['le','la','les','des','est','et','une','dans','que','pour','pas','vous'], t))) AS fr,
+             len(list_filter(ts, t -> list_contains(['el','los','las','es','y','una','que','en','por','para','con','su'], t))) AS es,
+             len(list_filter(ts, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','ich'], t))) AS de
+           FROM toks),
+         pred AS (SELECT doc_id, source, part, CASE
+             WHEN en = 0 AND fr = 0 AND es = 0 AND de = 0 THEN 'und'
+             WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+             WHEN fr >= es AND fr >= de THEN 'fr'
+             WHEN es >= de THEN 'es'
+             ELSE 'de' END AS lang_pred
+           FROM h)
+         SELECT doc_id, ANY_VALUE(source) AS source,
+           MAX(CASE WHEN part = 1 THEN lang_pred END) AS lang_head,
+           MAX(CASE WHEN part = 2 THEN lang_pred END) AS lang_tail,
+           (MAX(CASE WHEN part = 1 THEN lang_pred END) <>
+              MAX(CASE WHEN part = 2 THEN lang_pred END)
+            AND MAX(CASE WHEN part = 1 THEN lang_pred END) <> 'und'
+            AND MAX(CASE WHEN part = 2 THEN lang_pred END) <> 'und')
+             AS is_switch
+         FROM pred GROUP BY doc_id ORDER BY doc_id""",
+    // same planted duplicates, same (custkey, cents) pair definition.
+    "q_duplicate_payments" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS okey, o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+             CAST(o_orderdate AS DATE) AS d
+           FROM orders),
+         o AS (SELECT * FROM base
+           UNION ALL
+           SELECT okey + 10000000, o_custkey, c, d + 2
+           FROM base WHERE okey % 100 = 0)
+         SELECT a.o_custkey, a.okey AS key_lo, b.okey AS key_hi,
+           a.c AS cents,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS day_gap
+         FROM o a JOIN o b ON a.o_custkey = b.o_custkey AND a.c = b.c
+           AND a.okey < b.okey
+           AND abs(date_diff('day', a.d, b.d)) <= 30
+         ORDER BY a.o_custkey, key_lo, key_hi""",
+    // the literal recursive longest-path over the same ×2/×3 DAG.
+    "q_critical_path" ->
+      """WITH RECURSIVE nodes AS (
+           SELECT DISTINCT CAST(p_partkey AS BIGINT) AS n FROM part
+           WHERE p_partkey >= 1),
+         edges AS (
+           SELECT a.n AS u, b.n AS v, b.n % 7 + 1 AS w
+           FROM nodes a JOIN nodes b ON b.n = 2 * a.n OR b.n = 3 * a.n),
+         en AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+         paths(v, len) AS (
+           SELECT n, CAST(0 AS BIGINT) FROM en
+           UNION ALL
+           SELECT e.v, p.len + e.w FROM paths p JOIN edges e ON e.u = p.v)
+         SELECT v AS id, MAX(len) AS critical_len
+         FROM paths GROUP BY v ORDER BY id""",
+    // step-by-step walk from every node until it returns to its start
+    // (or n steps pass) — the independent O(n·len) formulation of the
+    // pointer-doubling census.
+    "q_cycle_census" ->
+      """WITH RECURSIVE c AS (
+           SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM c),
+         nxt AS (SELECT id, (id * id + 1) % g.m AS n FROM c CROSS JOIN g),
+         walk(v0, v, steps) AS (
+           SELECT id, n, 1 FROM nxt
+           UNION ALL
+           SELECT w.v0, nxt.n, w.steps + 1 FROM walk w JOIN nxt ON nxt.id = w.v
+           WHERE w.v <> w.v0 AND w.steps < (SELECT m FROM g)),
+         oncyc AS (SELECT DISTINCT v0 AS id FROM walk WHERE v = v0),
+         lab AS (SELECT w.v0 AS id, MIN(w.v) AS cycle_id
+           FROM walk w JOIN oncyc o ON o.id = w.v0 GROUP BY 1)
+         SELECT cycle_id, CAST(COUNT(*) AS BIGINT) AS size
+         FROM lab GROUP BY 1 ORDER BY cycle_id""",
+    // the same nine expected-ppm literals; observed ppm by truncating
+    // div on both engines.
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+           FROM orders),
+         d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit, COUNT(*) AS cnt
+           FROM c WHERE c > 0 GROUP BY 1),
+         e(digit, expected_ppm) AS (VALUES (1, 301030), (2, 176091),
+           (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+           (8, 51153), (9, 45757))
+         SELECT d.digit, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // (SELECT SUM(cnt) FROM d) AS BIGINT) AS obs_ppm,
+           CAST(expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(abs(cnt * 1000000 // (SELECT SUM(cnt) FROM d)
+             - expected_ppm) AS BIGINT) AS dev_ppm
+         FROM d JOIN e ON d.digit = e.digit ORDER BY d.digit""",
+    // every count recomputed from the source; version/table/tag
+    // layout is the query's own fixed construction.
+    "q_snapshot_catalog" ->
+      """SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, 'cust' AS table_name,
+             CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows,
+             FALSE AS is_current, 'prod' AS tags
+           UNION ALL
+           SELECT 1, 'nat', (SELECT COUNT(*) FROM nation), FALSE, 'prod'
+           UNION ALL
+           SELECT 2, 'cust',
+             (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0),
+             TRUE, ''
+         ) ORDER BY version, table_name""",
     // the C10 whitespace tokenization + (freq desc, term) ranking +
     // integer 90% threshold (cum*10 >= total*9) replayed exactly.
     "q_vocab_coverage" ->

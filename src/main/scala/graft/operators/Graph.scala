@@ -350,4 +350,123 @@ object Graph {
     dropAllBut(spark, scratch, "result")
     result
   }
+
+  /** Critical path (longest weighted path ending at each node) over a
+   * DAG — the PERT / build-scheduling primitive: with edge weights as
+   * task durations, a node's value is the earliest time it can start
+   * after every upstream chain completes. Seventh leg of the graph
+   * family (B29/B49/B55/B58/B74/B107), the MAX-PLUS semiring where
+   * B107 is product-sum.
+   *
+   * Bellman-Ford-style relaxation restricted to IMPROVEMENTS: every
+   * node starts at 0; each round joins only the nodes whose value
+   * improved last round against the edge list and keeps strict
+   * improvements as the next frontier, so per-round work is
+   * frontier-proportional (on a DAG the frontier drains in at most
+   * longest-chain rounds — log-depth for the multiplicative DAGs
+   * here). Rounds materialize to scratch parquet (the pageRank
+   * lineage-truncation trade, measured there).
+   *
+   * A graph with a REACHABLE CYCLE never converges (a positive-weight
+   * cycle improves forever): `maxRounds` exhaustion with a non-empty
+   * frontier THROWS rather than returning a truncated answer — the
+   * fail-loud cycle guard, never an undercount (B55/B107 rule).
+   *
+   * Output: (id, critical_len) for every node, sources at 0. */
+  def criticalPath(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val scratch = s"${graft.Scratch.root(spark)}/cpath_${callSeq.incrementAndGet()}"
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$scratch/$name")
+      spark.read.parquet(s"$scratch/$name")
+    }
+    val e = materialize(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"), col(wCol).cast("long").as("w")), "edges")
+    val nodes = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+    var best = materialize(nodes.withColumn("len", lit(0L)), "best_0")
+    var frontier = best
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      val cand = frontier.join(e, frontier("id") === e("u"))
+        .groupBy(col("v").as("id"))
+        .agg(max(col("len") + col("w")).as("cand_len"))
+      val joined = best.join(cand, Seq("id"), "left")
+      val nextBest = materialize(joined.select(col("id"),
+        greatest(col("len"), coalesce(col("cand_len"), lit(Long.MinValue)))
+          .as("len")), s"best_$round")
+      frontier = materialize(joined
+        .filter(col("cand_len") > col("len"))
+        .select(col("id"), col("cand_len").as("len")), s"frontier_$round")
+      best = nextBest
+    }
+    require(frontier.isEmpty,
+      s"criticalPath: still improving after maxRounds=$maxRounds — " +
+        "a cycle is reachable, or the DAG is deeper than maxRounds; " +
+        "this operator refuses to undercount")
+    val result = materialize(best.select(col("id"), col("len").as("critical_len")),
+      "result")
+    dropAllBut(spark, scratch, "result")
+    result
+  }
+
+  /** Cycle census of a FUNCTIONAL graph (every node has exactly one
+   * out-edge — retry chains, "next state" tables, symlink/alias maps,
+   * hash-chain audits): which nodes lie on a cycle, and the size of
+   * each cycle, labeled by its minimum member.
+   *
+   * Pointer doubling, the scale-correct formulation: T = ⌈log₂ n⌉
+   * rounds of self-joins carry (jump 2^t steps ahead, min id seen in
+   * those 2^t steps). After T rounds every walk of length 2^T ≥ n has
+   * entered its terminal cycle and wrapped it at least once, so:
+   *   - a node is ON a cycle iff it appears in the image of jump_T
+   *     restricted to... equivalently iff min-over-walk from the
+   *     node's SUCCESSOR window equals the node's own cycle minimum —
+   *     cheaper: x is on a cycle iff jump_T(x) reaches x again within
+   *     the cycle; we use the standard image argument: the image of
+   *     jump_T is exactly the set of on-cycle nodes (every tail has
+   *     been walked past; a cycle maps onto itself).
+   *   - for an on-cycle node, mn_T = min of its whole cycle (the walk
+   *     wrapped), giving the cycle label with NO extra pass.
+   * Total work O(n log n) rows through equi-joins — never a
+   * step-by-step O(n · cycle-length) walk.
+   *
+   * Output: one row per cycle — (cycle_id = min member, size). */
+  def cycleStats(next: DataFrame, idCol: String, nextCol: String,
+      maxNodesLog2: Int = 48): DataFrame = {
+    val spark = next.sparkSession
+    val scratch = s"${graft.Scratch.root(spark)}/cyc_${callSeq.incrementAndGet()}"
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$scratch/$name")
+      spark.read.parquet(s"$scratch/$name")
+    }
+    var cur = materialize(next.select(col(idCol).cast("long").as("id"),
+      col(nextCol).cast("long").as("jump"),
+      least(col(idCol).cast("long"), col(nextCol).cast("long")).as("mn")),
+      "round_0")
+    val n = cur.count()
+    val rounds = math.min(maxNodesLog2,
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))).toInt
+    for (t <- 1 to rounds) {
+      val hop = cur.select(col("id").as("jid"), col("jump").as("j2"),
+        col("mn").as("mn2"))
+      cur = materialize(
+        cur.join(hop, cur("jump") === hop("jid"))
+          .select(col("id"), col("j2").as("jump"),
+            least(col("mn"), col("mn2")).as("mn")),
+        s"round_$t")
+    }
+    // image of jump_T = the on-cycle set; mn there = the cycle min
+    val result = materialize(
+      cur.select(col("jump").as("id")).distinct()
+        .join(cur, Seq("id"))
+        .groupBy(col("mn").as("cycle_id"))
+        .agg(count(lit(1)).as("size")),
+      "result")
+    dropAllBut(spark, scratch, "result")
+    result
+  }
 }

@@ -519,4 +519,83 @@ object Ann {
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "vec_id", "cos")
   }
+
+  /** Exploded integer-micros view of an embedding table:
+   * (id, dim, micro) with micro = round(x · 10⁶). Exact distances in
+   * 64-bit integer space — float dot-product reduction order is not
+   * replayable evidence (the C71/C74 discipline). */
+  private def microDims(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        round(col("x") * 1000000d, 0).cast("long").as("micro"))
+
+  /** MMR (maximal-marginal-relevance) diversified re-rank — the
+   * redundancy-aware selection a RAG context window needs: the plain
+   * top-k of a clustered corpus returns k near-copies; MMR greedily
+   * picks the candidate balancing closeness to the QUERY against
+   * distance from what is ALREADY SELECTED. λ is fixed at 1/2 so the
+   * objective doubles into pure integers: pick argmax of
+   * (min_{j∈S} d²(i,j)) − d²(q,i), ties to the smaller id; the first
+   * pick is the plain nearest neighbor (S empty → separation term
+   * dropped on both engines).
+   *
+   * Scale shape: the corpus-sized work is candidate generation (the
+   * `poolK` exact scorer here; the C7 IVF path at index scale) and
+   * the poolK² pairwise-distance self-join — both distributed. The
+   * greedy loop itself runs driver-side over the collected poolK²
+   * integer matrix: selection state is quadratic in a user-chosen
+   * constant (the quantizer-state precedent), NEVER corpus-sized,
+   * and the loop is inherently sequential (pick t depends on picks
+   * 1..t−1) — distributing it would serialize anyway.
+   *
+   * Output: (sel_rank, vec_id, dist_q, gain) — gain is the doubled
+   * MMR objective at selection time (separation − relevance), NULL
+   * for the first pick where no separation term exists. */
+  def mmrRerank(corpus: DataFrame, probe: DataFrame, idCol: String,
+      vecCol: String, poolK: Int, selectK: Int): DataFrame = {
+    require(selectK >= 1 && poolK >= selectK, "mmrRerank: need poolK >= selectK >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = microDims(Dedup.spread(corpus), idCol, vecCol)
+    val p = microDims(probe, idCol, vecCol)
+      .select(col("id").as("pid"), col("dim"), col("micro").as("pm"))
+    // exact top-poolK candidates by squared distance to the probe
+    val dq = m.join(broadcast(p), Seq("dim"))
+      .filter(col("id") =!= col("pid"))
+      .groupBy("id")
+      .agg(sum((col("micro") - col("pm")) * (col("micro") - col("pm"))).as("dq"))
+    // TakeOrdered (per-partition heads + poolK-row driver merge) —
+    // never a global single-partition rank over the corpus-sized dq
+    val pool = dq.orderBy(col("dq"), col("id")).limit(poolK).select("id", "dq")
+    // pairwise distances AMONG the pool: poolK²-bounded self-join on dim
+    val pm = m.join(broadcast(pool.select("id")), Seq("id"))
+    val pairs = pm.join(
+        broadcast(pm.select(col("id").as("id2"), col("dim"), col("micro").as("m2"))),
+        Seq("dim"))
+      .filter(col("id") < col("id2"))
+      .groupBy("id", "id2")
+      .agg(sum((col("micro") - col("m2")) * (col("micro") - col("m2"))).as("d"))
+    val cand = pool.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sep = pairs.collect().map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      Set((a, b) -> r.getLong(2), (b, a) -> r.getLong(2))
+    }.flatten.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
+    val rest = scala.collection.mutable.SortedSet.empty[Long] ++ cand.keys
+    while (picked.size < selectK) {
+      val choice =
+        if (picked.isEmpty) rest.minBy(i => (cand(i), i))
+        else rest.minBy { i =>
+          val minSep = picked.map(s => sep(i -> s._1)).min
+          (-(minSep - cand(i)), i) // maximize separation − relevance
+        }
+      val gain = if (picked.isEmpty) None
+        else Some(picked.map(s => sep(choice -> s._1)).min - cand(choice))
+      picked += ((choice, cand(choice), gain))
+      rest -= choice
+    }
+    picked.zipWithIndex.map { case ((id, d, g), i) =>
+      ((i + 1).toLong, id, d, g)
+    }.toSeq.toDF("sel_rank", "vec_id", "dist_q", "gain")
+  }
 }

@@ -241,6 +241,42 @@ object Snapshot {
     doomed
   }
 
+  /** Version catalog (A31) — the introspection a data platform's
+   * "datasets" page serves: one row per (version, table) with its row
+   * count, whether the manifest currently names the version, and the
+   * tags naming it (comma-joined, sorted). Orphan versions above the
+   * manifest appear with is_current = false and no tags — disk state
+   * an operator should know exists (the A30 erasure obligation, the
+   * vacuum candidates). Scale: namespace listings plus one COUNT per
+   * table — an un-filtered parquet count is answered from file
+   * footers, no data pages read; the catalog itself is governance
+   * metadata (versions × tables), driver-sized by construction. */
+  def catalog(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val tagsByVersion = f.listStatus(rootPath)
+      .filter(_.isFile).map(_.getPath.getName)
+      .collect { case n if n.startsWith("TAG.") && !n.startsWith("TAG.tmp.") =>
+        n.drop(4) }
+      .map(t => tagVersion(spark, root, t) -> t)
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sorted.mkString(",") }
+    val rows = f.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .sorted.toSeq.flatMap { v =>
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v$v"))
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.matches("[A-Za-z0-9_]+")) // publish-safe names only
+          .sorted.toSeq.map { tbl =>
+            val n = spark.read.parquet(s"$root/v$v/$tbl").count()
+            (v, tbl, n, v == cur, tagsByVersion.getOrElse(v, ""))
+          }
+      }
+    rows.toDF("version", "table_name", "n_rows", "is_current", "tags")
+  }
+
   /** Right-to-erasure across history (A30) — remove every row whose
    * `keyCol` value appears in `keys` from EVERY on-disk version of
    * `table`: retained, tag-protected, and crashed-publish orphans

@@ -257,4 +257,40 @@ class AnnSpec extends AnyFunSuite {
     assert(!new java.io.File(path).listFiles().exists(_.getName.contains("__compact")),
       "compaction must clean up its tmp/bak siblings")
   }
+
+  test("mmrRerank diversifies: an exact duplicate of the first pick loses to a farther distinct vector") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0f, 0f)),   // probe
+      (1L, Array(1f, 0f)),   // nearest
+      (2L, Array(1f, 0f)),   // exact duplicate of 1 — zero separation
+      (3L, Array(0f, 2f)))   // farther but distinct
+      .toDF("vec_id", "embedding")
+    val got = Ann.mmrRerank(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", poolK = 3, selectK = 2)
+      .orderBy("sel_rank")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // pick 1: nearest, id tie-break → 1 (dq = 1e12); pick 2: the dup's
+    // gain is 0 − 1e12, vector 3's is d(3,1) − dq(3) = 5e12 − 4e12
+    assert(got.map(_._2) == Seq(1L, 3L))
+    assert(got.head._3 == 1000000L * 1000000L)
+    assert(got.head._4.isEmpty && got(1)._4.contains(1000000000000L))
+  }
+
+  test("mmrRerank first pick ties break to the smaller id and pool bounds hold") {
+    import spark.implicits._
+    val vecs = Seq(
+      (9L, Array(0f)), (5L, Array(1f)), (4L, Array(1f)), (7L, Array(3f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.mmrRerank(vecs, vecs.filter($"vec_id" === 9L),
+        "vec_id", "embedding", poolK = 2, selectK = 2)
+      .orderBy("sel_rank")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // pool of 2 = {4, 5} (equal dq, id ties); 7 is outside the pool
+    assert(got.map(_._2) == Seq(4L, 5L))
+    intercept[IllegalArgumentException] {
+      Ann.mmrRerank(vecs, vecs.filter($"vec_id" === 9L),
+        "vec_id", "embedding", poolK = 1, selectK = 2)
+    }
+  }
 }

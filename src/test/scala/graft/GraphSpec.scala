@@ -217,4 +217,39 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("longer than maxDepth"))
   }
+
+  test("criticalPath takes the longest route through a diamond") {
+    // 1→2 (3), 1→3 (2), 2→4 (4), 3→4 (10): best into 4 is 2+10=12
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 2L), (2L, 4L, 4L), (3L, 4L, 10L))
+      .toDF("u", "v", "w")
+    val got = Graph.criticalPath(edges, "u", "v", "w")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 3L), (3L, 2L), (4L, 12L)))
+  }
+
+  test("criticalPath fails loudly on a reachable cycle instead of undercounting") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("u", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graph.criticalPath(edges, "u", "v", "w", maxRounds = 8)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("cycleStats finds each terminal cycle with its min label and size") {
+    // 5→4→3, cycle 3→1→2→3, self-loop 6→6
+    val nxt = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 3L), (5L, 4L), (6L, 6L))
+      .toDF("id", "n")
+    val got = Graph.cycleStats(nxt, "id", "n")
+      .orderBy("cycle_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (6L, 1L)))
+  }
+
+  test("cycleStats on a pure permutation reports every node on a cycle") {
+    // two disjoint cycles: (10 20 30) and (40 50)
+    val nxt = Seq((10L, 20L), (20L, 30L), (30L, 10L), (40L, 50L), (50L, 40L))
+      .toDF("id", "n")
+    val got = Graph.cycleStats(nxt, "id", "n")
+      .orderBy("cycle_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 3L), (40L, 2L)))
+  }
 }

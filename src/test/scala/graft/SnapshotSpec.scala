@@ -227,4 +227,22 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Snapshot.readAll(spark, root, Seq.empty))
   }
+
+  test("catalog lists every (version, table) with counts, currency, tags, and orphans") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root,
+      Map("a" -> Seq(1L, 2L, 3L).toDF("x"), "b" -> Seq(10L).toDF("y")))
+    Snapshot.publish(spark, root, Map("a" -> Seq(4L, 5L).toDF("x")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.tag(spark, root, "audit", 1L)
+    // crashed publish: v3 data landed, manifest never flipped
+    Seq(99L).toDF("x").write.parquet(s"$root/v3/a")
+    val rows = Snapshot.catalog(spark, root)
+      .as[(Long, String, Long, Boolean, String)].collect().toList.sorted
+    assert(rows == List(
+      (1L, "a", 3L, false, "audit,prod"),
+      (1L, "b", 1L, false, "audit,prod"),
+      (2L, "a", 2L, true, ""),
+      (3L, "a", 1L, false, "")))
+  }
 }
