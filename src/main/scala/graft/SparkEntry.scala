@@ -3539,6 +3539,27 @@ object SparkEntry {
    * output is the exact batch as-of relation; the oracle replays it
    * as a last-non-null window over the same total order.
    * StreamingSpec pins cross-batch state carry. */
+  /** D25 (r14): live peak-concurrency gauge
+   * ([[graft.streaming.EventStream.concurrencyStream]]) — the
+   * streaming twin of the B63 batch sweep: per-hour peak open
+   * sessions, emitted as each hour's watermark closes. The batch
+   * sweep's carry-in chain is unusable online, so the stream clips
+   * every interval into self-contained per-bucket pieces (each piece
+   * opens AND closes inside its bucket; boundary −1s belong to the
+   * bucket they close; −1 before +1 at equal instants) — levels
+   * identical to the batch sweep at every instant, per-bucket state
+   * bounded by the bucket's own traffic. Batch mode = the exact
+   * relation; the oracle replays the piece decomposition
+   * independently in SQL. */
+  private def qConcurrencyLive(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = withEventTime(t(s, dir, "events")).select(col("ts"))
+    graft.streaming.EventStream.concurrencyStream(ev, "ts", hourUs, hourUs)
+      .toDF()
+      .select(col("bucket").as("hour_idx"), col("peak"), col("n_pieces"))
+      .orderBy("hour_idx")
+  }
+
   private def qStreamAsof(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = withEventTime(t(s, dir, "events"))
@@ -6229,6 +6250,7 @@ object SparkEntry {
     "q_interval_relations" -> qIntervalRelations,
     "q_kendall_trend" -> qKendallTrend,
     "q_stream_asof" -> qStreamAsof,
+    "q_concurrency_live" -> qConcurrencyLive,
     "q_erase_history" -> qEraseHistory,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_hard_negatives" -> qHardNegatives,
@@ -8945,6 +8967,25 @@ object SparkEntry {
     // GLOBAL running sum over all endpoint deltas (the sequential
     // textbook sweep), per-hour max — equality proves the Spark
     // side's segmented two-level prefix sum decomposes it exactly.
+    // the self-contained piece decomposition replayed: intervals
+    // clipped per bucket, −1 before +1 at equal instants, per-bucket
+    // max prefix from level 0.
+    "q_concurrency_live" ->
+      """WITH e AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + 3600000000 AS e
+           FROM events),
+         bks AS (SELECT s, e, u.b AS b
+           FROM e, UNNEST(range(s // 3600000000, (e - 1) // 3600000000 + 1))
+             AS u(b)),
+         p AS (SELECT b, GREATEST(s, b * 3600000000) AS ps,
+             LEAST(e, (b + 1) * 3600000000) AS pe FROM bks),
+         d AS (SELECT b, ps AS t, 1 AS dd FROM p
+               UNION ALL SELECT b, pe, -1 FROM p),
+         r AS (SELECT b, t, dd, SUM(dd) OVER (PARTITION BY b ORDER BY t, dd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+           FROM d)
+         SELECT b AS hour_idx, CAST(MAX(rs) AS BIGINT) AS peak,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_pieces
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q_peak_concurrency" ->
       """WITH e AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + 3600000000 AS t_end
            FROM events),

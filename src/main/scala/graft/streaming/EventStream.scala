@@ -8,6 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
     event_type: String, value: Double)
 
+/** Per-bucket peak-concurrency row from [[EventStream.concurrencyStream]]
+ * (D25): `peak` open intervals at any instant inside the bucket,
+ * `n_pieces` bucket-clipped interval pieces that contributed. */
+case class BucketPeak(bucket: Long, peak: Long, n_pieces: Long)
+
+private case class ConcBuf(ts: Seq[Long], ds: Seq[Long], bucketEndUs: Long)
+
 /** A closed gap-session emitted by the stateful sessionizer. */
 case class Session(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
@@ -1058,5 +1065,91 @@ object EventStream {
         "left_outer")
       .filter(col(rightKey).isNull)
       .select(left.columns.map(col): _*)
+  }
+
+  /** Live peak-concurrency gauge (D25) — the streaming twin of the
+   * batch sweep line ([[graft.operators.Sweep.peakConcurrent]], B63):
+   * "how many sessions were open at once, per hour", emitted as each
+   * hour closes under the watermark.
+   *
+   * The batch sweep's carry-in chain (every bucket's level depends on
+   * ALL prior buckets) is unusable online, so the stream uses the
+   * SELF-CONTAINED decomposition: each interval [s, s+len) is clipped
+   * to the buckets it covers, and every piece opens (+1) and closes
+   * (−1) INSIDE its own bucket — a bucket's peak is then the max
+   * prefix of just its own deltas from level 0, no cross-bucket
+   * state. A −1 landing exactly on a bucket boundary belongs to the
+   * bucket it CLOSES ((t−1) div H), and equal-instant deltas order
+   * −1 before +1 (end-exclusive), both mirrored in the oracle, so the
+   * levels are identical to the batch sweep's at every instant.
+   *
+   * State per open bucket is its own piece-delta buffer — bounded by
+   * the bucket's traffic, evicted at watermark (the exact buffer a
+   * batch sweep would shuffle to that bucket's task anyway); pieces
+   * per interval are bounded by `maxSpanBuckets` (an interval longer
+   * than that fails loudly at the decompose — never a silent explode).
+   * Late pieces after their bucket finalized are dropped on the
+   * floor like heavyHitters' stragglers (the timeout already fired;
+   * re-registering a past timeout kills the query). Batch mode: the
+   * same code path sweeps each group directly — the unified twin the
+   * oracle replays. */
+  def concurrencyStream(events: DataFrame, tsCol: String, lenUs: Long,
+      bucketUs: Long, watermark: String = "2 hours",
+      maxSpanBuckets: Int = 4): Dataset[BucketPeak] = {
+    require(lenUs > 0 && bucketUs > 0, "lenUs and bucketUs must be positive")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val pieces = events
+      .withWatermark(tsCol, watermark) // no-op in batch
+      .select(unix_micros(col(tsCol)).as("s"), col(tsCol).as("ts"))
+      .withColumn("e", col("s") + lenUs)
+      .withColumn("b0", expr(s"s div ${bucketUs}L"))
+      .withColumn("b1", expr(s"(e - 1) div ${bucketUs}L"))
+      .withColumn("b1", when(col("b1") - col("b0") < maxSpanBuckets, col("b1"))
+        .otherwise(raise_error(concat(lit(
+          s"concurrencyStream: interval spans more than $maxSpanBuckets " +
+            "buckets at s="), col("s").cast("string")))))
+      .select(explode(expr("sequence(b0, b1)")).as("b"), col("s"), col("e"),
+        col("ts"))
+      .withColumn("ps", greatest(col("s"), expr(s"b * ${bucketUs}L")))
+      .withColumn("pe", least(col("e"), expr(s"(b + 1) * ${bucketUs}L")))
+      .select(col("b"), explode(array(
+          struct(col("ps").as("t"), lit(1L).as("d")),
+          struct(col("pe").as("t"), lit(-1L).as("d")))).as("td"),
+        ((col("b") + 1L) * bucketUs).as("bend"), col("ts"))
+      .select(col("b"), col("td.t").as("t"), col("td.d").as("d"), col("bend"),
+        col("ts"))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    def sweep(bucket: Long, buf: ConcBuf): BucketPeak = {
+      val sorted = buf.ts.zip(buf.ds).sortBy(identity)
+      var (run, peak) = (0L, 0L)
+      for ((_, d) <- sorted) { run += d; if (run > peak) peak = run }
+      BucketPeak(bucket, peak, buf.ts.size / 2)
+    }
+    def fn(bucket: Long, batch: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+        state: GroupState[ConcBuf]): Iterator[BucketPeak] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(b => Iterator.single(sweep(bucket, b)))
+          .getOrElse(Iterator.empty)
+        state.remove()
+        out
+      } else {
+        var buf = state.getOption.getOrElse(ConcBuf(Nil, Nil, 0L))
+        batch.foreach { case (_, t, d, bend, _) =>
+          buf = ConcBuf(buf.ts :+ t, buf.ds :+ d, bend)
+        }
+        if (streaming) {
+          if (buf.bucketEndUs / 1000L <= state.getCurrentWatermarkMs())
+            Iterator.empty // straggler for an already-finalized bucket
+          else {
+            state.update(buf)
+            state.setTimeoutTimestamp(buf.bucketEndUs / 1000L)
+            Iterator.empty
+          }
+        } else Iterator.single(sweep(bucket, buf))
+      }
+    }
+    pieces.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -1019,4 +1019,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want && want.exists(_.is_anomaly))
     } finally q.stop()
   }
+
+  test("concurrencyStream finalizes a bucket's peak under watermark; cross-bucket pieces stay self-contained") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // hour-aligned base so bucket boundaries are explicit
+    val baseMs = 472223L * 3600000L
+    def tsh(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    val b0 = (baseMs * 1000L) / 3600000000L
+    val in = MemoryStream[java.sql.Timestamp]
+    val q = EventStream.concurrencyStream(in.toDF().withColumnRenamed("value", "ts"),
+        "ts", lenUs = 30L * 60000000L, bucketUs = 3600000000L,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("conc").outputMode("append").start()
+    try {
+      // [0,30) and [10,40) overlap → peak 2 in bucket b0
+      in.addData(tsh(0), tsh(10))
+      q.processAllAvailable()
+      // [50,80) spans b0 and b0+1: piece [50,60) in b0, [60,80) in b0+1
+      in.addData(tsh(50))
+      q.processAllAvailable()
+      assert(spark.table("conc").isEmpty, "bucket must not emit while open")
+      // watermark to min 70 (130 − 60): closes b0 (end 60), not b0+1
+      in.addData(tsh(130))
+      q.processAllAvailable()
+      val rows = spark.table("conc")
+        .as[graft.streaming.BucketPeak].collect().map(r => r.bucket -> r).toMap
+      assert(rows.keySet == Set(b0))
+      assert(rows(b0).peak == 2L && rows(b0).n_pieces == 3L)
+      // close b0+1: its only piece [60,80) has peak 1
+      in.addData(tsh(260))
+      q.processAllAvailable()
+      val r1 = spark.table("conc").as[graft.streaming.BucketPeak]
+        .collect().map(r => r.bucket -> r).toMap
+      assert(r1(b0 + 1).peak == 1L && r1(b0 + 1).n_pieces == 1L)
+    } finally q.stop()
+  }
+
+  test("concurrencyStream batch twin equals the brute-force max open count per bucket") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val hourUs = 3600000000L
+    val tss = (1 to 300).map(_ =>
+      new java.sql.Timestamp(1700000000000L + rnd.nextInt(10 * 3600 * 1000).toLong))
+    val df = tss.toDF("ts")
+    val got = EventStream.concurrencyStream(df, "ts", hourUs, hourUs)
+      .collect().map(p => p.bucket -> p.peak).toMap
+    // ground truth: for each emitted bucket, the max over its critical
+    // instants (bucket start + every endpoint inside it) of the number
+    // of intervals open (end-exclusive) at that instant
+    val iv = tss.map(t => (t.getTime * 1000L, t.getTime * 1000L + hourUs))
+    def openAt(t: Long) = iv.count { case (s, e) => s <= t && t < e }.toLong
+    got.foreach { case (b, peak) =>
+      val instants = (b * hourUs) +:
+        iv.flatMap { case (s, e) => Seq(s, e) }
+          .filter(t => t >= b * hourUs && t < (b + 1) * hourUs)
+      val want = instants.map(openAt).max
+      assert(peak == want, s"bucket $b: got $peak want $want")
+    }
+    // and every bucket any interval covers is emitted
+    val covered = iv.flatMap { case (s, e) =>
+      (s / hourUs) to ((e - 1) / hourUs) }.toSet
+    assert(got.keySet == covered)
+  }
 }
