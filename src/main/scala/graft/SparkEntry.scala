@@ -2269,6 +2269,34 @@ object SparkEntry {
       .orderBy("version", "c_nationkey")
   }
 
+  /** A32 (r14): zero-copy incremental publish
+   * ([[graft.sinks.Snapshot.publishLinked]]) — v2 rewrites only the
+   * filtered facts; dims carry forward as a link to their v1 physical
+   * home (one sidecar line instead of a table copy — at warehouse
+   * scale the difference between a pointer flip and re-writing
+   * 100 TB). The query then vacuums at keepLast = 1 — v1 MUST survive
+   * (the serving version links into it; n_vacuumed pins 0) — and
+   * reads the head back through the link for a segment rollup the
+   * oracle recomputes from source. */
+  private def qLinkedPublish(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/linked_${sinkSeq.incrementAndGet()}"
+    val facts = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      cents(col("o_totalprice")).as("c"))
+    val dims = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    graft.sinks.Snapshot.publish(s, root, Map("facts" -> facts, "dims" -> dims))
+    val (_, linked) = graft.sinks.Snapshot.publishLinked(s, root,
+      Map("facts" -> facts.filter(col("o_orderkey") % 2 === 0)))
+    val deleted = graft.sinks.Snapshot.vacuum(s, root, keepLast = 1)
+    val (pv, ts) = graft.sinks.Snapshot.readAll(s, root, Seq("facts", "dims"))
+    ts("facts").join(ts("dims"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum("c").as("rev_cents"))
+      .withColumn("pinned_version", lit(pv))
+      .withColumn("dims_home", lit(linked("dims")))
+      .withColumn("n_vacuumed", lit(deleted.size.toLong))
+      .orderBy("c_mktsegment")
+  }
+
   /** A31 (r14): snapshot version catalog
    * ([[graft.sinks.Snapshot.catalog]]) — the datasets-page
    * introspection row: two published versions with different table
@@ -6262,6 +6290,7 @@ object SparkEntry {
     "q_critical_path" -> qCriticalPath,
     "q_cycle_census" -> qCycleCensus,
     "q_snapshot_catalog" -> qSnapshotCatalog,
+    "q_linked_publish" -> qLinkedPublish,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_funnel_live" -> qFunnelLive,
@@ -9779,6 +9808,20 @@ object SparkEntry {
          FROM d JOIN e ON d.digit = e.digit ORDER BY d.digit""",
     // every count recomputed from the source; version/table/tag
     // layout is the query's own fixed construction.
+    // v2 = even orders joined v1 dims (served through the link);
+    // lineage constants pinned: version 2, dims homed at v1, vacuum
+    // deleted nothing (v1 link-protected).
+    "q_linked_publish" ->
+      """SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           CAST(2 AS BIGINT) AS pinned_version,
+           CAST(1 AS BIGINT) AS dims_home,
+           CAST(0 AS BIGINT) AS n_vacuumed
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 2 = 0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_snapshot_catalog" ->
       """SELECT * FROM (
            SELECT CAST(1 AS BIGINT) AS version, 'cust' AS table_name,

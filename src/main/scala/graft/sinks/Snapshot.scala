@@ -97,6 +97,108 @@ object Snapshot {
     }
   }
 
+  /** Per-version link sidecar (`v<N>/_LINKS`): `table<TAB>version`
+   * lines naming the PHYSICAL home version of tables this version
+   * carries by reference. Underscore-prefixed, so Spark and the
+   * catalog's directory listing both ignore it as data. */
+  private def linksOf(spark: SparkSession, root: String, v: Long): Map[String, Long] = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/v$v/_LINKS")
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val Array(t, sv) = line.split("\t")
+          t -> sv.toLong
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** The physical directory serving `table` at version `v`: the
+   * version's own dir when the table was written there, else the link
+   * target's dir. Fails loudly when the version carries the table
+   * neither way. */
+  private def resolveTableDir(spark: SparkSession, root: String,
+      v: Long, table: String): String = {
+    val f = fs(spark, root)
+    val own = new org.apache.hadoop.fs.Path(s"$root/v$v/$table")
+    if (f.exists(own)) own.toString
+    else linksOf(spark, root, v).get(table) match {
+      case Some(sv) => s"$root/v$sv/$table"
+      case None => throw new IllegalArgumentException(
+        s"snapshot read: v$v carries no table '$table' (not written, not linked)")
+    }
+  }
+
+  /** Tables a version serves: physically written dirs plus links. */
+  private def tablesOf(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val own = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v$v"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("[A-Za-z0-9_]+")).toSeq
+    (own ++ linksOf(spark, root, v).keys).distinct.sorted
+  }
+
+  /** Zero-copy incremental publish (A32) — write ONLY the changed
+   * tables; every other table of the current version is carried
+   * forward BY REFERENCE (a `_LINKS` sidecar entry naming its physical
+   * home version). [[publish]] rewrites every table on every version —
+   * at warehouse scale a nightly flip of one small dim would copy the
+   * 100 TB fact table; here the unchanged fact costs one sidecar line.
+   *
+   * - Links are FLATTENED at publish time: carrying forward a table
+   *   that is itself a link copies the link's target, so every link is
+   *   one hop and the vacuum protection set needs no traversal chain.
+   * - Readers are oblivious: [[read]]/[[readAll]]/[[readTag]] resolve
+   *   through the sidecar; pruning/pushdown hit the physical parquet
+   *   exactly as before.
+   * - [[vacuum]] protects link TARGETS of every surviving version
+   *   (including crashed-publish orphans — an in-flight publisher may
+   *   still flip them), iterated to a fixpoint so a rescued version's
+   *   own targets are rescued too.
+   * - [[eraseKeys]] rewrites physical homes only — every linking
+   *   version observes the scrubbed bytes through the same dir, so
+   *   erasure stays single-copy too.
+   *
+   * Returns (newVersion, linked table → its physical home version). */
+  def publishLinked(
+      spark: SparkSession,
+      root: String,
+      changed: Map[String, DataFrame]): (Long, Map[String, Long]) = {
+    require(changed.nonEmpty, "snapshot publishLinked: no tables")
+    changed.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"snapshot publish: unsafe table name '$n'"))
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root)
+    val next = cur + 1
+    changed.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
+    }
+    val carried: Map[String, Long] =
+      if (cur == 0L) Map.empty
+      else {
+        val prevLinks = linksOf(spark, root, cur)
+        tablesOf(spark, root, cur)
+          .filterNot(changed.contains)
+          .map(t => t -> prevLinks.getOrElse(t, cur)) // flatten to the home
+          .toMap
+      }
+    if (carried.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/v$next/_LINKS")
+      val out = f.create(p, true)
+      try out.write(carried.toSeq.sorted
+        .map { case (t, sv) => s"$t\t$sv" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    flipManifest(f, root, next)
+    (next, carried)
+  }
+
   /** A referential-integrity rule for [[publishChecked]]: every
    * non-null `factCol` value in `factTable` must exist as a `dimCol`
    * value in `dimTable` (SQL FK semantics — NULL keys pass). */
@@ -228,17 +330,35 @@ object Snapshot {
       .collect { case n if n.startsWith("TAG.") =>
         tagVersion(spark, root, n.drop(4)) }
       .toSet
-    val doomed = f.listStatus(new org.apache.hadoop.fs.Path(root))
+    val allVersions = f.listStatus(new org.apache.hadoop.fs.Path(root))
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-      .filter(v => v < floor && !protectedVersions.contains(v))
       .sorted.toSeq
-    doomed.foreach { v =>
+    // LINK-PROTECTION (A32): a version that physically homes a table
+    // some SURVIVING version carries by reference must stay — deleting
+    // it breaks every linked read with no error at vacuum time, the
+    // same silent-wrongness class as an unprotected tag. Orphans above
+    // the manifest count as survivors (an in-flight publisher may
+    // still flip them). A rescued version's own link targets need
+    // rescuing too, so iterate to a fixpoint (links are one-hop by
+    // construction, but a rescue changes the survivor set).
+    var doomed = allVersions
+      .filter(v => v < floor && !protectedVersions.contains(v)).toSet
+    var changed = true
+    while (changed) {
+      val survivors = allVersions.filterNot(doomed.contains)
+      val linkTargets = survivors.flatMap(v => linksOf(spark, root, v).values).toSet
+      val rescued = doomed.intersect(linkTargets)
+      changed = rescued.nonEmpty
+      doomed = doomed.diff(rescued)
+    }
+    val doomedSorted = doomed.toSeq.sorted
+    doomedSorted.foreach { v =>
       require(f.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true),
         s"snapshot vacuum: failed to delete v$v under $root")
     }
-    doomed
+    doomedSorted
   }
 
   /** Version catalog (A31) — the introspection a data platform's
@@ -266,13 +386,13 @@ object Snapshot {
       .map(_.getPath.getName)
       .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
       .sorted.toSeq.flatMap { v =>
-        f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v$v"))
-          .filter(_.isDirectory).map(_.getPath.getName)
-          .filter(_.matches("[A-Za-z0-9_]+")) // publish-safe names only
-          .sorted.toSeq.map { tbl =>
-            val n = spark.read.parquet(s"$root/v$v/$tbl").count()
-            (v, tbl, n, v == cur, tagsByVersion.getOrElse(v, ""))
-          }
+        // tablesOf includes link-carried tables (A32): the catalog
+        // reports the version's LOGICAL table set; counts resolve to
+        // the physical home dir either way
+        tablesOf(spark, root, v).map { tbl =>
+          val n = spark.read.parquet(resolveTableDir(spark, root, v, tbl)).count()
+          (v, tbl, n, v == cur, tagsByVersion.getOrElse(v, ""))
+        }
       }
     rows.toDF("version", "table_name", "n_rows", "is_current", "tags")
   }
@@ -366,11 +486,14 @@ object Snapshot {
       if (cur == 0L) Seq.empty
       else tables.toSeq.sorted(Ordering.by((t: (String, DataFrame)) => t._1))
         .flatMap { case (name, df) =>
-          val f = fs(spark, root)
-          val prev = new org.apache.hadoop.fs.Path(s"$root/v$cur/$name")
-          if (!f.exists(prev)) Nil // brand-new table: fine
+          // served set = written + link-carried (A32): a table the
+          // current version serves through a link is just as much a
+          // reader contract as a physically-written one
+          val prev = scala.util.Try(
+            resolveTableDir(spark, root, cur, name)).toOption
+          if (prev.isEmpty) Nil // brand-new table: fine
           else {
-            val old = spark.read.parquet(prev.toString).schema
+            val old = spark.read.parquet(prev.get).schema
             val neu = df.schema.map(x => x.name -> x.dataType).toMap
             old.flatMap { field =>
               neu.get(field.name) match {
@@ -442,7 +565,7 @@ object Snapshot {
       require(cur > 0, s"snapshot read: nothing published under $root")
       cur
     }
-    spark.read.parquet(s"$root/v$v/$table")
+    spark.read.parquet(resolveTableDir(spark, root, v, table))
   }
 
   /**

@@ -228,6 +228,87 @@ class SnapshotSpec extends AnyFunSuite {
       Snapshot.readAll(spark, root, Seq.empty))
   }
 
+  test("publishLinked carries unchanged tables by reference, readers are oblivious") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map(
+      "facts" -> Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      "dims" -> Seq((1L, "a"), (2L, "b")).toDF("k", "s")))
+    val (v2, linked) = Snapshot.publishLinked(spark, root,
+      Map("facts" -> Seq((1L, 11L)).toDF("k", "n")))
+    assert(v2 == 2L && linked == Map("dims" -> 1L))
+    // v2 serves dims through the link — identical rows, no physical dir
+    assert(Snapshot.read(spark, root, "dims").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(!new java.io.File(s"$root/v2/dims").exists())
+    assert(Snapshot.read(spark, root, "facts").as[(Long, Long)]
+      .collect().toList == List((1L, 11L)))
+    // links flatten: v3 carrying dims again points at the HOME (v1)
+    val (v3, linked3) = Snapshot.publishLinked(spark, root,
+      Map("facts" -> Seq((1L, 12L)).toDF("k", "n")))
+    assert(v3 == 3L && linked3 == Map("dims" -> 1L))
+    // catalog reports the logical table set of every version
+    val cat = Snapshot.catalog(spark, root)
+      .as[(Long, String, Long, Boolean, String)].collect().toSet
+    assert(cat.contains((2L, "dims", 2L, false, "")) &&
+      cat.contains((3L, "dims", 2L, true, "")))
+    // a version carrying a table neither written nor linked fails loudly
+    val e = intercept[IllegalArgumentException](
+      Snapshot.read(spark, root, "nosuch").collect())
+    assert(e.getMessage.contains("not written, not linked"))
+  }
+
+  test("vacuum never deletes a version a surviving link points at; rescue is transitive") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map(
+      "facts" -> Seq(1L).toDF("x"), "dims" -> Seq(10L).toDF("y")))
+    // v2: facts rewritten, dims linked to v1
+    Snapshot.publishLinked(spark, root, Map("facts" -> Seq(2L).toDF("x")))
+    // v3, v4: full publishes (no links) so v2 is unreferenced
+    Snapshot.publish(spark, root, Map(
+      "facts" -> Seq(3L).toDF("x"), "dims" -> Seq(30L).toDF("y")))
+    // v4 links dims to v3's home
+    Snapshot.publishLinked(spark, root, Map("facts" -> Seq(4L).toDF("x")))
+    // keepLast = 1: v1 is rescued (v2 links it)… but only if v2 itself
+    // survives — v2 is unreferenced and old, so v2 goes, then v1 loses
+    // its protector and goes too UNLESS something else names it. v3 is
+    // rescued because surviving v4 links to it.
+    val deleted = Snapshot.vacuum(spark, root, keepLast = 1)
+    assert(deleted == Seq(1L, 2L), s"got $deleted")
+    // v4's linked dims still resolve after the vacuum
+    assert(Snapshot.read(spark, root, "dims").as[Long].collect().toList ==
+      List(30L))
+    // rescue chain: rerunning vacuum deletes nothing further
+    assert(Snapshot.vacuum(spark, root, keepLast = 1).isEmpty)
+  }
+
+  test("publishCompatible treats link-carried tables as reader contracts") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map(
+      "facts" -> Seq(1L).toDF("x"),
+      "dims" -> Seq((1L, "a")).toDF("k", "s")))
+    Snapshot.publishLinked(spark, root, Map("facts" -> Seq(2L).toDF("x")))
+    // v2 serves dims via link; dropping its column must refuse
+    val (_, ok, violations) = Snapshot.publishCompatible(spark, root, Map(
+      "facts" -> Seq(3L).toDF("x"),
+      "dims" -> Seq(7L).toDF("k")))
+    assert(!ok && violations.exists(_.contains("'s' dropped")))
+  }
+
+  test("eraseKeys through a link: scrubbing the physical home serves every linking version") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map(
+      "facts" -> Seq(1L).toDF("x"),
+      "users" -> Seq((1L, "keep"), (2L, "erase")).toDF("k", "s")))
+    Snapshot.publishLinked(spark, root, Map("facts" -> Seq(2L).toDF("x")))
+    val touched = Snapshot.eraseKeys(spark, root, "users", "k", Seq(2L).toDF("k"))
+    // one physical home (v1) — one rewrite serves both versions
+    assert(touched == Seq(1L -> 1L))
+    assert(Snapshot.read(spark, root, "users", Some(2L)).as[(Long, String)]
+      .collect().toList == List((1L, "keep")))
+    assert(Snapshot.read(spark, root, "users", Some(1L)).as[(Long, String)]
+      .collect().toList == List((1L, "keep")))
+  }
+
   test("catalog lists every (version, table) with counts, currency, tags, and orphans") {
     val root = freshRoot()
     Snapshot.publish(spark, root,
