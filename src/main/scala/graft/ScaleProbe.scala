@@ -22,11 +22,16 @@ object ScaleProbe {
     // (milliseconds) and silently shifts the real work into whatever
     // downstream check runs the plan first.
     def timedRun(label: String)(df: => org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
-      val built = df
-      time(label)(built.write.mode("overwrite").format("noop").save())
-      built
-    }
+        : org.apache.spark.sql.DataFrame =
+      // construction runs INSIDE the timer: iterative operators
+      // (criticalPath, cycleStats, pageRank-style loops) do their work
+      // eagerly while building, and timing only the final noop write
+      // would report ~0 s for them
+      time(label) {
+        val built = df
+        built.write.mode("overwrite").format("noop").save()
+        built
+      }
 
     val docs = Tables.table(spark, dir, "documents")
     val n = 20
@@ -865,6 +870,71 @@ object ScaleProbe {
       col("n_alarm") =!= 34L || col("first_alarm_ord") =!= 66L).count()
     require(cusumBad == 0, s"cusum drift at 10M: $cusumBad keys wrong")
     println("SCALE cusum: 100k keys hit the closed-form alarm profile at 10M points")
+
+    // Critical path (B113) on the ×2/×3 DAG over 1..2M: ~1.67M edges,
+    // longest chain = log₂(2M) = 20 → the improvement-only relaxation
+    // must converge in ~21 rounds, never node-count rounds. Closed
+    // form at pure powers of two: the only path into 2^k is
+    // 1→2→…→2^k, so critical_len(2^k) = Σ_{i=1..k} (2^i mod 7 + 1).
+    val nCp = 2000000L
+    val cpKeys = spark.range(1L, nCp + 1L).toDF("n")
+    def cpEdges(k: Int) = cpKeys.filter(col("n") % k === 0L)
+      .select(expr(s"n div $k").as("u"), col("n").as("v"),
+        (col("n") % 7L + 1L).as("w"))
+    val cp = timedRun("criticalPath 2M-node DAG") {
+      graft.operators.Graph.criticalPath(
+        cpEdges(2).unionByName(cpEdges(3)), "u", "v", "w")
+    }
+    val pow2Want = (1 to 20).scanLeft((1L, 0L)) { case ((node, len), i) =>
+      val v = 1L << i; (v, len + (v % 7L) + 1L)
+    }.drop(1).toMap
+    val pow2Got = cp.filter(col("id").isin(pow2Want.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(pow2Got == pow2Want,
+      s"criticalPath drift at 2M: ${pow2Got.toSeq.sorted} vs ${pow2Want.toSeq.sorted}")
+    println("SCALE criticalPath: 2M-node DAG matches the power-of-two closed form")
+
+    // Cycle census (B114) via pointer doubling at 4M nodes (22 rounds
+    // of self-joins, never a step walk). Verified honestly: each
+    // reported cycle is re-walked step-by-step DRIVER-SIDE from its
+    // min member (rho cycles are ~√M-sized — driver-walkable) and must
+    // return in exactly `size` steps with `cycle_id` as its min.
+    val mCyc = 4000000L
+    val cycNext = spark.range(0L, mCyc).toDF("id")
+      .select(col("id"), ((col("id") * col("id") + 1L) % mCyc).as("nxt"))
+    val cyc = timedRun("cycleStats 4M-node functional graph") {
+      graft.operators.Graph.cycleStats(cycNext, "id", "nxt")
+    }
+    val cycles = cyc.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    require(cycles.nonEmpty, "cycleStats found no cycle (impossible: finite functional graph)")
+    cycles.foreach { case (c, size) =>
+      var (v, steps, mn) = ((c * c + 1L) % mCyc, 1L, c)
+      while (v != c && steps <= size) { mn = math.min(mn, v); v = (v * v + 1L) % mCyc; steps += 1 }
+      require(v == c && steps == size && mn == c,
+        s"cycleStats drift: cycle $c size $size re-walk gave steps=$steps min=$mn")
+    }
+    println(s"SCALE cycleStats: ${cycles.size} cycles re-walked exactly " +
+      s"(sizes ${cycles.map(_._2).sorted.mkString(",")})")
+
+    // Live concurrency decomposition (D25) at 10M intervals / 25 hour
+    // buckets: s = (i mod 86400) seconds over 116 replicas, len 30 min.
+    // Closed form: each second holds exactly 116 starts, a bucket's
+    // peak window covers 1800 seconds → 208,800 for buckets 0..23; the
+    // spill bucket 24 peaks at its start instant with 1799 residues.
+    val nConc = 86400L * 116L
+    val concIn = spark.range(nConc).toDF("i")
+      .select(timestamp_micros((col("i") % 86400L) * 1000000L).as("ts"))
+    val conc = timedRun("concurrencyStream batch 10M intervals") {
+      graft.streaming.EventStream.concurrencyStream(
+        concIn, "ts", 1800L * 1000000L, 3600L * 1000000L).toDF()
+    }
+    val concGot = conc.collect().map(p => p.getLong(0) -> p.getLong(1)).toMap
+    require(concGot.size == 25, s"expected 25 buckets, got ${concGot.size}")
+    (0 to 23).foreach { b => require(concGot(b.toLong) == 208800L,
+      s"bucket $b peak ${concGot(b.toLong)} != 208800") }
+    require(concGot(24L) == 1799L * 116L,
+      s"spill bucket peak ${concGot(24L)} != ${1799L * 116L}")
+    println("SCALE concurrency: 10M-interval decomposition hits the closed-form peaks")
     spark.stop()
   }
 }

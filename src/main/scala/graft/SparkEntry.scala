@@ -5439,6 +5439,74 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** C79 (r14): hybrid-retrieval flagship — the composition a
+   * production retrieval stack actually runs, end to end: lexical
+   * BM25 (C43) and exact semantic distance rankings fused by RRF
+   * (C76), the fused top-8 shortlist diversified by MMR (C77,
+   * [[graft.similarity.Ann.mmrSelectFrom]]) into the final 3-doc
+   * context. The flagship row verifies the stage contracts no
+   * per-operator oracle sees together: the rank→fusion id space, the
+   * fused-pool→MMR handoff, and the relevance/separation arithmetic
+   * across operators — the oracle replays ALL four stages (BM25
+   * closed form, micros distances, RRF, three unrolled greedy picks)
+   * in one SQL statement. */
+  private def qHybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.text.TfIdf.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("vector", "stream", "window"), 20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = t(s, dir, "embeddings")
+    val m = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        round(col("x") * 1000000d, 0).cast("long").as("micro"))
+    val p = m.filter(col("vec_id") === 0L)
+      .select(col("dim"), col("micro").as("pm"))
+    val sem = m.join(broadcast(p), Seq("dim"))
+      .filter(col("vec_id") =!= 0L)
+      .groupBy("vec_id")
+      .agg(sum((col("micro") - col("pm")) * (col("micro") - col("pm")))
+        .as("dq"))
+      .orderBy(col("dq"), col("vec_id")).limit(20)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("dq"), col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+        coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(8)
+    graft.similarity.Ann.mmrSelectFrom(emb,
+        emb.filter(col("vec_id") === 0L), fused.select("doc_id"),
+        "vec_id", "embedding", selectK = 3)
+      .join(fused.select(col("doc_id").as("vec_id"), col("rrf_ppm")), Seq("vec_id"))
+      .select("sel_rank", "vec_id", "rrf_ppm", "dist_q", "gain")
+      .orderBy("sel_rank")
+  }
+
+  /** C78 (r14): calibration curve (reliability diagram) — the
+   * companion gate to C72's ranking AUC: a signal can RANK well yet
+   * be badly calibrated, and a filter threshold chosen from its raw
+   * values then keeps the wrong mass. Ten fixed-width score buckets
+   * over the observed [min, max] (1-row broadcast bounds); per bucket
+   * the positive rate in ppm (truncating div) against the bucket's
+   * exact score sum — all integers, monotonically auditable. */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("n_chars").as("score"),
+      (col("lang") === "en").cast("long").as("pos"))
+    val bounds = d.agg(min("score").as("mn"), max("score").as("mx"))
+    d.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(expr("(score - mn) * 10 div (mx - mn + 1)"), lit(9L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+        sum("score").as("sum_score"))
+      .withColumn("pos_ppm", expr("n_pos * 1000000 div n_docs"))
+      .orderBy("bucket")
+  }
+
   /** C76 (r14): reciprocal-rank fusion — the standard hybrid-retrieval
    * merge: a lexical ranking (C43's fixed-point BM25 top-20) and a
    * semantic ranking (exact integer-micros distance to a probe
@@ -5583,6 +5651,113 @@ object SparkEntry {
       .withColumn("top100_ppm", expr("top100 * 1000000 div n_tokens"))
       .select("source", "n_tokens", "n_terms", "vocab90", "top100_ppm")
       .orderBy("source")
+  }
+
+  /** B117 (r14): Theil–Sen median trend slope per segment — the
+   * robust complement of B110's Mann-Kendall (which answers IS there
+   * a trend; this answers HOW STEEP, immune to outlier months that
+   * wreck the B102 OLS slope). Slope of every month pair in integer
+   * ppm (truncating div — both engines truncate toward zero on
+   * negatives), median picked at rank (n+1) div 2 under the total
+   * (slope, m1, m2) order. The corpus collapses to the (segment,
+   * month) cents series in ONE aggregate first; the pair join and the
+   * rank window run on that calendar-sized relation, partitioned by
+   * segment — never row-sized, never global. */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("g", "m").agg(sum("c").as("v"))
+    val a = monthly.select(col("g"), col("m").as("m1"), col("v").as("v1"))
+    val b = monthly.select(col("g").as("g2"), col("m").as("m2"), col("v").as("v2"))
+    val pairs = a.join(b, col("g") === col("g2") && col("m1") < col("m2"))
+      .select(col("g"), col("m1"), col("m2"),
+        expr("(v2 - v1) * 1000000 div (m2 - m1)").as("slope_ppm"))
+    val w = Window.partitionBy("g").orderBy("slope_ppm", "m1", "m2")
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("g"), col("n_pairs"), col("slope_ppm").as("median_slope_ppm"))
+      .orderBy("g")
+  }
+
+  /** B115 (r14): order-to-line financial reconciliation — the
+   * close-of-books audit: does each order header's total equal the sum
+   * of its line values? Line value is pinned to the COMMERCIAL
+   * convention (each line rounded to a cent before summing) in pure
+   * integer space: cents × (100 − disc%) × (100 + tax%) div 10⁴ — the
+   * percentages are scaled-integer up front so no engine ever
+   * multiplies doubles. The audit REPORTS per priority class: orders,
+   * exact matches, total and max absolute drift — synthetic headers
+   * won't reconcile, which is exactly what the report must show
+   * faithfully. Headerless/lineless orders stay in (left join,
+   * coalesce 0): a missing fact is drift, not absence. */
+  private def qReconcile(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        ((cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100d, 0).cast("long")) *
+          (lit(100L) + round(col("l_tax") * 100d, 0).cast("long")))
+          .as("num")))
+      .select(col("l_orderkey"), expr("num div 10000").as("lc"))
+      .groupBy("l_orderkey").agg(sum("lc").as("lines_cents"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("tc"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("lines_cents", coalesce(col("lines_cents"), lit(0L)))
+      .withColumn("ad", abs(col("tc") - col("lines_cents")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("ad") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum("ad").as("sum_abs_diff"), max("ad").as("max_abs_diff"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** B116 (r14): Kaplan-Meier survival curve per group — the churn /
+   * time-to-event primitive: S(t) multiplies (n_t − d_t)/n_t over
+   * event times, with censored rows leaving the risk set silently.
+   * Float KM is reduction-order-dependent; here S runs in ppm with a
+   * TRUNCATING integer multiply per step, pinned identically in the
+   * oracle's recursive CTE. Time is bucketed to 30-day months
+   * (clamped at 0), so the sequential fold runs over the CALENDAR
+   * domain: the corpus collapses to the (group, month) relation in
+   * one aggregate, at-risk counts come from a reverse prefix window
+   * over THAT, and the per-step product folds driver-side over the
+   * calendar-sized rows (the C7 quantizer-state precedent) — no
+   * corpus-sized sequential structure anywhere. */
+  private def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus").as("g"),
+        col("l_shipdate").cast("date").as("ship"),
+        (col("l_returnflag") === "R").cast("long").as("d"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("g"),
+        expr("greatest(datediff(ship, od), 0) div 30").cast("long").as("t"),
+        col("d"))
+    val byT = li.groupBy("g", "t")
+      .agg(count(lit(1)).as("n_all"), sum("d").as("deaths"))
+    val wRisk = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rows = byT.withColumn("at_risk", sum("n_all").over(wRisk))
+      .select("g", "t", "deaths", "at_risk")
+      .orderBy("g", "t")
+      .as[(String, Long, Long, Long)].collect()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+    var (curG, sPpm) = ("", 1000000L)
+    rows.foreach { case (g, tt, deaths, atRisk) =>
+      if (g != curG) { curG = g; sPpm = 1000000L }
+      sPpm = sPpm * (atRisk - deaths) / atRisk
+      out += ((g, tt, atRisk, deaths, sPpm))
+    }
+    out.toSeq.toDF("g", "t", "at_risk", "deaths", "s_ppm")
+      .orderBy("g", "t")
   }
 
   /** B112 (r14): duplicate-payment audit — the classic AP-fraud /
@@ -6287,6 +6462,11 @@ object SparkEntry {
     "q_code_switch" -> qCodeSwitch,
     "q_benford" -> qBenford,
     "q_duplicate_payments" -> qDuplicatePayments,
+    "q_reconcile" -> qReconcile,
+    "q_theil_sen" -> qTheilSen,
+    "q_hybrid_retrieval" -> qHybridRetrieval,
+    "q_survival" -> qSurvival,
+    "q_calibration" -> qCalibration,
     "q_critical_path" -> qCriticalPath,
     "q_cycle_census" -> qCycleCensus,
     "q_snapshot_catalog" -> qSnapshotCatalog,
@@ -9739,6 +9919,146 @@ object SparkEntry {
             AND MAX(CASE WHEN part = 2 THEN lang_pred END) <> 'und')
              AS is_switch
          FROM pred GROUP BY doc_id ORDER BY doc_id""",
+    // same pair slopes in truncating ppm, same (slope, m1, m2) median
+    // rank pick.
+    "q_theil_sen" ->
+      """WITH monthly AS (SELECT c_mktsegment AS g,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+                + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         pairs AS (SELECT a.g, a.m AS m1, b.m AS m2,
+             (b.v - a.v) * 1000000 // (b.m - a.m) AS slope_ppm
+           FROM monthly a JOIN monthly b ON a.g = b.g AND a.m < b.m),
+         r AS (SELECT g, slope_ppm,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope_ppm, m1, m2) AS rk,
+             COUNT(*) OVER (PARTITION BY g) AS n_pairs FROM pairs)
+         SELECT g, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_ppm AS BIGINT) AS median_slope_ppm
+         FROM r WHERE rk = (n_pairs + 1) // 2 ORDER BY g""",
+    // all four stages replayed in one statement: BM25 closed form,
+    // micros distances, RRF fusion top-8, three unrolled MMR picks.
+    "q_hybrid_retrieval" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+         sc AS (SELECT tf.doc_id,
+             (1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
+               // ((2 * df.df + 1) * (10 * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
+               AS score_ppm
+           FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g
+           WHERE term IN ('vector', 'stream', 'window')),
+         bm AS (SELECT doc_id, SUM(score_ppm) AS score FROM sc GROUP BY 1
+                ORDER BY score DESC, doc_id LIMIT 20),
+         lex AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM bm),
+         m AS (SELECT vec_id, u.i - 1 AS dim,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS micro
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         pq AS (SELECT dim, micro AS pm FROM m WHERE vec_id = 0),
+         dqall AS (SELECT m.vec_id, SUM((m.micro - pq.pm) * (m.micro - pq.pm)) AS dq
+           FROM m JOIN pq USING (dim) WHERE m.vec_id <> 0 GROUP BY 1),
+         dq20 AS (SELECT vec_id, dq FROM dqall ORDER BY dq, vec_id LIMIT 20),
+         sem AS (SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY dq, vec_id) AS sem_rank FROM dq20),
+         fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS id,
+             COALESCE(1000000 // (60 + lex_rank), 0)
+               + COALESCE(1000000 // (60 + sem_rank), 0) AS rrf_ppm
+           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+           ORDER BY rrf_ppm DESC, id LIMIT 8),
+         pool AS (SELECT f.id AS vec_id, d.dq, f.rrf_ppm
+           FROM fused f JOIN dqall d ON d.vec_id = f.id WHERE f.id <> 0),
+         pm2 AS (SELECT m.vec_id, m.dim, m.micro FROM m
+           JOIN pool USING (vec_id)),
+         pd AS (SELECT a.vec_id AS i, b.vec_id AS j,
+             SUM((a.micro - b.micro) * (a.micro - b.micro)) AS d
+           FROM pm2 a JOIN pm2 b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+         s1 AS (SELECT vec_id, dq, rrf_ppm FROM pool ORDER BY dq, vec_id LIMIT 1),
+         s2 AS (SELECT p.vec_id, p.dq, p.rrf_ppm, pd.d - p.dq AS gain
+           FROM pool p JOIN pd ON pd.i = p.vec_id
+             AND pd.j = (SELECT vec_id FROM s1)
+           WHERE p.vec_id <> (SELECT vec_id FROM s1)
+           ORDER BY gain DESC, p.vec_id LIMIT 1),
+         s3 AS (SELECT p.vec_id, p.dq, p.rrf_ppm, MIN(pd.d) - p.dq AS gain
+           FROM pool p JOIN pd ON pd.i = p.vec_id
+             AND pd.j IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+           WHERE p.vec_id NOT IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+           GROUP BY p.vec_id, p.dq, p.rrf_ppm
+           ORDER BY gain DESC, p.vec_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+           CAST(rrf_ppm AS BIGINT) AS rrf_ppm, CAST(dq AS BIGINT) AS dist_q,
+           CAST(NULL AS BIGINT) AS gain FROM s1
+         UNION ALL SELECT 2, vec_id, CAST(rrf_ppm AS BIGINT),
+           CAST(dq AS BIGINT), CAST(gain AS BIGINT) FROM s2
+         UNION ALL SELECT 3, vec_id, CAST(rrf_ppm AS BIGINT),
+           CAST(dq AS BIGINT), CAST(gain AS BIGINT) FROM s3
+         ORDER BY sel_rank""",
+    // the same commercial per-line rounding in scaled-integer space:
+    // cents × (100 − disc%) × (100 + tax%) div 10⁴ per line, then sum.
+    "q_reconcile" ->
+      """WITH lv AS (SELECT l_orderkey,
+             (CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT)
+              * (100 - CAST(round(CAST(l_discount AS DOUBLE) * 100, 0) AS BIGINT))
+              * (100 + CAST(round(CAST(l_tax AS DOUBLE) * 100, 0) AS BIGINT)))
+              // 10000 AS lc
+           FROM lineitem),
+         agg AS (SELECT l_orderkey, SUM(lc) AS lines_cents FROM lv GROUP BY 1),
+         j AS (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc,
+             COALESCE(lines_cents, 0) AS lines_cents
+           FROM orders LEFT JOIN agg ON o_orderkey = l_orderkey)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN tc = lines_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(abs(tc - lines_cents)) AS BIGINT) AS sum_abs_diff,
+           CAST(MAX(abs(tc - lines_cents)) AS BIGINT) AS max_abs_diff
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // the truncating per-step ppm product replayed as a recursive CTE
+    // over the ordered (group, month) relation.
+    "q_survival" ->
+      """WITH RECURSIVE li AS (SELECT l_linestatus AS g,
+             GREATEST(date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)), 0) // 30 AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         byt AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(d) AS BIGINT) AS deaths FROM li GROUP BY 1, 2),
+         ar AS (SELECT g, t, deaths,
+             CAST(SUM(n_all) OVER (PARTITION BY g ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS at_risk
+           FROM byt),
+         ord AS (SELECT g, t, deaths, at_risk,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS rk FROM ar),
+         km(g, t, deaths, at_risk, rk, s_ppm) AS (
+           SELECT g, t, deaths, at_risk, rk,
+             1000000 * (at_risk - deaths) // at_risk
+           FROM ord WHERE rk = 1
+           UNION ALL
+           SELECT o.g, o.t, o.deaths, o.at_risk, o.rk,
+             km.s_ppm * (o.at_risk - o.deaths) // o.at_risk
+           FROM km JOIN ord o ON o.g = km.g AND o.rk = km.rk + 1)
+         SELECT g, t, at_risk, deaths, CAST(s_ppm AS BIGINT) AS s_ppm
+         FROM km ORDER BY g, t""",
+    // same fixed-width bucketing from the observed bounds, same
+    // truncating ppm.
+    "q_calibration" ->
+      """WITH d AS (SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+         b AS (SELECT CAST(MIN(score) AS BIGINT) AS mn,
+                      CAST(MAX(score) AS BIGINT) AS mx FROM d)
+         SELECT LEAST((score - mn) * 10 // (mx - mn + 1), 9) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_ppm
+         FROM d CROSS JOIN b GROUP BY 1 ORDER BY bucket""",
     // same planted duplicates, same (custkey, cents) pair definition.
     "q_duplicate_payments" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS okey, o_custkey,

@@ -554,8 +554,6 @@ object Ann {
   def mmrRerank(corpus: DataFrame, probe: DataFrame, idCol: String,
       vecCol: String, poolK: Int, selectK: Int): DataFrame = {
     require(selectK >= 1 && poolK >= selectK, "mmrRerank: need poolK >= selectK >= 1")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val m = microDims(Dedup.spread(corpus), idCol, vecCol)
     val p = microDims(probe, idCol, vecCol)
       .select(col("id").as("pid"), col("dim"), col("micro").as("pm"))
@@ -566,7 +564,29 @@ object Ann {
       .agg(sum((col("micro") - col("pm")) * (col("micro") - col("pm"))).as("dq"))
     // TakeOrdered (per-partition heads + poolK-row driver merge) —
     // never a global single-partition rank over the corpus-sized dq
-    val pool = dq.orderBy(col("dq"), col("id")).limit(poolK).select("id", "dq")
+    val pool = dq.orderBy(col("dq"), col("id")).limit(poolK).select("id")
+    mmrSelectFrom(corpus, probe, pool, idCol, vecCol, selectK)
+  }
+
+  /** MMR selection over a CALLER-SUPPLIED candidate pool (the hybrid
+   * retrieval shape: an RRF-fused or index-generated shortlist feeds
+   * the diversifier). Same objective, output, and scale shape as
+   * [[mmrRerank]]; the pool relation must be bounded (it is collected
+   * as the greedy loop's state). */
+  def mmrSelectFrom(corpus: DataFrame, probe: DataFrame, poolIds: DataFrame,
+      idCol: String, vecCol: String, selectK: Int): DataFrame = {
+    require(selectK >= 1, "mmrSelectFrom: need selectK >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = microDims(Dedup.spread(corpus), idCol, vecCol)
+    val p = microDims(probe, idCol, vecCol)
+      .select(col("id").as("pid"), col("dim"), col("micro").as("pm"))
+    val ids = poolIds.select(col(poolIds.columns.head).cast("long").as("id"))
+    val pool = m.join(broadcast(ids), Seq("id"))
+      .join(broadcast(p), Seq("dim"))
+      .filter(col("id") =!= col("pid"))
+      .groupBy("id")
+      .agg(sum((col("micro") - col("pm")) * (col("micro") - col("pm"))).as("dq"))
     // pairwise distances AMONG the pool: poolK²-bounded self-join on dim
     val pm = m.join(broadcast(pool.select("id")), Seq("id"))
     val pairs = pm.join(
@@ -576,6 +596,8 @@ object Ann {
       .groupBy("id", "id2")
       .agg(sum((col("micro") - col("m2")) * (col("micro") - col("m2"))).as("d"))
     val cand = pool.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(cand.size >= selectK,
+      s"mmrSelectFrom: pool has ${cand.size} scoreable candidates < selectK=$selectK")
     val sep = pairs.collect().map { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
       Set((a, b) -> r.getLong(2), (b, a) -> r.getLong(2))

@@ -1134,10 +1134,17 @@ object EventStream {
         state.remove()
         out
       } else {
-        var buf = state.getOption.getOrElse(ConcBuf(Nil, Nil, 0L))
-        batch.foreach { case (_, t, d, bend, _) =>
-          buf = ConcBuf(buf.ts :+ t, buf.ds :+ d, bend)
+        val prev = state.getOption.getOrElse(ConcBuf(Nil, Nil, 0L))
+        // bulk concat once per micro-batch — a per-row :+ on immutable
+        // Seqs is quadratic in the bucket's traffic
+        val (addT, addD, addEnd) = {
+          val tb = Array.newBuilder[Long]
+          val db = Array.newBuilder[Long]
+          var bend = prev.bucketEndUs
+          batch.foreach { case (_, t, d, be, _) => tb += t; db += d; bend = be }
+          (tb.result(), db.result(), bend)
         }
+        val buf = ConcBuf(prev.ts ++ addT, prev.ds ++ addD, addEnd)
         if (streaming) {
           if (buf.bucketEndUs / 1000L <= state.getCurrentWatermarkMs())
             Iterator.empty // straggler for an already-finalized bucket
