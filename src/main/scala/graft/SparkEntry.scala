@@ -2297,6 +2297,29 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** A33 (r14): storage accounting per version
+   * ([[graft.sinks.Snapshot.storageReport]]) — the chargeback /
+   * capacity view the A31 catalog's logical rows hide: how much of
+   * each version is physical vs served through A32 links. Three
+   * versions: a full publish, then two linked publishes each
+   * rewriting ONE table — the report must show exactly one physical
+   * and one linked table for both, with the linked row mass pinned.
+   * Physical bytes are codec-dependent and stay out of the oracle
+   * (SnapshotSpec asserts them). */
+  private def qStorageReport(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/storage_${sinkSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust, "nat" -> nat))
+    graft.sinks.Snapshot.publishLinked(s, root,
+      Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))
+    graft.sinks.Snapshot.publishLinked(s, root,
+      Map("nat" -> nat.filter(col("n_nationkey") < 10)))
+    graft.sinks.Snapshot.storageReport(s, root)
+      .select("version", "n_physical", "n_linked", "logical_rows", "linked_rows")
+      .orderBy("version")
+  }
+
   /** A31 (r14): snapshot version catalog
    * ([[graft.sinks.Snapshot.catalog]]) — the datasets-page
    * introspection row: two published versions with different table
@@ -3567,6 +3590,38 @@ object SparkEntry {
    * output is the exact batch as-of relation; the oracle replays it
    * as a last-non-null window over the same total order.
    * StreamingSpec pins cross-batch state carry. */
+  /** D26 (r14): streaming order reconciliation
+   * ([[graft.streaming.EventStream.reconcileStream]]) — B115's
+   * close-of-books audit run online: headers and line items
+   * interleaved on one stream, each order's verdict emitted when its
+   * event-time horizon closes. Per-order state is four longs (sums
+   * commute — arrival order across micro-batches is irrelevant), so
+   * the batch twin here is exactly the B115 per-order relation; the
+   * query closes with a one-row rollup the oracle recomputes from
+   * scratch. */
+  private def qReconcileLive(s: SparkSession, dir: String): DataFrame = {
+    val headers = t(s, dir, "orders").select(
+      col("o_orderkey").as("okey"), lit("H").as("kind"),
+      cents(col("o_totalprice")).as("cents"),
+      col("o_orderdate").cast("timestamp").as("ts"))
+    val lines = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), lit("L").as("kind"),
+      expr("""(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+            * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) div 10000""")
+        .as("cents"),
+      col("l_shipdate").cast("timestamp").as("ts"))
+    graft.streaming.EventStream.reconcileStream(
+        headers.unionByName(lines), "okey", "kind", "cents", "ts",
+        horizonUs = 365L * 86400L * 1000000L)
+      .toDF()
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("abs_diff") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum("abs_diff").as("sum_abs_diff"), max("abs_diff").as("max_abs_diff"),
+        sum(when(col("header_cents").isNull, 1L).otherwise(0L))
+          .as("n_headerless"))
+  }
+
   /** D25 (r14): live peak-concurrency gauge
    * ([[graft.streaming.EventStream.concurrencyStream]]) — the
    * streaming twin of the B63 batch sweep: per-hour peak open
@@ -6471,6 +6526,8 @@ object SparkEntry {
     "q_cycle_census" -> qCycleCensus,
     "q_snapshot_catalog" -> qSnapshotCatalog,
     "q_linked_publish" -> qLinkedPublish,
+    "q_storage_report" -> qStorageReport,
+    "q_reconcile_live" -> qReconcileLive,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
     "q_funnel_live" -> qFunnelLive,
@@ -10128,6 +10185,46 @@ object SparkEntry {
          FROM d JOIN e ON d.digit = e.digit ORDER BY d.digit""",
     // every count recomputed from the source; version/table/tag
     // layout is the query's own fixed construction.
+    // three versions of the query's own construction: full publish,
+    // then two one-table linked publishes; linked row mass recomputed.
+    "q_storage_report" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+         ce AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+                WHERE c_custkey % 2 = 0),
+         na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation),
+         nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                WHERE n_nationkey < 10)
+         SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_physical,
+           CAST(0 AS BIGINT) AS n_linked,
+           (SELECT n FROM c) + (SELECT n FROM na) AS logical_rows,
+           CAST(0 AS BIGINT) AS linked_rows
+         UNION ALL
+         SELECT 2, 1, 1, (SELECT n FROM ce) + (SELECT n FROM na),
+           (SELECT n FROM na)
+         UNION ALL
+         SELECT 3, 1, 1, (SELECT n FROM ce) + (SELECT n FROM nf),
+           (SELECT n FROM ce)
+         ORDER BY version""",
+    // B115's per-order audit replayed from scratch, then the one-row
+    // rollup; every order has exactly one header so n_headerless = 0.
+    "q_reconcile_live" ->
+      """WITH lv AS (SELECT l_orderkey,
+             (CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT)
+              * (100 - CAST(round(CAST(l_discount AS DOUBLE) * 100, 0) AS BIGINT))
+              * (100 + CAST(round(CAST(l_tax AS DOUBLE) * 100, 0) AS BIGINT)))
+              // 10000 AS lc
+           FROM lineitem),
+         agg AS (SELECT l_orderkey, SUM(lc) AS lines_cents FROM lv GROUP BY 1),
+         j AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc,
+             COALESCE(lines_cents, 0) AS lines_cents
+           FROM orders LEFT JOIN agg ON o_orderkey = l_orderkey)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN tc = lines_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(abs(tc - lines_cents)) AS BIGINT) AS sum_abs_diff,
+           CAST(MAX(abs(tc - lines_cents)) AS BIGINT) AS max_abs_diff,
+           CAST(0 AS BIGINT) AS n_headerless
+         FROM j""",
     // v2 = even orders joined v1 dims (served through the link);
     // lineage constants pinned: version 2, dims homed at v1, vacuum
     // deleted nothing (v1 link-protected).

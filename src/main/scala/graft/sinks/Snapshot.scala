@@ -397,6 +397,38 @@ object Snapshot {
     rows.toDF("version", "table_name", "n_rows", "is_current", "tags")
   }
 
+  /** Storage accounting per version (A33) — what the A31 catalog's
+   * logical view deliberately hides: how much of each version is
+   * PHYSICAL bytes vs carried by A32 links, and how many logical rows
+   * the links serve without storing. The capacity-planning /
+   * chargeback view: total logical footprint ÷ physical footprint is
+   * the dedup ratio the zero-copy publish actually bought. One row
+   * per version: physical/linked table counts, logical row total,
+   * rows served through links, and the version dir's physical bytes
+   * (bytes are engine/codec-dependent — spec-asserted, excluded from
+   * cross-engine oracles by the callers that need hash parity).
+   * Pure metadata: namespace listings + footer-only counts + one
+   * content summary per version. */
+  def storageReport(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val rows = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .sorted.toSeq.map { v =>
+        val links = linksOf(spark, root, v)
+        val tables = tablesOf(spark, root, v)
+        val counts = tables.map(t =>
+          t -> spark.read.parquet(resolveTableDir(spark, root, v, t)).count()).toMap
+        val bytes = f.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$root/v$v")).getLength
+        (v, (tables.size - links.size).toLong, links.size.toLong,
+          counts.values.sum, links.keys.map(counts).sum, bytes)
+      }
+    rows.toDF("version", "n_physical", "n_linked", "logical_rows",
+      "linked_rows", "phys_bytes")
+  }
+
   /** Right-to-erasure across history (A30) — remove every row whose
    * `keyCol` value appears in `keys` from EVERY on-disk version of
    * `table`: retained, tag-protected, and crashed-publish orphans

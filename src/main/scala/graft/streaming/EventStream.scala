@@ -15,6 +15,16 @@ case class BucketPeak(bucket: Long, peak: Long, n_pieces: Long)
 
 private case class ConcBuf(ts: Seq[Long], ds: Seq[Long], bucketEndUs: Long)
 
+/** Per-order verdict from [[EventStream.reconcileStream]] (D26):
+ * header total vs accumulated line values; `header_cents` is None
+ * when no header arrived inside the horizon (absence is a finding),
+ * `abs_diff` only when exactly one header did. */
+case class ReconVerdict(okey: Long, n_headers: Long, header_cents: Option[Long],
+    lines_cents: Long, n_lines: Long, abs_diff: Option[Long])
+
+private case class ReconState(nHeaders: Long, headerCents: Long,
+    lineCents: Long, nLines: Long, deadlineUs: Long)
+
 /** A closed gap-session emitted by the stateful sessionizer. */
 case class Session(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
@@ -1065,6 +1075,72 @@ object EventStream {
         "left_outer")
       .filter(col(rightKey).isNull)
       .select(left.columns.map(col): _*)
+  }
+
+  /** Streaming order reconciliation (D26) — the online form of the
+   * B115 close-of-books audit: order headers and their line items
+   * arrive interleaved on ONE stream (the CDC/outbox shape), and each
+   * order's verdict — header total vs accumulated line cents — is
+   * emitted when the order's event-time horizon closes under the
+   * watermark. State per open order is FOUR LONGS (header sum/count,
+   * line sum/count) plus its deadline — never a line buffer: sums
+   * commute, so arrival order across micro-batches is irrelevant, and
+   * the batch twin replays to the exact batch relation whatever the
+   * partitioning. The deadline anchors to the order's FIRST-SEEN
+   * event time (min ts — deterministic under replay); a headerless
+   * order still reports (absence is a finding, None header), a
+   * double-headered one withholds abs_diff rather than guessing
+   * (n_headers says why). Post-deadline stragglers drop like
+   * heavyHitters' (their verdict is already out). */
+  def reconcileStream(events: DataFrame, keyCol: String, kindCol: String,
+      centsCol: String, tsCol: String, horizonUs: Long,
+      watermark: String = "2 hours"): Dataset[ReconVerdict] = {
+    require(horizonUs > 0, "horizonUs must be positive")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val rows = events
+      .withWatermark(tsCol, watermark) // no-op in batch
+      .select(col(keyCol).cast("long").as("okey"),
+        col(kindCol).cast("string").as("kind"),
+        col(centsCol).cast("long").as("cents"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("ts"))
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+    def verdict(okey: Long, s: ReconState): ReconVerdict =
+      ReconVerdict(okey, s.nHeaders,
+        if (s.nHeaders > 0) Some(s.headerCents) else None,
+        s.lineCents, s.nLines,
+        if (s.nHeaders == 1) Some(math.abs(s.headerCents - s.lineCents)) else None)
+    def fn(okey: Long, batch: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+        state: GroupState[ReconState]): Iterator[ReconVerdict] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(s => Iterator.single(verdict(okey, s)))
+          .getOrElse(Iterator.empty)
+        state.remove()
+        out
+      } else {
+        var s = state.getOption.getOrElse(ReconState(0L, 0L, 0L, 0L, Long.MaxValue))
+        batch.foreach { case (_, kind, cents, tsUs, _) =>
+          val deadline = math.min(s.deadlineUs, tsUs + horizonUs)
+          s = if (kind == "H")
+            ReconState(s.nHeaders + 1, s.headerCents + cents,
+              s.lineCents, s.nLines, deadline)
+          else
+            ReconState(s.nHeaders, s.headerCents,
+              s.lineCents + cents, s.nLines + 1, deadline)
+        }
+        if (streaming) {
+          if (s.deadlineUs / 1000L <= state.getCurrentWatermarkMs())
+            Iterator.empty // straggler: this order's verdict already shipped
+          else {
+            state.update(s)
+            state.setTimeoutTimestamp(s.deadlineUs / 1000L)
+            Iterator.empty
+          }
+        } else Iterator.single(verdict(okey, s))
+      }
+    }
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Live peak-concurrency gauge (D25) — the streaming twin of the

@@ -309,6 +309,25 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().toList == List((1L, "keep")))
   }
 
+  test("storageReport accounts physical vs linked tables, rows, and bytes") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map(
+      "facts" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "n"),
+      "dims" -> Seq((1L, "a")).toDF("k", "s")))
+    Snapshot.publishLinked(spark, root, Map("facts" -> Seq((1L, 11L)).toDF("k", "n")))
+    val got = Snapshot.storageReport(spark, root)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == List(
+      (1L, 2L, 0L, 4L, 0L),   // 3 fact rows + 1 dim row, all physical
+      (2L, 1L, 1L, 2L, 1L)))  // 1 new fact + 1 linked dim row
+    // bytes: every version dir holds SOME physical bytes, and v2's
+    // physical footprint is smaller than v1's (it stores one small
+    // table + a sidecar, not the dim)
+    assert(got.forall(_._6 > 0L))
+    // v2 stores one small table + a sidecar, v1 stores two tables
+    assert(got(1)._6 < got(0)._6)
+  }
+
   test("catalog lists every (version, table) with counts, currency, tags, and orphans") {
     val root = freshRoot()
     Snapshot.publish(spark, root,

@@ -1056,6 +1056,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reconcileStream merges header and lines across micro-batches, finalizes at horizon") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val q = EventStream.reconcileStream(
+        in.toDF().toDF("okey", "kind", "cents", "ts"),
+        "okey", "kind", "cents", "ts",
+        horizonUs = 30L * 60000000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("recon").outputMode("append").start()
+    try {
+      // order 1: lines arrive BEFORE the header, split across batches
+      in.addData((1L, "L", 600L, ts(0)), (1L, "L", 400L, ts(1)))
+      q.processAllAvailable()
+      in.addData((1L, "H", 1000L, ts(2)), (2L, "L", 50L, ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("recon").isEmpty, "no verdict before the horizon closes")
+      // watermark to min 50 (60 − 10): past order 1's deadline (min 30),
+      // past order 2's (min 32) — order 2 is headerless, still reported
+      in.addData((9L, "L", 1L, ts(60)))
+      q.processAllAvailable()
+      val rows = spark.table("recon")
+        .as[graft.streaming.ReconVerdict].collect().map(r => r.okey -> r).toMap
+      assert(rows.keySet == Set(1L, 2L))
+      assert(rows(1L) == graft.streaming.ReconVerdict(1L, 1L, Some(1000L), 1000L, 2L, Some(0L)))
+      assert(rows(2L) == graft.streaming.ReconVerdict(2L, 0L, None, 50L, 1L, None))
+      // straggler line for the finalized order 1: dropped, no re-emit
+      in.addData((1L, "L", 7L, ts(3)))
+      q.processAllAvailable()
+      in.addData((9L, "L", 1L, ts(120)))
+      q.processAllAvailable()
+      assert(spark.table("recon").filter($"okey" === 1L).count() == 1)
+    } finally q.stop()
+  }
+
+  test("reconcileStream batch twin flags drift, double headers, and headerless orders") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "H", 100L, ts(0)), (1L, "L", 60L, ts(1)), (1L, "L", 40L, ts(2)),
+      (2L, "H", 100L, ts(0)), (2L, "L", 99L, ts(1)),
+      (3L, "L", 5L, ts(0)),                       // headerless
+      (4L, "H", 10L, ts(0)), (4L, "H", 10L, ts(1)) // double header
+    ).toDF("okey", "kind", "cents", "ts")
+    val got = EventStream.reconcileStream(rows, "okey", "kind", "cents", "ts",
+        horizonUs = 1000000L)
+      .collect().map(r => r.okey -> r).toMap
+    assert(got(1L).abs_diff.contains(0L))
+    assert(got(2L).abs_diff.contains(1L))
+    assert(got(3L).header_cents.isEmpty && got(3L).abs_diff.isEmpty)
+    assert(got(4L).n_headers == 2L && got(4L).abs_diff.isEmpty)
+  }
+
   test("concurrencyStream batch twin equals the brute-force max open count per bucket") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
