@@ -5540,6 +5540,22 @@ object SparkEntry {
       .orderBy("sel_rank")
   }
 
+  /** C80 (r14): balanced shard assignment
+   * ([[graft.operators.Sampling.shardAssign]]) — the data-parallel
+   * loader split: stripe documents across 8 shards in (size desc, id)
+   * rank order, the deterministic first-fit-decreasing rendering.
+   * Hash splits balance counts, not token mass; this bounds per-shard
+   * mass skew by construction. The global rank is the two-level
+   * range-partitioned rank over a fail-loud packed key — never a
+   * single-partition window. */
+  private def qShardAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardAssign(
+        t(s, dir, "documents"), "doc_id", "n_chars", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("size").as("sum_chars"),
+        min("size").as("min_chars"), max("size").as("max_chars"))
+      .orderBy("shard")
+
   /** C78 (r14): calibration curve (reliability diagram) — the
    * companion gate to C72's ranking AUC: a signal can RANK well yet
    * be badly calibrated, and a filter threshold chosen from its raw
@@ -6522,6 +6538,7 @@ object SparkEntry {
     "q_hybrid_retrieval" -> qHybridRetrieval,
     "q_survival" -> qSurvival,
     "q_calibration" -> qCalibration,
+    "q_shard_assign" -> qShardAssign,
     "q_critical_path" -> qCriticalPath,
     "q_cycle_census" -> qCycleCensus,
     "q_snapshot_catalog" -> qSnapshotCatalog,
@@ -10103,6 +10120,16 @@ object SparkEntry {
            FROM km JOIN ord o ON o.g = km.g AND o.rk = km.rk + 1)
          SELECT g, t, at_risk, deaths, CAST(s_ppm AS BIGINT) AS s_ppm
          FROM km ORDER BY g, t""",
+    // the (size desc, id) stripe replayed as ROW_NUMBER mod 8.
+    "q_shard_assign" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents)
+         SELECT (rk - 1) % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM r GROUP BY 1 ORDER BY shard""",
     // same fixed-width bucketing from the observed bounds, same
     // truncating ppm.
     "q_calibration" ->

@@ -231,4 +231,43 @@ object Sampling {
             sort_array(collect_list(struct(col(idCol), col(textCol)))),
             s => s.getField(textCol)),
           " ").as("chunk_text"))
+
+  /**
+   * Balanced shard assignment (C80) — split a corpus into `nShards`
+   * near-equal token masses for a data-parallel training loader:
+   * documents STRIPE across shards in (size desc, id) rank order
+   * (rank mod nShards), the deterministic rendering of greedy
+   * first-fit-decreasing — large docs spread first, each shard's
+   * total differs from ideal by at most one stripe of ever-smaller
+   * documents. Hash assignment balances COUNTS but not token mass
+   * (heavy-tailed doc lengths skew it); this bounds the skew by
+   * construction and is reproducible run to run.
+   *
+   * Scale shape: the global rank is [[graft.operators.Rank]]'s
+   * two-level range-partitioned rank over a PACKED (size, id) key —
+   * never a single-partition window over the corpus. The packing is
+   * guarded fail-loud (B55 rule): sizes below 2²³, ids below 2⁴⁰, or
+   * the pack is refused rather than silently mis-ranked.
+   *
+   * Emits (id, size, shard). */
+  def shardAssign(df: DataFrame, idCol: String, sizeCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(sizeCol).cast("long").as("size"))
+    val maxSize = 1L << 23
+    val maxId = 1L << 40
+    val guarded = in.select(col("id"), col("size"),
+      when(col("size") >= 0L && col("size") < maxSize &&
+           col("id") >= 0L && col("id") < maxId,
+        (lit(maxSize - 1L) - col("size")) * maxId + col("id"))
+        .otherwise(raise_error(concat(
+          lit("shardAssign: (size, id) outside the packable domain at id="),
+          col("id").cast("string")))).as("key"))
+    val ranks = graft.operators.Rank.distinctRanks(
+      guarded.select("key"), "key")
+    guarded.join(ranks, guarded("key") === ranks("v"))
+      .select(col("id"), col("size"),
+        ((col("rank") - 1L) % nShards).as("shard"))
+  }
 }

@@ -483,4 +483,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rate cap must plan the keyed state operator:\n$rc")
     assert(!rc.contains("Join"), s"rate cap must stay join-free:\n$rc")
   }
+
+  test("fifth round-14 session wave plans to its declared scale shapes") {
+    // duplicate payments: ONE equi-join on (custkey, cents) with the
+    // date band as a residual filter — never a band or cross join
+    val dp = plan("q_duplicate_payments")
+    assert(!dp.contains("CartesianProduct") && !dp.contains("NestedLoop"),
+      s"duplicate payments must stay an equi join:\n$dp")
+    // hard negatives: the bounded probe set broadcasts against the
+    // exploded corpus — a shuffle of the corpus side is the 100 TB bill
+    val hn = plan("q_hard_negatives")
+    assert(hn.contains("BroadcastHashJoin"),
+      s"hard negatives must broadcast the probes:\n$hn")
+    assert(!hn.contains("CartesianProduct"), s"hard negatives cartesian:\n$hn")
+    // Theil-Sen: the pair join is equi on the segment (month band is a
+    // residual), windows partition by segment — no global sort
+    val ts2 = plan("q_theil_sen")
+    assert(!ts2.contains("CartesianProduct") && !ts2.contains("NestedLoop"),
+      s"theil-sen must pair via the segment equi join:\n$ts2")
+    // concurrency gauge: one keyed state operator over the decomposed
+    // pieces, no joins anywhere
+    val cl = plan("q_concurrency_live")
+    assert(cl.contains("MapGroups"),
+      s"concurrency gauge must plan the keyed state operator:\n$cl")
+    assert(!cl.contains("Join"), s"concurrency gauge must stay join-free:\n$cl")
+    // streaming reconciliation batch twin: union → one keyed state op
+    val rl = plan("q_reconcile_live")
+    assert(rl.contains("MapGroups"),
+      s"reconciliation must plan the keyed state operator:\n$rl")
+    assert(!rl.contains("CartesianProduct"), s"reconciliation cartesian:\n$rl")
+    // shard assignment: the global rank must be the range-partitioned
+    // two-level form — a single-partition corpus window is the exact
+    // operator this exists to avoid
+    val sa = plan("q_shard_assign")
+    assert(sa.contains("hashpartitioning(pid"),
+      s"shard assign must range-bucket then rank per pid bucket:\n$sa")
+    assert(sa.contains("BroadcastHashJoin"),
+      s"shard assign must broadcast the prefix offsets:\n$sa")
+  }
 }

@@ -156,4 +156,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(aCopies == List(0L, 1L))
     assert(got.filter(_._1 == "b").map(_._3) == Set(3L))
   }
+
+  test("shardAssign stripes in (size desc, id) order and bounds mass skew") {
+    import spark.implicits._
+    // sizes 8,7,6,5,4,3,2,1 over 2 shards: stripe → evens/odds of the
+    // rank → shard 0 gets {8,6,4,2}=20, shard 1 gets {7,5,3,1}=16
+    val docs = (1L to 8L).map(i => (i, 9L - i)).toDF("id", "sz")
+    val got = graft.operators.Sampling.shardAssign(docs, "id", "sz", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._3, r._2)).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap == Map(0L -> 20L, 1L -> 16L))
+    // ties break by id: two equal sizes land on different shards
+    val ties = Seq((10L, 5L), (11L, 5L)).toDF("id", "sz")
+    val t2 = graft.operators.Sampling.shardAssign(ties, "id", "sz", 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(t2.map(_._3).toList == List(0L, 1L))
+    // pack-domain guard fails loudly rather than mis-ranking
+    val huge = Seq((1L << 41, 5L)).toDF("id", "sz")
+    val e = intercept[Exception] {
+      graft.operators.Sampling.shardAssign(huge, "id", "sz", 2).collect()
+    }
+    assert(e.getMessage.contains("packable domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("packable domain")))
+  }
 }
