@@ -5724,6 +5724,50 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** B118 (r14): sequential purchase affinity — the ORDERED
+   * complement of B96's co-occurrence basket lift: "customers who
+   * bought brand A were later (within 90 days) buyers of brand B",
+   * with lift against independence in integer ppm. Direction matters
+   * (A→B ≠ B→A) — the repeat-purchase / recommendation signal plain
+   * market-basket analysis cannot see. EXISTS semantics per
+   * (customer, A, B): one qualifying sequence marks the customer, ten
+   * don't count twice. Scale: purchase events dedupe to the
+   * (customer, brand, day) relation first; the sequential pair join
+   * is customer-keyed (fan-out bounded by a customer's own brand-day
+   * count, never cross-customer); brand supports and the customer
+   * total are bounded-domain broadcasts. */
+  private def qNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("cust"), col("p_brand").as("brand"),
+        col("o_orderdate").cast("date").as("d"))
+      .distinct()
+    val a = ev.select(col("cust"), col("brand").as("brand_a"), col("d").as("da"))
+    val b = ev.select(col("cust"), col("brand").as("brand_b"), col("d").as("db"))
+    val nAb = a.join(b, Seq("cust"))
+      .filter(col("brand_a") =!= col("brand_b") &&
+        col("db") > col("da") && datediff(col("db"), col("da")) <= 90)
+      .select("cust", "brand_a", "brand_b").distinct()
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+    val support = ev.select("cust", "brand").distinct()
+      .groupBy("brand").agg(count(lit(1)).as("n"))
+    val nCust = ev.select("cust").distinct().agg(count(lit(1)).as("n_cust"))
+    nAb
+      .join(broadcast(support.select(col("brand").as("brand_a"), col("n").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(support.select(col("brand").as("brand_b"), col("n").as("n_b"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(nCust))
+      // decimal(38,0): n_ab·n_cust·10⁶ wraps a long at warehouse
+      // customer counts (the B55 rule — no silent overflow)
+      .withColumn("lift_ppm", expr(
+        """cast((cast(n_ab as decimal(38,0)) * n_cust * 1000000)
+           div (cast(n_a as decimal(38,0)) * n_b) as long)"""))
+      .select("brand_a", "brand_b", "n_ab", "n_a", "n_b", "lift_ppm")
+      .orderBy("brand_a", "brand_b")
+  }
+
   /** B117 (r14): Theil–Sen median trend slope per segment — the
    * robust complement of B110's Mann-Kendall (which answers IS there
    * a trend; this answers HOW STEEP, immune to outlier months that
@@ -6535,6 +6579,7 @@ object SparkEntry {
     "q_duplicate_payments" -> qDuplicatePayments,
     "q_reconcile" -> qReconcile,
     "q_theil_sen" -> qTheilSen,
+    "q_next_purchase" -> qNextPurchase,
     "q_hybrid_retrieval" -> qHybridRetrieval,
     "q_survival" -> qSurvival,
     "q_calibration" -> qCalibration,
@@ -9993,6 +10038,27 @@ object SparkEntry {
             AND MAX(CASE WHEN part = 2 THEN lang_pred END) <> 'und')
              AS is_switch
          FROM pred GROUP BY doc_id ORDER BY doc_id""",
+    // same EXISTS-per-customer sequential pairs, same HUGEINT lift.
+    "q_next_purchase" ->
+      """WITH ev AS (SELECT DISTINCT o_custkey AS cust, p_brand AS brand,
+             CAST(o_orderdate AS DATE) AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN part ON l_partkey = p_partkey),
+         seqp AS (SELECT DISTINCT a.cust, a.brand AS brand_a, b.brand AS brand_b
+           FROM ev a JOIN ev b ON a.cust = b.cust
+           WHERE a.brand <> b.brand AND b.d > a.d
+             AND date_diff('day', a.d, b.d) <= 90),
+         ab AS (SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM seqp GROUP BY 1, 2),
+         sup AS (SELECT brand, CAST(COUNT(DISTINCT cust) AS BIGINT) AS n
+           FROM ev GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_cust FROM ev)
+         SELECT brand_a, brand_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+           CAST(CAST(n_ab AS HUGEINT) * n_cust * 1000000
+                // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_ppm
+         FROM ab JOIN sup sa ON sa.brand = brand_a
+           JOIN sup sb ON sb.brand = brand_b CROSS JOIN tot
+         ORDER BY brand_a, brand_b""",
     // same pair slopes in truncating ppm, same (slope, m1, m2) median
     // rank pick.
     "q_theil_sen" ->
