@@ -3590,6 +3590,30 @@ object SparkEntry {
    * output is the exact batch as-of relation; the oracle replays it
    * as a last-non-null window over the same total order.
    * StreamingSpec pins cross-batch state carry. */
+  /** D27 (r14): streaming duplicate-payment alarm
+   * ([[graft.streaming.EventStream.dupPaymentStream]]) — B112's
+   * AP-fraud screen online: a payment repeating another's exact
+   * (customer, cents) within 30 days alarms as it arrives. Pairing is
+   * the per-key LAG relation (latest prior), so state is two longs
+   * per active key, evicted past the window. Same planted duplicates
+   * as B112; batch mode = the exact per-key lag relation the oracle
+   * replays. */
+  private def qDupAlarm(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("okey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("c"),
+        col("o_orderdate").cast("date").as("d"))
+    val planted = base.filter(col("okey") % 100 === 0L)
+      .select((col("okey") + 10000000L).as("okey"), col("o_custkey"),
+        col("c"), date_add(col("d"), 2).as("d"))
+    val tagged = base.unionByName(planted)
+      .withColumn("ts", col("d").cast("timestamp"))
+    graft.streaming.EventStream.dupPaymentStream(tagged,
+        "o_custkey", "okey", "c", "ts", windowUs = 30L * 86400L * 1000000L)
+      .toDF()
+      .orderBy("cust", "cents", "key_dup")
+  }
+
   /** D26 (r14): streaming order reconciliation
    * ([[graft.streaming.EventStream.reconcileStream]]) — B115's
    * close-of-books audit run online: headers and line items
@@ -5724,6 +5748,25 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** B119 (r14): largest-remainder pro-rata allocation
+   * ([[graft.operators.Allocation.proRata]]) — split a fixed
+   * 1,000,000-cent budget across nations proportional to revenue,
+   * summing EXACTLY to the budget: ⌊budget·w/W⌋ bases, leftover cents
+   * +1 each to the largest remainders (Hamilton apportionment). Naive
+   * per-key rounding loses or invents cents — the migration trap this
+   * row pins. Arithmetic in decimal(38,0); the top-remainder pick
+   * rides the range-partitioned rank, never a single-partition
+   * sort. */
+  private def qProRata(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(cents(col("o_totalprice"))).as("w"))
+    val budget = s.range(1).select(lit(1000000L).as("budget"))
+    graft.operators.Allocation.proRata(rev, "c_nationkey", "w", budget)
+      .orderBy("c_nationkey")
+  }
+
   /** B118 (r14): sequential purchase affinity — the ORDERED
    * complement of B96's co-occurrence basket lift: "customers who
    * bought brand A were later (within 90 days) buyers of brand B",
@@ -6580,6 +6623,8 @@ object SparkEntry {
     "q_reconcile" -> qReconcile,
     "q_theil_sen" -> qTheilSen,
     "q_next_purchase" -> qNextPurchase,
+    "q_pro_rata" -> qProRata,
+    "q_dup_alarm" -> qDupAlarm,
     "q_hybrid_retrieval" -> qHybridRetrieval,
     "q_survival" -> qSurvival,
     "q_calibration" -> qCalibration,
@@ -10038,6 +10083,46 @@ object SparkEntry {
             AND MAX(CASE WHEN part = 2 THEN lang_pred END) <> 'und')
              AS is_switch
          FROM pred GROUP BY doc_id ORDER BY doc_id""",
+    // HUGEINT bases/remainders, leftover to the largest remainders
+    // (ties to the smaller key), total provably exact.
+    "q_pro_rata" ->
+      """WITH rev AS (SELECT c_nationkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS w
+           FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+         t AS (SELECT SUM(CAST(w AS HUGEINT)) AS tw FROM rev),
+         b AS (SELECT c_nationkey, w,
+             CAST(1000000 * CAST(w AS HUGEINT) // tw AS BIGINT) AS base,
+             CAST((1000000 * CAST(w AS HUGEINT)) % tw AS BIGINT) AS rem
+           FROM rev CROSS JOIN t),
+         lo AS (SELECT 1000000 - SUM(base) AS leftover FROM b),
+         r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, c_nationkey)
+             AS rk FROM b)
+         SELECT c_nationkey, w, base,
+           CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+             AS BIGINT) AS extra,
+           CAST(base + CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+             AS BIGINT) AS allocated
+         FROM r ORDER BY c_nationkey""",
+    // the per-(customer, cents) LAG relation over the same planted
+    // duplicates — each payment pairs with its latest prior in-window.
+    "q_dup_alarm" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS okey, o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+             CAST(o_orderdate AS DATE) AS d
+           FROM orders),
+         o AS (SELECT * FROM base
+           UNION ALL
+           SELECT okey + 10000000, o_custkey, c, d + 2
+           FROM base WHERE okey % 100 = 0),
+         l AS (SELECT o_custkey, c, okey, d,
+             lag(okey) OVER (PARTITION BY o_custkey, c ORDER BY d, okey) AS pk,
+             lag(d) OVER (PARTITION BY o_custkey, c ORDER BY d, okey) AS pd
+           FROM o)
+         SELECT o_custkey AS cust, c AS cents, pk AS key_prior,
+           okey AS key_dup,
+           CAST(date_diff('day', pd, d) AS BIGINT) AS day_gap
+         FROM l WHERE pk IS NOT NULL AND date_diff('day', pd, d) <= 30
+         ORDER BY cust, cents, key_dup""",
     // same EXISTS-per-customer sequential pairs, same HUGEINT lift.
     "q_next_purchase" ->
       """WITH ev AS (SELECT DISTINCT o_custkey AS cust, p_brand AS brand,

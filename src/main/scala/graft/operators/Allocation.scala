@@ -71,4 +71,64 @@ object Allocation {
       .drop("__i", "__cumprev", "__fail", "__ff", "__m", "__granted", "__u", "__r",
         "budget")
   }
+
+  /**
+   * Largest-remainder pro-rata allocation (B119) — split an integral
+   * `budget` (1-row DataFrame, `budget` column) across keys
+   * proportional to `weight`, with the allocations summing EXACTLY to
+   * the budget: base_i = ⌊budget·w_i / W⌋, and the leftover cents go
+   * +1 each to the largest remainders (ties to the smaller key) — the
+   * Hamilton apportionment every invoice/royalty/cost-center split
+   * needs. Naive per-key rounding loses or invents cents; this can't.
+   *
+   * Scale shape: W and the leftover are 1-row broadcasts; base and
+   * remainder are codegen'd decimal(38,0) expressions riding the scan
+   * (budget·w wraps a long at warehouse magnitudes — B55 rule); the
+   * "top-leftover remainders" selection reuses [[Rank.distinctRanks]]'
+   * two-level range-partitioned rank over the packed (remainder desc,
+   * key) order — never a single-partition sort, and leftover < n keys
+   * by construction. Packing is guarded fail-loud: remainders < 2⁴⁰
+   * (i.e. W < 2⁴⁰) and keys < 2²³.
+   *
+   * Emits (key, weight, base, extra, allocated). */
+  def proRata(df: DataFrame, key: String, weight: String,
+      budget: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val in = df.select(col(key).cast("long").as("k"),
+      col(weight).cast("long").as("w"))
+    // fail-loud preconditions (one bounded pass): duplicate keys would
+    // collapse in the rank and silently re-aim the leftover cents;
+    // negative weights make "proportional" meaningless; a zero total
+    // divides by zero into NULLs
+    val guard = in.agg(
+      (count(lit(1)) - countDistinct(col("k"))).as("dups"),
+      sum(when(col("w") < 0L, 1L).otherwise(0L)).as("negs"),
+      sum(col("w").cast(d38)).as("tw")).head()
+    require(guard.getLong(0) == 0L, "proRata: duplicate keys")
+    require(guard.getLong(1) == 0L, "proRata: negative weights")
+    require(guard.getDecimal(2) != null &&
+      guard.getDecimal(2).signum() > 0, "proRata: total weight must be > 0")
+    val tot = in.agg(sum(col("w").cast(d38)).as("tw"))
+    val based = in.crossJoin(broadcast(budget)).crossJoin(broadcast(tot))
+      .withColumn("base",
+        expr("cast((cast(budget as decimal(38,0)) * w) div tw as long)"))
+      .withColumn("rem",
+        expr("cast((cast(budget as decimal(38,0)) * w) % tw as long)"))
+    val leftover = based.agg(
+      (first(col("budget")) - sum(col("base"))).cast("long").as("leftover"))
+    val maxKey = 1L << 23
+    val maxRem = 1L << 40
+    val packed = based.select(col("k"), col("w"), col("base"), col("rem"),
+      when(col("rem") < maxRem && col("k") >= 0L && col("k") < maxKey,
+        (lit(maxRem - 1L) - col("rem")) * maxKey + col("k"))
+        .otherwise(raise_error(concat(
+          lit("proRata: (remainder, key) outside the packable domain at key="),
+          col("k").cast("string")))).as("pk"))
+    val ranks = Rank.distinctRanks(packed.select("pk"), "pk")
+    packed.join(ranks, packed("pk") === ranks("v"))
+      .crossJoin(broadcast(leftover))
+      .withColumn("extra", when(col("rank") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("k").as(key), col("w").as(weight), col("base"), col("extra"),
+        (col("base") + col("extra")).as("allocated"))
+  }
 }

@@ -25,6 +25,14 @@ case class ReconVerdict(okey: Long, n_headers: Long, header_cents: Option[Long],
 private case class ReconState(nHeaders: Long, headerCents: Long,
     lineCents: Long, nLines: Long, deadlineUs: Long)
 
+/** A duplicate-payment pair from [[EventStream.dupPaymentStream]]
+ * (D27): `key_dup` repeats `key_prior`'s (customer, cents) within the
+ * window; `day_gap` in whole days. */
+case class DupAlarm(cust: Long, cents: Long, key_prior: Long,
+    key_dup: Long, day_gap: Long)
+
+private case class LastPayment(okey: Long, tsUs: Long)
+
 /** A closed gap-session emitted by the stateful sessionizer. */
 case class Session(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
@@ -1075,6 +1083,63 @@ object EventStream {
         "left_outer")
       .filter(col(rightKey).isNull)
       .select(left.columns.map(col): _*)
+  }
+
+  /** Streaming duplicate-payment alarm (D27) — the B112 AP-fraud
+   * screen online: a payment repeating another payment's exact
+   * (customer, cents) within `windowUs` raises an alarm AS IT ARRIVES
+   * — the review queue fills live instead of at month-end. Each
+   * payment pairs with the key's LATEST PRIOR payment (the lag
+   * relation), so state per (customer, cents) key is TWO LONGS — the
+   * last payment's id and time — never a payment buffer, and the
+   * event-time timeout EVICTS keys idle past the window (a prior
+   * older than the window could never pair again, so eviction is
+   * correctness-neutral and state is bounded by the window's active
+   * keys). Batch mode sees each key's full history in (ts, id) order
+   * — exactly the per-key lag relation the oracle replays. Streaming
+   * caveat (documented): an out-of-order arrival pairs against the
+   * latest ALREADY-SEEN payment; the batch twin is the reference. */
+  def dupPaymentStream(events: DataFrame, custCol: String, keyCol: String,
+      centsCol: String, tsCol: String, windowUs: Long,
+      watermark: String = "2 hours"): Dataset[DupAlarm] = {
+    require(windowUs > 0, "windowUs must be positive")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val rows = events
+      .withWatermark(tsCol, watermark) // no-op in batch
+      .select(col(custCol).cast("long").as("cust"),
+        col(keyCol).cast("long").as("okey"),
+        col(centsCol).cast("long").as("cents"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("ts"))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    def fn(key: (Long, Long), batch: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+        state: GroupState[LastPayment]): Iterator[DupAlarm] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val (cust, cents) = key
+        val sorted = batch.toSeq.sortBy(e => (e._4, e._2))
+        var last = state.getOption
+        val out = Seq.newBuilder[DupAlarm]
+        for ((_, okey, _, tsUs, _) <- sorted) {
+          last.foreach { p =>
+            if (tsUs - p.tsUs <= windowUs && tsUs >= p.tsUs)
+              out += DupAlarm(cust, cents, p.okey, okey,
+                (tsUs - p.tsUs) / 86400000000L)
+          }
+          last = Some(LastPayment(okey, tsUs))
+        }
+        if (streaming) last.foreach { p =>
+          val evictMs = (p.tsUs + windowUs) / 1000L
+          if (evictMs > state.getCurrentWatermarkMs()) {
+            state.update(p)
+            state.setTimeoutTimestamp(evictMs)
+          } else state.remove() // already past the window: nothing can pair
+        }
+        out.result().iterator
+      }
+    }
+    rows.groupByKey(r => (r._1, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Streaming order reconciliation (D26) — the online form of the

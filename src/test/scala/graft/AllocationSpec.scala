@@ -71,4 +71,35 @@ class AllocationSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(a == c)
   }
+
+  test("proRata: exact total, leftover to largest remainders, key tie-break") {
+    import spark.implicits._
+    // budget 10 over weights 1,1,1 → bases 3,3,3, remainders equal →
+    // leftover 1 goes to the SMALLEST key
+    val b10 = spark.range(1).select(org.apache.spark.sql.functions.lit(10L).as("budget"))
+    val eq = Allocation.proRata(Seq((5L, 1L), (2L, 1L), (9L, 1L)).toDF("k", "w"),
+        "k", "w", b10)
+      .select("k", "allocated").as[(Long, Long)].collect().toMap
+    assert(eq == Map(2L -> 4L, 5L -> 3L, 9L -> 3L))
+    // budget 100 over 1,2,3: bases 16,33,50 (sum 99), remainders
+    // 4/6, 2/6, 0 → key 1 takes the leftover cent
+    val b100 = spark.range(1).select(org.apache.spark.sql.functions.lit(100L).as("budget"))
+    val got = Allocation.proRata(Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "w"),
+        "k", "w", b100)
+      .select("k", "base", "extra", "allocated").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got == List((1L, 16L, 1L, 17L), (2L, 33L, 0L, 33L), (3L, 50L, 0L, 50L)))
+    assert(got.map(_._4).sum == 100L)
+    // zero-weight keys participate (base 0) and the sum still lands
+    val z = Allocation.proRata(Seq((1L, 0L), (2L, 7L)).toDF("k", "w"), "k", "w", b10)
+      .select("k", "allocated").as[(Long, Long)].collect().toMap
+    assert(z == Map(1L -> 0L, 2L -> 10L))
+    // guards fail loudly
+    intercept[IllegalArgumentException](Allocation.proRata(
+      Seq((1L, 1L), (1L, 2L)).toDF("k", "w"), "k", "w", b10))
+    intercept[IllegalArgumentException](Allocation.proRata(
+      Seq((1L, -1L), (2L, 2L)).toDF("k", "w"), "k", "w", b10))
+    intercept[IllegalArgumentException](Allocation.proRata(
+      Seq((1L, 0L)).toDF("k", "w"), "k", "w", b10))
+  }
 }

@@ -1107,6 +1107,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(4L).n_headers == 2L && got(4L).abs_diff.isEmpty)
   }
 
+  test("dupPaymentStream alarms on an in-window repeat across micro-batches, evicts idle keys") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, java.sql.Timestamp)]
+    val q = EventStream.dupPaymentStream(
+        in.toDF().toDF("cust", "okey", "cents", "ts"),
+        "cust", "okey", "cents", "ts",
+        windowUs = 30L * 60000000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dup").outputMode("append").start()
+    try {
+      in.addData((7L, 1L, 500L, ts(0)), (7L, 2L, 999L, ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("dup").isEmpty)
+      // same (cust, cents) 10 minutes later, next micro-batch → alarm
+      in.addData((7L, 3L, 500L, ts(10)))
+      q.processAllAvailable()
+      val rows = spark.table("dup").as[graft.streaming.DupAlarm].collect().toList
+      assert(rows == List(graft.streaming.DupAlarm(7L, 500L, 1L, 3L, 0L)))
+      // advance watermark far past the window: key state evicts, so a
+      // much-later repeat is a FIRST payment again (out of window)
+      in.addData((8L, 9L, 1L, ts(120)))
+      q.processAllAvailable()
+      in.addData((7L, 4L, 500L, ts(130)))
+      q.processAllAvailable()
+      in.addData((8L, 10L, 1L, ts(200)))
+      q.processAllAvailable()
+      assert(spark.table("dup").count() == 1, "evicted key must not pair")
+    } finally q.stop()
+  }
+
   test("concurrencyStream batch twin equals the brute-force max open count per bucket") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
