@@ -41,10 +41,10 @@ object Run {
       case f if f.startsWith(s"--$name=") => f.drop(name.length + 3)
     }
     val unknown = flags.filterNot(f =>
-      Seq("sf", "stages", "near", "table", "policy")
+      Seq("sf", "stages", "near", "table", "policy", "link")
         .exists(n => f.startsWith(s"--$n=")))
     if (unknown.nonEmpty) {
-      System.err.println(s"unknown flags: ${unknown.mkString(" ")} (--sf= --stages= --near= --table= --policy=)")
+      System.err.println(s"unknown flags: ${unknown.mkString(" ")} (--sf= --stages= --near= --table= --policy= --link=)")
       sys.exit(2)
     }
     val variant = pos.headOption.getOrElse("simple-with-lookups")
@@ -59,10 +59,19 @@ object Run {
       // the governed-publish lifecycle from the command line: denorm →
       // schema-gated atomic publish under outPath → advance the 'prod'
       // tag; rerunning appends immutable versions (A19/A25/A27), and a
-      // breaking schema change refuses with the violations printed
+      // breaking schema change refuses with the violations printed.
+      // `--link` reruns as a ZERO-COPY incremental publish (A32):
+      // only the denorm rewrites, everything else the current version
+      // serves carries forward by reference.
       val table = Denorm.flatDenorm(spark, inDir, performLookups = true)
-      val (ver, ok, viol) = graft.sinks.Snapshot.publishCompatible(
-        spark, outPath, Map("denorm" -> table))
+      val (ver, ok, viol) =
+        if (flag("link").contains("true") &&
+            graft.sinks.Snapshot.currentVersion(spark, outPath) > 0) {
+          val (v, _) = graft.sinks.Snapshot.publishLinked(
+            spark, outPath, Map("denorm" -> table))
+          (v, true, Nil)
+        } else graft.sinks.Snapshot.publishCompatible(
+          spark, outPath, Map("denorm" -> table))
       if (ok) graft.sinks.Snapshot.tag(spark, outPath, "prod", ver)
       viol.foreach(v => System.err.println(s"SCHEMA_VIOLATION $v"))
       val rows =
@@ -71,6 +80,19 @@ object Run {
       println(s"RUN_RESULT variant=snapshot version=$ver published=$ok rows=$rows out=$outPath")
       spark.stop()
       if (!ok) sys.exit(3)
+      return
+    }
+
+    if (variant == "storage") {
+      // the A33 accounting surface from the command line: one line per
+      // version of the snapshot namespace at the positional root
+      graft.sinks.Snapshot.storageReport(spark, inDir).collect().foreach { r =>
+        println(s"RUN_STORAGE version=${r.getLong(0)} physical=${r.getLong(1)} " +
+          s"linked=${r.getLong(2)} logical_rows=${r.getLong(3)} " +
+          s"linked_rows=${r.getLong(4)} bytes=${r.getLong(5)}")
+      }
+      println(s"RUN_RESULT variant=storage root=$inDir")
+      spark.stop()
       return
     }
 
