@@ -520,5 +520,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"shard assign must range-bucket then rank per pid bucket:\n$sa")
     assert(sa.contains("BroadcastHashJoin"),
       s"shard assign must broadcast the prefix offsets:\n$sa")
+    // sequential affinity: the pair join is customer-keyed equi;
+    // brand supports broadcast; the only nested loop is the 1-row
+    // customer-total broadcast
+    val np = plan("q_next_purchase")
+    assert(!np.contains("CartesianProduct"),
+      s"next purchase must pair via the customer equi join:\n$np")
+    assert(np.contains("BroadcastHashJoin"),
+      s"next purchase supports must broadcast:\n$np")
+    // pro-rata: the top-remainder pick rides the pid-bucketed rank
+    // with broadcast prefix offsets — no single-partition sort
+    val pr = plan("q_pro_rata")
+    assert(pr.contains("hashpartitioning(pid"),
+      s"pro rata must rank remainders per pid bucket:\n$pr")
+    // duplicate-payment alarm: one keyed state operator, no joins
+    val da = plan("q_dup_alarm")
+    assert(da.contains("MapGroups"),
+      s"dup alarm must plan the keyed state operator:\n$da")
+    assert(!da.contains("Join"), s"dup alarm must stay join-free:\n$da")
   }
 }
