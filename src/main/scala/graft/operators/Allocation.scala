@@ -84,11 +84,15 @@ object Allocation {
    * Scale shape: W and the leftover are 1-row broadcasts; base and
    * remainder are codegen'd decimal(38,0) expressions riding the scan
    * (budget·w wraps a long at warehouse magnitudes — B55 rule); the
-   * "top-leftover remainders" selection reuses [[Rank.distinctRanks]]'
-   * two-level range-partitioned rank over the packed (remainder desc,
-   * key) order — never a single-partition sort, and leftover < n keys
-   * by construction. Packing is guarded fail-loud: remainders < 2⁴⁰
-   * (i.e. W < 2⁴⁰) and keys < 2²³.
+   * "top-leftover remainders" selection runs TWO
+   * [[Rank.distinctRanks]] passes: remainders live below W
+   * (arbitrarily large, so they cannot pack next to the key — the
+   * guard caught exactly this at sf0.1), so the distinct remainder
+   * DOMAIN ranks first (≤ n values → 23 bits), then the packed
+   * (remainder-rank desc, key) order ranks for the total
+   * (rem desc, key asc) pick — never a single-partition sort, no
+   * overflow at any W. Fail-loud preconditions: unique keys in
+   * [0, 2⁴⁰), n < 2²³, non-negative weights, positive total.
    *
    * Emits (key, weight, base, extra, allocated). */
   def proRata(df: DataFrame, key: String, weight: String,
@@ -99,15 +103,23 @@ object Allocation {
     // fail-loud preconditions (one bounded pass): duplicate keys would
     // collapse in the rank and silently re-aim the leftover cents;
     // negative weights make "proportional" meaningless; a zero total
-    // divides by zero into NULLs
+    // divides by zero into NULLs; the packed (remainder-rank, key)
+    // order below needs n < 2²³ and keys < 2⁴⁰
     val guard = in.agg(
       (count(lit(1)) - countDistinct(col("k"))).as("dups"),
       sum(when(col("w") < 0L, 1L).otherwise(0L)).as("negs"),
-      sum(col("w").cast(d38)).as("tw")).head()
+      sum(col("w").cast(d38)).as("tw"),
+      count(lit(1)).as("n"),
+      sum(when(col("k") < 0L || col("k") >= (1L << 40), 1L).otherwise(0L))
+        .as("badKeys")).head()
     require(guard.getLong(0) == 0L, "proRata: duplicate keys")
     require(guard.getLong(1) == 0L, "proRata: negative weights")
     require(guard.getDecimal(2) != null &&
       guard.getDecimal(2).signum() > 0, "proRata: total weight must be > 0")
+    require(guard.getLong(3) < (1L << 23),
+      "proRata: more than 2^23 keys — widen the pack before using")
+    require(guard.getLong(4) == 0L,
+      "proRata: keys outside [0, 2^40) — outside the packable domain")
     val tot = in.agg(sum(col("w").cast(d38)).as("tw"))
     val based = in.crossJoin(broadcast(budget)).crossJoin(broadcast(tot))
       .withColumn("base",
@@ -116,14 +128,17 @@ object Allocation {
         expr("cast((cast(budget as decimal(38,0)) * w) % tw as long)"))
     val leftover = based.agg(
       (first(col("budget")) - sum(col("base"))).cast("long").as("leftover"))
-    val maxKey = 1L << 23
-    val maxRem = 1L << 40
-    val packed = based.select(col("k"), col("w"), col("base"), col("rem"),
-      when(col("rem") < maxRem && col("k") >= 0L && col("k") < maxKey,
-        (lit(maxRem - 1L) - col("rem")) * maxKey + col("k"))
-        .otherwise(raise_error(concat(
-          lit("proRata: (remainder, key) outside the packable domain at key="),
-          col("k").cast("string")))).as("pk"))
+    // remainders live below W (arbitrarily large), so they cannot pack
+    // directly next to the key — rank the DISTINCT remainder domain
+    // first (≤ n values, so the rank fits 23 bits by the guard), then
+    // pack (remainder-rank desc, key) and rank THAT for the total
+    // (rem desc, key asc) order. Two range-partitioned rank passes,
+    // zero single-partition windows, zero overflow at any W.
+    val remRanks = Rank.distinctRanks(based.select("rem"), "rem")
+      .select(col("v").as("rem"), col("rank").as("rem_rank"))
+    val packed = based.join(remRanks, Seq("rem"))
+      .select(col("k"), col("w"), col("base"), col("rem"),
+        (((lit(1L << 23) - col("rem_rank")) * (1L << 40)) + col("k")).as("pk"))
     val ranks = Rank.distinctRanks(packed.select("pk"), "pk")
     packed.join(ranks, packed("pk") === ranks("v"))
       .crossJoin(broadcast(leftover))
