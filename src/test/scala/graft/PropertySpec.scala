@@ -178,4 +178,35 @@ class PropertySpec extends AnyFunSuite {
       assert(got >= 0 && got <= breaks.length)
     }
   }
+
+  test("cycleStats equals the brute-force census on random functional graphs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(160)
+      val f = Array.fill(n)(rnd.nextInt(n).toLong)
+      // brute force: a node is on a cycle iff walking n steps returns
+      // to it at some point with period dividing the walk; simplest —
+      // iterate n steps to land on the terminal cycle, then walk that
+      // cycle collecting members
+      val onCycle = scala.collection.mutable.Map.empty[Long, Long] // node -> cycle min
+      for (start <- 0 until n) {
+        var v = start.toLong
+        for (_ <- 0 until n) v = f(v.toInt)
+        // v is on a cycle now; walk it
+        val members = scala.collection.mutable.ArrayBuffer(v)
+        var w = f(v.toInt)
+        while (w != v) { members += w; w = f(w.toInt) }
+        val mn = members.min
+        members.foreach(m => onCycle(m) = mn)
+      }
+      val want = onCycle.groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val nxt = (0 until n).map(i => (i.toLong, f(i))).toDF("id", "n")
+      val got = graft.operators.Graph.cycleStats(nxt, "id", "n")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed n=$n got=$got want=$want")
+    }
+  }
 }
