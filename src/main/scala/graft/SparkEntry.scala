@@ -5748,6 +5748,23 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** B120 (r14): interval coalesce
+   * ([[graft.operators.Intervals.mergedSegments]]) — the classic
+   * "merge overlapping intervals" relation, EMITTED (B90's coverage
+   * summarizes it): each user's one-hour activity intervals collapsed
+   * to maximal disjoint runs — consolidated sessions / maintenance
+   * windows / blackout calendars. Per-key prefix-max sweep, windows
+   * partitioned BY KEY — no global sort anywhere. */
+  private def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    withEventTime(t(s, dir, "events"))
+      .select(col("user_id"), col("ts_us").as("s_us"),
+        (col("ts_us") + hourUs).as("e_us"))
+      .transform(iv => graft.operators.Intervals.mergedSegments(
+        iv, "user_id", "s_us", "e_us"))
+      .orderBy("user_id", "seg_idx")
+  }
+
   /** B119 (r14): largest-remainder pro-rata allocation
    * ([[graft.operators.Allocation.proRata]]) — split a fixed
    * 1,000,000-cent budget across nations proportional to revenue,
@@ -6624,6 +6641,7 @@ object SparkEntry {
     "q_theil_sen" -> qTheilSen,
     "q_next_purchase" -> qNextPurchase,
     "q_pro_rata" -> qProRata,
+    "q_interval_merge" -> qIntervalMerge,
     "q_dup_alarm" -> qDupAlarm,
     "q_hybrid_retrieval" -> qHybridRetrieval,
     "q_survival" -> qSurvival,
@@ -10083,6 +10101,24 @@ object SparkEntry {
             AND MAX(CASE WHEN part = 2 THEN lang_pred END) <> 'und')
              AS is_switch
          FROM pred GROUP BY doc_id ORDER BY doc_id""",
+    // the same prefix-max sweep: new run iff start clears every
+    // earlier end; 1-based run index in time order.
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 3600000000 AS e FROM events),
+         m AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         seg AS (SELECT user_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM m)
+         SELECT user_id, CAST(sid AS BIGINT) AS seg_idx,
+           MIN(s) AS seg_start, MAX(e) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+         FROM seg GROUP BY user_id, sid ORDER BY user_id, seg_idx""",
     // HUGEINT bases/remainders, leftover to the largest remainders
     // (ties to the smaller key), total provably exact.
     "q_pro_rata" ->

@@ -38,20 +38,40 @@ object Intervals {
    * `span` (max end − min start) and `n_invalid` (dropped rows with
    * end ≤ start). `start`/`end` must be integral (cast upstream).
    */
-  def unionCoverage(df: DataFrame, key: String, start: String, end: String): DataFrame = {
+  /**
+   * The merged disjoint runs themselves (B120) — one row per maximal
+   * overlapping-or-touching run of intervals per key: (key, seg_idx
+   * 1-based in time order, seg_start, seg_end, n_merged). The classic
+   * "merge overlapping intervals" relation [[unionCoverage]] summarizes
+   * — emitted for consumers that need the runs (maintenance windows,
+   * consolidated sessions, blackout calendars). Segment detection is
+   * the per-key prefix-max sweep: a row opens a new run iff its start
+   * clears every earlier end; windows partition BY KEY (data-sized
+   * parallelism, no global sort). Rows with end ≤ start are dropped
+   * here (the coverage report counts them).
+   */
+  def mergedSegments(df: DataFrame, key: String, start: String, end: String): DataFrame = {
     val valid = df.filter(col(end) > col(start))
-    val invalid = df.filter(col(end) <= col(start))
-      .groupBy(col(key)).agg(count(lit(1)).as("n_invalid"))
     val w = Window.partitionBy(key).orderBy(col(start), col(end))
     val prevMax = max(col(end)).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val seg = valid
+    valid
       .withColumn("__new_seg",
         (col(start) > coalesce(prevMax, lit(Long.MinValue))).cast("long"))
       .withColumn("__seg",
         sum(col("__new_seg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(key), col("__seg"))
-      .agg(min(col(start)).as("__s"), max(col(end)).as("__e"),
-        count(lit(1)).as("__n"))
+      .agg(min(col(start)).as("seg_start"), max(col(end)).as("seg_end"),
+        count(lit(1)).as("n_merged"))
+      .select(col(key), col("__seg").as("seg_idx"), col("seg_start"),
+        col("seg_end"), col("n_merged"))
+  }
+
+  def unionCoverage(df: DataFrame, key: String, start: String, end: String): DataFrame = {
+    val invalid = df.filter(col(end) <= col(start))
+      .groupBy(col(key)).agg(count(lit(1)).as("n_invalid"))
+    val seg = mergedSegments(df, key, start, end)
+      .select(col(key), col("seg_start").as("__s"), col("seg_end").as("__e"),
+        col("n_merged").as("__n"))
     seg.groupBy(col(key))
       .agg(
         sum("__n").as("n_intervals"),
