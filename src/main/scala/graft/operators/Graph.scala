@@ -425,13 +425,10 @@ object Graph {
    * rounds of self-joins carry (jump 2^t steps ahead, min id seen in
    * those 2^t steps). After T rounds every walk of length 2^T ≥ n has
    * entered its terminal cycle and wrapped it at least once, so:
-   *   - a node is ON a cycle iff it appears in the image of jump_T
-   *     restricted to... equivalently iff min-over-walk from the
-   *     node's SUCCESSOR window equals the node's own cycle minimum —
-   *     cheaper: x is on a cycle iff jump_T(x) reaches x again within
-   *     the cycle; we use the standard image argument: the image of
-   *     jump_T is exactly the set of on-cycle nodes (every tail has
-   *     been walked past; a cycle maps onto itself).
+   *   - the IMAGE of jump_T is exactly the on-cycle set: any
+   *     2^T-step walk ends on a cycle (2^T exceeds every tail), and
+   *     every on-cycle node is hit (a cycle maps onto itself — walk
+   *     backward around it 2^T steps to find a preimage).
    *   - for an on-cycle node, mn_T = min of its whole cycle (the walk
    *     wrapped), giving the cycle label with NO extra pass.
    * Total work O(n log n) rows through equi-joins — never a
