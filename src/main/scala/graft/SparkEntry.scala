@@ -2297,6 +2297,30 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** A34 (r14): namespace integrity check
+   * ([[graft.sinks.Snapshot.fsck]]) — the invariants A32 links rely
+   * on hold under this library's operations; an out-of-band `rm -rf`
+   * violates them silently until someone reads. The query builds a
+   * linked namespace, then SIMULATES exactly that operator error
+   * (deleting a link's physical home directly on disk): fsck must
+   * flag precisely the dangling link, keep every healthy row 'ok',
+   * and report the emptied version. Pure namespace metadata — no
+   * data read. */
+  private def qFsck(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/fsck_${sinkSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust))
+    graft.sinks.Snapshot.publish(s, root, Map("nat" -> nat))
+    graft.sinks.Snapshot.publishLinked(s, root,
+      Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))
+    // out-of-band deletion of v2's physical home: v3's nat link dangles
+    val p = new org.apache.hadoop.fs.Path(s"$root/v2/nat")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    graft.sinks.Snapshot.fsck(s, root)
+      .orderBy("version", "table_name")
+  }
+
   /** A33 (r14): storage accounting per version
    * ([[graft.sinks.Snapshot.storageReport]]) — the chargeback /
    * capacity view the A31 catalog's logical rows hide: how much of
@@ -6652,6 +6676,7 @@ object SparkEntry {
     "q_snapshot_catalog" -> qSnapshotCatalog,
     "q_linked_publish" -> qLinkedPublish,
     "q_storage_report" -> qStorageReport,
+    "q_fsck" -> qFsck,
     "q_reconcile_live" -> qReconcileLive,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
@@ -10399,6 +10424,16 @@ object SparkEntry {
          FROM d JOIN e ON d.digit = e.digit ORDER BY d.digit""",
     // every count recomputed from the source; version/table/tag
     // layout is the query's own fixed construction.
+    // the query's own constructed namespace + planted out-of-band
+    // deletion: the verdict table is fully determined.
+    "q_fsck" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'cust', 'ok', CAST(1 AS BIGINT)),
+           (2, '', 'empty-version', 2),
+           (3, 'cust', 'ok', 3),
+           (3, 'nat', 'dangling-link', 2)
+         ) t(version, table_name, status, home_version)
+         ORDER BY version, table_name""",
     // three versions of the query's own construction: full publish,
     // then two one-table linked publishes; linked row mass recomputed.
     "q_storage_report" ->

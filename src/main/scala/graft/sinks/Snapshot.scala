@@ -429,6 +429,41 @@ object Snapshot {
       "linked_rows", "phys_bytes")
   }
 
+  /** Namespace integrity check (A34) — the `fsck` a snapshot store
+   * needs once A32 links exist: the invariants ("every link's target
+   * version physically homes the table", "every version serves at
+   * least one table") hold under this library's own operations, but a
+   * manual `rm -rf v3`, a half-restored backup, or an out-of-band
+   * cleanup script violates them SILENTLY — every read of the
+   * affected table fails only when someone finally tries it. One row
+   * per (version, table) with status: 'ok' (physical), 'linked-ok'
+   * (link target present), 'dangling-link' (link names a version that
+   * no longer homes the table), plus an 'empty-version' row for a
+   * version dir serving nothing. Pure namespace metadata — listings
+   * and existence probes, no data read, no counts. */
+  def fsck(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val versions = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .sorted.toSeq
+    val rows = versions.flatMap { v =>
+      val links = linksOf(spark, root, v)
+      val own = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v$v"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.matches("[A-Za-z0-9_]+")).toSeq
+      val linkRows = links.toSeq.sorted.map { case (t, sv) =>
+        val target = new org.apache.hadoop.fs.Path(s"$root/v$sv/$t")
+        (v, t, if (f.exists(target)) "linked-ok" else "dangling-link", sv)
+      }
+      val ownRows = own.sorted.map(t => (v, t, "ok", v))
+      val all = ownRows ++ linkRows
+      if (all.isEmpty) Seq((v, "", "empty-version", v)) else all
+    }
+    rows.toDF("version", "table_name", "status", "home_version")
+  }
+
   /** Right-to-erasure across history (A30) — remove every row whose
    * `keyCol` value appears in `keys` from EVERY on-disk version of
    * `table`: retained, tag-protected, and crashed-publish orphans
