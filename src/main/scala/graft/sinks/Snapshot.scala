@@ -44,6 +44,17 @@ object Snapshot {
   private def manifestPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/MANIFEST")
 
+  /** Remove any _LINKS sidecar a CRASHED linked publish left in the
+   * orphan dir this publish is about to overwrite: plain publishes
+   * never write links, so a stale sidecar would make the new version
+   * silently serve phantom linked tables. Every publish path calls
+   * this before writing; [[publishLinked]] rewrites the sidecar after
+   * its tables land. */
+  private def clearStaleLinks(f: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): Unit = {
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/v$v/_LINKS"), false): Unit
+  }
+
   /** Version the manifest currently names, or 0 if never published. */
   def currentVersion(spark: SparkSession, root: String): Long = {
     val f = fs(spark, root)
@@ -72,6 +83,7 @@ object Snapshot {
       s"snapshot publish: unsafe table name '$n'"))
     val f = fs(spark, root)
     val next = currentVersion(spark, root) + 1
+    clearStaleLinks(f, root, next)
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
@@ -175,6 +187,7 @@ object Snapshot {
     val f = fs(spark, root)
     val cur = currentVersion(spark, root)
     val next = cur + 1
+    clearStaleLinks(f, root, next)
     changed.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
@@ -235,6 +248,7 @@ object Snapshot {
     }
     val f = fs(spark, root)
     val next = currentVersion(spark, root) + 1
+    clearStaleLinks(f, root, next)
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }

@@ -309,6 +309,30 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().toList == List((1L, "keep")))
   }
 
+  test("a crashed LINKED publish's stale sidecar cannot poison the overwriting publish") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map(
+      "facts" -> Seq(1L).toDF("x"), "dims" -> Seq(10L).toDF("y")))
+    // simulate a linked publish that wrote its data AND sidecar into
+    // v2, then died before the manifest flip: orphan with _LINKS
+    Seq(2L).toDF("x").write.parquet(s"$root/v2/facts")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/v2/_LINKS"),
+      "dims\t1".getBytes("UTF-8"))
+    // a PLAIN publish overwrites the orphan: v2 must serve ONLY its
+    // own tables — the stale link must not resurrect dims
+    Snapshot.publish(spark, root, Map("facts" -> Seq(3L).toDF("x")))
+    assert(Snapshot.read(spark, root, "facts").as[Long].collect().toList ==
+      List(3L))
+    val e = intercept[IllegalArgumentException](
+      Snapshot.read(spark, root, "dims"))
+    assert(e.getMessage.contains("not written, not linked"))
+    // fsck agrees: v2 is exactly its own table, no phantom rows
+    val f2 = Snapshot.fsck(spark, root)
+      .filter($"version" === 2L).as[(Long, String, String, Long)]
+      .collect().toList
+    assert(f2 == List((2L, "facts", "ok", 2L)))
+  }
+
   test("storageReport accounts physical vs linked tables, rows, and bytes") {
     val root = freshRoot()
     Snapshot.publish(spark, root, Map(
