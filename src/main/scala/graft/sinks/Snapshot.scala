@@ -44,15 +44,19 @@ object Snapshot {
   private def manifestPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/MANIFEST")
 
-  /** Remove any _LINKS sidecar a CRASHED linked publish left in the
-   * orphan dir this publish is about to overwrite: plain publishes
-   * never write links, so a stale sidecar would make the new version
-   * silently serve phantom linked tables. Every publish path calls
-   * this before writing; [[publishLinked]] rewrites the sidecar after
-   * its tables land. */
-  private def clearStaleLinks(f: org.apache.hadoop.fs.FileSystem,
+  /** Remove the ENTIRE dead orphan dir this publish is about to
+   * reuse. A crashed or gate-aborted predecessor (A24's abort path
+   * writes the candidate before refusing the flip) leaves tables —
+   * and, for a crashed LINKED publish, a `_LINKS` sidecar — under the
+   * same version number. Overwriting only the same-named tables would
+   * make the new version silently serve the dead candidate's OTHER
+   * tables and phantom links; a version must be exactly what its
+   * publish declared. The dir is dead by definition: the manifest
+   * never named it, and publishes are externally serialized (the A19
+   * single-publisher contract). */
+  private def clearDeadOrphan(f: org.apache.hadoop.fs.FileSystem,
       root: String, v: Long): Unit = {
-    f.delete(new org.apache.hadoop.fs.Path(s"$root/v$v/_LINKS"), false): Unit
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true): Unit
   }
 
   /** Version the manifest currently names, or 0 if never published. */
@@ -83,7 +87,7 @@ object Snapshot {
       s"snapshot publish: unsafe table name '$n'"))
     val f = fs(spark, root)
     val next = currentVersion(spark, root) + 1
-    clearStaleLinks(f, root, next)
+    clearDeadOrphan(f, root, next)
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
@@ -187,7 +191,7 @@ object Snapshot {
     val f = fs(spark, root)
     val cur = currentVersion(spark, root)
     val next = cur + 1
-    clearStaleLinks(f, root, next)
+    clearDeadOrphan(f, root, next)
     changed.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
@@ -224,7 +228,7 @@ object Snapshot {
    * rule holds. The abort path costs nothing to design: a failing
    * gate simply does not flip, and A19's crashed-publish invisibility
    * already guarantees readers never see a manifest-less version —
-   * the next publish overwrites the orphan. This is the "publish
+   * the next publish CLEARS and rewrites the orphan dir (never a partial overwrite serving the dead candidate's other tables). This is the "publish
    * gate" a nightly build needs: a torn upstream extract (facts
    * referencing dim keys that didn't land) must abort the flip, not
    * serve nulls to every downstream join until someone notices.
@@ -248,7 +252,7 @@ object Snapshot {
     }
     val f = fs(spark, root)
     val next = currentVersion(spark, root) + 1
-    clearStaleLinks(f, root, next)
+    clearDeadOrphan(f, root, next)
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
@@ -323,7 +327,7 @@ object Snapshot {
    * OLDEST version so a crash mid-vacuum leaves a contiguous
    * still-consistent suffix, and a rerun is idempotent. Version dirs
    * ABOVE the manifest (a crashed publish's orphan) are left alone:
-   * the next publish overwrites them, and touching them here would
+   * the next publish clears and rewrites them, and touching them here would
    * race an in-flight publisher. Returns the deleted version numbers.
    *
    * Scale: pure namespace metadata work — one directory listing +
