@@ -6014,6 +6014,29 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** B121 (r14): path counting over the same ×2/×3 DAG
+   * ([[graft.operators.Graph.pathCounts]]) — the COUNTING semiring
+   * completing B107 (product-sum) and B113 (max-plus): distinct
+   * incoming paths per node, the lineage-multiplicity audit. A node
+   * divisible by both 2 and 3 has combinatorially many routes
+   * (compositions of its 2/3 factor sequence) — the oracle enumerates
+   * every one through the recursive CTE and must agree count-for-
+   * count. Counts in decimal(38,0) (combinatorial growth wraps a
+   * long — B55 rule, ANSI-thrown). */
+  private def qPathCount(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("n"))
+      .filter(col("n") >= 1L).distinct()
+    def edgesTimes(k: Int) = keys
+      .join(keys.filter(col("n") % k === 0L)
+          .select(expr(s"n div $k").as("n"), col("n").as("v")), Seq("n"))
+      .select(col("n").as("u"), col("v"))
+    graft.operators.Graph.pathCounts(
+        edgesTimes(2).unionByName(edgesTimes(3)), "u", "v")
+      .select(col("id"), col("n_paths").cast("long").as("n_paths"))
+      .orderBy("id")
+  }
+
   /** B114 (r14): cycle census of a functional graph
    * ([[graft.operators.Graph.cycleStats]]) — every node has one
    * out-edge (retry chains, next-state tables, alias maps); report
@@ -6672,6 +6695,7 @@ object SparkEntry {
     "q_calibration" -> qCalibration,
     "q_shard_assign" -> qShardAssign,
     "q_critical_path" -> qCriticalPath,
+    "q_path_count" -> qPathCount,
     "q_cycle_census" -> qCycleCensus,
     "q_snapshot_catalog" -> qSnapshotCatalog,
     "q_linked_publish" -> qLinkedPublish,
@@ -10372,6 +10396,25 @@ object SparkEntry {
            AND a.okey < b.okey
            AND abs(date_diff('day', a.d, b.d)) <= 30
          ORDER BY a.o_custkey, key_lo, key_hi""",
+    // every path enumerated by the recursive CTE; counts per end node.
+    // NOTE the seed is an INLINE subquery: DuckDB 1.0 duplicates
+    // recursion rows when an intermediate CTE sits between the
+    // recursive CTE and a CTE both reference (MAX-style oracles are
+    // immune; COUNT exposes it — pinned by the C/D probe in r14).
+    "q_path_count" ->
+      """WITH RECURSIVE nodes AS (
+           SELECT DISTINCT CAST(p_partkey AS BIGINT) AS n FROM part
+           WHERE p_partkey >= 1),
+         edges AS (
+           SELECT a.n AS u, b.n AS v
+           FROM nodes a JOIN nodes b ON b.n = 2 * a.n OR b.n = 3 * a.n),
+         paths(v) AS (
+           SELECT n FROM (SELECT u AS n FROM edges
+                          UNION SELECT v FROM edges) en
+           UNION ALL
+           SELECT e.v FROM paths p JOIN edges e ON e.u = p.v)
+         SELECT v AS id, CAST(COUNT(*) - 1 AS BIGINT) AS n_paths
+         FROM paths GROUP BY v ORDER BY id""",
     // the literal recursive longest-path over the same ×2/×3 DAG.
     "q_critical_path" ->
       """WITH RECURSIVE nodes AS (

@@ -416,6 +416,61 @@ object Graph {
     result
   }
 
+  /** Path counting over a DAG (B121) — the COUNTING semiring,
+   * completing the family (B107 multiplies-and-sums, B113 maxes):
+   * how many distinct paths end at each node. This is lineage
+   * multiplicity — a BOM component reachable through k routes, a
+   * provenance record double-counted k ways by a naive traversal —
+   * and the audit that catches it.
+   *
+   * Same frontier propagation as [[criticalPath]] with SUM in place
+   * of MAX: frontier_t(v) = Σ over u→v of frontier_{t−1}(u) counts
+   * paths of exactly t edges; the per-node total across rounds counts
+   * every path (the trivial zero-edge path included — subtracted in
+   * the output so `n_paths` is incoming paths only). Counts run in
+   * decimal(38,0): path counts grow combinatorially and a silently
+   * wrapped long is the B55 failure class (ANSI throws on decimal
+   * overflow — fail-loud delegated to the engine). Same fail-loud
+   * cycle guard as criticalPath. */
+  def pathCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val scratch = s"${graft.Scratch.root(spark)}/pcount_${callSeq.incrementAndGet()}"
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$scratch/$name")
+      spark.read.parquet(s"$scratch/$name")
+    }
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = materialize(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")), "edges")
+    val nodes = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+    var frontierPaths = List(s"$scratch/frontier_0")
+    var frontier = materialize(
+      nodes.withColumn("n", lit(1L).cast(d38)), "frontier_0")
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      frontier = materialize(
+        frontier.join(e, frontier("id") === e("u"))
+          .groupBy(col("v").as("id"))
+          .agg(sum(col("n")).as("n")),
+        s"frontier_$round")
+      frontierPaths ::= s"$scratch/frontier_$round"
+    }
+    require(frontier.isEmpty,
+      s"pathCounts: still growing after maxRounds=$maxRounds — " +
+        "a cycle is reachable, or the DAG is deeper than maxRounds")
+    val result = materialize(
+      spark.read.parquet(frontierPaths.reverse: _*)
+        .groupBy("id")
+        .agg((sum("n") - lit(1L)).cast(d38).as("n_paths")),
+      "result")
+    dropAllBut(spark, scratch, "result")
+    result
+  }
+
   /** Cycle census of a FUNCTIONAL graph (every node has exactly one
    * out-edge — retry chains, "next state" tables, symlink/alias maps,
    * hash-chain audits): which nodes lie on a cycle, and the size of

@@ -235,6 +235,22 @@ class GraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("pathCounts: diamond has two routes into the sink; cycles refuse") {
+    // 1→2, 1→3, 2→4, 3→4 plus 4→5: paths into 4 = {1-2-4, 1-3-4, 2-4,
+    // 3-4} = 4; into 5 = those ×→5 plus 4-5 = 5; into 2/3 = 1 each
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = Graph.pathCounts(edges, "u", "v")
+      .selectExpr("id", "cast(n_paths as long)")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    val e = intercept[IllegalArgumentException] {
+      Graph.pathCounts(Seq((1L, 2L), (2L, 1L)).toDF("u", "v"), "u", "v",
+        maxRounds = 8)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("cycleStats finds each terminal cycle with its min label and size") {
     // 5→4→3, cycle 3→1→2→3, self-loop 6→6
     val nxt = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 3L), (5L, 4L), (6L, 6L))
