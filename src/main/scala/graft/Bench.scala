@@ -27,11 +27,32 @@ object Bench {
     // that reads as a clean run.
     val unknown = args.toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated names to SKIP — for
+    // the sf1 scale sweep, where the brute-force oracle-baseline twins
+    // (O(n²) by design, they exist to verify the scale path at oracle
+    // SF) would dominate the wall clock. Logged loudly: a silent cap
+    // would read as "covered everything".
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val unknownEx = excluded.diff(SparkEntry.queries.keySet)
+    require(unknownEx.isEmpty,
+      s"unknown exclude names: ${unknownEx.toSeq.sorted.mkString(", ")}")
+    if (excluded.nonEmpty)
+      System.err.println(s"[bench] EXCLUDED ${excluded.size} queries: " +
+        excluded.toSeq.sorted.mkString(", "))
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
-      else SparkEntry.queries
+      (if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+       else SparkEntry.queries).view.filterKeys(!excluded.contains(_)).toMap
+    // SPARK_GRAFT_BENCH_PASSES=1: single timed pass, no warmup — the
+    // scale-sweep mode, where each query runs long enough to amortize
+    // JIT/codegen compilation and a 3-pass protocol would triple an
+    // already ~hour-long run. Default (unset) = warmup + min-of-2,
+    // the noise-controlled protocol BENCH_BASELINE.json is pinned on.
+    val singlePass = sys.env.get("SPARK_GRAFT_BENCH_PASSES").contains("1")
     val ordered = selected.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) => try run(fn) catch { case _: Throwable => () } }
+    if (!singlePass)
+      ordered.foreach { case (_, fn) => try run(fn) catch { case _: Throwable => () } }
     // Per-query time = MIN of two timed runs. The shared host stalls
     // randomly (documented 2-5×, and BENCH_r07 recorded 10-100× windows
     // hitting alphabetically-consecutive queries); a stall is a
@@ -48,11 +69,13 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val pass1 = ordered.map { case (name, fn) => name -> timedOnce(name, fn) }.toMap
-    val results = ordered.map { case (name, fn) =>
-      val t2 = timedOnce(name, fn)
-      val t1 = pass1(name)
-      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
-    }
+    val results =
+      if (singlePass) ordered.map { case (name, _) => name -> pass1(name) }
+      else ordered.map { case (name, fn) =>
+        val t2 = timedOnce(name, fn)
+        val t1 = pass1(name)
+        name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+      }
     // Per-query times as INTEGER MILLISECONDS — shortest stable encoding
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v >= 0) math.round(v * 1000) else -1L)

@@ -36,6 +36,41 @@ object SparkEntry {
       .orderBy("nation_n_nationkey")
   }
 
+  /** B14: reference-fidelity row — the reference's OWN test data
+   * (src/test/resources/{artist,artist_credit_name,recording}.json,
+   * the fixtures MusicBrainzTransformsTest.java:97-198 runs) pushed
+   * through the A1 inferred load + A3 join + A5 nest, emitted flat so
+   * the driver's DuckDB replay of the same files hash-checks the
+   * 448-row credit⋈recording join AND the nest cardinality (n_nested,
+   * the per-artist size of the nested array) in one relation.
+   * ReferenceFidelitySpec keeps the in-JVM assertions (expected ids,
+   * single-artist nest shape); this row carries the fidelity claim
+   * through the independent-engine gate. Reads the reference fixtures
+   * directly — they are fixed, read-only inputs, not testdata tables,
+   * so `dir` is unused. */
+  private def qReferenceFidelity(s: SparkSession, dir: String): DataFrame = {
+    val res = "/root/reference/src/test/resources"
+    def load(name: String) =
+      JsonTables.loadTableInferred(s.read.textFile(s"$res/$name.json"), name)
+    val credits = load("artist_credit_name")
+    val recordings = load("recording")
+    val artists = load("artist")
+    val joined = Relational.innerJoinMerge(credits, recordings,
+      "artist_credit_name_artist_credit", "recording_artist_credit")
+    val nested = Relational.nest(artists, joined,
+      "artist_id", "artist_credit_name_artist", "artist_recordings", inner = true)
+    val nestCounts = nested.select(col("artist_id"), col("artist_name"),
+      size(col("artist_recordings")).cast("long").as("n_nested"))
+    joined
+      .join(nestCounts, col("artist_credit_name_artist") === nestCounts("artist_id"))
+      .select(
+        col("artist_credit_name_artist_credit").as("credit_id"),
+        col("artist_credit_name_name").as("credit_name"),
+        col("recording_id"), col("recording_name"), col("recording_length"),
+        col("artist_id"), col("artist_name"), col("n_nested"))
+      .orderBy("credit_id", "recording_id")
+  }
+
   /** A3: inner join with namespace-merged columns. */
   private def qJoinMerge(s: SparkSession, dir: String): DataFrame =
     Relational
@@ -733,7 +768,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** C3: SimHash near-dup keep-table (rows-only + spec). */
+  /** C3: SimHash near-dup keep-table — FULL oracle since r15: the
+   * pigeonhole blocking is COMPLETE (4×16-bit blocks; ≤3 differing
+   * bits leave ≥1 block identical), so the keep-table provably equals
+   * the brute-force Hamming≤3 relation, and the oracle recomputes the
+   * 64-bit signature itself (FNV-1a token votes replayed in mod-2^64
+   * DuckDB arithmetic) — a mismatch is a signature or blocking bug,
+   * never banding recall noise. The standing q_dedup_simhash_sound
+   * gate hedges soundness independently. */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashKeep(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
@@ -822,7 +864,13 @@ object SparkEntry {
    * Jaccard-threshold dedup structurally misses when the container
    * dwarfs the contained side. Production path: anchor-sampled
    * candidate generation + exact containment verify
-   * (dedup/Dedup.containmentKeep); rows-only + the sound gate below. */
+   * (dedup/Dedup.containmentKeep). FULL oracle since r15: the anchor
+   * sampling (shingle hash ≡ 0 mod 8, df ≤ 1000) and the
+   * (size desc, id asc) kill rule are deterministic functions of the
+   * shingle-hash sets, which the oracle recomputes itself in mod-2^64
+   * DuckDB arithmetic — the whole distributed algorithm replayed
+   * end-to-end in a second engine. The _sound gate + the C33b
+   * brute-force twin carry the semantic-recall side. */
   private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.containmentKeep(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
@@ -2316,7 +2364,11 @@ object SparkEntry {
       Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))
     // out-of-band deletion of v2's physical home: v3's nat link dangles
     val p = new org.apache.hadoop.fs.Path(s"$root/v2/nat")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(p, true): Unit
+    // planted eraseKeys crash residue (post-swap, pre-cleanup): the
+    // bak half survives next to the live table → 'crashed-erase'
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v1/.erase_bak_cust")): Unit
     graft.sinks.Snapshot.fsck(s, root)
       .orderBy("version", "table_name")
   }
@@ -4391,6 +4443,45 @@ object SparkEntry {
         "o_date", "o_orderpriority", "l_linenumber", "qty_cents", "price_cents"))
   }
 
+  /** A12 (mask verb, FULL-oracled r15): the CLI `mask` release path —
+   * [[graft.pipelines.Run.maskTable]] parses the policy string,
+   * applies the default-deny A28 projection, truncate-loads, and the
+   * query reads the RELEASED table back so the oracle hash-checks the
+   * actual on-disk artifact, not the in-plan projection (the
+   * q_cli_run write→read-back pattern). */
+  private def qCliMask(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Scratch.root(s)}/cli_mask_${sinkSeq.incrementAndGet()}"
+    graft.pipelines.Run.maskTable(s, dir, "customer",
+      "c_custkey:keep,c_name:sha256,c_mktsegment:prefix:3", out): Unit
+    s.read.parquet(out).orderBy("c_custkey")
+  }
+
+  /** A12+A33 (storage verb, FULL-oracled r15): the CLI `snapshot` →
+   * `storage` round trip — the snapshot verb's pipeline run twice
+   * (full gated publish + prod tag, then the `--link` rerun through
+   * the SAME A27 gate, the r15 fix), then the storage verb's
+   * accounting view over the namespace it built. Physical bytes are
+   * codec-dependent and stay out of the oracle (q_storage_report
+   * precedent); every row/table count is recomputed by DuckDB from
+   * the source tables. */
+  private def qCliStorage(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/cli_storage_${sinkSeq.incrementAndGet()}"
+    val denorm = Denorm.flatDenorm(s, dir, performLookups = true)
+    val (v1, ok1, _) = graft.sinks.Snapshot.publishCompatible(
+      s, root, Map("denorm" -> denorm))
+    require(ok1, "cli storage: initial publish refused")
+    graft.sinks.Snapshot.tag(s, root, "prod", v1)
+    require(graft.sinks.Snapshot.schemaViolations(
+        s, root, Map("denorm" -> denorm)).isEmpty,
+      "cli storage: linked republish refused by the schema gate")
+    val (v2, _) = graft.sinks.Snapshot.publishLinked(
+      s, root, Map("denorm" -> denorm))
+    graft.sinks.Snapshot.tag(s, root, "prod", v2)
+    graft.sinks.Snapshot.storageReport(s, root)
+      .select("version", "n_physical", "n_linked", "logical_rows", "linked_rows")
+      .orderBy("version")
+  }
+
   /** C12: multimodal plumbing — binary payload + typed metadata,
    * per-partition batched feature extraction (stub codec; rows-only). */
   /** C12b: frame sampling plumbing (multimodal/Media.sampleFrames) —
@@ -6428,6 +6519,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> qJsonRoundtrip,
+    "q_reference_fidelity" -> qReferenceFidelity,
     "q_join_merge"     -> qJoinMerge,
     "q_lookup_replace" -> qLookupReplace,
     "q_nest"           -> qNest,
@@ -6618,6 +6710,8 @@ object SparkEntry {
     "q_time_weighted" -> qTimeWeighted,
     "q_late_events"   -> qLateEvents,
     "q_cli_run"       -> qCliRun,
+    "q_cli_mask"      -> qCliMask,
+    "q_cli_storage"   -> qCliStorage,
     "q_partition_prune" -> qPartitionPrune,
     "q_csv_quarantine" -> qCsvQuarantine,
     "q_approx_distinct" -> qApproxDistinct,
@@ -6722,7 +6816,116 @@ object SparkEntry {
     "q_rolling_distinct_approx" -> qRollingDistinctApprox,
   )
 
+  // ------------------------------------------------------------------------
+  // DuckDB replay of the engine's 64-bit text-hash pipeline
+  // (HashOps.simhashText / wordShingleHashes) for the C3/C33 FULL
+  // oracles: ASCII-lowered [a-z0-9_]+ tokens → per-token FNV-1a-64 →
+  // (shingles) splitmix64-combined word-3-grams / (simhash) per-bit
+  // sign votes. All arithmetic is mod 2^64, bit-exact vs the JVM:
+  // xor and >>> run on UBIGINT; each 64×64 multiply runs in HUGEINT
+  // with the multiplier split into 32-bit halves (the full 128-bit
+  // product would overflow HUGEINT's 2^127−1 cap). Same ASCII-corpus
+  // precondition as the C4b string-space oracle: the engine hashes
+  // UTF-8 BYTES, the replay hashes codepoints, identical for ASCII
+  // (CorpusAssemblySpec pins the non-ASCII edge cases in-JVM).
+  // ------------------------------------------------------------------------
+
+  /** `a*b mod 2^64` for a HUGEINT expr `a` in [0,2^64) and a constant
+   * unsigned-64 multiplier, split hi/lo so no intermediate exceeds
+   * 2^96. */
+  private def sqlMulMod64(a: String, b: java.math.BigInteger): String = {
+    val hi = b.shiftRight(32); val lo = b.and(java.math.BigInteger.valueOf(0xffffffffL))
+    s"((($a) * $lo) % 18446744073709551616 + ((($a) * $hi) % 4294967296) * 4294967296) % 18446744073709551616"
+  }
+  private def big(hex: String) = new java.math.BigInteger(hex, 16)
+  private def sqlXor64(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+  private def sqlShr64(a: String, k: Int): String =
+    s"CAST(CAST(($a) AS UBIGINT) >> $k AS HUGEINT)"
+
+  /** splitmix64 finalizer (HashOps.mix64) as a lateral-alias column
+   * chain `p1,p2,p3,po` (po = the mix of `e`) — nesting the three
+   * multiply/xor rounds as one expression would duplicate `e`
+   * exponentially. */
+  private def sqlMixCols(e: String, p: String): String =
+    s"(($e) + 11400714819323198485) % 18446744073709551616 AS ${p}1, " +
+      s"${sqlMulMod64(sqlXor64(s"${p}1", sqlShr64(s"${p}1", 30)), big("bf58476d1ce4e5b9"))} AS ${p}2, " +
+      s"${sqlMulMod64(sqlXor64(s"${p}2", sqlShr64(s"${p}2", 27)), big("94d049bb133111eb"))} AS ${p}3, " +
+      s"${sqlXor64(s"${p}3", sqlShr64(s"${p}3", 31))} AS ${p}o"
+
+  /** FNV-1a-64 of a VARCHAR expr, one codepoint per step (== one byte
+   * for ASCII), via list_reduce with the offset basis prepended
+   * (DuckDB 1.0 list_reduce has no initial-value form). */
+  private def sqlFnv64(t: String): String = {
+    val step = sqlMulMod64(sqlXor64("h", "c"), big("100000001b3"))
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(range(1, length($t)+1), i -> CAST(ord(substr($t, CAST(i AS INT), 1)) AS HUGEINT))), " +
+      s"(h, c) -> ($step))"
+  }
+
+  /** CTE block: `reps(rep_id, text)` → `tocc(rep_id, tok, pos)` +
+   * `dh(tok, th)` (FNV-1a per DISTINCT token — each token string is
+   * hashed once, as the engine's per-row loop is replayed set-wise).
+   * Tokenizer = the C4b oracle tokenizer (ASCII lower + split on
+   * ASCII non-[a-z0-9_]), byte-for-byte HashOps' inline scanner.
+   * MATERIALIZED: DuckDB inlines plain CTEs per reference, which
+   * re-runs the whole hash pipeline for every downstream mention. */
+  private val sqlTokenCtes: String =
+    """toks AS MATERIALIZED (SELECT rep_id,
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM reps),
+         tocc AS MATERIALIZED (SELECT rep_id, ts[CAST(i AS INT)] AS tok, i AS pos
+           FROM toks, UNNEST(range(1, len(ts)+1)) AS u(i)),
+         dh AS MATERIALIZED (SELECT tok, """ + sqlFnv64("tok") + """ AS th
+           FROM (SELECT DISTINCT tok FROM tocc)),"""
+
+  /** CTE block: token hashes → `sh(rep_id, sh)` = the DISTINCT
+   * word-3-gram shingle-hash set (HashOps.wordShingleHashes): rolling
+   * acc = mix64(acc ⊕ tokHash) over each 3-token window. Reps with
+   * < 3 tokens are ABSENT (empty set), matching the engine.
+   * One MATERIALIZED layer per mix64 round: a lateral alias is
+   * substituted textually, so chaining the three rounds inside one
+   * SELECT would nest the duplication ~32× per round (the first cut
+   * of this oracle ran MINUTES at sf0.01 for exactly that reason);
+   * materializing each round's output column keeps every round a
+   * constant-size expression over a stored column. */
+  private val sqlShingleCtes: String =
+    """seq AS MATERIALIZED (SELECT rep_id, list(th ORDER BY pos) AS ths
+           FROM tocc JOIN dh USING (tok) GROUP BY rep_id),
+         sj AS MATERIALIZED (SELECT rep_id, ths[CAST(j AS INT)] AS t0,
+             ths[CAST(j AS INT)+1] AS t1, ths[CAST(j AS INT)+2] AS t2
+           FROM seq, UNNEST(range(1, len(ths)-1)) AS u(j)),
+         smA AS MATERIALIZED (SELECT rep_id, t1, t2, """ +
+      sqlMixCols(sqlXor64("14695981039346656037", "t0"), "a") + """
+           FROM sj),
+         smB AS MATERIALIZED (SELECT rep_id, t2, """ +
+      sqlMixCols(sqlXor64("ao", "t1"), "b") + """
+           FROM smA),
+         smC AS MATERIALIZED (SELECT rep_id, """ +
+      sqlMixCols(sqlXor64("bo", "t2"), "c") + """
+           FROM smB),
+         sh AS MATERIALIZED (SELECT rep_id, list(DISTINCT CAST(co AS UBIGINT)) AS sh
+           FROM smC GROUP BY rep_id),"""
+
   def oracleSql: Map[String, String] = Map(
+    // DuckDB replay over the reference's own fixture files (fixed,
+    // read-only inputs — same absolute paths the query reads): the
+    // credit⋈recording join plus the per-artist nest cardinality.
+    "q_reference_fidelity" ->
+      """WITH c AS (SELECT * FROM read_json_auto('/root/reference/src/test/resources/artist_credit_name.json', format='newline_delimited')),
+         r AS (SELECT * FROM read_json_auto('/root/reference/src/test/resources/recording.json', format='newline_delimited')),
+         a AS (SELECT * FROM read_json_auto('/root/reference/src/test/resources/artist.json', format='newline_delimited')),
+         j AS (SELECT c.artist_credit AS credit_id, c.name AS credit_name,
+                 c.artist AS artist_fk, r.id AS recording_id,
+                 r.name AS recording_name, r.length AS recording_length
+               FROM c JOIN r ON c.artist_credit = r.artist_credit),
+         n AS (SELECT a.id AS artist_id, a.name AS artist_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_nested
+               FROM a JOIN j ON j.artist_fk = a.id GROUP BY 1, 2)
+         SELECT j.credit_id, j.credit_name, j.recording_id, j.recording_name,
+           j.recording_length, n.artist_id, n.artist_name, n.n_nested
+         FROM j JOIN n ON j.artist_fk = n.artist_id
+         ORDER BY credit_id, recording_id""",
     "q_json_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nation_n_nationkey, n_name AS nation_n_name,
          CAST(n_regionkey AS BIGINT) AS nation_n_regionkey
@@ -8038,6 +8241,26 @@ object SparkEntry {
            CAST(SUM(h) AS BIGINT) AS checksum_sum,
            CAST(BIT_XOR(h) AS BIGINT) AS checksum_xor
          FROM h""",
+    // the released artifact replayed: same default-deny projection
+    // semantics as q_mask_policy, read back from disk by the query.
+    "q_cli_mask" ->
+      """SELECT c_custkey, sha256(c_name) AS c_name,
+           substr(c_mktsegment, 1, 3) || '***' AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the snapshot-verb namespace replayed: two versions, both fully
+    // physical (the verb publishes only `denorm`, so the --link rerun
+    // has nothing to carry by reference); logical rows = the denorm
+    // join mass recomputed from the source tables.
+    "q_cli_storage" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey)
+         SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_physical,
+           CAST(0 AS BIGINT) AS n_linked, (SELECT c FROM n) AS logical_rows,
+           CAST(0 AS BIGINT) AS linked_rows
+         UNION ALL
+         SELECT 2, 1, 0, (SELECT c FROM n), 0
+         ORDER BY version""",
     "q_csv_quarantine" ->
       """WITH l AS (SELECT o_orderkey, o_orderpriority,
            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
@@ -8788,6 +9011,80 @@ object SparkEntry {
          FROM keyed k JOIN reps r ON k.text = r.text
          LEFT JOIN dead d ON r.rep_id = d.dead_rep
          ORDER BY doc_id""",
+    // FULL keep-table replay of the layered SimHash dedup: exact text
+    // collapse, then Hamming<=3 pairs among rep signatures. Unlike
+    // MinHash banding, the pigeonhole blocking is COMPLETE (4 blocks
+    // of 16 bits; <=3 differing bits leave >=1 block identical), so
+    // the engine's keep-table provably equals this brute-force
+    // all-pairs replay — the oracle recomputes the 64-bit signature
+    // itself (FNV-1a votes, mod-2^64 CTEs above) and a hash mismatch
+    // is a signature or blocking bug, never banding recall noise.
+    "q_dedup_simhash" ->
+      ("""WITH keyed AS MATERIALIZED (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+         reps AS MATERIALIZED (SELECT MIN(doc_id) AS rep_id, text FROM keyed GROUP BY text),
+         """ + sqlTokenCtes + """
+         tc AS MATERIALIZED (SELECT rep_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tocc GROUP BY rep_id, tok),
+         votes AS MATERIALIZED (SELECT rep_id, CAST(b.b AS INT) AS bit,
+             SUM(cnt * CASE WHEN (CAST(th AS UBIGINT) >> CAST(b.b AS INT)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS v
+           FROM tc JOIN dh USING (tok), UNNEST(range(0, 64)) AS b(b)
+           GROUP BY rep_id, bit),
+         simv AS MATERIALIZED (SELECT rep_id,
+             SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << bit ELSE 0 END) AS s
+           FROM votes GROUP BY rep_id),
+         sims AS MATERIALIZED (SELECT r.rep_id, CAST(COALESCE(v.s, 0) AS UBIGINT) AS sim
+           FROM reps r LEFT JOIN simv v USING (rep_id)),
+         dead AS (SELECT b.rep_id AS dead_rep, CAST(COUNT(*) AS BIGINT) AS n_near
+           FROM sims a JOIN sims b ON a.rep_id < b.rep_id
+             AND bit_count(xor(a.sim, b.sim)) <= 3
+           GROUP BY 1)
+         SELECT k.doc_id,
+           CAST(CASE WHEN k.doc_id <> r.rep_id THEN 1 ELSE 0 END
+             + COALESCE(d.n_near, 0) AS BIGINT) AS n_dups_smaller,
+           (k.doc_id = r.rep_id AND d.n_near IS NULL) AS keep
+         FROM keyed k JOIN reps r ON k.text = r.text
+         LEFT JOIN dead d ON r.rep_id = d.dead_rep
+         ORDER BY doc_id"""),
+    // FULL keep-table replay of the layered anchored-containment
+    // dedup: exact text collapse, anchor sampling (shingle hash ≡ 0
+    // mod 8, df <= 1000), exact containment verify |A∩B|/|A| >= 0.9,
+    // and the (size desc, id asc) kill rule — the documented
+    // algorithm recomputed end-to-end in a second engine over the
+    // same hash space (mod-2^64 CTEs above). The _sound gate and the
+    // C33b brute-force twin carry the semantic-recall side; this row
+    // pins the distributed implementation.
+    "q_dedup_containment" ->
+      ("""WITH keyed AS MATERIALIZED (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+         reps AS MATERIALIZED (SELECT MIN(doc_id) AS rep_id, text FROM keyed GROUP BY text),
+         """ + sqlTokenCtes + """
+         """ + sqlShingleCtes + """
+         anch AS MATERIALIZED (SELECT rep_id, u.a AS anchor FROM sh, UNNEST(sh) AS u(a)
+           WHERE u.a % 8 = 0),
+         rare AS MATERIALIZED (SELECT anchor FROM anch GROUP BY anchor HAVING COUNT(*) <= 1000),
+         pr AS MATERIALIZED (SELECT rep_id, anchor FROM anch JOIN rare USING (anchor)),
+         cand AS MATERIALIZED (SELECT DISTINCT a.rep_id AS id_x, b.rep_id AS id_y
+           FROM pr a JOIN pr b USING (anchor) WHERE a.rep_id < b.rep_id),
+         ver AS MATERIALIZED (SELECT id_x, id_y, len(list_intersect(x.sh, y.sh)) AS inter,
+             len(x.sh) AS sz_x, len(y.sh) AS sz_y
+           FROM cand JOIN sh x ON id_x = x.rep_id JOIN sh y ON id_y = y.rep_id),
+         killed AS (
+           SELECT id_x AS dead_rep FROM ver
+           WHERE inter * 1.0 / sz_x >= 0.9
+             AND (sz_y > sz_x OR (sz_y = sz_x AND id_y < id_x))
+           UNION ALL
+           SELECT id_y AS dead_rep FROM ver
+           WHERE inter * 1.0 / sz_y >= 0.9
+             AND (sz_x > sz_y OR (sz_x = sz_y AND id_x < id_y))),
+         kc AS (SELECT dead_rep, CAST(COUNT(*) AS BIGINT) AS n_cont
+           FROM killed GROUP BY 1)
+         SELECT k.doc_id,
+           CAST(CASE WHEN k.doc_id <> r.rep_id THEN 1 ELSE 0 END
+             + COALESCE(kc.n_cont, 0) AS BIGINT) AS n_containers,
+           (k.doc_id = r.rep_id AND kc.n_cont IS NULL) AS keep
+         FROM keyed k JOIN reps r ON k.text = r.text
+         LEFT JOIN kc ON r.rep_id = kc.dead_rep
+         ORDER BY doc_id"""),
     "q_dedup_containment_sound" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
     "q_dedup_containment_exact" ->
@@ -10471,7 +10768,8 @@ object SparkEntry {
     // deletion: the verdict table is fully determined.
     "q_fsck" ->
       """SELECT * FROM (VALUES
-           (CAST(1 AS BIGINT), 'cust', 'ok', CAST(1 AS BIGINT)),
+           (CAST(1 AS BIGINT), 'cust', 'crashed-erase', CAST(1 AS BIGINT)),
+           (1, 'cust', 'ok', 1),
            (2, '', 'empty-version', 2),
            (3, 'cust', 'ok', 3),
            (3, 'nat', 'dangling-link', 2)

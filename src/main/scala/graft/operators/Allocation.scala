@@ -84,20 +84,29 @@ object Allocation {
    * Scale shape: W and the leftover are 1-row broadcasts; base and
    * remainder are codegen'd decimal(38,0) expressions riding the scan
    * (budget·w wraps a long at warehouse magnitudes — B55 rule); the
-   * "top-leftover remainders" selection runs TWO
-   * [[Rank.distinctRanks]] passes: remainders live below W
-   * (arbitrarily large, so they cannot pack next to the key — the
-   * guard caught exactly this at sf0.1), so the distinct remainder
-   * DOMAIN ranks first (≤ n values → 23 bits), then the packed
-   * (remainder-rank desc, key) order ranks for the total
-   * (rem desc, key asc) pick — never a single-partition sort, no
+   * "top-leftover remainders" selection never sorts globally and
+   * never casts the remainder to long (ADVICE r14: rem is bounded by
+   * W < 2⁸⁶, past long range): rem splits into (hi, lo) long-safe
+   * halves at 2⁶², each half's distinct DOMAIN ranks via
+   * [[Rank.distinctRanks]] (≤ n values → 23 bits each), the rank pair
+   * packs into 46 bits and ranks again — ordering by half-ranks ≡
+   * ordering by rem — and finally the packed (remainder-rank desc,
+   * key) order ranks for the total (rem desc, key asc) pick. Four
+   * range-partitioned rank passes, zero single-partition windows, no
    * overflow at any W. Fail-loud preconditions: unique keys in
-   * [0, 2⁴⁰), n < 2²³, non-negative weights, positive total.
+   * [0, 2⁴⁰), n < 2²³, non-negative weights, positive total, and a
+   * budget of EXACTLY one non-negative row (a multi-row or negative
+   * budget would silently corrupt the allocation via the crossJoin).
    *
    * Emits (key, weight, base, extra, allocated). */
   def proRata(df: DataFrame, key: String, weight: String,
       budget: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bvals = budget.select(col("budget").cast(d38)).limit(2).collect()
+    require(bvals.length == 1,
+      s"proRata: budget must be exactly 1 row (got ${if (bvals.isEmpty) 0 else "2+"})")
+    require(bvals(0).getDecimal(0) != null && bvals(0).getDecimal(0).signum() >= 0,
+      "proRata: budget must be a non-negative, non-null amount")
     val in = df.select(col(key).cast("long").as("k"),
       col(weight).cast("long").as("w"))
     // fail-loud preconditions (one bounded pass): duplicate keys would
@@ -124,20 +133,34 @@ object Allocation {
     val based = in.crossJoin(broadcast(budget)).crossJoin(broadcast(tot))
       .withColumn("base",
         expr("cast((cast(budget as decimal(38,0)) * w) div tw as long)"))
-      .withColumn("rem",
-        expr("cast((cast(budget as decimal(38,0)) * w) % tw as long)"))
+      // rem stays decimal(38,0): it is bounded by W (< 2^86 with
+      // n < 2^23 long weights), which a long cast would overflow
+      .withColumn("rem", expr("(cast(budget as decimal(38,0)) * w) % tw"))
     val leftover = based.agg(
       (first(col("budget")) - sum(col("base"))).cast("long").as("leftover"))
-    // remainders live below W (arbitrarily large), so they cannot pack
-    // directly next to the key — rank the DISTINCT remainder domain
-    // first (≤ n values, so the rank fits 23 bits by the guard), then
-    // pack (remainder-rank desc, key) and rank THAT for the total
-    // (rem desc, key asc) order. Two range-partitioned rank passes,
-    // zero single-partition windows, zero overflow at any W.
-    val remRanks = Rank.distinctRanks(based.select("rem"), "rem")
-      .select(col("v").as("rem"), col("rank").as("rem_rank"))
-    val packed = based.join(remRanks, Seq("rem"))
-      .select(col("k"), col("w"), col("base"), col("rem"),
+    // remainders live below W (arbitrarily large, past long range), so
+    // they can neither pack next to the key nor feed the long-domain
+    // rank directly: split rem = hi·2^62 + lo (both halves long-safe),
+    // rank each half's DISTINCT domain (≤ n values → 23 bits by the
+    // guard), pack the rank pair into 46 bits and rank the pack —
+    // ordering by (hi_rank, lo_rank) ≡ ordering by (hi, lo) ≡
+    // ordering by rem. Then pack (remainder-rank desc, key) and rank
+    // THAT for the total (rem desc, key asc) order. Four
+    // range-partitioned rank passes, zero single-partition windows,
+    // zero overflow at any W.
+    val split = based
+      .withColumn("rem_hi", expr("cast(rem div 4611686018427387904 as long)"))
+      .withColumn("rem_lo", expr("cast(rem % 4611686018427387904 as long)"))
+    val hiRanks = Rank.distinctRanks(split.select("rem_hi"), "rem_hi")
+      .select(col("v").as("rem_hi"), col("rank").as("hi_rank"))
+    val loRanks = Rank.distinctRanks(split.select("rem_lo"), "rem_lo")
+      .select(col("v").as("rem_lo"), col("rank").as("lo_rank"))
+    val remKeyed = split.join(hiRanks, Seq("rem_hi")).join(loRanks, Seq("rem_lo"))
+      .withColumn("rem_key", (col("hi_rank") * (1L << 23)) + col("lo_rank"))
+    val remRanks = Rank.distinctRanks(remKeyed.select("rem_key"), "rem_key")
+      .select(col("v").as("rem_key"), col("rank").as("rem_rank"))
+    val packed = remKeyed.join(remRanks, Seq("rem_key"))
+      .select(col("k"), col("w"), col("base"),
         (((lit(1L << 23) - col("rem_rank")) * (1L << 40)) + col("k")).as("pk"))
     val ranks = Rank.distinctRanks(packed.select("pk"), "pk")
     packed.join(ranks, packed("pk") === ranks("v"))

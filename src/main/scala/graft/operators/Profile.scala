@@ -13,19 +13,26 @@ import org.apache.spark.sql.functions._
  * multi-column exact COUNT(DISTINCT) plans through Catalyst's Expand
  * (input replicated once per distinct column), which is the standard
  * cost of exactness — for a quick 100 TB screen where ±2% is fine,
- * swap `count_distinct` for `approx_count_distinct` and the Expand
- * disappears. The wide 1-row aggregate then unpivots to long format
- * with `stack` (narrow, no extra shuffle).
+ * `approxDistinct = true` swaps in `approx_count_distinct` (HLL++)
+ * and the Expand disappears: one un-replicated pass, partial
+ * aggregation fully map-side. The wide 1-row aggregate then unpivots
+ * to long format with `stack` (narrow, no extra shuffle).
  */
 object Profile {
 
   /** Long-format profile of `cols`: one row per column with
-   * (col_name, n_rows, n_nonnull, n_distinct, min_str, max_str). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+   * (col_name, n_rows, n_nonnull, n_distinct, min_str, max_str).
+   * `approxDistinct = true` trades exact distinct counts for HLL++
+   * estimates (±~2%) and removes the Expand replication — the dial
+   * for a first screen of a 100 TB table. */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
+    def nd(c: String) =
+      if (approxDistinct) approx_count_distinct(col(c)) else count_distinct(col(c))
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
       count(col(c)).as(s"__nn_$c"),
-      count_distinct(col(c)).as(s"__nd_$c"),
+      nd(c).as(s"__nd_$c"),
       min(col(c)).cast("string").as(s"__mn_$c"),
       max(col(c)).cast("string").as(s"__mx_$c"))
     }

@@ -247,7 +247,10 @@ object Sampling {
    * two-level range-partitioned rank over a PACKED (size, id) key —
    * never a single-partition window over the corpus. The packing is
    * guarded fail-loud (B55 rule): sizes below 2²³, ids below 2⁴⁰, or
-   * the pack is refused rather than silently mis-ranked.
+   * the pack is refused rather than silently mis-ranked. Ids must be
+   * UNIQUE, also fail-loud (ADVICE r14): duplicate ids collapse to
+   * one rank and silently co-locate on one shard, skewing exactly the
+   * stripe balance this operator exists to bound.
    *
    * Emits (id, size, shard). */
   def shardAssign(df: DataFrame, idCol: String, sizeCol: String,
@@ -255,6 +258,10 @@ object Sampling {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val in = df.select(col(idCol).cast("long").as("id"),
       col(sizeCol).cast("long").as("size"))
+    val dupGuard = in.agg(
+      (count(lit(1)) - countDistinct(col("id"))).as("dups")).head()
+    require(dupGuard.getLong(0) == 0L,
+      s"shardAssign: ${dupGuard.getLong(0)} duplicate ids — every id must be unique")
     val maxSize = 1L << 23
     val maxId = 1L << 40
     val guarded = in.select(col("id"), col("size"),

@@ -67,9 +67,18 @@ object Run {
       val (ver, ok, viol) =
         if (flag("link").contains("true") &&
             graft.sinks.Snapshot.currentVersion(spark, outPath) > 0) {
-          val (v, _) = graft.sinks.Snapshot.publishLinked(
+          // the linked fast path runs the SAME A27 gate as the full
+          // publish (ADVICE r14: skipping it here let a breaking
+          // schema change publish zero-copy and advance prod)
+          val viols = graft.sinks.Snapshot.schemaViolations(
             spark, outPath, Map("denorm" -> table))
-          (v, true, Nil)
+          if (viols.nonEmpty)
+            (graft.sinks.Snapshot.currentVersion(spark, outPath) + 1, false, viols)
+          else {
+            val (v, _) = graft.sinks.Snapshot.publishLinked(
+              spark, outPath, Map("denorm" -> table))
+            (v, true, Seq.empty[String])
+          }
         } else graft.sinks.Snapshot.publishCompatible(
           spark, outPath, Map("denorm" -> table))
       if (ok) graft.sinks.Snapshot.tag(spark, outPath, "prod", ver)

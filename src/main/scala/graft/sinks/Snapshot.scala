@@ -457,8 +457,12 @@ object Snapshot {
    * per (version, table) with status: 'ok' (physical), 'linked-ok'
    * (link target present), 'dangling-link' (link names a version that
    * no longer homes the table), plus an 'empty-version' row for a
-   * version dir serving nothing. Pure namespace metadata — listings
-   * and existence probes, no data read, no counts. */
+   * version dir serving nothing, plus a 'crashed-erase' row per
+   * `.erase_bak_T`/`.erase_tmp_T` residue dir (ADVICE r14: an
+   * [[eraseKeys]] crash between its two renames leaves the table
+   * missing and its halves stranded — recover by renaming whichever
+   * side is complete back into place). Pure namespace metadata —
+   * listings and existence probes, no data read, no counts. */
   def fsck(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, root)
@@ -468,15 +472,21 @@ object Snapshot {
       .sorted.toSeq
     val rows = versions.flatMap { v =>
       val links = linksOf(spark, root, v)
-      val own = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v$v"))
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.matches("[A-Za-z0-9_]+")).toSeq
+      val dirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v$v"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq
+      val own = dirs.filter(_.matches("[A-Za-z0-9_]+"))
+      // a complete erase deletes both halves, so ANY survivor of
+      // either name is a crashed erase — report the TABLE it strands
+      val crashedRows = dirs
+        .collect { case n if n.startsWith(".erase_bak_") => n.drop(11)
+                   case n if n.startsWith(".erase_tmp_") => n.drop(11) }
+        .distinct.sorted.map(t => (v, t, "crashed-erase", v))
       val linkRows = links.toSeq.sorted.map { case (t, sv) =>
         val target = new org.apache.hadoop.fs.Path(s"$root/v$sv/$t")
         (v, t, if (f.exists(target)) "linked-ok" else "dangling-link", sv)
       }
       val ownRows = own.sorted.map(t => (v, t, "ok", v))
-      val all = ownRows ++ linkRows
+      val all = ownRows ++ linkRows ++ crashedRows
       if (all.isEmpty) Seq((v, "", "empty-version", v)) else all
     }
     rows.toDF("version", "table_name", "status", "home_version")
@@ -491,9 +501,14 @@ object Snapshot {
    * directory still holds the bytes even if no manifest names it.
    * Each version's table dir is rewritten via write-temp → swap
    * (rename the old dir aside, rename the new one in, drop the old —
-   * the TableSink discipline), so a concurrent reader sees the old
-   * complete version or the new complete version, never a partial
-   * dir (rename atomicity: HDFS/local, the A15 assumption).
+   * the TableSink discipline), so a concurrent reader NEVER sees
+   * partial data — though between the two renames the table dir
+   * briefly does not exist, so a read in that window fails loudly
+   * rather than serving a half-scrubbed table (rename atomicity:
+   * HDFS/local, the A15 assumption). A crash between the renames
+   * leaves a `.erase_bak_`/`.erase_tmp_` pair that [[fsck]] reports
+   * as 'crashed-erase' (recover by renaming whichever side is
+   * complete back into place).
    * Returns (version, rowsRemoved) ascending, one row per version
    * that carries the table; fails loudly if NO version does.
    *
@@ -567,32 +582,47 @@ object Snapshot {
     tables.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
       s"snapshot publish: unsafe table name '$n'"))
     val cur = currentVersion(spark, root)
-    val violations =
-      if (cur == 0L) Seq.empty
-      else tables.toSeq.sorted(Ordering.by((t: (String, DataFrame)) => t._1))
-        .flatMap { case (name, df) =>
-          // served set = written + link-carried (A32): a table the
-          // current version serves through a link is just as much a
-          // reader contract as a physically-written one
-          val prev = scala.util.Try(
-            resolveTableDir(spark, root, cur, name)).toOption
-          if (prev.isEmpty) Nil // brand-new table: fine
-          else {
-            val old = spark.read.parquet(prev.get).schema
-            val neu = df.schema.map(x => x.name -> x.dataType).toMap
-            old.flatMap { field =>
-              neu.get(field.name) match {
-                case None => Some(s"$name: column '${field.name}' dropped")
-                case Some(dt) if dt != field.dataType =>
-                  Some(s"$name: column '${field.name}' retyped " +
-                    s"${field.dataType.simpleString} -> ${dt.simpleString}")
-                case _ => None
-              }
+    val violations = schemaViolations(spark, root, tables)
+    if (violations.nonEmpty) (cur + 1, false, violations)
+    else (publish(spark, root, tables), true, Nil)
+  }
+
+  /** The A27 compatibility scan alone — every way `tables` would break
+   * the reader contract of the CURRENT version (dropped or retyped
+   * column vs the served schema; added columns are fine). Factored
+   * out of [[publishCompatible]] so the zero-copy linked-publish path
+   * can run the SAME gate (ADVICE r14: `--link` silently skipped it,
+   * letting a breaking denorm schema change publish and advance the
+   * prod tag instead of refusing). Empty namespace → no contract →
+   * no violations. */
+  def schemaViolations(
+      spark: SparkSession,
+      root: String,
+      tables: Map[String, DataFrame]): Seq[String] = {
+    val cur = currentVersion(spark, root)
+    if (cur == 0L) Seq.empty
+    else tables.toSeq.sorted(Ordering.by((t: (String, DataFrame)) => t._1))
+      .flatMap { case (name, df) =>
+        // served set = written + link-carried (A32): a table the
+        // current version serves through a link is just as much a
+        // reader contract as a physically-written one
+        val prev = scala.util.Try(
+          resolveTableDir(spark, root, cur, name)).toOption
+        if (prev.isEmpty) Nil // brand-new table: fine
+        else {
+          val old = spark.read.parquet(prev.get).schema
+          val neu = df.schema.map(x => x.name -> x.dataType).toMap
+          old.flatMap { field =>
+            neu.get(field.name) match {
+              case None => Some(s"$name: column '${field.name}' dropped")
+              case Some(dt) if dt != field.dataType =>
+                Some(s"$name: column '${field.name}' retyped " +
+                  s"${field.dataType.simpleString} -> ${dt.simpleString}")
+              case _ => None
             }
           }
         }
-    if (violations.nonEmpty) (cur + 1, false, violations)
-    else (publish(spark, root, tables), true, Nil)
+      }
   }
 
   /** Named version refs (A25) — "prod points at v7" as one tiny

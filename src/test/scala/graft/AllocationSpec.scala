@@ -102,4 +102,35 @@ class AllocationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Allocation.proRata(
       Seq((1L, 0L)).toDF("k", "w"), "k", "w", b10))
   }
+
+  test("proRata: W past long range (ADVICE r14) and budget-shape guards") {
+    import spark.implicits._
+    // four near-max long weights: W = 4·(2^62+{0..3}) ≈ 2^64 > Long.Max,
+    // so the remainder domain lives past long range — the decimal
+    // split-rank path must still hand the leftover to the LARGEST
+    // remainder (budget·w mod W grows with the weight here)
+    val w0 = 1L << 62
+    val big = Seq((1L, w0), (2L, w0 + 1L), (3L, w0 + 2L), (4L, w0 + 3L))
+      .toDF("k", "w")
+    val b7 = spark.range(1).select(org.apache.spark.sql.functions.lit(7L).as("budget"))
+    val got = Allocation.proRata(big, "k", "w", b7)
+      .select("k", "base", "extra", "allocated").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got.map(_._4).sum == 7L, s"allocations must sum to the budget: $got")
+    // bases are all 1 (7w_i/W ∈ (1,2)); remainders 7·w_i mod W order
+    // by weight, so the 3 extras go to keys 4, 3, 2
+    assert(got.map(r => (r._1, r._4)) ==
+      List((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L)), s"got $got")
+    // budget must be exactly one non-negative row
+    intercept[IllegalArgumentException](Allocation.proRata(
+      Seq((1L, 1L)).toDF("k", "w"), "k", "w",
+      Seq(5L, 6L).toDF("budget")))
+    intercept[IllegalArgumentException](Allocation.proRata(
+      Seq((1L, 1L)).toDF("k", "w"), "k", "w",
+      Seq(-5L).toDF("budget")))
+    intercept[IllegalArgumentException](Allocation.proRata(
+      Seq((1L, 1L)).toDF("k", "w"), "k", "w",
+      spark.range(1).select(org.apache.spark.sql.functions
+        .lit(null).cast("long").as("budget"))))
+  }
 }

@@ -228,6 +228,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), s"profile must not union per-column scans:\n$plan")
   }
 
+  test("approxDistinct dial removes the Expand and stays within HLL tolerance") {
+    val df = (1L to 2000L).map(i => (i % 700, s"v${i % 130}")).toDF("id", "s")
+    val q = Profile.profile(df, Seq("id", "s"), approxDistinct = true)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx profile must not replicate the input through Expand:\n$plan")
+    val nd = q.as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // HLL++ default rsd = 5%; these cardinalities sit far inside it
+    assert(math.abs(nd("id") - 700L) <= 700 * 0.10, s"id estimate ${nd("id")}")
+    assert(math.abs(nd("s") - 130L) <= 130 * 0.10, s"s estimate ${nd("s")}")
+    // min/max/non-null stay exact on the dial
+    val full = q.as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(full("id")._2 == 2000L && full("id")._3 == 2000L)
+    assert(full("id")._5 == "0" && full("id")._6 == "699")
+  }
+
   // --- Persisted-index publish protocol (SparkEntry.withBuiltIndex) ---------
 
   /** Runs `body` with the durable scratch root pointed at a temp dir. */

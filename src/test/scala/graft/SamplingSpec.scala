@@ -178,5 +178,12 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("packable domain") ||
       Option(e.getCause).exists(_.getMessage.contains("packable domain")))
+    // duplicate ids fail loudly (ADVICE r14): they would collapse to
+    // one rank and silently co-locate, skewing the stripe balance
+    val dup = Seq((7L, 5L), (7L, 3L)).toDF("id", "sz")
+    val d = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.shardAssign(dup, "id", "sz", 2)
+    }
+    assert(d.getMessage.contains("duplicate ids"), d.getMessage)
   }
 }

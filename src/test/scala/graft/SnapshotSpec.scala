@@ -369,4 +369,37 @@ class SnapshotSpec extends AnyFunSuite {
       (2L, "a", 2L, true, ""),
       (3L, "a", 1L, false, "")))
   }
+
+  test("schemaViolations alone gates the linked fast path (ADVICE r14)") {
+    val root = freshRoot()
+    val v1 = Seq((1L, "a")).toDF("k", "s")
+    Snapshot.publish(spark, root, Map("t" -> v1))
+    // the exact check the CLI --link path now runs before publishLinked
+    assert(Snapshot.schemaViolations(spark, root, Map("t" -> v1)).isEmpty)
+    assert(Snapshot.schemaViolations(spark, root,
+      Map("t" -> v1.withColumn("extra",
+        org.apache.spark.sql.functions.lit(5L)))).isEmpty)
+    val viol = Snapshot.schemaViolations(spark, root,
+      Map("t" -> Seq(("1", 9L)).toDF("k", "extra")))
+    assert(viol.size == 2 && viol.exists(_.contains("'s' dropped")) &&
+      viol.exists(_.contains("'k' retyped")))
+    // empty namespace: no contract, nothing to violate
+    assert(Snapshot.schemaViolations(spark, freshRoot(), Map("t" -> v1)).isEmpty)
+  }
+
+  test("fsck reports eraseKeys crash residue as crashed-erase (ADVICE r14)") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("k", "s")))
+    val f = new java.io.File(s"$root/v1/.erase_bak_t")
+    assert(f.mkdirs())
+    // tmp residue of a second table: both halves report, deduped per table
+    assert(new java.io.File(s"$root/v1/.erase_tmp_u").mkdirs())
+    assert(new java.io.File(s"$root/v1/.erase_bak_u").mkdirs())
+    val rows = Snapshot.fsck(spark, root)
+      .as[(Long, String, String, Long)].collect().toList.sorted
+    assert(rows == List(
+      (1L, "t", "crashed-erase", 1L),
+      (1L, "t", "ok", 1L),
+      (1L, "u", "crashed-erase", 1L)), s"got $rows")
+  }
 }
