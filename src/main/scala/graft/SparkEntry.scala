@@ -5568,6 +5568,149 @@ object SparkEntry {
       .orderBy("label", "dim")
   }
 
+  /** C81 (r15): distributed PCA, the exact-integer moment pass
+   * ([[graft.functions.GramAggregate]]) — ONE map-side-combined
+   * aggregate whose state is dim(dim+1)/2 + dim + 1 longs regardless
+   * of corpus size (the shuffle carries one 33 KiB buffer per
+   * partition, never vectors). Coordinates quantize to micro-units
+   * (floor(x·10⁶ + 0.5), the C58 exact-integer discipline), so every
+   * upper-tri second moment, first moment, and the count are EXACT
+   * integers the oracle recomputes from the same parquet — the whole
+   * distributed half of PCA hash-checked. Output rows: (i, j, v) for
+   * i ≤ j = Σ qᵢqⱼ; (i, -1) = Σ qᵢ; (-1, -1) = n. */
+  private def qPcaGram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val (g, sv, n) = graft.similarity.Pca.gramStats(
+      t(s, dir, "embeddings"), "embedding", dim)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      rows += ((i.toLong, j.toLong, g(idx))); idx += 1
+    }
+    for (i <- 0 until dim) rows += ((i.toLong, -1L, sv(i)))
+    rows += ((-1L, -1L, n))
+    rows.toSeq.toDF("i", "j", "v").orderBy("i", "j")
+  }
+
+  /** C81b (r15): PCA projection + whitening invariants — the bounded
+   * driver eigensolve (deterministic cyclic Jacobi over the exact
+   * covariance) and the codegen'd y = Vᵀ(x − μ) projection pass
+   * ([[graft.functions.expressions.affineProject]]; matrix embeds in
+   * the plan, no shuffle). Eigen-VALUES are driver doubles a second
+   * engine cannot replay, so the row carries the PROVABLE invariants
+   * instead (the approximate-operator oracle pattern): per component,
+   * orthonormality of the eigenbasis (|vc·vd − δ| < 1e-8),
+   * descending-variance order, and — the end-to-end check that runs
+   * DISTRIBUTED — the whitened projection's population variance lands
+   * on 1 within 1% (covariance came from quantized micros, the
+   * projection runs on raw doubles; the gap is bounded by the
+   * quantization step). */
+  private def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val k = 8
+    val emb = t(s, dir, "embeddings")
+    val m = graft.similarity.Pca.fit(emb, "embedding", dim, k)
+    require(m.k == k, s"pca: expected $k components above floor, got ${m.k}")
+    def dot(c: Int, d: Int): Double =
+      (0 until dim).map(i => m.components(c * dim + i) * m.components(d * dim + i)).sum
+    val orthoOk = Array.tabulate(k)(c => (0 until k).forall { d =>
+      math.abs(dot(c, d) - (if (c == d) 1.0 else 0.0)) < 1e-8
+    })
+    val orderOk = Array.tabulate(k)(c =>
+      c == 0 || m.eigenvalues(c) <= m.eigenvalues(c - 1) + 1e-12)
+    val white = m.copy(components = Array.tabulate(k * dim) { idx =>
+      m.components(idx) / math.sqrt(m.eigenvalues(idx / dim))
+    })
+    val stats = emb
+      .select(posexplode(graft.similarity.Pca.projectColumn(white, col("embedding")))
+        .as(Seq("comp", "y")))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+      .select(col("comp").cast("long").as("component"), col("n").as("n_used"),
+        (abs(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))
+          - 1.0) < 0.01).as("var_ok"))
+    import emb.sparkSession.implicits._
+    val driverFlags = (0 until k)
+      .map(c => (c.toLong, orthoOk(c), orderOk(c)))
+      .toDF("component", "ortho_ok", "order_ok")
+    stats.join(broadcast(driverFlags), Seq("component"))
+      .select("component", "n_used", "ortho_ok", "order_ok", "var_ok")
+      .orderBy("component")
+  }
+
+  /** C82 (r15): int8 quantization calibration — the per-dimension
+   * min-max affine map a serving/training stack uses to ship
+   * embeddings at 1 byte/coordinate. Exact end-to-end: coordinates
+   * quantize to micro-units, calibration is a (pos → min, max)
+   * aggregate (dim-bounded, broadcast back), and the code is
+   * round-half-up((q−min)·255/range) computed IN INTEGERS
+   * (⌊((q−min)·510 + range) / 2·range⌋ — Spark `div` and DuckDB `//`
+   * both truncate), so the oracle replays every code bit-for-bit.
+   * Constant dimensions (range 0) code to 0. Scale shape: one
+   * posexplode pass + a 64-row broadcast join — no vector shuffle. */
+  private def qQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000000d + 0.5).cast("long").as("qv"))
+    val cal = q.groupBy("pos").agg(min("qv").as("qmin"), max("qv").as("qmax"))
+    q.join(broadcast(cal), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(col("qmax") === col("qmin"), 0L)
+          .otherwise(expr("((qv - qmin) * 510 + (qmax - qmin)) div (2 * (qmax - qmin))"))
+          .cast("long").as("code"))
+      .orderBy("vec_id", "pos")
+  }
+
+  /** C83 (r15): sequence-length bucketing / padding-waste report —
+   * the batch-shape audit a training loader runs before fixing bucket
+   * boundaries: docs bucket to a FIXED power-of-two token-cap ladder
+   * (16 … 4096, clamped at the top), and each bucket reports doc
+   * count, true token mass, padded mass (cap × docs), and waste ppm.
+   * The ladder is a CASE chain, not log2 (float log at exact powers
+   * of two is engine-dependent; integer compares are not). One scan +
+   * one small aggregate; the integer waste_ppm division truncates
+   * identically in both engines. */
+  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val toks = t(s, dir, "documents")
+      .select(size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_tok"))
+    val cap = caps.init.foldRight(lit(caps.last): org.apache.spark.sql.Column) {
+      (c, acc) => when(col("n_tok") <= c, c).otherwise(acc)
+    }
+    toks.withColumn("cap", cap)
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+      .select(col("cap"), col("n_docs"), col("sum_tok"),
+        (col("cap") * col("n_docs")).as("padded_tok"),
+        expr("(cap * n_docs - sum_tok) * 1000000 div (cap * n_docs)").as("waste_ppm"))
+      .orderBy("cap")
+  }
+
+  /** B122 (r15): join-explosion audit — the pre-join sanity check a
+   * 100 TB pipeline runs BEFORE a self-join/equi-join on a suspect
+   * key: per key n, the join emits n² rows, so the audit reports the
+   * top-10 contributing keys (n² desc, key asc — deterministic) plus
+   * a total row (key −1: distinct keys, Σ n² = the exact output size
+   * a self-join would produce). One groupBy count + a bounded top-k;
+   * the Σ n² accumulates in decimal(38,0) and fails loudly past long
+   * range (B55 rule) rather than wrapping into a plausible lie. */
+  private def qJoinExplosion(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"), (col("n") * col("n")).as("pairs"))
+    val top = c.orderBy(col("pairs").desc, col("user_id")).limit(10)
+    val total = c.agg(
+        count(lit(1)).as("n"),
+        sum(col("pairs").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("p"))
+      .select(lit(-1L).as("user_id"), col("n"),
+        when(col("p") < lit(Long.MaxValue).cast("decimal(38,0)"),
+          col("p").cast("long"))
+          .otherwise(raise_error(lit("join explosion total past long range")))
+          .as("pairs"))
+    top.unionAll(total).orderBy(col("pairs").desc, col("user_id"))
+  }
+
   /** C71 (r14): centroid-distance outlier audit — the mislabel /
    * contamination detector a curator runs over an embedded corpus:
    * each vector's exact squared distance to its OWN class centroid
@@ -6805,6 +6948,11 @@ object SparkEntry {
     "q_orc_roundtrip"  -> qOrcRoundtrip,
     "q_adaptive_salt"  -> qAdaptiveSalt,
     "q_embedding_stats" -> qEmbeddingStats,
+    "q_pca_gram" -> qPcaGram,
+    "q_pca_project" -> qPcaProject,
+    "q_quantize_int8" -> qQuantizeInt8,
+    "q_length_buckets" -> qLengthBuckets,
+    "q_join_explosion" -> qJoinExplosion,
     "q_bitmap_distinct" -> qBitmapDistinct,
     "q_subtree_rollup" -> qSubtreeRollup,
     "q_schema_drift"   -> qSchemaDrift,
@@ -7688,8 +7836,8 @@ object SparkEntry {
          g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(dl) AS BIGINT) AS s FROM dl),
          sc AS (SELECT tf.chunk_id, tf.term,
-             (1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
-               // ((2 * df.df + 1) * (10 * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
+             (CAST(1000000 AS HUGEINT) * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
+               // ((2 * df.df + 1) * (CAST(10 AS HUGEINT) * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
                AS score_ppm
            FROM tf JOIN dl USING (chunk_id) JOIN df USING (term) CROSS JOIN g),
          q1 AS (SELECT 'q_vector' AS query, chunk_id,
@@ -8261,6 +8409,67 @@ object SparkEntry {
          UNION ALL
          SELECT 2, 1, 0, (SELECT c FROM n), 0
          ORDER BY version""",
+    // C81: the exact integer moment pass replayed from the parquet —
+    // every upper-tri second moment, first moment, and n.
+    "q_pca_gram" ->
+      """WITH q AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS i,
+           CAST(floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+         FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+         g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS v
+           FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+         s AS (SELECT i, CAST(-1 AS BIGINT) AS j, CAST(SUM(qv) AS BIGINT) AS v
+           FROM q GROUP BY 1)
+         SELECT i, j, v FROM g
+         UNION ALL SELECT i, j, v FROM s
+         UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+         ORDER BY i, j""",
+    // C81b: eigenvalues are driver doubles — the row carries provable
+    // invariants (orthonormal basis, variance order, whitened
+    // variance ≈ 1 computed distributed), all TRUE.
+    "q_pca_project" ->
+      """SELECT CAST(u.c AS BIGINT) AS component,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_used,
+           TRUE AS ortho_ok, TRUE AS order_ok, TRUE AS var_ok
+         FROM UNNEST(range(0, 8)) AS u(c) ORDER BY component""",
+    // C82: the whole affine int8 map replayed in integers.
+    "q_quantize_int8" ->
+      """WITH q AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+           CAST(floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+         FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+         cal AS (SELECT pos, MIN(qv) AS qmin, MAX(qv) AS qmax FROM q GROUP BY pos)
+         SELECT vec_id, pos,
+           CAST(CASE WHEN qmax = qmin THEN 0
+             ELSE ((qv - qmin) * 510 + (qmax - qmin)) // (2 * (qmax - qmin))
+           END AS BIGINT) AS code
+         FROM q JOIN cal USING (pos) ORDER BY vec_id, pos""",
+    // C83: fixed power-of-two cap ladder (CASE chain, no float log2),
+    // integer waste ppm.
+    "q_length_buckets" ->
+      """WITH toks AS (SELECT CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (SELECT n_tok, CAST(CASE
+             WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+             WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+             WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+             WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048
+             ELSE 4096 END AS BIGINT) AS cap FROM toks)
+         SELECT cap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(cap * COUNT(*) AS BIGINT) AS padded_tok,
+           CAST((cap * COUNT(*) - SUM(n_tok)) * 1000000 // (cap * COUNT(*)) AS BIGINT) AS waste_ppm
+         FROM b GROUP BY cap ORDER BY cap""",
+    // B122: top contributing keys + exact self-join output size.
+    "q_join_explosion" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         top AS (SELECT user_id, n, CAST(n * n AS BIGINT) AS pairs FROM c
+           ORDER BY n * n DESC, user_id LIMIT 10)
+         SELECT user_id, n, pairs FROM top
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM c),
+           (SELECT CAST(SUM(n * n) AS BIGINT) FROM c)
+         ORDER BY pairs DESC, user_id""",
     "q_csv_quarantine" ->
       """WITH l AS (SELECT o_orderkey, o_orderpriority,
            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
@@ -8736,8 +8945,8 @@ object SparkEntry {
          g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                       CAST(SUM(dl) AS BIGINT) AS s FROM dl),
          sc AS (SELECT tf.doc_id, tf.term,
-             (1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
-               // ((2 * df.df + 1) * (10 * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
+             (CAST(1000000 AS HUGEINT) * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
+               // ((2 * df.df + 1) * (CAST(10 AS HUGEINT) * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
                AS score_ppm
            FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
@@ -10319,8 +10528,8 @@ object SparkEntry {
          g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                       CAST(SUM(dl) AS BIGINT) AS s FROM dl),
          sc AS (SELECT tf.doc_id,
-             (1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
-               // ((2 * df.df + 1) * (10 * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
+             (CAST(1000000 AS HUGEINT) * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
+               // ((2 * df.df + 1) * (CAST(10 AS HUGEINT) * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
                AS score_ppm
            FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g
            WHERE term IN ('vector', 'stream', 'window')),
@@ -10555,8 +10764,8 @@ object SparkEntry {
          g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                       CAST(SUM(dl) AS BIGINT) AS s FROM dl),
          sc AS (SELECT tf.doc_id,
-             (1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
-               // ((2 * df.df + 1) * (10 * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
+             (CAST(1000000 AS HUGEINT) * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.s)
+               // ((2 * df.df + 1) * (CAST(10 AS HUGEINT) * g.s * tf.tf + 3 * g.s + 9 * dl.dl * g.n))
                AS score_ppm
            FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN g
            WHERE term IN ('vector', 'stream', 'window')),

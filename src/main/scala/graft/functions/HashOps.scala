@@ -930,4 +930,37 @@ object HashOps {
     }
     lo
   }
+
+  /** y = M·(x − mean) for a row-major k×dim matrix — the PCA/whitening
+   * projection kernel (C81). One O(k·dim) loop per row inside
+   * whole-stage codegen; the matrix and mean embed in the plan as
+   * reference objects (the HyperplaneSig precedent). */
+  def affineProject(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      matrix: Array[Double], mean: Array[Double], dim: Int,
+      isFloat: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = matrix.length / dim
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val off = c * dim
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += (x - mean(i)) * matrix(off + i)
+        i += 1
+      }
+      out(c) = dot
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Exact micro-unit quantization: floor(x·scale + 0.5) — round-half-
+   * up toward +inf, the cross-engine-stable rounding (DuckDB replays
+   * it with the same floor form; plain round() differs at .5 between
+   * engines). */
+  def microQuantize(x: Double, scale: Long): Long =
+    math.floor(x * scale + 0.5).toLong
 }

@@ -449,6 +449,33 @@ case class SignedProjection(child: Expression, signs: Array[Long], dim: Int)
     copy(child = newChild)
 }
 
+/** affine_project(vec): y = M·(x − mean) for a row-major k×dim
+ * matrix — the PCA projection / whitening kernel (C81). Matrix and
+ * mean are bounded driver state embedded as reference objects
+ * (HyperplaneSig precedent); the O(k·d) per-row loop runs inside
+ * whole-stage codegen, no shuffle, no broadcast table. */
+case class AffineProject(child: Expression, matrix: Array[Double],
+    mean: Array[Double], dim: Int)
+    extends UnaryExpression {
+  require(matrix.length % dim == 0 && mean.length == dim,
+    s"affine_project: matrix ${matrix.length} not a k×$dim grid or mean ${mean.length} != $dim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.check("affine_project", Seq(child.dataType))
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.affineProject(input.asInstanceOf[ArrayData], matrix, mean, dim, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matrix", matrix, "double[]")
+    val mu = ctx.addReferenceObj("mean", mean, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.affineProject($c, $m, $mu, $dim, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AffineProject =
+    copy(child = newChild)
+}
+
 /** cms_estimate(key) against a serialized Count-Min sketch → long
  * estimated frequency. The sketch bytes embed in the plan as a
  * reference object (deserialized once per task, like a broadcast
@@ -659,6 +686,10 @@ object expressions {
   }
   def bitmapDistinct(c: Column, domain: Int): Column =
     column(BitmapDistinct(expression(c), domain).toAggregateExpression())
+  def affineProject(v: Column, matrix: Array[Double], mean: Array[Double], dim: Int): Column =
+    column(AffineProject(expression(v), matrix, mean, dim))
+  def gramAggregate(v: Column, dim: Int, scale: Long): Column =
+    column(GramAggregate(expression(v), dim, scale).toAggregateExpression())
   def searchSortedLong(v: Column, breaks: Array[Long]): Column = {
     require(breaks.nonEmpty, "searchSortedLong: empty breaks")
     require((1 until breaks.length).forall(i => breaks(i - 1) <= breaks(i)),

@@ -87,10 +87,15 @@ object TfIdf {
    *                     ((2df+1) · (10·S·tf + 3·S + 9·dl·N))⌋
    *
    * (numerator and denominator each multiplied through by 10·S and the
-   * half-integers cleared). Overflow bound: the numerator needs
-   * 2.2·10⁷·(2N)·tf·S < 2⁶³, i.e. N·S ≲ 2·10¹¹/tf_max — beyond that
-   * (≈10⁹ docs · 10⁸ tokens), drop the scale to 10³ or lift the
-   * numerator into decimal(38,0) on both engines.
+   * half-integers cleared). Numerator and denominator evaluate in
+   * decimal(38,0) — the long formulation needed
+   * 2.2·10⁷·(2N)·tf·S < 2⁶³, i.e. N·S ≲ 2·10¹¹/tf_max, and the r15
+   * sf1 sweep (N·S ≈ 1.4·10¹¹) crossed exactly that line and threw
+   * (ANSI, loud — the B55 rule working as intended). Decimal lifts
+   * the bound past any physical corpus (< 10³⁸); the QUOTIENT is
+   * ppm-scale and lands back in a long, and integer division is
+   * value-identical in either width, so every oracle hash is
+   * unchanged.
    *
    * Scale shape: tf is one (doc, term) hash aggregation; df and the
    * 1-row (N, S) stats broadcast back (vocabulary ≪ corpus); the score
@@ -105,13 +110,11 @@ object TfIdf {
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__num",
-        lit(1000000L) * (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)) *
-          lit(22L) * col("tf") * col("s"))
+        expr("cast(1000000 as decimal(38,0)) * (2 * n - 2 * df + 1) * 22 * tf * s"))
       .withColumn("__den",
-        (lit(2L) * col("df") + lit(1L)) *
-          (lit(10L) * col("s") * col("tf") + lit(3L) * col("s") +
-            lit(9L) * col("dl") * col("n")))
-      .withColumn("score_ppm", expr("__num div __den"))
+        expr("(2 * df + 1) * (cast(10 as decimal(38,0)) * s * tf" +
+          " + cast(3 as decimal(38,0)) * s + cast(9 as decimal(38,0)) * dl * n)"))
+      .withColumn("score_ppm", expr("cast(__num div __den as long)"))
       .select("doc_id", "term", "tf", "score_ppm")
   }
 

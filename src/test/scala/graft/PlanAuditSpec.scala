@@ -539,4 +539,57 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dup alarm must plan the keyed state operator:\n$da")
     assert(!da.contains("Join"), s"dup alarm must stay join-free:\n$da")
   }
+
+  test("governance surfaces are metadata-only: no parquet data pages (round 15)") {
+    // The r14 snapshot wave's scaladocs claim vacuum/catalog/fsck/
+    // storage are "listings + footer counts, no data pages". The
+    // oracles pin the VALUES; this pins the claim by plan shape: every
+    // Spark job these surfaces trigger must either read no files at
+    // all or scan parquet with an EMPTY ReadSchema (struct<> = row
+    // counts from row-group metadata, zero column chunks decoded).
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import spark.implicits._
+    val root = s"${Scratch.root(spark)}/gov_audit_${System.nanoTime()}"
+    graft.sinks.Snapshot.publish(spark, root,
+      Map("a" -> Seq((1L, "x"), (2L, "y")).toDF("k", "v")))
+    graft.sinks.Snapshot.publishLinked(spark, root,
+      Map("b" -> Seq(9L).toDF("z")))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, ns: Long): Unit =
+        captured.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (catPlan, repPlan, fsckPlan) =
+      try {
+        val cat = graft.sinks.Snapshot.catalog(spark, root)
+        val rep = graft.sinks.Snapshot.storageReport(spark, root)
+        val fck = graft.sinks.Snapshot.fsck(spark, root)
+        assert(graft.sinks.Snapshot.vacuum(spark, root, 2) == Nil)
+        // the listener bus is async: poll until the internal count
+        // jobs (2 tables in v1 + 2 served in v2, twice) have reported
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (captured.size < 4 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        (cat.queryExecution.executedPlan.toString,
+          rep.queryExecution.executedPlan.toString,
+          fck.queryExecution.executedPlan.toString)
+      } finally spark.listenerManager.unregister(listener)
+    // the returned relations are driver-built rows — no lazy scans
+    for ((n, p) <- Seq("catalog" -> catPlan, "storageReport" -> repPlan,
+        "fsck" -> fsckPlan)) {
+      assert(!p.contains("FileScan"),
+        s"$n result must be a local relation, not a deferred scan:\n$p")
+    }
+    // every job they ran against parquet decoded ZERO columns
+    val scans = captured.toArray(Array.empty[String])
+      .filter(_.contains("FileScan parquet"))
+    assert(scans.nonEmpty, "expected the footer-count jobs to be captured")
+    scans.foreach { p =>
+      assert(p.contains("ReadSchema: struct<>"),
+        s"governance scan decodes column data (non-empty ReadSchema):\n$p")
+    }
+  }
 }
