@@ -935,6 +935,42 @@ object ScaleProbe {
     require(concGot(24L) == 1799L * 116L,
       s"spill bucket peak ${concGot(24L)} != ${1799L * 116L}")
     println("SCALE concurrency: 10M-interval decomposition hits the closed-form peaks")
+
+    // --- PCA moment pass under replication (r15): replicating every
+    // vector k× must scale each exact moment EXACTLY k× — G' = kG,
+    // s' = ks, n' = kn (integers, zero tolerance) — and the derived
+    // covariance/eigenbasis is then bit-identical, so the whole fit
+    // is replication-invariant by construction. Also times the
+    // aggregate on 20× the corpus (40k × 64 dims here).
+    val embs = Tables.table(spark, dir, "embeddings")
+    val embBig = embs.crossJoin(spark.range(20).toDF("rep"))
+      .select(col("embedding"))
+    val (g1, s1, n1) = graft.similarity.Pca.gramStats(embs, "embedding", 64)
+    val (g20, s20, n20) = time("pca gramStats 20x") {
+      graft.similarity.Pca.gramStats(embBig, "embedding", 64)
+    }
+    require(n20 == 20L * n1, s"pca n drifted: $n20 != ${20L * n1}")
+    require(g20.zip(g1).forall { case (a, b) => a == 20L * b },
+      "pca second moments drifted under 20x replication")
+    require(s20.zip(s1).forall { case (a, b) => a == 20L * b },
+      "pca first moments drifted under 20x replication")
+    println("SCALE pca: every exact moment scales 20x to the integer")
+
+    // --- BPE trainer under replication (r15): replicating every doc
+    // k× multiplies every word frequency k× and leaves the vocabulary
+    // identical, so the learned merge TABLE must be identical with
+    // every weighted count exactly k× — any drift is a determinism
+    // bug in the round loop (tie-break, count formula, or fold).
+    val bpeBase = graft.text.Bpe.learnMerges(docs, "text", 4)
+    val bpeBig = time("bpe learnMerges 20x") {
+      graft.text.Bpe.learnMerges(
+        docs.crossJoin(spark.range(20).toDF("rep")).select(col("text")), "text", 4)
+    }
+    require(bpeBase.map(_._1) == bpeBig.map(_._1),
+      s"bpe merges drifted under 20x replication: $bpeBase vs $bpeBig")
+    require(bpeBase.map(_._3 * 20L) == bpeBig.map(_._3),
+      s"bpe counts not exactly 20x: $bpeBase vs $bpeBig")
+    println("SCALE bpe: merge table identical, counts exactly 20x")
     spark.stop()
   }
 }

@@ -5687,6 +5687,36 @@ object SparkEntry {
       .orderBy("cap")
   }
 
+  /** C84 (r15): distributed BPE merge induction
+   * ([[graft.text.Bpe.learnMerges]]) — the tokenizer-training core:
+   * the corpus collapses once to the (word, freq) vocabulary, then
+   * every merge round runs vocabulary-sized with ONE-row driver state
+   * (best pair by weighted replace-count, ties lexicographic —
+   * deterministic). The oracle unrolls the SAME eight rounds in
+   * DuckDB (generated CTE chain, the hash-replay precedent), so the
+   * learned merge table is hash-checked end to end. */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.Bpe.learnMerges(t(s, dir, "documents"), "text", 8)
+      .zipWithIndex
+      .map { case ((pair, merged, wcnt), i) => (i + 1L, pair, merged, wcnt) }
+      .toDF("merge_idx", "pair", "merged", "wcnt")
+      .orderBy("merge_idx")
+  }
+
+  /** C85 (r15): BPE segmentation report
+   * ([[graft.text.Bpe.segmentReport]]) — the learned merges applied
+   * back to the corpus: per doc, word count, symbols before (word
+   * characters) and tokens after the eight merges — the compression
+   * evidence that justifies a vocabulary budget. One corpus pass; the
+   * merge chain is a codegen'd per-row replace chain. */
+  private def qBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.text.Bpe.learnMerges(docs, "text", 8).map(_._1)
+    graft.text.Bpe.segmentReport(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** B122 (r15): join-explosion audit — the pre-join sanity check a
    * 100 TB pipeline runs BEFORE a self-join/equi-join on a suspect
    * key: per key n, the join emits n² rows, so the audit reports the
@@ -6949,6 +6979,8 @@ object SparkEntry {
     "q_adaptive_salt"  -> qAdaptiveSalt,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_pca_gram" -> qPcaGram,
+    "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_apply" -> qBpeApply,
     "q_pca_project" -> qPcaProject,
     "q_quantize_int8" -> qQuantizeInt8,
     "q_length_buckets" -> qLengthBuckets,
@@ -7055,7 +7087,61 @@ object SparkEntry {
          sh AS MATERIALIZED (SELECT rep_id, list(DISTINCT CAST(co AS UBIGINT)) AS sh
            FROM smC GROUP BY rep_id),"""
 
+  /** DuckDB replay of the C84 BPE trainer: the (word, freq)
+   * vocabulary, then `n` unrolled merge rounds (the hash-replay
+   * generated-CTE precedent). Each round: adjacent-pair enumeration
+   * over the current segmentation, weighted replace-count, best pair
+   * (count desc, pair lex), fold the winner in. Emits CTEs
+   * `vocab, v0..v{n}` (padded symbol strings, word kept) and
+   * `b1..b{n}` (each round's winner). */
+  private def sqlBpeRounds(n: Int): String = {
+    val head =
+      """vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(TRIM(text), '\s+'), t -> t <> '')) AS w
+           FROM documents) GROUP BY w),
+         v0 AS MATERIALIZED (SELECT w,
+           ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym, freq
+           FROM vocab),"""
+    val rounds = (1 to n).map { r =>
+      s"""b$r AS MATERIALIZED (
+           SELECT pair, CAST(SUM(((length(sym) - length(replace(sym, ' ' || pair || ' ', ' ')))
+               // (length(pair) + 1)) * freq) AS BIGINT) AS wcnt
+           FROM (SELECT sym, freq, u.pr AS pair FROM (
+             SELECT sym, freq,
+               list_distinct(list_transform(range(1, len(syms)),
+                 i -> syms[CAST(i AS INT)] || ' ' || syms[CAST(i AS INT) + 1])) AS prs
+             FROM (SELECT sym, freq, string_split(trim(sym), ' ') AS syms FROM v${r - 1})
+             WHERE len(syms) >= 2), UNNEST(prs) AS u(pr))
+           GROUP BY pair ORDER BY wcnt DESC, pair LIMIT 1),
+         v$r AS MATERIALIZED (
+           SELECT w, replace(sym, ' ' || (SELECT pair FROM b$r) || ' ',
+             ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS sym, freq
+           FROM v${r - 1}),"""
+    }.mkString("\n         ")
+    head + "\n         " + rounds
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // C84: the eight learned merges replayed round for round.
+    "q_bpe_merges" ->
+      ("WITH " + sqlBpeRounds(8) + """
+         u AS (""" +
+        (1 to 8).map(r => s"SELECT CAST($r AS BIGINT) AS merge_idx, pair, wcnt FROM b$r")
+          .mkString(" UNION ALL ") + """)
+         SELECT merge_idx, pair, replace(pair, ' ', '') AS merged, wcnt
+         FROM u ORDER BY merge_idx"""),
+    // C85: the final segmentation joined back to the corpus words.
+    "q_bpe_apply" ->
+      ("WITH " + sqlBpeRounds(8) + """
+         words AS (SELECT doc_id, w FROM (
+           SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(TRIM(text), '\s+'), t -> t <> '')) AS w
+           FROM documents))
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(w)) AS BIGINT) AS symbols_before,
+           CAST(SUM(len(string_split(trim(sym), ' '))) AS BIGINT) AS tokens_after
+         FROM words JOIN v8 USING (w)
+         GROUP BY doc_id ORDER BY doc_id"""),
     // DuckDB replay over the reference's own fixture files (fixed,
     // read-only inputs — same absolute paths the query reads): the
     // credit⋈recording join plus the per-artist nest cardinality.

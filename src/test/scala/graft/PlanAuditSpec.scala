@@ -540,6 +540,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!da.contains("Join"), s"dup alarm must stay join-free:\n$da")
   }
 
+  test("round-15 wave plans to its declared scale shapes") {
+    // PCA moment pass: the q_pca_gram RESULT is a local relation (the
+    // bounded stats collect), so audit the aggregate QUERY itself —
+    // ONE imperative-aggregate chain over the scan: no Expand (the
+    // count-distinct trap), no join, no window, partial+final only
+    import org.apache.spark.sql.functions.col
+    val pg = TestSpark.spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(graft.functions.expressions.gramAggregate(col("embedding"), 64, 1000000L))
+      .queryExecution.executedPlan.toString
+    assert(pg.contains("gram_aggregate"),
+      s"pca gram must plan the imperative aggregate:\n$pg")
+    assert(!pg.contains("Expand") && !pg.contains("Join") && !pg.contains("Generate"),
+      s"pca gram must be one aggregate pass over the raw scan:\n$pg")
+    // projection pass: no join/shuffle before the per-component agg
+    val pp = plan("q_pca_project")
+    assert(pp.contains("affine_project") || pp.contains("AffineProject") ||
+      pp.contains("Generate"), s"pca project must plan the kernel + explode:\n$pp")
+    // int8 calibration joins back as a BROADCAST (dim-bounded)
+    val qi = plan("q_quantize_int8")
+    assert(qi.contains("BroadcastHashJoin"),
+      s"quantize calibration must broadcast back:\n$qi")
+    // join-explosion top-k is TakeOrdered, never a global sort
+    val je = plan("q_join_explosion")
+    assert(je.contains("TakeOrdered"),
+      s"join explosion top-10 must be TakeOrdered:\n$je")
+  }
+
   test("governance surfaces are metadata-only: no parquet data pages (round 15)") {
     // The r14 snapshot wave's scaladocs claim vacuum/catalog/fsck/
     // storage are "listings + footer counts, no data pages". The
