@@ -86,12 +86,15 @@ object Allocation {
    * (budget·w wraps a long at warehouse magnitudes — B55 rule); the
    * "top-leftover remainders" selection never sorts globally and
    * never casts the remainder to long (ADVICE r14: rem is bounded by
-   * W < 2⁸⁶, past long range): rem splits into (hi, lo) long-safe
-   * halves at 2⁶², each half's distinct DOMAIN ranks via
-   * [[Rank.distinctRanks]] (≤ n values → 23 bits each), the rank pair
-   * packs into 46 bits and ranks again — ordering by half-ranks ≡
-   * ordering by rem — and finally the packed (remainder-rank desc,
-   * key) order ranks for the total (rem desc, key asc) pick. Four
+   * W < 2⁸⁶, past long range): when W fits a long (the common case,
+   * known exactly from the guard) the distinct remainder domain ranks
+   * directly via [[Rank.distinctRanks]] (two rank passes total);
+   * past long range rem splits into (hi, lo) long-safe halves at 2⁶²,
+   * each half's distinct DOMAIN ranks (≤ n values → 23 bits each),
+   * the rank pair packs into 46 bits and ranks again — ordering by
+   * half-ranks ≡ ordering by rem, so both paths yield the SAME
+   * remainder rank. Finally the packed (remainder-rank desc, key)
+   * order ranks for the total (rem desc, key asc) pick. Only
    * range-partitioned rank passes, zero single-partition windows, no
    * overflow at any W. Fail-loud preconditions: unique keys in
    * [0, 2⁴⁰), n < 2²³, non-negative weights, positive total, and a
@@ -129,8 +132,10 @@ object Allocation {
       "proRata: more than 2^23 keys — widen the pack before using")
     require(guard.getLong(4) == 0L,
       "proRata: keys outside [0, 2^40) — outside the packable domain")
-    val tot = in.agg(sum(col("w").cast(d38)).as("tw"))
-    val based = in.crossJoin(broadcast(budget)).crossJoin(broadcast(tot))
+    // W is already computed EXACTLY by the guard pass — embed it as a
+    // literal instead of re-aggregating and cross-joining a 1-row frame
+    val based = in.crossJoin(broadcast(budget))
+      .withColumn("tw", lit(guard.getDecimal(2)).cast(d38))
       .withColumn("base",
         expr("cast((cast(budget as decimal(38,0)) * w) div tw as long)"))
       // rem stays decimal(38,0): it is bounded by W (< 2^86 with
@@ -138,30 +143,46 @@ object Allocation {
       .withColumn("rem", expr("(cast(budget as decimal(38,0)) * w) % tw"))
     val leftover = based.agg(
       (first(col("budget")) - sum(col("base"))).cast("long").as("leftover"))
-    // remainders live below W (arbitrarily large, past long range), so
-    // they can neither pack next to the key nor feed the long-domain
-    // rank directly: split rem = hi·2^62 + lo (both halves long-safe),
-    // rank each half's DISTINCT domain (≤ n values → 23 bits by the
-    // guard), pack the rank pair into 46 bits and rank the pack —
-    // ordering by (hi_rank, lo_rank) ≡ ordering by (hi, lo) ≡
-    // ordering by rem. Then pack (remainder-rank desc, key) and rank
-    // THAT for the total (rem desc, key asc) order. Four
-    // range-partitioned rank passes, zero single-partition windows,
-    // zero overflow at any W.
-    val split = based
-      .withColumn("rem_hi", expr("cast(rem div 4611686018427387904 as long)"))
-      .withColumn("rem_lo", expr("cast(rem % 4611686018427387904 as long)"))
-    val hiRanks = Rank.distinctRanks(split.select("rem_hi"), "rem_hi")
-      .select(col("v").as("rem_hi"), col("rank").as("hi_rank"))
-    val loRanks = Rank.distinctRanks(split.select("rem_lo"), "rem_lo")
-      .select(col("v").as("rem_lo"), col("rank").as("lo_rank"))
-    val remKeyed = split.join(hiRanks, Seq("rem_hi")).join(loRanks, Seq("rem_lo"))
-      .withColumn("rem_key", (col("hi_rank") * (1L << 23)) + col("lo_rank"))
-    val remRanks = Rank.distinctRanks(remKeyed.select("rem_key"), "rem_key")
-      .select(col("v").as("rem_key"), col("rank").as("rem_rank"))
-    val packed = remKeyed.join(remRanks, Seq("rem_key"))
-      .select(col("k"), col("w"), col("base"),
-        (((lit(1L << 23) - col("rem_rank")) * (1L << 40)) + col("k")).as("pk"))
+    // remainders live below W (arbitrarily large, possibly past long
+    // range), so they cannot pack next to the key. Common case
+    // (W < 2^63, known from the guard's exact total): rem fits a long,
+    // rank its DISTINCT domain directly — the two-pass path (the r14
+    // re-pin showed the always-split variant costing 2.3×). Past long
+    // range: split rem = hi·2^62 + lo (both halves long-safe), rank
+    // each half's distinct domain (≤ n values → 23 bits by the guard),
+    // pack the rank pair into 46 bits and rank the pack — ordering by
+    // (hi_rank, lo_rank) ≡ ordering by (hi, lo) ≡ ordering by rem, so
+    // both paths produce the SAME rem_rank. Then pack
+    // (remainder-rank desc, key) and rank THAT for the total
+    // (rem desc, key asc) order. Range-partitioned rank passes only,
+    // zero single-partition windows, zero overflow at any W.
+    val wFitsLong = guard.getDecimal(2)
+      .compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0
+    val packed =
+      if (wFitsLong) {
+        val remRanks = Rank.distinctRanks(
+            based.select(expr("cast(rem as long) as reml")), "reml")
+          .select(col("v").as("reml"), col("rank").as("rem_rank"))
+        based.withColumn("reml", expr("cast(rem as long)"))
+          .join(remRanks, Seq("reml"))
+          .select(col("k"), col("w"), col("base"),
+            (((lit(1L << 23) - col("rem_rank")) * (1L << 40)) + col("k")).as("pk"))
+      } else {
+        val split = based
+          .withColumn("rem_hi", expr("cast(rem div 4611686018427387904 as long)"))
+          .withColumn("rem_lo", expr("cast(rem % 4611686018427387904 as long)"))
+        val hiRanks = Rank.distinctRanks(split.select("rem_hi"), "rem_hi")
+          .select(col("v").as("rem_hi"), col("rank").as("hi_rank"))
+        val loRanks = Rank.distinctRanks(split.select("rem_lo"), "rem_lo")
+          .select(col("v").as("rem_lo"), col("rank").as("lo_rank"))
+        val remKeyed = split.join(hiRanks, Seq("rem_hi")).join(loRanks, Seq("rem_lo"))
+          .withColumn("rem_key", (col("hi_rank") * (1L << 23)) + col("lo_rank"))
+        val remRanks = Rank.distinctRanks(remKeyed.select("rem_key"), "rem_key")
+          .select(col("v").as("rem_key"), col("rank").as("rem_rank"))
+        remKeyed.join(remRanks, Seq("rem_key"))
+          .select(col("k"), col("w"), col("base"),
+            (((lit(1L << 23) - col("rem_rank")) * (1L << 40)) + col("k")).as("pk"))
+      }
     val ranks = Rank.distinctRanks(packed.select("pk"), "pk")
     packed.join(ranks, packed("pk") === ranks("v"))
       .crossJoin(broadcast(leftover))

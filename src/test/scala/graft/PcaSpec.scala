@@ -55,6 +55,12 @@ class PcaSpec extends AnyFunSuite {
     for (c <- 0 until 2)
       assert(math.abs(proj(c) - m.eigenvalues(c)) < 1e-4 * (m.eigenvalues(c) + 1e-9),
         s"component $c variance ${proj(c)} != eigenvalue ${m.eigenvalues(c)}")
+    // whiten = true is exactly the manual 1/sqrt(λ) row scaling
+    val w = Pca.fit(df, "v", 2, 2, whiten = true)
+    for (c <- 0 until 2; i <- 0 until 2)
+      assert(math.abs(w.components(c * 2 + i) -
+        m.components(c * 2 + i) / math.sqrt(m.eigenvalues(c))) < 1e-12,
+        s"whitened component ($c,$i) != manual scaling")
   }
 
   test("jacobi eigensolve is deterministic and orthonormal on a fixed matrix") {
