@@ -1111,6 +1111,23 @@ object SparkEntry {
       p => graft.similarity.Ann.lshTopK(emb, p, "vec_id", "embedding", 64, 5))
   }
 
+  /** C86 (r15): PCA-reduced ANN (Ann.pcaTopK) — the dimensionality-
+   * reduction serving path: rank in the top-32 principal subspace
+   * (2× fewer FLOPs per comparison), exact re-rank the 128-candidate
+   * shortlist in full space. The synthetic corpus is near-ISOTROPIC
+   * (flat spectrum — the regime dimension reduction is hardest in),
+   * so the knobs sit wider than a real embedding corpus with a
+   * decaying spectrum would need; the recall invariant is checked
+   * either way. Deterministic fit (exact-integer moments
+   * + fixed Jacobi) → the same oracle-checked recall invariant as the
+   * other approximate ANN queries. */
+  private def qAnnPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    annRecallCheck(emb,
+      p => graft.similarity.Ann.pcaTopK(emb, p, "vec_id", "embedding", 64, 5,
+        reduceK = 32, shortlist = 128))
+  }
+
   /** C7b: IVF approximate top-5 (deterministic sampled centroids,
    * multiprobe) — oracle-checked recall invariant. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -3473,6 +3490,41 @@ object SparkEntry {
       q.processAllAvailable()
     } finally q.stop()
     s.read.parquet(table).select(col("k"), col("v")).orderBy("k")
+  }
+
+  /** D28 (r15): streaming governed-snapshot publish
+   * ([[graft.streaming.EventStream.snapshotPublishSink]]) — the
+   * streaming write path into the A19 namespace, driven through the
+   * REAL checkpointed sink: two micro-batches (full slice, then
+   * updates to a key subset) each publish a new gated version and
+   * advance `prod`; the query reads `prod` back and also pins the
+   * version count (exactly one version per clean batch). Oracle: the
+   * LWW end state replayed in SQL + the pinned count. */
+  private def qStreamSnapshotPublish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val slice = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("v"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val batch1 = slice.toSeq
+    val batch2 = slice.collect { case (k, v) if k % 2 == 0 => (k, v + 7L) }.toSeq
+    val base = s"${graft.Scratch.root(s)}/snap_sink_${sinkSeq.incrementAndGet()}"
+    val (root, ckpt) = (s"$base/root", s"$base/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStream.snapshotPublishSink(
+        in.toDF.toDF("k", "v"), root, "orders_live", Seq("k"))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val nVers = graft.sinks.Snapshot.currentVersion(s, root)
+    graft.sinks.Snapshot.readTag(s, root, "orders_live", "prod")
+      .select(col("k"), col("v"), lit(nVers).as("n_versions"))
+      .orderBy("k")
   }
 
   /** D14 (r14): streaming version-guarded upsert
@@ -6979,6 +7031,8 @@ object SparkEntry {
     "q_adaptive_salt"  -> qAdaptiveSalt,
     "q_embedding_stats" -> qEmbeddingStats,
     "q_pca_gram" -> qPcaGram,
+    "q_ann_pca" -> qAnnPca,
+    "q_stream_snapshot_publish" -> qStreamSnapshotPublish,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_apply" -> qBpeApply,
     "q_pca_project" -> qPcaProject,
@@ -7122,6 +7176,13 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // D28: the streamed LWW end state + version count replayed.
+    "q_stream_snapshot_publish" ->
+      """SELECT o_orderkey AS k,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             + CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE 0 END AS v,
+           CAST(2 AS BIGINT) AS n_versions
+         FROM orders WHERE o_orderkey % 37 = 0 ORDER BY k""",
     // C84: the eight learned merges replayed round for round.
     "q_bpe_merges" ->
       ("WITH " + sqlBpeRounds(8) + """
@@ -9453,6 +9514,9 @@ object SparkEntry {
            CAST(3 * (n_kept - 1) AS BIGINT) AS max_idx
          FROM k ORDER BY media_id""",
     "q_ann_lsh" ->
+      """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_ann_pca" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_ann_ivf" ->

@@ -68,6 +68,44 @@ object Ann {
   }
 
   /**
+   * PCA-reduced approximate top-k (C86) — the dimensionality-reduction
+   * serving path: corpus and probes project onto the top `reduceK`
+   * principal components ([[Pca.fit]] — one exact-integer moment pass
+   * + the codegen'd plan-embedded kernel; UNwhitened, so subspace dot
+   * products approximate full-space dot products), a reduced-space
+   * cosine ranks a `shortlist`-candidate set per probe (dim/reduceK
+   * fewer FLOPs per comparison at the same O(n) scan — 4× here), and
+   * exact full-space cosine re-ranks the shortlist. Shortlist carries
+   * ids only; full vectors join back per candidate (the lshTopK
+   * discipline). Same output shape as [[bruteForceTopK]].
+   */
+  def pcaTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      reduceK: Int = 16, shortlist: Int = 32): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val model = Pca.fit(corpus, vecCol, dim, reduceK)
+    def reduced(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), Pca.projectColumn(model, col(vecCol)).as(s"${id}_red"))
+    val wRed = Window.partitionBy("probe_id").orderBy(col("red_cos").desc, col("vec_id"))
+    val cand = reduced(Dedup.spread(corpus), "vec_id")
+      .crossJoin(broadcast(reduced(probes, "probe_id")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Dedup.cosine(col("probe_id_red"), col("vec_id_red")).as("red_cos"))
+      .withColumn("rrank", row_number().over(wRed).cast("long"))
+      .filter(col("rrank") <= shortlist)
+      .select("probe_id", "vec_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")), Seq("vec_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), Dedup.cosine(col("p_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "vec_id", "cos")
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k. The coarse quantizer
    * samples `numCells` lowest-id corpus vectors as centroids and
    * optionally refines them with `kmeansIters` rounds of distributed

@@ -539,6 +539,61 @@ object EventStream {
           batch.toDF(), keyCols, versionCol)
       }
 
+  /** Streaming governed-snapshot publish (D28): each micro-batch
+   * upserts (last-writer-wins by key within the batch-then-serving
+   * order) into the CURRENT served table and publishes the result as
+   * a NEW immutable version of the A19 snapshot namespace, advancing
+   * the `prod` tag — the streaming write path into the governed read
+   * surface: `readTag(prod)` always serves ONE complete consistent
+   * version (never a half-applied batch), every prior micro-batch
+   * state stays time-travelable, and the A27 schema gate refuses a
+   * batch whose schema would break readers (fail-loud inside the
+   * stream — a poisoned stream stops instead of corrupting prod).
+   *
+   * Delivery contract, stated precisely: version CREATION is
+   * at-least-once (a batch replayed after a crash-before-checkpoint
+   * publishes a duplicate version — append-only namespaces cannot
+   * overwrite), but CONTENT is exactly-once: the replayed upsert is
+   * idempotent (same keys, same values), so the duplicate version is
+   * byte-equal in content and the tag keeps serving the correct
+   * table. A31's catalog makes the duplicate visible and A23's vacuum
+   * reclaims it. Per batch: one read of the served table + one
+   * keyed upsert + one gated publish — cost tracks batch + serving
+   * table, never history. */
+  def snapshotPublishSink(updates: DataFrame, root: String, table: String,
+      keyCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        // a batch with duplicate keys has no deterministic winner (a
+        // DataFrame carries no row order) — refuse rather than publish
+        // an arbitrary one; upstream dedups with an explicit version
+        // column (the D14 versionedUpsertSink is the tool for that)
+        val kc = batch.toDF().agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.countDistinct(
+            org.apache.spark.sql.functions.col(keyCols.head),
+            keyCols.tail.map(org.apache.spark.sql.functions.col): _*)).head()
+        require(kc.getLong(0) == kc.getLong(1),
+          s"snapshot publish sink: batch has ${kc.getLong(0) - kc.getLong(1)} duplicate keys")
+        val cur = graft.sinks.Snapshot.currentVersion(s, root)
+        val merged =
+          if (cur == 0L) batch.toDF()
+          else {
+            val served = graft.sinks.Snapshot.read(s, root, table)
+            // batch rows win over served rows on their keys (LWW)
+            served.join(batch.toDF().select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+                keyCols, "left_anti")
+              .unionByName(batch.toDF())
+          }
+        val (v, ok, viol) = graft.sinks.Snapshot.publishCompatible(
+          s, root, Map(table -> merged))
+        require(ok, s"snapshot publish sink: schema gate refused v$v: ${viol.mkString("; ")}")
+        graft.sinks.Snapshot.tag(s, root, "prod", v)
+      }
+
   /** Streaming vector-search enrichment (D12): each micro-batch of
    * query vectors is answered against a PERSISTED IVF index
    * ([[graft.similarity.Ann.ivfTopKIndexed]]) and the top-k appended

@@ -1163,4 +1163,37 @@ class StreamingSpec extends AnyFunSuite {
       (s / hourUs) to ((e - 1) / hourUs) }.toSet
     assert(got.keySet == covered)
   }
+
+  test("snapshotPublishSink: per-batch gated versions, time travel, duplicate keys refused") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/snap_sink_spec_${System.nanoTime()}"
+    val in = MemoryStream[(Long, Long)]
+    val q = EventStream.snapshotPublishSink(
+        in.toDF().toDF("k", "v"), s"$base/root", "t", Seq("k"))
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      in.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      in.addData((2L, 99L), (3L, 30L)) // update k=2, add k=3
+      q.processAllAvailable()
+      assert(graft.sinks.Snapshot.currentVersion(spark, s"$base/root") == 2L)
+      // prod serves the LWW end state
+      val prod = graft.sinks.Snapshot.readTag(spark, s"$base/root", "t", "prod")
+        .as[(Long, Long)].collect().toMap
+      assert(prod == Map(1L -> 10L, 2L -> 99L, 3L -> 30L))
+      // v1 (the pre-update state) is still time-travelable
+      val v1 = graft.sinks.Snapshot.read(spark, s"$base/root", "t", asOfVersion = Some(1L))
+        .as[(Long, Long)].collect().toMap
+      assert(v1 == Map(1L -> 10L, 2L -> 20L))
+      // a batch with duplicate keys has no deterministic winner: refuse
+      in.addData((4L, 1L), (4L, 2L))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("duplicate keys")), msgs(e).mkString(" | "))
+      // the refused batch published nothing — prod still serves v2
+      assert(graft.sinks.Snapshot.currentVersion(spark, s"$base/root") == 2L)
+    } finally q.stop()
+  }
 }
