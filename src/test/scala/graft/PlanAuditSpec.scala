@@ -565,6 +565,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val je = plan("q_join_explosion")
     assert(je.contains("TakeOrdered"),
       s"join explosion top-10 must be TakeOrdered:\n$je")
+    // PCA-reduced ANN: the shortlist carries ids only — the full
+    // vectors join back per candidate via BROADCAST probes (lshTopK
+    // discipline), and the reduced scan must not be a nested loop
+    // beyond the documented 3-probe broadcast cross
+    val ap = plan("q_ann_pca")
+    assert(ap.contains("BroadcastHashJoin") || ap.contains("BroadcastNestedLoop"),
+      s"ann pca must broadcast the probe side:\n$ap")
+    assert(ap.toLowerCase.contains("affineproject") ||
+      ap.toLowerCase.contains("affine_project"),
+      s"ann pca must plan the codegen'd projection kernel:\n$ap")
   }
 
   test("governance surfaces are metadata-only: no parquet data pages (round 15)") {
