@@ -15,6 +15,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Where the reference checkout lives (B14 reads its fixture JSON
+   * directly). Overridable so the fidelity row survives a checkout
+   * that puts the reference elsewhere (ADVICE r15); the DuckDB oracle
+   * SQL is built from the SAME value, so both engines always read the
+   * same files. */
+  private val referenceRoot: String =
+    sys.env.getOrElse("GRAFT_REFERENCE_ROOT", "/root/reference")
+
   /** 2-decimal money/rate column scaled to an exact integer (cents).
    * Summing money in integer space makes aggregates independent of
    * reduction order — a double sum over millions of partitions is not
@@ -49,7 +57,7 @@ object SparkEntry {
    * directly — they are fixed, read-only inputs, not testdata tables,
    * so `dir` is unused. */
   private def qReferenceFidelity(s: SparkSession, dir: String): DataFrame = {
-    val res = "/root/reference/src/test/resources"
+    val res = s"$referenceRoot/src/test/resources"
     def load(name: String) =
       JsonTables.loadTableInferred(s.read.textFile(s"$res/$name.json"), name)
     val credits = load("artist_credit_name")
@@ -1126,6 +1134,61 @@ object SparkEntry {
     annRecallCheck(emb,
       p => graft.similarity.Ann.pcaTopK(emb, p, "vec_id", "embedding", 64, 5,
         reduceK = 32, shortlist = 128))
+  }
+
+  /** C87 (r16): ANN recall panel — index QUALITY as an asserted
+   * oracle row. The per-query ANN rows pin per-probe recall@5 ≥ 0.3
+   * on 3 probes (a plumbing-level floor); nothing on the r15 board
+   * failed if index quality silently DEGRADED — e.g. a
+   * centroid-seeding change halving recall would have sailed through
+   * every contract. This row measures AGGREGATE recall@5 over 20
+   * probes for every production path against the exact brute-force
+   * top-5 and asserts a per-path floor (the B7/B18b
+   * approximate-oracle pattern: the floor booleans are the hashed
+   * relation; the floors themselves are documented measurements).
+   *
+   * Measured recall_ppm (k=5, 20 probes, the committed knobs):
+   *   sf0.01: ivf 850k, ivfpq 670k, lsh 650k, pca 1000k, pq 640k
+   *   sf0.1:  ivf 890k, ivfpq 510k, lsh 720k, pca 940k,  pq 470k
+   * Floors sit ~30% under the weaker SF so corpus growth has room
+   * (quantizers are seeded deterministically — the measurement is
+   * exact per corpus, the margin absorbs future SFs, not host noise)
+   * while a halving still fails loudly. The panel shares ONE exact
+   * top-5 subtree across paths (AQE exchange reuse; the probe set is
+   * 20 rows — every approx path broadcasts it). */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+    val k = 5
+    val exact = graft.similarity.Ann
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", k)
+      .select(col("probe_id"), col("vec_id"))
+    val denom = exact.agg(count(lit(1)).as("n_exact"))
+    val paths: Seq[(String, Long, DataFrame)] = Seq(
+      ("ivf", 600000L,
+        graft.similarity.Ann.ivfTopK(emb, probes, "vec_id", "embedding", 64, k)),
+      ("ivfpq", 350000L,
+        graft.similarity.Ann.ivfPqTopK(emb, probes, "vec_id", "embedding", 64, k)),
+      ("lsh", 450000L,
+        graft.similarity.Ann.lshTopK(emb, probes, "vec_id", "embedding", 64, k)),
+      ("pca", 700000L,
+        graft.similarity.Ann.pcaTopK(emb, probes, "vec_id", "embedding", 64, k,
+          reduceK = 32, shortlist = 128)),
+      ("pq", 330000L,
+        graft.similarity.Ann.pqTopK(emb, probes, "vec_id", "embedding", 64, k)))
+    paths.map { case (name, floorPpm, approx) =>
+      val hits = exact.join(
+          approx.select(col("probe_id").as("p"), col("vec_id").as("v")),
+          col("probe_id") === col("p") && col("vec_id") === col("v"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      hits.crossJoin(denom).select(
+        lit(name).as("path"),
+        lit(k.toLong).as("k"),
+        lit(20L).as("n_probes"),
+        lit(floorPpm).as("floor_ppm"),
+        (col("n_hit") * 1000000L >= col("n_exact") * floorPpm).as("recall_ok"))
+    }.reduce(_ unionAll _).orderBy("path")
   }
 
   /** C7b: IVF approximate top-5 (deterministic sampled centroids,
@@ -2384,7 +2447,10 @@ object SparkEntry {
     val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     hfs.delete(p, true): Unit
     // planted eraseKeys crash residue (post-swap, pre-cleanup): the
-    // bak half survives next to the live table → 'crashed-erase'
+    // bak half survives NEXT TO the live table → 'stale-erase-residue'
+    // (delete the residue; ADVICE r15 — renaming it back would clobber
+    // the live table). Residue with the live dir MISSING is the
+    // 'crashed-erase' case, covered by SnapshotSpec.
     hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v1/.erase_bak_cust")): Unit
     graft.sinks.Snapshot.fsck(s, root)
       .orderBy("version", "table_name")
@@ -4564,6 +4630,56 @@ object SparkEntry {
           element_at(col("features"), 1) <= (col("n_bytes") / 8.0 + 1.0)).as("f0_in_range"))
       .orderBy("media_id")
 
+  /** C12c (r16): content-addressable EXACT media dedup
+   * ([[graft.multimodal.Media.exactDedup]]) inside the no-codec wall
+   * (VERDICT r15 #5) — byte-identical payloads collapse on their
+   * digest, no decode. The corpus PLANTS re-uploads (every 13th
+   * doc's payload reappears under media_id + 1,000,000), and the
+   * collapse must map each copy onto its original (rep = lowest id)
+   * while everything else stays its own representative. FULL oracle:
+   * DuckDB replays the digest relation on the same bytes (md5 of the
+   * UTF-8 text ≡ md5 of the binary payload; ASCII corpus, the C4b
+   * pinned precondition). */
+  private def qMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def payload = coalesce(col("text").cast("binary"),
+      lit(Array.emptyByteArray))
+    val base = docs.select(col("doc_id").as("media_id"), payload.as("p"))
+    val copies = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("media_id"), payload.as("p"))
+    graft.multimodal.Media.exactDedup(base.unionAll(copies), "media_id", "p")
+      .orderBy("media_id")
+  }
+
+  /** C12c (r16): chunk-signature NEAR-dup screen
+   * ([[graft.multimodal.Media.nearDupPairs]]) — locally-edited
+   * re-uploads that exact dedup misses, still without decoding a
+   * byte: payloads resemble when their 32-byte chunk digest sets
+   * overlap ≥ 0.7 Jaccard. The corpus PLANTS edited variants (every
+   * 7th doc ≥ 224 bytes reappears under media_id + 2,000,000 with
+   * its last 10 bytes rewritten): at ≥ 7 full chunks, one edited
+   * chunk costs at most (n−1)/(n+1) ≥ 0.75 resemblance, so every
+   * planted pair must surface; pair generation is bucketed on the
+   * chunk digest with the stop-chunk cap (> 100 media) replayed by
+   * the oracle. */
+  private def qMediaNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def payload = coalesce(col("text").cast("binary"),
+      lit(Array.emptyByteArray))
+    val base = docs.select(col("doc_id").as("media_id"), payload.as("p"))
+    val variants = docs
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 224)
+      .select((col("doc_id") + 2000000L).as("media_id"),
+        col("text").cast("binary").as("p0"))
+      .select(col("media_id"),
+        concat(expr("substring(p0, 1, length(p0) - 10)"),
+          lit("XXXXXXXXXX").cast("binary")).as("p"))
+    graft.multimodal.Media
+      .nearDupPairs(base.unionAll(variants), "media_id", "p",
+        chunkBytes = 32, maxChunkFreq = 100, thresholdPpm = 700000L)
+      .orderBy("media_a", "media_b")
+  }
+
   /** C27: segment-level dedup (text/SegmentDedup.scala) — the corpus
    * "line dedup" pass at fixed 8-word-chunk granularity: segments
    * occurring in ≥2 distinct documents are cut, documents survive.
@@ -5769,6 +5885,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C84b (r16): BATCHED BPE merge induction
+   * ([[graft.text.Bpe.learnMergesBatched]]) — the scale path of the
+   * C84 trainer (VERDICT r15 #4): real tokenizers learn 10⁴–10⁵
+   * merges, so rounds must not equal merges. Each round picks the
+   * top-8 pairwise symbol-disjoint pairs from a 32-candidate window
+   * (rank-window disjointness — one anti-join, engine-replayable)
+   * and applies them as one chain: ~5 disjoint picks materialize per
+   * round on this corpus, so 14 driver round trips learn 65+ merges
+   * (vs 65+ trips sequentially). The oracle unrolls the SAME 14
+   * batched rounds in DuckDB —
+   * candidate window, disjointness anti-join, pick cap, and the
+   * list_reduce replace fold — so the full merge table is
+   * hash-checked end to end. */
+  private def qBpeMergesBatched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.Bpe
+      .learnMergesBatched(t(s, dir, "documents"), "text", rounds = 14, kBatch = 8)
+      .zipWithIndex
+      .map { case ((round, pick, pair, merged, wcnt), i) =>
+        (i + 1L, round.toLong, pick.toLong, pair, merged, wcnt) }
+      .toDF("merge_idx", "round", "pick", "pair", "merged", "wcnt")
+      .orderBy("merge_idx")
+  }
+
   /** B122 (r15): join-explosion audit — the pre-join sanity check a
    * 100 TB pipeline runs BEFORE a self-join/equi-join on a suspect
    * key: per key n, the join emits n² rows, so the audit reports the
@@ -6942,6 +7082,8 @@ object SparkEntry {
     "q_approx_distinct" -> qApproxDistinct,
     "q_media_features" -> qMediaFeatures,
     "q_media_frames"   -> qMediaFrames,
+    "q_media_dedup"    -> qMediaDedup,
+    "q_media_neardup"  -> qMediaNeardup,
     "q_segment_dedup"  -> qSegmentDedup,
     "q_boilerplate"    -> qBoilerplate,
     "q_inverted_index" -> qInvertedIndex,
@@ -7032,8 +7174,10 @@ object SparkEntry {
     "q_embedding_stats" -> qEmbeddingStats,
     "q_pca_gram" -> qPcaGram,
     "q_ann_pca" -> qAnnPca,
+    "q_ann_recall" -> qAnnRecall,
     "q_stream_snapshot_publish" -> qStreamSnapshotPublish,
     "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_merges_batched" -> qBpeMergesBatched,
     "q_bpe_apply" -> qBpeApply,
     "q_pca_project" -> qPcaProject,
     "q_quantize_int8" -> qQuantizeInt8,
@@ -7175,6 +7319,54 @@ object SparkEntry {
     head + "\n         " + rounds
   }
 
+  /** DuckDB replay of the C84b BATCHED BPE trainer: per round, the
+   * full weighted pair-count relation, the top-`window` candidate
+   * list (wcnt desc, pair lex → rn), the rank-window disjointness
+   * anti-join (a candidate survives iff its two symbols avoid the
+   * symbols AND merged form of every better-ranked candidate), the
+   * first-`kBatch` pick cap, and the ordered replace fold via
+   * list_reduce — exactly [[graft.text.Bpe.learnMergesBatched]]'s
+   * rule, unrolled. Emits CTEs `vocab, v0..v{rounds}` and
+   * `sel1..sel{rounds}` (each round's picks). */
+  private def sqlBpeBatchedRounds(rounds: Int, kBatch: Int): String = {
+    val window = kBatch * 4
+    val head =
+      """vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(TRIM(text), '\s+'), t -> t <> '')) AS w
+           FROM documents) GROUP BY w),
+         v0 AS MATERIALIZED (SELECT w,
+           ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym, freq
+           FROM vocab),"""
+    val perRound = (1 to rounds).map { r =>
+      s"""cand$r AS MATERIALIZED (
+           SELECT pair, wcnt, row_number() OVER (ORDER BY wcnt DESC, pair) AS rn FROM (
+             SELECT pair, CAST(SUM(((length(sym) - length(replace(sym, ' ' || pair || ' ', ' ')))
+                 // (length(pair) + 1)) * freq) AS BIGINT) AS wcnt
+             FROM (SELECT sym, freq, u.pr AS pair FROM (
+               SELECT sym, freq,
+                 list_distinct(list_transform(range(1, len(syms)),
+                   i -> syms[CAST(i AS INT)] || ' ' || syms[CAST(i AS INT) + 1])) AS prs
+               FROM (SELECT sym, freq, string_split(trim(sym), ' ') AS syms FROM v${r - 1})
+               WHERE len(syms) >= 2), UNNEST(prs) AS u(pr))
+             GROUP BY pair)
+           ORDER BY wcnt DESC, pair LIMIT $window),
+         sel$r AS MATERIALIZED (
+           SELECT pair, wcnt, row_number() OVER (ORDER BY rn) AS pick FROM (
+             SELECT c1.pair, c1.wcnt, c1.rn FROM cand$r c1 WHERE NOT EXISTS (
+               SELECT 1 FROM cand$r c2 WHERE c2.rn < c1.rn AND (
+                 string_split(c2.pair, ' ')[1] IN (string_split(c1.pair, ' ')[1], string_split(c1.pair, ' ')[2]) OR
+                 string_split(c2.pair, ' ')[2] IN (string_split(c1.pair, ' ')[1], string_split(c1.pair, ' ')[2]) OR
+                 replace(c2.pair, ' ', '') IN (string_split(c1.pair, ' ')[1], string_split(c1.pair, ' ')[2])))
+             ORDER BY rn LIMIT $kBatch)),
+         v$r AS MATERIALIZED (
+           SELECT w, list_reduce(list_prepend(sym,
+               coalesce((SELECT list(pair ORDER BY pick) FROM sel$r), [])),
+             (acc, p) -> replace(acc, ' ' || p || ' ', ' ' || replace(p, ' ', '') || ' ')) AS sym, freq
+           FROM v${r - 1}),"""
+    }.mkString("\n         ")
+    head + "\n         " + perRound
+  }
+
   def oracleSql: Map[String, String] = Map(
     // D28: the streamed LWW end state + version count replayed.
     "q_stream_snapshot_publish" ->
@@ -7190,6 +7382,17 @@ object SparkEntry {
         (1 to 8).map(r => s"SELECT CAST($r AS BIGINT) AS merge_idx, pair, wcnt FROM b$r")
           .mkString(" UNION ALL ") + """)
          SELECT merge_idx, pair, replace(pair, ' ', '') AS merged, wcnt
+         FROM u ORDER BY merge_idx"""),
+    // C84b: 64 batched merges replayed round for round — window,
+    // disjointness anti-join, pick cap, ordered replace fold.
+    "q_bpe_merges_batched" ->
+      ("WITH " + sqlBpeBatchedRounds(14, 8) + """
+         u AS (""" +
+        (1 to 14).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, CAST(pick AS BIGINT) AS pick, pair, wcnt FROM sel$r")
+          .mkString(" UNION ALL ") + """)
+         SELECT CAST(row_number() OVER (ORDER BY round, pick) AS BIGINT) AS merge_idx,
+           round, pick, pair, replace(pair, ' ', '') AS merged, wcnt
          FROM u ORDER BY merge_idx"""),
     // C85: the final segmentation joined back to the corpus words.
     "q_bpe_apply" ->
@@ -7207,9 +7410,9 @@ object SparkEntry {
     // read-only inputs — same absolute paths the query reads): the
     // credit⋈recording join plus the per-artist nest cardinality.
     "q_reference_fidelity" ->
-      """WITH c AS (SELECT * FROM read_json_auto('/root/reference/src/test/resources/artist_credit_name.json', format='newline_delimited')),
-         r AS (SELECT * FROM read_json_auto('/root/reference/src/test/resources/recording.json', format='newline_delimited')),
-         a AS (SELECT * FROM read_json_auto('/root/reference/src/test/resources/artist.json', format='newline_delimited')),
+      (s"""WITH c AS (SELECT * FROM read_json_auto('$referenceRoot/src/test/resources/artist_credit_name.json', format='newline_delimited')),
+         r AS (SELECT * FROM read_json_auto('$referenceRoot/src/test/resources/recording.json', format='newline_delimited')),
+         a AS (SELECT * FROM read_json_auto('$referenceRoot/src/test/resources/artist.json', format='newline_delimited')),
          j AS (SELECT c.artist_credit AS credit_id, c.name AS credit_name,
                  c.artist AS artist_fk, r.id AS recording_id,
                  r.name AS recording_name, r.length AS recording_length
@@ -7220,7 +7423,7 @@ object SparkEntry {
          SELECT j.credit_id, j.credit_name, j.recording_id, j.recording_name,
            j.recording_length, n.artist_id, n.artist_name, n.n_nested
          FROM j JOIN n ON j.artist_fk = n.artist_id
-         ORDER BY credit_id, recording_id""",
+         ORDER BY credit_id, recording_id"""),
     "q_json_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nation_n_nationkey, n_name AS nation_n_name,
          CAST(n_regionkey AS BIGINT) AS nation_n_regionkey
@@ -9519,6 +9722,66 @@ object SparkEntry {
     "q_ann_pca" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    // C12c: exact media dedup — the digest collapse replayed on the
+    // same bytes (md5(text) over UTF-8 ≡ md5(binary payload); ASCII
+    // corpus). Planted copies: every 13th doc under id + 1,000,000.
+    "q_media_dedup" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, md5(coalesce(text, '')) AS sig FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, md5(coalesce(text, '')) FROM documents
+           WHERE doc_id % 13 = 0
+         )
+         SELECT media_id, min(media_id) OVER (PARTITION BY sig) AS rep_id,
+           CAST(COUNT(*) OVER (PARTITION BY sig) AS BIGINT) AS n_copies, sig
+         FROM m ORDER BY media_id""",
+    // C12c: chunk-signature near-dup — the full bucketed pipeline
+    // (32-byte full chunks, stop-chunk cap 100, Jaccard >= 0.7 in
+    // truncating ppm) replayed chunk for chunk on the same bytes.
+    "q_media_neardup" ->
+      """WITH m AS MATERIALIZED (
+           SELECT doc_id AS media_id, coalesce(text, '') AS p FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+             substring(text, 1, length(text) - 10) || 'XXXXXXXXXX'
+           FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 224
+         ),
+         sg AS MATERIALIZED (
+           SELECT DISTINCT media_id, md5(substring(p, CAST(u.i AS INT) * 32 + 1, 32)) AS sig
+           FROM m, UNNEST(range(0, length(p) // 32)) AS u(i)
+         ),
+         cold AS MATERIALIZED (
+           SELECT media_id, sig FROM sg
+           WHERE sig NOT IN (SELECT sig FROM sg GROUP BY sig HAVING COUNT(*) > 100)
+         ),
+         sz AS MATERIALIZED (
+           SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM cold GROUP BY 1
+         ),
+         pr AS MATERIALIZED (
+           SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_chunks
+           FROM cold a JOIN cold b ON a.sig = b.sig AND a.media_id < b.media_id
+           GROUP BY 1, 2
+         )
+         SELECT media_a, media_b, shared_chunks,
+           CAST(shared_chunks * 1000000 // (sa.n + sb.n - shared_chunks) AS BIGINT)
+             AS resemblance_ppm
+         FROM pr
+         JOIN sz sa ON pr.media_a = sa.media_id
+         JOIN sz sb ON pr.media_b = sb.media_id
+         WHERE shared_chunks * 1000000 // (sa.n + sb.n - shared_chunks) >= 700000
+         ORDER BY media_a, media_b""",
+    // C87: per-path aggregate recall floors (documented measurements
+    // minus margin in the query scaladoc) — the QUALITY gate.
+    "q_ann_recall" ->
+      """SELECT * FROM (VALUES
+           ('ivf',   CAST(5 AS BIGINT), CAST(20 AS BIGINT), CAST(600000 AS BIGINT), TRUE),
+           ('ivfpq', 5, 20, 350000, TRUE),
+           ('lsh',   5, 20, 450000, TRUE),
+           ('pca',   5, 20, 700000, TRUE),
+           ('pq',    5, 20, 330000, TRUE)
+         ) t(path, k, n_probes, floor_ppm, recall_ok)
+         ORDER BY path""",
     "q_ann_ivf" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
@@ -11127,7 +11390,7 @@ object SparkEntry {
     // deletion: the verdict table is fully determined.
     "q_fsck" ->
       """SELECT * FROM (VALUES
-           (CAST(1 AS BIGINT), 'cust', 'crashed-erase', CAST(1 AS BIGINT)),
+           (CAST(1 AS BIGINT), 'cust', 'stale-erase-residue', CAST(1 AS BIGINT)),
            (1, 'cust', 'ok', 1),
            (2, '', 'empty-version', 2),
            (3, 'cust', 'ok', 3),

@@ -938,8 +938,14 @@ object HashOps {
   def affineProject(v: org.apache.spark.sql.catalyst.util.ArrayData,
       matrix: Array[Double], mean: Array[Double], dim: Int,
       isFloat: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // fail-loud dim check (ADVICE r15): corpus vectors pass through
+    // GramAggregate's check at fit time but PROBE vectors reach this
+    // kernel unchecked — a truncated projection of a malformed probe
+    // would be a silently wrong shortlist, the worst failure mode
+    require(v.numElements() == dim,
+      s"affine_project: vector has ${v.numElements()} elements, expected $dim")
     val k = matrix.length / dim
-    val n = math.min(v.numElements(), dim)
+    val n = dim
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {

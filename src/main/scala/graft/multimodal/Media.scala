@@ -79,4 +79,92 @@ object Media {
         .map { case (frame, idx) => (r.media_id, idx.toLong, frame) }
     }.toDF("media_id", "frame_idx", "frame")
   }
+
+  /** Content-addressable EXACT media dedup (C12b) — collapse
+   * byte-identical payloads without decoding them: group on the
+   * payload digest, representative = lowest media_id. This is the
+   * dedup a 100 TB media corpus runs first (re-crawled/re-encoded
+   * copies are byte-identical far more often than pixel-identical),
+   * and it needs no codec — which is exactly why it can be a FULL
+   * oracle row inside the no-codec wall (VERDICT r15 #5).
+   * Emits (media_id, rep_id, n_copies, sig). One digest projection +
+   * one digest-keyed window — shuffles hashes, never payloads. */
+  def exactDedup(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("sig")
+    media.select(col(idCol).cast("long").as("media_id"),
+        md5(col(payloadCol)).as("sig"))
+      .select(col("media_id"),
+        min("media_id").over(w).as("rep_id"),
+        count(lit(1)).over(w).as("n_copies"),
+        col("sig"))
+  }
+
+  /** Per-media chunk signature set: the digest of every FULL
+   * `chunkBytes`-sized slice of the payload (the trailing partial
+   * chunk is dropped — its length differs between variants, so it
+   * would only add noise to resemblance). Distinct per media. */
+  def chunkSignatures(media: DataFrame, idCol: String, payloadCol: String,
+      chunkBytes: Int): DataFrame = {
+    require(chunkBytes >= 1, s"chunkBytes must be >= 1, got $chunkBytes")
+    media.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).as("p"))
+      // payloads shorter than one chunk have an EMPTY signature set;
+      // filter them before the explode (Spark's sequence(0, -1) is a
+      // DESCENDING [0, -1], not empty — it would emit garbage chunks)
+      .filter(length(col("p")) >= chunkBytes)
+      .select(col("media_id"), col("p"),
+        explode(sequence(lit(0),
+          (length(col("p")) / chunkBytes).cast("int") - 1)).as("i"))
+      .select(col("media_id"),
+        md5(substring(col("p"), col("i") * chunkBytes + 1,
+          lit(chunkBytes))).as("sig"))
+      .distinct()
+  }
+
+  /** Chunk-signature NEAR-dup pairs (C12b) — the no-codec near-dup
+   * screen: two payloads are near-duplicates when their chunk
+   * signature sets resemble (|A∩B| / |A∪B| ≥ threshold). Catches
+   * truncated/appended/locally-edited re-uploads that exact dedup
+   * misses, still without decoding a byte.
+   *
+   * Scale shape: the pair generation is a self-join BUCKETED on the
+   * chunk digest (never all-pairs), and chunk digests shared by more
+   * than `maxChunkFreq` media are dropped first — the stop-chunk
+   * guard (the C2/C48 prefix-filter discipline): a boilerplate chunk
+   * shared by a million files would otherwise emit a quadratic
+   * bucket. Dropping hot chunks only LOWERS resemblance, so the
+   * guard trades recall on boilerplate-heavy pairs for a hard bound
+   * on bucket fan-out; the cap is part of the operator contract and
+   * replayed by the oracle.
+   *
+   * Emits (media_a, media_b, shared_chunks, resemblance_ppm),
+   * media_a < media_b, resemblance in integer ppm (truncating div —
+   * engine-stable). */
+  def nearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+      chunkBytes: Int, maxChunkFreq: Int, thresholdPpm: Long): DataFrame = {
+    require(maxChunkFreq >= 2, s"maxChunkFreq must be >= 2, got $maxChunkFreq")
+    val sigs = chunkSignatures(media, idCol, payloadCol, chunkBytes)
+    val cold = sigs.join(
+      sigs.groupBy("sig").agg(count(lit(1)).as("nm"))
+        .filter(col("nm") > maxChunkFreq)
+        .select("sig"),
+      Seq("sig"), "left_anti")
+    val sizes = cold.groupBy("media_id").agg(count(lit(1)).as("n_chunks"))
+    val a = cold.select(col("media_id").as("media_a"), col("sig"))
+    val b = cold.select(col("media_id").as("media_b"), col("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy("media_a", "media_b")
+      .agg(count(lit(1)).as("shared_chunks"))
+      .join(sizes.select(col("media_id").as("media_a"), col("n_chunks").as("na")),
+        Seq("media_a"))
+      .join(sizes.select(col("media_id").as("media_b"), col("n_chunks").as("nb")),
+        Seq("media_b"))
+      .select(col("media_a"), col("media_b"), col("shared_chunks"),
+        expr("shared_chunks * 1000000 div (na + nb - shared_chunks)")
+          .cast("long").as("resemblance_ppm"))
+      .filter(col("resemblance_ppm") >= thresholdPpm)
+  }
 }

@@ -38,8 +38,6 @@ object Rank {
   def distinctRanks(values: DataFrame, valueCol: String,
       partitions: Int = 32): DataFrame = {
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
-    val spark = values.sparkSession
-    import spark.implicits._
     val base = values
       .select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
@@ -54,6 +52,24 @@ object Rank {
             .as("b"))
           .head().getSeq[Long](0).distinct.sorted.toArray
       }
+    preDistinctRanks(base, "v", bounds)
+  }
+
+  /** The rank pass alone, over values the CALLER has already proven
+   * DISTINCT, with precomputed range boundaries — lets an operator
+   * that already runs a full aggregate (e.g. shardAssign's
+   * uniqueness guard) derive the boundaries in that same pass instead
+   * of paying [[distinctRanks]]' separate distinct shuffle +
+   * percentile action (VERDICT r15 guard fold). `bounds` must be
+   * sorted distinct longs (empty = one range); duplicate values in
+   * `values` yield duplicate ranks — verify distinctness first. */
+  def preDistinctRanks(values: DataFrame, valueCol: String,
+      bounds: Array[Long]): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val base = values
+      .select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val local = (if (bounds.isEmpty) base.withColumn("pid", lit(0))
       else base.withColumn("pid",
         graft.functions.expressions.searchSortedLong(col("v"), bounds)))

@@ -151,6 +151,13 @@ object Snapshot {
   }
 
   /** Tables a version serves: physically written dirs plus links. */
+  /** Every table version `v` serves — physically written or
+   * link-carried (A32). The existence probe a writer runs before
+   * deciding merge-vs-bootstrap (D28: a table absent at the current
+   * version is brand-new, not an error). */
+  def tables(spark: SparkSession, root: String, v: Long): Seq[String] =
+    tablesOf(spark, root, v)
+
   private def tablesOf(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val f = fs(spark, root)
     val own = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v$v"))
@@ -476,11 +483,22 @@ object Snapshot {
         .filter(_.isDirectory).map(_.getPath.getName).toSeq
       val own = dirs.filter(_.matches("[A-Za-z0-9_]+"))
       // a complete erase deletes both halves, so ANY survivor of
-      // either name is a crashed erase — report the TABLE it strands
+      // either name is erase residue — but the RECOVERY differs by
+      // whether the live table dir survived (ADVICE r15):
+      //  - live table present (crash before the first rename, or
+      //    post-swap pre-cleanup): the table is serving fine; the
+      //    residue is garbage — recovery = delete it. Renaming a
+      //    half back over the live dir would clobber or duplicate it.
+      //  - live table MISSING (crash between the two renames): the
+      //    table is stranded — recovery = rename whichever half is
+      //    complete back into place.
       val crashedRows = dirs
         .collect { case n if n.startsWith(".erase_bak_") => n.drop(11)
                    case n if n.startsWith(".erase_tmp_") => n.drop(11) }
-        .distinct.sorted.map(t => (v, t, "crashed-erase", v))
+        .distinct.sorted.map { t =>
+          val live = own.contains(t)
+          (v, t, if (live) "stale-erase-residue" else "crashed-erase", v)
+        }
       val linkRows = links.toSeq.sorted.map { case (t, sv) =>
         val target = new org.apache.hadoop.fs.Path(s"$root/v$sv/$t")
         (v, t, if (f.exists(target)) "linked-ok" else "dangling-link", sv)
@@ -506,9 +524,12 @@ object Snapshot {
    * briefly does not exist, so a read in that window fails loudly
    * rather than serving a half-scrubbed table (rename atomicity:
    * HDFS/local, the A15 assumption). A crash between the renames
-   * leaves a `.erase_bak_`/`.erase_tmp_` pair that [[fsck]] reports
-   * as 'crashed-erase' (recover by renaming whichever side is
-   * complete back into place).
+   * (live dir missing) leaves residue [[fsck]] reports as
+   * 'crashed-erase' — recover by renaming whichever side is complete
+   * back into place; a crash before the swap or after it but before
+   * cleanup leaves residue NEXT TO the live dir — fsck reports
+   * 'stale-erase-residue', recovery = delete the residue (renaming
+   * it back would clobber or duplicate the live table).
    * Returns (version, rowsRemoved) ascending, one row per version
    * that carries the table; fails loudly if NO version does.
    *

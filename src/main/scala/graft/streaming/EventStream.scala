@@ -559,38 +559,62 @@ object EventStream {
    * table. A31's catalog makes the duplicate visible and A23's vacuum
    * reclaims it. Per batch: one read of the served table + one
    * keyed upsert + one gated publish — cost tracks batch + serving
-   * table, never history. */
+   * table, never history.
+   *
+   * Namespace citizenship (ADVICE r15): the publish is LINKED — every
+   * OTHER table the current version serves is carried forward by
+   * `_LINKS` reference ([[graft.sinks.Snapshot.publishLinked]]), so a
+   * streaming table sharing a namespace with batch-published tables
+   * advances `prod` without shrinking the governed read surface (a
+   * plain publish would create versions missing them, and `readTag`
+   * for those tables would throw). A table absent at the current
+   * version is BRAND-NEW: the merge read is skipped and the batch
+   * bootstraps it — which also lets a stream start writing into a
+   * namespace whose history predates it. The A27 schema gate runs as
+   * the explicit [[graft.sinks.Snapshot.schemaViolations]] scan
+   * before the linked publish (the same `--link` discipline the A27
+   * CLI gate follows). */
   def snapshotPublishSink(updates: DataFrame, root: String, table: String,
       keyCols: Seq[String])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions.{col, count, countDistinct, lit, when}
         val s = batch.sparkSession
-        // a batch with duplicate keys has no deterministic winner (a
-        // DataFrame carries no row order) — refuse rather than publish
-        // an arbitrary one; upstream dedups with an explicit version
-        // column (the D14 versionedUpsertSink is the tool for that)
+        // a NULL-keyed row has no upsert identity (the left_anti LWW
+        // merge never matches NULL = NULL) and countDistinct silently
+        // skips it, so it must be refused BY NAME, not miscounted as
+        // a duplicate (ADVICE r15); a batch with duplicate keys has
+        // no deterministic winner (a DataFrame carries no row order) —
+        // refuse rather than publish an arbitrary one; upstream dedups
+        // with an explicit version column (D14 versionedUpsertSink)
+        val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
         val kc = batch.toDF().agg(
-          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.countDistinct(
-            org.apache.spark.sql.functions.col(keyCols.head),
-            keyCols.tail.map(org.apache.spark.sql.functions.col): _*)).head()
+          count(lit(1)),
+          countDistinct(col(keyCols.head), keyCols.tail.map(col): _*),
+          count(when(anyNullKey, lit(1)))).head()
+        require(kc.getLong(2) == 0L,
+          s"snapshot publish sink: batch has ${kc.getLong(2)} NULL-keyed rows — " +
+            s"every key column (${keyCols.mkString(", ")}) must be non-null")
         require(kc.getLong(0) == kc.getLong(1),
           s"snapshot publish sink: batch has ${kc.getLong(0) - kc.getLong(1)} duplicate keys")
         val cur = graft.sinks.Snapshot.currentVersion(s, root)
+        val tableExists =
+          cur > 0L && graft.sinks.Snapshot.tables(s, root, cur).contains(table)
         val merged =
-          if (cur == 0L) batch.toDF()
+          if (!tableExists) batch.toDF() // brand-new table: bootstrap
           else {
             val served = graft.sinks.Snapshot.read(s, root, table)
             // batch rows win over served rows on their keys (LWW)
-            served.join(batch.toDF().select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+            served.join(batch.toDF().select(keyCols.map(col): _*),
                 keyCols, "left_anti")
               .unionByName(batch.toDF())
           }
-        val (v, ok, viol) = graft.sinks.Snapshot.publishCompatible(
-          s, root, Map(table -> merged))
-        require(ok, s"snapshot publish sink: schema gate refused v$v: ${viol.mkString("; ")}")
+        val viol = graft.sinks.Snapshot.schemaViolations(s, root, Map(table -> merged))
+        require(viol.isEmpty,
+          s"snapshot publish sink: schema gate refused: ${viol.mkString("; ")}")
+        val (v, _) = graft.sinks.Snapshot.publishLinked(s, root, Map(table -> merged))
         graft.sinks.Snapshot.tag(s, root, "prod", v)
       }
 

@@ -60,6 +60,29 @@ object Bpe {
       call_function("replace", c, lit(s" $pair "), lit(s" $merged "))
     }
 
+  /** Weighted pair counts over the vocabulary with `merges` applied —
+   * the shared per-round aggregate of [[learnMerges]] and
+   * [[learnMergesBatched]]. Adjacent-pair enumeration runs on the
+   * VOCABULARY (distinct words), so the interpreted higher-order
+   * transform is off the corpus hot path; counts use the replace
+   * formula (see object doc) so enumeration only names candidates. */
+  private def pairCounts(vocab: DataFrame, merges: Seq[String]): DataFrame = {
+    val sym = applyMerges(symInit(col("w")), merges)
+    vocab.select(col("freq"), sym.as("sym"))
+      .withColumn("syms", split(trim(col("sym")), " "))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), col("sym"),
+        explode(expr(
+          "array_distinct(transform(sequence(0, size(syms) - 2)," +
+            " i -> concat(syms[i], ' ', syms[i + 1])))")).as("pair"))
+      .withColumn("rem", call_function("replace", col("sym"),
+        concat(lit(" "), col("pair"), lit(" ")), lit(" ")))
+      // exact by construction: each occurrence removes len(pair)+1
+      .withColumn("cnt", expr(
+        "(length(sym) - length(rem)) div (length(pair) + 1)"))
+      .groupBy("pair").agg(sum(col("cnt") * col("freq")).as("wcnt"))
+  }
+
   /** Learn `nMerges` merges: Seq of (pair, merged, weightedCount),
    * in merge order. Each round: one vocabulary-sized aggregate + a
    * 1-row collect. */
@@ -72,29 +95,77 @@ object Bpe {
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       for (_ <- 0 until nMerges) {
-        val sym = applyMerges(symInit(col("w")), out.map(_._1).toSeq)
-        // adjacent-pair enumeration runs on the VOCABULARY (distinct
-        // words), so the interpreted higher-order transform is off the
-        // corpus hot path; counts use the replace formula (see object
-        // doc) so enumeration only names candidates
-        val best = vocab.select(col("freq"), sym.as("sym"))
-          .withColumn("syms", split(trim(col("sym")), " "))
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), col("sym"),
-            explode(expr(
-              "array_distinct(transform(sequence(0, size(syms) - 2)," +
-                " i -> concat(syms[i], ' ', syms[i + 1])))")).as("pair"))
-          .withColumn("rem", call_function("replace", col("sym"),
-            concat(lit(" "), col("pair"), lit(" ")), lit(" ")))
-          // exact by construction: each occurrence removes len(pair)+1
-          .withColumn("cnt", expr(
-            "(length(sym) - length(rem)) div (length(pair) + 1)"))
-          .groupBy("pair").agg(sum(col("cnt") * col("freq")).as("wcnt"))
+        val best = pairCounts(vocab, out.map(_._1).toSeq)
           .orderBy(col("wcnt").desc, col("pair"))
           .limit(1).collect()
         require(best.nonEmpty, s"bpe: vocabulary exhausted after ${out.size} merges")
         val pair = best(0).getString(0)
         out += ((pair, pair.replace(" ", ""), best(0).getLong(1)))
+      }
+      out.toSeq
+    } finally { vocab.unpersist(): Unit }
+  }
+
+  /** One batched round's pick rule (C84b): candidates arrive ranked
+   * (wcnt desc, pair lex); candidate i QUALIFIES iff its symbol pair
+   * is disjoint from the symbols AND the merged form of EVERY
+   * higher-ranked candidate in the window — checking against all
+   * better-ranked candidates (not just selected ones) keeps the rule
+   * one anti-join in SQL, no sequential selection state. The batch is
+   * the first `kBatch` qualifiers in rank order. More conservative
+   * than greedy (a pair blocked by a blocked pair waits a round), but
+   * deterministic, engine-replayable, and symbol-disjoint WITHIN the
+   * batch — and disjoint replaces commute: a selected pair's replace
+   * cannot create (its merged form is excluded) or destroy (its
+   * symbols are excluded; boundary spaces survive a replace) an
+   * occurrence of any later selected pair, so every batched pair
+   * merges exactly its counted occurrences. */
+  private[graft] def selectBatch(cands: Seq[(String, Long)],
+      kBatch: Int): Seq[(String, Long)] = {
+    val parts = cands.map { case (p, c) =>
+      val Array(a, b) = p.split(" ", 2)
+      (p, c, a, b, a + b)
+    }
+    parts.zipWithIndex.filter { case ((_, _, a, b, _), i) =>
+      parts.take(i).forall { case (_, _, ha, hb, hm) =>
+        ha != a && ha != b && hb != a && hb != b && hm != a && hm != b
+      }
+    }.map { case ((p, c, _, _, _), _) => (p, c) }
+      .take(kBatch)
+  }
+
+  /** Batched BPE merge induction (C84b, VERDICT r15 #4): real
+   * tokenizer training learns 10⁴–10⁵ merges, so rounds must not
+   * equal merges — each round picks the top `kBatch` PAIRWISE
+   * SYMBOL-DISJOINT pairs (see [[selectBatch]]) from the top
+   * `kBatch*4` candidate window and applies them as one chain, so
+   * driver round-trips grow as merges/kBatch, not merges. Counts are
+   * the PRE-ROUND counts each pick was ranked by — exact for every
+   * pick because batch members are symbol-disjoint (replaces
+   * commute). Returns (round, pick, pair, merged, weightedCount);
+   * rounds may pick fewer than `kBatch` when the window thins —
+   * data-dependent but deterministic, and the oracle replays the
+   * same window/rule/cap round for round. */
+  def learnMergesBatched(docs: DataFrame, textCol: String, rounds: Int,
+      kBatch: Int): Seq[(Int, Int, String, String, Long)] = {
+    require(rounds >= 1 && rounds <= 16, s"rounds in [1,16], got $rounds")
+    require(kBatch >= 1 && kBatch <= 16, s"kBatch in [1,16], got $kBatch")
+    val window = kBatch * 4
+    val vocab = wordFreqs(docs, textCol).persist()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+      val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (r <- 1 to rounds) {
+        val cands = pairCounts(vocab, merges.toSeq)
+          .orderBy(col("wcnt").desc, col("pair"))
+          .limit(window).collect()
+          .map(row => (row.getString(0), row.getLong(1))).toSeq
+        val sel = selectBatch(cands, kBatch)
+        require(sel.nonEmpty, s"bpe: vocabulary exhausted at round $r")
+        sel.zipWithIndex.foreach { case ((p, c), i) =>
+          out += ((r, i + 1, p, p.replace(" ", ""), c))
+        }
+        merges ++= sel.map(_._1)
       }
       out.toSeq
     } finally { vocab.unpersist(): Unit }

@@ -42,4 +42,42 @@ class BpeSpec extends AnyFunSuite {
     // doc 2: low (3 -> 3) + widest (6 -> "w i d est" = 4): 9 before, 7 after
     assert(rep == List((1L, 2L, 12L, 8L), (2L, 2L, 9L, 7L)), s"got $rep")
   }
+
+  test("selectBatch: rank-window disjointness, conservative blocking, pick cap") {
+    val cands = Seq(("a b", 10L), ("b c", 9L), ("c d", 8L), ("ab c", 7L),
+      ("x y", 6L), ("y z", 5L), ("p q", 4L))
+    // 'b c' blocked by 'a b' (b); 'c d' blocked by 'b c' even though
+    // 'b c' itself was blocked (conservative rule); 'ab c' blocked by
+    // 'a b' via its MERGED form; 'y z' blocked by 'x y'
+    assert(Bpe.selectBatch(cands, 8) == Seq(("a b", 10L), ("x y", 6L), ("p q", 4L)))
+    assert(Bpe.selectBatch(cands, 2) == Seq(("a b", 10L), ("x y", 6L)))
+  }
+
+  test("learnMergesBatched: one round of disjoint picks equals sequential " +
+      "merges when the top pairs do not interact") {
+    // two independent hot pairs in disjoint alphabets: the batch must
+    // pick both in one round with the same counts sequential learning
+    // would see
+    val docs = Seq((1L, "ab ab ab xy xy")).toDF("doc_id", "text")
+    val batched = Bpe.learnMergesBatched(docs, "text", rounds = 1, kBatch = 2)
+    assert(batched.map(t => (t._3, t._5)) == Seq(("a b", 3L), ("x y", 2L)),
+      s"got $batched")
+    val seqential = Bpe.learnMerges(docs, "text", 2)
+    assert(batched.map(t => (t._3, t._5)) ==
+      seqential.map(t => (t._1, t._3)), s"batched $batched vs seq $seqential")
+    // round/pick bookkeeping
+    assert(batched.map(t => (t._1, t._2)) == Seq((1, 1), (1, 2)))
+  }
+
+  test("learnMergesBatched with kBatch=1 degenerates to sequential learnMerges") {
+    // rank-1 always qualifies, so a 1-pick batch IS the sequential
+    // trainer — the cross-round fold and counts must agree exactly
+    val docs = Seq((1L, "newest newest newest"), (2L, "low lower lowest"))
+      .toDF("doc_id", "text")
+    val batched = Bpe.learnMergesBatched(docs, "text", rounds = 4, kBatch = 1)
+    val sequential = Bpe.learnMerges(docs, "text", 4)
+    assert(batched.map(t => (t._3, t._4, t._5)) == sequential,
+      s"batched $batched vs sequential $sequential")
+    assert(batched.map(_._1) == Seq(1, 2, 3, 4)) // one pick per round
+  }
 }

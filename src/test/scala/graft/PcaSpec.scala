@@ -90,4 +90,22 @@ class PcaSpec extends AnyFunSuite {
     val msg = o.getMessage + Option(o.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("overflow") || msg.contains("Overflow"), msg)
   }
+
+  test("affine projection refuses a wrong-length vector (ADVICE r15)") {
+    // corpus vectors are dim-checked at fit time by gramStats, but
+    // PROBE vectors reach the projection kernel unchecked: a
+    // truncated projection would be a silently wrong ANN shortlist
+    val df = (0 until 8).map(i => (i.toLong,
+      Array(i.toFloat, (i % 3).toFloat, 1.0f))).toDF("id", "v")
+    val model = Pca.fit(df, "v", 3, 2)
+    val short = Seq((99L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      short.select(Pca.projectColumn(model, col("v"))).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("expected 3"), msg)
+    // and the exact-length projection still flows
+    val ok = Seq((99L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    assert(ok.select(Pca.projectColumn(model, col("v"))).collect().length == 1)
+  }
 }

@@ -179,11 +179,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("packable domain") ||
       Option(e.getCause).exists(_.getMessage.contains("packable domain")))
     // duplicate ids fail loudly (ADVICE r14): they would collapse to
-    // one rank and silently co-locate, skewing the stripe balance
+    // one rank and silently co-locate, skewing the stripe balance.
+    // r16: the guard rides the groupBy(id) pass (raise_error in the
+    // key expression, surfacing at the eager checkpoint), so the
+    // failure arrives wrapped in Spark's execution exception
     val dup = Seq((7L, 5L), (7L, 3L)).toDF("id", "sz")
-    val d = intercept[IllegalArgumentException] {
+    val d = intercept[Exception] {
       graft.operators.Sampling.shardAssign(dup, "id", "sz", 2)
     }
-    assert(d.getMessage.contains("duplicate ids"), d.getMessage)
+    def chain(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + chain(t.getCause)
+    assert(chain(d).contains("duplicate ids"), chain(d))
   }
 }

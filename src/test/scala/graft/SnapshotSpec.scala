@@ -387,19 +387,25 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.schemaViolations(spark, freshRoot(), Map("t" -> v1)).isEmpty)
   }
 
-  test("fsck reports eraseKeys crash residue as crashed-erase (ADVICE r14)") {
+  test("fsck splits erase residue by live-table presence (ADVICE r14/r15)") {
     val root = freshRoot()
     Snapshot.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("k", "s")))
+    // residue NEXT TO the live table 't' (crash before the swap or
+    // post-swap pre-cleanup): the table serves fine, the residue is
+    // garbage — 'stale-erase-residue', recovery = delete it (renaming
+    // it back would clobber the live dir)
     val f = new java.io.File(s"$root/v1/.erase_bak_t")
     assert(f.mkdirs())
-    // tmp residue of a second table: both halves report, deduped per table
+    // residue of a table with NO live dir (crash between the renames):
+    // the table is stranded — 'crashed-erase', recovery = rename a
+    // complete half back; both halves report, deduped per table
     assert(new java.io.File(s"$root/v1/.erase_tmp_u").mkdirs())
     assert(new java.io.File(s"$root/v1/.erase_bak_u").mkdirs())
     val rows = Snapshot.fsck(spark, root)
       .as[(Long, String, String, Long)].collect().toList.sorted
     assert(rows == List(
-      (1L, "t", "crashed-erase", 1L),
       (1L, "t", "ok", 1L),
+      (1L, "t", "stale-erase-residue", 1L),
       (1L, "u", "crashed-erase", 1L)), s"got $rows")
   }
 }

@@ -1196,4 +1196,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(graft.sinks.Snapshot.currentVersion(spark, s"$base/root") == 2L)
     } finally q.stop()
   }
+
+  test("snapshotPublishSink is a namespace citizen: links carry other tables, " +
+      "bootstraps into live namespaces, refuses NULL keys (ADVICE r15)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/snap_sink_ns_${System.nanoTime()}"
+    val root = s"$base/root"
+    // a namespace that ALREADY serves a batch-published dim table
+    graft.sinks.Snapshot.publish(spark, root,
+      Map("dims" -> Seq((1L, "a"), (2L, "b")).toDF("id", "s")))
+    graft.sinks.Snapshot.tag(spark, root, "prod", 1L)
+    val in = MemoryStream[(Long, Long)]
+    val q = EventStream.snapshotPublishSink(
+        in.toDF().toDF("k", "v"), root, "t", Seq("k"))
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      // bootstrap: 't' is absent at v1 — the merge read must be
+      // skipped, not throw (the r15 publishCompatible path did)
+      in.addData((1L, 10L))
+      q.processAllAvailable()
+      in.addData((1L, 11L), (2L, 20L))
+      q.processAllAvailable()
+      assert(graft.sinks.Snapshot.currentVersion(spark, root) == 3L)
+      // the governed read surface did NOT shrink: prod still serves
+      // 'dims' (carried by _LINKS reference, not rewritten) AND the
+      // streamed table's LWW state
+      val dims = graft.sinks.Snapshot.readTag(spark, root, "dims", "prod")
+        .as[(Long, String)].collect().toMap
+      assert(dims == Map(1L -> "a", 2L -> "b"))
+      val t = graft.sinks.Snapshot.readTag(spark, root, "t", "prod")
+        .as[(Long, Long)].collect().toMap
+      assert(t == Map(1L -> 11L, 2L -> 20L))
+      // carried by reference: v3 holds no physical 'dims' copy
+      assert(!new java.io.File(s"$root/v3/dims").exists())
+      assert(graft.sinks.Snapshot.tables(spark, root, 3L).toSet == Set("dims", "t"))
+      // a NULL-keyed row has no upsert identity: refused BY NAME
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val nullable = MemoryStream[Long]
+      val qn = EventStream.snapshotPublishSink(
+          nullable.toDF().select(
+            when(col("value") === 0L, lit(null)).otherwise(col("value")).as("k"),
+            col("value").as("v")),
+          root, "t", Seq("k"))
+        .option("checkpointLocation", s"$base/ckpt2").start()
+      try {
+        nullable.addData(0L, 5L)
+        val e = intercept[Exception] { qn.processAllAvailable() }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("NULL-keyed")), msgs(e).mkString(" | "))
+        assert(graft.sinks.Snapshot.currentVersion(spark, root) == 3L)
+      } finally qn.stop()
+    } finally q.stop()
+  }
 }
