@@ -971,6 +971,74 @@ object ScaleProbe {
     require(bpeBase.map(_._3 * 20L) == bpeBig.map(_._3),
       s"bpe counts not exactly 20x: $bpeBase vs $bpeBig")
     println("SCALE bpe: merge table identical, counts exactly 20x")
+
+    // --- Graph frontier under a power-law hub (VERDICT r15 #7): BFS
+    // expands the frontier through a (frontier ⋈ edges) equi-join
+    // keyed by node. Two regimes: a SMALL frontier broadcasts (no
+    // skew possible — the hub's edges stay where they sit); once the
+    // frontier outgrows the broadcast threshold the join shuffles on
+    // the node key and a hub concentrates deg(hub) rows on ONE
+    // reducer. The mechanism there is AQE's skew-join split
+    // (OptimizeSkewedJoin) — this probe FORCES the shuffle regime
+    // (broadcast off, emulating the at-scale frontier) with a planted
+    // 2M-edge hub, scales the AQE skew thresholds down in the same
+    // proportion the probe scales the data down from production
+    // (deployment note in Graph.shortestPaths), and asserts with a
+    // task listener that no task read the hub's whole edge block.
+    {
+      val hubDeg = 2000000L
+      val others = 500000L
+      val edges = spark.range(hubDeg).toDF("i")
+        .select(lit(0L).as("a"), (col("i") + 10000000L).as("b"))
+        .unionAll(spark.range(1L, others + 1L).toDF("i")
+          .select(col("i").as("a"), (col("i") + 20000000L).as("b")))
+      val sources = spark.range(0L, others + 1L).toDF("node")
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            val r = m.shuffleReadMetrics.recordsRead
+            var cur = maxTask.get()
+            while (r > cur && !maxTask.compareAndSet(cur, r)) cur = maxTask.get()
+          }
+        }
+      }
+      def conf(k: String): Option[String] =
+        scala.util.Try(spark.conf.get(k)).toOption
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes").map(k => k -> conf(k))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      spark.sparkContext.addSparkListener(lst)
+      val sp = try {
+        timedRun(s"bfs frontier with ${hubDeg / 1000000}M-edge hub, shuffle regime") {
+          graft.operators.Graph.shortestPaths(
+            edges, "a", "b", sources, "node", maxHops = 1)
+        }
+      } finally {
+        spark.sparkContext.removeSparkListener(lst)
+        saved.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
+      // closed form: sources settle at 0; every edge target at 1
+      val byDist = sp.groupBy("dist").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(byDist == Map(0L -> (others + 1L), 1L -> (hubDeg + others)),
+        s"bfs hub closed form drifted: $byDist")
+      // the hub's edge block was SPLIT: no task read even half of it
+      require(maxTask.get() < hubDeg / 2,
+        s"frontier hub landed on one reducer: max task read ${maxTask.get()} " +
+          s"records of a $hubDeg-edge hub — AQE skew split did not engage")
+      println(s"SCALE bfs hub: AQE split the hub block (max task read " +
+        s"${maxTask.get()} of $hubDeg hub edges)")
+    }
     spark.stop()
   }
 }

@@ -59,10 +59,24 @@ object Verify {
     // iteration); unknown names error rather than silently vanish
     val unknown = args.drop(2).toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
+    // SPARK_GRAFT_VERIFY_EXCLUDE (comma-separated; the Bench exclude
+    // convention): drop named queries from a FULL run — the sf1
+    // correctness sweep excludes the O(n²)-by-design brute-force
+    // oracle baselines exactly as BENCH_sf1 does, and the exclusion
+    // must be loud and name-checked, never a silent filter.
+    val excluded = sys.env.get("SPARK_GRAFT_VERIFY_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknownEx = excluded.diff(SparkEntry.queries.keySet)
+    require(unknownEx.isEmpty,
+      s"unknown exclude names: ${unknownEx.toSeq.sorted.mkString(", ")}")
+    if (excluded.nonEmpty)
+      System.err.println(s"[verify] EXCLUDED ${excluded.size} queries: " +
+        excluded.toSeq.sorted.mkString(", "))
     val subset = args.length > 2
     val selected =
-      if (subset) SparkEntry.queries.view.filterKeys(args.drop(2).toSet).toMap
-      else SparkEntry.queries
+      (if (subset) SparkEntry.queries.view.filterKeys(args.drop(2).toSet).toMap
+       else SparkEntry.queries).view.filterKeys(!excluded.contains(_)).toMap
     val out = new java.io.File(outDir)
     require(wipeSafe(out),
       s"refusing to touch non-empty dir without a verify marker: $outDir")

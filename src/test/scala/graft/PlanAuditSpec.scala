@@ -629,4 +629,52 @@ class PlanAuditSpec extends AnyFunSuite {
         s"governance scan decodes column data (non-empty ReadSchema):\n$p")
     }
   }
+
+  test("unpartitioned windows only ever ride bounded inputs (VERDICT r15 #8)") {
+    // An empty PARTITION BY funnels the window's whole input through
+    // ONE reducer — correct on a k-bounded shortlist or a bucket
+    // ladder, a straggler on a corpus. The r15 board carries ~871
+    // benign 'No Partition Defined' warnings, all over bounded
+    // frames; this makes that discipline a checked invariant instead
+    // of a convention. Bounded below means: a limit, a literal
+    // relation, a small range, a global (ungrouped) aggregate, or an
+    // aggregate whose ENTIRE grouping set appears in the window's
+    // order columns (the bucket-ladder shape: cardinality = the
+    // ladder, not the corpus). Joins need one bounded side
+    // (shortlist-enrichment), unions need all.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def orderRefs(w: Window): Set[String] =
+      w.orderSpec.flatMap(_.child.references.map(_.name)).toSet
+    def bounded(p: LogicalPlan, names: Set[String]): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit | _: LocalRelation => true
+      case r: Range => r.numElements <= BigInt(100000)
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(
+            _.references.forall(ref => names.contains(ref.name)))
+      case j: Join => bounded(j.left, names) || bounded(j.right, names)
+      case u: Union => u.children.forall(bounded(_, names))
+      case other if other.children.size == 1 =>
+        bounded(other.children.head, names)
+      case _ => false
+    }
+    // the queries whose plans carry unpartitioned windows: the
+    // retrieval shortlist family + every bucket-ladder operator
+    val audited = Seq("q_hybrid_retrieval", "q_rrf_fusion",
+      "q_peak_concurrency", "q_weighted_quantile",
+      "q_mixture_temperature", "q_pro_rata", "q_shard_assign")
+    var seen = 0
+    audited.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      lp.collect { case w: Window if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          seen += 1
+          assert(bounded(w.child, orderRefs(w)),
+            s"$name: unpartitioned window over an UNBOUNDED input:\n$w")
+        }
+    }
+    // the audit must actually be exercising windows, not vacuously green
+    assert(seen >= 4, s"expected >=4 unpartitioned windows across the audited set, saw $seen")
+  }
 }
