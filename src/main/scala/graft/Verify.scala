@@ -136,6 +136,12 @@ object Verify {
     val json = SparkEntry.oracleSql.view.filterKeys(selected.keySet)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the COMPLETE oracle map, regardless of subset: a sweep resumed
+    // across several subset runs (the sf1 correctness sweep) compares
+    // against this one instead of whichever subset wrote last
+    val full = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_full.json"), full)
     spark.stop()
   }
 }
