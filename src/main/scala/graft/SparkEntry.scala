@@ -1153,9 +1153,12 @@ object SparkEntry {
    * Floors sit ~30% under the weaker SF so corpus growth has room
    * (quantizers are seeded deterministically — the measurement is
    * exact per corpus, the margin absorbs future SFs, not host noise)
-   * while a halving still fails loudly. The panel shares ONE exact
-   * top-5 subtree across paths (AQE exchange reuse; the probe set is
-   * 20 rows — every approx path broadcasts it). */
+   * while a halving still fails loudly. The exact top-5 is computed
+   * ONCE and eagerly checkpointed — its output is 20 probes × k rows
+   * (bounded by construction), but its lineage is the full
+   * brute-force corpus scan, which five per-path semi-joins plus the
+   * denominator would otherwise replay up to ten times (the r4
+   * materialization rule's clearest case). */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 20)
@@ -1163,7 +1166,8 @@ object SparkEntry {
     val exact = graft.similarity.Ann
       .bruteForceTopK(emb, probes, "vec_id", "embedding", k)
       .select(col("probe_id"), col("vec_id"))
-    val denom = exact.agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint()
+    val nExact = exact.count()
     val paths: Seq[(String, Long, DataFrame)] = Seq(
       ("ivf", 600000L,
         graft.similarity.Ann.ivfTopK(emb, probes, "vec_id", "embedding", 64, k)),
@@ -1177,17 +1181,17 @@ object SparkEntry {
       ("pq", 330000L,
         graft.similarity.Ann.pqTopK(emb, probes, "vec_id", "embedding", 64, k)))
     paths.map { case (name, floorPpm, approx) =>
-      val hits = exact.join(
+      exact.join(
           approx.select(col("probe_id").as("p"), col("vec_id").as("v")),
           col("probe_id") === col("p") && col("vec_id") === col("v"),
           "left_semi")
         .agg(count(lit(1)).as("n_hit"))
-      hits.crossJoin(denom).select(
-        lit(name).as("path"),
-        lit(k.toLong).as("k"),
-        lit(20L).as("n_probes"),
-        lit(floorPpm).as("floor_ppm"),
-        (col("n_hit") * 1000000L >= col("n_exact") * floorPpm).as("recall_ok"))
+        .select(
+          lit(name).as("path"),
+          lit(k.toLong).as("k"),
+          lit(20L).as("n_probes"),
+          lit(floorPpm).as("floor_ppm"),
+          (col("n_hit") * 1000000L >= lit(nExact * floorPpm)).as("recall_ok"))
     }.reduce(_ unionAll _).orderBy("path")
   }
 
