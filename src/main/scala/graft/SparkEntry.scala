@@ -4588,6 +4588,46 @@ object SparkEntry {
     s.read.parquet(out).orderBy("c_custkey")
   }
 
+  /** A35 (r16): snapshot BRANCHES — the experimentation surface a
+   * governed warehouse needs: a branch is a TAG that
+   * [[graft.sinks.Snapshot.publishToRef]] advances, each publish
+   * basing on the REF's own head (prod and dev interleave in one
+   * version log without seeing each other), unchanged tables carried
+   * by `_LINKS` reference, the A27 gate run against the branch head,
+   * promote = a metadata-only retag. The query builds the full
+   * lifecycle — branch, two divergent dev publishes interleaved with
+   * a prod publish, promote — and emits every (ref, table) row count
+   * at each stage; DuckDB recomputes all of them from the source
+   * tables, so isolation BOTH ways and the promote flip are
+   * value-checked, not smoke-counted. */
+  private def qSnapshotBranch(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/branch_${sinkSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust, "nat" -> nat))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.tag(s, root, "dev", 1L)
+    graft.sinks.Snapshot.publishToRef(s, root, "dev",
+      Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))
+    graft.sinks.Snapshot.publishToRef(s, root, "prod",
+      Map("nat" -> nat.filter(col("n_nationkey") < 10)))
+    graft.sinks.Snapshot.publishToRef(s, root, "dev",
+      Map("cust" -> cust.filter(col("c_custkey") % 4 === 0)))
+    def row(stage: String, ref: String, table: String) =
+      graft.sinks.Snapshot.readTag(s, root, table, ref)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(stage).as("stage"), lit(ref).as("ref"),
+          lit(table).as("table_name"), col("n_rows"))
+    val before = Seq(("prod", "cust"), ("prod", "nat"),
+      ("dev", "cust"), ("dev", "nat")).map { case (r, t) => row("diverged", r, t) }
+    // promote: prod now serves the validated dev state — metadata only
+    graft.sinks.Snapshot.tag(s, root, "prod",
+      graft.sinks.Snapshot.tagVersion(s, root, "dev"))
+    val after = Seq(("prod", "cust"), ("prod", "nat"))
+      .map { case (r, t) => row("promoted", r, t) }
+    (before ++ after).reduce(_ unionAll _).orderBy("stage", "ref", "table_name")
+  }
+
   /** A12+A33 (storage verb, FULL-oracled r15; reshaped r16 per
    * VERDICT #9): the CLI `snapshot` → `storage` round trip — the full
    * gated publish + prod tag, then the `--link` rerun through the
@@ -7139,6 +7179,7 @@ object SparkEntry {
     "q_cli_run"       -> qCliRun,
     "q_cli_mask"      -> qCliMask,
     "q_cli_storage"   -> qCliStorage,
+    "q_snapshot_branch" -> qSnapshotBranch,
     "q_partition_prune" -> qPartitionPrune,
     "q_csv_quarantine" -> qCsvQuarantine,
     "q_approx_distinct" -> qApproxDistinct,
@@ -8812,6 +8853,22 @@ object SparkEntry {
     // physical (the verb publishes only `denorm`, so the --link rerun
     // has nothing to carry by reference); logical rows = the denorm
     // join mass recomputed from the source tables.
+    // A35: every (stage, ref, table) count recomputed from the source
+    // tables — the branch/promote lifecycle is the query's own fixed
+    // construction.
+    "q_snapshot_branch" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+         c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey % 4 = 0),
+         na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation),
+         n10 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_nationkey < 10)
+         SELECT * FROM (
+           SELECT 'diverged' AS stage, 'dev' AS ref, 'cust' AS table_name, (SELECT n FROM c4) AS n_rows
+           UNION ALL SELECT 'diverged', 'dev', 'nat', (SELECT n FROM na)
+           UNION ALL SELECT 'diverged', 'prod', 'cust', (SELECT n FROM c)
+           UNION ALL SELECT 'diverged', 'prod', 'nat', (SELECT n FROM n10)
+           UNION ALL SELECT 'promoted', 'prod', 'cust', (SELECT n FROM c4)
+           UNION ALL SELECT 'promoted', 'prod', 'nat', (SELECT n FROM na)
+         ) ORDER BY stage, ref, table_name""",
     "q_cli_storage" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey

@@ -191,24 +191,44 @@ object Snapshot {
   def publishLinked(
       spark: SparkSession,
       root: String,
+      changed: Map[String, DataFrame]): (Long, Map[String, Long]) =
+    publishLinkedFrom(spark, root, currentVersion(spark, root), changed)
+
+  /** [[publishLinked]] generalized to carry forward from an ARBITRARY
+   * published version instead of the head — the primitive that makes
+   * BRANCHES (A35) a composition instead of a feature: a branch is
+   * just a tag whose publishes base on the tag's own head rather
+   * than the global head. The new version still appends at the
+   * global head (one linear version log, git-style: branches are
+   * REFS into the log, not parallel logs), carrying `base`'s other
+   * tables by flattened `_LINKS` reference. Vacuum already treats
+   * every tag as a GC root (tag-protection + link-fixpoint rescue),
+   * so a branch head and everything it references survive retention
+   * sweeps automatically. */
+  def publishLinkedFrom(
+      spark: SparkSession,
+      root: String,
+      base: Long,
       changed: Map[String, DataFrame]): (Long, Map[String, Long]) = {
     require(changed.nonEmpty, "snapshot publishLinked: no tables")
     changed.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
       s"snapshot publish: unsafe table name '$n'"))
     val f = fs(spark, root)
     val cur = currentVersion(spark, root)
+    require(base >= 0L && base <= cur,
+      s"snapshot publishLinkedFrom: base v$base not published (head is v$cur)")
     val next = cur + 1
     clearDeadOrphan(f, root, next)
     changed.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
     val carried: Map[String, Long] =
-      if (cur == 0L) Map.empty
+      if (base == 0L) Map.empty
       else {
-        val prevLinks = linksOf(spark, root, cur)
-        tablesOf(spark, root, cur)
+        val baseLinks = linksOf(spark, root, base)
+        tablesOf(spark, root, base)
           .filterNot(changed.contains)
-          .map(t => t -> prevLinks.getOrElse(t, cur)) // flatten to the home
+          .map(t => t -> baseLinks.getOrElse(t, base)) // flatten to the home
           .toMap
       }
     if (carried.nonEmpty) {
@@ -221,6 +241,30 @@ object Snapshot {
     }
     flipManifest(f, root, next)
     (next, carried)
+  }
+
+  /** Branch publish (A35): advance the named ref by one version based
+   * on the REF'S OWN head — prod and any number of dev/experiment
+   * branches publish interleaved into one version log without seeing
+   * each other's changes. The A27 schema gate runs against the REF's
+   * head (the branch's readers are the contract, not the global
+   * head's); violations refuse the publish with the ref untouched.
+   * Create a branch with [[tag]] (a branch IS a tag this verb
+   * advances); promote one with `tag(root, "prod", branchHead)` — a
+   * metadata-only flip, the merge-back of a validated experiment.
+   * Returns (newVersion, carriedLinks). */
+  def publishToRef(
+      spark: SparkSession,
+      root: String,
+      refName: String,
+      changed: Map[String, DataFrame]): (Long, Map[String, Long]) = {
+    val base = tagVersion(spark, root, refName)
+    val viol = schemaViolationsFrom(spark, root, base, changed)
+    require(viol.isEmpty,
+      s"snapshot publishToRef('$refName'): schema gate refused: ${viol.mkString("; ")}")
+    val (v, carried) = publishLinkedFrom(spark, root, base, changed)
+    tag(spark, root, refName, v)
+    (v, carried)
   }
 
   /** A referential-integrity rule for [[publishChecked]]: every
@@ -619,16 +663,25 @@ object Snapshot {
   def schemaViolations(
       spark: SparkSession,
       root: String,
+      tables: Map[String, DataFrame]): Seq[String] =
+    schemaViolationsFrom(spark, root, currentVersion(spark, root), tables)
+
+  /** [[schemaViolations]] against an arbitrary published version —
+   * the gate a BRANCH publish (A35) runs: the branch head's readers
+   * are the contract, not the global head's. */
+  def schemaViolationsFrom(
+      spark: SparkSession,
+      root: String,
+      base: Long,
       tables: Map[String, DataFrame]): Seq[String] = {
-    val cur = currentVersion(spark, root)
-    if (cur == 0L) Seq.empty
+    if (base == 0L) Seq.empty
     else tables.toSeq.sorted(Ordering.by((t: (String, DataFrame)) => t._1))
       .flatMap { case (name, df) =>
         // served set = written + link-carried (A32): a table the
-        // current version serves through a link is just as much a
+        // base version serves through a link is just as much a
         // reader contract as a physically-written one
         val prev = scala.util.Try(
-          resolveTableDir(spark, root, cur, name)).toOption
+          resolveTableDir(spark, root, base, name)).toOption
         if (prev.isEmpty) Nil // brand-new table: fine
         else {
           val old = spark.read.parquet(prev.get).schema
@@ -651,10 +704,11 @@ object Snapshot {
    * discipline as the manifest: consumers pin a TAG (stable contract)
    * while publishes advance the head version freely, and promoting a
    * validated version to prod is a metadata-only flip — the
-   * dataset-registry pattern (git tags for tables). A tag survives
-   * vacuum only if its version does: [[vacuum]] counts versions from
-   * the HEAD, so pin retention ≥ the tag distance or re-tag before
-   * vacuuming (resolving a vacuumed tag fails loudly at read). */
+   * dataset-registry pattern (git tags for tables). Tags are GC
+   * ROOTS: [[vacuum]] never deletes a version any tag names (nor the
+   * link targets it depends on), however far behind the head it
+   * falls — which is also what makes a tag [[publishToRef]] advances
+   * a safe BRANCH head (A35). */
   def tag(spark: SparkSession, root: String, name: String, version: Long): Unit = {
     require(name.matches("[A-Za-z0-9_-]+"), s"snapshot tag: unsafe name '$name'")
     val cur = currentVersion(spark, root)

@@ -387,6 +387,51 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.schemaViolations(spark, freshRoot(), Map("t" -> v1)).isEmpty)
   }
 
+  test("branches (A35): refs publish from their own head, isolated both ways, " +
+      "promote is a metadata flip, vacuum roots the branch") {
+    val root = freshRoot()
+    val cust = (1L to 8L).map(i => (i, s"c$i")).toDF("k", "s")
+    val nat = Seq((1L, "a"), (2L, "b")).toDF("id", "n")
+    Snapshot.publish(spark, root, Map("cust" -> cust, "nat" -> nat))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.tag(spark, root, "dev", 1L) // branch = a tag publishToRef advances
+    // dev diverges twice; prod diverges once, interleaved
+    val (v2, l2) = Snapshot.publishToRef(spark, root, "dev",
+      Map("cust" -> cust.filter($"k" % 2 === 0)))
+    assert(v2 == 2L && l2 == Map("nat" -> 1L))
+    val (v3, l3) = Snapshot.publishToRef(spark, root, "prod",
+      Map("nat" -> nat.filter($"id" === 1L)))
+    assert(v3 == 3L && l3 == Map("cust" -> 1L))
+    val (v4, l4) = Snapshot.publishToRef(spark, root, "dev",
+      Map("cust" -> cust.filter($"k" % 4 === 0)))
+    // dev's second publish carries nat from ITS chain (home v1), and
+    // must NOT see prod's v3 nat rewrite
+    assert(v4 == 4L && l4 == Map("nat" -> 1L))
+    assert(Snapshot.tagVersion(spark, root, "dev") == 4L)
+    assert(Snapshot.tagVersion(spark, root, "prod") == 3L)
+    assert(Snapshot.readTag(spark, root, "cust", "dev").count() == 2L) // k%4
+    assert(Snapshot.readTag(spark, root, "nat", "dev").count() == 2L)  // full
+    assert(Snapshot.readTag(spark, root, "cust", "prod").count() == 8L) // full
+    assert(Snapshot.readTag(spark, root, "nat", "prod").count() == 1L)  // filtered
+    // branch gate runs against the BRANCH head: dropping a column dev
+    // serves refuses and leaves the ref where it was
+    val bad = intercept[IllegalArgumentException] {
+      Snapshot.publishToRef(spark, root, "dev",
+        Map("cust" -> Seq(1L).toDF("k"))) // drops 's'
+    }
+    assert(bad.getMessage.contains("dropped"), bad.getMessage)
+    assert(Snapshot.tagVersion(spark, root, "dev") == 4L)
+    // promote = metadata-only flip; prod now serves dev's state
+    Snapshot.tag(spark, root, "prod", 4L)
+    assert(Snapshot.readTag(spark, root, "cust", "prod").count() == 2L)
+    // vacuum roots the refs: nothing a ref chain needs disappears
+    Snapshot.publish(spark, root,
+      Map("cust" -> cust, "nat" -> nat)) // v5, moves the head away
+    val deleted = Snapshot.vacuum(spark, root, keepLast = 1)
+    assert(!deleted.contains(4L) && !deleted.contains(1L), s"deleted $deleted")
+    assert(Snapshot.readTag(spark, root, "nat", "dev").count() == 2L)
+  }
+
   test("fsck splits erase residue by live-table presence (ADVICE r14/r15)") {
     val root = freshRoot()
     Snapshot.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("k", "s")))
