@@ -1039,6 +1039,47 @@ object ScaleProbe {
       println(s"SCALE bfs hub: AQE split the hub block (max task read " +
         s"${maxTask.get()} of $hubDeg hub edges)")
     }
+
+    // B124 skyline at 2M rows (r16): the bucket decomposition must
+    // hold its closed forms at scale — a staircase (x=i, y=i: NOTHING
+    // dominated, the worst case for frontier size), a plateau
+    // (1000 duplicates per x, y cycling: exactly ONE survivor — the
+    // global (0, 999) point dominates every other row incl. its
+    // same-x peers), and a per-bucket-max comb (frontier = exactly
+    // the top-y row of each of the n/k x-values). Frontier SIZE and
+    // MEMBERSHIP are both gated; wall time printed.
+    {
+      import org.apache.spark.sql.functions.{expr, lit}
+      val n = 2000000L
+      val k = 1000L
+      val ids = spark.range(n)
+      def frontier(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Skyline.frontier(df, Seq("g"), "x", "y", 64)
+      time("skyline 2M staircase (all survive)") {
+        val stairs = ids.select(lit("s").as("g"),
+          col("id").as("x"), col("id").as("y"))
+        val c = frontier(stairs).count()
+        require(c == n, s"skyline staircase drifted: $c of $n survived")
+      }
+      time("skyline 2M plateau (one survivor)") {
+        val plateau = ids.select(lit("p").as("g"),
+          expr("id div 1000").as("x"), expr("id % 1000").as("y"))
+        val rows = frontier(plateau).select("x", "y")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(rows == Set((0L, 999L)),
+          s"skyline plateau drifted: ${rows.size} survivors ${rows.take(5)}")
+      }
+      time("skyline 2M comb (one per x)") {
+        val comb = ids.select(lit("c").as("g"),
+          expr("id div 1000").as("x"),
+          expr("id div 1000 + id % 1000").as("y"))
+        val f = frontier(comb)
+        val c = f.count()
+        require(c == n / k, s"skyline comb drifted: $c of ${n / k}")
+        val bad = f.filter(expr("y != x + 999")).count()
+        require(bad == 0L, s"skyline comb kept $bad non-top rows")
+      }
+    }
     spark.stop()
   }
 }

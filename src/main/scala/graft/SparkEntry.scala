@@ -1443,6 +1443,33 @@ object SparkEntry {
       .select(col("doc_id"), TextFunctions.redactPii(col("raw")).as("clean"))
       .orderBy("doc_id")
 
+  /** C88 (r16): checksum-validated PAN audit + redaction
+   * ([[graft.text.Pii]]) — the precision upgrade over C15's
+   * pattern-only scrub: a bare digit-run regex flags order numbers
+   * and tracking ids as card numbers, and a 1% false-positive
+   * redaction rate destroys real training text at corpus scale.
+   * Candidates (13–19-digit maximal runs, RE2-safe — no lookarounds)
+   * are VALIDATED with the Luhn mod-10 checksum; only checksum-passing
+   * runs redact. The corpus plants, on every 11th doc, one
+   * 16-digit and one 13-digit run derived from doc_id (valid exactly
+   * when the arithmetic lands on a mod-10 fixpoint — roughly 1 in 10,
+   * decided by the checksum itself, not by the plant) plus a short
+   * run the length filter must reject. The oracle replays extraction,
+   * checksum, and fold-replace redaction on the same text. */
+  private def qPiiLuhn(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").withColumn("raw",
+      when(col("doc_id") % 11 === 0, concat(
+        col("text"), lit(" acct 4"),
+        lpad(pmod(col("doc_id") * 7919L + 13L, lit(1000000000000000L))
+          .cast("string"), 15, "0"),
+        lit(" tx "),
+        lpad(pmod(col("doc_id") * 104729L + 7L, lit(10000000000000L))
+          .cast("string"), 13, "0"),
+        lit(" ref "), pmod(col("doc_id"), lit(100000L)).cast("string")))
+        .otherwise(col("text")))
+    graft.text.Pii.panAudit(planted, "doc_id", "raw").orderBy("doc_id")
+  }
+
   /** C46: Unicode corpus normalization (functions.NormalizeText —
    * codegen'd NFC + accent-strip + case-fold + whitespace-collapse
    * kernel with an ASCII fast path). The documents table is pure
@@ -1857,6 +1884,62 @@ object SparkEntry {
       .agg(sum("n_tok").as("sum_tok"),
         expr("sum(n_utok) * 1000000 div sum(n_tok)").as("uniq_tok_ppm"),
         expr("sum(n_u2g) * 1000000 div sum(n_2g)").as("uniq_2g_ppm"))
+      .orderBy("source")
+  }
+
+  /** C89 (r16): per-doc Gopher repetition FILTER — the missing half of
+   * the Gopher rule suite: C23 audits per-source unique-token/2-gram
+   * RATES, but the published filter drops individual documents whose
+   * most frequent word n-gram covers too many characters (top-2-gram
+   * > 0.20, top-3 > 0.18, top-4 > 0.16 of chars). One codegen'd pass
+   * per row ([[graft.functions.expressions.gopherTopPpm]] — tokenize
+   * once, hash-count grams per n, truncating ppm), ZERO shuffle: the
+   * per-doc mode never explodes n-grams into the plan. The corpus
+   * plants a 12× repeated phrase on every 9th doc, which must breach
+   * all three thresholds; the oracle recomputes every doc's three
+   * ppms (count × gram chars × 10⁶ / text chars, lex-smallest gram on
+   * count ties) and the verdict from the raw text. */
+  private def qGopherFilter(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 9 === 0,
+      concat(col("text"), expr("repeat(' buy cheap now', 12)")))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.expressions.gopherTopPpm(raw, 2, 4).as("ppms"))
+      .select(col("doc_id"), col("source"),
+        col("ppms")(0).as("top2_ppm"),
+        col("ppms")(1).as("top3_ppm"),
+        col("ppms")(2).as("top4_ppm"))
+      .withColumn("pass",
+        col("top2_ppm") <= 200000L && col("top3_ppm") <= 180000L &&
+          col("top4_ppm") <= 160000L)
+      .orderBy("doc_id")
+  }
+
+  /** C90 (r16): hashing-trick linear quality classifier INFERENCE —
+   * how learned quality filters (fastText-style) actually serve at
+   * corpus scale: token → 64-bit hash → weight bucket (2¹⁶ here) →
+   * Σ weights, one codegen'd pass per row
+   * ([[graft.functions.expressions.hashedLinearScore]]), no
+   * vocabulary broadcast, no explode, no shuffle until the per-source
+   * rollup. The weight table is a deterministic seeded function of
+   * the bucket (mix64(bucket ⊕ seed) mod 2001 − 1000) standing in
+   * for the trained array — identical plumbing, and what makes the
+   * FULL cross-engine oracle possible: DuckDB replays tokenizer,
+   * FNV-1a, bucketing, the mix64 weight, and the occurrence-weighted
+   * sum per doc, then the keep verdict and per-source rollup. */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.expressions
+          .hashedLinearScore(col("text"), 65536L, 1442695040888963407L)
+          .as("score"))
+      .withColumn("keep", col("score") >= 0L)
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum("score").as("sum_score"),
+        min("score").as("min_score"), max("score").as("max_score"))
       .orderBy("source")
   }
 
@@ -3324,6 +3407,45 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C91 (r16): dedup IMPACT report — the release-note numbers a
+   * dedup pass actually ships: per source, docs in/out, characters
+   * removed (ppm), duplicate-cluster count and largest cluster, with
+   * each cluster attributed to its SURVIVOR's source (deterministic —
+   * clusters span sources, so "whose dedup was it" needs a rule).
+   * Pure composition over the verified C14 keep-table: one join to
+   * doc metadata + two map-side-combined rollups; the oracle replays
+   * the C14b recursive-CTE closure and every aggregate. */
+  private def qDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup
+      .minhashCandidates(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+    val kt = graft.operators.Components.dedupClusters(docs, "doc_id", pairs)
+    val meta = docs.select(col("doc_id"), col("source"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("nc"))
+    val enriched = kt.join(meta, Seq("doc_id"))
+    val perSource = enriched.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      sum("nc").as("chars_total"),
+      sum(when(!col("keep"), col("nc")).otherwise(0L)).as("chars_removed"),
+      expr("sum(case when keep then 0 else nc end) * 1000000 div sum(nc)")
+        .as("removed_ppm"))
+    val clusterSizes = kt.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+    val survivorStats = kt.filter(col("keep"))
+      .join(meta.select("doc_id", "source"), Seq("doc_id"))
+      .join(clusterSizes, Seq("cluster_id"))
+      .groupBy("source").agg(
+        sum(when(col("csz") >= 2L, 1L).otherwise(0L)).as("n_multi_clusters"),
+        max("csz").as("max_cluster_sz"))
+    perSource.join(survivorStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        col("chars_total"), col("chars_removed"), col("removed_ppm"),
+        coalesce(col("n_multi_clusters"), lit(0L)).as("n_multi_clusters"),
+        coalesce(col("max_cluster_sz"), lit(0L)).as("max_cluster_sz"))
+      .orderBy("source")
+  }
+
   /** C53 (r14): quality-aware cluster survivor selection
    * ([[graft.operators.Components.keepBest]]) — same verified
    * MinHash-candidate clusters as C14, but each cluster keeps its
@@ -3594,6 +3716,54 @@ object SparkEntry {
     val nVers = graft.sinks.Snapshot.currentVersion(s, root)
     graft.sinks.Snapshot.readTag(s, root, "orders_live", "prod")
       .select(col("k"), col("v"), lit(nVers).as("n_versions"))
+      .orderBy("k")
+  }
+
+  /** D29 (r16): streaming publish onto a BRANCH
+   * ([[graft.streaming.EventStream.snapshotBranchSink]]) — a new
+   * streaming feed STAGED against the governed warehouse: the stream
+   * publishes micro-batches onto an A35 branch (LWW merge against the
+   * ref's own head, A27-gated, other tables carried by links) while
+   * `prod` stays pinned at its pre-stream version; after burn-in the
+   * branch three-way-merges back (A36) and prod atomically gains the
+   * feed's end state joined with its consistent base. The query runs
+   * the full lifecycle through the REAL checkpointed sink and emits
+   * the prod-served feed table after the merge, with the pre-merge
+   * prod version and the final version count pinned as columns —
+   * the oracle replays the LWW end state and both constants. */
+  private def qStreamBranchPublish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val slice = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("v"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val batch1 = slice.toSeq
+    val batch2 = slice.collect { case (k, v) if k % 2 == 0 => (k, v + 7L) }.toSeq
+    val base = s"${graft.Scratch.root(s)}/branch_sink_${sinkSeq.incrementAndGet()}"
+    val (root, ckpt) = (s"$base/root", s"$base/ckpt")
+    val dim = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("dim" -> dim))       // v1
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.branch(s, root, "feed", "prod")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStream.snapshotBranchSink(
+        in.toDF.toDF("k", "v"), root, "orders_live", Seq("k"), "feed")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val prodBefore = graft.sinks.Snapshot.tagVersion(s, root, "prod")
+    require(prodBefore == 1L,
+      s"stream branch publish: prod moved during the stream (v$prodBefore)")
+    graft.sinks.Snapshot.mergeRef(s, root, "feed", "prod")
+    val nVers = graft.sinks.Snapshot.currentVersion(s, root)
+    graft.sinks.Snapshot.readTag(s, root, "orders_live", "prod")
+      .select(col("k"), col("v"),
+        lit(prodBefore).as("prod_before"), lit(nVers).as("n_versions"))
       .orderBy("k")
   }
 
@@ -4626,6 +4796,92 @@ object SparkEntry {
     val after = Seq(("prod", "cust"), ("prod", "nat"))
       .map { case (r, t) => row("promoted", r, t) }
     (before ++ after).reduce(_ unionAll _).orderBy("stage", "ref", "table_name")
+  }
+
+  /** A36 (r16): three-way branch MERGE with conflict detection
+   * ([[graft.sinks.Snapshot.mergeRef]]) — what A35's promote-by-retag
+   * cannot do: promote REPLACES prod with the branch head, discarding
+   * anything prod published while the branch lived; merge keeps both
+   * sides' non-conflicting changes by comparing each table's PHYSICAL
+   * HOME on branch head / target head / recorded merge base
+   * ([[graft.sinks.Snapshot.branch]]), then publishing a links-only
+   * version — zero bytes moved. The query runs the lifecycle twice:
+   * dev edits cust (twice) while prod edits nat → merge #1 must serve
+   * dev's cust AND prod's nat; then prod edits ord while dev edits
+   * cust again → merge #2 must take both, proving the merge base
+   * advanced (a stale base would re-flag cust/nat as conflicts).
+   * Every (stage, ref, table) count is recomputed by DuckDB from the
+   * source tables. Conflict refusal, schema-gate refusal, and
+   * nothing-to-merge refusal are SnapshotSpec's. */
+  private def qBranchMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/branch_merge_${sinkSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    graft.sinks.Snapshot.publish(s, root,
+      Map("cust" -> cust, "nat" -> nat, "ord" -> ord))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.branch(s, root, "dev", "prod")
+    graft.sinks.Snapshot.publishToRef(s, root, "dev",
+      Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))
+    graft.sinks.Snapshot.publishToRef(s, root, "prod",
+      Map("nat" -> nat.filter(col("n_nationkey") < 10)))
+    graft.sinks.Snapshot.publishToRef(s, root, "dev",
+      Map("cust" -> cust.filter(col("c_custkey") % 4 === 0)))
+    def row(stage: String, ref: String, table: String) =
+      graft.sinks.Snapshot.readTag(s, root, table, ref)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(stage).as("stage"), lit(ref).as("ref"),
+          lit(table).as("table_name"), col("n_rows"))
+    val diverged = Seq("cust", "nat", "ord").flatMap(tb =>
+      Seq(row("diverged", "prod", tb), row("diverged", "dev", tb)))
+    val (v1, homes1) = graft.sinks.Snapshot.mergeRef(s, root, "dev", "prod")
+    require(homes1("cust") == 4L && homes1("nat") == 3L && homes1("ord") == 1L,
+      s"branch merge: wrong chosen homes $homes1 at v$v1")
+    val merged = Seq("cust", "nat", "ord").map(tb => row("merged", "prod", tb))
+    // round 2: new divergence from the ADVANCED base — a stale base
+    // would see cust/nat changed-on-both and refuse
+    graft.sinks.Snapshot.publishToRef(s, root, "prod",
+      Map("ord" -> ord.filter(col("o_orderkey") % 3 === 0)))
+    graft.sinks.Snapshot.publishToRef(s, root, "dev",
+      Map("cust" -> cust.filter(col("c_custkey") % 8 === 0)))
+    graft.sinks.Snapshot.mergeRef(s, root, "dev", "prod")
+    val remerged = Seq("cust", "nat", "ord").map(tb => row("remerged", "prod", tb))
+    (diverged ++ merged ++ remerged).reduce(_ unionAll _)
+      .orderBy("stage", "ref", "table_name")
+  }
+
+  /** A37 (r16): publish history ([[graft.sinks.Snapshot.history]]) —
+   * the `git log` of the namespace: every version-creating operation
+   * (plain publish, linked/branch publish, three-way merge, gated
+   * candidate) records a `_COMMIT` sidecar BEFORE the manifest flip,
+   * so even a gate-aborted candidate's orphan dir documents what was
+   * attempted. The query drives one of each op — including an
+   * FK-violating publishChecked that must abort — and reads the full
+   * log back (wall-clock stamp projected away, the storageReport
+   * bytes rule); the oracle is the fully-determined literal relation
+   * the construction implies. */
+  private def qSnapshotHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/history_${sinkSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust, "nat" -> nat))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.branch(s, root, "dev", "prod")
+    graft.sinks.Snapshot.publishToRef(s, root, "dev",
+      Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))
+    graft.sinks.Snapshot.publishToRef(s, root, "prod",
+      Map("nat" -> nat.filter(col("n_nationkey") < 10)))
+    graft.sinks.Snapshot.mergeRef(s, root, "dev", "prod")
+    val fact = nat.select((col("n_nationkey") + 1000L).as("fk"))
+    val dim = nat.select(col("n_nationkey").as("k"))
+    val (_, ok, _) = graft.sinks.Snapshot.publishChecked(s, root,
+      Map("fact" -> fact, "dim" -> dim),
+      Seq(graft.sinks.Snapshot.FkCheck("fact", "fk", "dim", "k")))
+    require(!ok, "snapshot history: the FK-violating publish must abort")
+    graft.sinks.Snapshot.history(s, root)
+      .select("version", "op", "parent", "written", "ref", "reachable")
+      .orderBy("version")
   }
 
   /** A12+A33 (storage verb, FULL-oracled r15; reshaped r16 per
@@ -6035,6 +6291,63 @@ object SparkEntry {
     top.unionAll(total).orderBy(col("pairs").desc, col("user_id"))
   }
 
+  /** B123 (r16): approximate query processing via deterministic
+   * key-cluster sampling — the "revenue per flag, roughly, NOW"
+   * capability: at 100 TB an exploratory aggregate should read a few
+   * percent of the data, not all of it. The sample is a stable hash
+   * bucket of the ORDER key (the C24 md5 discipline: engine-portable,
+   * retry/partition/scale-invariant — the same orders sample forever,
+   * so estimates are reproducible and deltas between runs are real),
+   * and the sampling UNIT is the key cluster: all lines of an order
+   * are in or out together, so order-correlated measures stay
+   * unbiased (row-level Bernoulli would undercount within-order
+   * correlation). Estimate = sample aggregate × 1/f in exact integer
+   * cents. The row carries the estimate AND its exact error in ppm
+   * against the full aggregate — the oracle pins both, so the
+   * estimator's determinism and its accuracy accounting are
+   * hash-checked, not asserted. In production the sampled scan is the
+   * only pass (filter rides the parquet scan; with the bucket
+   * materialized as a partition/sort column it prunes to ~f of the
+   * files); the full pass here exists to pin the error. */
+  private def qSampleEstimate(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bucket = expr(
+      "conv(substring(md5(cast(l_orderkey as string)), 1, 8), 16, 10)")
+      .cast("long") % 100
+    val est = li.filter(bucket < 5) // 5% of order keys, lines ride along
+      .groupBy("l_returnflag")
+      .agg((sum(cents(col("l_extendedprice"))) * 20L).as("est_cents"),
+        (count(lit(1)) * 20L).as("est_rows"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(sum(cents(col("l_extendedprice"))).as("exact_cents"),
+        count(lit(1)).as("exact_rows"))
+    exact.join(est, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("exact_cents"),
+        coalesce(col("est_cents"), lit(0L)).as("est_cents"),
+        col("exact_rows"), coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+        expr("abs(coalesce(est_cents, 0) - exact_cents) * 1000000 div exact_cents")
+          .as("err_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B124 (r16): distributed skyline / Pareto frontier
+   * ([[graft.operators.Skyline]]) — per brand, the parts not beaten
+   * on BOTH price (lower better) and size (higher better): the
+   * multi-objective shortlist behind procurement/instance-picker
+   * views. The operator is the bucket-decomposed O(n log n) shape
+   * (per-group bounds broadcast, per-bucket max, tiny prefix relation
+   * broadcast back, dominance decided inside PARTITIONED windows —
+   * no global sort, no self-join); the oracle is the INDEPENDENT
+   * all-pairs NOT EXISTS formulation, so the decomposition is proven
+   * against the definition itself, not replayed. */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+      cents(col("p_retailprice")).as("price_cents"),
+      col("p_size").cast("long").as("sz"))
+    graft.operators.Skyline.frontier(p, Seq("p_brand"), "price_cents", "sz")
+      .orderBy("p_brand", "p_partkey")
+  }
+
   /** C71 (r14): centroid-distance outlier audit — the mislabel /
    * contamination detector a curator runs over an embedded corpus:
    * each vector's exact squared distance to its OWN class centroid
@@ -7065,6 +7378,7 @@ object SparkEntry {
     "q_k_anonymity_summary" -> qKAnonymitySummary,
     "q_cc_sessions"    -> qCcSessions,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_impact"   -> qDedupImpact,
     "q_dedup_clusters_exact" -> qDedupClustersExact,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_leakage_split"  -> qLeakageSplit,
@@ -7073,6 +7387,7 @@ object SparkEntry {
     "q_dedup_clusters_sound" -> qDedupClustersSound,
     "q_dedup_embed_sound" -> qDedupEmbedSound,
     "q_pii_redact"     -> qPiiRedact,
+    "q_pii_luhn"       -> qPiiLuhn,
     "q_normalize_text" -> qNormalizeText,
     "q_surprisal"      -> qSurprisal,
     "q_domain_stats"   -> qDomainStats,
@@ -7097,6 +7412,8 @@ object SparkEntry {
     "q_important_parts" -> qImportantParts,
     "q_excess_suppliers" -> qExcessSuppliers,
     "q_repetition"     -> qRepetition,
+    "q_gopher_filter"  -> qGopherFilter,
+    "q_quality_classifier" -> qQualityClassifier,
     "q_novelty"        -> qNovelty,
     "q_hash_split"     -> qHashSplit,
     "q_json_extract"   -> qJsonExtract,
@@ -7180,6 +7497,8 @@ object SparkEntry {
     "q_cli_mask"      -> qCliMask,
     "q_cli_storage"   -> qCliStorage,
     "q_snapshot_branch" -> qSnapshotBranch,
+    "q_branch_merge"   -> qBranchMerge,
+    "q_snapshot_history" -> qSnapshotHistory,
     "q_partition_prune" -> qPartitionPrune,
     "q_csv_quarantine" -> qCsvQuarantine,
     "q_approx_distinct" -> qApproxDistinct,
@@ -7280,6 +7599,7 @@ object SparkEntry {
     "q_ann_pca" -> qAnnPca,
     "q_ann_recall" -> qAnnRecall,
     "q_stream_snapshot_publish" -> qStreamSnapshotPublish,
+    "q_stream_branch_publish" -> qStreamBranchPublish,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_merges_batched" -> qBpeMergesBatched,
     "q_bpe_apply" -> qBpeApply,
@@ -7287,6 +7607,8 @@ object SparkEntry {
     "q_quantize_int8" -> qQuantizeInt8,
     "q_length_buckets" -> qLengthBuckets,
     "q_join_explosion" -> qJoinExplosion,
+    "q_sample_estimate" -> qSampleEstimate,
+    "q_skyline"        -> qSkyline,
     "q_bitmap_distinct" -> qBitmapDistinct,
     "q_subtree_rollup" -> qSubtreeRollup,
     "q_schema_drift"   -> qSchemaDrift,
@@ -7478,6 +7800,16 @@ object SparkEntry {
            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
              + CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE 0 END AS v,
            CAST(2 AS BIGINT) AS n_versions
+         FROM orders WHERE o_orderkey % 37 = 0 ORDER BY k""",
+    // D29: the branch-staged stream's LWW end state as served by prod
+    // AFTER the A36 merge, plus the pinned version lineage (prod held
+    // at v1 through both micro-batches; v1 + 2 stream + 1 merge = 4).
+    "q_stream_branch_publish" ->
+      """SELECT o_orderkey AS k,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             + CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE 0 END AS v,
+           CAST(1 AS BIGINT) AS prod_before,
+           CAST(4 AS BIGINT) AS n_versions
          FROM orders WHERE o_orderkey % 37 = 0 ORDER BY k""",
     // C84: the eight learned merges replayed round for round.
     "q_bpe_merges" ->
@@ -8869,6 +9201,31 @@ object SparkEntry {
            UNION ALL SELECT 'promoted', 'prod', 'cust', (SELECT n FROM c4)
            UNION ALL SELECT 'promoted', 'prod', 'nat', (SELECT n FROM na)
          ) ORDER BY stage, ref, table_name""",
+    // A36: the three-way merge lifecycle replayed — each (stage, ref,
+    // table) count from the side whose physical home must win; the
+    // second merge's rows prove the merge base advanced.
+    "q_branch_merge" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+         c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey % 4 = 0),
+         c8 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey % 8 = 0),
+         na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation),
+         n10 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_nationkey < 10),
+         o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+         o3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT * FROM (
+           SELECT 'diverged' AS stage, 'dev' AS ref, 'cust' AS table_name, (SELECT n FROM c4) AS n_rows
+           UNION ALL SELECT 'diverged', 'dev', 'nat', (SELECT n FROM na)
+           UNION ALL SELECT 'diverged', 'dev', 'ord', (SELECT n FROM o)
+           UNION ALL SELECT 'diverged', 'prod', 'cust', (SELECT n FROM c)
+           UNION ALL SELECT 'diverged', 'prod', 'nat', (SELECT n FROM n10)
+           UNION ALL SELECT 'diverged', 'prod', 'ord', (SELECT n FROM o)
+           UNION ALL SELECT 'merged', 'prod', 'cust', (SELECT n FROM c4)
+           UNION ALL SELECT 'merged', 'prod', 'nat', (SELECT n FROM n10)
+           UNION ALL SELECT 'merged', 'prod', 'ord', (SELECT n FROM o)
+           UNION ALL SELECT 'remerged', 'prod', 'cust', (SELECT n FROM c8)
+           UNION ALL SELECT 'remerged', 'prod', 'nat', (SELECT n FROM n10)
+           UNION ALL SELECT 'remerged', 'prod', 'ord', (SELECT n FROM o3)
+         ) ORDER BY stage, ref, table_name""",
     "q_cli_storage" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
@@ -8944,6 +9301,50 @@ object SparkEntry {
          SELECT CAST(-1 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM c),
            (SELECT CAST(SUM(n * n) AS BIGINT) FROM c)
          ORDER BY pairs DESC, user_id""",
+    // A37: the construction fully determines the log — one row per
+    // op, the aborted FK candidate visible as an unreachable orphan.
+    "q_snapshot_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'publish', CAST(0 AS BIGINT), 'cust,nat', '', TRUE),
+           (2, 'linked', 1, 'cust', 'dev', TRUE),
+           (3, 'linked', 2, 'nat', 'prod', TRUE),
+           (4, 'merge', 3, '', 'prod', TRUE),
+           (5, 'checked', 4, 'dim,fact', '', FALSE)
+         ) AS t(version, op, parent, written, ref, reachable)
+         ORDER BY version""",
+    // B124: the independent all-pairs dominance definition — the
+    // bucket-decomposed operator must reproduce it exactly.
+    "q_skyline" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+           CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+           CAST(p_size AS BIGINT) AS sz FROM part)
+         SELECT a.p_brand, a.p_partkey, a.price_cents, a.sz FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p q WHERE q.p_brand = a.p_brand
+           AND q.price_cents <= a.price_cents AND q.sz >= a.sz
+           AND (q.price_cents < a.price_cents OR q.sz > a.sz))
+         ORDER BY a.p_brand, a.p_partkey""",
+    // B123: the deterministic md5-bucket key-cluster sample, the x20
+    // scale-up, and the exact ppm error all replayed — estimator AND
+    // accuracy accounting hash-checked.
+    "q_sample_estimate" ->
+      """WITH li AS (SELECT l_returnflag,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+           CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+           FROM lineitem),
+         est AS (SELECT l_returnflag,
+             CAST(SUM(cents) * 20 AS BIGINT) AS est_cents,
+             CAST(COUNT(*) * 20 AS BIGINT) AS est_rows
+           FROM li WHERE bucket < 5 GROUP BY 1),
+         ex AS (SELECT l_returnflag,
+             CAST(SUM(cents) AS BIGINT) AS exact_cents,
+             CAST(COUNT(*) AS BIGINT) AS exact_rows
+           FROM li GROUP BY 1)
+         SELECT ex.l_returnflag, ex.exact_cents,
+           COALESCE(est.est_cents, 0) AS est_cents,
+           ex.exact_rows, COALESCE(est.est_rows, 0) AS est_rows,
+           CAST(abs(COALESCE(est.est_cents, 0) - ex.exact_cents) * 1000000 // ex.exact_cents AS BIGINT) AS err_ppm
+         FROM ex LEFT JOIN est USING (l_returnflag)
+         ORDER BY l_returnflag""",
     "q_csv_quarantine" ->
       """WITH l AS (SELECT o_orderkey, o_orderpriority,
            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
@@ -9267,6 +9668,32 @@ object SparkEntry {
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
            '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
          FROM raw ORDER BY doc_id""",
+    // C88: the plant, the 13-19-digit candidate extraction, the Luhn
+    // mod-10 fold, and the fold-replace redaction all replayed.
+    "q_pii_luhn" ->
+      """WITH raw AS (SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN
+             text || ' acct 4' || lpad(CAST((doc_id * 7919 + 13) % 1000000000000000 AS VARCHAR), 15, '0')
+                  || ' tx ' || lpad(CAST((doc_id * 104729 + 7) % 10000000000000 AS VARCHAR), 13, '0')
+                  || ' ref ' || CAST(doc_id % 100000 AS VARCHAR)
+           ELSE text END AS raw FROM documents),
+         c AS (SELECT doc_id, raw,
+           list_filter(regexp_extract_all(raw, '[0-9]+'),
+             d -> len(d) BETWEEN 13 AND 19) AS cands FROM raw),
+         v AS (SELECT doc_id, raw, cands,
+           list_filter(cands, d -> list_sum(list_transform(range(1, length(d) + 1),
+             i -> CASE WHEN (length(d) - i) % 2 = 1
+               THEN CASE WHEN 2 * CAST(substr(d, CAST(i AS INT), 1) AS INT) > 9
+                 THEN 2 * CAST(substr(d, CAST(i AS INT), 1) AS INT) - 9
+                 ELSE 2 * CAST(substr(d, CAST(i AS INT), 1) AS INT) END
+               ELSE CAST(substr(d, CAST(i AS INT), 1) AS INT) END)) % 10 = 0) AS valids
+           FROM c)
+         SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+           CAST(len(valids) AS BIGINT) AS n_valid,
+           COALESCE(array_to_string(list_sort(valids), ','), '') AS valid_pans,
+           list_reduce(list_prepend(raw, valids),
+             (acc, p) -> replace(acc, p, '<PAN>')) AS redacted
+         FROM v ORDER BY doc_id""",
     "q_domain_stats" ->
       """WITH raw AS (SELECT doc_id,
            substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -9546,6 +9973,67 @@ object SparkEntry {
            CAST(SUM(n_utok) * 1000000 // SUM(n_tok) AS BIGINT) AS uniq_tok_ppm,
            CAST(SUM(n_u2g) * 1000000 // SUM(n_2g) AS BIGINT) AS uniq_2g_ppm
          FROM g GROUP BY source ORDER BY source""",
+    // C89: every doc's three top-n-gram char ppms (count × gram chars
+    // × 1e6 // text chars, lex-smallest gram on count ties) and the
+    // Gopher verdict recomputed from the raw text.
+    "q_gopher_filter" ->
+      """WITH raw AS (SELECT doc_id, source,
+           CASE WHEN doc_id % 9 = 0 THEN text || repeat(' buy cheap now', 12)
+             ELSE text END AS raw FROM documents),
+         toks AS MATERIALIZED (SELECT doc_id, source, length(raw) AS nc,
+           list_filter(string_split_regex(raw, '[ \t\n\r]+'), t -> t <> '') AS ts
+           FROM raw),
+         g2 AS (SELECT doc_id, nc,
+             array_to_string(list_slice(ts, CAST(u.i AS INT), CAST(u.i AS INT) + 1), ' ') AS gram
+           FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+         g3 AS (SELECT doc_id, nc,
+             array_to_string(list_slice(ts, CAST(u.i AS INT), CAST(u.i AS INT) + 2), ' ') AS gram
+           FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+         g4 AS (SELECT doc_id, nc,
+             array_to_string(list_slice(ts, CAST(u.i AS INT), CAST(u.i AS INT) + 3), ' ') AS gram
+           FROM toks, UNNEST(range(1, len(ts) - 2)) AS u(i)),
+         c2 AS (SELECT doc_id, nc, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3),
+         c3 AS (SELECT doc_id, nc, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2, 3),
+         c4 AS (SELECT doc_id, nc, gram, COUNT(*) AS c FROM g4 GROUP BY 1, 2, 3),
+         b2 AS (SELECT doc_id, CAST(c * length(gram) * 1000000 // nc AS BIGINT) AS ppm FROM c2
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) = 1),
+         b3 AS (SELECT doc_id, CAST(c * length(gram) * 1000000 // nc AS BIGINT) AS ppm FROM c3
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) = 1),
+         b4 AS (SELECT doc_id, CAST(c * length(gram) * 1000000 // nc AS BIGINT) AS ppm FROM c4
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) = 1)
+         SELECT r.doc_id, r.source,
+           COALESCE(b2.ppm, 0) AS top2_ppm,
+           COALESCE(b3.ppm, 0) AS top3_ppm,
+           COALESCE(b4.ppm, 0) AS top4_ppm,
+           (COALESCE(b2.ppm, 0) <= 200000 AND COALESCE(b3.ppm, 0) <= 180000
+             AND COALESCE(b4.ppm, 0) <= 160000) AS pass
+         FROM raw r LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id)
+           LEFT JOIN b4 USING (doc_id)
+         ORDER BY doc_id""",
+    // C90: tokenizer, FNV-1a, 2^16 bucketing, the mix64 seeded weight,
+    // and the occurrence-weighted per-doc score replayed set-wise
+    // (weights per DISTINCT bucket), then verdict + per-source rollup.
+    "q_quality_classifier" ->
+      ("""WITH reps AS MATERIALIZED (SELECT doc_id AS rep_id, text FROM documents),
+         """ + sqlTokenCtes + """
+         occ AS MATERIALIZED (SELECT t.rep_id,
+             CAST(CAST(d.th AS UBIGINT) % 65536 AS HUGEINT) AS b
+           FROM tocc t JOIN dh d USING (tok)),
+         bk AS (SELECT DISTINCT b FROM occ),
+         bm AS MATERIALIZED (SELECT b, """ +
+        sqlMixCols(sqlXor64("b", "1442695040888963407"), "m") + """
+           FROM bk),
+         bw AS (SELECT b, CAST(mo % 2001 - 1000 AS BIGINT) AS w FROM bm),
+         sc AS (SELECT r.rep_id, CAST(COALESCE(SUM(x.w), 0) AS BIGINT) AS score
+           FROM reps r LEFT JOIN (SELECT o.rep_id, bw.w FROM occ o JOIN bw USING (b)) x
+             ON r.rep_id = x.rep_id GROUP BY 1)
+         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(s.score) AS BIGINT) AS sum_score,
+           CAST(MIN(s.score) AS BIGINT) AS min_score,
+           CAST(MAX(s.score) AS BIGINT) AS max_score
+         FROM documents d JOIN sc s ON d.doc_id = s.rep_id
+         GROUP BY d.source ORDER BY d.source"""),
     "q_hash_split" ->
       """WITH d AS (SELECT source,
            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
@@ -10151,6 +10639,45 @@ object SparkEntry {
            doc_id = COALESCE(c.cluster, doc_id) AS keep
          FROM documents LEFT JOIN comp c ON doc_id = c.node
          ORDER BY doc_id""",
+    // C91: the C14b recursive closure replayed, then every impact
+    // aggregate (per-source doc/char rollup + survivor-attributed
+    // cluster stats) recomputed.
+    "q_dedup_impact" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
+         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach(src, dst) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+         comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src),
+         kt AS (SELECT doc_id, CAST(COALESCE(c.cluster, doc_id) AS BIGINT) AS cluster_id,
+             doc_id = COALESCE(c.cluster, doc_id) AS keep
+           FROM documents LEFT JOIN comp c ON doc_id = c.node),
+         enr AS (SELECT kt.doc_id, kt.cluster_id, kt.keep, d.source,
+             length(COALESCE(d.text, '')) AS nc
+           FROM kt JOIN documents d USING (doc_id)),
+         ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             CAST(SUM(nc) AS BIGINT) AS chars_total,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE nc END) AS BIGINT) AS chars_removed,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE nc END) * 1000000 // SUM(nc) AS BIGINT) AS removed_ppm
+           FROM enr GROUP BY source),
+         cl AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz FROM kt GROUP BY 1),
+         cs AS (SELECT e2.source,
+             CAST(SUM(CASE WHEN cl.csz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters,
+             CAST(MAX(cl.csz) AS BIGINT) AS max_cluster_sz
+           FROM enr e2 JOIN cl USING (cluster_id) WHERE e2.keep GROUP BY e2.source)
+         SELECT ps.source, n_docs, n_keep, chars_total, chars_removed, removed_ppm,
+           COALESCE(cs.n_multi_clusters, 0) AS n_multi_clusters,
+           COALESCE(cs.max_cluster_sz, 0) AS max_cluster_sz
+         FROM ps LEFT JOIN cs USING (source) ORDER BY source""",
     "q_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cents AS (SELECT MIN(vec_id) AS cid, emb AS cv FROM e GROUP BY emb

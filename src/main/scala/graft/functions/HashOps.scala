@@ -969,4 +969,84 @@ object HashOps {
    * engines). */
   def microQuantize(x: Double, scale: Long): Long =
     math.floor(x * scale + 0.5).toLong
+
+  /** Gopher-style "fraction of characters in the most frequent word
+   * n-gram", for every n in [minN, maxN], as truncating ppm:
+   * topCount(n) × charLen(topGram(n)) × 10⁶ / charLen(text). One
+   * pass per row — tokenize once (the wordNgrams literal-whitespace
+   * tokenizer, byte-preserving), then one hash-count per n over
+   * sliding space-joined grams. Tie-break among equal counts =
+   * lexicographically smallest gram (UTF8String binary order ==
+   * SQL lexicographic for ASCII — the C4b corpus precondition).
+   * Texts with fewer than n tokens (or zero chars) contribute 0. */
+  def gopherTopNgramPpm(s: org.apache.spark.unsafe.types.UTF8String,
+      minN: Int, maxN: Int): Array[Long] = {
+    val totalChars = s.numChars().toLong
+    val out = new Array[Long](maxN - minN + 1)
+    if (totalChars == 0L) return out
+    var n = minN
+    while (n <= maxN) {
+      val grams = wordNgrams(s, n)
+      if (grams.nonEmpty) {
+        val counts = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, Int](grams.length * 2)
+        var i = 0
+        while (i < grams.length) {
+          counts.merge(grams(i), 1, (a, b) => a + b): Unit
+          i += 1
+        }
+        var bestCnt = 0
+        var bestGram: org.apache.spark.unsafe.types.UTF8String = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue
+          if (c > bestCnt ||
+            (c == bestCnt && e.getKey.compareTo(bestGram) < 0)) {
+            bestCnt = c; bestGram = e.getKey
+          }
+        }
+        out(n - minN) =
+          bestCnt.toLong * bestGram.numChars().toLong * 1000000L / totalChars
+      }
+      n += 1
+    }
+    out
+  }
+
+  /** Hashing-trick linear classifier inference (C90): score =
+   * Σ over token OCCURRENCES of w(bucket(token)) where bucket =
+   * fnv1a64(token) mod `buckets` and the weight of a bucket is a
+   * deterministic seeded function (mix64(bucket ⊕ seed) mod 2001 −
+   * 1000 — an integer in [−1000, 1000]). One pass per row, no
+   * vocabulary broadcast, no shuffle: exactly the fastText-style
+   * quality-filter serving shape, where the deterministic weight
+   * function stands in for a trained weight array (swapping trained
+   * weights in = replacing this function with an array lookup; the
+   * hashing, folding, and scoring plumbing is identical and is what
+   * the cross-engine oracle checks). Same lowered-alnum tokenizer as
+   * [[wordShingleHashes]], so the sqlTokenCtes replay applies. */
+  def hashedLinearScore(s: org.apache.spark.unsafe.types.UTF8String,
+      buckets: Long, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var inTok = false
+    var score = 0L
+    var i = 0
+    while (i <= bytes.length) {
+      val c = if (i < bytes.length) bytes(i) & 0xff else ' '
+      val isWord = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c >= 0x80
+      if (isWord) {
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        h ^= lc.toLong; h *= 0x100000001b3L; inTok = true
+      } else if (inTok) {
+        val b = java.lang.Long.remainderUnsigned(h, buckets)
+        score += java.lang.Long.remainderUnsigned(mix64(b ^ seed), 2001L) - 1000L
+        h = 0xcbf29ce484222325L; inTok = false
+      }
+      i += 1
+    }
+    score
+  }
 }

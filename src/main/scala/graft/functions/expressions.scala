@@ -198,6 +198,45 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** gopher_top_ppm(text, minN, maxN) → array<long> of the Gopher
+ * repetition signal "ppm of chars in the most frequent word n-gram"
+ * for each n in [minN, maxN] (see HashOps.gopherTopNgramPpm) — one
+ * codegen'd pass per row, no explode/shuffle: the per-doc quality
+ * FILTER form of the signal, where C23's per-source rates are the
+ * audit form. */
+case class GopherTopPpm(child: Expression, minN: Int, maxN: Int)
+    extends UnaryExpression {
+  require(minN >= 1 && maxN >= minN,
+    s"gopher_top_ppm requires 1 <= minN <= maxN, got ($minN, $maxN)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashOps.gopherTopNgramPpm(
+      input.asInstanceOf[UTF8String], minN, maxN))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashOps.gopherTopNgramPpm($c, $minN, $maxN))")
+  override protected def withNewChildInternal(newChild: Expression): GopherTopPpm =
+    copy(child = newChild)
+}
+
+/** hashed_linear_score(text, buckets, seed) → long: hashing-trick
+ * linear classifier inference in one codegen'd pass (see
+ * HashOps.hashedLinearScore) — the fastText-style quality-filter
+ * serving shape with a deterministic seeded weight function standing
+ * in for the trained weight array. */
+case class HashedLinearScore(child: Expression, buckets: Long, seed: Long)
+    extends UnaryExpression {
+  require(buckets >= 2, s"hashed_linear_score requires buckets >= 2, got $buckets")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hashedLinearScore(input.asInstanceOf[UTF8String], buckets, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.hashedLinearScore($c, ${buckets}L, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): HashedLinearScore =
+    copy(child = newChild)
+}
+
 /** word_chunks(text, k) → array<string> of NON-overlapping k-word
  * chunks (short tail included) — the segment unit for segment-level
  * dedup (see HashOps.wordChunks). */
@@ -658,6 +697,10 @@ object expressions {
   def commonPrefixLen(a: Column, b: Column): Column =
     column(CommonPrefixLen(expression(a), expression(b)))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgrams(expression(c), n))
+  def gopherTopPpm(c: Column, minN: Int, maxN: Int): Column =
+    column(GopherTopPpm(expression(c), minN, maxN))
+  def hashedLinearScore(c: Column, buckets: Long, seed: Long): Column =
+    column(HashedLinearScore(expression(c), buckets, seed))
   def wordChunks(c: Column, k: Int): Column = column(WordChunks(expression(c), k))
   def wordChunksStrided(c: Column, window: Int, stride: Int): Column =
     column(WordChunksStrided(expression(c), window, stride))

@@ -75,6 +75,65 @@ object Snapshot {
     }
   }
 
+  /** Per-version commit metadata (`v<N>/_COMMIT`, A37): one
+   * tab-separated line `op  parent  written-csv  ref  epoch-ms`
+   * written BEFORE the manifest flip, so even a crashed publish's
+   * orphan dir records what was being attempted. Underscore-prefixed:
+   * invisible to Spark scans and the directory-listing surfaces. The
+   * wall-clock stamp is for operators; [[history]] callers composing
+   * cross-engine oracles project it away (the storageReport bytes
+   * precedent). */
+  private def writeCommitMeta(f: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long, op: String, written: Seq[String],
+      ref: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/v$v/_COMMIT")
+    val out = f.create(p, true)
+    try out.write(Seq(op, (v - 1).toString, written.sorted.mkString(","),
+        ref, System.currentTimeMillis().toString)
+      .mkString("\t").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Publish history (A37) — the `git log` of the namespace: one row
+   * per on-disk version dir with the operation that created it
+   * ([[publish]] 'publish', [[publishLinked]]/[[publishToRef]]
+   * 'linked', [[publishChecked]] 'checked', [[mergeRef]] 'merge'),
+   * its parent (the head it appended after), the tables it physically
+   * wrote, the ref it advanced ('' for tagless publishes), whether
+   * the live manifest currently reaches it (orphans: false — crashed
+   * or gate-aborted attempts stay visible to the operator, the A31
+   * rule), and the wall-clock stamp. Versions predating this sidecar
+   * read as op 'unknown' rather than failing — history must not
+   * break on an old namespace. Pure metadata: listings + one tiny
+   * file read per version, no data pages. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root)
+    val versions = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .sorted.toSeq
+    val rows = versions.map { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/v$v/_COMMIT")
+      val (op, parent, written, ref, ts) =
+        if (!f.exists(p)) ("unknown", v - 1, "", "", 0L)
+        else {
+          val in = f.open(p)
+          val line = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+          line.split("\t", -1) match {
+            case Array(o, pa, w, r, t) => (o, pa.toLong, w, r, t.toLong)
+            case _ => ("corrupt", v - 1, "", "", 0L)
+          }
+        }
+      (v, op, parent, written, ref, v <= cur, ts)
+    }
+    rows.toDF("version", "op", "parent", "written", "ref", "reachable", "ts_ms")
+  }
+
   /** Publish all `tables` as one atomic version; returns the new
    * version number. Readers resolving through [[read]] see either the
    * previous complete version or this one, never a mix. */
@@ -91,6 +150,7 @@ object Snapshot {
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
+    writeCommitMeta(f, root, next, "publish", tables.keys.toSeq, "")
     flipManifest(f, root, next)
     next
   }
@@ -209,7 +269,8 @@ object Snapshot {
       spark: SparkSession,
       root: String,
       base: Long,
-      changed: Map[String, DataFrame]): (Long, Map[String, Long]) = {
+      changed: Map[String, DataFrame],
+      ref: String = ""): (Long, Map[String, Long]) = {
     require(changed.nonEmpty, "snapshot publishLinked: no tables")
     changed.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
       s"snapshot publish: unsafe table name '$n'"))
@@ -239,6 +300,7 @@ object Snapshot {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+    writeCommitMeta(f, root, next, "linked", changed.keys.toSeq, ref)
     flipManifest(f, root, next)
     (next, carried)
   }
@@ -262,9 +324,142 @@ object Snapshot {
     val viol = schemaViolationsFrom(spark, root, base, changed)
     require(viol.isEmpty,
       s"snapshot publishToRef('$refName'): schema gate refused: ${viol.mkString("; ")}")
-    val (v, carried) = publishLinkedFrom(spark, root, base, changed)
+    val (v, carried) = publishLinkedFrom(spark, root, base, changed, refName)
     tag(spark, root, refName, v)
     (v, carried)
+  }
+
+  /** Create a branch for three-way merging (A36): a ref at `from`'s
+   * head PLUS a recorded merge base (`TAG.<name>-mergebase`) —
+   * without the base, [[mergeRef]] cannot tell "branch changed this
+   * table" from "branch is merely based on an older state", and a
+   * merge would resurrect stale tables. The base is itself a tag,
+   * so it is a vacuum GC root: the merge's ancestor state stays
+   * readable for exactly as long as the branch lives. Plain
+   * [[tag]]-created branches still work with [[publishToRef]] and
+   * promote-by-retag; only [[mergeRef]] requires this verb. */
+  def branch(spark: SparkSession, root: String, name: String,
+      from: String): Long = {
+    require(!name.endsWith("-mergebase"),
+      s"snapshot branch: '$name' collides with the merge-base tag namespace")
+    val base = tagVersion(spark, root, from)
+    tag(spark, root, s"$name-mergebase", base)
+    tag(spark, root, name, base)
+    base
+  }
+
+  /** Links-only publish (A36 primitive): a new version that serves
+   * EXACTLY the given table → physical-home-version map, writing no
+   * data at all — the version dir holds one `_LINKS` sidecar. This is
+   * what makes a branch MERGE a pure metadata operation: the merged
+   * version points each table at whichever side's physical home won.
+   * Every home must currently serve the table physically (homes come
+   * from link flattening, so callers composing from [[tables]] +
+   * link resolution always pass physical homes); a vanished home
+   * fails loudly BEFORE the manifest flips. */
+  def publishLinksOnly(spark: SparkSession, root: String,
+      links: Map[String, Long], op: String = "links",
+      ref: String = ""): Long = {
+    require(links.nonEmpty, "snapshot publishLinksOnly: no tables")
+    links.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"snapshot publish: unsafe table name '$n'"))
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root)
+    links.foreach { case (t, h) =>
+      require(h >= 1 && h <= cur,
+        s"snapshot publishLinksOnly: home v$h for '$t' not published (head is v$cur)")
+      require(f.exists(new org.apache.hadoop.fs.Path(s"$root/v$h/$t")),
+        s"snapshot publishLinksOnly: v$h does not physically home '$t'")
+    }
+    val next = cur + 1
+    clearDeadOrphan(f, root, next)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v$next")): Unit
+    val p = new org.apache.hadoop.fs.Path(s"$root/v$next/_LINKS")
+    val out = f.create(p, true)
+    try out.write(links.toSeq.sorted
+      .map { case (t, sv) => s"$t\t$sv" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    writeCommitMeta(f, root, next, op, Nil, ref)
+    flipManifest(f, root, next)
+    next
+  }
+
+  /** Three-way branch merge with conflict detection (A36) — the
+   * git-merge semantics [[publishToRef]]'s promote-by-retag cannot
+   * give: promote REPLACES prod with the branch head, silently
+   * discarding anything prod published while the branch lived. Here
+   * each table resolves by comparing its PHYSICAL HOME version on the
+   * branch head, the target head, and the recorded merge base
+   * ([[branch]]):
+   *
+   *  - changed on one side only → that side's home wins;
+   *  - unchanged on both → the base home carries;
+   *  - changed on BOTH sides to different homes → CONFLICT: the merge
+   *    refuses loudly, listing every conflicted table, and nothing
+   *    flips (there is no line-level auto-merge for tables — a human
+   *    picks a side by republishing it on the branch);
+   *  - both sides converged to the SAME home (a previous merge, or a
+   *    shared linked carry) → not a conflict;
+   *  - a table only one side serves (added since base) → taken.
+   *
+   * Tables taken FROM THE BRANCH that the target head already serves
+   * run the A27 schema gate against the target's reader contract —
+   * a merge must not break prod's readers any more than a direct
+   * publish may. The merged version is a links-only publish (zero
+   * bytes moved — home comparison is pure tag/sidecar metadata, the
+   * schema gate reads parquet footers only), and on success BOTH
+   * refs and the merge base advance to it: both lines restart from
+   * the merged state, so the next merge's three-way compare sees only
+   * genuinely new divergence (leaving the base behind would re-flag
+   * every historic change forever — the classic stale-merge-base
+   * bug). Refuses "nothing to merge" when the target already serves
+   * every chosen home.
+   *
+   * Returns (mergedVersion, table → chosen physical home). */
+  def mergeRef(spark: SparkSession, root: String,
+      fromRef: String, intoRef: String): (Long, Map[String, Long]) = {
+    val baseTag = s"$fromRef-mergebase"
+    val f = fs(spark, root)
+    require(f.exists(new org.apache.hadoop.fs.Path(s"$root/TAG.$baseTag")),
+      s"snapshot mergeRef: '$fromRef' has no recorded merge base — create it with branch(), not tag()")
+    val base = tagVersion(spark, root, baseTag)
+    val bHead = tagVersion(spark, root, fromRef)
+    val tHead = tagVersion(spark, root, intoRef)
+    def homes(v: Long): Map[String, Long] = {
+      val links = linksOf(spark, root, v)
+      tablesOf(spark, root, v).map(t => t -> links.getOrElse(t, v)).toMap
+    }
+    val h0 = homes(base); val hb = homes(bHead); val ht = homes(tHead)
+    val all = (h0.keySet ++ hb.keySet ++ ht.keySet).toSeq.sorted
+    val conflicts = all.filter { t =>
+      hb.get(t) != h0.get(t) && ht.get(t) != h0.get(t) && hb.get(t) != ht.get(t)
+    }
+    require(conflicts.isEmpty,
+      s"snapshot mergeRef: conflict — changed on both '$fromRef' and '$intoRef' since " +
+        s"v$base: ${conflicts.mkString(", ")} (republish the winning side on the branch)")
+    val chosen: Map[String, Long] = all.flatMap { t =>
+      val pick =
+        if (hb.get(t) != h0.get(t)) hb.get(t)      // branch changed (or dropped)
+        else ht.get(t)                             // target changed, or base carries
+      pick.map(t -> _)
+    }.toMap
+    require(chosen != ht,
+      s"snapshot mergeRef: nothing to merge — '$intoRef' already serves every table of '$fromRef'")
+    val branchTaken = chosen.filter { case (t, h) =>
+      hb.get(t).contains(h) && !ht.get(t).contains(h)
+    }
+    val viol = schemaViolationsFrom(spark, root, tHead,
+      branchTaken.map { case (t, h) =>
+        t -> spark.read.parquet(s"$root/v$h/$t")
+      })
+    require(viol.isEmpty,
+      s"snapshot mergeRef: schema gate refused vs '$intoRef' readers: ${viol.mkString("; ")}")
+    val v = publishLinksOnly(spark, root, chosen, "merge", intoRef)
+    tag(spark, root, intoRef, v)
+    tag(spark, root, fromRef, v)
+    tag(spark, root, baseTag, v)
+    (v, chosen)
   }
 
   /** A referential-integrity rule for [[publishChecked]]: every
@@ -317,6 +512,9 @@ object Snapshot {
       (s"${c.factTable}.${c.factCol}->${c.dimTable}.${c.dimCol}", bad)
     }
     val ok = report.forall(_._2 == 0L)
+    // the commit record lands even on the abort path: the orphan dir
+    // documents what was attempted (A37 / the A31 orphan-visibility rule)
+    writeCommitMeta(f, root, next, "checked", tables.keys.toSeq, "")
     if (ok) flipManifest(f, root, next)
     (next, ok, report)
   }

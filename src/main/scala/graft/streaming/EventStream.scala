@@ -580,42 +580,86 @@ object EventStream {
     updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        import org.apache.spark.sql.functions.{col, count, countDistinct, lit, when}
         val s = batch.sparkSession
-        // a NULL-keyed row has no upsert identity (the left_anti LWW
-        // merge never matches NULL = NULL) and countDistinct silently
-        // skips it, so it must be refused BY NAME, not miscounted as
-        // a duplicate (ADVICE r15); a batch with duplicate keys has
-        // no deterministic winner (a DataFrame carries no row order) —
-        // refuse rather than publish an arbitrary one; upstream dedups
-        // with an explicit version column (D14 versionedUpsertSink)
-        val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
-        val kc = batch.toDF().agg(
-          count(lit(1)),
-          countDistinct(col(keyCols.head), keyCols.tail.map(col): _*),
-          count(when(anyNullKey, lit(1)))).head()
-        require(kc.getLong(2) == 0L,
-          s"snapshot publish sink: batch has ${kc.getLong(2)} NULL-keyed rows — " +
-            s"every key column (${keyCols.mkString(", ")}) must be non-null")
-        require(kc.getLong(0) == kc.getLong(1),
-          s"snapshot publish sink: batch has ${kc.getLong(0) - kc.getLong(1)} duplicate keys")
         val cur = graft.sinks.Snapshot.currentVersion(s, root)
-        val tableExists =
-          cur > 0L && graft.sinks.Snapshot.tables(s, root, cur).contains(table)
-        val merged =
-          if (!tableExists) batch.toDF() // brand-new table: bootstrap
-          else {
-            val served = graft.sinks.Snapshot.read(s, root, table)
-            // batch rows win over served rows on their keys (LWW)
-            served.join(batch.toDF().select(keyCols.map(col): _*),
-                keyCols, "left_anti")
-              .unionByName(batch.toDF())
-          }
+        val merged = lwwMergedBatch(batch.toDF(), root, table, keyCols,
+          if (cur > 0L) Some(cur) else None)
         val viol = graft.sinks.Snapshot.schemaViolations(s, root, Map(table -> merged))
         require(viol.isEmpty,
           s"snapshot publish sink: schema gate refused: ${viol.mkString("; ")}")
         val (v, _) = graft.sinks.Snapshot.publishLinked(s, root, Map(table -> merged))
         graft.sinks.Snapshot.tag(s, root, "prod", v)
+      }
+
+  /** Shared D28/D29 micro-batch core: refuse NULL-keyed and
+   * duplicate-keyed batches, then last-writer-wins-merge the batch
+   * over the table as served at `baseVersion` (None = the table is
+   * brand-new or the namespace is empty — the batch bootstraps it).
+   *
+   * A NULL-keyed row has no upsert identity (the left_anti LWW merge
+   * never matches NULL = NULL) and countDistinct silently skips it,
+   * so it is refused BY NAME, not miscounted as a duplicate (ADVICE
+   * r15); a batch with duplicate keys has no deterministic winner (a
+   * DataFrame carries no row order) — refuse rather than publish an
+   * arbitrary one; upstream dedups with an explicit version column
+   * (D14 versionedUpsertSink). */
+  private def lwwMergedBatch(batch: DataFrame, root: String, table: String,
+      keyCols: Seq[String], baseVersion: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, when}
+    val s = batch.sparkSession
+    val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    val kc = batch.agg(
+      count(lit(1)),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*),
+      count(when(anyNullKey, lit(1)))).head()
+    require(kc.getLong(2) == 0L,
+      s"snapshot publish sink: batch has ${kc.getLong(2)} NULL-keyed rows — " +
+        s"every key column (${keyCols.mkString(", ")}) must be non-null")
+    require(kc.getLong(0) == kc.getLong(1),
+      s"snapshot publish sink: batch has ${kc.getLong(0) - kc.getLong(1)} duplicate keys")
+    val served = baseVersion
+      .filter(v => graft.sinks.Snapshot.tables(s, root, v).contains(table))
+      .map(v => graft.sinks.Snapshot.read(s, root, table, Some(v)))
+    served match {
+      case None => batch // brand-new table: bootstrap
+      case Some(cur) =>
+        // batch rows win over served rows on their keys (LWW)
+        cur.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(batch)
+    }
+  }
+
+  /** Streaming publish onto a BRANCH ref (D29) — D28's governed
+   * publish pointed at an A35 branch instead of `prod`: each
+   * micro-batch LWW-merges into the table as served at the REF'S OWN
+   * head and publishes through [[graft.sinks.Snapshot.publishToRef]],
+   * which gates the schema against the branch head, carries the
+   * branch's other tables by `_LINKS` reference, and advances only
+   * the branch tag — `prod` and its readers never observe the stream
+   * until the branch is promoted (A35 retag) or three-way-merged back
+   * (A36 mergeRef). This is how a streaming pipeline is STAGED
+   * against a governed warehouse: run the new feed into a branch for
+   * a burn-in window, validate, then merge — a capability plain
+   * "write to a staging table" cannot give, because the branch serves
+   * the feed JOINED with every other table of its consistent base
+   * version. Same delivery contract as D28 (at-least-once version
+   * creation, exactly-once content via idempotent replay); the merge
+   * read is pinned to the ref head, so a crash-replayed batch
+   * re-merges against its original base state only if the ref has not
+   * advanced past it — with the single-writer-per-ref deployment
+   * (the A19 contract, per ref), it has not. */
+  def snapshotBranchSink(updates: DataFrame, root: String, table: String,
+      keyCols: Seq[String], ref: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val refV = graft.sinks.Snapshot.tagVersion(s, root, ref) // loud on unknown ref
+        val merged = lwwMergedBatch(batch.toDF(), root, table, keyCols, Some(refV))
+        // publishToRef re-resolves the ref and runs the A27 gate
+        // against it; single writer per ref, so refV is still the head
+        graft.sinks.Snapshot.publishToRef(s, root, ref, Map(table -> merged)): Unit
       }
 
   /** Streaming vector-search enrichment (D12): each micro-batch of

@@ -677,4 +677,35 @@ class PlanAuditSpec extends AnyFunSuite {
     // the audit must actually be exercising windows, not vacuously green
     assert(seen >= 4, s"expected >=4 unpartitioned windows across the audited set, saw $seen")
   }
+
+  test("round-16 wave plans to its declared scale shapes") {
+    // Gopher filter: the per-doc mode rides the scan as ONE codegen'd
+    // kernel — no Generate (n-gram explode), no Join, no Window; the
+    // only exchange is the output sort
+    val gf = plan("q_gopher_filter")
+    assert(gf.contains("gopher_top_ppm") || gf.toLowerCase.contains("gophertopppm"),
+      s"gopher filter must plan the kernel:\n$gf")
+    assert(!gf.contains("Generate") && !gf.contains("Join"),
+      s"gopher filter must never explode n-grams into the plan:\n$gf")
+    // classifier inference: one kernel pass, shuffle only at the
+    // per-source rollup (partial+final agg) — no Generate, no Join
+    val qc = plan("q_quality_classifier")
+    assert(qc.contains("hashed_linear_score") ||
+      qc.toLowerCase.contains("hashedlinearscore"),
+      s"classifier must plan the kernel:\n$qc")
+    assert(!qc.contains("Generate") && !qc.contains("Join"),
+      s"classifier inference must not explode or join:\n$qc")
+    assert(qc.contains("partial"),
+      s"classifier rollup must map-side combine:\n$qc")
+    // AQP sample: the md5-bucket filter must ride the lineitem scans
+    // as a plain Filter (no join against a sample relation), and the
+    // estimate/exact join is tiny-key (flag)
+    val se = plan("q_sample_estimate")
+    assert(se.contains("Filter"), s"sample must filter inline:\n$se")
+    // PII Luhn audit: pure per-row expressions — no Join, no Window,
+    // no Generate reaching the plan
+    val pl = plan("q_pii_luhn")
+    assert(!pl.contains("Join") && !pl.contains("Window"),
+      s"pii luhn must be narrow per-row work:\n$pl")
+  }
 }

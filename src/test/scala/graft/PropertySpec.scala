@@ -209,4 +209,60 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed n=$n got=$got want=$want")
     }
   }
+
+  test("gopherTopNgramPpm agrees with a naive recount on random word salads (C89)") {
+    for (_ <- 1 to 200) {
+      val t = randText()
+      val got = HashOps.gopherTopNgramPpm(UTF8String.fromString(t), 2, 4).toSeq
+      val toks = t.split("[ \t\n\r]+").filter(_.nonEmpty).toSeq
+      val want = (2 to 4).map { n =>
+        if (toks.length < n || t.isEmpty) 0L
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+          val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+          val best = counts.toSeq.minBy { case (g, c) => (-c, g) }
+          best._2.toLong * best._1.length * 1000000L / t.length
+        }
+      }
+      assert(got == want, s"text='$t' got=$got want=$want")
+    }
+  }
+
+  test("hashedLinearScore is additive over concatenation and case-blind (C90)") {
+    def score(t: String) = HashOps.hashedLinearScore(
+      UTF8String.fromString(t), 65536L, 1442695040888963407L)
+    for (_ <- 1 to 200) {
+      val (a, b) = (randText(), randText())
+      // per-occurrence sum => concatenation with a separator is additive
+      assert(score(a + " " + b) == score(a) + score(b))
+      assert(score(a.toUpperCase) == score(a))
+      // separators carry no weight
+      assert(score("  ,. " + a + " ;;") == score(a))
+    }
+  }
+
+  test("luhnValid: appending the computed check digit always validates (C88)") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def luhnSumNaive(d: String): Int = d.reverse.zipWithIndex.map { case (ch, i) =>
+      val v = ch - '0'
+      if (i % 2 == 1) { val dd = v * 2; if (dd > 9) dd - 9 else dd } else v
+    }.sum
+    val bodies = (1 to 100).map(_ => Seq.fill(14)(rnd.nextInt(10)).mkString)
+    val withCheck = bodies.map { b =>
+      // check digit c makes luhnSum(b + c) % 10 == 0; c sits at rightmost
+      // (undoubled) position, so c = (10 - luhnSum(b + "0") % 10) % 10
+      val c = (10 - luhnSumNaive(b + "0") % 10) % 10
+      b + c.toString
+    }
+    val got = withCheck.toDF("d")
+      .select(graft.text.Pii.luhnValid(col("d"))).as[Boolean].collect()
+    assert(got.forall(identity))
+    // and bumping the check digit by one always invalidates
+    val bumped = withCheck.map(s => s.init + ((s.last - '0' + 1) % 10).toString)
+    val bad = bumped.toDF("d")
+      .select(graft.text.Pii.luhnValid(col("d"))).as[Boolean].collect()
+    assert(bad.forall(!_))
+  }
 }

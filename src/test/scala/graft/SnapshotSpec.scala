@@ -432,6 +432,128 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.readTag(spark, root, "nat", "dev").count() == 2L)
   }
 
+  test("mergeRef: one-side changes merge, both-side changes conflict (A36)") {
+    val root = freshRoot()
+    val cust = (1L to 8L).map(k => (k, s"c$k")).toDF("k", "s")
+    val nat = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    Snapshot.publish(spark, root, Map("cust" -> cust, "nat" -> nat)) // v1
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.branch(spark, root, "dev", "prod")
+    Snapshot.publishToRef(spark, root, "dev",
+      Map("cust" -> cust.filter($"k" % 2 === 0)))                    // v2
+    Snapshot.publishToRef(spark, root, "prod",
+      Map("nat" -> nat.filter($"k" === 1L)))                         // v3
+    val (v, homes) = Snapshot.mergeRef(spark, root, "dev", "prod")
+    assert(v == 4L && homes == Map("cust" -> 2L, "nat" -> 3L), s"$v $homes")
+    // zero-copy: the merged version holds ONLY metadata sidecars
+    assert(new java.io.File(s"$root/v4").listFiles().map(_.getName).toSet
+      .filter(!_.startsWith(".")) == Set("_LINKS", "_COMMIT"))
+    assert(Snapshot.readTag(spark, root, "cust", "prod").count() == 4L)
+    assert(Snapshot.readTag(spark, root, "nat", "prod").count() == 1L)
+    // both refs and the base advanced to the merge
+    assert(Snapshot.tagVersion(spark, root, "dev") == 4L)
+    assert(Snapshot.tagVersion(spark, root, "dev-mergebase") == 4L)
+    // immediate re-merge: nothing to merge
+    val nm = intercept[IllegalArgumentException] {
+      Snapshot.mergeRef(spark, root, "dev", "prod")
+    }
+    assert(nm.getMessage.contains("nothing to merge"), nm.getMessage)
+    // both sides now edit cust to DIFFERENT homes: conflict, no flip
+    Snapshot.publishToRef(spark, root, "dev",
+      Map("cust" -> cust.filter($"k" % 4 === 0)))                    // v5
+    Snapshot.publishToRef(spark, root, "prod",
+      Map("cust" -> cust.filter($"k" <= 3L)))                        // v6
+    val cf = intercept[IllegalArgumentException] {
+      Snapshot.mergeRef(spark, root, "dev", "prod")
+    }
+    assert(cf.getMessage.contains("conflict") &&
+      cf.getMessage.contains("cust"), cf.getMessage)
+    assert(Snapshot.currentVersion(spark, root) == 6L) // nothing published
+    assert(Snapshot.tagVersion(spark, root, "prod") == 6L)
+    assert(Snapshot.tagVersion(spark, root, "dev") == 5L)
+  }
+
+  test("mergeRef: branch-added table merges; breaking evolution never reaches a merge (A36)") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("k", "s")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.branch(spark, root, "dev", "prod")
+    // dev adds a brand-new table (passes the branch gate)
+    Snapshot.publishToRef(spark, root, "dev",
+      Map("extra" -> Seq((7L, 1L)).toDF("k", "n")))                  // v2
+    // prod evolves t additively on its own line
+    Snapshot.publishToRef(spark, root, "prod",
+      Map("t" -> Seq((1L, "a", 0L)).toDF("k", "s", "extra_col")))    // v3
+    val (v, homes) = Snapshot.mergeRef(spark, root, "dev", "prod")
+    assert(homes == Map("t" -> 3L, "extra" -> 2L), s"v$v $homes")
+    assert(Snapshot.readTag(spark, root, "extra", "prod").count() == 1L)
+    // merge-refusal on retype: a fresh branch whose base ALREADY has
+    // the wide t, branch rewrites t narrower (dropping extra_col) —
+    // the branch gate refuses that directly, proving the contract
+    // holds on every path into the log
+    Snapshot.branch(spark, root, "dev2", "prod")
+    val bad = intercept[IllegalArgumentException] {
+      Snapshot.publishToRef(spark, root, "dev2",
+        Map("t" -> Seq((1L, "a")).toDF("k", "s")))
+    }
+    assert(bad.getMessage.contains("dropped"), bad.getMessage)
+    // defense in depth: the MERGE runs its own A27 gate. publishToRef
+    // already gates every branch publish, so reach the bad state the
+    // only way it can arise — an ungated publish() plus a manual
+    // tag() repoint — and the merge must still refuse.
+    val narrowV = Snapshot.publish(spark, root,
+      Map("t" -> Seq((1L, "a")).toDF("k", "s"))) // drops extra_col, ungated
+    Snapshot.tag(spark, root, "dev2", narrowV)
+    val mg = intercept[IllegalArgumentException] {
+      Snapshot.mergeRef(spark, root, "dev2", "prod")
+    }
+    assert(mg.getMessage.contains("schema gate refused"), mg.getMessage)
+  }
+
+  test("mergeRef refuses a tag()-created branch (no merge base); vacuum roots merged links (A36)") {
+    val root = freshRoot()
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    Snapshot.publish(spark, root, Map("t" -> t0))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.tag(spark, root, "dev", 1L) // no merge base recorded
+    Snapshot.publishToRef(spark, root, "dev", Map("t" -> t0.filter($"k" === 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.mergeRef(spark, root, "dev", "prod")
+    }
+    assert(e.getMessage.contains("merge base"), e.getMessage)
+    // with a real branch: merge, then vacuum far past the merge — the
+    // links-only merged version must keep its physical homes alive
+    Snapshot.branch(spark, root, "dev3", "prod")
+    Snapshot.publishToRef(spark, root, "dev3", Map("t" -> t0.filter($"k" === 2L)))
+    val (mv, _) = Snapshot.mergeRef(spark, root, "dev3", "prod")
+    Snapshot.publish(spark, root, Map("t" -> t0)) // head moves on
+    val deleted = Snapshot.vacuum(spark, root, keepLast = 1)
+    assert(!deleted.contains(mv), s"merged version vacuumed: $deleted")
+    assert(Snapshot.readTag(spark, root, "t", "prod").count() == 1L)
+  }
+
+  test("history (A37): ops, parents, refs, orphan attempts; sidecar-less versions read as unknown") {
+    val root = freshRoot()
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    Snapshot.publish(spark, root, Map("t" -> t0))                    // v1: publish
+    Snapshot.publishLinked(spark, root, Map("u" -> t0))              // v2: linked, tagless
+    Snapshot.tag(spark, root, "prod", 2L)
+    Snapshot.branch(spark, root, "dev", "prod")
+    Snapshot.publishToRef(spark, root, "dev",
+      Map("t" -> t0.filter($"k" === 1L)))                            // v3: linked, ref dev
+    Snapshot.mergeRef(spark, root, "dev", "prod")                    // v4: merge
+    // a version predating the sidecar must read as 'unknown', not fail
+    assert(new java.io.File(s"$root/v1/_COMMIT").delete())
+    val rows = Snapshot.history(spark, root)
+      .select("version", "op", "parent", "written", "ref", "reachable")
+      .as[(Long, String, Long, String, String, Boolean)].collect().toList.sortBy(_._1)
+    assert(rows == List(
+      (1L, "unknown", 0L, "", "", true),
+      (2L, "linked", 1L, "u", "", true),
+      (3L, "linked", 2L, "t", "dev", true),
+      (4L, "merge", 3L, "", "prod", true)), s"got $rows")
+  }
+
   test("fsck splits erase residue by live-table presence (ADVICE r14/r15)") {
     val root = freshRoot()
     Snapshot.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("k", "s")))

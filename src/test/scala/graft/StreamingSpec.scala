@@ -1250,4 +1250,42 @@ class StreamingSpec extends AnyFunSuite {
       } finally qn.stop()
     } finally q.stop()
   }
+
+  test("snapshotBranchSink (D29): the stream advances only its branch; prod gains " +
+    "the feed atomically at merge") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = s"${Scratch.root(spark)}/branch_sink_spec_${System.nanoTime()}"
+    val root = s"$base/root"
+    graft.sinks.Snapshot.publish(spark, root,
+      Map("dim" -> Seq((1L, "a"), (2L, "b")).toDF("k", "s"))) // v1
+    graft.sinks.Snapshot.tag(spark, root, "prod", 1L)
+    graft.sinks.Snapshot.branch(spark, root, "feed", "prod")
+    val in = MemoryStream[(Long, Long)]
+    val q = EventStream.snapshotBranchSink(
+        in.toDF().toDF("k", "v"), root, "live", Seq("k"), "feed")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      in.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      // mid-stream: prod pinned at v1 and does NOT serve the feed...
+      assert(graft.sinks.Snapshot.tagVersion(spark, root, "prod") == 1L)
+      intercept[Exception] {
+        graft.sinks.Snapshot.readTag(spark, root, "live", "prod").count()
+      }
+      // ...while the branch serves the feed JOINED with its carried base
+      assert(graft.sinks.Snapshot.readTag(spark, root, "live", "feed")
+        .count() == 2L)
+      assert(graft.sinks.Snapshot.readTag(spark, root, "dim", "feed")
+        .count() == 2L)
+      in.addData((2L, 99L), (3L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // merge back: prod atomically gains the LWW end state + keeps dim
+    graft.sinks.Snapshot.mergeRef(spark, root, "feed", "prod")
+    val prod = graft.sinks.Snapshot.readTag(spark, root, "live", "prod")
+      .as[(Long, Long)].collect().toMap
+    assert(prod == Map(1L -> 10L, 2L -> 99L, 3L -> 30L))
+    assert(graft.sinks.Snapshot.readTag(spark, root, "dim", "prod").count() == 2L)
+  }
 }
