@@ -41,6 +41,14 @@ object GraftExtensions {
       args(i).eval().asInstanceOf[Number].intValue()
     }
 
+  private def longArg(name: String, args: Seq[Expression], i: Int, default: Long): Long =
+    if (args.length <= i) default
+    else {
+      if (!args(i).foldable)
+        throw new IllegalArgumentException(s"$name: argument ${i + 1} must be a literal integer")
+      args(i).eval().asInstanceOf[Number].longValue()
+    }
+
   private def boolArg(name: String, args: Seq[Expression], i: Int, default: Boolean): Boolean =
     if (args.length <= i) default
     else {
@@ -132,6 +140,15 @@ object GraftExtensions {
     ("bitmap_distinct", "bitmap_distinct(key, domain) - exact distinct count of an integral key in [0, domain) via fixed-width bitmap aggregate state",
       arity("bitmap_distinct", 2)(args =>
         BitmapDistinct(args.head, intArg("bitmap_distinct", args, 1, 0)))),
+    ("gopher_top_ppm", "gopher_top_ppm(text[, minN, maxN]) - ppm of chars covered by the most frequent word n-gram, one array slot per n in [minN, maxN]",
+      arity("gopher_top_ppm", 1, 3)(args =>
+        GopherTopPpm(args.head, intArg("gopher_top_ppm", args, 1, 2),
+          intArg("gopher_top_ppm", args, 2, 4)))),
+    ("hashed_linear_score", "hashed_linear_score(text[, buckets, seed]) - hashing-trick linear classifier score (token -> fnv64 -> bucket -> seeded weight, summed per occurrence)",
+      arity("hashed_linear_score", 1, 3)(args =>
+        HashedLinearScore(args.head,
+          longArg("hashed_linear_score", args, 1, 65536L),
+          longArg("hashed_linear_score", args, 2, 1L)))),
     ("search_sorted", "search_sorted(v, array(b0, b1, ...)) - bucket index of v among ascending literal breaks (count of breaks <= v)",
       arity("search_sorted", 2)(args => {
         if (!args(1).foldable)

@@ -4851,6 +4851,43 @@ object SparkEntry {
       .orderBy("stage", "ref", "table_name")
   }
 
+  /** A38 (r16): ROW-LEVEL three-way merge
+   * ([[graft.sinks.Snapshot.mergeRefRows]]) — git's merge at row
+   * granularity: two pipelines editing the SAME table on a branch and
+   * on prod merge automatically when their changed KEY sets are
+   * disjoint (or convergent); only a key both sides changed to
+   * different values refuses. The query drives updates on disjoint
+   * key classes, a branch-side delete class, and target-side inserts
+   * through the full branch lifecycle, then reads the merged table
+   * prod serves; DuckDB recomputes the exact per-key outcome from the
+   * source table. Conflict refusal (update/update and delete/update
+   * races) is SnapshotSpec's. */
+  private def qRowMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.Scratch.root(s)}/row_merge_${sinkSeq.incrementAndGet()}"
+    val baseT = t(s, dir, "customer").select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("bal"))
+    graft.sinks.Snapshot.publish(s, root, Map("accts" -> baseT))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.branch(s, root, "dev", "prod")
+    // branch: +10 on the k%3==0 class, delete the k%21==2 class
+    // (⊂ k%3==2 — provably disjoint from every other change set)
+    val branchT = baseT.filter(!(col("k") % 21 === 2))
+      .withColumn("bal",
+        when(col("k") % 3 === 0, col("bal") + 10L).otherwise(col("bal")))
+    graft.sinks.Snapshot.publishToRef(s, root, "dev", Map("accts" -> branchT))
+    // target: +100 on the k%3==1 class, insert a shifted new-key block
+    val targetT = baseT
+      .withColumn("bal",
+        when(col("k") % 3 === 1, col("bal") + 100L).otherwise(col("bal")))
+      .unionAll(baseT.filter(col("k") <= 80)
+        .select((col("k") + 1000000L).as("k"), col("seg"),
+          (col("bal") + 5L).as("bal")))
+    graft.sinks.Snapshot.publishToRef(s, root, "prod", Map("accts" -> targetT))
+    graft.sinks.Snapshot.mergeRefRows(s, root, "dev", "prod",
+      Map("accts" -> Seq("k")))
+    graft.sinks.Snapshot.readTag(s, root, "accts", "prod").orderBy("k")
+  }
+
   /** A37 (r16): publish history ([[graft.sinks.Snapshot.history]]) —
    * the `git log` of the namespace: every version-creating operation
    * (plain publish, linked/branch publish, three-way merge, gated
@@ -7499,6 +7536,7 @@ object SparkEntry {
     "q_snapshot_branch" -> qSnapshotBranch,
     "q_branch_merge"   -> qBranchMerge,
     "q_snapshot_history" -> qSnapshotHistory,
+    "q_row_merge"      -> qRowMerge,
     "q_partition_prune" -> qPartitionPrune,
     "q_csv_quarantine" -> qCsvQuarantine,
     "q_approx_distinct" -> qApproxDistinct,
@@ -9301,6 +9339,20 @@ object SparkEntry {
          SELECT CAST(-1 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM c),
            (SELECT CAST(SUM(n * n) AS BIGINT) FROM c)
          ORDER BY pairs DESC, user_id""",
+    // A38: the per-key outcome of the keyed three-way merge —
+    // branch's +10/delete classes, target's +100/insert block —
+    // recomputed straight from the source table.
+    "q_row_merge" ->
+      """WITH b AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal FROM customer)
+         SELECT * FROM (
+           SELECT k, seg,
+             CASE WHEN k % 3 = 0 THEN bal + 10
+                  WHEN k % 3 = 1 THEN bal + 100 ELSE bal END AS bal
+           FROM b WHERE k % 21 <> 2
+           UNION ALL
+           SELECT k + 1000000, seg, bal + 5 FROM b WHERE k <= 80
+         ) ORDER BY k""",
     // A37: the construction fully determines the log — one row per
     // op, the aborted FK candidate visible as an unreachable orphan.
     "q_snapshot_history" ->

@@ -9,14 +9,23 @@ import org.apache.spark.sql.SparkSession
  * point it at an input directory, truncate-and-load the output table.
  *
  *   runMain graft.pipelines.Run \
- *     simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask \
+ *     simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask|branch|merge|log|storage \
  *     [inDir] [outPath] [--sf=0.001] [--stages=quality,exact,near,decon,sample,pack] \
  *     [--near=minhash|exact] [--table=customer] \
- *     [--policy=c_custkey:keep,c_name:sha256,...]
+ *     [--policy=c_custkey:keep,c_name:sha256,...] \
+ *     [--name=dev] [--from=dev] [--into=prod] [--ref=dev]
  *
  * `mask` applies the A28 policy-driven release projection to
  * `$inDir/$table.parquet` (default-deny: unlisted columns dropped)
  * and truncate-loads the masked output.
+ *
+ * Branch surface (A35–A37): `branch --name=dev [--from=prod]` creates
+ * a mergeable branch at the namespace given as inDir; `snapshot
+ * --ref=dev` publishes the denorm onto that branch (gated against the
+ * branch head, prod untouched); `merge --from=dev [--into=prod]`
+ * three-way-merges it back (conflicts → exit 3 with the tables
+ * printed); `log` prints the A37 commit history, aborted candidates
+ * included.
  *
  * `snapshot` runs the governed-publish lifecycle: denorm →
  * schema-gated atomic publish under outPath → advance the `prod`
@@ -41,10 +50,11 @@ object Run {
       case f if f.startsWith(s"--$name=") => f.drop(name.length + 3)
     }
     val unknown = flags.filterNot(f =>
-      Seq("sf", "stages", "near", "table", "policy", "link")
+      Seq("sf", "stages", "near", "table", "policy", "link", "name", "from", "into", "ref")
         .exists(n => f.startsWith(s"--$n=")))
     if (unknown.nonEmpty) {
-      System.err.println(s"unknown flags: ${unknown.mkString(" ")} (--sf= --stages= --near= --table= --policy= --link=)")
+      System.err.println(s"unknown flags: ${unknown.mkString(" ")} " +
+        "(--sf= --stages= --near= --table= --policy= --link= --name= --from= --into= --ref=)")
       sys.exit(2)
     }
     val variant = pos.headOption.getOrElse("simple-with-lookups")
@@ -64,6 +74,27 @@ object Run {
       // only the denorm rewrites, everything else the current version
       // serves carries forward by reference.
       val table = Denorm.flatDenorm(spark, inDir, performLookups = true)
+      // `--ref=<branch>` publishes onto an A35 branch instead of the
+      // head+prod flow: gated against the REF's own head, advances
+      // only that ref (burn-in for the CLI pipeline; merge back with
+      // the `merge` verb)
+      flag("ref") match {
+        case Some(ref) =>
+          try {
+            val (v, _) = graft.sinks.Snapshot.publishToRef(
+              spark, outPath, ref, Map("denorm" -> table))
+            val rows = graft.sinks.Snapshot.readTag(spark, outPath, "denorm", ref).count()
+            println(s"RUN_RESULT variant=snapshot ref=$ref version=$v published=true rows=$rows out=$outPath")
+            spark.stop()
+          } catch {
+            case e: IllegalArgumentException =>
+              System.err.println(s"SCHEMA_VIOLATION ${e.getMessage}")
+              spark.stop()
+              sys.exit(3)
+          }
+          return
+        case None => ()
+      }
       val (ver, ok, viol) =
         if (flag("link").contains("true") &&
             graft.sinks.Snapshot.currentVersion(spark, outPath) > 0) {
@@ -89,6 +120,55 @@ object Run {
       println(s"RUN_RESULT variant=snapshot version=$ver published=$ok rows=$rows out=$outPath")
       spark.stop()
       if (!ok) sys.exit(3)
+      return
+    }
+
+    if (variant == "branch") {
+      // A36 from the command line: create a mergeable branch (ref +
+      // recorded merge base) at the head of --from (default prod)
+      val name = flag("name").getOrElse {
+        System.err.println("branch requires --name=<ref>")
+        spark.stop(); sys.exit(2)
+      }
+      val from = flag("from").getOrElse("prod")
+      val base = graft.sinks.Snapshot.branch(spark, inDir, name, from)
+      println(s"RUN_RESULT variant=branch name=$name from=$from base=$base root=$inDir")
+      spark.stop()
+      return
+    }
+
+    if (variant == "merge") {
+      // A36 three-way merge from the command line: conflicts refuse
+      // with exit 3 and the conflicted tables printed — the nightly
+      // script's "stop and page someone" path
+      val from = flag("from").getOrElse {
+        System.err.println("merge requires --from=<branch>")
+        spark.stop(); sys.exit(2)
+      }
+      val into = flag("into").getOrElse("prod")
+      try {
+        val (v, homes) = graft.sinks.Snapshot.mergeRef(spark, inDir, from, into)
+        val hs = homes.toSeq.sorted.map { case (t, h) => s"$t=v$h" }.mkString(",")
+        println(s"RUN_RESULT variant=merge from=$from into=$into version=$v homes=$hs")
+        spark.stop()
+      } catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"MERGE_REFUSED ${e.getMessage}")
+          spark.stop()
+          sys.exit(3)
+      }
+      return
+    }
+
+    if (variant == "log") {
+      // A37 from the command line: the namespace's publish history
+      graft.sinks.Snapshot.history(spark, inDir).collect().foreach { r =>
+        println(s"RUN_LOG version=${r.getLong(0)} op=${r.getString(1)} " +
+          s"parent=${r.getLong(2)} written=${r.getString(3)} ref=${r.getString(4)} " +
+          s"reachable=${r.getBoolean(5)}")
+      }
+      println(s"RUN_RESULT variant=log root=$inDir")
+      spark.stop()
       return
     }
 
@@ -151,7 +231,7 @@ object Run {
         CorpusAssembly.assembleStaged(docs, CorpusAssembly.Config(), near, stages)
       case other =>
         System.err.println(
-          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask)")
+          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask|branch|merge|log|storage)")
         sys.exit(2)
     }
     TableSink.writeTruncate(out, outPath)

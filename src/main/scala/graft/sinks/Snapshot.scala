@@ -359,28 +359,46 @@ object Snapshot {
    * fails loudly BEFORE the manifest flips. */
   def publishLinksOnly(spark: SparkSession, root: String,
       links: Map[String, Long], op: String = "links",
-      ref: String = ""): Long = {
-    require(links.nonEmpty, "snapshot publishLinksOnly: no tables")
-    links.keys.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      ref: String = ""): Long =
+    publishMixed(spark, root, Map.empty, links, op, ref)
+
+  /** Mixed publish (A38 primitive): a new version serving `written`
+   * tables physically and `links` tables by reference — what a
+   * row-level merge needs (the resolved table writes, everything else
+   * carries by its chosen home). The A36 links-only publish is the
+   * `written = ∅` special case. */
+  def publishMixed(spark: SparkSession, root: String,
+      written: Map[String, DataFrame], links: Map[String, Long],
+      op: String = "mixed", ref: String = ""): Long = {
+    require(written.nonEmpty || links.nonEmpty, "snapshot publishMixed: no tables")
+    require(written.keySet.intersect(links.keySet).isEmpty,
+      s"snapshot publishMixed: tables both written and linked: " +
+        written.keySet.intersect(links.keySet).mkString(", "))
+    (written.keys ++ links.keys).foreach(n => require(n.matches("[A-Za-z0-9_]+"),
       s"snapshot publish: unsafe table name '$n'"))
     val f = fs(spark, root)
     val cur = currentVersion(spark, root)
     links.foreach { case (t, h) =>
       require(h >= 1 && h <= cur,
-        s"snapshot publishLinksOnly: home v$h for '$t' not published (head is v$cur)")
+        s"snapshot publishMixed: home v$h for '$t' not published (head is v$cur)")
       require(f.exists(new org.apache.hadoop.fs.Path(s"$root/v$h/$t")),
-        s"snapshot publishLinksOnly: v$h does not physically home '$t'")
+        s"snapshot publishMixed: v$h does not physically home '$t'")
     }
     val next = cur + 1
     clearDeadOrphan(f, root, next)
+    written.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
+    }
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v$next")): Unit
-    val p = new org.apache.hadoop.fs.Path(s"$root/v$next/_LINKS")
-    val out = f.create(p, true)
-    try out.write(links.toSeq.sorted
-      .map { case (t, sv) => s"$t\t$sv" }.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    writeCommitMeta(f, root, next, op, Nil, ref)
+    if (links.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/v$next/_LINKS")
+      val out = f.create(p, true)
+      try out.write(links.toSeq.sorted
+        .map { case (t, sv) => s"$t\t$sv" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    writeCommitMeta(f, root, next, op, written.keys.toSeq, ref)
     flipManifest(f, root, next)
     next
   }
@@ -418,7 +436,32 @@ object Snapshot {
    *
    * Returns (mergedVersion, table → chosen physical home). */
   def mergeRef(spark: SparkSession, root: String,
-      fromRef: String, intoRef: String): (Long, Map[String, Long]) = {
+      fromRef: String, intoRef: String): (Long, Map[String, Long]) =
+    mergeRefRows(spark, root, fromRef, intoRef, Map.empty)
+
+  /** [[mergeRef]] with ROW-LEVEL resolution (A38): tables listed in
+   * `rowMerge` (table → its key columns) that both sides changed are
+   * not conflicts — they resolve by a keyed three-way merge: per key,
+   * compare the row's value struct on branch head, target head, and
+   * the merge base (null-safe — absence IS a state, so inserts and
+   * deletes merge like updates); the side that changed it wins, both
+   * sides converging to the same value is clean, and only a key BOTH
+   * sides changed to DIFFERENT values refuses (loudly, with a count
+   * and sample keys). This is git's merge at row granularity: two
+   * pipelines editing disjoint key ranges of one table merge
+   * automatically; genuine row races surface as conflicts instead of
+   * silently losing one side's write.
+   *
+   * Scale: per row-merged table, two full-outer key joins + one
+   * conflict count — key-partitioned shuffles of the three version
+   * scans, no window, no collect beyond the 5-key conflict sample.
+   * The merged table writes physically; every other table carries by
+   * its chosen home through one mixed publish. Requires identical
+   * non-key column sets/types across the three versions (schema
+   * evolution is the table-level gate's domain, not the row merge's). */
+  def mergeRefRows(spark: SparkSession, root: String,
+      fromRef: String, intoRef: String,
+      rowMerge: Map[String, Seq[String]]): (Long, Map[String, Long]) = {
     val baseTag = s"$fromRef-mergebase"
     val f = fs(spark, root)
     require(f.exists(new org.apache.hadoop.fs.Path(s"$root/TAG.$baseTag")),
@@ -432,34 +475,86 @@ object Snapshot {
     }
     val h0 = homes(base); val hb = homes(bHead); val ht = homes(tHead)
     val all = (h0.keySet ++ hb.keySet ++ ht.keySet).toSeq.sorted
-    val conflicts = all.filter { t =>
+    val contested = all.filter { t =>
       hb.get(t) != h0.get(t) && ht.get(t) != h0.get(t) && hb.get(t) != ht.get(t)
     }
+    val (rowTables, conflicts) = contested.partition(rowMerge.contains)
     require(conflicts.isEmpty,
       s"snapshot mergeRef: conflict — changed on both '$fromRef' and '$intoRef' since " +
-        s"v$base: ${conflicts.mkString(", ")} (republish the winning side on the branch)")
+        s"v$base: ${conflicts.mkString(", ")} (republish the winning side on the branch, " +
+        "or pass key columns for a row-level merge)")
     val chosen: Map[String, Long] = all.flatMap { t =>
       val pick =
         if (hb.get(t) != h0.get(t)) hb.get(t)      // branch changed (or dropped)
         else ht.get(t)                             // target changed, or base carries
       pick.map(t -> _)
-    }.toMap
-    require(chosen != ht,
+    }.toMap -- rowTables
+    require(rowTables.nonEmpty || chosen != ht,
       s"snapshot mergeRef: nothing to merge — '$intoRef' already serves every table of '$fromRef'")
+    val merged: Map[String, DataFrame] = rowTables.map { t =>
+      def at(h: Option[Long]): Option[DataFrame] =
+        h.map(v => spark.read.parquet(s"$root/v$v/$t"))
+      t -> threeWayRows(spark, at(h0.get(t)), at(hb.get(t)), at(ht.get(t)),
+        rowMerge(t), t, fromRef, intoRef)
+    }.toMap
     val branchTaken = chosen.filter { case (t, h) =>
       hb.get(t).contains(h) && !ht.get(t).contains(h)
     }
     val viol = schemaViolationsFrom(spark, root, tHead,
       branchTaken.map { case (t, h) =>
         t -> spark.read.parquet(s"$root/v$h/$t")
-      })
+      } ++ merged)
     require(viol.isEmpty,
       s"snapshot mergeRef: schema gate refused vs '$intoRef' readers: ${viol.mkString("; ")}")
-    val v = publishLinksOnly(spark, root, chosen, "merge", intoRef)
+    val v = publishMixed(spark, root, merged, chosen, "merge", intoRef)
     tag(spark, root, intoRef, v)
     tag(spark, root, fromRef, v)
     tag(spark, root, baseTag, v)
-    (v, chosen)
+    (v, chosen ++ merged.keys.map(_ -> v))
+  }
+
+  /** The keyed three-way row merge core: per key, the value struct on
+   * (base, branch, target) decides — changed-on-one-side wins,
+   * convergent changes are clean, divergent changes refuse with a
+   * sample. Absence is a state (None base = the table is new on both
+   * sides; a null side struct = that side deleted/never had the key). */
+  private def threeWayRows(spark: SparkSession,
+      base: Option[DataFrame], branch: Option[DataFrame],
+      target: Option[DataFrame], keyCols: Seq[String], table: String,
+      fromRef: String, intoRef: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, when}
+    require(branch.nonEmpty && target.nonEmpty,
+      s"snapshot row merge: '$table' must exist on both refs (one-sided tables merge at table level)")
+    val b = branch.get; val t = target.get
+    def sig(df: DataFrame) =
+      df.schema.map(x => (x.name, x.dataType)).sortBy(_._1)
+    require(sig(b) == sig(t) && base.forall(o => sig(o) == sig(b)),
+      s"snapshot row merge: '$table' schemas differ across base/branch/target — " +
+        "evolve schemas through table-level merges, then row-merge")
+    require(keyCols.nonEmpty && keyCols.forall(b.columns.contains),
+      s"snapshot row merge: key columns ${keyCols.mkString(",")} not all present in '$table'")
+    val valCols = b.columns.filterNot(keyCols.contains).toSeq
+    require(valCols.nonEmpty,
+      s"snapshot row merge: '$table' has no non-key columns to merge")
+    def pack(df: DataFrame, n: String) =
+      df.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as(n): _*)
+    val o = base.map(pack(_, "_o")).getOrElse(
+      pack(b, "_o").filter(org.apache.spark.sql.functions.lit(false)))
+    val j = o.join(pack(b, "_b"), keyCols, "full_outer")
+      .join(pack(t, "_t"), keyCols, "full_outer")
+    val bCh = !(col("_b") <=> col("_o"))
+    val tCh = !(col("_t") <=> col("_o"))
+    val conflict = bCh && tCh && !(col("_b") <=> col("_t"))
+    val sample = j.filter(conflict)
+      .select(keyCols.map(col): _*).limit(5).collect()
+    require(sample.isEmpty,
+      s"snapshot row merge: '$table' has row conflicts between '$fromRef' and " +
+        s"'$intoRef' — same key changed differently on both sides; sample keys " +
+        s"(up to 5): " + sample.map(_.toSeq.mkString("(", ",", ")")).mkString(", "))
+    j.withColumn("_pick", when(bCh, col("_b")).otherwise(col("_t")))
+      .filter(col("_pick").isNotNull)
+      .select(keyCols.map(col) ++
+        valCols.map(c => col("_pick").getField(c).as(c)): _*)
   }
 
   /** A referential-integrity rule for [[publishChecked]]: every

@@ -86,6 +86,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nul.getMessage.contains("NULL elements"), s"unexpected: ${nul.getMessage}")
   }
 
+  test("round-16 additions are callable from SQL") {
+    val r = spark.sql(
+      "SELECT gopher_top_ppm('a b a b a b') AS g," +
+        " gopher_top_ppm('a b a b a b', 2, 2) AS g2," +
+        " hashed_linear_score('alpha beta alpha') AS s," +
+        " hashed_linear_score('alpha beta alpha', 65536, 7) AS s7").head()
+    assert(r.getSeq[Long](0) == Seq(818181L, 909090L, 1272727L))
+    assert(r.getSeq[Long](1) == Seq(818181L))
+    // SQL defaults (buckets=65536, seed=1) match the kernel directly
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(r.getLong(2) == graft.functions.HashOps.hashedLinearScore(
+      UTF8String.fromString("alpha beta alpha"), 65536L, 1L))
+    assert(r.getLong(3) == graft.functions.HashOps.hashedLinearScore(
+      UTF8String.fromString("alpha beta alpha"), 65536L, 7L))
+    // non-literal knobs are refused loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT hashed_linear_score('x', id, 1) FROM range(1)").head())
+    assert(e.getMessage.contains("literal integer"), e.getMessage)
+  }
+
   test("bitmap_distinct: exact vs COUNT(DISTINCT), null-safe, loud out-of-domain") {
     import spark.implicits._
     // duplicates across partitions force partial-state merges

@@ -532,6 +532,48 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.readTag(spark, root, "t", "prod").count() == 1L)
   }
 
+  test("mergeRefRows (A38): disjoint-key edits auto-merge; row races refuse with samples") {
+    val root = freshRoot()
+    val baseT = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v")
+    Snapshot.publish(spark, root, Map("t" -> baseT))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.branch(spark, root, "dev", "prod")
+    // dev: update k=1, delete k=3; prod: update k=2, insert k=5
+    Snapshot.publishToRef(spark, root, "dev",
+      Map("t" -> Seq((1L, 11L), (2L, 20L), (4L, 40L)).toDF("k", "v")))
+    Snapshot.publishToRef(spark, root, "prod",
+      Map("t" -> Seq((1L, 10L), (2L, 22L), (3L, 30L), (4L, 40L), (5L, 50L)).toDF("k", "v")))
+    val (v, homes) = Snapshot.mergeRefRows(spark, root, "dev", "prod",
+      Map("t" -> Seq("k")))
+    assert(homes == Map("t" -> v))
+    val got = Snapshot.readTag(spark, root, "t", "prod")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 11L, 2L -> 22L, 4L -> 40L, 5L -> 50L), s"got $got")
+    // update/update race on the same key refuses, nothing flips
+    Snapshot.publishToRef(spark, root, "dev",
+      Map("t" -> Seq((1L, 111L), (2L, 22L), (4L, 40L), (5L, 50L)).toDF("k", "v")))
+    Snapshot.publishToRef(spark, root, "prod",
+      Map("t" -> Seq((1L, 999L), (2L, 22L), (4L, 40L), (5L, 50L)).toDF("k", "v")))
+    val head = Snapshot.currentVersion(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.mergeRefRows(spark, root, "dev", "prod", Map("t" -> Seq("k")))
+    }
+    assert(e.getMessage.contains("row conflicts") && e.getMessage.contains("(1)"),
+      e.getMessage)
+    assert(Snapshot.currentVersion(spark, root) == head)
+    // delete/update race also refuses: republish dev dropping k=4
+    // while prod updates it — first clear the k=1 race by converging
+    Snapshot.publishToRef(spark, root, "dev",
+      Map("t" -> Seq((1L, 999L), (2L, 22L), (5L, 50L)).toDF("k", "v"))) // drops 4
+    Snapshot.publishToRef(spark, root, "prod",
+      Map("t" -> Seq((1L, 999L), (2L, 22L), (4L, 44L), (5L, 50L)).toDF("k", "v")))
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.mergeRefRows(spark, root, "dev", "prod", Map("t" -> Seq("k")))
+    }
+    assert(e2.getMessage.contains("row conflicts") && e2.getMessage.contains("(4)"),
+      e2.getMessage)
+  }
+
   test("history (A37): ops, parents, refs, orphan attempts; sidecar-less versions read as unknown") {
     val root = freshRoot()
     val t0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
