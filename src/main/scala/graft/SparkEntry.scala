@@ -3767,6 +3767,44 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  /** D30 (r16): streaming quality-gated corpus ingest
+   * ([[graft.streaming.EventStream.qualityGateSink]]) — the C90
+   * classifier and C89 repetition kernels scoring each micro-batch
+   * inline and splitting accept/reject: the live form of the batch
+   * quality chain, driven through the real checkpointed sink in two
+   * batches (even doc_ids, then odd — every doc streamed exactly
+   * once) with the C89 repetition plant riding along. The query reads
+   * BOTH sinks back and emits every doc's score, repetition ppm, and
+   * verdict; DuckDB replays both kernels and the gate over the same
+   * planted corpus — the stream adds delivery, not math. */
+  private def qStreamQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val slice = t(s, dir, "documents")
+      .withColumn("rtext", when(col("doc_id") % 9 === 0,
+        concat(col("text"), expr("repeat(' buy cheap now', 12)")))
+        .otherwise(col("text")))
+      .select("doc_id", "rtext").as[(Long, String)].collect().sortBy(_._1)
+    val b1 = slice.filter(_._1 % 2 == 0).toSeq
+    val b2 = slice.filter(_._1 % 2 == 1).toSeq
+    val base = s"${graft.Scratch.root(s)}/qgate_${sinkSeq.incrementAndGet()}"
+    val (accept, reject, ckpt) = (s"$base/accept", s"$base/reject", s"$base/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.qualityGateSink(
+        in.toDF.toDF("doc_id", "rtext"), "doc_id", "rtext", accept, reject,
+        seed = 1442695040888963407L)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(accept).unionByName(s.read.parquet(reject))
+      .select(col("doc_id"), col("score"), col("top2_ppm"), col("accepted"))
+      .orderBy("doc_id")
+  }
+
   /** D14 (r14): streaming version-guarded upsert
    * ([[graft.streaming.EventStream.versionedUpsertSink]]) — the A18
    * LWW merge driven through the REAL checkpointed sink with the
@@ -4849,6 +4887,37 @@ object SparkEntry {
     val remerged = Seq("cust", "nat", "ord").map(tb => row("remerged", "prod", tb))
     (diverged ++ merged ++ remerged).reduce(_ unionAll _)
       .orderBy("stage", "ref", "table_name")
+  }
+
+  /** A39 (r16): namespace replication with checksum verification
+   * ([[graft.sinks.Snapshot.replicate]]) — the DR/migration story:
+   * every manifest-reachable version copied to a fresh root, each
+   * physical table proven LOGICALLY equal by order-independent
+   * checksum (one aggregate per side, the C31 discipline), sidecars
+   * and tags verbatim, the replica's manifest flipped LAST. The query
+   * replicates a two-version namespace (one linked carry) and emits
+   * the copy report PLUS serve-side proof rows — counts read back
+   * through the REPLICA's own manifest, tag, and copied links. */
+  private def qReplicate(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${graft.Scratch.root(s)}/replicate_${sinkSeq.incrementAndGet()}"
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, src, Map("cust" -> cust, "nat" -> nat))
+    graft.sinks.Snapshot.publishLinked(s, src,
+      Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))
+    graft.sinks.Snapshot.tag(s, src, "prod", 2L)
+    val rep = graft.sinks.Snapshot.replicate(s, src, dst)
+      .select(lit("copy").as("stage"),
+        concat(lit("v"), col("version").cast("string"), lit("/"),
+          col("table_name")).as("item"),
+        col("n_rows"), col("checksum_match").as("ok"))
+    def served(tb: String) = graft.sinks.Snapshot.readTag(s, dst, tb, "prod")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("serve").as("stage"), lit(s"$tb@prod").as("item"),
+        col("n_rows"), lit(true).as("ok"))
+    rep.unionAll(served("cust")).unionAll(served("nat"))
+      .orderBy("stage", "item")
   }
 
   /** A38 (r16): ROW-LEVEL three-way merge
@@ -7537,6 +7606,7 @@ object SparkEntry {
     "q_branch_merge"   -> qBranchMerge,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_row_merge"      -> qRowMerge,
+    "q_replicate"      -> qReplicate,
     "q_partition_prune" -> qPartitionPrune,
     "q_csv_quarantine" -> qCsvQuarantine,
     "q_approx_distinct" -> qApproxDistinct,
@@ -7638,6 +7708,7 @@ object SparkEntry {
     "q_ann_recall" -> qAnnRecall,
     "q_stream_snapshot_publish" -> qStreamSnapshotPublish,
     "q_stream_branch_publish" -> qStreamBranchPublish,
+    "q_stream_quality_gate" -> qStreamQualityGate,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_merges_batched" -> qBpeMergesBatched,
     "q_bpe_apply" -> qBpeApply,
@@ -7849,6 +7920,40 @@ object SparkEntry {
            CAST(1 AS BIGINT) AS prod_before,
            CAST(4 AS BIGINT) AS n_versions
          FROM orders WHERE o_orderkey % 37 = 0 ORDER BY k""",
+    // D30: both quality kernels and the gate replayed over the same
+    // planted corpus — classifier score via the mod-2^64 token CTEs,
+    // repetition ppm via the whitespace-gram CTEs (renamed to avoid
+    // colliding with the token block's names).
+    "q_stream_quality_gate" ->
+      ("""WITH raw AS MATERIALIZED (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN text || repeat(' buy cheap now', 12)
+             ELSE text END AS rtext FROM documents),
+         reps AS MATERIALIZED (SELECT doc_id AS rep_id, rtext AS text FROM raw),
+         """ + sqlTokenCtes + """
+         occ AS MATERIALIZED (SELECT t.rep_id,
+             CAST(CAST(d.th AS UBIGINT) % 65536 AS HUGEINT) AS b
+           FROM tocc t JOIN dh d USING (tok)),
+         bk AS (SELECT DISTINCT b FROM occ),
+         bm AS MATERIALIZED (SELECT b, """ +
+        sqlMixCols(sqlXor64("b", "1442695040888963407"), "m") + """
+           FROM bk),
+         bw AS (SELECT b, CAST(mo % 2001 - 1000 AS BIGINT) AS w FROM bm),
+         sc AS (SELECT r.rep_id AS doc_id, CAST(COALESCE(SUM(x.w), 0) AS BIGINT) AS score
+           FROM reps r LEFT JOIN (SELECT o.rep_id, bw.w FROM occ o JOIN bw USING (b)) x
+             ON r.rep_id = x.rep_id GROUP BY 1),
+         wt AS MATERIALIZED (SELECT doc_id, length(rtext) AS nc,
+           list_filter(string_split_regex(rtext, '[ \t\n\r]+'), s -> s <> '') AS ts
+           FROM raw),
+         wg AS (SELECT doc_id, nc,
+             array_to_string(list_slice(ts, CAST(u.i AS INT), CAST(u.i AS INT) + 1), ' ') AS gram
+           FROM wt, UNNEST(range(1, len(ts))) AS u(i)),
+         wc AS (SELECT doc_id, nc, gram, COUNT(*) AS c FROM wg GROUP BY 1, 2, 3),
+         wb AS (SELECT doc_id, CAST(c * length(gram) * 1000000 // nc AS BIGINT) AS ppm FROM wc
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) = 1)
+         SELECT r.doc_id, sc.score, COALESCE(wb.ppm, 0) AS top2_ppm,
+           (sc.score >= 0 AND COALESCE(wb.ppm, 0) <= 200000) AS accepted
+         FROM raw r JOIN sc USING (doc_id) LEFT JOIN wb USING (doc_id)
+         ORDER BY r.doc_id"""),
     // C84: the eight learned merges replayed round for round.
     "q_bpe_merges" ->
       ("WITH " + sqlBpeRounds(8) + """
@@ -9339,6 +9444,20 @@ object SparkEntry {
          SELECT CAST(-1 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM c),
            (SELECT CAST(SUM(n * n) AS BIGINT) FROM c)
          ORDER BY pairs DESC, user_id""",
+    // A39: copy report (three physical tables, checksums TRUE — a
+    // mismatch refuses before the flip) + serve-side counts through
+    // the replica's own manifest/tag/links.
+    "q_replicate" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+         c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey % 2 = 0),
+         na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation)
+         SELECT * FROM (
+           SELECT 'copy' AS stage, 'v1/cust' AS item, (SELECT n FROM c) AS n_rows, TRUE AS ok
+           UNION ALL SELECT 'copy', 'v1/nat', (SELECT n FROM na), TRUE
+           UNION ALL SELECT 'copy', 'v2/cust', (SELECT n FROM c2), TRUE
+           UNION ALL SELECT 'serve', 'cust@prod', (SELECT n FROM c2), TRUE
+           UNION ALL SELECT 'serve', 'nat@prod', (SELECT n FROM na), TRUE
+         ) ORDER BY stage, item""",
     // A38: the per-key outcome of the keyed three-way merge —
     // branch's +10/delete classes, target's +100/insert block —
     // recomputed straight from the source table.

@@ -557,6 +557,78 @@ object Snapshot {
         valCols.map(c => col("_pick").getField(c).as(c)): _*)
   }
 
+  /** Namespace replication with checksum verification (A39) — the
+   * DR / region-migration story: copy every manifest-reachable
+   * version of a snapshot namespace to a fresh root, verify each
+   * physical table LOGICALLY EQUAL (order-independent checksum — one
+   * aggregate per side, the C31 migration-audit discipline, never a
+   * row-by-row compare), and flip the replica's manifest LAST — a
+   * crashed or failed replication leaves a manifest-less root that
+   * readers cannot resolve, never a half-namespace that serves.
+   * `_LINKS` / `_COMMIT` sidecars and tags copy verbatim (links
+   * reference versions WITHIN the namespace, so a verbatim copy stays
+   * self-consistent); vacuumed version numbers are absent on both
+   * sides by construction; crashed-publish ORPHANS above the source
+   * manifest are deliberately NOT replicated — the replica is the
+   * governed state, not the scratch.
+   *
+   * Returns the verification report: one row per copied physical
+   * (version, table) with row count and checksum match — all-match is
+   * also require()d before the flip, so a corrupted copy can never
+   * become a serving replica.
+   *
+   * Scale: per table one distributed read→write plus two one-row
+   * checksum aggregates; metadata (sidecars, tags, manifest) is a
+   * handful of tiny file copies. */
+  def replicate(spark: SparkSession, srcRoot: String,
+      dstRoot: String): DataFrame = {
+    import spark.implicits._
+    val fsrc = fs(spark, srcRoot)
+    val fdst = fs(spark, dstRoot)
+    require(!fdst.exists(manifestPath(dstRoot)),
+      s"snapshot replicate: destination $dstRoot already published")
+    val cur = currentVersion(spark, srcRoot)
+    require(cur > 0, s"snapshot replicate: nothing published under $srcRoot")
+    def copySmall(rel: String): Unit = {
+      val sp = new org.apache.hadoop.fs.Path(s"$srcRoot/$rel")
+      if (fsrc.exists(sp)) {
+        val in = fsrc.open(sp)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        val out = fdst.create(new org.apache.hadoop.fs.Path(s"$dstRoot/$rel"), true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+    val versions = (1L to cur).filter(v =>
+      fsrc.exists(new org.apache.hadoop.fs.Path(s"$srcRoot/v$v")))
+    val report = versions.flatMap { v =>
+      val own = fsrc.listStatus(new org.apache.hadoop.fs.Path(s"$srcRoot/v$v"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.matches("[A-Za-z0-9_]+")).sorted
+      val rows = own.map { t =>
+        val src = spark.read.parquet(s"$srcRoot/v$v/$t")
+        src.write.mode(SaveMode.Overwrite).parquet(s"$dstRoot/v$v/$t")
+        val dst = spark.read.parquet(s"$dstRoot/v$v/$t")
+        val cols = src.columns.sorted.toSeq
+        val a = graft.operators.Profile.tableChecksum(src, cols).head()
+        val b = graft.operators.Profile.tableChecksum(dst, cols).head()
+        (v, t, a.getLong(0), a == b)
+      }
+      copySmall(s"v$v/_LINKS")
+      copySmall(s"v$v/_COMMIT")
+      rows
+    }
+    require(report.forall(_._4),
+      s"snapshot replicate: checksum mismatch on " +
+        report.filterNot(_._4).map(r => s"v${r._1}/${r._2}").mkString(", ") +
+        " — replica NOT published")
+    fsrc.listStatus(new org.apache.hadoop.fs.Path(srcRoot))
+      .map(_.getPath.getName).filter(_.startsWith("TAG."))
+      .foreach(copySmall)
+    flipManifest(fdst, dstRoot, cur)
+    report.toDF("version", "table_name", "n_rows", "checksum_match")
+  }
+
   /** A referential-integrity rule for [[publishChecked]]: every
    * non-null `factCol` value in `factTable` must exist as a `dimCol`
    * value in `dimTable` (SQL FK semantics — NULL keys pass). */

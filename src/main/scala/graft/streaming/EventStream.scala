@@ -662,6 +662,43 @@ object EventStream {
         graft.sinks.Snapshot.publishToRef(s, root, ref, Map(table -> merged)): Unit
       }
 
+  /** Streaming quality-gated corpus ingest (D30): each micro-batch of
+   * documents is scored INLINE by the two codegen'd quality kernels —
+   * the C90 hashing-trick classifier and the C89 Gopher top-2-gram
+   * repetition signal — and split into accept/reject sinks: the live
+   * form of the batch quality-filter chain, proving the kernels ride
+   * Structured Streaming unchanged (one pass per row, no state, no
+   * shuffle — the gate is embarrassingly parallel, so stream
+   * throughput tracks the batch path's). Each batch writes its own
+   * `batch=<id>` subdirectory with overwrite, so a replayed batch
+   * lands on the same directory instead of duplicating — the
+   * vectorSearchSink exactly-once contract for append-shaped sinks.
+   * Rejected docs are data too (audit, threshold tuning): they land
+   * in the reject sink with the same score columns, never dropped. */
+  def qualityGateSink(docs: DataFrame, idCol: String, textCol: String,
+      acceptPath: String, rejectPath: String,
+      buckets: Long = 65536L, seed: Long = 1L,
+      top2PpmMax: Long = 200000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import org.apache.spark.sql.functions.col
+        val scored = batch.toDF()
+          .withColumn("score", graft.functions.expressions
+            .hashedLinearScore(col(textCol), buckets, seed))
+          .withColumn("top2_ppm", graft.functions.expressions
+            .gopherTopPpm(col(textCol), 2, 2).getItem(0))
+          .withColumn("accepted",
+            col("score") >= 0L && col("top2_ppm") <= top2PpmMax)
+        scored.filter(col("accepted"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$acceptPath/batch=$id")
+        scored.filter(!col("accepted"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$rejectPath/batch=$id")
+      }
+
   /** Streaming vector-search enrichment (D12): each micro-batch of
    * query vectors is answered against a PERSISTED IVF index
    * ([[graft.similarity.Ann.ivfTopKIndexed]]) and the top-k appended

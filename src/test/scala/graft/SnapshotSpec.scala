@@ -596,6 +596,34 @@ class SnapshotSpec extends AnyFunSuite {
       (4L, "merge", 3L, "", "prod", true)), s"got $rows")
   }
 
+  test("replicate (A39): full namespace copy verified; orphans skipped; reruns refused") {
+    val root = freshRoot()
+    val dst = s"${root}_replica"
+    val t0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    Snapshot.publish(spark, root, Map("t" -> t0, "u" -> t0.filter($"k" <= 2)))
+    Snapshot.publishLinked(spark, root, Map("t" -> t0.filter($"k" === 1L)))
+    Snapshot.tag(spark, root, "prod", 2L)
+    // a crashed-publish orphan above the manifest must NOT replicate
+    assert(new java.io.File(s"$root/v9/junk").mkdirs())
+    val rep = Snapshot.replicate(spark, root, dst)
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(rep == Set((1L, "t", 3L, true), (1L, "u", 2L, true), (2L, "t", 1L, true)),
+      s"got $rep")
+    assert(!new java.io.File(s"$dst/v9").exists())
+    // the replica serves through its own manifest, tag, and links
+    assert(Snapshot.currentVersion(spark, dst) == 2L)
+    assert(Snapshot.readTag(spark, dst, "t", "prod").count() == 1L)
+    assert(Snapshot.readTag(spark, dst, "u", "prod").count() == 2L) // via copied _LINKS
+    // and its history carries over (the _COMMIT sidecars copied)
+    assert(Snapshot.history(spark, dst)
+      .select("op").as[String].collect().toSet == Set("publish", "linked"))
+    // a published destination refuses a second replication
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.replicate(spark, root, dst)
+    }
+    assert(e.getMessage.contains("already published"), e.getMessage)
+  }
+
   test("fsck splits erase residue by live-table presence (ADVICE r14/r15)") {
     val root = freshRoot()
     Snapshot.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("k", "s")))
