@@ -3805,6 +3805,53 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** D31 (r16): streaming near-duplicate gate
+   * ([[graft.streaming.EventStream.nearDupGateSink]]) — C37's
+   * incremental cross-batch dedup live: two real checkpointed
+   * micro-batches split at the id midpoint — batch ids MONOTONE
+   * across batches, the arrival contract under which the streamed
+   * verdict union equals one full-batch keep-first run (new docs get
+   * new ids; an out-of-order smaller-id arrival cannot retire an
+   * already-final verdict — that is a rebuild, the C37 contract, and
+   * exactly why the parity split would NOT oracle against the full
+   * run). Each batch dedups within itself and against the
+   * accumulated text-free shingle state; the oracle replays the full
+   * run in string space (the C2 keep-table SQL, same LSH-recall
+   * hedge). */
+  private def qStreamNeardupGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val slice = t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mid = (slice.head._1 + slice.last._1) / 2
+    val b1 = slice.filter(_._1 <= mid).toSeq
+    val b2 = slice.filter(_._1 > mid).toSeq
+    val base = s"${graft.Scratch.root(s)}/ndgate_${sinkSeq.incrementAndGet()}"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.nearDupGateSink(
+        in.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/accept", s"$base/state", s"$base/verdict")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the accept sink must be exactly the keep=true verdicts
+    val nAccept = s.read.parquet(s"$base/accept").count()
+    val v = s.read.parquet(s"$base/verdict")
+    require(nAccept == v.filter(col("keep")).count(),
+      s"near-dup gate: accept sink diverged from the verdicts")
+    // keep (not n_dups_smaller) is what the increment≡full-run
+    // contract guarantees: cross-generation partner COUNTS see raw
+    // state docs where the full run sees exact-collapsed reps, so the
+    // counts can differ while every verdict agrees (the C37
+    // equivalence row compares keep for exactly this reason)
+    v.select(col("doc_id"), col("keep")).orderBy("doc_id")
+  }
+
   /** D14 (r14): streaming version-guarded upsert
    * ([[graft.streaming.EventStream.versionedUpsertSink]]) — the A18
    * LWW merge driven through the REAL checkpointed sink with the
@@ -7709,6 +7756,7 @@ object SparkEntry {
     "q_stream_snapshot_publish" -> qStreamSnapshotPublish,
     "q_stream_branch_publish" -> qStreamBranchPublish,
     "q_stream_quality_gate" -> qStreamQualityGate,
+    "q_stream_neardup_gate" -> qStreamNeardupGate,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_merges_batched" -> qBpeMergesBatched,
     "q_bpe_apply" -> qBpeApply,
@@ -7920,6 +7968,28 @@ object SparkEntry {
            CAST(1 AS BIGINT) AS prod_before,
            CAST(4 AS BIGINT) AS n_versions
          FROM orders WHERE o_orderkey % 37 = 0 ORDER BY k""",
+    // D31: the streamed verdict union must equal one full-batch
+    // keep-first run over all docs (the C37 increment≡full-run
+    // contract) — the C2 string-space keep-table SQL verbatim, under
+    // the same LSH-recall hedge.
+    "q_stream_neardup_gate" ->
+      """WITH keyed AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+         reps AS (SELECT text, MIN(doc_id) AS rep_id FROM keyed GROUP BY text),
+         toks AS (SELECT rep_id,
+           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+           FROM reps),
+         g AS (SELECT rep_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
+               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY rep_id),
+         dead AS (SELECT b.rep_id AS dead_rep, CAST(COUNT(*) AS BIGINT) AS n_near
+               FROM g a JOIN g b ON a.rep_id < b.rep_id
+               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+               GROUP BY 1)
+         SELECT k.doc_id,
+           (k.doc_id = r.rep_id AND d.n_near IS NULL) AS keep
+         FROM keyed k JOIN reps r ON k.text = r.text
+         LEFT JOIN dead d ON r.rep_id = d.dead_rep
+         ORDER BY doc_id""",
     // D30: both quality kernels and the gate replayed over the same
     // planted corpus — classifier score via the mod-2^64 token CTEs,
     // repetition ppm via the whitespace-gram CTEs (renamed to avoid

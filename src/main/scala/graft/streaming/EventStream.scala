@@ -699,6 +699,58 @@ object EventStream {
           .parquet(s"$rejectPath/batch=$id")
       }
 
+  /** Streaming near-duplicate gate (D31) — C37's incremental
+   * cross-batch MinHash dedup made LIVE: each micro-batch dedups
+   * within itself AND against the text-free shingle STATE of
+   * everything previously streamed ([[graft.dedup.Dedup
+   * .minhashKeepIncremental]] — banded LSH candidates, ids-only
+   * shuffles, exact-Jaccard verify), then appends its own state for
+   * the next batch. By the documented increment≡full-run contract,
+   * the verdicts accumulated across batches equal what one full-batch
+   * keep-first run over the whole stream would assign — the oracle
+   * replays exactly that in string space (the C2 keep-table SQL).
+   *
+   * Three sinks, each written per batch into a `batch=<id>` subdir
+   * with overwrite (the vectorSearchSink exactly-once contract):
+   * `verdictPath` (the keep-table rows for every doc), `acceptPath`
+   * (surviving docs with their payload), `statePath` (the batch's
+   * text-free shingle state). The state read EXCLUDES the current
+   * batch id, so a crash-replayed batch re-decides against exactly
+   * its original prior state — byte-identical outputs on replay.
+   * Retiring old docs in favor of smaller-id newcomers remains a
+   * rebuild by construction (the C37 contract). */
+  def nearDupGateSink(docs: DataFrame, idCol: String, textCol: String,
+      acceptPath: String, statePath: String, verdictPath: String,
+      threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import org.apache.spark.sql.functions.col
+        val s = batch.sparkSession
+        import s.implicits._
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val f = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val state =
+          if (f.exists(sp))
+            s.read.parquet(statePath).filter(col("batch") < id)
+              .select("doc_id", "sh")
+          else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sh")
+        val verdict = graft.dedup.Dedup.minhashKeepIncremental(
+          state, batch.toDF(), idCol, textCol, threshold)
+        verdict.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$verdictPath/batch=$id")
+        batch.toDF().join(
+            verdict.filter(col("keep")).select(col("doc_id").as("__kept")),
+            col(idCol) === col("__kept"))
+          .drop("__kept")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$acceptPath/batch=$id")
+        graft.dedup.Dedup.minhashState(batch.toDF(), idCol, textCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$statePath/batch=$id")
+      }
+
   /** Streaming vector-search enrichment (D12): each micro-batch of
    * query vectors is answered against a PERSISTED IVF index
    * ([[graft.similarity.Ann.ivfTopKIndexed]]) and the top-k appended
