@@ -1080,6 +1080,53 @@ object ScaleProbe {
         require(bad == 0L, s"skyline comb kept $bad non-top rows")
       }
     }
+
+    // A38 row-level three-way merge at 5M keys (r16): the full branch
+    // lifecycle through the real snapshot namespace — branch updates
+    // the k%3==0 class (+1) and deletes the k%21==2 class, target
+    // updates k%3==1 (+100) and inserts a 1000-key block; provably
+    // disjoint change sets (21m+2 ≡ 2 mod 3), so the merge must be
+    // conflict-free and land exactly on the closed-form class counts.
+    {
+      import org.apache.spark.sql.functions.{col, expr, lit}
+      val n = 5000000L
+      val root = s"${Scratch.root(spark)}/probe_rowmerge"
+      val base = spark.range(n).select(col("id").as("k"), col("id").as("v"))
+      time("row merge 5M: publish base + branch + two edits") {
+        graft.sinks.Snapshot.publish(spark, root, Map("t" -> base))
+        graft.sinks.Snapshot.tag(spark, root, "prod", 1L)
+        graft.sinks.Snapshot.branch(spark, root, "dev", "prod")
+        val branchT = base.filter(!(col("k") % 21 === 2))
+          .withColumn("v", expr("CASE WHEN k % 3 = 0 THEN v + 1 ELSE v END"))
+        graft.sinks.Snapshot.publishToRef(spark, root, "dev", Map("t" -> branchT))
+        val targetT = base
+          .withColumn("v", expr("CASE WHEN k % 3 = 1 THEN v + 100 ELSE v END"))
+          .unionAll(spark.range(n, n + 1000)
+            .select(col("id").as("k"), (col("id") + 7L).as("v")))
+        graft.sinks.Snapshot.publishToRef(spark, root, "prod", Map("t" -> targetT))
+      }
+      time("row merge 5M: three-way keyed merge") {
+        graft.sinks.Snapshot.mergeRefRows(spark, root, "dev", "prod",
+          Map("t" -> Seq("k")))
+      }
+      val merged = graft.sinks.Snapshot.readTag(spark, root, "t", "prod")
+      val stats = merged.select(
+          expr("count(1)").as("n"),
+          expr("sum(CASE WHEN k < " + n + " AND v = k + 1 THEN 1 ELSE 0 END)").as("b"),
+          expr("sum(CASE WHEN k < " + n + " AND v = k + 100 THEN 1 ELSE 0 END)").as("t"),
+          expr("sum(CASE WHEN k >= " + n + " THEN 1 ELSE 0 END)").as("ins"))
+        .head()
+      val deleted = (0L until n).count(_ % 21 == 2) // 238095-ish, exact
+      val branchUpd = (0L until n).count(k => k % 3 == 0 && k % 21 != 2)
+      val targetUpd = (0L until n).count(_ % 3 == 1)
+      require(stats.getLong(0) == n - deleted + 1000,
+        s"row merge 5M: count ${stats.getLong(0)} != ${n - deleted + 1000}")
+      require(stats.getLong(1) == branchUpd && stats.getLong(2) == targetUpd
+        && stats.getLong(3) == 1000L,
+        s"row merge 5M: class counts ${stats.toSeq} != ($branchUpd, $targetUpd, 1000)")
+      println(s"SCALE row merge 5M: closed-form classes hold " +
+        s"(${n - deleted + 1000} rows, $branchUpd branch-updated, $targetUpd target-updated)")
+    }
     spark.stop()
   }
 }
