@@ -6501,6 +6501,44 @@ object SparkEntry {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** B125 (r16): pre-join cardinality estimation via mergeable
+   * bucket histograms — the "do I dare run this join" preflight that
+   * completes the family: B68 profiles ONE side's hot keys, B122
+   * audits a self-join, this row estimates |A ⋈ B| from two
+   * 1024-bucket key SKETCHES without shuffling either table against
+   * the other — per bucket, (row count, distinct-key count) on each
+   * side, combined with the classic optimizer uniformity estimate
+   * est_b = nA·nB / max(dA, dB) (each of the rarer side's keys is
+   * assumed to hit the denser side's bucket mass uniformly; for an
+   * FK join max(dA,dB) = nB per bucket, so the estimate collapses to
+   * ~|A| — the right answer). Each sketch is one map-side-combined
+   * aggregate producing ≤1024 rows — exchangeable between teams/
+   * systems at 100 TB without moving data. The bucket hash is the
+   * C24 md5 discipline (engine-portable, so the oracle replays the
+   * estimate bit-for-bit with the same truncating per-bucket div),
+   * and the row carries the EXACT join size and the signed error in
+   * ppm — accuracy accounted, not asserted. */
+  private def qJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    def bucket(name: String) =
+      expr(s"conv(substring(md5(cast($name as string)), 1, 8), 16, 10)")
+        .cast("long") % 1024L
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), bucket("l_orderkey").as("b"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), bucket("o_orderkey").as("b"))
+    val ha = li.groupBy("b").agg(count(lit(1)).as("na"),
+      count_distinct(col("k")).as("da"))
+    val hb = ord.groupBy("b").agg(count(lit(1)).as("nb"),
+      count_distinct(col("k")).as("db"))
+    val est = ha.join(hb, Seq("b"))
+      .agg(sum(expr("na * nb div greatest(da, db)")).as("est_pairs"))
+    val exact = li.join(ord.select(col("k")), Seq("k"))
+      .agg(count(lit(1)).as("exact_pairs"))
+    est.crossJoin(exact)
+      .select(lit(1024L).as("n_buckets"), col("est_pairs"), col("exact_pairs"),
+        expr("(est_pairs - exact_pairs) * 1000000 div exact_pairs").as("err_ppm"))
+  }
+
   /** C71 (r14): centroid-distance outlier audit — the mislabel /
    * contamination detector a curator runs over an embedded corpus:
    * each vector's exact squared distance to its OWN class centroid
@@ -7764,6 +7802,7 @@ object SparkEntry {
     "q_quantize_int8" -> qQuantizeInt8,
     "q_length_buckets" -> qLengthBuckets,
     "q_join_explosion" -> qJoinExplosion,
+    "q_join_estimate"  -> qJoinEstimate,
     "q_sample_estimate" -> qSampleEstimate,
     "q_skyline"        -> qSkyline,
     "q_bitmap_distinct" -> qBitmapDistinct,
@@ -9564,6 +9603,27 @@ object SparkEntry {
            AND q.price_cents <= a.price_cents AND q.sz >= a.sz
            AND (q.price_cents < a.price_cents OR q.sz > a.sz))
          ORDER BY a.p_brand, a.p_partkey""",
+    // B125: the two (count, distinct) bucket sketches, the per-bucket
+    // uniformity estimate with truncating div, the exact join size,
+    // and the signed error all replayed.
+    "q_join_estimate" ->
+      """WITH la AS (SELECT l_orderkey AS k,
+           CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM lineitem),
+         oa AS (SELECT o_orderkey AS k,
+           CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM orders),
+         ha AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS na,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS da FROM la GROUP BY 1),
+         hb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS db FROM oa GROUP BY 1),
+         est AS (SELECT CAST(SUM(na * nb // greatest(da, db)) AS BIGINT) AS est_pairs
+           FROM ha JOIN hb USING (b)),
+         ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT CAST(1024 AS BIGINT) AS n_buckets, est_pairs, exact_pairs,
+           CAST((est_pairs - exact_pairs) * 1000000 // exact_pairs AS BIGINT) AS err_ppm
+         FROM est, ex""",
     // B123: the deterministic md5-bucket key-cluster sample, the x20
     // scale-up, and the exact ppm error all replayed — estimator AND
     // accuracy accounting hash-checked.
