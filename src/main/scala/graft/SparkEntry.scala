@@ -5004,6 +5004,49 @@ object SparkEntry {
     graft.sinks.Snapshot.readTag(s, root, "accts", "prod").orderBy("k")
   }
 
+  /** A40 (r17): branch/ref lifecycle GC
+   * ([[graft.sinks.Snapshot.deleteRef]]) — the removal path the
+   * A35/A36 surface lacked: a branch and its recorded merge base are
+   * vacuum GC roots, so an abandoned experiment pinned its whole
+   * version chain against retention forever. The query runs the
+   * lifecycle: branch diverges (dev edits cust, prod edits nat), a
+   * keepLast=1 sweep reclaims NOTHING while the branch lives (n=0
+   * pinned by the oracle), the dead branch is deleted (ref + merge
+   * base in one verb), and the SAME sweep now reclaims exactly the
+   * branch-exclusive version — while v1 survives via the link
+   * fixpoint (prod's head still carries cust by reference into it)
+   * and prod serves both tables untouched. Reclamation is pure
+   * namespace metadata; the serve rows prove no data the live side
+   * reaches was harmed. */
+  private def qBranchGc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${graft.Scratch.root(s)}/branch_gc_${sinkSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust, "nat" -> nat))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.branch(s, root, "dev", "prod")
+    graft.sinks.Snapshot.publishToRef(s, root, "dev",
+      Map("cust" -> cust.filter(col("c_custkey") % 2 === 0)))   // v2: dev head
+    graft.sinks.Snapshot.publishToRef(s, root, "prod",
+      Map("nat" -> nat.filter(col("n_nationkey") < 10)))        // v3: prod head
+    val pre = graft.sinks.Snapshot.vacuum(s, root, keepLast = 1)
+    val devRows = graft.sinks.Snapshot.readTag(s, root, "cust", "dev").count()
+    graft.sinks.Snapshot.deleteRef(s, root, "dev")
+    val post = graft.sinks.Snapshot.vacuum(s, root, keepLast = 1)
+    require(post == Seq(2L),
+      s"branch gc: expected exactly the branch-exclusive v2 reclaimed, got $post")
+    def served(tb: String) = graft.sinks.Snapshot.readTag(s, root, tb, "prod")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("serve").as("stage"), lit(s"$tb@prod").as("item"), col("n"))
+    Seq(("live", "cust@dev", devRows),
+        ("live", "n_reclaimed", pre.size.toLong),
+        ("gc", "n_reclaimed", post.size.toLong))
+      .toDF("stage", "item", "n")
+      .unionAll(served("cust")).unionAll(served("nat"))
+      .orderBy("stage", "item")
+  }
+
   /** A37 (r16): publish history ([[graft.sinks.Snapshot.history]]) —
    * the `git log` of the namespace: every version-creating operation
    * (plain publish, linked/branch publish, three-way merge, gated
@@ -6987,11 +7030,13 @@ object SparkEntry {
    * (clamped at 0), so the sequential fold runs over the CALENDAR
    * domain: the corpus collapses to the (group, month) relation in
    * one aggregate, at-risk counts come from a reverse prefix window
-   * over THAT, and the per-step product folds driver-side over the
-   * calendar-sized rows (the C7 quantizer-state precedent) — no
-   * corpus-sized sequential structure anywhere. */
+   * over THAT, and the per-step product runs IN-PLAN (r17, VERDICT
+   * #7): each group's time-ordered steps collect into one
+   * calendar-sized array and the truncating fold is the codegen'd
+   * km_fold_ppm kernel — no driver-side sequential math left on the
+   * query board, so survival groups could be user-keyed without
+   * driver state. */
   private def qSurvival(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linestatus").as("g"),
         col("l_shipdate").cast("date").as("ship"),
@@ -7006,18 +7051,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_all"), sum("d").as("deaths"))
     val wRisk = Window.partitionBy("g").orderBy("t")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val rows = byT.withColumn("at_risk", sum("n_all").over(wRisk))
-      .select("g", "t", "deaths", "at_risk")
-      .orderBy("g", "t")
-      .as[(String, Long, Long, Long)].collect()
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
-    var (curG, sPpm) = ("", 1000000L)
-    rows.foreach { case (g, tt, deaths, atRisk) =>
-      if (g != curG) { curG = g; sPpm = 1000000L }
-      sPpm = sPpm * (atRisk - deaths) / atRisk
-      out += ((g, tt, atRisk, deaths, sPpm))
-    }
-    out.toSeq.toDF("g", "t", "at_risk", "deaths", "s_ppm")
+    byT.withColumn("at_risk", sum("n_all").over(wRisk))
+      .groupBy("g")
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("at_risk"), col("deaths")))).as("steps"))
+      .withColumn("s_ppm_arr", graft.functions.expressions.kmFoldPpm(
+        col("steps").getField("at_risk"), col("steps").getField("deaths")))
+      .select(col("g"), col("s_ppm_arr"), posexplode(col("steps")).as(Seq("i", "st")))
+      .select(col("g"), col("st.t").as("t"), col("st.at_risk").as("at_risk"),
+        col("st.deaths").as("deaths"),
+        element_at(col("s_ppm_arr"), col("i") + 1).as("s_ppm"))
       .orderBy("g", "t")
   }
 
@@ -7689,6 +7732,7 @@ object SparkEntry {
     "q_cli_storage"   -> qCliStorage,
     "q_snapshot_branch" -> qSnapshotBranch,
     "q_branch_merge"   -> qBranchMerge,
+    "q_branch_gc"      -> qBranchGc,
     "q_snapshot_history" -> qSnapshotHistory,
     "q_row_merge"      -> qRowMerge,
     "q_replicate"      -> qReplicate,
@@ -9478,6 +9522,21 @@ object SparkEntry {
            UNION ALL SELECT 'remerged', 'prod', 'nat', (SELECT n FROM n10)
            UNION ALL SELECT 'remerged', 'prod', 'ord', (SELECT n FROM o3)
          ) ORDER BY stage, ref, table_name""",
+    // A40: the ref-GC lifecycle replayed — nothing reclaimable while
+    // the branch lives (n=0), exactly the branch-exclusive version
+    // after deleteRef (n=1), prod's serve counts untouched (cust
+    // through the link-rescued v1, nat filtered at its head).
+    "q_branch_gc" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+         c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey % 2 = 0),
+         n10 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_nationkey < 10)
+         SELECT * FROM (
+           SELECT 'gc' AS stage, 'n_reclaimed' AS item, CAST(1 AS BIGINT) AS n
+           UNION ALL SELECT 'live', 'cust@dev', (SELECT n FROM c2)
+           UNION ALL SELECT 'live', 'n_reclaimed', CAST(0 AS BIGINT)
+           UNION ALL SELECT 'serve', 'cust@prod', (SELECT n FROM c)
+           UNION ALL SELECT 'serve', 'nat@prod', (SELECT n FROM n10)
+         ) ORDER BY stage, item""",
     "q_cli_storage" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
@@ -10791,9 +10850,20 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
-               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
+         pref AS (SELECT doc_id, s FROM (
+             SELECT e0.doc_id, e0.s,
+               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
+               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
+             FROM ex e0 JOIN freq f USING (s))
+           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
+           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
+         e AS (SELECT c0.u, c0.v FROM cand c0
+             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
          edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
          reach(src, dst) AS (
            SELECT u, v FROM edges
@@ -10870,9 +10940,20 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
-               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
+         pref AS (SELECT doc_id, s FROM (
+             SELECT e0.doc_id, e0.s,
+               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
+               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
+             FROM ex e0 JOIN freq f USING (s))
+           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
+           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
+         e AS (SELECT c0.u, c0.v FROM cand c0
+             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
          edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
          reach(src, dst) AS (
            SELECT u, v FROM edges
@@ -10897,9 +10978,20 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
-               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
+         pref AS (SELECT doc_id, s FROM (
+             SELECT e0.doc_id, e0.s,
+               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
+               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
+             FROM ex e0 JOIN freq f USING (s))
+           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
+           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
+         e AS (SELECT c0.u, c0.v FROM cand c0
+             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
          edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
          reach(src, dst) AS (
            SELECT u, v FROM edges
@@ -10927,9 +11019,20 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
-               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
+         pref AS (SELECT doc_id, s FROM (
+             SELECT e0.doc_id, e0.s,
+               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
+               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
+             FROM ex e0 JOIN freq f USING (s))
+           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
+           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
+         e AS (SELECT c0.u, c0.v FROM cand c0
+             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
          edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
          reach(src, dst) AS (
            SELECT u, v FROM edges
@@ -10949,9 +11052,20 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
                FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         e AS (SELECT b.doc_id AS u, a.doc_id AS v FROM g a JOIN g b ON b.doc_id < a.doc_id
-               AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
+         pref AS (SELECT doc_id, s FROM (
+             SELECT e0.doc_id, e0.s,
+               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
+               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
+             FROM ex e0 JOIN freq f USING (s))
+           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
+           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
+         e AS (SELECT c0.u, c0.v FROM cand c0
+             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
          edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
          reach(src, dst) AS (
            SELECT u, v FROM edges
@@ -12352,22 +12466,49 @@ object SparkEntry {
            SELECT e.v, p.len + e.w FROM paths p JOIN edges e ON e.u = p.v)
          SELECT v AS id, MAX(len) AS critical_len
          FROM paths GROUP BY v ORDER BY id""",
-    // step-by-step walk from every node until it returns to its start
-    // (or n steps pass) — the independent O(n·len) formulation of the
-    // pointer-doubling census.
+    // cycle nodes = image of f^(2^23) (chained squaring joins — the
+    // per-node m-step walk was O(n·m): every TAIL node walked the full
+    // bound, which times out at sf1; 2^23 = 8.4M >= any m here, and
+    // the image of f^N for N >= max tail length is exactly the
+    // cycle-node set), then the per-cycle walk runs over cycle nodes
+    // only (O(Σ len²), cycles are tiny vs m).
     "q_cycle_census" ->
       """WITH RECURSIVE c AS (
            SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
          g AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM c),
-         nxt AS (SELECT id, (id * id + 1) % g.m AS n FROM c CROSS JOIN g),
-         walk(v0, v, steps) AS (
-           SELECT id, n, 1 FROM nxt
-           UNION ALL
-           SELECT w.v0, nxt.n, w.steps + 1 FROM walk w JOIN nxt ON nxt.id = w.v
-           WHERE w.v <> w.v0 AND w.steps < (SELECT m FROM g)),
-         oncyc AS (SELECT DISTINCT v0 AS id FROM walk WHERE v = v0),
-         lab AS (SELECT w.v0 AS id, MIN(w.v) AS cycle_id
-           FROM walk w JOIN oncyc o ON o.id = w.v0 GROUP BY 1)
+         nxt AS MATERIALIZED (SELECT id, (id * id + 1) % g.m AS n FROM c CROSS JOIN g),
+         j0 AS MATERIALIZED (SELECT id, n AS j FROM nxt),
+         j1 AS MATERIALIZED (SELECT a.id, b.j FROM j0 a JOIN j0 b ON b.id = a.j),
+         j2 AS MATERIALIZED (SELECT a.id, b.j FROM j1 a JOIN j1 b ON b.id = a.j),
+         j3 AS MATERIALIZED (SELECT a.id, b.j FROM j2 a JOIN j2 b ON b.id = a.j),
+         j4 AS MATERIALIZED (SELECT a.id, b.j FROM j3 a JOIN j3 b ON b.id = a.j),
+         j5 AS MATERIALIZED (SELECT a.id, b.j FROM j4 a JOIN j4 b ON b.id = a.j),
+         j6 AS MATERIALIZED (SELECT a.id, b.j FROM j5 a JOIN j5 b ON b.id = a.j),
+         j7 AS MATERIALIZED (SELECT a.id, b.j FROM j6 a JOIN j6 b ON b.id = a.j),
+         j8 AS MATERIALIZED (SELECT a.id, b.j FROM j7 a JOIN j7 b ON b.id = a.j),
+         j9 AS MATERIALIZED (SELECT a.id, b.j FROM j8 a JOIN j8 b ON b.id = a.j),
+         j10 AS MATERIALIZED (SELECT a.id, b.j FROM j9 a JOIN j9 b ON b.id = a.j),
+         j11 AS MATERIALIZED (SELECT a.id, b.j FROM j10 a JOIN j10 b ON b.id = a.j),
+         j12 AS MATERIALIZED (SELECT a.id, b.j FROM j11 a JOIN j11 b ON b.id = a.j),
+         j13 AS MATERIALIZED (SELECT a.id, b.j FROM j12 a JOIN j12 b ON b.id = a.j),
+         j14 AS MATERIALIZED (SELECT a.id, b.j FROM j13 a JOIN j13 b ON b.id = a.j),
+         j15 AS MATERIALIZED (SELECT a.id, b.j FROM j14 a JOIN j14 b ON b.id = a.j),
+         j16 AS MATERIALIZED (SELECT a.id, b.j FROM j15 a JOIN j15 b ON b.id = a.j),
+         j17 AS MATERIALIZED (SELECT a.id, b.j FROM j16 a JOIN j16 b ON b.id = a.j),
+         j18 AS MATERIALIZED (SELECT a.id, b.j FROM j17 a JOIN j17 b ON b.id = a.j),
+         j19 AS MATERIALIZED (SELECT a.id, b.j FROM j18 a JOIN j18 b ON b.id = a.j),
+         j20 AS MATERIALIZED (SELECT a.id, b.j FROM j19 a JOIN j19 b ON b.id = a.j),
+         j21 AS MATERIALIZED (SELECT a.id, b.j FROM j20 a JOIN j20 b ON b.id = a.j),
+         j22 AS MATERIALIZED (SELECT a.id, b.j FROM j21 a JOIN j21 b ON b.id = a.j),
+         j23 AS MATERIALIZED (SELECT a.id, b.j FROM j22 a JOIN j22 b ON b.id = a.j),
+         cyc AS (SELECT DISTINCT j AS id FROM j23),
+         walk(v0, v) AS (
+           SELECT nxt.id, nxt.n FROM nxt JOIN cyc ON cyc.id = nxt.id
+           UNION
+           SELECT w.v0, nxt.n FROM walk w JOIN nxt ON nxt.id = w.v
+           WHERE w.v <> w.v0),
+         lab AS (SELECT v0 AS id, LEAST(v0, MIN(v)) AS cycle_id
+           FROM walk GROUP BY 1)
          SELECT cycle_id, CAST(COUNT(*) AS BIGINT) AS size
          FROM lab GROUP BY 1 ORDER BY cycle_id""",
     // the same nine expected-ppm literals; observed ppm by truncating

@@ -484,6 +484,36 @@ object HashOps {
    * exact-dedup queries apply this predicate to ALL pairs with no
    * candidate-blocking step to shield them, and their string-space
    * oracles emit no shingle rows for such docs. */
+  /** Kaplan-Meier truncating ppm fold (B116, r17): given the per-step
+   * at-risk and death counts of ONE group aligned and ordered by event
+   * time, return the running survival in ppm —
+   * s_i = s_{i-1} · (atRisk_i − deaths_i) / atRisk_i with a TRUNCATING
+   * integer multiply per step, s before the first step = 1e6. This is
+   * the oracle-pinned integer KM semantics (float KM is
+   * reduction-order-dependent), executor-side: the fold is a per-group
+   * array kernel instead of a driver loop, so survival groups can be
+   * user-keyed without driver state — each group's step array stays
+   * calendar-sized by construction. Arrays come from one collect_list
+   * per group; misaligned lengths are a construction bug → fail loud. */
+  def kmFoldPpm(atRisk: org.apache.spark.sql.catalyst.util.ArrayData,
+      deaths: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = atRisk.numElements()
+    if (deaths.numElements() != n)
+      throw new IllegalArgumentException(
+        s"km_fold_ppm: misaligned step arrays (${n} at-risk vs ${deaths.numElements()} deaths)")
+    val out = new Array[Long](n)
+    var s = 1000000L
+    var i = 0
+    while (i < n) {
+      val r = atRisk.getLong(i)
+      s = s * (r - deaths.getLong(i)) / r
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def hashJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()

@@ -309,6 +309,24 @@ case class HashJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** km_fold_ppm(at_risk, deaths) → array<bigint>: the Kaplan-Meier
+ * truncating integer survival fold over one group's time-ordered step
+ * arrays (see HashOps.kmFoldPpm). Codegen'd per-group kernel — the
+ * sequential product that used to fold driver-side runs inside the
+ * plan, so survival groups can be user-keyed. */
+case class KmFoldPpm(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ElementTypeCheck.check("km_fold_ppm", LongType, Seq(left.dataType, right.dataType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.kmFoldPpm(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.kmFoldPpm($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmFoldPpm =
+    copy(left = l, right = r)
+}
+
 /** common_prefix_len(a, b) → bigint: code-point length of the longest
  * common prefix of two strings. With a group's lexicographic MIN and
  * MAX as arguments this is the group-wide common prefix (every member
@@ -713,6 +731,8 @@ object expressions {
     column(MinHashSig(expression(c), numPerm))
   def hashJaccard(a: Column, b: Column): Column =
     column(HashJaccard(expression(a), expression(b)))
+  def kmFoldPpm(atRisk: Column, deaths: Column): Column =
+    column(KmFoldPpm(expression(atRisk), expression(deaths)))
   def hashContainment(a: Column, b: Column): Column =
     column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =

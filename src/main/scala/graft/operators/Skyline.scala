@@ -36,7 +36,11 @@ object Skyline {
    * rows restricted to the frontier. Duplicated (x, y) points are all
    * kept (neither strictly beats the other — the NOT EXISTS
    * semantics). `buckets` bounds the cross-bucket relation at
-   * groups × buckets rows. */
+   * groups × buckets rows. Coordinates must be non-null integral:
+   * NULL-x/NULL-y rows drop out of the frontier (SQL comparison
+   * semantics — a NULL coordinate can neither dominate nor be
+   * dominated deterministically); pre-filter or impute upstream if
+   * they must participate. */
   def frontier(df: DataFrame, groupCols: Seq[String], xCol: String,
       yCol: String, buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"skyline: buckets must be >= 1, got $buckets")
@@ -49,13 +53,21 @@ object Skyline {
     // MONOTONE in x (double division then truncation is both) — the
     // dominance test below unions "strictly lower buckets" with
     // "same bucket, strictly smaller x", which covers exactly
-    // {x' < x} wherever the boundaries fall.
+    // {x' < x} wherever the boundaries fall. The span and offset
+    // subtract in DOUBLE space (ADVICE r16): a group whose x range
+    // exceeds Long.MaxValue (min near Long.MinValue) would wrap the
+    // Long subtraction negative, collapsing the width to 1 with
+    // overflowing bucket ids and a broken monotone order; the double
+    // path loses only low-bit precision, which monotone truncation
+    // tolerates (boundaries may shift, coverage cannot).
     val withB = df.join(broadcast(bounds), groupCols)
       .withColumn("_w",
         greatest(lit(1L),
-          ((col("_x_max") - col("_x_min")) / lit(buckets.toDouble))
-            .cast("long") + 1L))
-      .withColumn("_b", ((col(xCol) - col("_x_min")) / col("_w")).cast("long"))
+          ((col("_x_max").cast("double") - col("_x_min").cast("double"))
+            / lit(buckets.toDouble)).cast("long") + 1L))
+      .withColumn("_b",
+        ((col(xCol).cast("double") - col("_x_min").cast("double")) / col("_w"))
+          .cast("long"))
     val bucketMax = withB.groupBy((g :+ col("_b")): _*)
       .agg(max(col(yCol)).as("_by"))
     val pref = Window.partitionBy(g: _*).orderBy(col("_b"))

@@ -9,23 +9,29 @@ import org.apache.spark.sql.SparkSession
  * point it at an input directory, truncate-and-load the output table.
  *
  *   runMain graft.pipelines.Run \
- *     simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask|branch|merge|log|storage \
+ *     simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask|branch|merge|log|storage|replicate \
  *     [inDir] [outPath] [--sf=0.001] [--stages=quality,exact,near,decon,sample,pack] \
  *     [--near=minhash|exact] [--table=customer] \
  *     [--policy=c_custkey:keep,c_name:sha256,...] \
- *     [--name=dev] [--from=dev] [--into=prod] [--ref=dev]
+ *     [--name=dev] [--from=dev] [--into=prod] [--ref=dev] [--delete=dev]
  *
  * `mask` applies the A28 policy-driven release projection to
  * `$inDir/$table.parquet` (default-deny: unlisted columns dropped)
  * and truncate-loads the masked output.
  *
- * Branch surface (A35–A37): `branch --name=dev [--from=prod]` creates
- * a mergeable branch at the namespace given as inDir; `snapshot
+ * Branch surface (A35–A37, A40): `branch --name=dev [--from=prod]`
+ * creates a mergeable branch at the namespace given as inDir; `snapshot
  * --ref=dev` publishes the denorm onto that branch (gated against the
  * branch head, prod untouched); `merge --from=dev [--into=prod]`
  * three-way-merges it back (conflicts → exit 3 with the tables
- * printed); `log` prints the A37 commit history, aborted candidates
- * included.
+ * printed); `branch --delete=dev` removes a dead branch and its merge
+ * base so vacuum can reclaim the chain it pinned; `log` prints the A37
+ * commit history, aborted candidates included.
+ *
+ * `replicate <srcRoot> <dstRoot>` (A39) copies and checksum-verifies
+ * the whole namespace, printing the per-(version, table) report; the
+ * replica's manifest flips only after every table verifies, and an
+ * already-published destination refuses with exit 3.
  *
  * `snapshot` runs the governed-publish lifecycle: denorm →
  * schema-gated atomic publish under outPath → advance the `prod`
@@ -50,11 +56,11 @@ object Run {
       case f if f.startsWith(s"--$name=") => f.drop(name.length + 3)
     }
     val unknown = flags.filterNot(f =>
-      Seq("sf", "stages", "near", "table", "policy", "link", "name", "from", "into", "ref")
+      Seq("sf", "stages", "near", "table", "policy", "link", "name", "from", "into", "ref", "delete")
         .exists(n => f.startsWith(s"--$n=")))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown flags: ${unknown.mkString(" ")} " +
-        "(--sf= --stages= --near= --table= --policy= --link= --name= --from= --into= --ref=)")
+        "(--sf= --stages= --near= --table= --policy= --link= --name= --from= --into= --ref= --delete=)")
       sys.exit(2)
     }
     val variant = pos.headOption.getOrElse("simple-with-lookups")
@@ -80,6 +86,16 @@ object Run {
       // the `merge` verb)
       flag("ref") match {
         case Some(ref) =>
+          // resolve the ref FIRST: an unknown ref or bad root must fail
+          // with its own message, not be mislabeled as a schema-gate
+          // refusal by the catch below (ADVICE r16)
+          try graft.sinks.Snapshot.tagVersion(spark, outPath, ref): Unit
+          catch {
+            case e: IllegalArgumentException =>
+              System.err.println(s"REF_UNKNOWN ${e.getMessage}")
+              spark.stop()
+              sys.exit(2)
+          }
           try {
             val (v, _) = graft.sinks.Snapshot.publishToRef(
               spark, outPath, ref, Map("denorm" -> table))
@@ -124,16 +140,62 @@ object Run {
     }
 
     if (variant == "branch") {
+      // A40 from the command line: `branch --delete=<ref>` removes a
+      // dead branch (ref + recorded merge base) so the next vacuum can
+      // reclaim the versions it alone was pinning
+      flag("delete") match {
+        case Some(ref) =>
+          try {
+            graft.sinks.Snapshot.deleteRef(spark, inDir, ref)
+            println(s"RUN_RESULT variant=branch deleted=$ref root=$inDir")
+            spark.stop()
+          } catch {
+            case e: IllegalArgumentException =>
+              System.err.println(s"DELETE_REFUSED ${e.getMessage}")
+              spark.stop()
+              sys.exit(3)
+          }
+          return
+        case None => ()
+      }
       // A36 from the command line: create a mergeable branch (ref +
       // recorded merge base) at the head of --from (default prod)
       val name = flag("name").getOrElse {
-        System.err.println("branch requires --name=<ref>")
+        System.err.println("branch requires --name=<ref> (or --delete=<ref>)")
         spark.stop(); sys.exit(2)
       }
       val from = flag("from").getOrElse("prod")
       val base = graft.sinks.Snapshot.branch(spark, inDir, name, from)
       println(s"RUN_RESULT variant=branch name=$name from=$from base=$base root=$inDir")
       spark.stop()
+      return
+    }
+
+    if (variant == "replicate") {
+      // A39 from the command line: copy-and-verify the namespace at
+      // the first positional root into the second, printing the
+      // per-(version, table) checksum report; an already-published
+      // destination refuses (exit 3), as does a checksum mismatch —
+      // the replica's manifest flips only after every row verifies
+      if (pos.length < 3) {
+        System.err.println("replicate requires <srcRoot> <dstRoot> positionals")
+        spark.stop(); sys.exit(2)
+      }
+      try {
+        val rep = graft.sinks.Snapshot.replicate(spark, inDir, outPath).collect()
+        rep.foreach { r =>
+          println(s"RUN_REPLICATE version=${r.getLong(0)} table=${r.getString(1)} " +
+            s"rows=${r.getLong(2)} checksum_match=${r.getBoolean(3)}")
+        }
+        println(s"RUN_RESULT variant=replicate tables=${rep.length} " +
+          s"from=$inDir to=$outPath")
+        spark.stop()
+      } catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"REPLICATE_REFUSED ${e.getMessage}")
+          spark.stop()
+          sys.exit(3)
+      }
       return
     }
 
@@ -231,7 +293,7 @@ object Run {
         CorpusAssembly.assembleStaged(docs, CorpusAssembly.Config(), near, stages)
       case other =>
         System.err.println(
-          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask|branch|merge|log|storage)")
+          s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask|branch|merge|log|storage|replicate)")
         sys.exit(2)
     }
     TableSink.writeTruncate(out, outPath)

@@ -517,12 +517,26 @@ object Snapshot {
    * (base, branch, target) decides — changed-on-one-side wins,
    * convergent changes are clean, divergent changes refuse with a
    * sample. Absence is a state (None base = the table is new on both
-   * sides; a null side struct = that side deleted/never had the key). */
+   * sides; a null side struct = that side deleted/never had the key).
+   *
+   * Two r17 hardenings (ADVICE r16 + VERDICT #3):
+   *  - key UNIQUENESS is validated, not assumed: a side with duplicate
+   *    keys would fan out through the two full-outer joins and emit
+   *    duplicated/mis-picked rows with no error anywhere. Each side
+   *    aggregates to one row per key carrying its occurrence count, so
+   *    the dup check rides the join's own shuffle (no extra per-side
+   *    scan — the groupBy pre-partitions on the join key, which the
+   *    joins then reuse) and refuses BY SIDE with sample keys, the
+   *    lwwMergedBatch discipline at merge granularity;
+   *  - the joined relation is localCheckpoint'd before the sample
+   *    action, so the conflict/dup probe and the publish write read
+   *    one materialization instead of each re-deriving the three-scan
+   *    double join (the r4 multi-action materialization rule). */
   private def threeWayRows(spark: SparkSession,
       base: Option[DataFrame], branch: Option[DataFrame],
       target: Option[DataFrame], keyCols: Seq[String], table: String,
       fromRef: String, intoRef: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, struct, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, first, lit, struct, when}
     require(branch.nonEmpty && target.nonEmpty,
       s"snapshot row merge: '$table' must exist on both refs (one-sided tables merge at table level)")
     val b = branch.get; val t = target.get
@@ -536,21 +550,35 @@ object Snapshot {
     val valCols = b.columns.filterNot(keyCols.contains).toSeq
     require(valCols.nonEmpty,
       s"snapshot row merge: '$table' has no non-key columns to merge")
+    // one row per key per side + how many rows carried that key: a
+    // clean side aggregates to itself; a dup-keyed side is detected
+    // from the count and refused before anything publishes
     def pack(df: DataFrame, n: String) =
       df.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as(n): _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(first(col(n)).as(n), count(lit(1)).as(s"${n}n"))
     val o = base.map(pack(_, "_o")).getOrElse(
-      pack(b, "_o").filter(org.apache.spark.sql.functions.lit(false)))
+      pack(b, "_o").filter(lit(false)))
     val j = o.join(pack(b, "_b"), keyCols, "full_outer")
       .join(pack(t, "_t"), keyCols, "full_outer")
+      .localCheckpoint()
     val bCh = !(col("_b") <=> col("_o"))
     val tCh = !(col("_t") <=> col("_o"))
     val conflict = bCh && tCh && !(col("_b") <=> col("_t"))
-    val sample = j.filter(conflict)
-      .select(keyCols.map(col): _*).limit(5).collect()
+    def dups(n: String) = coalesce(col(s"${n}n"), lit(1L)) > 1L
+    val anyDup = dups("_o") || dups("_b") || dups("_t")
+    val sample = j.filter(conflict || anyDup)
+      .select(anyDup.as("_dup") +: keyCols.map(col): _*)
+      .limit(5).collect()
+    val dupSample = sample.filter(_.getBoolean(0))
+    require(dupSample.isEmpty,
+      s"snapshot row merge: '$table' has duplicate keys on base/branch/target — " +
+        "the keyed merge requires one row per key per side; sample keys (up to 5): " +
+        dupSample.map(_.toSeq.drop(1).mkString("(", ",", ")")).mkString(", "))
     require(sample.isEmpty,
       s"snapshot row merge: '$table' has row conflicts between '$fromRef' and " +
         s"'$intoRef' — same key changed differently on both sides; sample keys " +
-        s"(up to 5): " + sample.map(_.toSeq.mkString("(", ",", ")")).mkString(", "))
+        s"(up to 5): " + sample.map(_.toSeq.drop(1).mkString("(", ",", ")")).mkString(", "))
     j.withColumn("_pick", when(bCh, col("_b")).otherwise(col("_t")))
       .filter(col("_pick").isNotNull)
       .select(keyCols.map(col) ++
@@ -1089,6 +1117,40 @@ object Snapshot {
       f.delete(dest, false)
       require(f.rename(tmp, dest), s"snapshot tag: flip failed for '$name'")
     }
+  }
+
+  /** Ref/branch lifecycle GC (A40) — remove a named ref so [[vacuum]]
+   * can reclaim the versions it alone was pinning. [[tag]]s and
+   * [[branch]]es are vacuum GC roots with, until this verb, no removal
+   * path: every abandoned experiment branch pinned its entire version
+   * chain (head + recorded merge base + their link targets) against
+   * retention forever — the first operational wall a team actually
+   * using branches hits after their first dead experiment. Deleting
+   * `name` also deletes its `name-mergebase` companion when one exists
+   * (a [[branch]]-created ref is the pair; keeping an orphaned base
+   * would keep pinning the ancestor chain). Deletion is a plain
+   * pointer-file removal — no data is touched here; reclamation is the
+   * EXISTING vacuum's job, whose tag-protection simply no longer sees
+   * the ref (and whose link-fixpoint still rescues anything a
+   * surviving version reaches). Refuses unknown refs loudly, and
+   * refuses deleting a `-mergebase` tag directly — the base belongs to
+   * its branch and dies with it (deleting it alone would turn the next
+   * [[mergeRef]] into a refusal with a misleading "create it with
+   * branch()" message). The manifest is untouched: the head version
+   * and time travel by explicit version survive every ref deletion. */
+  def deleteRef(spark: SparkSession, root: String, name: String): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"snapshot deleteRef: unsafe name '$name'")
+    require(!name.endsWith("-mergebase"),
+      s"snapshot deleteRef: '$name' is a merge-base tag — delete its branch " +
+        "ref instead (the base is removed with it)")
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/TAG.$name")
+    require(f.exists(p), s"snapshot deleteRef: no ref '$name' under $root")
+    require(f.delete(p, false), s"snapshot deleteRef: failed to remove TAG.$name")
+    val mb = new org.apache.hadoop.fs.Path(s"$root/TAG.$name-mergebase")
+    if (f.exists(mb))
+      require(f.delete(mb, false),
+        s"snapshot deleteRef: failed to remove TAG.$name-mergebase")
   }
 
   /** The version a tag names; fails loudly on unknown tags. */

@@ -674,7 +674,13 @@ object EventStream {
    * lands on the same directory instead of duplicating — the
    * vectorSearchSink exactly-once contract for append-shaped sinks.
    * Rejected docs are data too (audit, threshold tuning): they land
-   * in the reject sink with the same score columns, never dropped. */
+   * in the reject sink with the same score columns, never dropped —
+   * including NULL-text docs: the kernels are null-propagating, so
+   * without the null-safe coalesce on `accepted` a NULL-text doc
+   * scored NULL and landed in NEITHER sink, contradicting this
+   * contract silently (ADVICE r16; latent until a user streams a
+   * corpus with missing text). NULL text is a reject, its scores
+   * stay NULL for the audit trail. */
   def qualityGateSink(docs: DataFrame, idCol: String, textCol: String,
       acceptPath: String, rejectPath: String,
       buckets: Long = 65536L, seed: Long = 1L,
@@ -689,8 +695,9 @@ object EventStream {
             .hashedLinearScore(col(textCol), buckets, seed))
           .withColumn("top2_ppm", graft.functions.expressions
             .gopherTopPpm(col(textCol), 2, 2).getItem(0))
-          .withColumn("accepted",
-            col("score") >= 0L && col("top2_ppm") <= top2PpmMax)
+          .withColumn("accepted", org.apache.spark.sql.functions.coalesce(
+            col("score") >= 0L && col("top2_ppm") <= top2PpmMax,
+            org.apache.spark.sql.functions.lit(false)))
         scored.filter(col("accepted"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$acceptPath/batch=$id")
@@ -710,32 +717,64 @@ object EventStream {
    * keep-first run over the whole stream would assign — the oracle
    * replays exactly that in string space (the C2 keep-table SQL).
    *
-   * Three sinks, each written per batch into a `batch=<id>` subdir
-   * with overwrite (the vectorSearchSink exactly-once contract):
-   * `verdictPath` (the keep-table rows for every doc), `acceptPath`
-   * (surviving docs with their payload), `statePath` (the batch's
-   * text-free shingle state). The state read EXCLUDES the current
-   * batch id, so a crash-replayed batch re-decides against exactly
-   * its original prior state — byte-identical outputs on replay.
-   * Retiring old docs in favor of smaller-id newcomers remains a
-   * rebuild by construction (the C37 contract). */
+   * Three sinks. Verdict/accept write per batch into a `batch=<id>`
+   * subdir with overwrite (the vectorSearchSink exactly-once
+   * contract): `verdictPath` (the keep-table rows for every doc),
+   * `acceptPath` (surviving docs with their payload). `statePath`
+   * (the batch's text-free shingle state) uses its own layout —
+   * `b<id>` dirs with the batch id as a DATA column — plus periodic
+   * COMPACTION (VERDICT r16 #2): state ROWS are the contract, but
+   * one-dir-per-batch made state FILES grow with batch count, so a
+   * long-running stream paid listing/footer-open cost linear in its
+   * age even when the data was small. Every `compactEvery` batches
+   * the prior dirs fold into one `compact_<B>` dir (B = the highest
+   * batch folded, always the PREVIOUS batch — the current batch's own
+   * state never folds, see replay below). The fold is crash-safe at
+   * every point: rows write to a dot-hidden tmp (invisible to
+   * readers), ONE atomic rename makes `compact_<B>` visible, and the
+   * subsumed dirs (`b<k≤B>`, older compacts) are deleted last — a
+   * crash before the rename leaves ignorable tmp residue, a crash
+   * after it leaves subsumed dirs the READER RULE already ignores
+   * (newest compact wins; only `b<k>` ABOVE it are read) and the next
+   * compaction cleans. An existing `compact_<B>` target means a
+   * replayed batch already folded — complete by rename atomicity, so
+   * the fold is skipped, not redone.
+   *
+   * Replay: the state read takes the newest `compact_<B>` with
+   * B < id plus every `b<k>` with B < k < id — the current batch id
+   * is always excluded and compaction never folds it, so a
+   * crash-replayed batch re-decides against exactly its original
+   * prior state — byte-identical outputs on replay. Retiring old
+   * docs in favor of smaller-id newcomers remains a rebuild by
+   * construction (the C37 contract). */
   def nearDupGateSink(docs: DataFrame, idCol: String, textCol: String,
       acceptPath: String, statePath: String, verdictPath: String,
-      threshold: Double = 0.8)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      threshold: Double = 0.8, compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 2, s"near-dup gate: compactEvery must be >= 2, got $compactEvery")
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, lit}
         val s = batch.sparkSession
         import s.implicits._
         val sp = new org.apache.hadoop.fs.Path(statePath)
         val f = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // the reader rule: newest compact below this batch, plus the
+        // per-batch dirs above it (and below this batch)
+        val names =
+          if (f.exists(sp)) f.listStatus(sp).map(_.getPath.getName).toSeq
+          else Seq.empty[String]
+        val compactB = names.collect {
+          case n if n.matches("compact_\\d+") => n.drop(8).toLong
+        }.filter(_ < id).sorted.lastOption
+        val bIds = names.collect { case n if n.matches("b\\d+") => n.drop(1).toLong }
+          .filter(k => k < id && compactB.forall(k > _)).sorted
+        val statePaths = compactB.map(b => s"$statePath/compact_$b").toSeq ++
+          bIds.map(k => s"$statePath/b$k")
         val state =
-          if (f.exists(sp))
-            s.read.parquet(statePath).filter(col("batch") < id)
-              .select("doc_id", "sh")
-          else Seq.empty[(Long, Array[Long])].toDF("doc_id", "sh")
+          if (statePaths.isEmpty) Seq.empty[(Long, Array[Long])].toDF("doc_id", "sh")
+          else s.read.parquet(statePaths: _*).select("doc_id", "sh")
         val verdict = graft.dedup.Dedup.minhashKeepIncremental(
           state, batch.toDF(), idCol, textCol, threshold)
         verdict.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -747,9 +786,27 @@ object EventStream {
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$acceptPath/batch=$id")
         graft.dedup.Dedup.minhashState(batch.toDF(), idCol, textCol)
+          .withColumn("batch", lit(id))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$statePath/batch=$id")
+          .parquet(s"$statePath/b$id")
+        // compaction: fold everything this batch's reader saw into one
+        // dir named for the previous batch (never the current one)
+        if (id >= 1 && compactB.size + bIds.size >= compactEvery) {
+          val target = new org.apache.hadoop.fs.Path(s"$statePath/compact_${id - 1}")
+          if (!f.exists(target)) {
+            val tmp = s"$statePath/.ctmp_${id - 1}"
+            s.read.parquet(statePaths: _*)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+            require(f.rename(new org.apache.hadoop.fs.Path(tmp), target),
+              s"near-dup gate: state compaction rename failed for compact_${id - 1}")
+          }
+          // idempotent cleanup of the dirs the compact subsumes
+          (compactB.map(b => s"compact_$b") ++ bIds.map(k => s"b$k")).foreach { n =>
+            f.delete(new org.apache.hadoop.fs.Path(s"$statePath/$n"), true): Unit
+          }
+        }
       }
+  }
 
   /** Streaming vector-search enrichment (D12): each micro-batch of
    * query vectors is answered against a PERSISTED IVF index

@@ -41,6 +41,21 @@ class SkylineSpec extends AnyFunSuite {
     assert(run(anti, 4) == Set(("t", 1L)))
   }
 
+  test("x spans wider than Long.MaxValue do not wrap the bucket width (ADVICE r16)") {
+    // min near Long.MinValue: the Long span overflows negative; the
+    // double-space width must stay positive and the frontier exact
+    val rows = Seq(
+      ("a", 1L, Long.MinValue + 10L, 5L),  // frontier: cheapest
+      ("a", 2L, -1000L, 50L),              // frontier: mid x, better y
+      ("a", 3L, 0L, 40L),                  // dominated by 2
+      ("a", 4L, Long.MaxValue - 10L, 100L), // frontier: priciest, best y
+      ("a", 5L, Long.MaxValue - 11L, 100L)) // dominates nothing less… beats 4
+    // 5 has same y as 4 but strictly smaller x → 4 is dominated
+    val want = Set(("a", 1L), ("a", 2L), ("a", 5L))
+    assert(run(rows, 64) == want)
+    assert(run(rows, 3) == want)
+  }
+
   test("bucketed path agrees with the all-pairs definition on random-ish data") {
     // deterministic pseudo-random points via mix64
     val pts = (1L to 400L).map { i =>

@@ -624,6 +624,64 @@ class SnapshotSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already published"), e.getMessage)
   }
 
+  test("deleteRef (A40): an abandoned branch unpins its chain; vacuum reclaims it, prod untouched") {
+    val root = freshRoot()
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    Snapshot.publish(spark, root, Map("t" -> t0))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.branch(spark, root, "dev", "prod")
+    Snapshot.publishToRef(spark, root, "dev", Map("t" -> t0.filter($"k" === 1L)))
+    Snapshot.publishToRef(spark, root, "prod", Map("t" -> t0.filter($"k" === 2L)))
+    // while the branch lives, its chain is pinned: v1 (merge base),
+    // v2 (dev head) both survive a keepLast=1 sweep
+    assert(Snapshot.vacuum(spark, root, keepLast = 1).isEmpty)
+    // the abandoned experiment is deleted: both the ref AND its
+    // recorded merge base go, so nothing pins v1/v2 any more
+    Snapshot.deleteRef(spark, root, "dev")
+    intercept[IllegalArgumentException](Snapshot.tagVersion(spark, root, "dev"))
+    intercept[IllegalArgumentException](Snapshot.tagVersion(spark, root, "dev-mergebase"))
+    assert(Snapshot.vacuum(spark, root, keepLast = 1).sorted == Seq(1L, 2L))
+    // prod serves on, the namespace is healthy
+    assert(Snapshot.readTag(spark, root, "t", "prod")
+      .as[(Long, String)].collect().toList == List((2L, "b")))
+    assert(Snapshot.fsck(spark, root).select("status")
+      .as[String].collect().toSet == Set("ok"))
+    // refusals: unknown refs, and a merge base deleted on its own
+    val e = intercept[IllegalArgumentException](Snapshot.deleteRef(spark, root, "dev"))
+    assert(e.getMessage.contains("no ref"), e.getMessage)
+    Snapshot.branch(spark, root, "dev2", "prod")
+    val e2 = intercept[IllegalArgumentException](
+      Snapshot.deleteRef(spark, root, "dev2-mergebase"))
+    assert(e2.getMessage.contains("merge-base"), e2.getMessage)
+    // a plain tag (no merge-base companion) deletes cleanly too
+    Snapshot.tag(spark, root, "pin", 3L)
+    Snapshot.deleteRef(spark, root, "pin")
+    intercept[IllegalArgumentException](Snapshot.tagVersion(spark, root, "pin"))
+    // dev2's pair is still intact (deleting its base was refused)
+    assert(Snapshot.tagVersion(spark, root, "dev2") == 3L)
+    assert(Snapshot.tagVersion(spark, root, "dev2-mergebase") == 3L)
+  }
+
+  test("mergeRefRows refuses duplicate keys on any side instead of fanning out (ADVICE r16)") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq((1L, 10L), (2L, 20L)).toDF("k", "v")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.branch(spark, root, "dev", "prod")
+    // the branch republishes with a DUPLICATED key 2 — without the
+    // guard this fans out through the full-outer joins and emits
+    // duplicated/mis-picked rows with no error anywhere
+    Snapshot.publishToRef(spark, root, "dev",
+      Map("t" -> Seq((1L, 11L), (2L, 20L), (2L, 21L)).toDF("k", "v")))
+    Snapshot.publishToRef(spark, root, "prod",
+      Map("t" -> Seq((1L, 10L), (2L, 22L)).toDF("k", "v")))
+    val head = Snapshot.currentVersion(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.mergeRefRows(spark, root, "dev", "prod", Map("t" -> Seq("k")))
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    assert(Snapshot.currentVersion(spark, root) == head)
+  }
+
   test("fsck splits erase residue by live-table presence (ADVICE r14/r15)") {
     val root = freshRoot()
     Snapshot.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("k", "s")))

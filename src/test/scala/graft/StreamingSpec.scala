@@ -1288,4 +1288,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(prod == Map(1L -> 10L, 2L -> 99L, 3L -> 30L))
     assert(graft.sinks.Snapshot.readTag(spark, root, "dim", "prod").count() == 2L)
   }
+
+  test("nearDupGateSink compaction: verdicts identical with and without; state dirs bounded") {
+    import spark.implicits._
+    val base0 =
+      "spark scans the parquet files and joins the dimension tables before " +
+        "aggregating revenue per nation across all regions in the warehouse"
+    val near0 =
+      "spark scans the parquet files and joins the dimension tables before " +
+        "aggregating profit per nation across all regions in the warehouse"
+    val other =
+      "completely different text about streaming watermarks and stateful " +
+        "session windows over late arriving events from mobile clients"
+    val fresh =
+      "entirely new crawl content about bucketed parquet sinks and " +
+        "compaction policies for small file rewrites in the table layer"
+    val freshDup =
+      "entirely new crawl content about bucketed parquet sinks and " +
+        "compaction policies for large file rewrites in the table layer"
+    def uniq(i: Int) =
+      s"unique document number $i covering an unrelated subject like " +
+        s"topic$i gardens weather chess harbors trains and museum $i exhibits"
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, base0), (2L, other)),
+      Seq((3L, near0), (4L, fresh)),        // 3 dups 1 cross-batch
+      Seq((5L, freshDup), (6L, uniq(6))),   // 5 dups 4 cross-batch
+      Seq((7L, base0), (8L, uniq(8))),      // 7 dups 1 across a compact
+      Seq((9L, other), (10L, uniq(10))))    // 9 dups 2 across two compactions
+    def run(compactEvery: Int): (Map[Long, Boolean], Set[Long], Seq[String]) = {
+      implicit val sql = spark.sqlContext
+      val root = s"${Scratch.root(spark)}/ndcompact_${compactEvery}_${System.nanoTime()}"
+      val in = MemoryStream[(Long, String)]
+      val q = EventStream.nearDupGateSink(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$root/accept", s"$root/state", s"$root/verdict",
+          threshold = 0.5, compactEvery = compactEvery)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val verdicts = spark.read.parquet(s"$root/verdict")
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      val accepted = spark.read.parquet(s"$root/accept")
+        .select("doc_id").as[Long].collect().toSet
+      val stateDirs = new java.io.File(s"$root/state").listFiles()
+        .filter(f => f.isDirectory && !f.getName.startsWith("."))
+        .map(_.getName).toSeq.sorted
+      (verdicts, accepted, stateDirs)
+    }
+    val (vNone, aNone, dNone) = run(compactEvery = 100) // never compacts
+    val (vComp, aComp, dComp) = run(compactEvery = 2)   // compacts aggressively
+    // the cross-batch kills land, including across compaction folds
+    assert(vComp == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true, 7L -> false, 8L -> true, 9L -> false, 10L -> true),
+      s"got $vComp")
+    // state ROWS are the contract: compaction changes no verdict, no accept
+    assert(vComp == vNone && aComp == aNone)
+    // state FILES are bounded: one compact dir + the batches above it,
+    // instead of one dir per batch forever
+    assert(dNone.size == batches.size, s"got $dNone")
+    assert(dComp == Seq("b4", "compact_3"), s"got $dComp")
+  }
+
+  test("qualityGateSink: NULL-text docs land in the reject sink, never dropped (ADVICE r16)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = s"${Scratch.root(spark)}/qgate_null_${System.nanoTime()}"
+    val in = MemoryStream[(Long, String)]
+    val q = EventStream.qualityGateSink(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$root/accept", s"$root/reject")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      in.addData((1L, "a perfectly ordinary document with some words in it"),
+        (2L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val accept = spark.read.parquet(s"$root/accept").select("doc_id").as[Long].collect().toSet
+    val reject = spark.read.parquet(s"$root/reject").select("doc_id").as[Long].collect().toSet
+    // every doc lands in exactly one sink; NULL text is a reject
+    assert((accept ++ reject) == Set(1L, 2L) && accept.intersect(reject).isEmpty,
+      s"accept=$accept reject=$reject")
+    assert(reject.contains(2L), s"NULL-text doc must be rejected, not dropped: reject=$reject")
+  }
 }
