@@ -5234,6 +5234,56 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** C12d (r17): container-header metadata
+   * ([[graft.multimodal.Media.describeHeaders]]) — format, dimensions,
+   * sample rate, and channels read straight from the payload's header
+   * bytes, no codec (VERDICT r16 #8: RIFF/PNG/JPEG headers are plain
+   * bytes, so the multimodal column becomes genuinely descriptive
+   * inside the no-codec wall). The corpus builds REAL header bytes in
+   * pure SQL (unhex of Catalyst-built hex — constructor and parser
+   * share no code): PNG IHDR with per-doc dims, WAV with a planted
+   * JUNK chunk before fmt every 8th doc (the chunk SCAN must skip it),
+   * JPEG with a planted APP1 segment before SOF every 8th doc (the
+   * segment scan likewise), and a poisoned-leading-byte text payload
+   * as the 'unknown' class — each with a variable text tail proving
+   * the parse reads structure, not offsets-from-end. The oracle
+   * recomputes every field by the independent doc-id arithmetic, so a
+   * wrong endianness, a fixed-offset shortcut, or a crash on garbage
+   * all hash-mismatch. One pass, no shuffle. */
+  private def qMediaHeaders(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        coalesce(col("text"), lit("")).as("txt"))
+      .withColumn("w", col("media_id") % 640 + 32)
+      .withColumn("h", col("media_id") % 480 + 32)
+      .withColumn("rate", col("media_id") % 8 * 1000 + 8000)
+      .withColumn("ch", col("media_id") % 2 + 1)
+      .withColumn("w2", col("media_id") % 512 + 16)
+      .withColumn("h2", col("media_id") % 384 + 16)
+      .withColumn("tail", expr("hex(substring(txt, 1, 24))"))
+      .withColumn("p", expr("""
+        CASE
+          WHEN media_id % 4 = 0 THEN unhex(concat(
+            '89504E470D0A1A0A0000000D49484452',
+            lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0802000000', tail))
+          WHEN media_id % 4 = 1 THEN unhex(concat(
+            '524946462400000057415645',
+            CASE WHEN media_id % 8 = 1 THEN '4A554E4B0400000000000000' ELSE '' END,
+            '666D7420100000000100', lpad(hex(ch), 2, '0'), '00',
+            lpad(hex(rate % 256), 2, '0'),
+            lpad(hex(rate div 256 % 256), 2, '0'), '0000',
+            '0000000000001000', tail))
+          WHEN media_id % 4 = 2 THEN unhex(concat(
+            'FFD8FFE000104A46494600010100000100010000',
+            CASE WHEN media_id % 8 = 6 THEN 'FFE10008457869660000' ELSE '' END,
+            'FFC0001108', lpad(hex(h2), 4, '0'), lpad(hex(w2), 4, '0'),
+            '03011100021101031101', tail))
+          ELSE concat(unhex('00'), cast(txt AS BINARY))
+        END"""))
+    graft.multimodal.Media.describeHeaders(staged, "media_id", "p")
+      .orderBy("media_id")
+  }
+
   /** C27: segment-level dedup (text/SegmentDedup.scala) — the corpus
    * "line dedup" pass at fixed 8-word-chunk granularity: segments
    * occurring in ≥2 distinct documents are cut, documents survive.
@@ -7744,6 +7794,7 @@ object SparkEntry {
     "q_media_dedup"    -> qMediaDedup,
     "q_media_neardup"  -> qMediaNeardup,
     "q_media_clusters" -> qMediaClusters,
+    "q_media_headers"  -> qMediaHeaders,
     "q_segment_dedup"  -> qSegmentDedup,
     "q_boilerplate"    -> qBoilerplate,
     "q_inverted_index" -> qInvertedIndex,
@@ -10745,6 +10796,23 @@ object SparkEntry {
          ORDER BY media_a, media_b""",
     // C12c: the media keep-table — exact + near pairs closed
     // transitively (the q_dedup_clusters recursive-CTE pattern).
+    // C12d: every header field recomputed by the independent doc-id
+    // arithmetic the constructor used — a wrong endianness, a
+    // fixed-offset shortcut past the planted JUNK/APP1, or a crash on
+    // the poisoned 'unknown' class all hash-mismatch.
+    "q_media_headers" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+             WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS format,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 640 + 32
+             WHEN doc_id % 4 = 2 THEN doc_id % 512 + 16 ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 480 + 32
+             WHEN doc_id % 4 = 2 THEN doc_id % 384 + 16 ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 8 * 1000 + 8000
+             ELSE 0 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 2 + 1
+             ELSE 0 END AS BIGINT) AS channels
+         FROM documents ORDER BY media_id""",
     "q_media_clusters" ->
       """WITH RECURSIVE m AS MATERIALIZED (
            SELECT doc_id AS media_id, coalesce(text, '') AS p FROM documents
@@ -10845,26 +10913,39 @@ object SparkEntry {
            ELSE 'de' END AS lang_pred
          FROM h ORDER BY doc_id""",
     "q_dedup_clusters_exact" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
-           FROM documents),
-         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
-               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
-         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
-         pref AS (SELECT doc_id, s FROM (
-             SELECT e0.doc_id, e0.s,
-               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
-               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
-             FROM ex e0 JOIN freq f USING (s))
-           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
-         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
-           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
-         e AS (SELECT c0.u, c0.v FROM cand c0
-             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
-           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      """WITH RECURSIVE edges AS MATERIALIZED (
+           -- inverted-index overlap counting: candidate pairs share >= 1
+           -- word-3-gram, their exact intersection is COUNTED by one
+           -- parallel join+aggregate (no per-pair list ops), and
+           -- Jaccard >= 0.8 is the exact integer predicate
+           -- 9*o >= 4*(|A|+|B|)  <=>  o/(|A|+|B|-o) >= 4/5. Only tiny
+           -- relations may be NAMED in this RECURSIVE with-list: DuckDB
+           -- materializes every CTE of a recursive clause and scans it
+           -- single-threaded, so the heavy pipeline stays inline as
+           -- derived tables (sf1: 450s -> 15s).
+           SELECT CASE WHEN d.i = 0 THEN p.u ELSE p.v END AS u,
+                  CASE WHEN d.i = 0 THEN p.v ELSE p.u END AS v
+           FROM (
+             SELECT ov.u, ov.v FROM (
+               SELECT b.doc_id AS u, a.doc_id AS v, COUNT(*) AS o
+               FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) a
+               JOIN (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) b
+                 ON a.s = b.s AND b.doc_id < a.doc_id
+               GROUP BY 1, 2) ov
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) ga GROUP BY doc_id) sa
+               ON sa.doc_id = ov.u
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) gb GROUP BY doc_id) sb
+               ON sb.doc_id = ov.v
+             WHERE 9 * ov.o >= 4 * (sa.n + sb.n)) p
+           CROSS JOIN (VALUES (0), (1)) d(i)),
          reach(src, dst) AS (
            SELECT u, v FROM edges
            UNION
@@ -10935,26 +11016,39 @@ object SparkEntry {
     // CLUSTER id — split is a pure function of cluster, so near-dups
     // cannot straddle train/test by construction
     "q_leakage_split" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
-           FROM documents),
-         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
-               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
-         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
-         pref AS (SELECT doc_id, s FROM (
-             SELECT e0.doc_id, e0.s,
-               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
-               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
-             FROM ex e0 JOIN freq f USING (s))
-           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
-         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
-           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
-         e AS (SELECT c0.u, c0.v FROM cand c0
-             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
-           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      """WITH RECURSIVE edges AS MATERIALIZED (
+           -- inverted-index overlap counting: candidate pairs share >= 1
+           -- word-3-gram, their exact intersection is COUNTED by one
+           -- parallel join+aggregate (no per-pair list ops), and
+           -- Jaccard >= 0.8 is the exact integer predicate
+           -- 9*o >= 4*(|A|+|B|)  <=>  o/(|A|+|B|-o) >= 4/5. Only tiny
+           -- relations may be NAMED in this RECURSIVE with-list: DuckDB
+           -- materializes every CTE of a recursive clause and scans it
+           -- single-threaded, so the heavy pipeline stays inline as
+           -- derived tables (sf1: 450s -> 15s).
+           SELECT CASE WHEN d.i = 0 THEN p.u ELSE p.v END AS u,
+                  CASE WHEN d.i = 0 THEN p.v ELSE p.u END AS v
+           FROM (
+             SELECT ov.u, ov.v FROM (
+               SELECT b.doc_id AS u, a.doc_id AS v, COUNT(*) AS o
+               FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) a
+               JOIN (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) b
+                 ON a.s = b.s AND b.doc_id < a.doc_id
+               GROUP BY 1, 2) ov
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) ga GROUP BY doc_id) sa
+               ON sa.doc_id = ov.u
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) gb GROUP BY doc_id) sb
+               ON sb.doc_id = ov.v
+             WHERE 9 * ov.o >= 4 * (sa.n + sb.n)) p
+           CROSS JOIN (VALUES (0), (1)) d(i)),
          reach(src, dst) AS (
            SELECT u, v FROM edges
            UNION
@@ -10973,26 +11067,39 @@ object SparkEntry {
     // C53: the C14b closure plus a per-cluster argmax (token count
     // desc, id asc) — the keep-best survivor rule
     "q_dedup_keep_best" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
-           FROM documents),
-         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
-               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
-         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
-         pref AS (SELECT doc_id, s FROM (
-             SELECT e0.doc_id, e0.s,
-               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
-               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
-             FROM ex e0 JOIN freq f USING (s))
-           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
-         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
-           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
-         e AS (SELECT c0.u, c0.v FROM cand c0
-             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
-           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      """WITH RECURSIVE edges AS MATERIALIZED (
+           -- inverted-index overlap counting: candidate pairs share >= 1
+           -- word-3-gram, their exact intersection is COUNTED by one
+           -- parallel join+aggregate (no per-pair list ops), and
+           -- Jaccard >= 0.8 is the exact integer predicate
+           -- 9*o >= 4*(|A|+|B|)  <=>  o/(|A|+|B|-o) >= 4/5. Only tiny
+           -- relations may be NAMED in this RECURSIVE with-list: DuckDB
+           -- materializes every CTE of a recursive clause and scans it
+           -- single-threaded, so the heavy pipeline stays inline as
+           -- derived tables (sf1: 450s -> 15s).
+           SELECT CASE WHEN d.i = 0 THEN p.u ELSE p.v END AS u,
+                  CASE WHEN d.i = 0 THEN p.v ELSE p.u END AS v
+           FROM (
+             SELECT ov.u, ov.v FROM (
+               SELECT b.doc_id AS u, a.doc_id AS v, COUNT(*) AS o
+               FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) a
+               JOIN (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) b
+                 ON a.s = b.s AND b.doc_id < a.doc_id
+               GROUP BY 1, 2) ov
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) ga GROUP BY doc_id) sa
+               ON sa.doc_id = ov.u
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) gb GROUP BY doc_id) sb
+               ON sb.doc_id = ov.v
+             WHERE 9 * ov.o >= 4 * (sa.n + sb.n)) p
+           CROSS JOIN (VALUES (0), (1)) d(i)),
          reach(src, dst) AS (
            SELECT u, v FROM edges
            UNION
@@ -11014,26 +11121,39 @@ object SparkEntry {
     // clustering equals the exact-pair transitive closure whenever
     // recall holds — same recursive CTE as C14b, plus the keep column
     "q_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
-           FROM documents),
-         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
-               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
-         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
-         pref AS (SELECT doc_id, s FROM (
-             SELECT e0.doc_id, e0.s,
-               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
-               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
-             FROM ex e0 JOIN freq f USING (s))
-           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
-         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
-           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
-         e AS (SELECT c0.u, c0.v FROM cand c0
-             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
-           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      """WITH RECURSIVE edges AS MATERIALIZED (
+           -- inverted-index overlap counting: candidate pairs share >= 1
+           -- word-3-gram, their exact intersection is COUNTED by one
+           -- parallel join+aggregate (no per-pair list ops), and
+           -- Jaccard >= 0.8 is the exact integer predicate
+           -- 9*o >= 4*(|A|+|B|)  <=>  o/(|A|+|B|-o) >= 4/5. Only tiny
+           -- relations may be NAMED in this RECURSIVE with-list: DuckDB
+           -- materializes every CTE of a recursive clause and scans it
+           -- single-threaded, so the heavy pipeline stays inline as
+           -- derived tables (sf1: 450s -> 15s).
+           SELECT CASE WHEN d.i = 0 THEN p.u ELSE p.v END AS u,
+                  CASE WHEN d.i = 0 THEN p.v ELSE p.u END AS v
+           FROM (
+             SELECT ov.u, ov.v FROM (
+               SELECT b.doc_id AS u, a.doc_id AS v, COUNT(*) AS o
+               FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) a
+               JOIN (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) b
+                 ON a.s = b.s AND b.doc_id < a.doc_id
+               GROUP BY 1, 2) ov
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) ga GROUP BY doc_id) sa
+               ON sa.doc_id = ov.u
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) gb GROUP BY doc_id) sb
+               ON sb.doc_id = ov.v
+             WHERE 9 * ov.o >= 4 * (sa.n + sb.n)) p
+           CROSS JOIN (VALUES (0), (1)) d(i)),
          reach(src, dst) AS (
            SELECT u, v FROM edges
            UNION
@@ -11047,26 +11167,39 @@ object SparkEntry {
     // aggregate (per-source doc/char rollup + survivor-attributed
     // cluster stats) recomputed.
     "q_dedup_impact" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-           list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
-           FROM documents),
-         g AS (SELECT doc_id, list(DISTINCT array_to_string(ts[i : i + 2], ' ')) AS sh
-               FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i) GROUP BY doc_id),
-         ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
-         freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY s),
-         pref AS (SELECT doc_id, s FROM (
-             SELECT e0.doc_id, e0.s,
-               ROW_NUMBER() OVER (PARTITION BY e0.doc_id ORDER BY f.f, e0.s) AS rn,
-               COUNT(*) OVER (PARTITION BY e0.doc_id) AS sz
-             FROM ex e0 JOIN freq f USING (s))
-           WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
-         cand AS (SELECT DISTINCT b.doc_id AS u, a.doc_id AS v
-           FROM pref a JOIN pref b ON a.s = b.s AND b.doc_id < a.doc_id),
-         e AS (SELECT c0.u, c0.v FROM cand c0
-             JOIN g a ON a.doc_id = c0.v JOIN g b ON b.doc_id = c0.u
-           WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      """WITH RECURSIVE edges AS MATERIALIZED (
+           -- inverted-index overlap counting: candidate pairs share >= 1
+           -- word-3-gram, their exact intersection is COUNTED by one
+           -- parallel join+aggregate (no per-pair list ops), and
+           -- Jaccard >= 0.8 is the exact integer predicate
+           -- 9*o >= 4*(|A|+|B|)  <=>  o/(|A|+|B|-o) >= 4/5. Only tiny
+           -- relations may be NAMED in this RECURSIVE with-list: DuckDB
+           -- materializes every CTE of a recursive clause and scans it
+           -- single-threaded, so the heavy pipeline stays inline as
+           -- derived tables (sf1: 450s -> 15s).
+           SELECT CASE WHEN d.i = 0 THEN p.u ELSE p.v END AS u,
+                  CASE WHEN d.i = 0 THEN p.v ELSE p.u END AS v
+           FROM (
+             SELECT ov.u, ov.v FROM (
+               SELECT b.doc_id AS u, a.doc_id AS v, COUNT(*) AS o
+               FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) a
+               JOIN (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) b
+                 ON a.s = b.s AND b.doc_id < a.doc_id
+               GROUP BY 1, 2) ov
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) ga GROUP BY doc_id) sa
+               ON sa.doc_id = ov.u
+             JOIN (SELECT doc_id, COUNT(*) AS n FROM (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS s
+             FROM (SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\x00-\x2f\x3a-\x40\x5b-\x5e\x60\x7b-\x7f]+'), t -> t <> '') AS ts
+               FROM documents) toks, UNNEST(range(1, len(ts) - 1)) AS u(i)) gb GROUP BY doc_id) sb
+               ON sb.doc_id = ov.v
+             WHERE 9 * ov.o >= 4 * (sa.n + sb.n)) p
+           CROSS JOIN (VALUES (0), (1)) d(i)),
          reach(src, dst) AS (
            SELECT u, v FROM edges
            UNION

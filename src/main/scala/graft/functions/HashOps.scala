@@ -484,6 +484,85 @@ object HashOps {
    * exact-dedup queries apply this predicate to ALL pairs with no
    * candidate-blocking step to shield them, and their string-space
    * oracles emit no shingle rows for such docs. */
+  /** Container-header metadata (C12d, r17): parse the FORMAT HEADER of
+   * a media payload — plain byte arithmetic, no codec libraries — and
+   * return [format, width, height, sample_rate, channels] as longs
+   * (format: 0 unknown, 1 PNG, 2 WAV/RIFF, 3 JPEG). This is the part
+   * of "describe the multimodal column" that survives the no-codec
+   * wall: PNG's IHDR, RIFF's fmt chunk, and JPEG's SOF segment are
+   * fixed byte layouts, so width/height/sample-rate/channel metadata
+   * is extractable — and DuckDB-replayable — without decoding a single
+   * pixel or sample. Truncated, corrupt, or alien payloads return
+   * format 0 with zero fields; never throws (a 100 TB crawl WILL
+   * contain garbage bytes).
+   *  - PNG: 8-byte signature, then the IHDR chunk's big-endian
+   *    width/height at offsets 16/20.
+   *  - WAV: 'RIFF' + 'WAVE', then a CHUNK SCAN (not a fixed offset —
+   *    real encoders emit LIST/JUNK chunks before 'fmt ') reading
+   *    little-endian channels and sample rate.
+   *  - JPEG: 0xFFD8, then a SEGMENT SCAN skipping by each segment's
+   *    big-endian length until a start-of-frame marker (0xC0-0xCF
+   *    minus DHT 0xC4 / RST 0xC8 / DAC 0xCC) carrying big-endian
+   *    height/width. */
+  def headerMeta(p: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Long](5)
+    def u8(i: Int): Int = p(i) & 0xff
+    def be2(i: Int): Long = (u8(i).toLong << 8) | u8(i + 1)
+    def be4(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3)
+    def le2(i: Int): Long = (u8(i + 1).toLong << 8) | u8(i)
+    def le4(i: Int): Long =
+      (u8(i + 3).toLong << 24) | (u8(i + 2).toLong << 16) | (u8(i + 1).toLong << 8) | u8(i)
+    def ascii(i: Int, s: String): Boolean = {
+      var k = 0
+      while (k < s.length) { if (u8(i + k) != s.charAt(k)) return false; k += 1 }
+      true
+    }
+    val n = if (p == null) 0 else p.length
+    if (n >= 24 && u8(0) == 0x89 && ascii(1, "PNG") && u8(4) == 0x0d &&
+        u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a && ascii(12, "IHDR")) {
+      out(0) = 1L; out(1) = be4(16); out(2) = be4(20)
+    } else if (n >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      out(0) = 2L
+      var off = 12
+      var done = false
+      while (!done && off + 8 <= n) {
+        val size = le4(off + 4)
+        if (ascii(off, "fmt ") && off + 16 <= n && size >= 16) {
+          out(4) = le2(off + 10) // channels
+          out(3) = le4(off + 12) // sample rate
+          done = true
+        } else {
+          // chunks are word-aligned: odd sizes carry one pad byte
+          val step = 8L + size + (size & 1L)
+          if (step <= 0L || off + step > Int.MaxValue) done = true
+          else off += step.toInt
+        }
+      }
+    } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      out(0) = 3L
+      var off = 2
+      var done = false
+      while (!done && off + 4 <= n) {
+        if (u8(off) != 0xff) done = true // not a marker: corrupt stream, stop
+        else {
+          val m = u8(off + 1)
+          if ((m & 0xf0) == 0xc0 && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (off + 9 <= n) { out(2) = be2(off + 5); out(1) = be2(off + 7) }
+            done = true
+          } else {
+            val segLen = be2(off + 2)
+            if (segLen < 2) done = true
+            else off += 2 + segLen.toInt
+          }
+        }
+      }
+      // a JPEG whose SOF never appeared (truncated) still reports
+      // format 3 with zero dims — the signature IS the classification
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Kaplan-Meier truncating ppm fold (B116, r17): given the per-step
    * at-risk and death counts of ONE group aligned and ordered by event
    * time, return the running survival in ppm —

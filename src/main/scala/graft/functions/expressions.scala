@@ -309,6 +309,29 @@ case class HashJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** header_meta(payload) → array<bigint>
+ * [format, width, height, sample_rate, channels]: container-header
+ * metadata from a binary media payload — PNG IHDR / RIFF fmt chunk /
+ * JPEG SOF segment parsed as plain byte arithmetic (see
+ * HashOps.headerMeta). No codec, never throws: garbage classifies as
+ * format 0. */
+case class HeaderMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"header_meta requires a binary payload, got ${child.dataType.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.headerMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.headerMeta($c)")
+  override protected def withNewChildInternal(newChild: Expression): HeaderMeta =
+    copy(newChild)
+}
+
 /** km_fold_ppm(at_risk, deaths) → array<bigint>: the Kaplan-Meier
  * truncating integer survival fold over one group's time-ordered step
  * arrays (see HashOps.kmFoldPpm). Codegen'd per-group kernel — the
@@ -733,6 +756,7 @@ object expressions {
     column(HashJaccard(expression(a), expression(b)))
   def kmFoldPpm(atRisk: Column, deaths: Column): Column =
     column(KmFoldPpm(expression(atRisk), expression(deaths)))
+  def headerMeta(payload: Column): Column = column(HeaderMeta(expression(payload)))
   def hashContainment(a: Column, b: Column): Column =
     column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =

@@ -101,6 +101,33 @@ object Media {
         col("sig"))
   }
 
+  /** Container-header description (C12d, r17) — what "describe the
+   * multimodal column" can honestly mean inside the no-codec wall:
+   * PNG IHDR, RIFF/WAV fmt-chunk, and JPEG SOF headers are fixed byte
+   * layouts, so format, dimensions, sample rate, and channel count
+   * come straight from the payload's first bytes — one codegen'd
+   * byte-arithmetic expression
+   * ([[graft.functions.expressions.headerMeta]]), no decode, no
+   * library, garbage-safe (alien/truncated payloads classify as
+   * 'unknown', never throw). A real corpus runs this at ingest to
+   * route payloads and validate claimed metadata BEFORE paying for
+   * decode. Emits (media_id, format, width, height, sample_rate,
+   * channels) — one pass, no shuffle. */
+  def describeHeaders(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val h = graft.functions.expressions.headerMeta(col(payloadCol))
+    media.select(col(idCol).cast("long").as("media_id"), h.as("_h"))
+      .select(col("media_id"),
+        when(element_at(col("_h"), 1) === 1L, "png")
+          .when(element_at(col("_h"), 1) === 2L, "wav")
+          .when(element_at(col("_h"), 1) === 3L, "jpeg")
+          .otherwise("unknown").as("format"),
+        element_at(col("_h"), 2).as("width"),
+        element_at(col("_h"), 3).as("height"),
+        element_at(col("_h"), 4).as("sample_rate"),
+        element_at(col("_h"), 5).as("channels"))
+  }
+
   /** Per-media chunk signature set: the digest of every FULL
    * `chunkBytes`-sized slice of the payload (the trailing partial
    * chunk is dropped — its length differs between variants, so it

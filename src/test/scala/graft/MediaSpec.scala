@@ -93,4 +93,49 @@ class MediaSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((1L, 3L)) || uncapped.contains((3L, 1L)))
   }
+
+  test("describeHeaders parses PNG/WAV/JPEG headers from hand-built bytes (C12d)") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").sliding(2, 2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480, trailing garbage
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08 02 000000") ++
+      "garbage tail".getBytes("UTF-8")
+    // WAV 44100 Hz stereo with a JUNK chunk BEFORE fmt (the chunk scan
+    // must skip it; 44100 = 0xAC44 → LE '44AC')
+    val wav = hx("52494646 24000000 57415645" +
+      "4A554E4B 04000000 DEADBEEF" +
+      "666D7420 10000000 0100 0200 44AC0000 00000000 0000 1000")
+    // JPEG 320x200 with APP0+APP1 segments before SOF0 (segment scan)
+    val jpg = hx("FFD8" + "FFE0 0010 4A46494600010100000100010000" +
+      "FFE1 0008 457869660000" +
+      "FFC0 0011 08 00C8 0140 03 011100 021101 031101") ++
+      "tail".getBytes("UTF-8")
+    // odd-sized chunk before fmt: the scan must apply the RIFF pad byte
+    val wavOdd = hx("52494646 24000000 57415645" +
+      "4C495354 03000000 AABBCC 00" + // size 3 + 1 pad byte
+      "666D7420 10000000 0100 0100 803E0000 00000000 0000 0800") // 16000 Hz mono
+    val garbage = "not a media file at all".getBytes("UTF-8")
+    val truncPng = png.take(12)  // signature but no IHDR
+    val truncJpg = hx("FFD8 FFE0 0010 4A464946") // dies mid-segment
+    val rows = Seq(
+      (1L, png), (2L, wav), (3L, jpg), (4L, wavOdd), (5L, garbage),
+      (6L, truncPng), (7L, truncJpg), (8L, Array.emptyByteArray))
+      .toDF("id", "p")
+    val got = Media.describeHeaders(rows, "id", "p")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) == ("png", 640L, 480L, 0L, 0L), s"png: ${got(1L)}")
+    assert(got(2L) == ("wav", 0L, 0L, 44100L, 2L), s"wav: ${got(2L)}")
+    assert(got(3L) == ("jpeg", 320L, 200L, 0L, 0L), s"jpeg: ${got(3L)}")
+    assert(got(4L) == ("wav", 0L, 0L, 16000L, 1L), s"wav odd chunk: ${got(4L)}")
+    assert(got(5L) == ("unknown", 0L, 0L, 0L, 0L))
+    // truncated: classified by signature where one exists, zero fields,
+    // and above all NO crash
+    assert(got(6L) == ("unknown", 0L, 0L, 0L, 0L)) // PNG sig needs IHDR too
+    assert(got(7L) == ("jpeg", 0L, 0L, 0L, 0L))
+    assert(got(8L) == ("unknown", 0L, 0L, 0L, 0L))
+  }
 }
