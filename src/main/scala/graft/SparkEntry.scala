@@ -5116,6 +5116,46 @@ object SparkEntry {
       .orderBy("version")
   }
 
+  /** A39+A12 (r17, VERDICT r16 #4): the CLI `replicate` verb's exact
+   * library path driven end-to-end on the CLI's own nightly namespace
+   * — the governed snapshot lifecycle (gated denorm publish + prod
+   * tag + zero-copy linked summary republish, the q_cli_storage
+   * shape) replicated to a fresh root with per-table checksum proof,
+   * then SERVED back through the replica's own manifest, tag, and
+   * copied `_LINKS` (the linked denorm must resolve through the
+   * copied sidecar). The oracle recomputes the copy report and both
+   * serve counts from source tables; `Run replicate` wraps precisely
+   * this call (refusals smoke-verified: published destination,
+   * checksum mismatch aborts before the flip). */
+  private def qCliReplicate(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${graft.Scratch.root(s)}/cli_repl_${sinkSeq.incrementAndGet()}"
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    val denorm = Denorm.flatDenorm(s, dir, performLookups = true)
+    val (v1, ok1, _) = graft.sinks.Snapshot.publishCompatible(
+      s, src, Map("denorm" -> denorm))
+    require(ok1, "cli replicate: initial publish refused")
+    graft.sinks.Snapshot.tag(s, src, "prod", v1)
+    val summary = denorm.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+    val (v2, links) = graft.sinks.Snapshot.publishLinked(
+      s, src, Map("summary" -> summary))
+    require(links == Map("denorm" -> v1),
+      s"cli replicate: denorm must carry by reference to v1, got $links")
+    graft.sinks.Snapshot.tag(s, src, "prod", v2)
+    val rep = graft.sinks.Snapshot.replicate(s, src, dst)
+      .select(lit("copy").as("stage"),
+        concat(lit("v"), col("version").cast("string"), lit("/"),
+          col("table_name")).as("item"),
+        col("n_rows"), col("checksum_match").as("ok"))
+    def served(tb: String) = graft.sinks.Snapshot.readTag(s, dst, tb, "prod")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("serve").as("stage"), lit(s"$tb@prod").as("item"),
+        col("n_rows"), lit(true).as("ok"))
+    rep.unionAll(served("denorm")).unionAll(served("summary"))
+      .orderBy("stage", "item")
+  }
+
   /** C12: multimodal plumbing — binary payload + typed metadata,
    * per-partition batched feature extraction (stub codec; rows-only). */
   /** C12b: frame sampling plumbing (multimodal/Media.sampleFrames) —
@@ -7780,6 +7820,7 @@ object SparkEntry {
     "q_cli_run"       -> qCliRun,
     "q_cli_mask"      -> qCliMask,
     "q_cli_storage"   -> qCliStorage,
+    "q_cli_replicate" -> qCliReplicate,
     "q_snapshot_branch" -> qSnapshotBranch,
     "q_branch_merge"   -> qBranchMerge,
     "q_branch_gc"      -> qBranchGc,
@@ -9587,6 +9628,23 @@ object SparkEntry {
            UNION ALL SELECT 'live', 'n_reclaimed', CAST(0 AS BIGINT)
            UNION ALL SELECT 'serve', 'cust@prod', (SELECT n FROM c)
            UNION ALL SELECT 'serve', 'nat@prod', (SELECT n FROM n10)
+         ) ORDER BY stage, item""",
+    // A39+A12: the CLI replicate verb's copy report + serve-through-
+    // replica counts — the denorm row count and segment count
+    // recomputed from source; checksums pinned TRUE (a mismatch
+    // refuses before the replica's manifest flips).
+    "q_cli_replicate" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey),
+         seg AS (SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS c
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey)
+         SELECT * FROM (
+           SELECT 'copy' AS stage, 'v1/denorm' AS item, (SELECT c FROM n) AS n_rows, TRUE AS ok
+           UNION ALL SELECT 'copy', 'v2/summary', (SELECT c FROM seg), TRUE
+           UNION ALL SELECT 'serve', 'denorm@prod', (SELECT c FROM n), TRUE
+           UNION ALL SELECT 'serve', 'summary@prod', (SELECT c FROM seg), TRUE
          ) ORDER BY stage, item""",
     "q_cli_storage" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
