@@ -5290,7 +5290,12 @@ object SparkEntry {
    * recomputes every field by the independent doc-id arithmetic, so a
    * wrong endianness, a fixed-offset shortcut, or a crash on garbage
    * all hash-mismatch. One pass, no shuffle. */
-  private def qMediaHeaders(s: SparkSession, dir: String): DataFrame = {
+  /** The C12d/D32 shared corpus: per doc one payload with REAL header
+   * bytes built in pure SQL (constructor and parser share no code) —
+   * PNG / WAV (planted JUNK chunk every 8th) / JPEG (planted APP1
+   * every 8th) / poisoned 'unknown', each with a variable text tail.
+   * Emits (media_id, p). */
+  private def mediaHeaderCorpus(s: SparkSession, dir: String): DataFrame = {
     val staged = t(s, dir, "documents")
       .select(col("doc_id").as("media_id"),
         coalesce(col("text"), lit("")).as("txt"))
@@ -5320,7 +5325,47 @@ object SparkEntry {
             '03011100021101031101', tail))
           ELSE concat(unhex('00'), cast(txt AS BINARY))
         END"""))
-    graft.multimodal.Media.describeHeaders(staged, "media_id", "p")
+    staged.select("media_id", "p")
+  }
+
+  private def qMediaHeaders(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media
+      .describeHeaders(mediaHeaderCorpus(s, dir), "media_id", "p")
+      .orderBy("media_id")
+
+  /** D32 (r17): streaming multimodal ingest router
+   * ([[graft.streaming.EventStream.mediaRouteSink]]) — C12d live: two
+   * real checkpointed micro-batches of binary payloads are enriched
+   * by the header kernel and routed into per-format sink partitions
+   * in one partitionBy write each (images to the image pipeline,
+   * audio to audio, garbage quarantined as 'unknown' — decided from
+   * header bytes before any decoder runs). The query reads the routed
+   * store back through partition discovery and must reproduce exactly
+   * the batch path's q_media_headers relation — the same independent
+   * doc-id arithmetic oracle, now also proving the router dropped,
+   * duplicated, and misrouted nothing across the stream. */
+  private def qStreamMediaRoute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val slice = mediaHeaderCorpus(s, dir)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val mid = (slice.head._1 + slice.last._1) / 2
+    val b1 = slice.filter(_._1 <= mid).toSeq
+    val b2 = slice.filter(_._1 > mid).toSeq
+    val base = s"${graft.Scratch.root(s)}/mroute_${sinkSeq.incrementAndGet()}"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.mediaRouteSink(
+        in.toDF.toDF("media_id", "p"), "p", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(s"$base/out")
+      .select(col("media_id"), col("format").cast("string").as("format"),
+        col("width"), col("height"), col("sample_rate"), col("channels"))
       .orderBy("media_id")
   }
 
@@ -7931,6 +7976,7 @@ object SparkEntry {
     "q_stream_branch_publish" -> qStreamBranchPublish,
     "q_stream_quality_gate" -> qStreamQualityGate,
     "q_stream_neardup_gate" -> qStreamNeardupGate,
+    "q_stream_media_route" -> qStreamMediaRoute,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_merges_batched" -> qBpeMergesBatched,
     "q_bpe_apply" -> qBpeApply,
@@ -10859,6 +10905,22 @@ object SparkEntry {
     // fixed-offset shortcut past the planted JUNK/APP1, or a crash on
     // the poisoned 'unknown' class all hash-mismatch.
     "q_media_headers" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+             WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS format,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 640 + 32
+             WHEN doc_id % 4 = 2 THEN doc_id % 512 + 16 ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 480 + 32
+             WHEN doc_id % 4 = 2 THEN doc_id % 384 + 16 ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 8 * 1000 + 8000
+             ELSE 0 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 2 + 1
+             ELSE 0 END AS BIGINT) AS channels
+         FROM documents ORDER BY media_id""",
+    // D32: the routed store read back must equal the batch header
+    // relation — same independent arithmetic as q_media_headers; any
+    // drop/duplicate/misroute across the two micro-batches mismatches.
+    "q_stream_media_route" ->
       """SELECT doc_id AS media_id,
            CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
              WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS format,

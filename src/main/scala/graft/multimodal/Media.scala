@@ -114,19 +114,27 @@ object Media {
    * decode. Emits (media_id, format, width, height, sample_rate,
    * channels) — one pass, no shuffle. */
   def describeHeaders(media: DataFrame, idCol: String,
-      payloadCol: String): DataFrame = {
-    val h = graft.functions.expressions.headerMeta(col(payloadCol))
-    media.select(col(idCol).cast("long").as("media_id"), h.as("_h"))
-      .select(col("media_id"),
+      payloadCol: String): DataFrame =
+    withHeaderMeta(media.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol)), payloadCol)
+      .select("media_id", "format", "width", "height", "sample_rate", "channels")
+
+  /** [[describeHeaders]] as an ENRICHMENT: append the five header
+   * columns to the input, keeping every existing column (payload
+   * included) — the shape a router needs, where the payload travels
+   * on to its format's sink. */
+  def withHeaderMeta(media: DataFrame, payloadCol: String): DataFrame =
+    media.withColumn("_h", graft.functions.expressions.headerMeta(col(payloadCol)))
+      .withColumn("format",
         when(element_at(col("_h"), 1) === 1L, "png")
           .when(element_at(col("_h"), 1) === 2L, "wav")
           .when(element_at(col("_h"), 1) === 3L, "jpeg")
-          .otherwise("unknown").as("format"),
-        element_at(col("_h"), 2).as("width"),
-        element_at(col("_h"), 3).as("height"),
-        element_at(col("_h"), 4).as("sample_rate"),
-        element_at(col("_h"), 5).as("channels"))
-  }
+          .otherwise("unknown"))
+      .withColumn("width", element_at(col("_h"), 2))
+      .withColumn("height", element_at(col("_h"), 3))
+      .withColumn("sample_rate", element_at(col("_h"), 4))
+      .withColumn("channels", element_at(col("_h"), 5))
+      .drop("_h")
 
   /** Per-media chunk signature set: the digest of every FULL
    * `chunkBytes`-sized slice of the payload (the trailing partial

@@ -706,6 +706,33 @@ object EventStream {
           .parquet(s"$rejectPath/batch=$id")
       }
 
+  /** Streaming multimodal ingest router (D32, r17) — C12d's
+   * container-header metadata LIVE: each micro-batch of binary
+   * payloads is enriched with format/width/height/sample-rate/channel
+   * columns by the codegen'd header kernel
+   * ([[graft.multimodal.Media.withHeaderMeta]] — one pass, no state,
+   * no shuffle beyond the partitioned write) and ROUTED by container
+   * format into per-format sink partitions in ONE partitionBy write —
+   * the ingest front door of a media corpus: images go to the image
+   * pipeline, audio to audio, garbage to the quarantine partition
+   * ('unknown') instead of poisoning a decoder downstream, all
+   * decided from header bytes before any codec spends a cycle. Each
+   * batch writes its own `batch=<id>` dir with overwrite (the
+   * vectorSearchSink exactly-once contract); read the router output
+   * with `spark.read.parquet(basePath)` — `batch` and `format`
+   * surface as partition columns, and per-format consumers prune to
+   * `format=<x>` directories without touching the rest. */
+  def mediaRouteSink(media: DataFrame, payloadCol: String, basePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.multimodal.Media.withHeaderMeta(batch.toDF(), payloadCol)
+          .write.partitionBy("format")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$basePath/batch=$id")
+      }
+
   /** Streaming near-duplicate gate (D31) — C37's incremental
    * cross-batch MinHash dedup made LIVE: each micro-batch dedups
    * within itself AND against the text-free shingle STATE of

@@ -1349,6 +1349,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(dComp == Seq("b4", "compact_3"), s"got $dComp")
   }
 
+  test("mediaRouteSink routes payloads by container format; garbage quarantines (D32)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").sliding(2, 2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08 02 000000")
+    val wav = hx("52494646 24000000 57415645 666D7420 10000000 0100 0100 803E0000 00000000 0000 1000")
+    val jpg = hx("FFD8 FFE0 0010 4A46494600010100000100010000 FFC0 0011 08 00C8 0140 03 011100 021101 031101")
+    val junk = "just some text".getBytes("UTF-8")
+    val root = s"${Scratch.root(spark)}/mroute_spec_${System.nanoTime()}"
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = EventStream.mediaRouteSink(
+        in.toDF().toDF("media_id", "p"), "p", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      in.addData((1L, png), (2L, wav))
+      q.processAllAvailable()
+      in.addData((3L, jpg), (4L, junk))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$root/out")
+    // routed exactly once each, by format, with the header metadata
+    val got = out.select("media_id", "format", "width", "sample_rate")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ("png", 640L, 0L), 2L -> ("wav", 0L, 16000L),
+      3L -> ("jpeg", 320L, 0L), 4L -> ("unknown", 0L, 0L)), s"got $got")
+    assert(out.count() == 4L)
+    // per-format consumers prune to their partition directory
+    assert(spark.read.parquet(s"$root/out")
+      .filter(org.apache.spark.sql.functions.col("format") === "png")
+      .select("media_id").as[Long].collect().toList == List(1L))
+    assert(new java.io.File(s"$root/out/batch=1/format=unknown").isDirectory)
+  }
+
   test("qualityGateSink: NULL-text docs land in the reject sink, never dropped (ADVICE r16)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
