@@ -5123,14 +5123,21 @@ object SparkEntry {
    * shape) replicated to a fresh root with per-table checksum proof,
    * then SERVED back through the replica's own manifest, tag, and
    * copied `_LINKS` (the linked denorm must resolve through the
-   * copied sidecar). The oracle recomputes the copy report and both
-   * serve counts from source tables; `Run replicate` wraps precisely
-   * this call (refusals smoke-verified: published destination,
-   * checksum mismatch aborts before the flip). */
+   * copied sidecar). The namespace is the BUILDING-segment nightly
+   * slice: the segment filter PUSHES through the denorm's joins to
+   * the customer scan (the q_cli_storage r15 lesson — a replication
+   * row must measure the replicate machinery, not pay the full
+   * flagship construction twice), while every replicate mechanism
+   * (copy, checksum, sidecar/tag transport, manifest-last flip)
+   * exercises identically. The oracle recomputes the copy report and
+   * both serve counts from source tables; `Run replicate` wraps
+   * precisely this call (refusals smoke-verified: published
+   * destination, checksum mismatch aborts before the flip). */
   private def qCliReplicate(s: SparkSession, dir: String): DataFrame = {
     val base = s"${graft.Scratch.root(s)}/cli_repl_${sinkSeq.incrementAndGet()}"
     val (src, dst) = (s"$base/src", s"$base/dst")
     val denorm = Denorm.flatDenorm(s, dir, performLookups = true)
+      .filter(col("c_mktsegment") === "BUILDING")
     val (v1, ok1, _) = graft.sinks.Snapshot.publishCompatible(
       s, src, Map("denorm" -> denorm))
     require(ok1, "cli replicate: initial publish refused")
@@ -9682,15 +9689,13 @@ object SparkEntry {
     "q_cli_replicate" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
-           JOIN customer ON o_custkey = c_custkey),
-         seg AS (SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS c
-           FROM customer JOIN orders ON o_custkey = c_custkey
-           JOIN lineitem ON l_orderkey = o_orderkey)
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING')
          SELECT * FROM (
            SELECT 'copy' AS stage, 'v1/denorm' AS item, (SELECT c FROM n) AS n_rows, TRUE AS ok
-           UNION ALL SELECT 'copy', 'v2/summary', (SELECT c FROM seg), TRUE
+           UNION ALL SELECT 'copy', 'v2/summary', CAST(1 AS BIGINT), TRUE
            UNION ALL SELECT 'serve', 'denorm@prod', (SELECT c FROM n), TRUE
-           UNION ALL SELECT 'serve', 'summary@prod', (SELECT c FROM seg), TRUE
+           UNION ALL SELECT 'serve', 'summary@prod', CAST(1 AS BIGINT), TRUE
          ) ORDER BY stage, item""",
     "q_cli_storage" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
