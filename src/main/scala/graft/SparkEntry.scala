@@ -5376,6 +5376,34 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** C93 (r17): URL canonicalization + canonical-URL dedup
+   * ([[graft.text.Urls.canonicalDedup]]) — the crawl pipeline's FIRST
+   * dedup pass, upstream of every content-based one: the corpus
+   * builds four surface variants of each logical page (scheme case +
+   * http, WWW + :80 + trailing slash + utm param, :443 + fragment +
+   * scrambled param order, gclid) in pure Catalyst SQL, and the
+   * codegen'd canonicalizer must collapse each quartet onto ONE
+   * canonical string. The oracle recomputes the canonical URL
+   * CHARACTER-FOR-CHARACTER by independent arithmetic (never parsing
+   * anything), plus the group rep/count/keep relation — so a wrong
+   * scheme fold, port strip, param sort, or fragment rule all
+   * hash-mismatch, as does any grouping error. One projection + one
+   * canonical-key window; shuffles short strings only. */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), expr("doc_id div 4").as("k"))
+      .withColumn("url", expr("""
+        CASE CAST(id % 4 AS INT)
+          WHEN 0 THEN concat('https://example', k, '.com/a/b', k, '?b=2&a=1')
+          WHEN 1 THEN concat('HTTP://WWW.EXAMPLE', k, '.COM:80/a/b', k,
+            '/?a=1&b=2&utm_source=x')
+          WHEN 2 THEN concat('https://example', k, '.com:443/a/b', k,
+            '?utm_campaign=z&b=2&a=1#frag')
+          ELSE concat('https://example', k, '.com/a/b', k, '?a=1&gclid=g&b=2')
+        END"""))
+    graft.text.Urls.canonicalDedup(staged, "id", "url").orderBy("id")
+  }
+
   /** C27: segment-level dedup (text/SegmentDedup.scala) — the corpus
    * "line dedup" pass at fixed 8-word-chunk granularity: segments
    * occurring in ≥2 distinct documents are cut, documents survive.
@@ -7984,6 +8012,7 @@ object SparkEntry {
     "q_stream_quality_gate" -> qStreamQualityGate,
     "q_stream_neardup_gate" -> qStreamNeardupGate,
     "q_stream_media_route" -> qStreamMediaRoute,
+    "q_url_dedup"      -> qUrlDedup,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_merges_batched" -> qBpeMergesBatched,
     "q_bpe_apply" -> qBpeApply,
@@ -10922,6 +10951,18 @@ object SparkEntry {
            CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 2 + 1
              ELSE 0 END AS BIGINT) AS channels
          FROM documents ORDER BY media_id""",
+    // C93: the canonical URL recomputed character-for-character by
+    // independent arithmetic (no parsing in the oracle), plus the
+    // rep/count/keep group relation — wrong scheme fold / port strip /
+    // param sort / fragment rule or grouping error all hash-mismatch.
+    "q_url_dedup" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id // 4 AS k FROM documents),
+         g AS (SELECT k, CAST(MIN(id) AS BIGINT) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY k)
+         SELECT id,
+           concat('https://example', k, '.com/a/b', k, '?a=1&b=2') AS canon_url,
+           g.rep AS rep_id, g.n AS n_copies, id = g.rep AS keep
+         FROM d JOIN g USING (k) ORDER BY id""",
     // D32: the routed store read back must equal the batch header
     // relation — same independent arithmetic as q_media_headers; any
     // drop/duplicate/misroute across the two micro-batches mismatches.

@@ -484,6 +484,63 @@ object HashOps {
    * exact-dedup queries apply this predicate to ALL pairs with no
    * candidate-blocking step to shield them, and their string-space
    * oracles emit no shingle rows for such docs. */
+  /** URL canonicalization (C93, r17) — the normalization a crawl
+   * pipeline runs BEFORE any dedup: the same page arrives as
+   * `HTTP://WWW.Site.COM:80/a/?b=2&a=1&utm_source=x#frag` and
+   * `https://site.com/a?a=1&b=2`, and byte-hash dedup sees two
+   * distinct documents unless URLs collapse to one canonical form
+   * first. Rules (each a documented, deterministic choice):
+   * scheme lowercased with http folded to https; host lowercased,
+   * leading `www.` and default ports `:80`/`:443` stripped; fragment
+   * dropped; trailing path slashes dropped; tracking parameters
+   * (`utm_*`, `gclid`, `fbclid`, `ref`) dropped; surviving query
+   * params sorted; an emptied query drops its `?`. Total function:
+   * a string without `://` just lowercases (never throws — crawl
+   * frontiers contain garbage). ASCII-ordering note: params sort in
+   * UTF-16 code-unit order (≡ byte order on ASCII, the practical
+   * URL alphabet). */
+  def canonicalUrl(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s0 = u.toString.trim
+    val sep = s0.indexOf("://")
+    if (sep <= 0)
+      return org.apache.spark.unsafe.types.UTF8String.fromString(
+        s0.toLowerCase(java.util.Locale.ROOT))
+    val scheme0 = s0.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val scheme = if (scheme0 == "http") "https" else scheme0
+    val rest = s0.substring(sep + 3)
+    var aEnd = rest.length
+    var j = 0
+    while (j < aEnd) {
+      val c = rest.charAt(j)
+      if (c == '/' || c == '?' || c == '#') aEnd = j else j += 1
+    }
+    var host = rest.substring(0, aEnd).toLowerCase(java.util.Locale.ROOT)
+    if (host.startsWith("www.")) host = host.substring(4)
+    if (host.endsWith(":80")) host = host.substring(0, host.length - 3)
+    else if (host.endsWith(":443")) host = host.substring(0, host.length - 4)
+    val qRaw = rest.indexOf('?', aEnd)
+    val fRaw = rest.indexOf('#', aEnd)
+    val qPos = if (qRaw < 0) rest.length else qRaw
+    val fPos = if (fRaw < 0) rest.length else fRaw
+    var path = rest.substring(aEnd, math.min(qPos, fPos))
+    while (path.endsWith("/")) path = path.substring(0, path.length - 1)
+    val query = if (qPos < fPos) rest.substring(qPos + 1, fPos) else ""
+    val kept = query.split("&").filter { p =>
+      p.nonEmpty && {
+        val name = p.indexOf('=') match {
+          case -1 => p
+          case e => p.substring(0, e)
+        }
+        !(name.startsWith("utm_") || name == "gclid" ||
+          name == "fbclid" || name == "ref")
+      }
+    }.sorted
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      scheme + "://" + host + path +
+        (if (kept.nonEmpty) "?" + kept.mkString("&") else ""))
+  }
+
   /** Container-header metadata (C12d, r17): parse the FORMAT HEADER of
    * a media payload — plain byte arithmetic, no codec libraries — and
    * return [format, width, height, sample_rate, channels] as longs

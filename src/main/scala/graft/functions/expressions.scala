@@ -332,6 +332,27 @@ case class HeaderMeta(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** canonical_url(url) → string: crawl-pipeline URL canonicalization
+ * (see HashOps.canonicalUrl — scheme fold, host/port/www
+ * normalization, fragment and tracking-param drop, param sort).
+ * Total and codegen'd; garbage lowercases instead of throwing. */
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"canonical_url requires a string url, got ${child.dataType.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.canonicalUrl(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.canonicalUrl($c)")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
+    copy(newChild)
+}
+
 /** km_fold_ppm(at_risk, deaths) → array<bigint>: the Kaplan-Meier
  * truncating integer survival fold over one group's time-ordered step
  * arrays (see HashOps.kmFoldPpm). Codegen'd per-group kernel — the
@@ -757,6 +778,7 @@ object expressions {
   def kmFoldPpm(atRisk: Column, deaths: Column): Column =
     column(KmFoldPpm(expression(atRisk), expression(deaths)))
   def headerMeta(payload: Column): Column = column(HeaderMeta(expression(payload)))
+  def canonicalUrl(url: Column): Column = column(CanonicalUrl(expression(url)))
   def hashContainment(a: Column, b: Column): Column =
     column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =

@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization + canonical-URL dedup (C93) — the FIRST dedup
+ * pass of a crawl pipeline, upstream of every content-based one
+ * (C1 exact, C2 MinHash, …): the same page is fetched as
+ * `HTTP://WWW.Site.COM:80/a/?b=2&a=1&utm_source=x#frag` and
+ * `https://site.com/a?a=1&b=2`, and content dedup pays full shingle
+ * or hash cost on what one string normalization would have collapsed
+ * for free. Canonicalization is the codegen'd
+ * [[graft.functions.expressions.canonicalUrl]] kernel (scheme fold,
+ * host/www/default-port normalization, fragment + tracking-param
+ * drop, param sort — each rule documented on HashOps.canonicalUrl);
+ * the dedup is one canonical-key window, the
+ * [[graft.multimodal.Media.exactDedup]] discipline on strings.
+ *
+ * Scale: one projection + one key-partitioned window — shuffles
+ * canonical strings (bounded by URL length), never document
+ * payloads; the canonical form is also the natural PRE-PARTITION key
+ * for the content-dedup stages that follow.
+ */
+object Urls {
+
+  /** Canonical form of `urlCol` appended as `canon_url`. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canon_url",
+      graft.functions.expressions.canonicalUrl(col(urlCol)))
+
+  /** Canonical-URL dedup: (id, canon_url, rep_id, n_copies, keep) —
+   * rep = lowest id per canonical form, every surface variant maps
+   * onto it. */
+  def canonicalDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val w = Window.partitionBy("canon_url")
+    df.select(col(idCol).cast("long").as("id"),
+        graft.functions.expressions.canonicalUrl(col(urlCol)).as("canon_url"))
+      .select(col("id"), col("canon_url"),
+        min("id").over(w).as("rep_id"),
+        count(lit(1)).over(w).as("n_copies"))
+      .withColumn("keep", col("id") === col("rep_id"))
+  }
+}

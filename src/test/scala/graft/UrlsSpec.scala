@@ -1,0 +1,62 @@
+package graft
+
+import graft.text.Urls
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(Tuple1(u)).toDF("u")
+      .select(graft.functions.expressions.canonicalUrl(col("u")).as("c"))
+      .as[String].head()
+
+  test("canonicalUrl: every documented rule, one at a time") {
+    // scheme fold + host case
+    assert(canon("HTTP://Example.COM/x") == "https://example.com/x")
+    // www + default ports
+    assert(canon("https://www.example.com:443/x") == "https://example.com/x")
+    assert(canon("http://example.com:80/x") == "https://example.com/x")
+    // non-default port survives
+    assert(canon("https://example.com:8443/x") == "https://example.com:8443/x")
+    // trailing slashes (all of them), root path collapses to bare host
+    assert(canon("https://example.com/a/b///") == "https://example.com/a/b")
+    assert(canon("https://example.com/") == "https://example.com")
+    // fragment dropped; query BEFORE fragment kept
+    assert(canon("https://example.com/x?b=2#frag") == "https://example.com/x?b=2")
+    // '?' inside the fragment is NOT a query
+    assert(canon("https://example.com/x#frag?b=2") == "https://example.com/x")
+    // tracking params dropped, survivors sorted, empty '&&' ignored
+    assert(canon("https://example.com/x?utm_source=s&b=2&&a=1&gclid=g&fbclid=f&ref=r")
+      == "https://example.com/x?a=1&b=2")
+    // an emptied query drops its '?'
+    assert(canon("https://example.com/x?utm_campaign=z") == "https://example.com/x")
+    // utm prefix matches the NAME, not the value
+    assert(canon("https://example.com/x?a=utm_source") == "https://example.com/x?a=utm_source")
+    // a valueless param keeps/drops by the same name rule
+    assert(canon("https://example.com/x?ref&a=1") == "https://example.com/x?a=1")
+    // non-http scheme: lowercased, not folded
+    assert(canon("FTP://Example.com/f") == "ftp://example.com/f")
+    // garbage without '://' lowercases, never throws
+    assert(canon("  Not A Url  ") == "not a url")
+    assert(canon("") == "")
+  }
+
+  test("canonicalDedup collapses surface variants onto the lowest id") {
+    val rows = Seq(
+      (1L, "https://site.com/p?a=1&b=2"),
+      (2L, "HTTP://WWW.SITE.COM:80/p/?b=2&a=1&utm_source=x"),
+      (3L, "https://site.com:443/p?a=1&b=2#sec"),
+      (4L, "https://other.com/p?a=1&b=2")).toDF("id", "url")
+    val got = Urls.canonicalDedup(rows, "id", "url")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val c = "https://site.com/p?a=1&b=2"
+    assert(got(1L) == (c, 1L, 3L, true))
+    assert(got(2L) == (c, 1L, 3L, false))
+    assert(got(3L) == (c, 1L, 3L, false))
+    assert(got(4L) == ("https://other.com/p?a=1&b=2", 4L, 1L, true))
+  }
+}
