@@ -2543,6 +2543,52 @@ object SparkEntry {
       .orderBy("version", "table_name")
   }
 
+  /** A41 (r17): namespace repair ([[graft.sinks.Snapshot.fsckRepair]])
+   * — fsck's documented recoveries applied by code instead of a
+   * runbook: the query PLANTS both erase-residue classes (a stale
+   * backup next to the live cust — post-swap unerased bytes that must
+   * be deleted, never renamed back — and a crashed nat erase caught
+   * between its two renames, scrubbed half complete), repairs, and
+   * proves the taxonomy's own rules held: the report rows, a clean
+   * fsck (zero non-ok rows pinned), cust served intact, and nat
+   * served as the SCRUBBED half (the erasure completed — restoring
+   * the backup would have resurrected the erased rows). All counts
+   * recomputed by DuckDB from source tables. */
+  private def qFsckRepair(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${graft.Scratch.root(s)}/fsck_repair_${sinkSeq.incrementAndGet()}"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust, "nat" -> nat))
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // stale residue next to the live cust (post-swap pre-cleanup)
+    cust.limit(5).write.parquet(s"$root/v1/.erase_bak_cust")
+    // crashed erase of nat between the renames: scrubbed tmp complete,
+    // live dir moved aside — exactly eraseKeys' steps 1-2
+    nat.filter(col("n_nationkey") < 10).write.parquet(s"$root/v1/.erase_tmp_nat")
+    require(hfs.rename(new org.apache.hadoop.fs.Path(s"$root/v1/nat"),
+      new org.apache.hadoop.fs.Path(s"$root/v1/.erase_bak_nat")),
+      "fsck repair query: failed to stage the crashed erase")
+    val rep = graft.sinks.Snapshot.fsckRepair(s, root)
+      .select(lit("repair").as("stage"),
+        concat(lit("v"), col("version").cast("string"), lit("/"),
+          col("table_name")).as("item"),
+        concat(col("issue"), lit(":"), col("action")).as("detail"),
+        lit(0L).as("n"))
+    val nonOk = graft.sinks.Snapshot.fsck(s, root)
+      .filter(col("status") =!= "ok").count()
+    def served(tb: String, df: DataFrame) = df
+      .agg(count(lit(1)).as("n"))
+      .select(lit("serve").as("stage"), lit(s"$tb@v1").as("item"),
+        lit("").as("detail"), col("n"))
+    rep.unionAll(Seq(("fsck", "non_ok_rows", "", nonOk))
+        .toDF("stage", "item", "detail", "n"))
+      .unionAll(served("cust", graft.sinks.Snapshot.read(s, root, "cust")))
+      .unionAll(served("nat", graft.sinks.Snapshot.read(s, root, "nat")))
+      .orderBy("stage", "item")
+  }
+
   /** A33 (r14): storage accounting per version
    * ([[graft.sinks.Snapshot.storageReport]]) — the chargeback /
    * capacity view the A31 catalog's logical rows hide: how much of
@@ -7994,6 +8040,7 @@ object SparkEntry {
     "q_linked_publish" -> qLinkedPublish,
     "q_storage_report" -> qStorageReport,
     "q_fsck" -> qFsck,
+    "q_fsck_repair" -> qFsckRepair,
     "q_reconcile_live" -> qReconcileLive,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
@@ -12840,6 +12887,19 @@ object SparkEntry {
            (3, 'nat', 'dangling-link', 2)
          ) t(version, table_name, status, home_version)
          ORDER BY version, table_name""",
+    // A41: both planted residue classes repaired by their own rules,
+    // fsck clean after (zero non-ok rows), cust intact, nat serving
+    // the SCRUBBED half — the erased rows stay erased.
+    "q_fsck_repair" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+         n10 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_nationkey < 10)
+         SELECT * FROM (
+           SELECT 'fsck' AS stage, 'non_ok_rows' AS item, '' AS detail, CAST(0 AS BIGINT) AS n
+           UNION ALL SELECT 'repair', 'v1/cust', 'stale-erase-residue:deleted-residue', 0
+           UNION ALL SELECT 'repair', 'v1/nat', 'crashed-erase:restored-scrubbed', 0
+           UNION ALL SELECT 'serve', 'cust@v1', '', (SELECT n FROM c)
+           UNION ALL SELECT 'serve', 'nat@v1', '', (SELECT n FROM n10)
+         ) ORDER BY stage, item""",
     // three versions of the query's own construction: full publish,
     // then two one-table linked publishes; linked row mass recomputed.
     "q_storage_report" ->

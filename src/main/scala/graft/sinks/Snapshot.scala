@@ -947,6 +947,71 @@ object Snapshot {
     rows.toDF("version", "table_name", "status", "home_version")
   }
 
+  /** Namespace repair (A41, r17) — [[fsck]] REPORTS erase residue;
+   * until this verb nothing fixed it, so the documented recoveries
+   * ("delete the residue", "rename a complete half back") were manual
+   * runbook steps an operator could get wrong in exactly the way the
+   * report warns about (renaming a half over a live table). One pass,
+   * applying the residue taxonomy's own rules:
+   *  - 'stale-erase-residue' (live table present): the residue is
+   *    garbage — DELETED. A post-swap `.erase_bak` holds the UNERASED
+   *    bytes, so deleting it is itself the A30 obligation completing;
+   *    a pre-swap `.erase_tmp` means the erase never swapped —
+   *    deleted too, and the action row tells the operator to re-run
+   *    [[eraseKeys]] (it is idempotent).
+   *  - 'crashed-erase' (live table missing): the SCRUBBED half
+   *    (`.erase_tmp`) is complete by construction — it was fully
+   *    written before the first rename — so it is restored and the
+   *    unerased backup deleted (restoring the backup would resurrect
+   *    the erased subject). Only if the tmp half is itself gone does
+   *    the backup restore ('restored-backup'), putting data back
+   *    online with erasure explicitly flagged as NOT done.
+   *  - 'dangling-link': unrepairable here — the physical home is gone
+   *    (an out-of-band delete); reported so the operator can restore
+   *    from a replica (A39) or republish.
+   * Returns (version, table_name, issue, action) for every issue
+   * found; idempotent — a clean namespace returns zero rows and a
+   * rerun after repair finds nothing. Pure namespace metadata plus
+   * the renames/deletes themselves; no data read. */
+  def fsckRepair(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val versions = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .sorted.toSeq
+    val rows = versions.flatMap { v =>
+      val dirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v$v"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq
+      val own = dirs.filter(_.matches("[A-Za-z0-9_]+")).toSet
+      val tmps = dirs.filter(_.startsWith(".erase_tmp_")).map(_.drop(11)).toSet
+      val baks = dirs.filter(_.startsWith(".erase_bak_")).map(_.drop(11)).toSet
+      def p(rel: String) = new org.apache.hadoop.fs.Path(s"$root/v$v/$rel")
+      val repaired = (tmps ++ baks).toSeq.sorted.map { t =>
+        if (own.contains(t)) {
+          f.delete(p(s".erase_tmp_$t"), true): Unit
+          f.delete(p(s".erase_bak_$t"), true): Unit
+          (v, t, "stale-erase-residue", "deleted-residue")
+        } else if (tmps.contains(t)) {
+          require(f.rename(p(s".erase_tmp_$t"), p(t)),
+            s"snapshot repair: failed to restore scrubbed v$v/$t")
+          f.delete(p(s".erase_bak_$t"), true): Unit
+          (v, t, "crashed-erase", "restored-scrubbed")
+        } else {
+          require(f.rename(p(s".erase_bak_$t"), p(t)),
+            s"snapshot repair: failed to restore backup v$v/$t")
+          (v, t, "crashed-erase", "restored-backup")
+        }
+      }
+      val dangling = linksOf(spark, root, v).toSeq.sorted.collect {
+        case (t, sv) if !f.exists(new org.apache.hadoop.fs.Path(s"$root/v$sv/$t")) =>
+          (v, t, "dangling-link", "unrepairable")
+      }
+      repaired ++ dangling
+    }
+    rows.toDF("version", "table_name", "issue", "action")
+  }
+
   /** Right-to-erasure across history (A30) — remove every row whose
    * `keyCol` value appears in `keys` from EVERY on-disk version of
    * `table`: retained, tag-protected, and crashed-publish orphans

@@ -682,6 +682,53 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.currentVersion(spark, root) == head)
   }
 
+  test("fsckRepair (A41): residue classes repaired by their own rules; erased rows stay erased") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map(
+      "t" -> Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      "u" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "n")))
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(rel: String) = new org.apache.hadoop.fs.Path(s"$root/$rel")
+    // stale residue next to the live 't' (post-swap pre-cleanup): the
+    // bak holds unerased bytes — repair must DELETE, never rename back
+    Seq((9L, "dead")).toDF("k", "s").write.parquet(s"$root/v1/.erase_bak_t")
+    // crashed erase of 'u' between the renames: scrubbed tmp complete,
+    // live dir moved aside — repair must restore the SCRUBBED half
+    Seq((1L, 10L), (3L, 30L)).toDF("k", "n")
+      .write.parquet(s"$root/v1/.erase_tmp_u")
+    assert(hfs.rename(p("v1/u"), p("v1/.erase_bak_u")))
+    val report = Snapshot.fsckRepair(spark, root)
+      .as[(Long, String, String, String)].collect().toList.sorted
+    assert(report == List(
+      (1L, "t", "stale-erase-residue", "deleted-residue"),
+      (1L, "u", "crashed-erase", "restored-scrubbed")), s"got $report")
+    // the namespace is clean, the erased row (k=2) stayed erased, and
+    // the unerased halves are physically gone
+    assert(Snapshot.fsck(spark, root).select("status")
+      .as[String].collect().toSet == Set("ok"))
+    assert(Snapshot.read(spark, root, "u").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 10L, 3L -> 30L))
+    assert(Snapshot.read(spark, root, "t").count() == 2L)
+    assert(!hfs.exists(p("v1/.erase_bak_t")) && !hfs.exists(p("v1/.erase_bak_u")))
+    // idempotent: a clean namespace repairs nothing
+    assert(Snapshot.fsckRepair(spark, root).count() == 0L)
+    // backup-only residue (tmp lost too): restore the backup — data
+    // back online, erasure flagged as NOT done
+    assert(hfs.rename(p("v1/t"), p("v1/.erase_bak_t")))
+    val r2 = Snapshot.fsckRepair(spark, root)
+      .as[(Long, String, String, String)].collect().toList
+    assert(r2 == List((1L, "t", "crashed-erase", "restored-backup")), s"got $r2")
+    assert(Snapshot.read(spark, root, "t").count() == 2L)
+    // dangling links report unrepairable and are left alone
+    Snapshot.publishLinked(spark, root,
+      Map("t" -> Seq((1L, "a")).toDF("k", "s"))) // v2 links u -> v1
+    assert(hfs.delete(p("v1/u"), true))
+    val r3 = Snapshot.fsckRepair(spark, root)
+      .as[(Long, String, String, String)].collect().toList
+    assert(r3 == List((2L, "u", "dangling-link", "unrepairable")), s"got $r3")
+  }
+
   test("fsck splits erase residue by live-table presence (ADVICE r14/r15)") {
     val root = freshRoot()
     Snapshot.publish(spark, root, Map("t" -> Seq((1L, "a")).toDF("k", "s")))
