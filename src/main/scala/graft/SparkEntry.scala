@@ -12812,12 +12812,13 @@ object SparkEntry {
            SELECT e.v, p.len + e.w FROM paths p JOIN edges e ON e.u = p.v)
          SELECT v AS id, MAX(len) AS critical_len
          FROM paths GROUP BY v ORDER BY id""",
-    // cycle nodes = image of f^(2^23) (chained squaring joins — the
+    // cycle nodes = image of f^(2^24) (chained squaring joins — the
     // per-node m-step walk was O(n·m): every TAIL node walked the full
-    // bound, which times out at sf1; 2^23 = 8.4M >= any m here, and
-    // the image of f^N for N >= max tail length is exactly the
-    // cycle-node set), then the per-cycle walk runs over cycle nodes
-    // only (O(Σ len²), cycles are tiny vs m).
+    // bound, which times out at sf1; 2^24 = 16.7M >= m at every tier
+    // up to and including a 15M-customer sf100, and the image of f^N
+    // for N >= max tail length is exactly the cycle-node set), then
+    // the per-cycle walk runs over cycle nodes only (O(Σ len²),
+    // cycles are tiny vs m).
     "q_cycle_census" ->
       """WITH RECURSIVE c AS (
            SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
@@ -12847,7 +12848,8 @@ object SparkEntry {
          j21 AS MATERIALIZED (SELECT a.id, b.j FROM j20 a JOIN j20 b ON b.id = a.j),
          j22 AS MATERIALIZED (SELECT a.id, b.j FROM j21 a JOIN j21 b ON b.id = a.j),
          j23 AS MATERIALIZED (SELECT a.id, b.j FROM j22 a JOIN j22 b ON b.id = a.j),
-         cyc AS (SELECT DISTINCT j AS id FROM j23),
+         j24 AS MATERIALIZED (SELECT a.id, b.j FROM j23 a JOIN j23 b ON b.id = a.j),
+         cyc AS (SELECT DISTINCT j AS id FROM j24),
          walk(v0, v) AS (
            SELECT nxt.id, nxt.n FROM nxt JOIN cyc ON cyc.id = nxt.id
            UNION
@@ -12895,7 +12897,7 @@ object SparkEntry {
          n10 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_nationkey < 10)
          SELECT * FROM (
            SELECT 'fsck' AS stage, 'non_ok_rows' AS item, '' AS detail, CAST(0 AS BIGINT) AS n
-           UNION ALL SELECT 'repair', 'v1/cust', 'stale-erase-residue:deleted-residue', 0
+           UNION ALL SELECT 'repair', 'v1/cust', 'stale-erase-residue:deleted-stale-backup', 0
            UNION ALL SELECT 'repair', 'v1/nat', 'crashed-erase:restored-scrubbed', 0
            UNION ALL SELECT 'serve', 'cust@v1', '', (SELECT n FROM c)
            UNION ALL SELECT 'serve', 'nat@v1', '', (SELECT n FROM n10)

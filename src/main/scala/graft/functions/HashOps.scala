@@ -491,7 +491,10 @@ object HashOps {
    * distinct documents unless URLs collapse to one canonical form
    * first. Rules (each a documented, deterministic choice):
    * scheme lowercased with http folded to https; host lowercased,
-   * leading `www.` and default ports `:80`/`:443` stripped; fragment
+   * leading `www.` stripped, and the scheme's OWN default port
+   * stripped (`:80` for http, `:443` for https — a non-default port
+   * like `http://h:443` or `ftp://h:80` is a genuinely different
+   * endpoint and survives); fragment
    * dropped; trailing path slashes dropped; tracking parameters
    * (`utm_*`, `gclid`, `fbclid`, `ref`) dropped; surviving query
    * params sorted; an emptied query drops its `?`. Total function:
@@ -517,8 +520,10 @@ object HashOps {
     }
     var host = rest.substring(0, aEnd).toLowerCase(java.util.Locale.ROOT)
     if (host.startsWith("www.")) host = host.substring(4)
-    if (host.endsWith(":80")) host = host.substring(0, host.length - 3)
-    else if (host.endsWith(":443")) host = host.substring(0, host.length - 4)
+    if (scheme0 == "http" && host.endsWith(":80"))
+      host = host.substring(0, host.length - 3)
+    else if (scheme0 == "https" && host.endsWith(":443"))
+      host = host.substring(0, host.length - 4)
     val qRaw = rest.indexOf('?', aEnd)
     val fRaw = rest.indexOf('#', aEnd)
     val qPos = if (qRaw < 0) rest.length else qRaw

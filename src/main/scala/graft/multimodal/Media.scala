@@ -122,8 +122,18 @@ object Media {
   /** [[describeHeaders]] as an ENRICHMENT: append the five header
    * columns to the input, keeping every existing column (payload
    * included) — the shape a router needs, where the payload travels
-   * on to its format's sink. */
-  def withHeaderMeta(media: DataFrame, payloadCol: String): DataFrame =
+   * on to its format's sink. Refuses an input that ALREADY carries
+   * any of the five output names: withColumn would silently replace
+   * it, destroying exactly the claimed metadata a caller might want
+   * to compare the parsed values against — rename claimed columns
+   * (e.g. `claimed_width`) before enriching. */
+  def withHeaderMeta(media: DataFrame, payloadCol: String): DataFrame = {
+    val out = Seq("format", "width", "height", "sample_rate", "channels")
+    val clash = media.columns.filter(out.contains)
+    require(clash.isEmpty,
+      s"withHeaderMeta: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them (e.g. claimed_width) so parsed header values cannot " +
+        "silently overwrite claimed metadata")
     media.withColumn("_h", graft.functions.expressions.headerMeta(col(payloadCol)))
       .withColumn("format",
         when(element_at(col("_h"), 1) === 1L, "png")
@@ -135,6 +145,7 @@ object Media {
       .withColumn("sample_rate", element_at(col("_h"), 4))
       .withColumn("channels", element_at(col("_h"), 5))
       .drop("_h")
+  }
 
   /** Per-media chunk signature set: the digest of every FULL
    * `chunkBytes`-sized slice of the payload (the trailing partial

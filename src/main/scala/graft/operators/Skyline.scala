@@ -37,14 +37,17 @@ object Skyline {
    * kept (neither strictly beats the other — the NOT EXISTS
    * semantics). `buckets` bounds the cross-bucket relation at
    * groups × buckets rows. Coordinates must be non-null integral:
-   * NULL-x/NULL-y rows drop out of the frontier (SQL comparison
-   * semantics — a NULL coordinate can neither dominate nor be
-   * dominated deterministically); pre-filter or impute upstream if
-   * they must participate. */
-  def frontier(df: DataFrame, groupCols: Seq[String], xCol: String,
+   * NULL-x/NULL-y rows are FILTERED before bucketing (a NULL
+   * coordinate can neither dominate nor be dominated
+   * deterministically — and an unfiltered NULL-x row would form a
+   * NULL bucket that sorts first in the cross-bucket prefix window,
+   * poisoning `_pref_y` for every real bucket and evicting genuine
+   * frontier rows); impute upstream if such rows must participate. */
+  def frontier(df0: DataFrame, groupCols: Seq[String], xCol: String,
       yCol: String, buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"skyline: buckets must be >= 1, got $buckets")
     require(groupCols.nonEmpty, "skyline: need at least one group column")
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val g = groupCols.map(col)
     val bounds = df.groupBy(g: _*)
       .agg(min(col(xCol)).as("_x_min"), max(col(xCol)).as("_x_max"))

@@ -954,11 +954,15 @@ object Snapshot {
    * report warns about (renaming a half over a live table). One pass,
    * applying the residue taxonomy's own rules:
    *  - 'stale-erase-residue' (live table present): the residue is
-   *    garbage — DELETED. A post-swap `.erase_bak` holds the UNERASED
-   *    bytes, so deleting it is itself the A30 obligation completing;
-   *    a pre-swap `.erase_tmp` means the erase never swapped —
-   *    deleted too, and the action row tells the operator to re-run
-   *    [[eraseKeys]] (it is idempotent).
+   *    garbage — DELETED, with the ACTION naming which half it was,
+   *    because the operator's follow-up differs: a post-swap
+   *    `.erase_bak` holds the UNERASED bytes, so deleting it is the
+   *    A30 obligation completing ('deleted-stale-backup', nothing
+   *    more to do); a pre-swap `.erase_tmp` means the erase NEVER
+   *    SWAPPED — the live table still serves the subject's rows —
+   *    so the action reads 'deleted-stale-tmp-rerun-erase' and the
+   *    operator re-runs the idempotent [[eraseKeys]]. Conflating the
+   *    two would let an operator read a half-done erasure as done.
    *  - 'crashed-erase' (live table missing): the SCRUBBED half
    *    (`.erase_tmp`) is complete by construction — it was fully
    *    written before the first rename — so it is restored and the
@@ -991,7 +995,13 @@ object Snapshot {
         if (own.contains(t)) {
           f.delete(p(s".erase_tmp_$t"), true): Unit
           f.delete(p(s".erase_bak_$t"), true): Unit
-          (v, t, "stale-erase-residue", "deleted-residue")
+          // the halves mean different things next to a live table: a
+          // tmp means the erase never swapped (live still serves the
+          // subject — re-run eraseKeys); a bak means it completed and
+          // deleting the unerased bytes finishes the A30 obligation
+          (v, t, "stale-erase-residue",
+            if (tmps.contains(t)) "deleted-stale-tmp-rerun-erase"
+            else "deleted-stale-backup")
         } else if (tmps.contains(t)) {
           require(f.rename(p(s".erase_tmp_$t"), p(t)),
             s"snapshot repair: failed to restore scrubbed v$v/$t")
@@ -1198,24 +1208,35 @@ object Snapshot {
    * EXISTING vacuum's job, whose tag-protection simply no longer sees
    * the ref (and whose link-fixpoint still rescues anything a
    * surviving version reaches). Refuses unknown refs loudly, and
-   * refuses deleting a `-mergebase` tag directly — the base belongs to
-   * its branch and dies with it (deleting it alone would turn the next
-   * [[mergeRef]] into a refusal with a misleading "create it with
-   * branch()" message). The manifest is untouched: the head version
-   * and time travel by explicit version survive every ref deletion. */
+   * refuses deleting a `-mergebase` tag whose BRANCH REF still exists
+   * — the base belongs to its branch and dies with it (deleting it
+   * alone would turn the next [[mergeRef]] into a refusal with a
+   * misleading "create it with branch()" message); an ORPHANED base
+   * (ref already gone — an out-of-band tag removal) is deletable
+   * directly, so no state is ever stuck. Crash safety: the merge-base
+   * companion deletes FIRST — a crash between the two deletes leaves
+   * the ref itself, and RERUNNING deleteRef completes; the reverse
+   * order would strand a base this verb refused to touch, recreating
+   * the pinned-chain wall it exists to remove. The manifest is
+   * untouched: the head version and time travel by explicit version
+   * survive every ref deletion. */
   def deleteRef(spark: SparkSession, root: String, name: String): Unit = {
     require(name.matches("[A-Za-z0-9_-]+"), s"snapshot deleteRef: unsafe name '$name'")
-    require(!name.endsWith("-mergebase"),
-      s"snapshot deleteRef: '$name' is a merge-base tag — delete its branch " +
-        "ref instead (the base is removed with it)")
     val f = fs(spark, root)
+    if (name.endsWith("-mergebase"))
+      require(!f.exists(new org.apache.hadoop.fs.Path(
+          s"$root/TAG.${name.stripSuffix("-mergebase")}")),
+        s"snapshot deleteRef: '$name' is a live branch's merge-base tag — " +
+          "delete the branch ref instead (the base is removed with it)")
     val p = new org.apache.hadoop.fs.Path(s"$root/TAG.$name")
     require(f.exists(p), s"snapshot deleteRef: no ref '$name' under $root")
-    require(f.delete(p, false), s"snapshot deleteRef: failed to remove TAG.$name")
+    // companion first: a crash mid-verb must leave a state this verb
+    // can still finish, never an unremovable orphan
     val mb = new org.apache.hadoop.fs.Path(s"$root/TAG.$name-mergebase")
     if (f.exists(mb))
       require(f.delete(mb, false),
         s"snapshot deleteRef: failed to remove TAG.$name-mergebase")
+    require(f.delete(p, false), s"snapshot deleteRef: failed to remove TAG.$name")
   }
 
   /** The version a tag names; fails loudly on unknown tags. */

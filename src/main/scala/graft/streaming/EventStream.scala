@@ -792,6 +792,14 @@ object EventStream {
         val names =
           if (f.exists(sp)) f.listStatus(sp).map(_.getPath.getName).toSeq
           else Seq.empty[String]
+        // a pre-compaction release wrote `batch=<id>` state dirs; the
+        // b<id>/compact_<B> reader would silently see EMPTY state over
+        // them and wave every cross-batch duplicate through — refuse
+        // loudly instead (the silent-wrongness class)
+        require(!names.exists(_.startsWith("batch=")),
+          s"near-dup gate: $statePath holds legacy 'batch=<id>' state dirs — " +
+            "rename each to 'b<id>' (adding the batch id as a column) or " +
+            "rebuild the state before resuming this stream")
         val compactB = names.collect {
           case n if n.matches("compact_\\d+") => n.drop(8).toLong
         }.filter(_ < id).sorted.lastOption
@@ -827,9 +835,17 @@ object EventStream {
             require(f.rename(new org.apache.hadoop.fs.Path(tmp), target),
               s"near-dup gate: state compaction rename failed for compact_${id - 1}")
           }
-          // idempotent cleanup of the dirs the compact subsumes
-          (compactB.map(b => s"compact_$b") ++ bIds.map(k => s"b$k")).foreach { n =>
-            f.delete(new org.apache.hadoop.fs.Path(s"$statePath/$n"), true): Unit
+          // idempotent cleanup of EVERYTHING the compact subsumes —
+          // from a fresh listing, not just the dirs this batch's
+          // reader saw: a crash after a previous rename-but-before-
+          // cleanup leaves stale dirs the reader rule skips but the
+          // saw-list would never name (they'd leak forever otherwise)
+          f.listStatus(sp).map(_.getPath.getName).foreach { n =>
+            val subsumed =
+              (n.matches("compact_\\d+") && n.drop(8).toLong < id - 1) ||
+                (n.matches("b\\d+") && n.drop(1).toLong <= id - 1)
+            if (subsumed)
+              f.delete(new org.apache.hadoop.fs.Path(s"$statePath/$n"), true): Unit
           }
         }
       }

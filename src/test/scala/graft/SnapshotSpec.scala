@@ -701,7 +701,7 @@ class SnapshotSpec extends AnyFunSuite {
     val report = Snapshot.fsckRepair(spark, root)
       .as[(Long, String, String, String)].collect().toList.sorted
     assert(report == List(
-      (1L, "t", "stale-erase-residue", "deleted-residue"),
+      (1L, "t", "stale-erase-residue", "deleted-stale-backup"),
       (1L, "u", "crashed-erase", "restored-scrubbed")), s"got $report")
     // the namespace is clean, the erased row (k=2) stayed erased, and
     // the unerased halves are physically gone
@@ -727,6 +727,35 @@ class SnapshotSpec extends AnyFunSuite {
     val r3 = Snapshot.fsckRepair(spark, root)
       .as[(Long, String, String, String)].collect().toList
     assert(r3 == List((2L, "u", "dangling-link", "unrepairable")), s"got $r3")
+    // pre-swap tmp next to a live table: the erase never swapped — the
+    // action must tell the operator to re-run it, not read as done
+    Seq((1L, "a")).toDF("k", "s").write.parquet(s"$root/v1/.erase_tmp_t")
+    val r4 = Snapshot.fsckRepair(spark, root)
+      .as[(Long, String, String, String)].collect().toList
+      .filter(_._2 == "t")
+    assert(r4 == List((1L, "t", "stale-erase-residue", "deleted-stale-tmp-rerun-erase")),
+      s"got $r4")
+  }
+
+  test("deleteRef deletes the merge-base first; an orphaned base is deletable (review r17)") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.branch(spark, root, "dev", "prod")
+    // simulate a crash AFTER the companion delete, BEFORE the ref
+    // delete (the verb's own order): rerunning completes
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$root/TAG.dev-mergebase"), false))
+    Snapshot.deleteRef(spark, root, "dev") // no orphaned base, no refusal
+    intercept[IllegalArgumentException](Snapshot.tagVersion(spark, root, "dev"))
+    // an out-of-band REF removal leaves an orphaned base: deletable
+    // directly (the live-branch guard no longer applies)
+    Snapshot.branch(spark, root, "exp", "prod")
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$root/TAG.exp"), false))
+    Snapshot.deleteRef(spark, root, "exp-mergebase")
+    intercept[IllegalArgumentException](
+      Snapshot.tagVersion(spark, root, "exp-mergebase"))
   }
 
   test("fsck splits erase residue by live-table presence (ADVICE r14/r15)") {

@@ -19,8 +19,11 @@ class UrlsSpec extends AnyFunSuite {
     // www + default ports
     assert(canon("https://www.example.com:443/x") == "https://example.com/x")
     assert(canon("http://example.com:80/x") == "https://example.com/x")
-    // non-default port survives
+    // non-default port survives — including the OTHER scheme's default
     assert(canon("https://example.com:8443/x") == "https://example.com:8443/x")
+    assert(canon("http://example.com:443/x") == "https://example.com:443/x")
+    assert(canon("https://example.com:80/x") == "https://example.com:80/x")
+    assert(canon("ftp://example.com:80/x") == "ftp://example.com:80/x")
     // trailing slashes (all of them), root path collapses to bare host
     assert(canon("https://example.com/a/b///") == "https://example.com/a/b")
     assert(canon("https://example.com/") == "https://example.com")
