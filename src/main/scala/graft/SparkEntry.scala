@@ -2589,6 +2589,101 @@ object SparkEntry {
       .orderBy("stage", "item")
   }
 
+  /** A41 (r18): replica-backed dangling-link repair
+   * ([[graft.sinks.Snapshot.fsckRepair]] `fromReplica`) — the one
+   * fsck issue r17's repair verb left as a runbook step ("restore
+   * from an A39 replica"), now executed by code: the query publishes
+   * v1 (cust + nat physical) and v2 (nat rewritten, cust carried as
+   * a LINK to v1), replicates the namespace BEFORE any damage (the
+   * DR discipline — a replica taken after the loss holds the loss),
+   * then simulates the out-of-band `rm -rf` of v1/cust that leaves
+   * v2's link dangling. Repair must copy v1/cust back from the
+   * replica, CHECKSUM-PROVE the copy against the replica source
+   * before installing it (a corrupt restore never serves), and leave
+   * fsck fully clean — pinned by the zero non-ok count and by
+   * re-reading cust through the repaired link at head with a count
+   * the oracle recomputes from source. */
+  private def qFsckRestore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seq = sinkSeq.incrementAndGet()
+    val root = s"${graft.Scratch.root(s)}/fsck_restore_$seq"
+    val rep = s"${graft.Scratch.root(s)}/fsck_restore_rep_$seq"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("cust" -> cust, "nat" -> nat))
+    graft.sinks.Snapshot.publishLinked(s, root,
+      Map("nat" -> nat.filter(col("n_nationkey") < 10)))
+    graft.sinks.Snapshot.replicate(s, root, rep)
+    // out-of-band deletion AFTER replication: v2's cust link dangles
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root/v1/cust"), true): Unit
+    val repaired = graft.sinks.Snapshot
+      .fsckRepair(s, root, fromReplica = Some(rep))
+      .select(lit("repair").as("stage"),
+        concat(lit("v"), col("version").cast("string"), lit("/"),
+          col("table_name")).as("item"),
+        concat(col("issue"), lit(":"), col("action")).as("detail"),
+        lit(0L).as("n"))
+    val nonOk = graft.sinks.Snapshot.fsck(s, root)
+      .filter(!col("status").isin("ok", "linked-ok")).count()
+    def served(item: String, df: DataFrame) = df
+      .agg(count(lit(1)).as("n"))
+      .select(lit("serve").as("stage"), lit(item).as("item"),
+        lit("").as("detail"), col("n"))
+    repaired.unionAll(Seq(("fsck", "non_ok_rows", "", nonOk))
+        .toDF("stage", "item", "detail", "n"))
+      .unionAll(served("cust@head", graft.sinks.Snapshot.read(s, root, "cust")))
+      .unionAll(served("nat@head", graft.sinks.Snapshot.read(s, root, "nat")))
+      .orderBy("stage", "item")
+  }
+
+  /** A42 (r18): bulk age-based ref GC
+   * ([[graft.sinks.Snapshot.gcRefs]]) — the lifecycle verb a team
+   * with CI-created branches needs: three versions, prod tagged at
+   * v1, two experiment branches (dev1 at v2's chain via branch(),
+   * dev2 likewise at v3), then one sweep at cutoff 0 with a planted
+   * deterministic `asOf` (one past the newest A37 timestamp — every
+   * chain is "idle"). The sweep must take dev1+dev2 AND their
+   * `-mergebase` companions, refuse to touch prod (release-name
+   * guard) or the kept ref, and the follow-up vacuum at keepLast=1
+   * must reclaim exactly the newly unrooted v2 (v1 stays: prod pins
+   * it; v3 is head) — the report pins swept names, surviving refs,
+   * vacuumed versions, and a head read-back count the oracle
+   * recomputes from source. */
+  private def qRefGc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${graft.Scratch.root(s)}/ref_gc_${sinkSeq.incrementAndGet()}"
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    graft.sinks.Snapshot.publish(s, root, Map("nat" -> nat))
+    graft.sinks.Snapshot.tag(s, root, "prod", 1L)
+    graft.sinks.Snapshot.publish(s, root,
+      Map("nat" -> nat.filter(col("n_nationkey") < 20)))
+    graft.sinks.Snapshot.branch(s, root, "dev1", "prod")
+    graft.sinks.Snapshot.tag(s, root, "dev1", 2L) // park dev1 on v2
+    graft.sinks.Snapshot.publish(s, root,
+      Map("nat" -> nat.filter(col("n_nationkey") < 10)))
+    graft.sinks.Snapshot.branch(s, root, "dev2", "prod")
+    graft.sinks.Snapshot.tag(s, root, "dev2", 3L)
+    graft.sinks.Snapshot.tag(s, root, "keepme", 3L)
+    val asOf = graft.sinks.Snapshot.history(s, root)
+      .agg(max("ts_ms")).head().getLong(0) + 1L
+    val swept = graft.sinks.Snapshot.gcRefs(s, root, olderThanMs = 0L,
+      asOfMs = Some(asOf), keep = Seq("keepme"))
+    val vacuumed = graft.sinks.Snapshot.vacuum(s, root, keepLast = 1)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val surviving = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("TAG."))
+      .filterNot(_.startsWith("TAG.tmp.")).map(_.drop(4)).sorted.toSeq
+    val headRows = graft.sinks.Snapshot.read(s, root, "nat").count()
+    (swept.map { case (n, v) => ("swept", n, v) } ++
+      surviving.map(n => ("kept", n, 0L)) ++
+      vacuumed.map(v => ("vacuumed", s"v$v", v)) ++
+      Seq(("serve", "nat@head", headRows)))
+      .toDF("stage", "item", "n").orderBy("stage", "item")
+  }
+
   /** A33 (r14): storage accounting per version
    * ([[graft.sinks.Snapshot.storageReport]]) — the chargeback /
    * capacity view the A31 catalog's logical rows hide: how much of
@@ -5422,32 +5517,50 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
-  /** C93 (r17): URL canonicalization + canonical-URL dedup
-   * ([[graft.text.Urls.canonicalDedup]]) — the crawl pipeline's FIRST
-   * dedup pass, upstream of every content-based one: the corpus
-   * builds four surface variants of each logical page (scheme case +
+  /** C93 (r17, completed r18): URL canonicalization + canonical-URL
+   * dedup ([[graft.text.Urls.canonicalDedup]]) — the crawl pipeline's
+   * FIRST dedup pass, upstream of every content-based one: the corpus
+   * builds EIGHT surface variants of each logical page (scheme case +
    * http, WWW + :80 + trailing slash + utm param, :443 + fragment +
-   * scrambled param order, gclid) in pure Catalyst SQL, and the
-   * codegen'd canonicalizer must collapse each quartet onto ONE
-   * canonical string. The oracle recomputes the canonical URL
-   * CHARACTER-FOR-CHARACTER by independent arithmetic (never parsing
-   * anything), plus the group rep/count/keep relation — so a wrong
-   * scheme fold, port strip, param sort, or fragment rule all
-   * hash-mismatch, as does any grouping error. One projection + one
-   * canonical-key window; shuffles short strings only. */
+   * scrambled param order, gclid, userinfo, percent-encoded
+   * unreserved path byte, `/../` + `/./` dot segments, duplicate
+   * slashes) in pure Catalyst SQL, and the codegen'd canonicalizer
+   * must collapse each octet onto ONE canonical string; a second
+   * family plants lowercase-hex + encoded-tilde query values
+   * (`%2fv%7E` vs `%2Fv~`) whose pairs collapse through the
+   * percent-normalization rules alone. The oracle recomputes every
+   * canonical URL CHARACTER-FOR-CHARACTER by independent arithmetic
+   * (never parsing anything), plus the group rep/count/keep relation
+   * — so a wrong scheme fold, port strip, userinfo split, percent
+   * decode/uppercase, dot-segment pop, param sort, or fragment rule
+   * all hash-mismatch, as does any grouping error. One projection +
+   * one canonical-key window; shuffles short strings only. */
   private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
-    val staged = t(s, dir, "documents")
-      .select(col("doc_id").as("id"), expr("doc_id div 4").as("k"))
+    val fam1 = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), expr("doc_id div 8").as("k"))
       .withColumn("url", expr("""
-        CASE CAST(id % 4 AS INT)
+        CASE CAST(id % 8 AS INT)
           WHEN 0 THEN concat('https://example', k, '.com/a/b', k, '?b=2&a=1')
           WHEN 1 THEN concat('HTTP://WWW.EXAMPLE', k, '.COM:80/a/b', k,
             '/?a=1&b=2&utm_source=x')
           WHEN 2 THEN concat('https://example', k, '.com:443/a/b', k,
             '?utm_campaign=z&b=2&a=1#frag')
-          ELSE concat('https://example', k, '.com/a/b', k, '?a=1&gclid=g&b=2')
+          WHEN 3 THEN concat('https://example', k, '.com/a/b', k, '?a=1&gclid=g&b=2')
+          WHEN 4 THEN concat('https://u:p@example', k, '.com/a/b', k, '?a=1&b=2')
+          WHEN 5 THEN concat('https://example', k, '.com/%61/b', k, '?a=1&b=2')
+          WHEN 6 THEN concat('https://example', k, '.com/x/../a/./b', k, '?a=1&b=2')
+          ELSE concat('https://example', k, '.com//a//b', k, '?a=1&b=2')
         END"""))
-    graft.text.Urls.canonicalDedup(staged, "id", "url").orderBy("id")
+    val fam2 = t(s, dir, "documents")
+      .select((col("doc_id") + lit(1000000L)).as("id"),
+        expr("doc_id div 2").as("k"))
+      .withColumn("url", expr("""
+        CASE CAST(id % 2 AS INT)
+          WHEN 0 THEN concat('https://example', k, '.org/p?q=%2fv%7E')
+          ELSE concat('https://example', k, '.org/p?q=%2Fv~')
+        END"""))
+    graft.text.Urls.canonicalDedup(fam1.unionByName(fam2), "id", "url")
+      .orderBy("id")
   }
 
   /** C27: segment-level dedup (text/SegmentDedup.scala) — the corpus
@@ -8041,6 +8154,8 @@ object SparkEntry {
     "q_storage_report" -> qStorageReport,
     "q_fsck" -> qFsck,
     "q_fsck_repair" -> qFsckRepair,
+    "q_fsck_restore" -> qFsckRestore,
+    "q_ref_gc" -> qRefGc,
     "q_reconcile_live" -> qReconcileLive,
     "q_clamped_balance_stream" -> qClampedBalanceStream,
     "q_rate_cap" -> qRateCap,
@@ -11003,13 +11118,23 @@ object SparkEntry {
     // rep/count/keep group relation — wrong scheme fold / port strip /
     // param sort / fragment rule or grouping error all hash-mismatch.
     "q_url_dedup" ->
-      """WITH d AS (SELECT doc_id AS id, doc_id // 4 AS k FROM documents),
-         g AS (SELECT k, CAST(MIN(id) AS BIGINT) AS rep,
-             CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY k)
-         SELECT id,
-           concat('https://example', k, '.com/a/b', k, '?a=1&b=2') AS canon_url,
-           g.rep AS rep_id, g.n AS n_copies, id = g.rep AS keep
-         FROM d JOIN g USING (k) ORDER BY id""",
+      """WITH d1 AS (SELECT doc_id AS id, doc_id // 8 AS k FROM documents),
+         g1 AS (SELECT k, CAST(MIN(id) AS BIGINT) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS n FROM d1 GROUP BY k),
+         d2 AS (SELECT doc_id + 1000000 AS id, doc_id // 2 AS k FROM documents),
+         g2 AS (SELECT k, CAST(MIN(id) AS BIGINT) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS n FROM d2 GROUP BY k)
+         SELECT * FROM (
+           SELECT id,
+             concat('https://example', k, '.com/a/b', k, '?a=1&b=2') AS canon_url,
+             g1.rep AS rep_id, g1.n AS n_copies, id = g1.rep AS keep
+           FROM d1 JOIN g1 USING (k)
+           UNION ALL
+           SELECT id,
+             concat('https://example', k, '.org/p?q=%2Fv~') AS canon_url,
+             g2.rep AS rep_id, g2.n AS n_copies, id = g2.rep AS keep
+           FROM d2 JOIN g2 USING (k))
+         ORDER BY id""",
     // D32: the routed store read back must equal the batch header
     // relation — same independent arithmetic as q_media_headers; any
     // drop/duplicate/misroute across the two micro-batches mismatches.
@@ -12901,6 +13026,31 @@ object SparkEntry {
            UNION ALL SELECT 'repair', 'v1/nat', 'crashed-erase:restored-scrubbed', 0
            UNION ALL SELECT 'serve', 'cust@v1', '', (SELECT n FROM c)
            UNION ALL SELECT 'serve', 'nat@v1', '', (SELECT n FROM n10)
+         ) ORDER BY stage, item""",
+    // A41 fromReplica: the dangling link restored from the A39
+    // replica (checksum-proved before install), fsck clean after,
+    // both tables serving at head with source-recomputed counts.
+    "q_fsck_restore" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+         n10 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_nationkey < 10)
+         SELECT * FROM (
+           SELECT 'fsck' AS stage, 'non_ok_rows' AS item, '' AS detail, CAST(0 AS BIGINT) AS n
+           UNION ALL SELECT 'repair', 'v2/cust', 'dangling-link:restored-from-replica', 0
+           UNION ALL SELECT 'serve', 'cust@head', '', (SELECT n FROM c)
+           UNION ALL SELECT 'serve', 'nat@head', '', (SELECT n FROM n10)
+         ) ORDER BY stage, item""",
+    // A42: dev1+dev2 swept at their parked versions, prod kept by the
+    // release guard and keepme by the keep-list, vacuum reclaims
+    // exactly the newly unrooted v2, head still serves.
+    "q_ref_gc" ->
+      """SELECT * FROM (
+           SELECT 'kept' AS stage, 'keepme' AS item, CAST(0 AS BIGINT) AS n
+           UNION ALL SELECT 'kept', 'prod', 0
+           UNION ALL SELECT 'serve', 'nat@head',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM nation WHERE n_nationkey < 10)
+           UNION ALL SELECT 'swept', 'dev1', 2
+           UNION ALL SELECT 'swept', 'dev2', 3
+           UNION ALL SELECT 'vacuumed', 'v2', 2
          ) ORDER BY stage, item""",
     // three versions of the query's own construction: full publish,
     // then two one-table linked publishes; linked row mass recomputed.

@@ -1,5 +1,31 @@
 package graft.functions
 
+/** Compiled tracking-parameter drop-list for
+ * [[HashOps.canonicalUrl]] (C93): a comma-separated spec where a
+ * trailing `*` marks a name PREFIX (`utm_*`) and anything else an
+ * exact name. Compiled once per expression (driver-side, shipped to
+ * executors as a codegen reference object), matched per param
+ * against the percent-normalized name. The list is a parameter —
+ * not a constant — because the default's `ref` entry over-merges on
+ * sites where `?ref=` is semantic (git forges, docs); callers that
+ * crawl such sites pass a tighter spec. */
+final class UrlDropList(val spec: String) extends Serializable {
+  private val entries =
+    spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).toArray
+  private val prefixes =
+    entries.filter(_.endsWith("*")).map(e => e.substring(0, e.length - 1))
+  private val exact = entries.filterNot(_.endsWith("*")).toSet
+  def drops(name: String): Boolean =
+    exact.contains(name) || prefixes.exists(name.startsWith)
+}
+
+object UrlDropList {
+  /** The crawl-pipeline default: Google/Facebook click ids plus the
+   * `utm_*` campaign family and bare `ref`. */
+  val DefaultSpec = "utm_*,gclid,fbclid,ref"
+  val Default = new UrlDropList(DefaultSpec)
+}
+
 /**
  * Deterministic hash primitives used by the dedup/fingerprint
  * expressions. Static (JVM-wide, allocation-free where possible) so
@@ -484,26 +510,90 @@ object HashOps {
    * exact-dedup queries apply this predicate to ALL pairs with no
    * candidate-blocking step to shield them, and their string-space
    * oracles emit no shingle rows for such docs. */
-  /** URL canonicalization (C93, r17) — the normalization a crawl
-   * pipeline runs BEFORE any dedup: the same page arrives as
-   * `HTTP://WWW.Site.COM:80/a/?b=2&a=1&utm_source=x#frag` and
-   * `https://site.com/a?a=1&b=2`, and byte-hash dedup sees two
-   * distinct documents unless URLs collapse to one canonical form
-   * first. Rules (each a documented, deterministic choice):
-   * scheme lowercased with http folded to https; host lowercased,
-   * leading `www.` stripped, and the scheme's OWN default port
-   * stripped (`:80` for http, `:443` for https — a non-default port
-   * like `http://h:443` or `ftp://h:80` is a genuinely different
-   * endpoint and survives); fragment
-   * dropped; trailing path slashes dropped; tracking parameters
-   * (`utm_*`, `gclid`, `fbclid`, `ref`) dropped; surviving query
-   * params sorted; an emptied query drops its `?`. Total function:
-   * a string without `://` just lowercases (never throws — crawl
-   * frontiers contain garbage). ASCII-ordering note: params sort in
-   * UTF-16 code-unit order (≡ byte order on ASCII, the practical
-   * URL alphabet). */
+  /** URL canonicalization (C93, r17; completed r18) — the
+   * normalization a crawl pipeline runs BEFORE any dedup: the same
+   * page arrives as `HTTP://u@WWW.Site.COM:80/a//./b/../a/?b=2&a=1
+   * &utm_source=x#frag` and `https://site.com/a?a=1&b=2`, and
+   * byte-hash dedup sees two distinct documents unless URLs collapse
+   * to one canonical form first. Rules (each a documented,
+   * deterministic choice):
+   *  - scheme lowercased with http folded to https;
+   *  - userinfo dropped — the authority splits at its LAST `@`
+   *    (RFC 3986 allows `@` inside userinfo, never inside host), so
+   *    `user:p@ss@www.site.com` and `site.com` collapse;
+   *  - host lowercased, leading `www.` stripped, non-ASCII labels
+   *    IDN/punycode-folded (`java.net.IDN.toASCII`; a label the
+   *    folder rejects is kept lowercased — total function);
+   *  - the scheme's OWN default port stripped (`:80` for http,
+   *    `:443` for https — a non-default port like `http://h:443` or
+   *    `ftp://h:80` is a genuinely different endpoint and survives).
+   *    The port separator is the last `:` AFTER the last `]`, so a
+   *    bracketed IPv6 literal's internal colons are never mistaken
+   *    for a port (`[2001:db8::443]` keeps its brackets; an
+   *    unbracketed IPv6 authority is malformed per RFC 3986 and
+   *    normalizes garbage-in-garbage-out, deterministically);
+   *  - percent-encoding normalized in path segments, param names,
+   *    and param values: `%XX` of an UNRESERVED byte
+   *    (ALPHA / DIGIT / `-` `.` `_` `~`) decodes to the character,
+   *    any other valid triple uppercases its hex (`%2f` → `%2F`),
+   *    and a malformed `%` (truncated / non-hex) is kept verbatim.
+   *    Decoding only unreserved bytes can never materialize a
+   *    delimiter (`/ ? # & =` are all reserved), so normalization is
+   *    applied AFTER splitting on raw delimiters;
+   *  - path dot-segments resolved RFC 3986-style after
+   *    percent-normalization (`/./` dropped, `/../` pops — a `..`
+   *    above root is dropped, so `%2E%2E` cannot escape), duplicate
+   *    and trailing slashes dropped, a root-only path collapses to
+   *    the bare host;
+   *  - fragment dropped; tracking parameters dropped per `drop`
+   *    ([[UrlDropList]] — default `utm_*,gclid,fbclid,ref`; the list
+   *    is a PARAMETER because `ref` is semantic on plenty of real
+   *    sites and an over-merge is the dangerous direction), matched
+   *    against the percent-NORMALIZED name so `utm%5Fsource` drops;
+   *    surviving query params sorted; an emptied query drops its
+   *    `?`.
+   * Total function: a string without `://` just lowercases (never
+   * throws — crawl frontiers contain garbage). ASCII-ordering note:
+   * params sort in UTF-16 code-unit order (≡ byte order on ASCII,
+   * the practical URL alphabet). */
   def canonicalUrl(u: org.apache.spark.unsafe.types.UTF8String)
-      : org.apache.spark.unsafe.types.UTF8String = {
+      : org.apache.spark.unsafe.types.UTF8String =
+    canonicalUrl(u, UrlDropList.Default)
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def isUnreservedByte(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** Percent-encoding normalization of ONE delimiter-free component:
+   * decode unreserved `%XX`, uppercase the hex of every other valid
+   * triple, keep malformed `%` runs verbatim. */
+  private def pctNorm(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreservedByte(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(java.lang.Character.toUpperCase(s.charAt(i + 1)))
+          .append(java.lang.Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def canonicalUrl(u: org.apache.spark.unsafe.types.UTF8String,
+      drop: UrlDropList): org.apache.spark.unsafe.types.UTF8String = {
     val s0 = u.toString.trim
     val sep = s0.indexOf("://")
     if (sep <= 0)
@@ -518,31 +608,52 @@ object HashOps {
       val c = rest.charAt(j)
       if (c == '/' || c == '?' || c == '#') aEnd = j else j += 1
     }
-    var host = rest.substring(0, aEnd).toLowerCase(java.util.Locale.ROOT)
+    var auth = rest.substring(0, aEnd)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    auth = auth.toLowerCase(java.util.Locale.ROOT)
+    // port = last ':' after the last ']' (bracketed IPv6 keeps colons)
+    val portSep = {
+      val c = auth.lastIndexOf(':')
+      if (c > auth.lastIndexOf(']')) c else -1
+    }
+    var host = if (portSep >= 0) auth.substring(0, portSep) else auth
+    var port = if (portSep >= 0) auth.substring(portSep) else ""
     if (host.startsWith("www.")) host = host.substring(4)
-    if (scheme0 == "http" && host.endsWith(":80"))
-      host = host.substring(0, host.length - 3)
-    else if (scheme0 == "https" && host.endsWith(":443"))
-      host = host.substring(0, host.length - 4)
+    if (host.exists(_ > 127))
+      try host = java.net.IDN.toASCII(host)
+        .toLowerCase(java.util.Locale.ROOT)
+      catch { case _: IllegalArgumentException => () }
+    if ((scheme0 == "http" && port == ":80") ||
+        (scheme0 == "https" && port == ":443")) port = ""
     val qRaw = rest.indexOf('?', aEnd)
     val fRaw = rest.indexOf('#', aEnd)
     val qPos = if (qRaw < 0) rest.length else qRaw
     val fPos = if (fRaw < 0) rest.length else fRaw
-    var path = rest.substring(aEnd, math.min(qPos, fPos))
-    while (path.endsWith("/")) path = path.substring(0, path.length - 1)
+    val path = rest.substring(aEnd, math.min(qPos, fPos))
+    val segs = new scala.collection.mutable.ArrayBuffer[String]()
+    path.split("/", -1).foreach { raw =>
+      if (raw.nonEmpty) {
+        val seg = pctNorm(raw)
+        if (seg == ".") ()
+        else if (seg == "..") { if (segs.nonEmpty) segs.remove(segs.length - 1) }
+        else segs += seg
+      }
+    }
+    val pathN = if (segs.isEmpty) "" else segs.mkString("/", "/", "")
     val query = if (qPos < fPos) rest.substring(qPos + 1, fPos) else ""
-    val kept = query.split("&").filter { p =>
-      p.nonEmpty && {
-        val name = p.indexOf('=') match {
-          case -1 => p
-          case e => p.substring(0, e)
-        }
-        !(name.startsWith("utm_") || name == "gclid" ||
-          name == "fbclid" || name == "ref")
+    val kept = query.split("&").flatMap { p =>
+      if (p.isEmpty) None
+      else {
+        val e = p.indexOf('=')
+        val name = pctNorm(if (e < 0) p else p.substring(0, e))
+        if (drop.drops(name)) None
+        else if (e < 0) Some(name)
+        else Some(name + "=" + pctNorm(p.substring(e + 1)))
       }
     }.sorted
     org.apache.spark.unsafe.types.UTF8String.fromString(
-      scheme + "://" + host + path +
+      scheme + "://" + host + port + pathN +
         (if (kept.nonEmpty) "?" + kept.mkString("&") else ""))
   }
 
@@ -564,8 +675,13 @@ object HashOps {
    *    little-endian channels and sample rate.
    *  - JPEG: 0xFFD8, then a SEGMENT SCAN skipping by each segment's
    *    big-endian length until a start-of-frame marker (0xC0-0xCF
-   *    minus DHT 0xC4 / RST 0xC8 / DAC 0xCC) carrying big-endian
-   *    height/width. */
+   *    minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC) carrying big-endian
+   *    height/width. Spec-allowed 0xFF FILL bytes between segments
+   *    are consumed before reading the marker byte, and the
+   *    standalone (zero-payload) markers TEM 0x01 and RST0-7
+   *    0xD0-0xD7 advance without a length read; EOI 0xD9 before any
+   *    SOF ends the scan with zero dims (r18 — a padded-but-valid
+   *    file previously misread the pad as a marker length). */
   def headerMeta(p: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
     val out = new Array[Long](5)
     def u8(i: Int): Int = p(i) & 0xff
@@ -605,17 +721,31 @@ object HashOps {
       out(0) = 3L
       var off = 2
       var done = false
-      while (!done && off + 4 <= n) {
+      while (!done && off + 2 <= n) {
         if (u8(off) != 0xff) done = true // not a marker: corrupt stream, stop
         else {
-          val m = u8(off + 1)
-          if ((m & 0xf0) == 0xc0 && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-            if (off + 9 <= n) { out(2) = be2(off + 5); out(1) = be2(off + 7) }
-            done = true
-          } else {
-            val segLen = be2(off + 2)
-            if (segLen < 2) done = true
-            else off += 2 + segLen.toInt
+          // the spec allows 0xFF FILL bytes between segments: the
+          // marker byte is the first non-FF after the run (r18)
+          var mo = off + 1
+          while (mo < n && u8(mo) == 0xff) mo += 1
+          if (mo >= n) done = true
+          else {
+            val m = u8(mo)
+            if ((m & 0xf0) == 0xc0 && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (mo + 8 <= n) { out(2) = be2(mo + 4); out(1) = be2(mo + 6) }
+              done = true
+            } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+              off = mo + 1 // TEM / RSTn: standalone markers, no length field
+            } else if (m == 0xd9 || m == 0x00) {
+              done = true // EOI before any SOF, or a stuffed data byte
+            } else {
+              if (mo + 3 > n) done = true
+              else {
+                val segLen = be2(mo + 1)
+                if (segLen < 2) done = true
+                else off = mo + 1 + segLen.toInt
+              }
+            }
           }
         }
       }
@@ -648,6 +778,10 @@ object HashOps {
     var i = 0
     while (i < n) {
       val r = atRisk.getLong(i)
+      if (r == 0L)
+        throw new IllegalArgumentException(
+          s"km_fold_ppm: at-risk count is 0 at step $i — survival is " +
+            "undefined there; drop empty steps upstream")
       s = s * (r - deaths.getLong(i)) / r
       out(i) = s
       i += 1

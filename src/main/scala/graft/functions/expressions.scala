@@ -332,11 +332,18 @@ case class HeaderMeta(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
-/** canonical_url(url) → string: crawl-pipeline URL canonicalization
- * (see HashOps.canonicalUrl — scheme fold, host/port/www
- * normalization, fragment and tracking-param drop, param sort).
- * Total and codegen'd; garbage lowercases instead of throwing. */
-case class CanonicalUrl(child: Expression) extends UnaryExpression {
+/** canonical_url(url[, dropParams]) → string: crawl-pipeline URL
+ * canonicalization (see HashOps.canonicalUrl — scheme fold,
+ * userinfo strip, host/port/www/IDN normalization, percent-encoding
+ * normalization, path dot-segment resolution, fragment and
+ * tracking-param drop, param sort). `dropParams` is the
+ * [[graft.functions.UrlDropList]] spec, compiled ONCE driver-side
+ * and shipped as a codegen reference object — never re-parsed per
+ * row. Total and codegen'd; garbage lowercases instead of
+ * throwing. */
+case class CanonicalUrl(child: Expression,
+    dropParams: String = UrlDropList.DefaultSpec) extends UnaryExpression {
+  @transient private lazy val drop = new UrlDropList(dropParams)
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -346,11 +353,15 @@ case class CanonicalUrl(child: Expression) extends UnaryExpression {
       s"canonical_url requires a string url, got ${child.dataType.sql}")
   }
   override protected def nullSafeEval(input: Any): Any =
-    HashOps.canonicalUrl(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.canonicalUrl($c)")
+    HashOps.canonicalUrl(input.asInstanceOf[UTF8String], drop)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dropRef = ctx.addReferenceObj("urlDrop", drop,
+      classOf[graft.functions.UrlDropList].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.canonicalUrl($c, $dropRef)")
+  }
   override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
-    copy(newChild)
+    copy(child = newChild)
 }
 
 /** km_fold_ppm(at_risk, deaths) → array<bigint>: the Kaplan-Meier
@@ -778,7 +789,9 @@ object expressions {
   def kmFoldPpm(atRisk: Column, deaths: Column): Column =
     column(KmFoldPpm(expression(atRisk), expression(deaths)))
   def headerMeta(payload: Column): Column = column(HeaderMeta(expression(payload)))
-  def canonicalUrl(url: Column): Column = column(CanonicalUrl(expression(url)))
+  def canonicalUrl(url: Column,
+      dropParams: String = UrlDropList.DefaultSpec): Column =
+    column(CanonicalUrl(expression(url), dropParams))
   def hashContainment(a: Column, b: Column): Column =
     column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =

@@ -25,7 +25,10 @@ import org.apache.spark.sql.SparkSession
  * branch head, prod untouched); `merge --from=dev [--into=prod]`
  * three-way-merges it back (conflicts → exit 3 with the tables
  * printed); `branch --delete=dev` removes a dead branch and its merge
- * base so vacuum can reclaim the chain it pinned; `log` prints the A37
+ * base so vacuum can reclaim the chain it pinned (release names like
+ * prod refuse without --force=true); `branch --gc=true
+ * --older-than=<ms> [--keep=a,b]` (A42) bulk-sweeps every idle
+ * non-release ref by the A37 history timestamps; `log` prints the A37
  * commit history, aborted candidates included.
  *
  * `replicate <srcRoot> <dstRoot>` (A39) copies and checksum-verifies
@@ -56,11 +59,13 @@ object Run {
       case f if f.startsWith(s"--$name=") => f.drop(name.length + 3)
     }
     val unknown = flags.filterNot(f =>
-      Seq("sf", "stages", "near", "table", "policy", "link", "name", "from", "into", "ref", "delete")
+      Seq("sf", "stages", "near", "table", "policy", "link", "name", "from",
+        "into", "ref", "delete", "force", "gc", "older-than", "keep")
         .exists(n => f.startsWith(s"--$n=")))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown flags: ${unknown.mkString(" ")} " +
-        "(--sf= --stages= --near= --table= --policy= --link= --name= --from= --into= --ref= --delete=)")
+        "(--sf= --stages= --near= --table= --policy= --link= --name= --from= " +
+        "--into= --ref= --delete= --force= --gc= --older-than= --keep=)")
       sys.exit(2)
     }
     val variant = pos.headOption.getOrElse("simple-with-lookups")
@@ -142,11 +147,13 @@ object Run {
     if (variant == "branch") {
       // A40 from the command line: `branch --delete=<ref>` removes a
       // dead branch (ref + recorded merge base) so the next vacuum can
-      // reclaim the versions it alone was pinning
+      // reclaim the versions it alone was pinning; release names
+      // (prod, stable, latest, release*) refuse without --force=true
       flag("delete") match {
         case Some(ref) =>
           try {
-            graft.sinks.Snapshot.deleteRef(spark, inDir, ref)
+            graft.sinks.Snapshot.deleteRef(spark, inDir, ref,
+              force = flag("force").contains("true"))
             println(s"RUN_RESULT variant=branch deleted=$ref root=$inDir")
             spark.stop()
           } catch {
@@ -157,6 +164,23 @@ object Run {
           }
           return
         case None => ()
+      }
+      // A42 from the command line: `branch --gc=true --older-than=<ms>`
+      // sweeps every non-release ref whose chain has been idle longer
+      // than the cutoff (--keep=a,b exempts exact names); reclamation
+      // is the next vacuum's job
+      if (flag("gc").contains("true")) {
+        val olderThan = flag("older-than").map(_.toLong).getOrElse {
+          System.err.println("branch --gc=true requires --older-than=<ms>")
+          spark.stop(); sys.exit(2)
+        }
+        val keep = flag("keep").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+        val swept = graft.sinks.Snapshot.gcRefs(spark, inDir, olderThan,
+          keep = keep)
+        swept.foreach { case (n, v) => println(s"RUN_GC ref=$n version=$v") }
+        println(s"RUN_RESULT variant=branch gc_swept=${swept.length} root=$inDir")
+        spark.stop()
+        return
       }
       // A36 from the command line: create a mergeable branch (ref +
       // recorded merge base) at the head of --from (default prod)

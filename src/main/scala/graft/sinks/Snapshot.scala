@@ -905,8 +905,10 @@ object Snapshot {
    * `.erase_bak_T`/`.erase_tmp_T` residue dir (ADVICE r14: an
    * [[eraseKeys]] crash between its two renames leaves the table
    * missing and its halves stranded — recover by renaming whichever
-   * side is complete back into place). Pure namespace metadata —
-   * listings and existence probes, no data read, no counts. */
+   * side is complete back into place), plus a 'stale-restore-tmp'
+   * row per `.restore_tmp_T` dir a crashed [[fsckRepair]] replica
+   * restore stranded. Pure namespace metadata — listings and
+   * existence probes, no data read, no counts. */
   def fsck(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, root)
@@ -940,8 +942,12 @@ object Snapshot {
         val target = new org.apache.hadoop.fs.Path(s"$root/v$sv/$t")
         (v, t, if (f.exists(target)) "linked-ok" else "dangling-link", sv)
       }
+      // a crashed replica restore ([[fsckRepair]] fromReplica) leaves
+      // a hidden tmp: harmless to readers, garbage to report
+      val restoreRows = dirs.filter(_.startsWith(".restore_tmp_"))
+        .map(_.drop(13)).sorted.map(t => (v, t, "stale-restore-tmp", v))
       val ownRows = own.sorted.map(t => (v, t, "ok", v))
-      val all = ownRows ++ linkRows ++ crashedRows
+      val all = ownRows ++ linkRows ++ crashedRows ++ restoreRows
       if (all.isEmpty) Seq((v, "", "empty-version", v)) else all
     }
     rows.toDF("version", "table_name", "status", "home_version")
@@ -970,14 +976,33 @@ object Snapshot {
    *    the erased subject). Only if the tmp half is itself gone does
    *    the backup restore ('restored-backup'), putting data back
    *    online with erasure explicitly flagged as NOT done.
-   *  - 'dangling-link': unrepairable here — the physical home is gone
-   *    (an out-of-band delete); reported so the operator can restore
-   *    from a replica (A39) or republish.
+   *  - 'dangling-link': the physical home is gone (an out-of-band
+   *    delete). With `fromReplica = Some(replicaRoot)` (r18, closing
+   *    VERDICT r17 #2) the missing version dir is restored FROM an
+   *    A39 replica under the replicate discipline: copy to a hidden
+   *    `.restore_tmp_` dir, prove the copy logically equal to the
+   *    replica source (the same order-independent table checksum the
+   *    A39 verify uses), and only then rename it into place — a
+   *    failed or crashed restore never installs, and the residue it
+   *    leaves is itself repaired ('deleted-stale-restore-tmp') on
+   *    the next run. A home several versions link to restores ONCE;
+   *    every dangling link over it reports 'restored-from-replica'.
+   *    A link whose home the replica ALSO lacks (vacuumed there, or
+   *    the damage predates replication) stays 'unrepairable', loudly.
+   *    A30 interplay: the replica holds the bytes AS OF replication —
+   *    erasures executed on the primary afterwards are not in it, so
+   *    the runbook after a restore is to re-run the idempotent
+   *    [[eraseKeys]] for any erasure that postdates the replica.
+   *    Without `fromReplica` the row reports 'unrepairable' so the
+   *    operator can point the verb at a replica or republish.
    * Returns (version, table_name, issue, action) for every issue
    * found; idempotent — a clean namespace returns zero rows and a
    * rerun after repair finds nothing. Pure namespace metadata plus
-   * the renames/deletes themselves; no data read. */
-  def fsckRepair(spark: SparkSession, root: String): DataFrame = {
+   * the renames/deletes themselves — except a replica restore, which
+   * is one distributed read→write→checksum per missing home (the
+   * unavoidable floor for putting the bytes back). */
+  def fsckRepair(spark: SparkSession, root: String,
+      fromReplica: Option[String] = None): DataFrame = {
     import spark.implicits._
     val f = fs(spark, root)
     val versions = f.listStatus(new org.apache.hadoop.fs.Path(root))
@@ -1013,13 +1038,50 @@ object Snapshot {
           (v, t, "crashed-erase", "restored-backup")
         }
       }
-      val dangling = linksOf(spark, root, v).toSeq.sorted.collect {
-        case (t, sv) if !f.exists(new org.apache.hadoop.fs.Path(s"$root/v$sv/$t")) =>
-          (v, t, "dangling-link", "unrepairable")
-      }
-      repaired ++ dangling
+      // a crash mid-replica-restore strands a hidden tmp next to
+      // nothing a reader can reach: garbage, deleted (the restore
+      // itself re-copies from the replica, never resumes a partial)
+      val staleRestores = dirs.filter(_.startsWith(".restore_tmp_"))
+        .map(_.drop(13)).sorted.map { t =>
+          f.delete(p(s".restore_tmp_$t"), true): Unit
+          (v, t, "stale-restore-tmp", "deleted-stale-restore-tmp")
+        }
+      repaired ++ staleRestores
     }
-    rows.toDF("version", "table_name", "issue", "action")
+    // dangling links second, namespace-wide: several versions can
+    // link to ONE missing home, which must restore exactly once
+    val dangling = versions.flatMap { v =>
+      linksOf(spark, root, v).toSeq.sorted.collect {
+        case (t, sv) if !f.exists(new org.apache.hadoop.fs.Path(s"$root/v$sv/$t")) =>
+          (v, t, sv)
+      }
+    }
+    val restoredHome = scala.collection.mutable.Map.empty[(Long, String), Boolean]
+    val linkRows = dangling.map { case (v, t, sv) =>
+      val restored = restoredHome.getOrElseUpdate((sv, t), fromReplica.exists { rep =>
+        val fr = fs(spark, rep)
+        if (!fr.exists(new org.apache.hadoop.fs.Path(s"$rep/v$sv/$t"))) false
+        else {
+          val src = spark.read.parquet(s"$rep/v$sv/$t")
+          val tmp = new org.apache.hadoop.fs.Path(s"$root/v$sv/.restore_tmp_$t")
+          f.delete(tmp, true): Unit
+          src.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val cols = src.columns.sorted.toSeq
+          val a = graft.operators.Profile.tableChecksum(src, cols).head()
+          val b = graft.operators.Profile
+            .tableChecksum(spark.read.parquet(tmp.toString), cols).head()
+          require(a == b, s"snapshot repair: replica restore checksum " +
+            s"mismatch on v$sv/$t — restore NOT installed")
+          require(f.rename(tmp,
+            new org.apache.hadoop.fs.Path(s"$root/v$sv/$t")),
+            s"snapshot repair: failed to install restored v$sv/$t")
+          true
+        }
+      })
+      (v, t, "dangling-link",
+        if (restored) "restored-from-replica" else "unrepairable")
+    }
+    (rows ++ linkRows).toDF("version", "table_name", "issue", "action")
   }
 
   /** Right-to-erasure across history (A30) — remove every row whose
@@ -1219,9 +1281,25 @@ object Snapshot {
    * order would strand a base this verb refused to touch, recreating
    * the pinned-chain wall it exists to remove. The manifest is
    * untouched: the head version and time travel by explicit version
-   * survive every ref deletion. */
-  def deleteRef(spark: SparkSession, root: String, name: String): Unit = {
+   * survive every ref deletion.
+   *
+   * Release-ref guard (r18, ADVICE r17): a single mistyped
+   * `branch --delete=prod` used to unpin the production chain so the
+   * next keepLast vacuum could reclaim the versions prod was
+   * protecting. Well-known RELEASE names ([[isReleaseRef]]: `prod`,
+   * `stable`, `latest`, `release` and `release-*`/`release_*`) now
+   * refuse without `force = true` — branch GC (the verb's purpose)
+   * never needs force, while unpinning a release chain demands the
+   * explicit flag. A name-based guard is deliberately cheap and
+   * deterministic: pin-graph analysis would need the vacuum's
+   * call-time keepLast to be meaningful. */
+  def deleteRef(spark: SparkSession, root: String, name: String,
+      force: Boolean = false): Unit = {
     require(name.matches("[A-Za-z0-9_-]+"), s"snapshot deleteRef: unsafe name '$name'")
+    require(force || !isReleaseRef(name),
+      s"snapshot deleteRef: '$name' is a release ref — deleting it lets " +
+        "the next vacuum reclaim the chain it pins; pass force=true " +
+        "(CLI --force=true) if that is really the intent")
     val f = fs(spark, root)
     if (name.endsWith("-mergebase"))
       require(!f.exists(new org.apache.hadoop.fs.Path(
@@ -1237,6 +1315,59 @@ object Snapshot {
       require(f.delete(mb, false),
         s"snapshot deleteRef: failed to remove TAG.$name-mergebase")
     require(f.delete(p, false), s"snapshot deleteRef: failed to remove TAG.$name")
+  }
+
+  /** Well-known release-ref names the [[deleteRef]] guard protects:
+   * `prod`, `stable`, `latest`, and the `release`/`release-*`/
+   * `release_*` family. */
+  def isReleaseRef(name: String): Boolean =
+    name == "prod" || name == "stable" || name == "latest" ||
+      name == "release" || name.startsWith("release-") ||
+      name.startsWith("release_")
+
+  /** Bulk age-based ref GC (A42, r18) — [[deleteRef]] is one ref at a
+   * time; a team whose CI creates a branch per run needs "sweep every
+   * ref whose chain has been idle longer than N", not a hand-typed
+   * delete per dead experiment. A ref's AGE is the A37 history
+   * timestamp of the version it points at (the last time anything
+   * was published onto that chain — exactly the "abandoned" signal;
+   * a version predating the `_COMMIT` sidecar reads ts 0 and counts
+   * as infinitely old). Sweeps every ref with
+   * `asOfMs − ts(version) > olderThanMs` EXCEPT: names in `keep`
+   * (exact match), well-known release names ([[isReleaseRef]] —
+   * implicitly kept, matching the deleteRef guard), and `-mergebase`
+   * companions (they belong to their branch and die with it via
+   * [[deleteRef]], which this verb delegates to — same crash order,
+   * so a rerun after a mid-sweep crash completes). `asOfMs` defaults
+   * to the wall clock; pass it explicitly for a deterministic replay.
+   * Returns (ref, version) per swept ref, sorted; reclamation of the
+   * newly unrooted chains is the EXISTING [[vacuum]]'s job. Pure
+   * metadata: one listing + one tiny `_COMMIT` read per version. */
+  def gcRefs(spark: SparkSession, root: String, olderThanMs: Long,
+      asOfMs: Option[Long] = None,
+      keep: Seq[String] = Seq.empty): Seq[(String, Long)] = {
+    require(olderThanMs >= 0, s"snapshot gcRefs: negative age $olderThanMs")
+    val f = fs(spark, root)
+    val now = asOfMs.getOrElse(System.currentTimeMillis())
+    val tsByVersion = history(spark, root).select("version", "ts_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refs = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("TAG.") && !n.startsWith("TAG.tmp."))
+      .map(_.drop(4))
+      .filterNot(_.endsWith("-mergebase"))
+      .filterNot(isReleaseRef)
+      .filterNot(keep.contains(_))
+      .sorted.toSeq
+    refs.flatMap { name =>
+      val v = tagVersion(spark, root, name)
+      // a ref at a version whose dir is gone (vacuumed under it —
+      // possible for pre-guard namespaces) counts as infinitely old
+      if (now - tsByVersion.getOrElse(v, 0L) > olderThanMs) {
+        deleteRef(spark, root, name)
+        Some(name -> v)
+      } else None
+    }
   }
 
   /** The version a tag names; fails loudly on unknown tags. */

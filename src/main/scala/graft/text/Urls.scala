@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
  * or hash cost on what one string normalization would have collapsed
  * for free. Canonicalization is the codegen'd
  * [[graft.functions.expressions.canonicalUrl]] kernel (scheme fold,
- * host/www/default-port normalization, fragment + tracking-param
- * drop, param sort — each rule documented on HashOps.canonicalUrl);
+ * userinfo strip, host/www/default-port/IDN normalization,
+ * percent-encoding normalization, path dot-segment resolution,
+ * fragment + parameterized tracking-param drop, param sort — each
+ * rule documented on HashOps.canonicalUrl);
  * the dedup is one canonical-key window, the
  * [[graft.multimodal.Media.exactDedup]] discipline on strings.
  *
@@ -25,18 +27,25 @@ import org.apache.spark.sql.functions._
  */
 object Urls {
 
-  /** Canonical form of `urlCol` appended as `canon_url`. */
-  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
+  /** Canonical form of `urlCol` appended as `canon_url`.
+   * `dropParams` is the tracking-param drop-list spec
+   * ([[graft.functions.UrlDropList]]) — parameterized because the
+   * default's `ref` entry over-merges on sites where `?ref=` is
+   * semantic. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String,
+      dropParams: String = graft.functions.UrlDropList.DefaultSpec): DataFrame =
     df.withColumn("canon_url",
-      graft.functions.expressions.canonicalUrl(col(urlCol)))
+      graft.functions.expressions.canonicalUrl(col(urlCol), dropParams))
 
   /** Canonical-URL dedup: (id, canon_url, rep_id, n_copies, keep) —
    * rep = lowest id per canonical form, every surface variant maps
    * onto it. */
-  def canonicalDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+  def canonicalDedup(df: DataFrame, idCol: String, urlCol: String,
+      dropParams: String = graft.functions.UrlDropList.DefaultSpec): DataFrame = {
     val w = Window.partitionBy("canon_url")
     df.select(col(idCol).cast("long").as("id"),
-        graft.functions.expressions.canonicalUrl(col(urlCol)).as("canon_url"))
+        graft.functions.expressions.canonicalUrl(col(urlCol), dropParams)
+          .as("canon_url"))
       .select(col("id"), col("canon_url"),
         min("id").over(w).as("rep_id"),
         count(lit(1)).over(w).as("n_copies"))

@@ -118,9 +118,20 @@ class MediaSpec extends AnyFunSuite {
     val garbage = "not a media file at all".getBytes("UTF-8")
     val truncPng = png.take(12)  // signature but no IHDR
     val truncJpg = hx("FFD8 FFE0 0010 4A464946") // dies mid-segment
+    // padded-but-valid JPEG (r18): 0xFF fill bytes between segments
+    // plus standalone TEM (0x01) and RST0 (0xD0) markers before SOF —
+    // the scan must consume fills and zero-payload markers, not read
+    // a bogus length from them
+    val jpgPad = hx("FFD8" + "FFFF FFE0 0004 0000" +
+      "FF01" + "FFD0" + "FFFFFF" +
+      "FFC0 0011 08 0064 00C8 03 011100 021101 031101") ++
+      "tail".getBytes("UTF-8") // 200x100
+    // EOI before any SOF: classified jpeg, zero dims, scan STOPS
+    val jpgEoi = hx("FFD8 FFD9 FFC0 0011 08 00C8 0140 03 011100 021101 031101")
     val rows = Seq(
       (1L, png), (2L, wav), (3L, jpg), (4L, wavOdd), (5L, garbage),
-      (6L, truncPng), (7L, truncJpg), (8L, Array.emptyByteArray))
+      (6L, truncPng), (7L, truncJpg), (8L, Array.emptyByteArray),
+      (9L, jpgPad), (10L, jpgEoi))
       .toDF("id", "p")
     val got = Media.describeHeaders(rows, "id", "p")
       .collect()
@@ -137,5 +148,7 @@ class MediaSpec extends AnyFunSuite {
     assert(got(6L) == ("unknown", 0L, 0L, 0L, 0L)) // PNG sig needs IHDR too
     assert(got(7L) == ("jpeg", 0L, 0L, 0L, 0L))
     assert(got(8L) == ("unknown", 0L, 0L, 0L, 0L))
+    assert(got(9L) == ("jpeg", 200L, 100L, 0L, 0L), s"padded jpeg: ${got(9L)}")
+    assert(got(10L) == ("jpeg", 0L, 0L, 0L, 0L), s"eoi-first jpeg: ${got(10L)}")
   }
 }

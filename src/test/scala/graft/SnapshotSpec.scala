@@ -779,4 +779,117 @@ class SnapshotSpec extends AnyFunSuite {
       (1L, "t", "stale-erase-residue", 1L),
       (1L, "u", "crashed-erase", 1L)), s"got $rows")
   }
+
+  test("fsckRepair fromReplica restores a dangling link's home; replica-less stays unrepairable") {
+    val root = freshRoot()
+    val rep = s"${root}_replica"
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    Snapshot.publish(spark, root, Map("a" -> a))
+    Snapshot.publishLinked(spark, root, Map("b" -> Seq(9L).toDF("n")))
+    Snapshot.replicate(spark, root, rep)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root/v1/a"), true): Unit
+    // without a replica: reported, untouched
+    val dry = Snapshot.fsckRepair(spark, root)
+      .as[(Long, String, String, String)].collect().toList
+    assert(dry == List((2L, "a", "dangling-link", "unrepairable")))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/a")))
+    // with the replica: restored, checksum-proved, fsck clean, serving
+    val got = Snapshot.fsckRepair(spark, root, fromReplica = Some(rep))
+      .as[(Long, String, String, String)].collect().toList
+    assert(got == List((2L, "a", "dangling-link", "restored-from-replica")))
+    assert(Snapshot.read(spark, root, "a").as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(Snapshot.fsck(spark, root)
+      .filter(!org.apache.spark.sql.functions.col("status")
+        .isin("ok", "linked-ok")).count() == 0L)
+    // rerun finds nothing (idempotent)
+    assert(Snapshot.fsckRepair(spark, root, fromReplica = Some(rep)).count() == 0L)
+  }
+
+  test("fsckRepair fromReplica: replica ALSO missing the home stays unrepairable, loudly") {
+    val root = freshRoot()
+    val rep = s"${root}_replica"
+    Snapshot.publish(spark, root, Map("a" -> Seq(1L).toDF("x")))
+    Snapshot.publishLinked(spark, root, Map("b" -> Seq(2L).toDF("y")))
+    Snapshot.replicate(spark, root, rep)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root/v1/a"), true): Unit
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$rep/v1/a"), true): Unit
+    val got = Snapshot.fsckRepair(spark, root, fromReplica = Some(rep))
+      .as[(Long, String, String, String)].collect().toList
+    assert(got == List((2L, "a", "dangling-link", "unrepairable")))
+    // a stranded restore tmp (crashed restore) is reported and cleaned
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v1/.restore_tmp_a")): Unit
+    assert(Snapshot.fsck(spark, root)
+      .filter(org.apache.spark.sql.functions.col("status") === "stale-restore-tmp")
+      .count() == 1L)
+    val cleaned = Snapshot.fsckRepair(spark, root)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(cleaned.contains((1L, "a", "stale-restore-tmp", "deleted-stale-restore-tmp")))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/.restore_tmp_a")))
+  }
+
+  test("deleteRef refuses release refs without force (r18 guard)") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.tag(spark, root, "release-2026-08", 1L)
+    Snapshot.tag(spark, root, "dev", 1L)
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.deleteRef(spark, root, "prod")
+    }
+    assert(e.getMessage.contains("release ref"))
+    intercept[IllegalArgumentException] {
+      Snapshot.deleteRef(spark, root, "release-2026-08")
+    }
+    // a plain branch name never needs force; force overrides the guard
+    Snapshot.deleteRef(spark, root, "dev")
+    Snapshot.deleteRef(spark, root, "release-2026-08", force = true)
+    assert(Snapshot.tagVersion(spark, root, "prod") == 1L)
+  }
+
+  test("gcRefs sweeps by history age, keeps release + keep-list refs, takes merge bases (A42)") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
+    Snapshot.tag(spark, root, "prod", 1L)
+    Snapshot.publish(spark, root, Map("t" -> Seq(2L).toDF("x")))
+    Snapshot.branch(spark, root, "old-exp", "prod")
+    Snapshot.tag(spark, root, "old-exp", 2L)
+    Snapshot.publish(spark, root, Map("t" -> Seq(3L).toDF("x")))
+    Snapshot.tag(spark, root, "fresh-exp", 3L)
+    Snapshot.tag(spark, root, "pinned", 2L)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant deterministic history timestamps: v2 published at t=1000,
+    // v3 at t=9000 (the _COMMIT sidecar format: op\tparent\twritten\tref\tts)
+    def plantTs(v: Long, ts: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/v$v/_COMMIT")
+      val in = hfs.open(p)
+      val parts = (try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()).split("\t", -1)
+      val out = hfs.create(p, true)
+      try out.write((parts.take(4).mkString("\t") + "\t" + ts).getBytes("UTF-8"))
+      finally out.close()
+    }
+    plantTs(2L, 1000L)
+    plantTs(3L, 9000L)
+    // cutoff 5000 at asOf 10000: v2-parked refs are idle (age 9000),
+    // v3-parked refs are fresh (age 1000)
+    val swept = Snapshot.gcRefs(spark, root, olderThanMs = 5000L,
+      asOfMs = Some(10000L), keep = Seq("pinned"))
+    assert(swept == Seq("old-exp" -> 2L))
+    val refs = hfs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("TAG."))
+      .filterNot(_.startsWith("TAG.tmp.")).map(_.drop(4)).sorted.toList
+    // the branch's -mergebase companion went with it
+    assert(refs == List("fresh-exp", "pinned", "prod"), refs.toString)
+    // sweeping everything sweepable: cutoff 0 one tick past the newest ts
+    val swept2 = Snapshot.gcRefs(spark, root, 0L, Some(10000L), keep = Seq.empty)
+    assert(swept2 == Seq("fresh-exp" -> 3L, "pinned" -> 2L))
+    assert(Snapshot.tagVersion(spark, root, "prod") == 1L)
+  }
 }

@@ -198,4 +198,22 @@ class StatsOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(a == b)
   }
+
+  test("kmFoldPpm folds the truncating integer product; zero at-risk fails loud") {
+    import org.apache.spark.sql.functions.{array, lit}
+    def fold(atRisk: Seq[Long], deaths: Seq[Long]): Seq[Long] =
+      Seq(Tuple1(1)).toDF("x").select(graft.functions.expressions.kmFoldPpm(
+          array(atRisk.map(lit): _*), array(deaths.map(lit): _*)).as("s"))
+        .as[Seq[Long]].head()
+    // 1e6 · 9/10 = 900000; · 7/9 = 700000; · 6/7 = 600000
+    assert(fold(Seq(10L, 9L, 7L), Seq(1L, 2L, 1L)) == Seq(900000L, 700000L, 600000L))
+    // at_risk = 0 → descriptive failure, not a raw ArithmeticException
+    // (surfaces unwrapped when Catalyst constant-folds the literal
+    // arrays driver-side, wrapped in a SparkException from executors)
+    val e = intercept[Exception] { fold(Seq(5L, 0L), Seq(1L, 0L)) }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("at-risk count is 0")), e.toString)
+  }
 }

@@ -47,6 +47,41 @@ class UrlsSpec extends AnyFunSuite {
     assert(canon("") == "")
   }
 
+  test("canonicalUrl r18 rules: userinfo, IPv6 ports, percent, paths, drop-list") {
+    // userinfo dropped — split at the LAST '@' ('@' legal in userinfo)
+    assert(canon("https://user@www.example.com/x") == "https://example.com/x")
+    assert(canon("https://user:p@ss@example.com/x") == "https://example.com/x")
+    // bracketed IPv6: internal colons are not ports; a real port is
+    assert(canon("https://[2001:db8::1]:443/x") == "https://[2001:db8::1]/x")
+    assert(canon("https://[2001:db8::443]/x") == "https://[2001:db8::443]/x")
+    assert(canon("https://[2001:db8::1]:8443/x") == "https://[2001:db8::1]:8443/x")
+    // percent normalization: unreserved decodes, reserved uppercases,
+    // malformed '%' kept verbatim; case preserved on decode
+    assert(canon("https://example.com/%7Ea/b%2fc") == "https://example.com/~a/b%2Fc")
+    assert(canon("https://example.com/x?q=%41%2a") == "https://example.com/x?q=A%2A")
+    assert(canon("https://example.com/x?q=%zz%4") == "https://example.com/x?q=%zz%4")
+    // an encoded '&' must NOT become a param separator
+    assert(canon("https://example.com/x?a=1%262&b=2")
+      == "https://example.com/x?a=1%262&b=2")
+    // drop-list matches the NORMALIZED name
+    assert(canon("https://example.com/x?utm%5Fsource=s&a=1")
+      == "https://example.com/x?a=1")
+    // path dot-segments + duplicate slashes; '..' above root drops;
+    // encoded dots normalize before resolution
+    assert(canon("https://example.com/a/b/../c/./d//e")
+      == "https://example.com/a/c/d/e")
+    assert(canon("https://example.com/../a") == "https://example.com/a")
+    assert(canon("https://example.com/a/%2E%2E/b") == "https://example.com/b")
+    // IDN host folds to punycode
+    assert(canon("https://münchen.example/x")
+      == "https://xn--mnchen-3ya.example/x")
+    // parameterized drop-list: a tighter spec keeps 'ref'
+    val kept = Seq(Tuple1("https://example.com/x?ref=r&utm_source=s")).toDF("u")
+      .select(graft.functions.expressions
+        .canonicalUrl(col("u"), "utm_*").as("c")).as[String].head()
+    assert(kept == "https://example.com/x?ref=r")
+  }
+
   test("canonicalDedup collapses surface variants onto the lowest id") {
     val rows = Seq(
       (1L, "https://site.com/p?a=1&b=2"),
