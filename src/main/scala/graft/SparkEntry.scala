@@ -5673,18 +5673,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** FLAGSHIP COMPOSITION (round 10): end-to-end corpus assembly —
-   * quality filter (C30) → exact dedup (C1) → near-dup dedup →
-   * decontaminate (C17) → stratified sample (C25) → pack+materialize
-   * (C19/C19b), composed as ONE lazy plan by
+  /** FLAGSHIP COMPOSITION (round 10; stage 0 added r18): end-to-end
+   * corpus assembly — canonical-URL dedup (C93) → quality filter
+   * (C30) → exact dedup (C1) → near-dup dedup → decontaminate (C17)
+   * → stratified sample (C25) → pack+materialize (C19/C19b),
+   * composed as ONE lazy plan by
    * [[graft.pipelines.CorpusAssembly.assemble]]. Every operator is
    * individually oracle-verified elsewhere on the board; THIS row
    * verifies their composition — the stage-to-stage schema contracts
    * and ordering assumptions no per-operator oracle can see. The
-   * DuckDB oracle replays all six stages in string space and
+   * DuckDB oracle replays all seven stages in string space and
    * hash-compares the final packed chunks' md5 fingerprints, so a
    * divergence at ANY stage corrupts the bytes downstream and fails
    * the row.
+   *
+   * Stage 0 is exercised for real: every document PAIR (doc_id div 2)
+   * is planted with two surface-variant URLs of one logical page —
+   * the even doc plain-canonical, the odd doc scheme-cased + WWW +
+   * :80 + trailing slash + scrambled params + utm — so the
+   * canonicalizer must collapse each pair (keep = min id) BEFORE any
+   * content stage runs; the benchmark slice for decontamination
+   * still cuts from the RAW input (the assemble contract). The
+   * oracle replays the canon keep set as `doc_id = MIN(doc_id) per
+   * doc_id // 2 group`, INDEPENDENT of any URL parsing.
    *
    * The near-dup stage pins [[graft.pipelines.CorpusAssembly
    * .nearDedupExact]] — the COMPLETE shingle-blocked variant (equi
@@ -5695,7 +5706,14 @@ object SparkEntry {
    * standing q_dedup_minhash_sound gate. */
   private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame =
     graft.pipelines.CorpusAssembly.assemble(
-        t(s, dir, "documents"),
+        t(s, dir, "documents").withColumn("url", expr("""
+          CASE CAST(doc_id % 2 AS INT)
+            WHEN 0 THEN concat('https://crawl', doc_id div 2, '.com/p',
+              doc_id div 2, '?a=1&b=2')
+            ELSE concat('HTTP://WWW.CRAWL', doc_id div 2, '.COM:80/p',
+              doc_id div 2, '/?b=2&a=1&utm_source=x')
+          END""")),
+        cfg = graft.pipelines.CorpusAssembly.Config(urlCol = Some("url")),
         nearDedup = graft.pipelines.CorpusAssembly.nearDedupExact)
       .orderBy("source", "chunk_id")
 
@@ -11689,11 +11707,14 @@ object SparkEntry {
            (pass_lang AND pass_len AND pass_stop AND pass_rep) AS keep
          FROM flags ORDER BY doc_id""",
     // End-to-end corpus-assembly replay: stage CTEs mirror the Spark
-    // pipeline 1:1 — flt = quality gate (whitespace-token count band,
-    // stopword floor, 2-gram uniqueness), ex = exact dedup (min id per
-    // md5), dead/ndd = complete shingle-space Jaccard keep-first (the
-    // oracle can afford straight all-pairs; shared-shingle blocking
-    // loses nothing at >= 0.8), bg/dirty/dec = 4-gram benchmark
+    // pipeline 1:1 — canon = C93 canonical-URL dedup of the planted
+    // per-pair surface variants (replayed as min-id per doc_id // 2
+    // group, INDEPENDENT of URL parsing), flt = quality gate
+    // (whitespace-token count band, stopword floor, 2-gram
+    // uniqueness), ex = exact dedup (min id per md5), dead/ndd =
+    // complete shingle-space Jaccard keep-first (the oracle can
+    // afford straight all-pairs; shared-shingle blocking loses
+    // nothing at >= 0.8), bg/dirty/dec = 4-gram benchmark
     // decontamination vs the RAW %97 slice, samp = md5-bucket
     // stratified keep (8000/5000/2500 of 10000), packed = cumulative
     // token-offset chunking; final md5(string_agg) fingerprints every
@@ -11702,10 +11723,12 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, lang, source, text,
            list_filter(regexp_split_to_array(COALESCE(text, ''), '[ \t\n\r]+'), x -> x <> '') AS ts
            FROM documents),
+         canon AS (SELECT * FROM toks
+           WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY doc_id // 2)),
          base AS (SELECT *, CAST(len(ts) AS BIGINT) AS n_words,
              CAST(greatest(len(ts) - 1, 0) AS BIGINT) AS n_g2,
              CAST(len(list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))) AS BIGINT) AS n_u2g
-           FROM toks),
+           FROM canon),
          flt AS (SELECT doc_id, lang, source, text, ts FROM base
            WHERE n_words >= 20 AND n_words <= 2000
              AND (CASE WHEN LEN(list_filter(regexp_split_to_array(LOWER(text), '\W+'), w -> LEN(w) > 0)) = 0 THEN 0.0 ELSE

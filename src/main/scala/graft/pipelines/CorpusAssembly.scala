@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 /**
  * End-to-end corpus assembly: the composition of the individually
  * verified C-operators into the pipeline a training run actually
- * executes — quality filter (C30) → exact dedup (C1) → near-dup dedup
- * (C2/C4) → benchmark decontamination (C17) → per-language stratified
- * sampling (C25) → sequential packing (C19/C19b). Each stage is a
+ * executes — canonical-URL dedup (C93, stage 0 when the corpus
+ * carries URL provenance) → quality filter (C30) → exact dedup (C1)
+ * → near-dup dedup (C2/C4) → benchmark decontamination (C17) →
+ * per-language stratified sampling (C25) → sequential packing
+ * (C19/C19b). Each stage is a
  * DataFrame => DataFrame over the same document frame, so the stages
  * compose lazily into ONE Catalyst plan: filters and column pruning
  * flow through the whole chain, and no stage materializes an
@@ -50,7 +52,32 @@ object CorpusAssembly {
       gramN: Int = 4,
       fractions: Map[String, Double] = Map("en" -> 0.8, "es" -> 0.5),
       defaultFraction: Double = 0.25,
-      packBudget: Long = 512L)
+      packBudget: Long = 512L,
+      urlCol: Option[String] = None,
+      urlDropParams: String = graft.functions.UrlDropList.DefaultSpec)
+
+  /** Stage 0 — canonical-URL dedup (C93): the same page fetched under
+   * surface-variant URLs collapses BEFORE any content stage pays
+   * shingle or hash cost on it — the canonical form is also the
+   * natural pre-partition key for the content stages that follow.
+   * One codegen'd projection + one canonical-key window (the
+   * [[graft.text.Urls.canonicalDedup]] shape inlined to keep the doc
+   * row); applies only when `cfg.urlCol` names the provenance column
+   * — a corpus without URL provenance has no stage 0 and the stage
+   * passes through untouched (the CLI refuses an explicit `canon`
+   * stage without `--url-col`, so the skip is never silent where a
+   * human typed it). */
+  def canonDedup(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    cfg.urlCol match {
+      case None => docs
+      case Some(u) =>
+        val w = Window.partitionBy("__canon_url")
+        docs.withColumn("__canon_url", graft.functions.expressions
+            .canonicalUrl(col(u), cfg.urlDropParams))
+          .withColumn("__canon_keep", min(col(cfg.idCol)).over(w))
+          .filter(col(cfg.idCol) === col("__canon_keep"))
+          .drop("__canon_url", "__canon_keep")
+    }
 
   /** Stage 1 — quality gate: C30's composed filter chain minus the
    * language cut (the language mix is handled by [[sample]], not
@@ -151,7 +178,8 @@ object CorpusAssembly {
         md5(col("chunk_text").cast("binary")).as("text_md5"))
 
   /** Canonical stage order; `assembleStaged` accepts any subset. */
-  val StageNames: Seq[String] = Seq("quality", "exact", "near", "decon", "sample", "pack")
+  val StageNames: Seq[String] =
+    Seq("canon", "quality", "exact", "near", "decon", "sample", "pack")
 
   /** [[assemble]] restricted to a stage subset (always applied in
    * canonical order) — the CLI's `--stages` surface: a debugging or
@@ -168,6 +196,7 @@ object CorpusAssembly {
     val bench = docs.filter(pmod(col(cfg.idCol), lit(cfg.benchMod)) === 0L)
     StageNames.filter(stages.contains).foldLeft(docs) { (df, stage) =>
       stage match {
+        case "canon"   => canonDedup(df, cfg)
         case "quality" => qualityFilter(df, cfg)
         case "exact"   => exactDedup(df, cfg)
         case "near"    => nearDedup(df, cfg)

@@ -49,8 +49,9 @@ import org.apache.spark.sql.SparkSession
  * documents → assemble → truncate-and-load), the way run.sh drives
  * the reference's denorm pipelines. `--stages` selects a stage
  * subset (canonical order enforced), `--near` the near-dedup
- * variant, `--sf` the testdata scale factor when no explicit inDir
- * is given.
+ * variant, `--url-col` the URL provenance column for the C93 `canon`
+ * stage (required when `canon` is requested explicitly), `--sf` the
+ * testdata scale factor when no explicit inDir is given.
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -60,7 +61,7 @@ object Run {
     }
     val unknown = flags.filterNot(f =>
       Seq("sf", "stages", "near", "table", "policy", "link", "name", "from",
-        "into", "ref", "delete", "force", "gc", "older-than", "keep")
+        "into", "ref", "delete", "force", "gc", "older-than", "keep", "url-col")
         .exists(n => f.startsWith(s"--$n=")))
     if (unknown.nonEmpty) {
       System.err.println(s"unknown flags: ${unknown.mkString(" ")} " +
@@ -314,7 +315,15 @@ object Run {
         val stages = flag("stages")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(CorpusAssembly.StageNames)
-        CorpusAssembly.assembleStaged(docs, CorpusAssembly.Config(), near, stages)
+        // `canon` needs URL provenance: an EXPLICIT --stages=canon,...
+        // without --url-col must refuse, not silently skip stage 0
+        val urlCol = flag("url-col")
+        if (urlCol.isEmpty && flag("stages").exists(_.contains("canon"))) {
+          System.err.println("corpus --stages=canon requires --url-col=<column>")
+          sys.exit(2)
+        }
+        CorpusAssembly.assembleStaged(docs,
+          CorpusAssembly.Config(urlCol = urlCol), near, stages)
       case other =>
         System.err.println(
           s"unknown variant '$other' (simple|simple-with-lookups|nested|corpus|ingest|snapshot|mask|branch|merge|log|storage|replicate)")

@@ -135,4 +135,26 @@ class CorpusAssemblySpec extends AnyFunSuite {
     assert(!keep.contains(10L), "identical CJK doc dies in the exact layer")
     assert(!keep.contains(13L), "case-folded near-dup of 1 dies in the minhash layer")
   }
+
+  test("canon stage 0 collapses URL surface variants BEFORE content dedup (C93, r18)") {
+    // two docs with DIFFERENT texts but the same logical page URL:
+    // no content stage would collapse them — only stage 0 can
+    val rows = Seq(
+      (1L, "completely different text body one", "https://site.com/p?a=1&b=2"),
+      (2L, "another unrelated text body two",
+        "HTTP://WWW.SITE.COM:80/p/?b=2&a=1&utm_source=x"),
+      (3L, "a third page entirely", "https://site.com/q")
+    ).toDF("doc_id", "text", "url")
+    val cfg = CorpusAssembly.Config(urlCol = Some("url"))
+    val kept = CorpusAssembly.canonDedup(rows, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"canon keep: $kept")
+    // composed: canon runs ahead of exact dedup in assembleStaged
+    val staged = CorpusAssembly.assembleStaged(rows, cfg,
+      stages = Seq("canon", "exact"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(staged == Set(1L, 3L))
+    // no urlCol: the stage passes through untouched
+    assert(CorpusAssembly.canonDedup(rows, CorpusAssembly.Config()).count() == 3L)
+  }
 }
