@@ -5491,7 +5491,11 @@ object SparkEntry {
    * store back through partition discovery and must reproduce exactly
    * the batch path's q_media_headers relation — the same independent
    * doc-id arithmetic oracle, now also proving the router dropped,
-   * duplicated, and misrouted nothing across the stream. */
+   * duplicated, and misrouted nothing across the stream. The r18
+   * metrics store is read back too: every media row carries its
+   * (batch, format) route count from the SIBLING `_metrics` store,
+   * each recomputed by the oracle from the batch-split arithmetic —
+   * a dropped, doubled, or misattributed metrics row mismatches. */
   private def qStreamMediaRoute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -5511,9 +5515,14 @@ object SparkEntry {
       in.addData(b2)
       q.processAllAvailable()
     } finally q.stop()
+    val metrics = s.read.parquet(s"$base/out_metrics")
+      .select(col("batch").cast("long").as("batch"),
+        col("format").cast("string").as("format"), col("n").as("route_n"))
     s.read.parquet(s"$base/out")
-      .select(col("media_id"), col("format").cast("string").as("format"),
+      .select(col("media_id"), col("batch").cast("long").as("batch"),
+        col("format").cast("string").as("format"),
         col("width"), col("height"), col("sample_rate"), col("channels"))
+      .join(metrics, Seq("batch", "format"))
       .orderBy("media_id")
   }
 
@@ -11155,9 +11164,14 @@ object SparkEntry {
          ORDER BY id""",
     // D32: the routed store read back must equal the batch header
     // relation — same independent arithmetic as q_media_headers; any
-    // drop/duplicate/misroute across the two micro-batches mismatches.
+    // drop/duplicate/misroute across the two micro-batches mismatches,
+    // and (r18) each row's (batch, format) route count from the
+    // sibling metrics store is recomputed from the batch-split
+    // arithmetic (batch 0 = media_id <= (min+max)/2).
     "q_stream_media_route" ->
-      """SELECT doc_id AS media_id,
+      """WITH m AS (SELECT doc_id AS media_id,
+           CASE WHEN doc_id <= (SELECT (MIN(doc_id) + MAX(doc_id)) // 2
+             FROM documents) THEN 0 ELSE 1 END AS batch,
            CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
              WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS format,
            CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 640 + 32
@@ -11168,7 +11182,12 @@ object SparkEntry {
              ELSE 0 END AS BIGINT) AS sample_rate,
            CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 2 + 1
              ELSE 0 END AS BIGINT) AS channels
-         FROM documents ORDER BY media_id""",
+         FROM documents),
+         cnt AS (SELECT batch, format, CAST(COUNT(*) AS BIGINT) AS route_n
+           FROM m GROUP BY 1, 2)
+         SELECT CAST(m.batch AS BIGINT) AS batch, m.format, media_id,
+           width, height, sample_rate, channels, route_n
+         FROM m JOIN cnt USING (batch, format) ORDER BY media_id""",
     "q_media_clusters" ->
       """WITH RECURSIVE m AS MATERIALIZED (
            SELECT doc_id AS media_id, coalesce(text, '') AS p FROM documents

@@ -1384,6 +1384,14 @@ class StreamingSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("format") === "png")
       .select("media_id").as[Long].collect().toList == List(1L))
     assert(new java.io.File(s"$root/out/batch=1/format=unknown").isDirectory)
+    // r18 observability: per-batch route counts in the SIBLING metrics
+    // store — quarantine included, and the data read above never saw it
+    val counts = spark.read.parquet(s"$root/out_metrics")
+      .select("batch", "format", "n")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(
+      (0, "png") -> 1L, (0, "wav") -> 1L,
+      (1, "jpeg") -> 1L, (1, "unknown") -> 1L), s"got $counts")
   }
 
   test("qualityGateSink: NULL-text docs land in the reject sink, never dropped (ADVICE r16)") {
