@@ -1357,6 +1357,59 @@ object SparkEntry {
       p => graft.similarity.Ann.ivfPqTopKIndexed(idx, p, "vec_id", "embedding", 64, 5))
   }
 
+  /** C7h (r18): IVF index DELETE path ([[graft.similarity.Ann
+   * .deleteFromIvfIndex]] / [[graft.similarity.Ann.vacuumIvfIndex]])
+   * — the erasure half of index maintenance: without it an A30 erase
+   * of a doc whose embedding is indexed leaves the subject
+   * RETRIEVABLE by similarity search. The query builds a fresh index
+   * on the first half of the corpus (fresh per execution — deletes
+   * MUTATE the index, so the shared cached-index helper cannot serve
+   * here), dooms every probe's pre-delete top-5 (probes themselves
+   * exempted so the probe relation stays fixed), tombstones them,
+   * then APPENDS the second half — the erase must survive later
+   * ingest. Three invariants per probe, all driver-checked on
+   * bounded (≤15-row) lists: the post-delete top-5 contains no
+   * doomed id (tombstone masking works through an append); recall
+   * ≥ 3/5 against brute force over the corpus MINUS the doomed ids
+   * (deletion must not degrade the index for surviving vectors); and
+   * a physical [[vacuumIvfIndex]] changes not one answer (masking ≡
+   * reclamation). The default compact threshold leaves this delete
+   * as pure tombstones at sf0.01, so the masking path — not just the
+   * rewrite — is what the first search exercises. */
+  private def qAnnIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val idx = s"${graft.Scratch.root(s)}/ivf_delete_${sinkSeq.incrementAndGet()}"
+    val mid = emb.agg(((min("vec_id") + max("vec_id")) / 2).cast("long"))
+      .head().getLong(0)
+    graft.similarity.Ann.buildIvfIndex(
+      emb.filter(col("vec_id") <= mid), "vec_id", "embedding", 64, idx)
+    val probes = emb.filter(col("vec_id") < 3)
+    def search() = graft.similarity.Ann
+      .ivfTopKIndexed(idx, probes, "vec_id", "embedding", 64, 5)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val doomedIds = search().map(_._2).filter(_ >= 3L).distinct.sorted
+    graft.similarity.Ann.deleteFromIvfIndex(
+      idx, doomedIds.toDF("vec_id"), "vec_id")
+    graft.similarity.Ann.appendToIvfIndex(
+      idx, emb.filter(col("vec_id") > mid), "vec_id", "embedding", 64)
+    val after = search()
+    graft.similarity.Ann.vacuumIvfIndex(s, idx, "vec_id")
+    val after2 = search()
+    val exact = graft.similarity.Ann.bruteForceTopK(
+        emb.filter(!col("vec_id").isin(doomedIds: _*)), probes,
+        "vec_id", "embedding", 5)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val doomed = doomedIds.toSet
+    probes.select("vec_id").as[Long].collect().sorted.toSeq.map { p =>
+      val a = after.collect { case (`p`, v) => v }.toSet
+      val a2 = after2.collect { case (`p`, v) => v }.toSet
+      val e = exact.collect { case (`p`, v) => v }.toSet
+      (p, a.intersect(doomed).isEmpty, a.intersect(e).size * 10 >= 15, a == a2)
+    }.toDF("probe_id", "deleted_excluded", "recall_ok", "vacuum_consistent")
+      .orderBy("probe_id")
+  }
+
   /** C8: heuristic language ID — per-doc predictions, hash-checked
    * against a faithful SQL mirror of the marker-argmax heuristic
    * (valid for this ASCII corpus, where both tokenizers agree; the
@@ -7956,6 +8009,7 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> qAnnIvfIndexed,
     "q_ann_ivfpq_indexed" -> qAnnIvfPqIndexed,
     "q_ann_ivf_append" -> qAnnIvfAppend,
+    "q_ann_ivf_delete" -> qAnnIvfDelete,
     "q_ann_pq"         -> qAnnPq,
     "q_ann_ivfpq"      -> qAnnIvfPq,
     "q_lang_id"        -> qLangId,
@@ -11256,6 +11310,13 @@ object SparkEntry {
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_ann_ivf_append" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    // C7h: the delete invariants — no doomed id in any post-delete
+    // top-5 (through an append), recall holds vs brute force over the
+    // surviving corpus, physical vacuum answer-identical to masking.
+    "q_ann_ivf_delete" ->
+      """SELECT vec_id AS probe_id, TRUE AS deleted_excluded,
+           TRUE AS recall_ok, TRUE AS vacuum_consistent
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_ann_ivfpq_indexed" ->
       """SELECT vec_id AS probe_id, TRUE AS recall_ok

@@ -2,7 +2,7 @@ package graft.similarity
 
 import graft.dedup.Dedup
 import graft.functions.expressions.nearestCentroids
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -477,6 +477,104 @@ object Ann {
    * neither the layout nor any row changes). Returns the number of
    * cell partitions examined.
    */
+  /** Tombstones of a [[buildIvfIndex]]/[[buildIvfPqIndex]] index, as
+   * a one-column (`id`) frame — empty when none. The `_graft_`-
+   * prefixed sidecar is invisible to the index's own partition
+   * discovery, exactly like `_graft_centroids`. */
+  private def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_tombstones")
+    // read under a reserved name so the anti joins stay unambiguous
+    // even when the index's own id column is literally named "id"
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(p.toString).select(col("id").as("__tomb_id"))
+    else Seq.empty[Long].toDF("__tomb_id")
+  }
+
+  /** Drop tombstoned rows from an index scan — the search-time half
+   * of the delete path. Tombstone sets are erasure-request-sized
+   * (human-scale), so the anti join broadcasts. */
+  private def dropTombstoned(rows: DataFrame, path: String,
+      idCol: String): DataFrame = {
+    val tomb = ivfTombstones(rows.sparkSession, path)
+    if (tomb.isEmpty) rows
+    else rows.join(broadcast(tomb), col(idCol) === col("__tomb_id"), "left_anti")
+  }
+
+  /**
+   * Delete vectors from a persisted IVF(-PQ) index (C7h, r18) — the
+   * erasure half of index maintenance: an A30 [[graft.sinks.Snapshot
+   * .eraseKeys]] of a document whose embedding is indexed would
+   * otherwise leave the subject RETRIEVABLE by similarity search.
+   * Deletes are TOMBSTONES: the ids append to a `_graft_tombstones`
+   * sidecar (one tiny write — the ingest-path cost a delete should
+   * have) and every indexed read ([[ivfTopKIndexed]],
+   * [[ivfPqTopKIndexed]]) masks them with a broadcast anti join, so
+   * a delete is effective the moment the sidecar lands, with zero
+   * data rewritten. Physical reclamation is [[vacuumIvfIndex]]'s
+   * job, triggered here automatically once tombstones exceed
+   * `compactThreshold` of the index's live rows (footer-only counts
+   * — no data read). Returns true when the call vacuumed.
+   *
+   * Semantics: tombstones mask BY ID — an id deleted and later
+   * re-appended stays masked until a vacuum clears the sidecar, so
+   * delete-then-reinsert workflows must vacuum between (re-ingesting
+   * an erased subject is itself the anti-pattern erasure exists to
+   * prevent). Ids absent from the index tombstone harmlessly.
+   */
+  def deleteFromIvfIndex(path: String, ids: DataFrame, idCol: String,
+      compactThreshold: Double = 0.25): Boolean = {
+    val spark = ids.sparkSession
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1) // erasure requests are human-sized: one sidecar file
+      .write.mode(SaveMode.Append).parquet(s"$path/_graft_tombstones")
+    val nTomb = ivfTombstones(spark, path).count()
+    val nLive = spark.read.parquet(path).count()
+    if (nLive > 0 && nTomb.toDouble > compactThreshold * nLive) {
+      vacuumIvfIndex(spark, path, idCol); true
+    } else false
+  }
+
+  /**
+   * Physically reclaim tombstoned rows: rewrite ONLY the cells that
+   * hold a doomed id (write-complete-tmp → swap, the eraseKeys
+   * discipline — the same two-rename window applies and a reader in
+   * it fails loudly rather than serving half a cell), then drop the
+   * tombstone sidecar LAST — a crash anywhere before that leaves
+   * tombstones still masking, so the search contract never weakens
+   * mid-vacuum and a rerun completes the job. Returns the number of
+   * cells rewritten; a tombstone-less index is a no-op.
+   */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): Int = {
+    val tomb = ivfTombstones(spark, path)
+    if (tomb.isEmpty) return 0
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomedCells = spark.read.parquet(path)
+      .join(broadcast(tomb), col(idCol) === col("__tomb_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    doomedCells.foreach { cell =>
+      val cellPath = new org.apache.hadoop.fs.Path(s"$path/cell=$cell")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/.vacuum_tmp_$cell")
+      val bak = new org.apache.hadoop.fs.Path(s"$path/.vacuum_bak_$cell")
+      f.delete(tmp, true): Unit
+      spark.read.parquet(cellPath.toString)
+        .join(broadcast(tomb), col(idCol) === col("__tomb_id"), "left_anti")
+        .write.parquet(tmp.toString)
+      f.delete(bak, true): Unit
+      require(f.rename(cellPath, bak),
+        s"ivf vacuum: failed to move cell=$cell aside")
+      require(f.rename(tmp, cellPath),
+        s"ivf vacuum: failed to swap in scrubbed cell=$cell")
+      f.delete(bak, true): Unit
+    }
+    require(f.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_tombstones"),
+      true), s"ivf vacuum: failed to drop the tombstone sidecar under $path")
+    doomedCells.length
+  }
+
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -517,8 +615,8 @@ object Ann {
     // static pruning: list the needed cells driver-side (probe sets are
     // small by contract) so both scans plan only those partitions
     val cells = p.select("cell").distinct().collect().map(_.getInt(0))
-    val codes = spark.read.parquet(path)
-      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val codes = dropTombstoned(spark.read.parquet(path)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*)), path, idCol)
       .select(col(idCol).as("vec_id"), col("_graft_codes").as("codes"), col("cell"))
     val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("vec_id"))
     val shortlist = codes.join(broadcast(p), Seq("cell"))
@@ -546,8 +644,8 @@ object Ann {
     // static pruning: list the needed cells driver-side (probe sets are
     // small by contract) so the scan plans only those partitions
     val cells = p.select("cell").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(path)
-      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val c = dropTombstoned(spark.read.parquet(path)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*)), path, idCol)
       .select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"), col("cell"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(p), Seq("cell"))

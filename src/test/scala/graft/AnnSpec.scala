@@ -293,4 +293,59 @@ class AnnSpec extends AnyFunSuite {
         "vec_id", "embedding", poolK = 1, selectK = 2)
     }
   }
+
+  test("deleteFromIvfIndex: tombstones mask through appends; vacuum reclaims (C7h)") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val half = df.filter($"vec_id" < 50)
+    Ann.buildIvfIndex(half, "vec_id", "embedding", 32, path, numCells = 4)
+    val probes = df.filter($"vec_id" < 2)
+    def top5Ids() = Ann.ivfTopKIndexed(path, probes, "vec_id", "embedding", 32, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val doomed = top5Ids().filter(_ >= 2L).take(3).toSeq.sorted
+    val vacuumedNow = Ann.deleteFromIvfIndex(path, doomed.toDF("vec_id"), "vec_id")
+    assert(!vacuumedNow, "3/50 must stay below the default compact threshold")
+    assert(top5Ids().intersect(doomed.toSet).isEmpty, "tombstones must mask")
+    // the erase survives later ingest — including a RE-APPEND of a
+    // doomed id (masked until vacuum, the documented by-id semantics)
+    Ann.appendToIvfIndex(path, df.filter($"vec_id" >= 50)
+      .unionAll(half.filter($"vec_id" === doomed.head)),
+      "vec_id", "embedding", 32)
+    assert(top5Ids().intersect(doomed.toSet).isEmpty, "masking survives appends")
+    val answered = top5Ids()
+    // physical vacuum: answers identical, sidecar gone, bytes gone
+    val cellsRewritten = Ann.vacuumIvfIndex(spark, path, "vec_id")
+    assert(cellsRewritten >= 1)
+    assert(top5Ids() == answered, "vacuum must not change one answer")
+    assert(!new java.io.File(s"$path/_graft_tombstones").exists())
+    val remaining = spark.read.parquet(path).select("vec_id").as[Long].collect()
+    // the re-appended doomed.head copy was written AFTER the tombstone
+    // but vacuum scrubs every physical row with a doomed id
+    assert(remaining.toSet.intersect(doomed.toSet).isEmpty,
+      "vacuum must physically remove every tombstoned row")
+    // a vacuumed (tombstone-free) index accepts the id fresh again
+    Ann.appendToIvfIndex(path, half.filter($"vec_id" === doomed.head),
+      "vec_id", "embedding", 32)
+    assert(spark.read.parquet(path).filter($"vec_id" === doomed.head).count() == 1L)
+  }
+
+  test("eraseKeys + deleteFromIvfIndex: an erased subject is unretrievable by search (A30/C7h)") {
+    import graft.sinks.Snapshot
+    val root = s"${Scratch.root(spark)}/ann_erase_${System.nanoTime()}"
+    val emb = df
+    Snapshot.publish(spark, root, Map("embeddings" -> emb))
+    val idxPath = s"$root/ivf_index"
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", 32, idxPath, numCells = 4)
+    val probes = emb.filter($"vec_id" < 2)
+    val subject = Ann.ivfTopKIndexed(idxPath, probes, "vec_id", "embedding", 32, 5)
+      .select("vec_id").as[Long].collect().filter(_ >= 2L).head
+    val keys = Seq(subject).toDF("vec_id")
+    // the A30 erase scrubs the governed table; the index delete is the
+    // companion step that makes the subject unretrievable by SEARCH
+    Snapshot.eraseKeys(spark, root, "embeddings", "vec_id", keys)
+    Ann.deleteFromIvfIndex(idxPath, keys, "vec_id")
+    assert(Snapshot.read(spark, root, "embeddings")
+      .filter($"vec_id" === subject).count() == 0L)
+    assert(!Ann.ivfTopKIndexed(idxPath, probes, "vec_id", "embedding", 32, 5)
+      .select("vec_id").as[Long].collect().contains(subject))
+  }
 }
