@@ -261,8 +261,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"documents must be scanned once per stage-group, not once per stage " +
         s"reference: $scans live scans of $staticScans static references, " +
         s"$reused reused exchanges\n$fin")
-    assert(reused >= 1,
-      s"expected the dedup-survivor exchange to be reused across stages:\n$fin")
+    // Reuse evidence, shape-dependent (r18): with the canon stage 0
+    // halving the probe-SF corpus, the near-dup/contamination kill
+    // sets evaluate EMPTY here and AQE's empty-relation propagation
+    // eliminates the anti-joins outright — the final plan is a linear
+    // chain with nothing left to reuse (and a single live scan, the
+    // strongest collapse). When joins DO survive to the final plan,
+    // the dedup-survivor exchange must still be reused across stages.
+    val finHasJoin = fin.contains("Join")
+    assert(reused >= 1 || !finHasJoin,
+      s"joins survived to the final plan without exchange reuse:\n$fin")
   }
 
   test("scans are column-pruned to what the query projects") {
