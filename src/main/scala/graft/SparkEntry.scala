@@ -5866,11 +5866,32 @@ object SparkEntry {
   /** C32: record linkage / entity resolution over structured records
    * (operators/Linkage.scala) — block on (nation, segment), verify
    * only in-block pairs with codegen'd levenshtein; the multi-field
-   * cousin of the text-dedup family, same never-all-pairs shape. */
+   * cousin of the text-dedup family. Scale caveat measured by the
+   * r18 sf10 probe: with FIXED-cardinality blocking keys (125 blocks
+   * here), block sizes grow ∝ n and in-block pairs ∝ n² — 86× runtime
+   * for 10× data. This row stays as the blocked BASELINE (the
+   * operator's docs say a discriminating key is the caller's lever);
+   * the scale path for dist-1 linkage is [[qRecordLinkageDel]]. */
   private def qRecordLinkage(s: SparkSession, dir: String): DataFrame =
     graft.operators.Linkage
       .linkByEditDistance(t(s, dir, "customer"), "c_custkey", "c_name",
         Seq("c_nationkey", "c_mktsegment"), maxDist = 1)
+      .orderBy("id_a", "id_b")
+
+  /** C32b (r18): edit-distance-1 linkage via DELETION NEIGHBORHOODS
+   * ([[graft.operators.Linkage.linkByDeletion1]] — FastSS): each name
+   * emits itself plus every single-deletion variant as blocking keys
+   * through one codegen'd kernel; intersecting neighborhoods are a
+   * COMPLETE dist≤1 candidate generator, so candidate volume tracks
+   * true near-duplicate density instead of block-size² — the fix for
+   * the sf10 superlinearity the blocked C32 baseline measures. The
+   * oracle regenerates the neighborhoods in pure SQL (substr
+   * arithmetic, no shared code) and replays the whole key-join +
+   * verify, so a wrong variant set, missed dedup, or verify bug all
+   * hash-mismatch. Global linkage (no block confinement). */
+  private def qRecordLinkageDel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage
+      .linkByDeletion1(t(s, dir, "customer"), "c_custkey", "c_name")
       .orderBy("id_a", "id_b")
 
   /** B54: grouped top-k in bounded state (operators/TopK.scala) — the
@@ -8170,6 +8191,7 @@ object SparkEntry {
     "q_table_checksum" -> qTableChecksum,
     "q_source_overlap" -> qSourceOverlap,
     "q_record_linkage" -> qRecordLinkage,
+    "q_record_linkage_del" -> qRecordLinkageDel,
     "q_winsorize"      -> qWinsorize,
     "q_group_topk"     -> qGroupTopk,
     "q_triangles"      -> qTriangles,
@@ -11950,6 +11972,21 @@ object SparkEntry {
            ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
            AND a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
+    // C32b: FastSS deletion-neighborhood replay — keys regenerated by
+    // independent substr arithmetic, key-join candidates, exact verify.
+    "q_record_linkage_del" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_name IS NOT NULL),
+         k AS (SELECT id, s, s AS k FROM r
+           UNION
+           SELECT id, s,
+             substr(s, 1, CAST(u.i AS INT) - 1) || substr(s, CAST(u.i AS INT) + 1)
+           FROM r, UNNEST(range(1, len(s) + 1)) AS u(i)),
+         cand AS (SELECT DISTINCT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b
+           FROM k a JOIN k b ON a.k = b.k AND a.id < b.id)
+         SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(s_a, s_b) <= 1
          ORDER BY id_a, id_b""",
     "q_triangles" ->
       """WITH e0 AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,

@@ -657,6 +657,38 @@ object HashOps {
         (if (kept.nonEmpty) "?" + kept.mkString("&") else ""))
   }
 
+  /** Deletion neighborhood of a string (C32b, r18) — the FastSS
+   * (Bocek et al., 2007) blocking key set for edit-distance-1
+   * linkage: the string itself plus every single-character-deletion
+   * variant, distinct. Two strings are within edit distance 1 IFF
+   * their neighborhoods intersect (equal → share the identity key;
+   * substitution → share the both-sides-deleted variant; insert/
+   * delete → the longer's deletion is the shorter's identity), so an
+   * equi-join on these keys is a COMPLETE candidate generator whose
+   * volume tracks true near-duplicate density — unlike fixed-
+   * cardinality blocking, whose in-block pair count grows with the
+   * square of block size (the sf10 probe measured exactly that).
+   * Keys per record: ≤ len+1. */
+  def deletionNeighborhood(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val seen = new java.util.LinkedHashSet[String](str.length + 2)
+    seen.add(str): Unit
+    var i = 0
+    while (i < str.length) {
+      seen.add(str.substring(0, i) + str.substring(i + 1)): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Container-header metadata (C12d, r17): parse the FORMAT HEADER of
    * a media payload — plain byte arithmetic, no codec libraries — and
    * return [format, width, height, sample_rate, channels] as longs

@@ -332,6 +332,28 @@ case class HeaderMeta(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** deletion_neighborhood(s) → array<string>: the FastSS edit-
+ * distance-1 blocking keys (see HashOps.deletionNeighborhood — the
+ * string plus every single-deletion variant, distinct). Codegen'd;
+ * the key-generation pass stays in whole-stage codegen instead of an
+ * interpreted transform/sequence HOF tree. */
+case class DeletionNeighborhood(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deletion_neighborhood requires a string, got ${child.dataType.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.deletionNeighborhood(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.deletionNeighborhood($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeletionNeighborhood =
+    copy(newChild)
+}
+
 /** canonical_url(url[, dropParams]) → string: crawl-pipeline URL
  * canonicalization (see HashOps.canonicalUrl — scheme fold,
  * userinfo strip, host/port/www/IDN normalization, percent-encoding
@@ -792,6 +814,8 @@ object expressions {
   def canonicalUrl(url: Column,
       dropParams: String = UrlDropList.DefaultSpec): Column =
     column(CanonicalUrl(expression(url), dropParams))
+  def deletionNeighborhood(s: Column): Column =
+    column(DeletionNeighborhood(expression(s)))
   def hashContainment(a: Column, b: Column): Column =
     column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =

@@ -63,6 +63,68 @@ object Linkage {
     }
   }
 
+  /** Edit-distance-1 linkage via DELETION NEIGHBORHOODS (C32b, r18 —
+   * the FastSS scheme, Bocek et al. 2007): each record emits its
+   * compare string plus every single-deletion variant as blocking
+   * keys; two strings are within edit distance 1 IFF their key sets
+   * intersect, so the key equi-join is a COMPLETE candidate
+   * generator and the exact thresholded-levenshtein verify only
+   * confirms. This is the SCALE-CORRECT shape for dist-1 linkage:
+   * candidate volume tracks true near-duplicate density (key groups
+   * stay small wherever strings are distinctive), where fixed-
+   * cardinality blocking ([[linkByEditDistance]] on a handful of
+   * categorical columns) pays block-size² — the r18 sf10 probe
+   * measured that as 86× runtime for 10× data. Keep the blocked
+   * variant for arbitrary maxDist with a discriminating key; use
+   * this one whenever maxDist = 1 and no such key exists.
+   *
+   * NULL compare strings link to nothing (a name-less record has no
+   * evidence). Returns (id_a, id_b, dist), id_a < id_b, global —
+   * not confined to any block.
+   *
+   * Mass-duplication collapse (the §4 rule, measured on the sf10
+   * probe): the neighborhood join runs over DISTINCT strings only —
+   * k records sharing one string would otherwise push every one of
+   * their ~len+1 shared keys through the self-join as k² candidate
+   * rows PER KEY (1.4B candidates at 100× duplication, an OOM).
+   * Distinct-string pairs at distance 1 expand back to record pairs
+   * through two string-keyed joins, and equal-string record pairs
+   * (dist 0) come from one same-string self-join — both produce
+   * output-sized small rows only. The key self-join is pinned to
+   * sort-merge: the explode multiplies rows ~len+1 past the source's
+   * size stats, and Catalyst otherwise BROADCASTS a side that is
+   * actually GBs (watched at 3.3 GiB into an 8 GiB JVM). */
+  def linkByDeletion1(records: DataFrame, idCol: String,
+      compareCol: String): DataFrame = {
+    val base = graft.dedup.Dedup.spread(records)
+      .filter(col(compareCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(compareCol).as("s"))
+    val names = base.select(col("s")).distinct()
+    val keys = names
+      .select(col("s"), explode(graft.functions.expressions
+        .deletionNeighborhood(col("s"))).as("k"))
+      .hint("shuffle_merge")
+    // distinct name pairs at exactly distance 1 (equal names never
+    // meet here — the neighborhoods are keyed per DISTINCT string)
+    val namePairs = keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct() // a pair can share several keys
+      .filter(levenshtein(col("s1"), col("s2"), 1) === 1)
+    // equal-string record pairs: dist 0
+    val within = base.as("x").join(base.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0L).as("dist"))
+    // distance-1 name pairs expand to every record pair across them
+    val cross = namePairs
+      .join(base.select(col("s").as("s1"), col("id").as("id_x")), "s1")
+      .join(base.select(col("s").as("s2"), col("id").as("id_y")), "s2")
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), lit(1L).as("dist"))
+    within.unionByName(cross)
+  }
+
   /** Linked pairs: in-block candidates whose compare-field edit
    * distance is ≤ maxDist. Returns (id_a, id_b, dist).
    *

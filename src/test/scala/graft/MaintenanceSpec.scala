@@ -191,6 +191,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(cand == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("linkByDeletion1 finds every dist<=1 pair globally, no blocks (C32b)") {
+    val recs = Seq(
+      (1L, "smith", "NY"), (2L, "smyth", "NY"),   // substitution
+      (3L, "smith", "CA"),                         // equal, ACROSS blocks
+      (4L, "smiths", "NY"),                        // insertion
+      (5L, "mith", "NY"),                          // deletion
+      (6L, "jones", "NY"),                         // far
+      (7L, null.asInstanceOf[String], "NY"))       // NULL links to nothing
+      .toDF("id", "name", "state")
+    val got = graft.operators.Linkage.linkByDeletion1(recs, "id", "name")
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    // brute force over all non-null pairs at dist<=1
+    val names = Map(1L -> "smith", 2L -> "smyth", 3L -> "smith",
+      4L -> "smiths", 5L -> "mith", 6L -> "jones")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = for {
+      a <- names.keys.toSeq.sorted; b <- names.keys.toSeq.sorted
+      if a < b && lev(names(a), names(b)) <= 1
+    } yield (a, b, lev(names(a), names(b)).toLong)
+    assert(got == want, s"got $got want $want")
+    // the cross-block equal pair (1,3) is in — deletion linkage is global
+    assert(got.contains((1L, 3L, 0L)))
+  }
+
   test("fdViolations: held FD, violated FD, uniqueness, NULL-as-value") {
     val df = Seq(
       (1, "a", "x"), (1, "a", "x"),   // key 1: rhs always a (held)

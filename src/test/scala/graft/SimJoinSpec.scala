@@ -85,4 +85,29 @@ class SimJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SimJoin.jaccardSelfJoin(docs, "doc_id", "text", 0))
     intercept[IllegalArgumentException](SimJoin.jaccardSelfJoin(docs, "doc_id", "text", 1001))
   }
+
+  test("mass duplication: identical-set collapse changes nothing in the pair set (r18)") {
+    // every logical doc appears 4x (the replicated-corpus regime that
+    // OOMed the 100x sf10 probe pre-collapse): the pair set must equal
+    // brute force — all within-copy pairs at jac=1000 plus every
+    // cross-copy expansion of the logical near-pair
+    val logical = Seq(
+      "a b c d e",          // near-pair with the next at t=500
+      "a b c d x",
+      "p q r s t")
+    val docs = (for {
+      (txt, li) <- logical.zipWithIndex
+      rep <- 0 until 4
+    } yield ((li * 10 + rep).toLong, txt)).toDF("doc_id", "text")
+    for (t <- Seq(500, 800, 1000)) {
+      val got = run(docs, t)
+      val want = brute(docs, t)
+      assert(got == want, s"t=$t: got ${got.size} want ${want.size}")
+    }
+    // jac_milli of a within-copy pair is exactly 1000
+    val jac = SimJoin.jaccardSelfJoin(docs, "doc_id", "text", 800)
+      .filter(col("id1") === 0L && col("id2") === 1L)
+      .select("jac_milli").as[Long].head()
+    assert(jac == 1000L)
+  }
 }
