@@ -494,12 +494,16 @@ object Ann {
 
   /** Drop tombstoned rows from an index scan — the search-time half
    * of the delete path. Tombstone sets are erasure-request-sized
-   * (human-scale), so the anti join broadcasts. */
+   * (human-scale), so the anti join broadcasts. The tombstone-free
+   * fast path is ONE existence probe — no job, no plan change — so
+   * an index that never saw a delete pays nothing at read time. */
   private def dropTombstoned(rows: DataFrame, path: String,
       idCol: String): DataFrame = {
-    val tomb = ivfTombstones(rows.sparkSession, path)
-    if (tomb.isEmpty) rows
-    else rows.join(broadcast(tomb), col(idCol) === col("__tomb_id"), "left_anti")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_tombstones")
+    val spark = rows.sparkSession
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) rows
+    else rows.join(broadcast(ivfTombstones(spark, path)),
+      col(idCol) === col("__tomb_id"), "left_anti")
   }
 
   /**
