@@ -1405,7 +1405,7 @@ object SparkEntry {
       val a = after.collect { case (`p`, v) => v }.toSet
       val a2 = after2.collect { case (`p`, v) => v }.toSet
       val e = exact.collect { case (`p`, v) => v }.toSet
-      (p, a.intersect(doomed).isEmpty, a.intersect(e).size * 10 >= 15, a == a2)
+      (p, a.intersect(doomed).isEmpty, a.intersect(e).size * 10 >= 30, a == a2)
     }.toDF("probe_id", "deleted_excluded", "recall_ok", "vacuum_consistent")
       .orderBy("probe_id")
   }
@@ -3839,6 +3839,62 @@ object SparkEntry {
       .orderBy("probe_id")
   }
 
+  /** D12b (r19, VERDICT r18 #6): streaming ANN freshness under
+   * DELETES — a C7h tombstone landing BETWEEN micro-batches must be
+   * respected by the very next batch. The serving path masks
+   * tombstones inside [[graft.similarity.Ann.ivfTopKIndexed]] by
+   * re-probing the sidecar per call, so freshness holds by
+   * construction — this row PINS it under a real checkpointed stream
+   * instead of assuming it. A fresh index (deletes mutate — the
+   * shared cached-index helper cannot serve), one probe batch, then
+   * [[graft.similarity.Ann.deleteFromIvfIndex]] of every non-probe
+   * id batch 0 answered, then the SAME probes as batch 1. Per probe,
+   * driver-checked on bounded (≤15-row) lists: batch 0 served at
+   * least one doomed id (the delete is observable), batch 1 serves
+   * none, and batch 1 equals the direct post-delete indexed search
+   * id-for-id. */
+  private def qStreamAnnDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val emb = t(s, dir, "embeddings")
+    val idx = s"${graft.Scratch.root(s)}/stream_ann_del_${sinkSeq.incrementAndGet()}"
+    graft.similarity.Ann.buildIvfIndex(emb, "vec_id", "embedding", 64, idx)
+    val probes = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val probeRows = probes.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val base = s"${graft.Scratch.root(s)}/sad_${sinkSeq.incrementAndGet()}"
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EventStream.vectorSearchSink(
+        in.toDF.toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+        dim = 64, k = 5, nProbe = 5, out)
+      .option("checkpointLocation", ckpt).start()
+    val doomed = try {
+      in.addData(probeRows.toSeq)
+      q.processAllAvailable()
+      // the tombstone lands BETWEEN micro-batches: every non-probe id
+      // batch 0 served (bounded: <= 3 probes x 5)
+      val d = s.read.parquet(s"$out/batch=0").filter(col("vec_id") >= 3L)
+        .select("vec_id").distinct().as[Long].collect().toSeq.sorted
+      graft.similarity.Ann.deleteFromIvfIndex(idx, d.toDF("vec_id"), "vec_id")
+      in.addData(probeRows.toSeq)
+      q.processAllAvailable()
+      d.toSet
+    } finally q.stop()
+    val served = s.read.parquet(out)
+      .select(col("batch").cast("long").as("b"), col("probe_id"), col("vec_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val direct = graft.similarity.Ann
+      .ivfTopKIndexed(idx, probes, "vec_id", "embedding", 64, 5, nProbe = 5)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSeq
+    probeRows.map(_._1).toSeq.map { p =>
+      val b0 = served.collect { case (0L, `p`, v) => v }.toSet
+      val b1 = served.collect { case (1L, `p`, v) => v }.toSet
+      val e = direct.collect { case (`p`, v) => v }.toSet
+      (p, b0.intersect(doomed).nonEmpty, b1.intersect(doomed).isEmpty, b1 == e)
+    }.toDF("probe_id", "pre_delete_served", "deleted_excluded", "matches_direct")
+      .orderBy("probe_id")
+  }
+
   /** D13 (r14): streaming changelog apply
    * ([[graft.streaming.EventStream.cdcSink]]) — a Debezium-shaped
    * change feed driven through the REAL checkpointed writeStream sink
@@ -5590,7 +5646,10 @@ object SparkEntry {
    * must collapse each octet onto ONE canonical string; a second
    * family plants lowercase-hex + encoded-tilde query values
    * (`%2fv%7E` vs `%2Fv~`) whose pairs collapse through the
-   * percent-normalization rules alone. The oracle recomputes every
+   * percent-normalization rules alone; a third (r19) plants the same
+   * http-vs-https page pair under BOTH fold settings — merged under
+   * the default, distinct under foldHttp = false (the parameterized
+   * scheme fold, VERDICT r18 #5). The oracle recomputes every
    * canonical URL CHARACTER-FOR-CHARACTER by independent arithmetic
    * (never parsing anything), plus the group rep/count/keep relation
    * — so a wrong scheme fold, port strip, userinfo split, percent
@@ -5621,7 +5680,23 @@ object SparkEntry {
           WHEN 0 THEN concat('https://example', k, '.org/p?q=%2fv%7E')
           ELSE concat('https://example', k, '.org/p?q=%2Fv~')
         END"""))
-    graft.text.Urls.canonicalDedup(fam1.unionByName(fam2), "id", "url")
+    // Third family (r19): the same http-vs-https page pair planted
+    // TWICE — once under the default fold (the pair must merge), once
+    // with foldHttp = false (the pair must stay distinct: 80 and 443
+    // can serve different content, the knob's whole point).
+    def foldFam(offset: Long) = t(s, dir, "documents")
+      .select((col("doc_id") + lit(offset)).as("id"),
+        expr("doc_id div 2").as("k"))
+      .withColumn("url", expr("""
+        CASE CAST(id % 2 AS INT)
+          WHEN 0 THEN concat('http://fold', k, '.com/p')
+          ELSE concat('https://fold', k, '.com/p')
+        END"""))
+    graft.text.Urls
+      .canonicalDedup(fam1.unionByName(fam2).unionByName(foldFam(2000000L)),
+        "id", "url")
+      .unionByName(graft.text.Urls.canonicalDedup(foldFam(3000000L),
+        "id", "url", foldHttp = false))
       .orderBy("id")
   }
 
@@ -5893,6 +5968,49 @@ object SparkEntry {
     graft.operators.Linkage
       .linkByDeletion1(t(s, dir, "customer"), "c_custkey", "c_name")
       .orderBy("id_a", "id_b")
+
+  /** The composite ENTITY IDENTITY string the C32c/C14-composition
+   * rows compare on: name + segment + nation. Deliberately
+   * multi-field (the standard entity-resolution shape — a bare
+   * sequential serial-number name is the densest possible dist-k
+   * domain: at maxDist = 2 the r19 probe measured 204k name pairs
+   * among 1500 bare names vs 3.3k with the composite, 62× — the
+   * discriminating-field lever the operator docs prescribe). */
+  private def linkIdent(df: DataFrame): DataFrame =
+    df.withColumn("ident", concat(col("c_name"), lit("|"),
+      col("c_mktsegment"), col("c_nationkey").cast("string")))
+
+  /** C32c (r19): edit-distance-≤2 linkage via k = 2 deletion
+   * neighborhoods ([[graft.operators.Linkage.linkByDeletionK]]) —
+   * FastSS generalized past the dist-1 IFF regime: the 0/1/2-deletion
+   * key sets are a COMPLETE dist≤2 candidate generator but no longer
+   * tight, so this row is the one place the board exercises a
+   * verify that actually KILLS candidates (shared 2-deletion keys at
+   * true distance 3..4). The oracle regenerates both deletion levels
+   * in pure substr arithmetic and replays key-join + thresholded
+   * verify + record expansion, so a wrong variant set at EITHER
+   * level, a verify bug, or a missed dedup all hash-mismatch. */
+  private def qRecordLinkageDel2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage
+      .linkByDeletionK(linkIdent(t(s, dir, "customer")), "c_custkey",
+        "ident", maxDist = 2)
+      .orderBy("id_a", "id_b")
+
+  /** C32d (r19, the composition SCALE_SF10.md named): linkage
+   * CLUSTERS — [[graft.operators.Linkage.linkClusters]] feeds the
+   * C32b deletion-neighborhood pair relation through the C14
+   * connected-components machinery and emits ONE (id, cluster) row
+   * per record, singletons labeled by their own id. This is the
+   * scale-correct OUTPUT for linkage under mass duplication: pairs
+   * are quadratic in duplicate-group size (the r18 sf10 probe's 2.7B
+   * enumerated pairs), cluster labels are linear in records always.
+   * The oracle replays neighborhoods + union-find: deletion keys by
+   * substr arithmetic, the dist≤1 verify, then a recursive-CTE
+   * transitive closure labeled by component-minimum id. */
+  private def qLinkageClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage
+      .linkClusters(linkIdent(t(s, dir, "customer")), "c_custkey", "ident")
+      .orderBy("id")
 
   /** B54: grouped top-k in bounded state (operators/TopK.scala) — the
    * scale-safe twin of B5's window row_number: a k-bounded ordered
@@ -8099,6 +8217,7 @@ object SparkEntry {
     "q_stream_quantile" -> qStreamQuantile,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_vector_search_sink" -> qVectorSearchSink,
+    "q_stream_ann_delete" -> qStreamAnnDelete,
     "q_cdc_sink"      -> qCdcSink,
     "q_upsert_versioned_stream" -> qUpsertVersionedStream,
     "q_interval_join" -> qIntervalJoin,
@@ -8192,6 +8311,8 @@ object SparkEntry {
     "q_source_overlap" -> qSourceOverlap,
     "q_record_linkage" -> qRecordLinkage,
     "q_record_linkage_del" -> qRecordLinkageDel,
+    "q_record_linkage_del2" -> qRecordLinkageDel2,
+    "q_linkage_clusters" -> qLinkageClusters,
     "q_winsorize"      -> qWinsorize,
     "q_group_topk"     -> qGroupTopk,
     "q_triangles"      -> qTriangles,
@@ -9608,6 +9729,10 @@ object SparkEntry {
     "q_vector_search_sink" ->
       """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(5 AS BIGINT) AS k_rows,
          true AS sink_matches_direct
+         FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
+    "q_stream_ann_delete" ->
+      """SELECT CAST(vec_id AS BIGINT) AS probe_id, TRUE AS pre_delete_served,
+         TRUE AS deleted_excluded, TRUE AS matches_direct
          FROM embeddings WHERE vec_id < 3 ORDER BY probe_id""",
     "q_interval_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
@@ -11226,7 +11351,12 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS n FROM d1 GROUP BY k),
          d2 AS (SELECT doc_id + 1000000 AS id, doc_id // 2 AS k FROM documents),
          g2 AS (SELECT k, CAST(MIN(id) AS BIGINT) AS rep,
-             CAST(COUNT(*) AS BIGINT) AS n FROM d2 GROUP BY k)
+             CAST(COUNT(*) AS BIGINT) AS n FROM d2 GROUP BY k),
+         d3 AS (SELECT doc_id + 2000000 AS id, doc_id // 2 AS k FROM documents),
+         g3 AS (SELECT k, CAST(MIN(id) AS BIGINT) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS n FROM d3 GROUP BY k),
+         d4 AS (SELECT doc_id + 3000000 AS id, doc_id // 2 AS k,
+             doc_id % 2 AS r FROM documents)
          SELECT * FROM (
            SELECT id,
              concat('https://example', k, '.com/a/b', k, '?a=1&b=2') AS canon_url,
@@ -11236,7 +11366,19 @@ object SparkEntry {
            SELECT id,
              concat('https://example', k, '.org/p?q=%2Fv~') AS canon_url,
              g2.rep AS rep_id, g2.n AS n_copies, id = g2.rep AS keep
-           FROM d2 JOIN g2 USING (k))
+           FROM d2 JOIN g2 USING (k)
+           UNION ALL
+           SELECT id,
+             concat('https://fold', k, '.com/p') AS canon_url,
+             g3.rep AS rep_id, g3.n AS n_copies, id = g3.rep AS keep
+           FROM d3 JOIN g3 USING (k)
+           UNION ALL
+           SELECT id,
+             concat(CASE WHEN r = 0 THEN 'http' ELSE 'https' END,
+               '://fold', k, '.com/p') AS canon_url,
+             CAST(id AS BIGINT) AS rep_id, CAST(1 AS BIGINT) AS n_copies,
+             TRUE AS keep
+           FROM d4)
          ORDER BY id""",
     // D32: the routed store read back must equal the batch header
     // relation — same independent arithmetic as q_media_headers; any
@@ -11988,6 +12130,66 @@ object SparkEntry {
          SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
          FROM cand WHERE levenshtein(s_a, s_b) <= 1
          ORDER BY id_a, id_b""",
+    // C32c: both deletion levels regenerated by substr arithmetic; the
+    // thresholded verify is load-bearing at k = 2 (shared 2-deletion
+    // keys reach true distance 4)
+    "q_record_linkage_del2" ->
+      """WITH r AS (SELECT c_custkey AS id,
+           c_name || '|' || c_mktsegment || CAST(c_nationkey AS VARCHAR) AS s
+           FROM customer),
+         n AS (SELECT DISTINCT s FROM r),
+         d1 AS (SELECT s,
+             substr(s, 1, CAST(u.i AS INT) - 1) || substr(s, CAST(u.i AS INT) + 1) AS k
+           FROM n, UNNEST(range(1, len(s) + 1)) AS u(i)),
+         k2 AS (SELECT s, s AS k FROM n
+           UNION SELECT s, k FROM d1
+           UNION
+           SELECT s,
+             substr(k, 1, CAST(u.i AS INT) - 1) || substr(k, CAST(u.i AS INT) + 1)
+           FROM d1, UNNEST(range(1, len(k) + 1)) AS u(i)),
+         np AS (SELECT s1, s2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+           FROM (SELECT DISTINCT a.s AS s1, b.s AS s2
+             FROM k2 a JOIN k2 b ON a.k = b.k AND a.s < b.s)
+           WHERE levenshtein(s1, s2) <= 2)
+         SELECT id_a, id_b, dist FROM (
+           SELECT x.id AS id_a, y.id AS id_b, CAST(0 AS BIGINT) AS dist
+           FROM r x JOIN r y ON x.s = y.s AND x.id < y.id
+           UNION ALL
+           SELECT LEAST(x.id, y.id), GREATEST(x.id, y.id), np.dist
+           FROM np JOIN r x ON x.s = np.s1 JOIN r y ON y.s = np.s2)
+         ORDER BY id_a, id_b""",
+    // C32d: neighborhoods + union-find replayed — deletion keys by
+    // substr arithmetic, dist<=1 verify, recursive-CTE transitive
+    // closure labeled by component-minimum id (the C14 oracle shape)
+    "q_linkage_clusters" ->
+      """WITH RECURSIVE r AS (SELECT c_custkey AS id,
+           c_name || '|' || c_mktsegment || CAST(c_nationkey AS VARCHAR) AS s
+           FROM customer),
+         n AS (SELECT DISTINCT s FROM r),
+         k AS (SELECT s, s AS k FROM n
+           UNION
+           SELECT s,
+             substr(s, 1, CAST(u.i AS INT) - 1) || substr(s, CAST(u.i AS INT) + 1)
+           FROM n, UNNEST(range(1, len(s) + 1)) AS u(i)),
+         np AS (SELECT s1, s2
+           FROM (SELECT DISTINCT a.s AS s1, b.s AS s2
+             FROM k a JOIN k b ON a.k = b.k AND a.s < b.s)
+           WHERE levenshtein(s1, s2) <= 1),
+         pairs AS (SELECT x.id AS u, y.id AS v
+             FROM np JOIN r x ON x.s = np.s1 JOIN r y ON y.s = np.s2
+           UNION
+           SELECT x.id, y.id FROM r x JOIN r y ON x.s = y.s AND x.id < y.id),
+         edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         reach(src, dst) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT rc.src, e.v FROM reach rc JOIN edges e ON rc.dst = e.u),
+         comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+           FROM reach GROUP BY src)
+         SELECT c_custkey AS id,
+           CAST(COALESCE(c.cluster, c_custkey) AS BIGINT) AS cluster
+         FROM customer LEFT JOIN comp c ON c_custkey = c.node
+         ORDER BY id""",
     "q_triangles" ->
       """WITH e0 AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS lo,
              CAST(b.l_partkey AS BIGINT) AS hi

@@ -517,7 +517,12 @@ object HashOps {
    * byte-hash dedup sees two distinct documents unless URLs collapse
    * to one canonical form first. Rules (each a documented,
    * deterministic choice):
-   *  - scheme lowercased with http folded to https;
+   *  - scheme lowercased; http folds to https iff `foldHttp` (a
+   *    PARAMETER since r19, defaulting ON like the drop-list: most
+   *    crawl targets serve one document either way, but 80 and 443
+   *    CAN serve different content, and over-merge is the dangerous
+   *    direction — the same reasoning that made the `ref` drop a
+   *    parameter in r17);
    *  - userinfo dropped — the authority splits at its LAST `@`
    *    (RFC 3986 allows `@` inside userinfo, never inside host), so
    *    `user:p@ss@www.site.com` and `site.com` collapse;
@@ -593,14 +598,18 @@ object HashOps {
   }
 
   def canonicalUrl(u: org.apache.spark.unsafe.types.UTF8String,
-      drop: UrlDropList): org.apache.spark.unsafe.types.UTF8String = {
+      drop: UrlDropList): org.apache.spark.unsafe.types.UTF8String =
+    canonicalUrl(u, drop, true)
+
+  def canonicalUrl(u: org.apache.spark.unsafe.types.UTF8String,
+      drop: UrlDropList, foldHttp: Boolean): org.apache.spark.unsafe.types.UTF8String = {
     val s0 = u.toString.trim
     val sep = s0.indexOf("://")
     if (sep <= 0)
       return org.apache.spark.unsafe.types.UTF8String.fromString(
         s0.toLowerCase(java.util.Locale.ROOT))
     val scheme0 = s0.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
-    val scheme = if (scheme0 == "http") "https" else scheme0
+    val scheme = if (foldHttp && scheme0 == "http") "https" else scheme0
     val rest = s0.substring(sep + 3)
     var aEnd = rest.length
     var j = 0
@@ -668,16 +677,53 @@ object HashOps {
    * volume tracks true near-duplicate density — unlike fixed-
    * cardinality blocking, whose in-block pair count grows with the
    * square of block size (the sf10 probe measured exactly that).
-   * Keys per record: ≤ len+1. */
+   * Keys per record: ≤ len+1.
+   *
+   * Deletions are BY CODE POINT (r19, ADVICE r18): the verify step
+   * uses code-point levenshtein, so deleting UTF-16 code units would
+   * make a single supplementary-plane substitution (2 units) produce
+   * disjoint neighborhoods and break the IFF completeness claim for
+   * non-BMP text. Code points also match what SQL `substr`/`len`
+   * count in the DuckDB replays. */
   def deletionNeighborhood(s: org.apache.spark.unsafe.types.UTF8String)
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    deletionNeighborhoodK(s, 1)
+
+  /** [[deletionNeighborhood]] generalized to UP TO `k` code-point
+   * deletions (C32c, r19 — the full FastSS scheme): every variant of
+   * the string with 0..k code points removed, distinct. Two strings
+   * are within edit distance k only if their k-neighborhoods
+   * intersect (each edit consumes at most one deletion from each
+   * side), so the key equi-join stays a COMPLETE candidate generator
+   * for any threshold; unlike k = 1 the converse does not hold
+   * ("abcd"/"cdab" share the 2-deletion variant "cd" at distance 4),
+   * which is why the exact thresholded-levenshtein verify is load-
+   * bearing, not belt-and-braces. Keys per record: ≤ Σ_{j≤k} C(len,j)
+   * — ~len²/2 at k = 2, still density-bounded where fixed-cardinality
+   * blocking is block-size²-bounded. */
+  def deletionNeighborhoodK(s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val str = s.toString
-    val seen = new java.util.LinkedHashSet[String](str.length + 2)
+    val seen = new java.util.LinkedHashSet[String](str.length * (k + 1) + 2)
     seen.add(str): Unit
-    var i = 0
-    while (i < str.length) {
-      seen.add(str.substring(0, i) + str.substring(i + 1)): Unit
-      i += 1
+    var frontier: Array[String] = Array(str)
+    var round = 0
+    while (round < k && frontier.nonEmpty) {
+      val next = new java.util.ArrayList[String](frontier.length * 16)
+      var f = 0
+      while (f < frontier.length) {
+        val t = frontier(f)
+        var i = 0
+        while (i < t.length) {
+          val step = Character.charCount(t.codePointAt(i))
+          val v = t.substring(0, i) + t.substring(i + step)
+          if (seen.add(v)) next.add(v): Unit
+          i += step
+        }
+        f += 1
+      }
+      frontier = next.toArray(new Array[String](next.size))
+      round += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()

@@ -332,12 +332,16 @@ case class HeaderMeta(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
-/** deletion_neighborhood(s) → array<string>: the FastSS edit-
- * distance-1 blocking keys (see HashOps.deletionNeighborhood — the
- * string plus every single-deletion variant, distinct). Codegen'd;
- * the key-generation pass stays in whole-stage codegen instead of an
- * interpreted transform/sequence HOF tree. */
-case class DeletionNeighborhood(child: Expression) extends UnaryExpression {
+/** deletion_neighborhood(s, k) → array<string>: the FastSS blocking
+ * keys for edit-distance-≤k linkage (see
+ * HashOps.deletionNeighborhoodK — the string plus every variant with
+ * up to k code-point deletions, distinct; k = 1 is the classic
+ * dist-1 IFF generator, k ≥ 2 a complete-but-not-tight one).
+ * Codegen'd; the key-generation pass stays in whole-stage codegen
+ * instead of an interpreted transform/sequence HOF tree. */
+case class DeletionNeighborhood(child: Expression, k: Int = 1)
+    extends UnaryExpression {
+  require(k >= 1, s"deletion_neighborhood: k must be >= 1, got $k")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -347,11 +351,11 @@ case class DeletionNeighborhood(child: Expression) extends UnaryExpression {
       s"deletion_neighborhood requires a string, got ${child.dataType.sql}")
   }
   override protected def nullSafeEval(input: Any): Any =
-    HashOps.deletionNeighborhood(input.asInstanceOf[UTF8String])
+    HashOps.deletionNeighborhoodK(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.deletionNeighborhood($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.deletionNeighborhoodK($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): DeletionNeighborhood =
-    copy(newChild)
+    copy(child = newChild)
 }
 
 /** canonical_url(url[, dropParams]) → string: crawl-pipeline URL
@@ -364,7 +368,8 @@ case class DeletionNeighborhood(child: Expression) extends UnaryExpression {
  * row. Total and codegen'd; garbage lowercases instead of
  * throwing. */
 case class CanonicalUrl(child: Expression,
-    dropParams: String = UrlDropList.DefaultSpec) extends UnaryExpression {
+    dropParams: String = UrlDropList.DefaultSpec,
+    foldHttp: Boolean = true) extends UnaryExpression {
   @transient private lazy val drop = new UrlDropList(dropParams)
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -375,12 +380,12 @@ case class CanonicalUrl(child: Expression,
       s"canonical_url requires a string url, got ${child.dataType.sql}")
   }
   override protected def nullSafeEval(input: Any): Any =
-    HashOps.canonicalUrl(input.asInstanceOf[UTF8String], drop)
+    HashOps.canonicalUrl(input.asInstanceOf[UTF8String], drop, foldHttp)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dropRef = ctx.addReferenceObj("urlDrop", drop,
       classOf[graft.functions.UrlDropList].getName)
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashOps.canonicalUrl($c, $dropRef)")
+      c => s"graft.functions.HashOps.canonicalUrl($c, $dropRef, $foldHttp)")
   }
   override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
     copy(child = newChild)
@@ -812,10 +817,11 @@ object expressions {
     column(KmFoldPpm(expression(atRisk), expression(deaths)))
   def headerMeta(payload: Column): Column = column(HeaderMeta(expression(payload)))
   def canonicalUrl(url: Column,
-      dropParams: String = UrlDropList.DefaultSpec): Column =
-    column(CanonicalUrl(expression(url), dropParams))
-  def deletionNeighborhood(s: Column): Column =
-    column(DeletionNeighborhood(expression(s)))
+      dropParams: String = UrlDropList.DefaultSpec,
+      foldHttp: Boolean = true): Column =
+    column(CanonicalUrl(expression(url), dropParams, foldHttp))
+  def deletionNeighborhood(s: Column, k: Int = 1): Column =
+    column(DeletionNeighborhood(expression(s), k))
   def hashContainment(a: Column, b: Column): Column =
     column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =

@@ -95,34 +95,114 @@ object Linkage {
    * size stats, and Catalyst otherwise BROADCASTS a side that is
    * actually GBs (watched at 3.3 GiB into an 8 GiB JVM). */
   def linkByDeletion1(records: DataFrame, idCol: String,
-      compareCol: String): DataFrame = {
+      compareCol: String): DataFrame =
+    linkByDeletionK(records, idCol, compareCol, 1)
+
+  /** [[linkByDeletion1]] generalized to edit distance ≤ `maxDist`
+   * (C32c, r19 — full FastSS): blocking keys are every variant with
+   * up to `maxDist` code-point deletions
+   * ([[graft.functions.expressions.deletionNeighborhood]] with
+   * k = maxDist), so the key equi-join stays a COMPLETE candidate
+   * generator at any threshold. Unlike k = 1 the generator is no
+   * longer tight — two strings can share a k-deletion variant at
+   * distance up to 2k ("abcd"/"cdab" share "cd" at distance 4) — so
+   * the thresholded-levenshtein verify is load-bearing here, and the
+   * caller pays for it in candidate volume: keys per string grow
+   * ~len^k/k!, and on LOW-ENTROPY compare strings (serial numbers,
+   * sequential account names) the dist-2 relation itself can be
+   * orders of magnitude denser than dist-1 — measure on a sample and
+   * prefer a composite compare string (name + a discriminating
+   * field) exactly as with blocked linkage. Same distinct-string
+   * collapse, sort-merge pin, and NULL semantics as k = 1; dist 0 =
+   * equal strings, dists 1..maxDist from the verified name pairs. */
+  def linkByDeletionK(records: DataFrame, idCol: String,
+      compareCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"linkByDeletionK: maxDist must be >= 1, got $maxDist")
     val base = graft.dedup.Dedup.spread(records)
       .filter(col(compareCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(compareCol).as("s"))
     val names = base.select(col("s")).distinct()
     val keys = names
       .select(col("s"), explode(graft.functions.expressions
-        .deletionNeighborhood(col("s"))).as("k"))
+        .deletionNeighborhood(col("s"), maxDist)).as("k"))
       .hint("shuffle_merge")
-    // distinct name pairs at exactly distance 1 (equal names never
+    // distinct name pairs at distance 1..maxDist (equal names never
     // meet here — the neighborhoods are keyed per DISTINCT string)
     val namePairs = keys.as("a").join(keys.as("b"),
         col("a.k") === col("b.k") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
       .distinct() // a pair can share several keys
-      .filter(levenshtein(col("s1"), col("s2"), 1) === 1)
+      .withColumn("dist",
+        levenshtein(col("s1"), col("s2"), maxDist).cast("long"))
+      .filter(col("dist") >= 1L) // thresholded: -1 marks beyond maxDist
     // equal-string record pairs: dist 0
     val within = base.as("x").join(base.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         lit(0L).as("dist"))
-    // distance-1 name pairs expand to every record pair across them
+    // near-name pairs expand to every record pair across them
     val cross = namePairs
       .join(base.select(col("s").as("s1"), col("id").as("id_x")), "s1")
       .join(base.select(col("s").as("s2"), col("id").as("id_y")), "s2")
       .select(least(col("id_x"), col("id_y")).as("id_a"),
-        greatest(col("id_x"), col("id_y")).as("id_b"), lit(1L).as("dist"))
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("dist"))
     within.unionByName(cross)
+  }
+
+  /** Entity-resolution CLUSTERS (r19, the composition SCALE_SF10.md
+   * named): the deletion-neighborhood relation fed through the C14
+   * transitive-closure machinery
+   * ([[graft.operators.Components.connectedComponents]]), emitting
+   * ONE row per record — (id, cluster), cluster = the component's
+   * minimum record id, singletons labeled by their own id.
+   *
+   * Everything here is LINEAR in records + distinct-name pairs —
+   * including the edge relation, which is where the naive composition
+   * would die: feeding [[linkByDeletionK]]'s enumerated pairs into
+   * the cluster step carries k(k−1)/2 rows per k-duplicated string
+   * (2.7B pairs in the r18 sf10 probe) only to have the components
+   * collapse them again. Connectivity needs far less: a STAR (each
+   * record → its string group's min record id, k−1 edges) makes
+   * every equal-string group one component, and ONE edge between the
+   * two groups' representatives carries each dist-1..k name pair.
+   * The result is provably the same clustering — a star is a
+   * connected subgraph on exactly the clique's vertex set, and a
+   * rep-edge connects exactly the components the expanded pair fan
+   * would — with edges = records + name pairs, no quadratic term
+   * anywhere, not even in the intermediate.
+   *
+   * NULL compare strings cluster as singletons (no evidence — the
+   * [[linkByDeletionK]] rule). */
+  def linkClusters(records: DataFrame, idCol: String, compareCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, s"linkClusters: maxDist must be >= 1, got $maxDist")
+    val base = graft.dedup.Dedup.spread(records)
+      .filter(col(compareCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(compareCol).as("s"))
+    val reps = base.groupBy("s").agg(min("id").as("rep"))
+    val star = base.join(reps, "s")
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
+    val keys = reps
+      .select(col("s"), explode(graft.functions.expressions
+        .deletionNeighborhood(col("s"), maxDist)).as("k"))
+      .hint("shuffle_merge")
+    val namePairs = keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct()
+      .filter(levenshtein(col("s1"), col("s2"), maxDist)
+        .between(1, maxDist))
+    val nameEdges = namePairs
+      .join(reps.select(col("s").as("s1"), col("rep").as("id_a")), "s1")
+      .join(reps.select(col("s").as("s2"), col("rep").as("id_b")), "s2")
+      .select("id_a", "id_b")
+    val comp = graft.operators.Components
+      .connectedComponents(star.unionByName(nameEdges), "id_a", "id_b")
+      .select(col("node").as("id"), col("component"))
+    records.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
   }
 
   /** Linked pairs: in-block candidates whose compare-field edit

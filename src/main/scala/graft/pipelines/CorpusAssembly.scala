@@ -54,7 +54,8 @@ object CorpusAssembly {
       defaultFraction: Double = 0.25,
       packBudget: Long = 512L,
       urlCol: Option[String] = None,
-      urlDropParams: String = graft.functions.UrlDropList.DefaultSpec)
+      urlDropParams: String = graft.functions.UrlDropList.DefaultSpec,
+      urlFoldHttp: Boolean = true)
 
   /** Stage 0 — canonical-URL dedup (C93): the same page fetched under
    * surface-variant URLs collapses BEFORE any content stage pays
@@ -66,14 +67,24 @@ object CorpusAssembly {
    * — a corpus without URL provenance has no stage 0 and the stage
    * passes through untouched (the CLI refuses an explicit `canon`
    * stage without `--url-col`, so the skip is never silent where a
-   * human typed it). */
+   * human typed it).
+   *
+   * NULL-URL rows pass through untouched (ADVICE r18): a doc without
+   * provenance carries no URL-identity evidence, so it must never be
+   * URL-deduped — and in a MIXED corpus the old behavior (nulls all
+   * canonicalize to null) silently dropped every null-URL doc but
+   * one. The null rows key by their own id (NUL-prefixed, so no real
+   * canonical URL can collide), which also keeps them SPREAD across
+   * window partitions instead of piling into one null reducer. */
   def canonDedup(docs: DataFrame, cfg: Config = Config()): DataFrame =
     cfg.urlCol match {
       case None => docs
       case Some(u) =>
         val w = Window.partitionBy("__canon_url")
-        docs.withColumn("__canon_url", graft.functions.expressions
-            .canonicalUrl(col(u), cfg.urlDropParams))
+        docs.withColumn("__canon_url", coalesce(
+            graft.functions.expressions.canonicalUrl(col(u), cfg.urlDropParams,
+              cfg.urlFoldHttp),
+            concat(lit("\u0000"), col(cfg.idCol).cast("string"))))
           .withColumn("__canon_keep", min(col(cfg.idCol)).over(w))
           .filter(col(cfg.idCol) === col("__canon_keep"))
           .drop("__canon_url", "__canon_keep")

@@ -168,7 +168,8 @@ object Run {
       }
       // A42 from the command line: `branch --gc=true --older-than=<ms>`
       // sweeps every non-release ref whose chain has been idle longer
-      // than the cutoff (--keep=a,b exempts exact names); reclamation
+      // than the cutoff (--keep=a,b exempts names; entries may use
+      // '*' globs, e.g. --keep=ci-nightly-*); reclamation
       // is the next vacuum's job
       if (flag("gc").contains("true")) {
         val olderThan = flag("older-than").map(_.toLong).getOrElse {

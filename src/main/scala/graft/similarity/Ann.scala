@@ -530,6 +530,7 @@ object Ann {
   def deleteFromIvfIndex(path: String, ids: DataFrame, idCol: String,
       compactThreshold: Double = 0.25): Boolean = {
     val spark = ids.sparkSession
+    recoverIvfIndex(spark, path): Unit
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1) // erasure requests are human-sized: one sidecar file
       .write.mode(SaveMode.Append).parquet(s"$path/_graft_tombstones")
@@ -540,6 +541,71 @@ object Ann {
     } else false
   }
 
+  /** Repair interrupted-vacuum residue (r19, ADVICE r18): a crash in
+   * [[vacuumIvfIndex]]'s two-rename window (cell → bak, then
+   * tmp → cell) leaves `cell=N` missing — and partition discovery
+   * would silently SKIP the missing cell while a rerun's sidecar
+   * drop made the loss permanent. Every residue state restores
+   * deterministically, because tmp is always COMPLETE once the bak
+   * rename has happened (the scrub write finishes before any
+   * rename): cell present → the swap finished or never started, drop
+   * leftovers; cell absent + tmp + bak → finish the swap (tmp wins —
+   * it is the scrubbed cell); cell absent + bak only → undo (the
+   * still-present tombstone sidecar keeps masking, so serving the
+   * unscrubbed bak is correct). Returns the number of cells
+   * repaired. Idempotent; called on vacuum/delete entry, and the
+   * indexed read paths refuse to serve an index with residue
+   * ([[requireNoVacuumResidue]]) rather than silently skip a cell. */
+  def recoverIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = f.listStatus(root).map(_.getPath.getName)
+    val cells = names.collect {
+      case n if n.startsWith(".vacuum_tmp_") => n.stripPrefix(".vacuum_tmp_")
+      case n if n.startsWith(".vacuum_bak_") => n.stripPrefix(".vacuum_bak_")
+    }.distinct.sorted
+    var repaired = 0
+    cells.foreach { c =>
+      val cell = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/.vacuum_tmp_$c")
+      val bak = new org.apache.hadoop.fs.Path(s"$path/.vacuum_bak_$c")
+      if (f.exists(cell)) { // swap finished or never started
+        f.delete(tmp, true): Unit
+        f.delete(bak, true): Unit
+      } else if (f.exists(tmp) && f.exists(bak)) { // mid-swap: finish it
+        require(f.rename(tmp, cell),
+          s"ivf recover: failed to swap scrubbed cell=$c back in")
+        f.delete(bak, true): Unit
+        repaired += 1
+      } else if (f.exists(bak)) { // tmp gone (or never bak'd): undo
+        require(f.rename(bak, cell),
+          s"ivf recover: failed to restore cell=$c from backup")
+        repaired += 1
+      } else if (f.exists(tmp)) { // unreachable by protocol; best-effort
+        require(f.rename(tmp, cell),
+          s"ivf recover: failed to restore cell=$c from tmp")
+        repaired += 1
+      }
+    }
+    repaired
+  }
+
+  /** Refuse to serve an index whose last vacuum crashed mid-swap: a
+   * missing `cell=N` would otherwise be silently absent from
+   * partition discovery — wrong answers, no error. One listing. */
+  private def requireNoVacuumResidue(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val residue = f.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(".vacuum_tmp_") || n.startsWith(".vacuum_bak_"))
+    require(residue.isEmpty,
+      s"ivf index at $path has interrupted-vacuum residue " +
+        s"(${residue.sorted.mkString(", ")}): run Ann.recoverIvfIndex " +
+        "(or any vacuum/delete, which recover on entry) before serving")
+  }
+
   /**
    * Physically reclaim tombstoned rows: rewrite ONLY the cells that
    * hold a doomed id (write-complete-tmp → swap, the eraseKeys
@@ -547,11 +613,15 @@ object Ann {
    * it fails loudly rather than serving half a cell), then drop the
    * tombstone sidecar LAST — a crash anywhere before that leaves
    * tombstones still masking, so the search contract never weakens
-   * mid-vacuum and a rerun completes the job. Returns the number of
+   * mid-vacuum and a rerun completes the job. Entry first repairs any
+   * interrupted predecessor ([[recoverIvfIndex]] — restoring the
+   * missing cell BEFORE the rewrite, so the rerun scrubs it instead
+   * of permanently losing its live rows). Returns the number of
    * cells rewritten; a tombstone-less index is a no-op.
    */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String): Int = {
+    recoverIvfIndex(spark, path): Unit
     val tomb = ivfTombstones(spark, path)
     if (tomb.isEmpty) return 0
     val f = new org.apache.hadoop.fs.Path(path)
@@ -605,6 +675,7 @@ object Ann {
       nProbe: Int = 4, rerank: Int = 32): DataFrame = {
     import graft.functions.expressions.{pqAdcTable, pqTableScore}
     val spark = probes.sparkSession
+    requireNoVacuumResidue(spark, path)
     val (centroids, codebooks, m, ks, subdim) = readIvfPqQuantizers(spark, path)
     require(m * subdim == dim, s"index at $path encodes dim ${m * subdim}, got $dim")
     val normSq = Array.tabulate(m * ks) { i =>
@@ -641,6 +712,7 @@ object Ann {
   def ivfTopKIndexed(path: String, probes: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = probes.sparkSession
+    requireNoVacuumResidue(spark, path)
     val centroids = spark.read.parquet(s"$path/_graft_centroids")
       .orderBy("idx").collect().map(_.getDouble(1))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),

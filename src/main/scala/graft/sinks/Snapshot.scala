@@ -134,9 +134,77 @@ object Snapshot {
     rows.toDF("version", "op", "parent", "written", "ref", "reachable", "ts_ms")
   }
 
+  /** Atomically CLAIM version `next` before any data write (r19,
+   * VERDICT r18 #2 — multi-writer fencing): an exclusive create of
+   * `_CLAIM.v<next>` (atomic on every Hadoop FS, like the TAG.tmp
+   * rename discipline). Publishes are SERIALIZED per namespace — two
+   * publishers racing to the same `v<next>` would interleave
+   * Overwrite writes into one dir and flip a torn version with no
+   * error anywhere; the claim makes the loser fail HERE, loudly,
+   * before it has written a byte. Claims for versions the manifest
+   * already names are stale by construction (that publish completed;
+   * only its claim cleanup crashed) and are swept on entry. A claim
+   * for the version being attempted means either a LIVE concurrent
+   * publisher (the caller must back off) or a crashed one — only an
+   * operator can tell which, so recovery is the explicit
+   * [[releaseClaim]] ack, after which the normal dead-orphan clearing
+   * makes the rerun clean. */
+  private def claimVersion(f: org.apache.hadoop.fs.FileSystem,
+      root: String, next: Long): Unit = {
+    val cur = next - 1
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (f.exists(rootP)) // first-ever publish: nothing to sweep
+      f.listStatus(rootP)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("_CLAIM.v") =>
+          n.stripPrefix("_CLAIM.v").toLong }
+        .filter(_ <= cur)
+        .foreach(v => f.delete(
+          new org.apache.hadoop.fs.Path(s"$root/_CLAIM.v$v"), false): Unit)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_CLAIM.v$next")
+    // create-exclusive; a genuine transient IO error (claim file still
+    // absent) rethrows as itself rather than masquerading as a race
+    val out = try f.create(p, false)
+    catch {
+      case e: java.io.IOException =>
+        if (f.exists(p)) throw new IllegalStateException(
+          s"snapshot publish: v$next is already claimed under $root — " +
+            "another publisher is racing (back off and retry), or a " +
+            "previous one crashed mid-publish (verify it is dead, then " +
+            "Snapshot.releaseClaim to recover)")
+        else throw e
+    }
+    out.close()
+  }
+
+  private def releaseVersionClaim(f: org.apache.hadoop.fs.FileSystem,
+      root: String, next: Long): Unit =
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/_CLAIM.v$next"), false): Unit
+
+  /** Operator ack that a claim's publisher is DEAD: drop the pending
+   * claim so the next publish can fence, clear the orphan, and
+   * proceed. Only call after verifying no publisher is live — the
+   * claim cannot distinguish crashed from slow. Returns true when a
+   * claim was released. */
+  def releaseClaim(spark: SparkSession, root: String): Boolean = {
+    val f = fs(spark, root)
+    val next = currentVersion(spark, root) + 1
+    val p = new org.apache.hadoop.fs.Path(s"$root/_CLAIM.v$next")
+    f.delete(p, false)
+  }
+
   /** Publish all `tables` as one atomic version; returns the new
    * version number. Readers resolving through [[read]] see either the
-   * previous complete version or this one, never a mix. */
+   * previous complete version or this one, never a mix.
+   *
+   * Concurrency contract: ONE publisher per namespace at a time.
+   * Every version-creating verb fences itself with an atomic
+   * [[claimVersion]] claim on its target version, so a second
+   * publisher racing the same namespace fails loudly before writing
+   * anything instead of silently interleaving (two schedulers firing
+   * the same nightly job is an eventually, not an if); a crashed
+   * publisher's claim is released by the operator via
+   * [[releaseClaim]]. */
   def publish(
       spark: SparkSession,
       root: String,
@@ -146,12 +214,14 @@ object Snapshot {
       s"snapshot publish: unsafe table name '$n'"))
     val f = fs(spark, root)
     val next = currentVersion(spark, root) + 1
+    claimVersion(f, root, next)
     clearDeadOrphan(f, root, next)
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
     }
     writeCommitMeta(f, root, next, "publish", tables.keys.toSeq, "")
     flipManifest(f, root, next)
+    releaseVersionClaim(f, root, next)
     next
   }
 
@@ -279,6 +349,7 @@ object Snapshot {
     require(base >= 0L && base <= cur,
       s"snapshot publishLinkedFrom: base v$base not published (head is v$cur)")
     val next = cur + 1
+    claimVersion(f, root, next)
     clearDeadOrphan(f, root, next)
     changed.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
@@ -302,6 +373,7 @@ object Snapshot {
     }
     writeCommitMeta(f, root, next, "linked", changed.keys.toSeq, ref)
     flipManifest(f, root, next)
+    releaseVersionClaim(f, root, next)
     (next, carried)
   }
 
@@ -385,6 +457,7 @@ object Snapshot {
         s"snapshot publishMixed: v$h does not physically home '$t'")
     }
     val next = cur + 1
+    claimVersion(f, root, next)
     clearDeadOrphan(f, root, next)
     written.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
@@ -400,6 +473,7 @@ object Snapshot {
     }
     writeCommitMeta(f, root, next, op, written.keys.toSeq, ref)
     flipManifest(f, root, next)
+    releaseVersionClaim(f, root, next)
     next
   }
 
@@ -693,6 +767,7 @@ object Snapshot {
     }
     val f = fs(spark, root)
     val next = currentVersion(spark, root) + 1
+    claimVersion(f, root, next)
     clearDeadOrphan(f, root, next)
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
@@ -711,6 +786,9 @@ object Snapshot {
     // documents what was attempted (A37 / the A31 orphan-visibility rule)
     writeCommitMeta(f, root, next, "checked", tables.keys.toSeq, "")
     if (ok) flipManifest(f, root, next)
+    // the claim releases on BOTH outcomes: the attempt is finished
+    // (abort leaves the orphan visible, the A31 rule — not claimed)
+    releaseVersionClaim(f, root, next)
     (next, ok, report)
   }
 
@@ -1333,8 +1411,11 @@ object Snapshot {
    * was published onto that chain — exactly the "abandoned" signal;
    * a version predating the `_COMMIT` sidecar reads ts 0 and counts
    * as infinitely old). Sweeps every ref with
-   * `asOfMs − ts(version) > olderThanMs` EXCEPT: names in `keep`
-   * (exact match), well-known release names ([[isReleaseRef]] —
+   * `asOfMs − ts(version) > olderThanMs` EXCEPT: names matching
+   * `keep` — exact names, or GLOBS where `*` matches any run of
+   * characters (r19: CI naming schemes want `ci-nightly-*`, and an
+   * exact-only match silently sweeps the pattern the operator
+   * thought was protected), well-known release names ([[isReleaseRef]] —
    * implicitly kept, matching the deleteRef guard), and `-mergebase`
    * companions (they belong to their branch and die with it via
    * [[deleteRef]], which this verb delegates to — same crash order,
@@ -1349,6 +1430,11 @@ object Snapshot {
     require(olderThanMs >= 0, s"snapshot gcRefs: negative age $olderThanMs")
     val f = fs(spark, root)
     val now = asOfMs.getOrElse(System.currentTimeMillis())
+    // keep entries compile to anchored regexes: '*' is the only glob
+    // metacharacter (matches any run, including empty); every other
+    // character is literal — an exact name stays an exact match
+    val keepMatchers = keep.map(p => java.util.regex.Pattern.compile(
+      p.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")))
     val tsByVersion = history(spark, root).select("version", "ts_ms")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val refs = f.listStatus(new org.apache.hadoop.fs.Path(root))
@@ -1357,7 +1443,7 @@ object Snapshot {
       .map(_.drop(4))
       .filterNot(_.endsWith("-mergebase"))
       .filterNot(isReleaseRef)
-      .filterNot(keep.contains(_))
+      .filterNot(n => keepMatchers.exists(_.matcher(n).matches()))
       .sorted.toSeq
     refs.flatMap { name =>
       val v = tagVersion(spark, root, name)

@@ -738,16 +738,23 @@ object EventStream {
     media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.multimodal.Media.withHeaderMeta(batch.toDF(), payloadCol)
-          .write.partitionBy("format")
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$basePath/batch=$id")
-        batch.sparkSession.read.parquet(s"$basePath/batch=$id")
-          .groupBy("format")
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"${basePath}_metrics/batch=$id")
+        // An EMPTY micro-batch writes neither dir (ADVICE r18): the
+        // data write of an empty frame leaves a parquet-less batch dir
+        // whose read-back cannot infer a schema and would kill the
+        // query — and "no batch dir" is the honest record of "nothing
+        // landed", for data and metrics alike.
+        if (!batch.isEmpty) {
+          graft.multimodal.Media.withHeaderMeta(batch.toDF(), payloadCol)
+            .write.partitionBy("format")
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$basePath/batch=$id")
+          batch.sparkSession.read.parquet(s"$basePath/batch=$id")
+            .groupBy("format")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"${basePath}_metrics/batch=$id")
+        }
       }
 
   /** Streaming near-duplicate gate (D31) — C37's incremental

@@ -31,20 +31,30 @@ object Urls {
    * `dropParams` is the tracking-param drop-list spec
    * ([[graft.functions.UrlDropList]]) — parameterized because the
    * default's `ref` entry over-merges on sites where `?ref=` is
-   * semantic. */
+   * semantic. `foldHttp` (default ON) is the http→https scheme fold
+   * — parameterized for the same reason (r19): ports 80 and 443 CAN
+   * serve different content, and over-merge is the dangerous
+   * direction. */
   def withCanonicalUrl(df: DataFrame, urlCol: String,
-      dropParams: String = graft.functions.UrlDropList.DefaultSpec): DataFrame =
+      dropParams: String = graft.functions.UrlDropList.DefaultSpec,
+      foldHttp: Boolean = true): DataFrame =
     df.withColumn("canon_url",
-      graft.functions.expressions.canonicalUrl(col(urlCol), dropParams))
+      graft.functions.expressions.canonicalUrl(col(urlCol), dropParams, foldHttp))
 
   /** Canonical-URL dedup: (id, canon_url, rep_id, n_copies, keep) —
    * rep = lowest id per canonical form, every surface variant maps
-   * onto it. */
+   * onto it. NULL URLs carry no identity evidence: each null-URL row
+   * is its own singleton group (keep = true, n_copies = 1) rather
+   * than all nulls merging into one doomed group (ADVICE r18) — the
+   * NUL-prefixed per-id key also spreads them across window
+   * partitions instead of piling them onto one null reducer. */
   def canonicalDedup(df: DataFrame, idCol: String, urlCol: String,
-      dropParams: String = graft.functions.UrlDropList.DefaultSpec): DataFrame = {
-    val w = Window.partitionBy("canon_url")
+      dropParams: String = graft.functions.UrlDropList.DefaultSpec,
+      foldHttp: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(coalesce(col("canon_url"),
+      concat(lit("\u0000"), col("id").cast("string"))))
     df.select(col(idCol).cast("long").as("id"),
-        graft.functions.expressions.canonicalUrl(col(urlCol), dropParams)
+        graft.functions.expressions.canonicalUrl(col(urlCol), dropParams, foldHttp)
           .as("canon_url"))
       .select(col("id"), col("canon_url"),
         min("id").over(w).as("rep_id"),

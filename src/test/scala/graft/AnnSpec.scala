@@ -348,4 +348,42 @@ class AnnSpec extends AnyFunSuite {
     assert(!Ann.ivfTopKIndexed(idxPath, probes, "vec_id", "embedding", 32, 5)
       .select("vec_id").as[Long].collect().contains(subject))
   }
+
+  test("recoverIvfIndex: interrupted-vacuum residue restores; reads refuse residue (r19)") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_rec").toString
+    Ann.buildIvfIndex(df, "vec_id", "embedding", 32, path, numCells = 4)
+    val probes = df.filter($"vec_id" < 2)
+    def top5Ids() = Ann.ivfTopKIndexed(path, probes, "vec_id", "embedding", 32, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val doomed = top5Ids().filter(_ >= 2L).take(2).toSeq.sorted
+    Ann.deleteFromIvfIndex(path, doomed.toDF("vec_id"), "vec_id")
+    val masked = top5Ids()
+    val cell = spark.read.parquet(path).filter($"vec_id" === doomed.head)
+      .select("cell").head().getInt(0)
+    // crash state 1: cell moved aside, scrubbed tmp never landed (the
+    // rename(cell -> bak) .. rename(tmp -> cell) window's FIRST half).
+    // Reads must refuse (a missing cell is silent wrongness), and
+    // recovery must UNDO — the sidecar still masks, so the unscrubbed
+    // bak serves correct answers.
+    assert(new java.io.File(s"$path/cell=$cell")
+      .renameTo(new java.io.File(s"$path/.vacuum_bak_$cell")))
+    intercept[IllegalArgumentException] { top5Ids() }
+    assert(Ann.recoverIvfIndex(spark, path) == 1)
+    assert(top5Ids() == masked, "undo-restore must serve identical answers")
+    // crash state 2: mid-swap with the scrubbed tmp complete — recovery
+    // must FINISH the swap (tmp wins: it is the scrubbed cell).
+    assert(new java.io.File(s"$path/cell=$cell")
+      .renameTo(new java.io.File(s"$path/.vacuum_bak_$cell")))
+    spark.read.parquet(s"$path/.vacuum_bak_$cell")
+      .join(broadcast(doomed.toDF("vec_id")), Seq("vec_id"), "left_anti")
+      .write.parquet(s"$path/.vacuum_tmp_$cell")
+    assert(Ann.recoverIvfIndex(spark, path) == 1)
+    assert(top5Ids() == masked, "finish-swap restore must serve identical answers")
+    // a rerun vacuum now completes instead of making the loss permanent
+    Ann.vacuumIvfIndex(spark, path, "vec_id"): Unit
+    assert(top5Ids() == masked)
+    assert(!new java.io.File(s"$path/_graft_tombstones").exists())
+    assert(spark.read.parquet(path).select("vec_id").as[Long].collect()
+      .toSet.intersect(doomed.toSet).isEmpty)
+  }
 }

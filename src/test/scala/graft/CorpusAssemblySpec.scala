@@ -157,4 +157,20 @@ class CorpusAssemblySpec extends AnyFunSuite {
     // no urlCol: the stage passes through untouched
     assert(CorpusAssembly.canonDedup(rows, CorpusAssembly.Config()).count() == 3L)
   }
+
+  test("canon stage 0 passes null-URL docs through untouched (ADVICE r18)") {
+    // mixed provenance: docs without a URL carry no URL identity and
+    // must NEVER be URL-deduped — the old null-key window silently
+    // dropped all but one of them
+    val rows = Seq(
+      (1L, "text one", "https://site.com/p"),
+      (2L, "text two", null.asInstanceOf[String]),
+      (3L, "text three", null.asInstanceOf[String]),
+      (4L, "text four", "https://site.com/p?utm_source=x")
+    ).toDF("doc_id", "text", "url")
+    val cfg = CorpusAssembly.Config(urlCol = Some("url"))
+    val kept = CorpusAssembly.canonDedup(rows, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"canon keep: $kept")
+  }
 }

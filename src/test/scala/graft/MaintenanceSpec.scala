@@ -221,6 +221,67 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got.contains((1L, 3L, 0L)))
   }
 
+  // code-point DP levenshtein — the brute-force twin of the verify
+  private def levCp(a: String, b: String): Int = {
+    val x = a.codePoints().toArray; val y = b.codePoints().toArray
+    val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+    d(x.length)(y.length)
+  }
+
+  test("linkByDeletionK(2) equals DP brute force over all pairs (C32c)") {
+    val names = Map(
+      1L -> "smith", 2L -> "smyth",      // dist 1
+      3L -> "smith",                     // dist 0 to 1
+      4L -> "smythe",                    // dist 1 to 2, dist 2 to 1
+      5L -> "mit",                       // dist 2 to 1 (two deletions)
+      6L -> "smote",                     // dist 2 to 2 (y->o, h->e)
+      7L -> "jones", 8L -> "janes",      // dist 1
+      9L -> "stone",                     // far from all
+      10L -> "abcd", 11L -> "cdab")      // shared 2-del key "cd", dist 4:
+                                         // the verify MUST kill this one
+    val recs = (names.toSeq.map { case (i, n) => (i, n) } :+
+      (12L, null.asInstanceOf[String])).toDF("id", "name")
+    val got = graft.operators.Linkage.linkByDeletionK(recs, "id", "name", 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val want = for {
+      a <- names.keys.toSeq.sorted; b <- names.keys.toSeq.sorted
+      if a < b && levCp(names(a), names(b)) <= 2
+    } yield (a, b, levCp(names(a), names(b)).toLong)
+    assert(got == want, s"got $got want $want")
+    assert(!got.exists(p => p._1 == 10L && p._2 == 11L),
+      "the non-tight k=2 candidate (abcd, cdab) must be verify-killed")
+  }
+
+  test("deletion neighborhoods are code-point complete: non-BMP substitution (ADVICE r18)") {
+    // 𝄞 (U+1D11E) and 𝄢 (U+1D122) are supplementary-plane — 2 UTF-16
+    // units each. A single code-point substitution is edit distance 1
+    // and MUST be found; unit-level deletion would produce disjoint
+    // neighborhoods.
+    val recs = Seq((1L, "x𝄞y"), (2L, "x𝄢y"))
+      .toDF("id", "name")
+    val got = graft.operators.Linkage.linkByDeletion1(recs, "id", "name")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"got $got")
+  }
+
+  test("linkClusters: transitive closure, singletons by own id, nulls isolated (C32d)") {
+    val recs = Seq(
+      (1L, "smith"), (2L, "smyth"), (4L, "smythe"), // chain: 1~2~4 (4 not ~1)
+      (3L, "smith"),                                // equal -> joins the chain
+      (6L, "jones"),                                // singleton
+      (7L, null.asInstanceOf[String]),              // null -> singleton
+      (8L, null.asInstanceOf[String]))              // nulls never merge
+      .toDF("id", "name")
+    val got = graft.operators.Linkage.linkClusters(recs, "id", "name")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (6L, 6L), (7L, 7L), (8L, 8L)), s"got $got")
+  }
+
   test("fdViolations: held FD, violated FD, uniqueness, NULL-as-value") {
     val df = Seq(
       (1, "a", "x"), (1, "a", "x"),   // key 1: rhs always a (held)

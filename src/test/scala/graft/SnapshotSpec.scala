@@ -892,4 +892,62 @@ class SnapshotSpec extends AnyFunSuite {
     assert(swept2 == Seq("fresh-exp" -> 3L, "pinned" -> 2L))
     assert(Snapshot.tagVersion(spark, root, "prod") == 1L)
   }
+
+  test("gcRefs keep-list accepts '*' globs; non-matches still sweep (r19)") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
+    Seq("ci-nightly-01", "ci-nightly-02", "ci-weekly-01", "scratch")
+      .foreach(Snapshot.tag(spark, root, _, 1L))
+    // every ref is infinitely old (sidecar ts is real; use a far asOf)
+    val swept = Snapshot.gcRefs(spark, root, olderThanMs = 0L,
+      asOfMs = Some(Long.MaxValue), keep = Seq("ci-nightly-*"))
+    assert(swept.map(_._1) == Seq("ci-weekly-01", "scratch"), swept.toString)
+    assert(Snapshot.tagVersion(spark, root, "ci-nightly-01") == 1L)
+    assert(Snapshot.tagVersion(spark, root, "ci-nightly-02") == 1L)
+    // a glob is anchored: 'nightly*' must NOT protect 'ci-nightly-…'
+    Snapshot.tag(spark, root, "ci-nightly-03", 1L)
+    val swept2 = Snapshot.gcRefs(spark, root, 0L, Some(Long.MaxValue),
+      keep = Seq("nightly*"))
+    assert(swept2.map(_._1) ==
+      Seq("ci-nightly-01", "ci-nightly-02", "ci-nightly-03"), swept2.toString)
+  }
+
+  test("publish fencing: a planted claim refuses; releaseClaim + rerun recover (r19)") {
+    val root = freshRoot()
+    Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a racing (or crashed) publisher claimed v2 and wrote a partial
+    // table before dying — the exact silent-interleave scenario
+    hfs.create(new org.apache.hadoop.fs.Path(s"$root/_CLAIM.v2"), false).close()
+    Seq(99L).toDF("x").write.parquet(s"$root/v2/partial")
+    val e = intercept[IllegalStateException] {
+      Snapshot.publish(spark, root, Map("t" -> Seq(2L).toDF("x")))
+    }
+    assert(e.getMessage.contains("already claimed"))
+    // every version-creating verb fences
+    intercept[IllegalStateException] {
+      Snapshot.publishLinked(spark, root, Map("t" -> Seq(2L).toDF("x")))
+    }
+    intercept[IllegalStateException] {
+      Snapshot.publishMixed(spark, root, Map("t" -> Seq(2L).toDF("x")), Map.empty)
+    }
+    intercept[IllegalStateException] {
+      Snapshot.publishChecked(spark, root, Map("t" -> Seq(2L).toDF("x")), Seq.empty)
+    }
+    // nothing moved: head still v1, reads unaffected
+    assert(Snapshot.currentVersion(spark, root) == 1L)
+    // operator ack: the claimant is dead — release, rerun, and the
+    // dead orphan (including the partial table) clears as before
+    assert(Snapshot.releaseClaim(spark, root))
+    assert(Snapshot.publish(spark, root, Map("t" -> Seq(2L).toDF("x"))) == 2L)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/v2/partial")))
+    assert(Snapshot.read(spark, root, "t").as[Long].collect().toSeq == Seq(2L))
+    // the successful publish released its own claim
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/_CLAIM.v2")))
+    // a STALE claim for an already-published version self-clears
+    hfs.create(new org.apache.hadoop.fs.Path(s"$root/_CLAIM.v1"), false).close()
+    assert(Snapshot.publish(spark, root, Map("t" -> Seq(3L).toDF("x"))) == 3L)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/_CLAIM.v1")))
+  }
 }

@@ -1394,6 +1394,34 @@ class StreamingSpec extends AnyFunSuite {
       (1, "jpeg") -> 1L, (1, "unknown") -> 1L), s"got $counts")
   }
 
+  test("mediaRouteSink: an empty micro-batch writes nothing and the query survives (ADVICE r18)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = s"${Scratch.root(spark)}/mroute_empty_${System.nanoTime()}"
+    val in = MemoryStream[(Long, Array[Byte])]
+    // the filter empties batch 0 entirely — the old read-back of a
+    // parquet-less batch dir failed schema inference and killed the query
+    val q = EventStream.mediaRouteSink(
+        in.toDF().toDF("media_id", "p")
+          .filter(org.apache.spark.sql.functions.col("media_id") >= 0L),
+        "p", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      in.addData((-1L, "x".getBytes("UTF-8")))
+      q.processAllAvailable()
+      in.addData((1L, "y".getBytes("UTF-8")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally q.stop()
+    // neither the data dir nor the metrics dir exists for the empty batch
+    assert(!new java.io.File(s"$root/out/batch=0").exists())
+    assert(!new java.io.File(s"$root/out_metrics/batch=0").exists())
+    // the later non-empty batch landed normally, with its metrics
+    assert(spark.read.parquet(s"$root/out").count() == 1L)
+    assert(spark.read.parquet(s"$root/out_metrics")
+      .select("n").as[Long].collect().toList == List(1L))
+  }
+
   test("qualityGateSink: NULL-text docs land in the reject sink, never dropped (ADVICE r16)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

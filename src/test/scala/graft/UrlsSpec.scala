@@ -97,4 +97,45 @@ class UrlsSpec extends AnyFunSuite {
     assert(got(3L) == (c, 1L, 3L, false))
     assert(got(4L) == ("https://other.com/p?a=1&b=2", 4L, 1L, true))
   }
+
+  test("foldHttp parameter: the scheme fold is a knob, defaulting ON (r19)") {
+    def canonFold(u: String, fold: Boolean): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(graft.functions.expressions
+          .canonicalUrl(col("u"), graft.functions.UrlDropList.DefaultSpec, fold)
+          .as("c")).as[String].head()
+    // default folds; fold OFF keeps the scheme (80 vs 443 can differ)
+    assert(canon("http://site.com/x") == "https://site.com/x")
+    assert(canonFold("http://site.com/x", false) == "http://site.com/x")
+    // every other rule still applies under fold OFF — including the
+    // ORIGINAL scheme's default-port strip
+    assert(canonFold("HTTP://WWW.Site.COM:80/a/?b=2&a=1&utm_source=x#f", false)
+      == "http://site.com/a?a=1&b=2")
+    // dedup under fold OFF keeps the pair distinct
+    val rows = Seq((1L, "http://fold.com/p"), (2L, "https://fold.com/p"))
+      .toDF("id", "url")
+    val on = Urls.canonicalDedup(rows, "id", "url")
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(on == Map(1L -> true, 2L -> false))
+    val off = Urls.canonicalDedup(rows, "id", "url", foldHttp = false)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(off == Map(1L -> true, 2L -> true))
+  }
+
+  test("canonicalDedup: null URLs are singletons, never merged (ADVICE r18)") {
+    val rows = Seq(
+      (1L, "https://site.com/p"),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]),
+      (4L, "https://site.com/p")).toDF("id", "url")
+    val got = Urls.canonicalDedup(rows, "id", "url")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((Some("https://site.com/p"), 1L, 2L, true)))
+    assert(got(4L) == ((Some("https://site.com/p"), 1L, 2L, false)))
+    // each null-URL row: its own group, kept, canon stays null
+    assert(got(2L) == ((None, 2L, 1L, true)))
+    assert(got(3L) == ((None, 3L, 1L, true)))
+  }
 }
