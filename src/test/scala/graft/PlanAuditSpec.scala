@@ -716,4 +716,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!pl.contains("Join") && !pl.contains("Window"),
       s"pii luhn must be narrow per-row work:\n$pl")
   }
+
+  test("r19 linkage paths plan clean: sort-merge key joins, no cartesian") {
+    // dist<=2 enumeration: the deletion-key self-join must stay
+    // sort-merge (the §4 broadcast-after-explode rule — Catalyst's
+    // size stats don't model the ~len²/2-key explosion), and nothing
+    // may go cartesian
+    val d2 = plan("q_record_linkage_del2")
+    assert(!d2.contains("CartesianProduct") &&
+      !d2.contains("BroadcastNestedLoopJoin"),
+      s"del2 linkage must stay equi-join only:\n$d2")
+    assert(d2.contains("SortMergeJoin"),
+      s"del2 deletion-key self-join must be sort-merge pinned:\n$d2")
+    assert(d2.contains("deletion_neighborhood") ||
+      d2.toLowerCase.contains("deletionneighborhood"),
+      s"del2 must plan the codegen'd key kernel:\n$d2")
+    // cluster composition: the iterative CC core checkpoints eagerly,
+    // so the FINAL plan is just the label join-back — it must stay a
+    // broadcast/equi join with no cartesian. The key self-join's
+    // sort-merge pin is shared with del2 (same linkByDeletionK path,
+    // asserted above); the EDGE relation is audited directly: the
+    // star construction must map-side combine the group rep and the
+    // whole edge plan must be cartesian-free with the pinned
+    // sort-merge key join
+    val lc = plan("q_linkage_clusters")
+    assert(!lc.contains("CartesianProduct") &&
+      !lc.contains("BroadcastNestedLoopJoin"),
+      s"linkage clusters final join must stay equi-join only:\n$lc")
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val recs = Tables.table(spark, dir, "customer").withColumn("ident",
+      concat(col("c_name"), lit("|"), col("c_mktsegment"),
+        col("c_nationkey").cast("string")))
+    val base = recs.select(col("c_custkey").cast("long").as("id"),
+      col("ident").as("s"))
+    val reps = base.groupBy("s")
+      .agg(org.apache.spark.sql.functions.min("id").as("rep"))
+    val star = base.join(reps, "s").filter(col("id") =!= col("rep"))
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
+    val keys = reps.select(col("s"),
+      org.apache.spark.sql.functions.explode(graft.functions.expressions
+        .deletionNeighborhood(col("s"))).as("k")).hint("shuffle_merge")
+    val edges = star.unionByName(keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("id_a"), col("b.s").as("id_b"))
+      .select(col("id_a").cast("long"), col("id_b").cast("long")))
+    val ep = edges.queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct") &&
+      !ep.contains("BroadcastNestedLoopJoin"),
+      s"cluster edge relation must stay equi-join only:\n$ep")
+    assert(ep.contains("SortMergeJoin"),
+      s"cluster deletion-key self-join must be sort-merge pinned:\n$ep")
+    assert(ep.contains("partial_min") || ep.contains("min("),
+      s"star construction must map-side combine the group rep:\n$ep")
+  }
 }
