@@ -735,6 +735,58 @@ object HashOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** [[deletionNeighborhoodK]] with each distinct variant emitted as
+   * its 64-bit hash (FNV-1a over UTF-8 bytes + splitmix64 finalizer)
+   * instead of the variant STRING (r19 optimization, guide §2.3
+   * "shuffle keys and metadata instead of payloads"): the FastSS key
+   * equi-join needs only key EQUALITY, and the exact thresholded-
+   * levenshtein verify kills every false candidate, so a hash
+   * collision can only ADD a candidate pair that the verify then
+   * drops — the final linked-pair set is provably identical while
+   * the self-join's sort-merge shuffle carries 8-byte keys in place
+   * of ~len-char substrings. */
+  def deletionNeighborhoodHashedK(s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val seen = new java.util.LinkedHashSet[String](str.length * (k + 1) + 2)
+    seen.add(str): Unit
+    var frontier: Array[String] = Array(str)
+    var round = 0
+    while (round < k && frontier.nonEmpty) {
+      val next = new java.util.ArrayList[String](frontier.length * 16)
+      var f = 0
+      while (f < frontier.length) {
+        val t = frontier(f)
+        var i = 0
+        while (i < t.length) {
+          val step = Character.charCount(t.codePointAt(i))
+          val v = t.substring(0, i) + t.substring(i + step)
+          if (seen.add(v)) next.add(v): Unit
+          i += step
+        }
+        f += 1
+      }
+      frontier = next.toArray(new Array[String](next.size))
+      round += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val bytes = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      out(j) = mix64(h)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Container-header metadata (C12d, r17): parse the FORMAT HEADER of
    * a media payload — plain byte arithmetic, no codec libraries — and
    * return [format, width, height, sample_rate, channels] as longs

@@ -358,6 +358,31 @@ case class DeletionNeighborhood(child: Expression, k: Int = 1)
     copy(child = newChild)
 }
 
+/** deletion_neighborhood_hashed(s, k) → array<bigint>: the FastSS
+ * blocking keys as 64-BIT HASHES of the deletion variants (see
+ * HashOps.deletionNeighborhoodHashedK — r19 optimization): the key
+ * equi-join needs only equality and the levenshtein verify kills
+ * collision candidates, so the join shuffles 8-byte keys instead of
+ * variant strings. Codegen'd. */
+case class DeletionNeighborhoodHashed(child: Expression, k: Int = 1)
+    extends UnaryExpression {
+  require(k >= 1, s"deletion_neighborhood_hashed: k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deletion_neighborhood_hashed requires a string, got ${child.dataType.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.deletionNeighborhoodHashedK(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.deletionNeighborhoodHashedK($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): DeletionNeighborhoodHashed =
+    copy(child = newChild)
+}
+
 /** canonical_url(url[, dropParams]) → string: crawl-pipeline URL
  * canonicalization (see HashOps.canonicalUrl — scheme fold,
  * userinfo strip, host/port/www/IDN normalization, percent-encoding
@@ -822,6 +847,8 @@ object expressions {
     column(CanonicalUrl(expression(url), dropParams, foldHttp))
   def deletionNeighborhood(s: Column, k: Int = 1): Column =
     column(DeletionNeighborhood(expression(s), k))
+  def deletionNeighborhoodHashed(s: Column, k: Int = 1): Column =
+    column(DeletionNeighborhoodHashed(expression(s), k))
   def hashContainment(a: Column, b: Column): Column =
     column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =

@@ -46,6 +46,22 @@ object Graph {
 
   private val callSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Materialize a round snapshot AND report its row count from the
+   * SAME action (an `Observation` on the write job): the iterative
+   * operators below need each round's count only to decide loop
+   * termination, and a separate `isEmpty`/`count` probe was a second
+   * full job per round — at 100 TB a second full pass over the
+   * frontier, locally ~half of every round's fixed job overhead
+   * (optimization guide §1.2: remove unnecessary passes first). */
+  private def materializeCounted(spark: org.apache.spark.sql.SparkSession,
+      scratch: String)(df: DataFrame, name: String): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$scratch/$name")
+    (spark.read.parquet(s"$scratch/$name"),
+      obs.get("n").asInstanceOf[Long])
+  }
+
   /** Drop every per-round snapshot under this call's scratch dir
    * except `keep` (the final materialized result the returned
    * DataFrame reads). Without this, every call leaks closure-sized
@@ -212,15 +228,18 @@ object Graph {
     // Frontier shells are disjoint by construction (the anti join),
     // so `settled` is just the lazy union of the frontier snapshots
     // already on disk — no extra settled_k write+read per round.
+    // Each round is ONE job: the frontier count rides the materialize
+    // write via materializeCounted, so the loop never pays a separate
+    // isEmpty probe pass.
     var frontierPaths = List(s"$scratch/frontier_0")
-    var frontier = materialize(
+    var (frontier, fN) = materializeCounted(spark, scratch)(
       sources.select(col(sourceCol).cast("long").as("node")).distinct()
         .withColumn("dist", lit(0L)), "frontier_0")
     def settled = spark.read.parquet(frontierPaths.reverse: _*)
     var d = 0L
-    while (d < maxHops && !frontier.isEmpty) {
+    while (d < maxHops && fN > 0L) {
       d += 1
-      val next = materialize(
+      val (next, nextN) = materializeCounted(spark, scratch)(
         frontier.join(e, frontier("node") === e("a"))
           .select(col("b").as("node")).distinct()
           .join(settled, Seq("node"), "left_anti")
@@ -228,6 +247,7 @@ object Graph {
         s"frontier_$d")
       frontierPaths ::= s"$scratch/frontier_$d"
       frontier = next
+      fN = nextN
     }
     // collapse the frontier shells into ONE result snapshot, then drop
     // them — the call's residue is its result, not its whole history
@@ -279,21 +299,25 @@ object Graph {
     // instead of re-executing the growing join chain — O(depth)
     // executed joins, not O(depth²).
     var frontierPaths = List(s"$scratch/frontier_0")
-    var frontier = materialize(
+    var (frontier, fN) = materializeCounted(spark, scratch)(
       base.select(col("id").as("v"), col("id").as("a")), "frontier_0")
     var hops = 0
-    while (hops < maxDepth && !frontier.isEmpty) {
+    while (hops < maxDepth && fN > 0L) {
       hops += 1
-      frontier = materialize(
+      val (next, nextN) = materializeCounted(spark, scratch)(
         frontier.join(parents, frontier("a") === parents("c"))
           .select(col("v"), col("p").as("a")),
         s"frontier_$hops")
+      frontier = next
+      fN = nextN
       frontierPaths ::= s"$scratch/frontier_$hops"
     }
     // completeness probe: a chain of EXACTLY maxDepth leaves its last
     // frontier non-empty — only a further step still finding parents
-    // means the closure is truncated (silent undercount otherwise)
-    require(frontier.isEmpty ||
+    // means the closure is truncated (silent undercount otherwise).
+    // fN == 0 (the common exit, known from the write's own metrics)
+    // short-circuits the probe join entirely.
+    require(fN == 0L ||
       frontier.join(parents, frontier("a") === parents("c")).isEmpty,
       s"subtreeRollup: ancestor chains longer than maxDepth=$maxDepth — raise it")
     // materialize the (node-sized) rollup, then drop the closure-sized
@@ -344,19 +368,21 @@ object Graph {
       .select(col("id").as("c"), col("parent").as("p"), col("q"))
       .filter(col("p").isNotNull), "parents")
     var frontierPaths = List(s"$scratch/frontier_0")
-    var frontier = materialize(
+    var (frontier, fN) = materializeCounted(spark, scratch)(
       base.select(col("id").as("v"), col("id").as("a"), lit(1L).as("m")),
       "frontier_0")
     var hops = 0
-    while (hops < maxDepth && !frontier.isEmpty) {
+    while (hops < maxDepth && fN > 0L) {
       hops += 1
-      frontier = materialize(
+      val (next, nextN) = materializeCounted(spark, scratch)(
         frontier.join(parents, frontier("a") === parents("c"))
           .select(col("v"), col("p").as("a"), (col("m") * col("q")).as("m")),
         s"frontier_$hops")
+      frontier = next
+      fN = nextN
       frontierPaths ::= s"$scratch/frontier_$hops"
     }
-    require(frontier.isEmpty ||
+    require(fN == 0L ||
       frontier.join(parents, frontier("a") === parents("c")).isEmpty,
       s"bomExplode: chains longer than maxDepth=$maxDepth — raise it")
     val result = materialize(
@@ -411,18 +437,21 @@ object Graph {
     // because a node with no outgoing edge extends nothing; the final
     // answer is the per-node max across all round snapshots.
     var frontierPaths = List(s"$scratch/frontier_0")
-    var frontier = materialize(nodes.withColumn("len", lit(0L)), "frontier_0")
+    var (frontier, fN) = materializeCounted(spark, scratch)(
+      nodes.withColumn("len", lit(0L)), "frontier_0")
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && fN > 0L) {
       round += 1
-      frontier = materialize(
+      val (next, nextN) = materializeCounted(spark, scratch)(
         frontier.join(e, frontier("id") === e("u"))
           .groupBy(col("v").as("id"))
           .agg(max(col("len") + col("w")).as("len")),
         s"frontier_$round")
+      frontier = next
+      fN = nextN
       frontierPaths ::= s"$scratch/frontier_$round"
     }
-    require(frontier.isEmpty,
+    require(fN == 0L,
       s"criticalPath: still improving after maxRounds=$maxRounds — " +
         "a cycle is reachable, or the DAG is deeper than maxRounds; " +
         "this operator refuses to undercount")
@@ -465,19 +494,21 @@ object Graph {
     val nodes = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
     var frontierPaths = List(s"$scratch/frontier_0")
-    var frontier = materialize(
+    var (frontier, fN) = materializeCounted(spark, scratch)(
       nodes.withColumn("n", lit(1L).cast(d38)), "frontier_0")
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && fN > 0L) {
       round += 1
-      frontier = materialize(
+      val (next, nextN) = materializeCounted(spark, scratch)(
         frontier.join(e, frontier("id") === e("u"))
           .groupBy(col("v").as("id"))
           .agg(sum(col("n")).as("n")),
         s"frontier_$round")
+      frontier = next
+      fN = nextN
       frontierPaths ::= s"$scratch/frontier_$round"
     }
-    require(frontier.isEmpty,
+    require(fN == 0L,
       s"pathCounts: still growing after maxRounds=$maxRounds — " +
         "a cycle is reachable, or the DAG is deeper than maxRounds")
     val result = materialize(
@@ -516,11 +547,13 @@ object Graph {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")
     }
-    var cur = materialize(next.select(col(idCol).cast("long").as("id"),
-      col(nextCol).cast("long").as("jump"),
-      least(col(idCol).cast("long"), col(nextCol).cast("long")).as("mn")),
+    // node count rides the round-0 write (one action, not write+count)
+    val (cur0, n) = materializeCounted(spark, scratch)(
+      next.select(col(idCol).cast("long").as("id"),
+        col(nextCol).cast("long").as("jump"),
+        least(col(idCol).cast("long"), col(nextCol).cast("long")).as("mn")),
       "round_0")
-    val n = cur.count()
+    var cur = cur0
     val rounds = math.min(maxNodesLog2,
       math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))).toInt
     for (t <- 1 to rounds) {

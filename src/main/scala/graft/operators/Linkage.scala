@@ -122,9 +122,15 @@ object Linkage {
       .filter(col(compareCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(compareCol).as("s"))
     val names = base.select(col("s")).distinct()
+    // r19: keys are 64-bit HASHES of the deletion variants (guide
+    // §2.3 — shuffle metadata, not payloads): the equi-join needs only
+    // key equality and the levenshtein verify below kills any
+    // hash-collision candidate, so the sorted/shuffled key column is
+    // 8 bytes instead of a ~len-char substring, with an identical
+    // final pair set.
     val keys = names
       .select(col("s"), explode(graft.functions.expressions
-        .deletionNeighborhood(col("s"), maxDist)).as("k"))
+        .deletionNeighborhoodHashed(col("s"), maxDist)).as("k"))
       .hint("shuffle_merge")
     // distinct name pairs at distance 1..maxDist (equal names never
     // meet here — the neighborhoods are keyed per DISTINCT string)
@@ -183,9 +189,11 @@ object Linkage {
     val star = base.join(reps, "s")
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("id_a"), col("rep").as("id_b"))
+    // hashed keys: same identical-result argument as linkByDeletionK
+    // (the between(1, maxDist) verify below kills collision pairs)
     val keys = reps
       .select(col("s"), explode(graft.functions.expressions
-        .deletionNeighborhood(col("s"), maxDist)).as("k"))
+        .deletionNeighborhoodHashed(col("s"), maxDist)).as("k"))
       .hint("shuffle_merge")
     val namePairs = keys.as("a").join(keys.as("b"),
         col("a.k") === col("b.k") && col("a.s") < col("b.s"))

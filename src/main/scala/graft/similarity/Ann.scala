@@ -206,8 +206,19 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters)
+    // Cluster rows by cell BEFORE the partitioned write (guide §6,
+    // small files): without it every scan task writes a file into
+    // every cell dir — tasks × cells tiny files whose listing/open
+    // cost taxes every later pruned read, delete-path count, and
+    // vacuum. A deterministic per-id salt keeps write parallelism at
+    // shuffle-partition scale (files per cell grows with the cluster
+    // knob, not with the scan's task count; guide §2.5 — never salt
+    // with rand()). Row content is untouched.
+    val perCell = math.max(1L,
+      spark.sessionState.conf.numShufflePartitions.toLong / numCells)
     Dedup.spread(corpus)
       .withColumn("cell", element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1))
+      .repartition(col("cell"), pmod(xxhash64(col(idCol)), lit(perCell)))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     centroids.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("idx", "value").coalesce(1)
@@ -231,6 +242,7 @@ object Ann {
       .orderBy("idx").collect().map(_.getDouble(1))
     Dedup.spread(newVecs)
       .withColumn("cell", element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1))
+      .repartition(col("cell")) // one file per touched cell per append (§6)
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
@@ -343,6 +355,25 @@ object Ann {
       .select("probe_id", "rank", "vec_id", "cos")
   }
 
+  /** Train the coarse quantizer and the PQ codebooks CONCURRENTLY
+   * (r19, guide §2.6 — overlap independent jobs): the two Lloyd
+   * chains share no state, and each round is a small scan+aggregate
+   * whose tail leaves most executors idle, so running the chains
+   * from two driver threads halves the training wall-clock without
+   * changing either chain's computation (each iteration's plan,
+   * partitioning, and reduction order are exactly as sequential). */
+  private def trainBoth(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numCells: Int, kmeansIters: Int,
+      m: Int, ks: Int, pqIters: Int): (Array[Double], Array[Double]) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fCentroids = Future(
+      trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters))
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, pqIters)
+    (Await.result(fCentroids, Duration.Inf), codebooks)
+  }
+
   /**
    * IVFADC: the production composition of [[ivfTopK]] and [[pqTopK]] —
    * the coarse quantizer bounds WHAT is scanned (each probe touches
@@ -360,8 +391,8 @@ object Ann {
       m: Int = 8, ks: Int = 16, pqIters: Int = 3, rerank: Int = 32): DataFrame = {
     import graft.functions.expressions.{pqAdcTable, pqEncode, pqTableScore}
     val subdim = dim / m
-    val centroids = trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters)
-    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, pqIters)
+    val (centroids, codebooks) = trainBoth(
+      corpus, idCol, vecCol, dim, numCells, kmeansIters, m, ks, pqIters)
     val normSq = Array.tabulate(m * ks) { i =>
       var s = 0.0; val off = i * subdim
       var t = 0
@@ -407,11 +438,15 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subdim = dim / m
-    val centroids = trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters)
-    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, pqIters)
+    val (centroids, codebooks) = trainBoth(
+      corpus, idCol, vecCol, dim, numCells, kmeansIters, m, ks, pqIters)
+    // one salted shuffle by cell before the write — see buildIvfIndex
+    val perCell = math.max(1L,
+      spark.sessionState.conf.numShufflePartitions.toLong / numCells)
     Dedup.spread(corpus)
       .withColumn("cell", element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1))
       .withColumn("_graft_codes", pqEncode(col(vecCol), codebooks, m, subdim))
+      .repartition(col("cell"), pmod(xxhash64(col(idCol)), lit(perCell)))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     codebooks.toIndexedSeq.zipWithIndex.map { case (v, i) =>
       val j = i / (ks * subdim); val rem = i % (ks * subdim)
@@ -460,6 +495,7 @@ object Ann {
     Dedup.spread(newVecs)
       .withColumn("cell", element_at(nearestCentroids(col(vecCol), centroids, dim, 1), 1))
       .withColumn("_graft_codes", pqEncode(col(vecCol), codebooks, m, subdim))
+      .repartition(col("cell")) // one file per touched cell per append (§6)
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
@@ -527,6 +563,31 @@ object Ann {
    * an erased subject is itself the anti-pattern erasure exists to
    * prevent). Ids absent from the index tombstone harmlessly.
    */
+  /** Exact row count of the parquet files under `dir` (one directory
+   * level, or `dir/cell=N/...` when `cells` is set) read from file
+   * FOOTERS driver-side — no Spark job. Equals `spark.read.parquet`
+   * + `count()` (parquet footers carry exact row counts), at the cost
+   * of a listing instead of a full job: the r19 delete-path
+   * optimization (guide §1.2 — the threshold check needs two scalars,
+   * not two cluster passes). */
+  private def footerRowCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Boolean): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = root.getFileSystem(conf)
+    if (!f.exists(root)) return 0L
+    val dataDirs =
+      if (!cells) Array(root)
+      else f.listStatus(root).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("cell=")).map(_.getPath)
+    dataDirs.iterator.flatMap(d => f.listStatus(d).iterator).collect {
+      case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def deleteFromIvfIndex(path: String, ids: DataFrame, idCol: String,
       compactThreshold: Double = 0.25): Boolean = {
     val spark = ids.sparkSession
@@ -534,8 +595,10 @@ object Ann {
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1) // erasure requests are human-sized: one sidecar file
       .write.mode(SaveMode.Append).parquet(s"$path/_graft_tombstones")
-    val nTomb = ivfTombstones(spark, path).count()
-    val nLive = spark.read.parquet(path).count()
+    // footer-only counts (the doc's contract, now literally true):
+    // the threshold check runs zero Spark jobs
+    val nTomb = footerRowCount(spark, s"$path/_graft_tombstones", cells = false)
+    val nLive = footerRowCount(spark, path, cells = true)
     if (nLive > 0 && nTomb.toDouble > compactThreshold * nLive) {
       vacuumIvfIndex(spark, path, idCol); true
     } else false
@@ -560,6 +623,9 @@ object Ann {
       path: String): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed single-job staging write (r19 vacuum) leaves cells
+    // untouched and tombstones masking — plain residue, swept here
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/.vacuum_stage"), true): Unit
     val names = f.listStatus(root).map(_.getPath.getName)
     val cells = names.collect {
       case n if n.startsWith(".vacuum_tmp_") => n.stripPrefix(".vacuum_tmp_")
@@ -622,21 +688,43 @@ object Ann {
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String): Int = {
     recoverIvfIndex(spark, path): Unit
+    // footer-only emptiness probe — no Spark job on the no-op path
+    if (footerRowCount(spark, s"$path/_graft_tombstones", cells = false) == 0L)
+      return 0
     val tomb = ivfTombstones(spark, path)
-    if (tomb.isEmpty) return 0
     val f = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val doomedCells = spark.read.parquet(path)
       .join(broadcast(tomb), col(idCol) === col("__tomb_id"), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    // r19: scrub every doomed cell in ONE Spark job staged under
+    // `.vacuum_stage` (guide §1.2 — the per-cell loop paid one full
+    // read+write job per cell; a vacuum that dooms k cells was k
+    // sequential jobs of mostly fixed overhead). The crash protocol
+    // is unchanged: the staging dir is residue-swept on entry
+    // ([[recoverIvfIndex]]), each cell still swaps through its own
+    // complete-before-swap `.vacuum_tmp_<c>` (a rename of the fully
+    // written staging partition, so tmp is complete by construction),
+    // and the sidecar drops LAST.
+    val stage = new org.apache.hadoop.fs.Path(s"$path/.vacuum_stage")
+    f.delete(stage, true): Unit
+    if (doomedCells.nonEmpty) {
+      spark.read.parquet(path)
+        .filter(col("cell").isin(doomedCells.toIndexedSeq: _*))
+        .join(broadcast(tomb), col(idCol) === col("__tomb_id"), "left_anti")
+        .repartition(col("cell")) // one file per rewritten cell (§6)
+        .write.partitionBy("cell").parquet(stage.toString)
+    }
     doomedCells.foreach { cell =>
       val cellPath = new org.apache.hadoop.fs.Path(s"$path/cell=$cell")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/.vacuum_tmp_$cell")
       val bak = new org.apache.hadoop.fs.Path(s"$path/.vacuum_bak_$cell")
       f.delete(tmp, true): Unit
-      spark.read.parquet(cellPath.toString)
-        .join(broadcast(tomb), col(idCol) === col("__tomb_id"), "left_anti")
-        .write.parquet(tmp.toString)
+      val staged = new org.apache.hadoop.fs.Path(s"$path/.vacuum_stage/cell=$cell")
+      if (f.exists(staged)) require(f.rename(staged, tmp),
+        s"ivf vacuum: failed to stage scrubbed cell=$cell")
+      else // every row of the cell was tombstoned: scrubbed cell is empty
+        require(f.mkdirs(tmp), s"ivf vacuum: failed to stage empty cell=$cell")
       f.delete(bak, true): Unit
       require(f.rename(cellPath, bak),
         s"ivf vacuum: failed to move cell=$cell aside")
@@ -644,6 +732,7 @@ object Ann {
         s"ivf vacuum: failed to swap in scrubbed cell=$cell")
       f.delete(bak, true): Unit
     }
+    f.delete(stage, true): Unit
     require(f.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_tombstones"),
       true), s"ivf vacuum: failed to drop the tombstone sidecar under $path")
     doomedCells.length
