@@ -216,13 +216,28 @@ object Snapshot {
     val next = currentVersion(spark, root) + 1
     claimVersion(f, root, next)
     clearDeadOrphan(f, root, next)
-    tables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
-    }
+    writeTablesConcurrently(s"$root/v$next", tables)
     writeCommitMeta(f, root, next, "publish", tables.keys.toSeq, "")
     flipManifest(f, root, next)
     releaseVersionClaim(f, root, next)
     next
+  }
+
+  /** Write a version's tables CONCURRENTLY from a small driver thread
+   * pool (r19, guide §2.6 — overlap independent jobs): each table's
+   * write is an independent job into its own `v<N>/<table>` dir, so
+   * one table's commit/straggler tail back-fills with the next
+   * table's tasks. Bytes written, per-table layout, and the
+   * manifest-flip-last atomicity are unchanged — the flip still
+   * happens only after EVERY write completed (Await before return). */
+  private def writeTablesConcurrently(dir: String,
+      tables: Iterable[(String, DataFrame)]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    tables.toSeq.map { case (name, df) =>
+      Future(df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name"))
+    }.foreach(Await.result(_, Duration.Inf))
   }
 
   // pointer flip: write-then-rename, never write-in-place (a reader
@@ -351,9 +366,7 @@ object Snapshot {
     val next = cur + 1
     claimVersion(f, root, next)
     clearDeadOrphan(f, root, next)
-    changed.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
-    }
+    writeTablesConcurrently(s"$root/v$next", changed)
     val carried: Map[String, Long] =
       if (base == 0L) Map.empty
       else {
@@ -459,9 +472,7 @@ object Snapshot {
     val next = cur + 1
     claimVersion(f, root, next)
     clearDeadOrphan(f, root, next)
-    written.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
-    }
+    writeTablesConcurrently(s"$root/v$next", written)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v$next")): Unit
     if (links.nonEmpty) {
       val p = new org.apache.hadoop.fs.Path(s"$root/v$next/_LINKS")
@@ -703,22 +714,47 @@ object Snapshot {
     }
     val versions = (1L to cur).filter(v =>
       fsrc.exists(new org.apache.hadoop.fs.Path(s"$srcRoot/v$v")))
-    val report = versions.flatMap { v =>
-      val own = fsrc.listStatus(new org.apache.hadoop.fs.Path(s"$srcRoot/v$v"))
+    // r19 (guide §1.2, §2.6): the source-side checksum rides the copy
+    // write itself via an Observation — the source is read ONCE per
+    // table (was: copy job + separate source-checksum job), and the
+    // independent (version, table) copy units run from a small thread
+    // pool so one unit's commit/straggler tail back-fills with the
+    // next unit's tasks. Checksums, the written bytes, and the
+    // verify-before-flip contract are unchanged — the destination
+    // checksum still reads the WRITTEN files.
+    val units = versions.map { v =>
+      v -> fsrc.listStatus(new org.apache.hadoop.fs.Path(s"$srcRoot/v$v"))
         .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.matches("[A-Za-z0-9_]+")).sorted
-      val rows = own.map { t =>
-        val src = spark.read.parquet(s"$srcRoot/v$v/$t")
-        src.write.mode(SaveMode.Overwrite).parquet(s"$dstRoot/v$v/$t")
-        val dst = spark.read.parquet(s"$dstRoot/v$v/$t")
-        val cols = src.columns.sorted.toSeq
-        val a = graft.operators.Profile.tableChecksum(src, cols).head()
-        val b = graft.operators.Profile.tableChecksum(dst, cols).head()
-        (v, t, a.getLong(0), a == b)
-      }
+        .filter(_.matches("[A-Za-z0-9_]+")).sorted.toSeq
+    }
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = for ((v, own) <- units; t <- own) yield Future {
+      val src = spark.read.parquet(s"$srcRoot/v$v/$t")
+      val cols = src.columns.sorted.toSeq
+      val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("")))
+      val h = conv(substring(md5(concat_ws(":", rendered: _*)), 1, 8), 16, 10)
+        .cast("long")
+      val obs = org.apache.spark.sql.Observation()
+      src.withColumn("__cksum_h", h)
+        .observe(obs, count(lit(1)).as("n_rows"),
+          sum(col("__cksum_h")).as("checksum_sum"),
+          expr("bit_xor(__cksum_h)").as("checksum_xor"))
+        .drop("__cksum_h")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dstRoot/v$v/$t")
+      val a = (obs.get("n_rows").asInstanceOf[Long],
+        obs.get("checksum_sum"), obs.get("checksum_xor"))
+      val bRow = graft.operators.Profile
+        .tableChecksum(spark.read.parquet(s"$dstRoot/v$v/$t"), cols).head()
+      val b = (bRow.getLong(0), bRow.get(1), bRow.get(2))
+      (v, t, a._1, a == b)
+    }
+    val report = futures.map(Await.result(_, Duration.Inf))
+    versions.foreach { v =>
       copySmall(s"v$v/_LINKS")
       copySmall(s"v$v/_COMMIT")
-      rows
     }
     require(report.forall(_._4),
       s"snapshot replicate: checksum mismatch on " +
@@ -769,9 +805,7 @@ object Snapshot {
     val next = currentVersion(spark, root) + 1
     claimVersion(f, root, next)
     clearDeadOrphan(f, root, next)
-    tables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next/$name")
-    }
+    writeTablesConcurrently(s"$root/v$next", tables)
     import org.apache.spark.sql.functions.col
     val report = checks.map { c =>
       val fact = spark.read.parquet(s"$root/v$next/${c.factTable}")

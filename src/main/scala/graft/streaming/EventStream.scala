@@ -838,8 +838,14 @@ object EventStream {
           state, batch.toDF(), idCol, textCol, threshold)
         verdict.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$verdictPath/batch=$id")
+        // r19 (guide §1.2): the accept filter reads the verdict JUST
+        // WRITTEN above — consuming the unmaterialized `verdict` frame
+        // here re-executed the whole incremental-dedup pipeline (state
+        // read, LSH bands, verify joins) a second time per batch.
+        // Same rows by construction (it is this batch's own output).
         batch.toDF().join(
-            verdict.filter(col("keep")).select(col("doc_id").as("__kept")),
+            s.read.parquet(s"$verdictPath/batch=$id")
+              .filter(col("keep")).select(col("doc_id").as("__kept")),
             col(idCol) === col("__kept"))
           .drop("__kept")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
