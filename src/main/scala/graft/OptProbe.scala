@@ -44,6 +44,45 @@ object OptProbe {
           time(s"[$i] full query")(noop(
             SparkEntry.queries("q_record_linkage_del2")(spark, dir)))
         }
+      case "triangles" =>
+        val li = Tables.table(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        for (i <- 1 to 2) {
+          time(s"[$i] edges")(noop(e))
+          val und = e.filter(col("src") =!= col("dst"))
+            .select(least(col("src"), col("dst")).as("lo"),
+              greatest(col("src"), col("dst")).as("hi")).distinct()
+          time(s"[$i] und distinct")(noop(und))
+          val deg = und.select(col("lo").as("n")).unionAll(und.select(col("hi").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("d"))
+          val loFirst = col("d_lo") < col("d_hi") ||
+            (col("d_lo") === col("d_hi") && col("lo") < col("hi"))
+          val oriented = und
+            .join(deg.select(col("n").as("lo"), col("d").as("d_lo")), "lo")
+            .join(deg.select(col("n").as("hi"), col("d").as("d_hi")), "hi")
+            .select(
+              when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+              when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+              when(loFirst, col("d_hi")).otherwise(col("d_lo")).as("d_dst"))
+          time(s"[$i] oriented")(noop(oriented))
+          val x = oriented.select(col("src"), col("dst").as("v"), col("d_dst").as("dv"))
+          val y = oriented.select(col("src"), col("dst").as("w"), col("d_dst").as("dw"))
+          val wedges = x.join(y, Seq("src"))
+            .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+          time(s"[$i] wedges")(noop(wedges))
+          time(s"[$i] full")(noop(SparkEntry.queries("q_triangles")(spark, dir)))
+        }
+      case "obscheck" =>
+        // does an Observation fire on a localCheckpoint materialization?
+        val df = spark.range(1000).toDF("x")
+        val obs = org.apache.spark.sql.Observation()
+        val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+        println("checkpointed rows=" + ck.count())
+        val got = try scala.concurrent.Await.result(scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global), scala.concurrent.duration.Duration(10, "s")) catch { case _: java.util.concurrent.TimeoutException => Map("TIMEOUT" -> true) }
+        println("OBS RESULT: " + got)
       case _ => ()
     }
     spark.stop()

@@ -1423,7 +1423,8 @@ object SparkEntry {
 
   /** C9: text quality metrics (SQL-expressible → full oracle). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // spread: five text kernels per doc on a one-task scan otherwise
+    val d = graft.dedup.Dedup.spread(t(s, dir, "documents"))
     d.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
@@ -7865,7 +7866,9 @@ object SparkEntry {
    * translation a migration must write). All outputs rescaled to
    * BIGINT so nothing compares in float space. */
   private def qDecimalConformance(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(
+    // spread: the decimal placement/rounding chain otherwise runs on
+    // the single-file scan's one task (r19; result order-identical)
+    val li = graft.dedup.Dedup.spread(t(s, dir, "lineitem")).select(
       col("l_orderkey"), col("l_linenumber"),
       cents(col("l_extendedprice")).as("c"))
       // a signed integer cent value ending in 5: an EXACT .x5 tie
@@ -8012,7 +8015,10 @@ object SparkEntry {
    * priorities and keys so every branch (clean parse, trim parse,
    * fraction truncation, garbage→null, overflow→null) has rows. */
   private def qTryCast(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "orders").select(col("o_orderkey"),
+    // spread: the carve + three try_casts (failure paths are the
+    // expensive branch) otherwise run on the single-file scan's one
+    // task (r19, guide §2.5 input parallelism; result order-identical)
+    val raw = graft.dedup.Dedup.spread(t(s, dir, "orders")).select(col("o_orderkey"),
       when(col("o_orderkey") % 7 === 0, concat(lit(" "), col("o_orderkey"), lit(" ")))
         .when(col("o_orderkey") % 7 === 1, concat(col("o_orderkey"), lit(".75")))
         .when(col("o_orderkey") % 7 === 2, lit("garbage"))

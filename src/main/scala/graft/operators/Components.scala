@@ -86,25 +86,30 @@ object Components {
       .union(raw.select(col("d").as("node")))
       .filter(col("node").isNotNull).distinct()
 
-    // orient every edge (big → small); drop self loops, null-partner
-    // rows, and duplicates
-    var cur = truncated(raw
-      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
-      .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
-      .distinct())
-
-    // convergence checksum: (edge count, sum of per-edge hashes). The
+    // Convergence checksum: (edge count, sum of per-edge hashes). The
     // sum is order-independent and a collision across rounds needs a
     // 2^-64-scale accident on top of an equal count — acceptable for a
     // fixpoint test (and a false "converged" is caught by the star
-    // check below, which is exact).
-    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(
-        count(lit(1)),
+    // check below, which is exact). r19 (guide §1.2): the checksum
+    // rides the round's OWN checkpoint materialization as an
+    // Observation, so each round is one job where it was two (the
+    // checkpoint pass plus a separate aggregate pass).
+    def truncatedChecksummed(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = truncated(df.observe(obs,
+        count(lit(1)).as("n"),
         coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1))
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("h")))
+      (ck, (obs.get("n").asInstanceOf[Long],
+        obs.get("h").asInstanceOf[java.math.BigDecimal]))
     }
+
+    // orient every edge (big → small); drop self loops, null-partner
+    // rows, and duplicates
+    var (cur, prev) = truncatedChecksummed(raw
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
+      .distinct())
 
     // Round telemetry (off by default): convergence behavior is THE
     // cost driver of this operator — a pair-set change that grows the
@@ -113,7 +118,6 @@ object Components {
     // counts on record. Enabled with spark.graft.cc.logRounds=true.
     val logRounds = edges.sparkSession.conf
       .getOption("spark.graft.cc.logRounds").contains("true")
-    var prev = checksum(cur)
     if (logRounds)
       System.err.println(s"[graft.cc] round 0: ${prev._1} oriented edges")
     var converged = prev._1 == 0L
@@ -132,12 +136,11 @@ object Components {
       // small-star: all of u's (strictly smaller) neighbors plus u
       // itself re-point to u's minimum neighbor
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = truncated(ls.join(ssMin, "u")
+      val (ss, next) = truncatedChecksummed(ls.join(ssMin, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .distinct())
-      val next = checksum(ss)
       cur = ss
       converged = next == prev
       prev = next

@@ -163,10 +163,19 @@ object Graph {
         when(loFirst, col("d_hi")).otherwise(col("d_lo")).as("d_dst"))
     val x = oriented.select(col("src"), col("dst").as("v"), col("d_dst").as("dv"))
     val y = oriented.select(col("src"), col("dst").as("w"), col("d_dst").as("dw"))
-    val wedges = x.join(y, Seq("src"))
+    // r19 (guide §3.1 — pick the strategy deliberately): both joins
+    // build a hash table from the ORIENTED EDGE LIST side instead of
+    // sort-merging. The closing join otherwise SORTS the wedge
+    // relation — m√m rows, the largest thing in the query (measured
+    // ~2/3 of the runtime at sf0.1) — to join it against m edges.
+    // The build side is safe by construction: oriented edges are
+    // distinct (max key multiplicity 1, no hot key), and per-partition
+    // build size is m/shuffle-partitions — the knob that already
+    // scales the query.
+    val wedges = x.join(y.hint("shuffle_hash"), Seq("src"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    wedges.join(closing, Seq("v", "w"))
+    wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 

@@ -882,14 +882,24 @@ object Ann {
     val m = microDims(Dedup.spread(corpus), idCol, vecCol)
     val p = microDims(probe, idCol, vecCol)
       .select(col("id").as("pid"), col("dim"), col("micro").as("pm"))
-    val ids = poolIds.select(col(poolIds.columns.head).cast("long").as("id"))
-    val pool = m.join(broadcast(ids), Seq("id"))
+    // r19 (guide §1.2): collect the BOUNDED pool ids once up front —
+    // the pool relation is the greedy loop's state by contract, so
+    // this collect was always implied. Filtering the corpus by the
+    // collected id list (instead of joining back through the pool
+    // SUBPLAN) stops the pairwise-distance query from re-executing
+    // the candidate generator a second time; with a caller-fused
+    // shortlist (hybrid retrieval: BM25 + semantic + RRF) that
+    // subplan was the most expensive part of the query.
+    val idList = poolIds
+      .select(col(poolIds.columns.head).cast("long").as("id"))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val pool = m.filter(col("id").isin(idList: _*))
       .join(broadcast(p), Seq("dim"))
       .filter(col("id") =!= col("pid"))
       .groupBy("id")
       .agg(sum((col("micro") - col("pm")) * (col("micro") - col("pm"))).as("dq"))
     // pairwise distances AMONG the pool: poolK²-bounded self-join on dim
-    val pm = m.join(broadcast(pool.select("id")), Seq("id"))
+    val pm = m.filter(col("id").isin(idList: _*))
     val pairs = pm.join(
         broadcast(pm.select(col("id").as("id2"), col("dim"), col("micro").as("m2"))),
         Seq("dim"))

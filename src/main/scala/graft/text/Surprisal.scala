@@ -34,7 +34,9 @@ object Surprisal {
    * yields no rows for them — same in the SQL replay). */
   def docSurprisal(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
+    // spread: tokenization of a few-file corpus otherwise runs on the
+    // scan's task count (r19; conditional — many-file inputs pass through)
+    val toks = graft.dedup.Dedup.spread(docs).select(col(idCol),
       explode(TextFunctions.words(col(textCol))).as("w"))
     val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     val totalBits = counts.agg(length(bin(sum("cnt"))).as("bits_total"))
