@@ -35,6 +35,8 @@ import org.apache.spark.sql.functions._
  */
 object Allocation {
 
+  private val callSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /**
    * `df`: one row per key with an integral `cap` column. `budget`: a
    * 1-row DataFrame with an integral `budget` column (derived from
@@ -110,8 +112,19 @@ object Allocation {
       s"proRata: budget must be exactly 1 row (got ${if (bvals.isEmpty) 0 else "2+"})")
     require(bvals(0).getDecimal(0) != null && bvals(0).getDecimal(0).signum() >= 0,
       "proRata: budget must be a non-negative, non-null amount")
-    val in = df.select(col(key).cast("long").as("k"),
+    // r19 (guide §1.2): the per-key relation is consumed by FOUR
+    // separate actions (the guard aggregate, the range-boundary
+    // percentile sampling of each rank pass, and the final query) —
+    // each re-executing the caller's upstream corpus rollup. It is
+    // dimension-bounded by contract (one row per key), so materialize
+    // it once to scratch and let every pass read the snapshot; the
+    // 100 TB upstream aggregate then runs exactly once.
+    val sparkIn = df.sparkSession
+    val inPath = s"${graft.Scratch.root(sparkIn)}/prorata_${callSeq.incrementAndGet()}"
+    df.select(col(key).cast("long").as("k"),
       col(weight).cast("long").as("w"))
+      .write.mode("overwrite").parquet(inPath)
+    val in = sparkIn.read.parquet(inPath)
     // fail-loud preconditions (one bounded pass): duplicate keys would
     // collapse in the rank and silently re-aim the leftover cents;
     // negative weights make "proportional" meaningless; a zero total
