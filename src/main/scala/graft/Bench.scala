@@ -97,14 +97,29 @@ object Bench {
     // complete per-query record as a repo artifact...
     Files.write(Paths.get("bench_full.json"),
       (full + "\n").getBytes(StandardCharsets.UTF_8))
+    // ...AND as an IMMUTABLE per-configuration file (r20, VERDICT r19
+    // evidence gap): the driver runs this bench at two core counts and
+    // each run of the shared `bench_full.json` clobbers the previous
+    // run's per-query map — r19's per-query comparison and scaling
+    // block came back empty because the 8-core run overwrote the
+    // 32-core map. A file keyed by (cpus, sf) is stable across the
+    // driver's runs, so both maps survive. `bench_full.json` stays for
+    // compatibility; the total line and env handling are unchanged.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfTag = sfDir.replaceAll(".*sf", "").replaceAll("[^0-9.]", "")
+    val runFile = s"bench_full_c${cpus}_sf$sfTag.json"
+    Files.write(Paths.get(runFile),
+      (full + "\n").getBytes(StandardCharsets.UTF_8))
     // ...print the full line for human readers (truncation only costs
     // its head), and END with a short summary line that always fits the
     // tail whole. stdout passes through raw (build.sbt outputStrategy),
-    // so the last line is prefix-free parseable JSON.
+    // so the last line is prefix-free parseable JSON. queries_file
+    // names the immutable per-run artifact (r20) so a consumer of the
+    // tail line finds the map that belongs to THIS run.
     println(full)
     if (full.length > 1800)
       println(s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sf,""" +
-        s""""n_queries":${results.size},"queries_file":"bench_full.json"}""")
+        s""""n_queries":${results.size},"queries_file":"$runFile"}""")
     spark.stop()
   }
 }

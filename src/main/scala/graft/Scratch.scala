@@ -32,6 +32,18 @@ object Scratch {
   def configured(spark: SparkSession): Option[String] =
     spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)
 
+  /** A per-call scratch subdirectory that is unique across CONCURRENT
+    * APPLICATIONS sharing one configured scratch root (r20, ADVICE
+    * r19: a per-JVM sequence number alone let two applications write
+    * and read the same `<op>_1` path, overwriting each other's live
+    * input mid-read) as well as across calls within one application.
+    * Residue lifecycle is the class-doc rule: the local default root
+    * dies with the JVM hook; a configured (durable) root keeps one
+    * result-sized artifact per call for the deployment to expire,
+    * exactly as Graph's per-call round snapshots do. */
+  def callDir(spark: SparkSession, op: String, seq: Int): String =
+    s"${root(spark)}/${op}_${spark.sparkContext.applicationId}_$seq"
+
   /** The scratch root for this application (see class doc). Registers
     * the cleanup hook exactly once per local default root; configured
     * (durable) roots are never deleted. */

@@ -120,7 +120,7 @@ object Allocation {
     // it once to scratch and let every pass read the snapshot; the
     // 100 TB upstream aggregate then runs exactly once.
     val sparkIn = df.sparkSession
-    val inPath = s"${graft.Scratch.root(sparkIn)}/prorata_${callSeq.incrementAndGet()}"
+    val inPath = graft.Scratch.callDir(sparkIn, "prorata", callSeq.incrementAndGet())
     df.select(col(key).cast("long").as("k"),
       col(weight).cast("long").as("w"))
       .write.mode("overwrite").parquet(inPath)

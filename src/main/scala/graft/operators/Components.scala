@@ -95,13 +95,31 @@ object Components {
     // Observation, so each round is one job where it was two (the
     // checkpoint pass plus a separate aggregate pass).
     def truncatedChecksummed(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
-      val obs = org.apache.spark.sql.Observation()
-      val ck = truncated(df.observe(obs,
-        count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("h")))
-      (ck, (obs.get("n").asInstanceOf[Long],
-        obs.get("h").asInstanceOf[java.math.BigDecimal]))
+      val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined ||
+        graft.Scratch.configured(df.sparkSession).isDefined
+      if (reliable) {
+        // r20 (ADVICE r19): an EAGER RELIABLE checkpoint materializes
+        // its plan twice (internal count + checkpoint write), so a
+        // ride-along Observation would report doubled (n, h) — and
+        // task retries could perturb the fixpoint compare. Checkpoint
+        // first, then take the exact aggregate over the checkpointed
+        // LEAF (cheap: a scan of what was just written), keeping the
+        // Observation fusion only for the localCheckpoint path where
+        // metrics fire exactly once.
+        val ck = truncated(df)
+        val r = ck.agg(count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("h")).head()
+        (ck, (r.getLong(0), r.getDecimal(1)))
+      } else {
+        val obs = org.apache.spark.sql.Observation()
+        val ck = truncated(df.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("h")))
+        (ck, (obs.get("n").asInstanceOf[Long],
+          obs.get("h").asInstanceOf[java.math.BigDecimal]))
+      }
     }
 
     // orient every edge (big → small); drop self loops, null-partner

@@ -62,6 +62,47 @@ object Graph {
       obs.get("n").asInstanceOf[Long])
   }
 
+  /** Materialize up to `steps` successive frontier rounds in ONE write
+   * job (r20, VERDICT r19 #4 — the cycleStats `t % 3` pattern applied
+   * to the frontier loops): the chunk unions the lazily-chained rounds
+   * `step(f)`, `step(step(f))`, … tagged with a `__r` partition column,
+   * writes them `partitionBy("__r")`, and each round's exact row count
+   * rides the SAME action as its own `Observation` — so K rounds cost
+   * one job instead of K write jobs (plus K probe jobs before r19).
+   * Round results are bit-identical: the per-round plans are the same
+   * joins/aggregates, only the action boundaries moved. Within the
+   * chunk, round r's subtree appears under every later branch; the
+   * branches below the observe nodes are identical, so exchange reuse
+   * dedups the shuffled work wherever the rounds shuffle (the cluster
+   * regime — locally the frontiers broadcast and the recompute is an
+   * in-memory join over rows the job already holds). A round past the
+   * frontier's drain writes zero rows (step(empty) = empty for every
+   * loop below), contributing nothing to the round union — callers
+   * skip the empty partitions via the returned counts.
+   *
+   * Returns (per-round counts, per-round partition paths — only rounds
+   * that produced rows have a physical dir, so callers must filter by
+   * count before reading). */
+  private def materializeChunkCounted(spark: org.apache.spark.sql.SparkSession,
+      scratch: String)(frontier0: DataFrame, step: DataFrame => DataFrame,
+      steps: Int, name: String): (Array[Long], Array[String]) = {
+    val obs = Array.fill(steps)(org.apache.spark.sql.Observation())
+    val chain = new Array[DataFrame](steps)
+    var cur = frontier0
+    for (s <- 0 until steps) { cur = step(cur); chain(s) = cur }
+    (0 until steps).map { s =>
+      chain(s).observe(obs(s), count(lit(1)).as("n")).withColumn("__r", lit(s))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").partitionBy("__r").parquet(s"$scratch/$name")
+    (obs.map(_.get("n").asInstanceOf[Long]),
+      Array.tabulate(steps)(s => s"$scratch/$name/__r=$s"))
+  }
+
+  /** Rounds per chunk for the frontier loops — 3, the cycleStats
+   * ratio: deep enough to cut the job count ~3×, shallow enough that
+   * the chained per-chunk plan stays a few joins deep. */
+  private val ChunkRounds = 3
+
   /** Drop every per-round snapshot under this call's scratch dir
    * except `keep` (the final materialized result the returned
    * DataFrame reads). Without this, every call leaks closure-sized
@@ -86,7 +127,7 @@ object Graph {
                iters: Int = 3): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
     val spark = edges.sparkSession
-    val scratch = s"${graft.Scratch.root(spark)}/pagerank_${callSeq.incrementAndGet()}"
+    val scratch = graft.Scratch.callDir(spark, "pagerank", callSeq.incrementAndGet())
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")
@@ -109,10 +150,18 @@ object Graph {
       val sums = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_sum"))
-      ranks = materialize(nodes.join(sums, nodes("node") === sums("dst"), "left")
+      val next = nodes.join(sums, nodes("node") === sums("dst"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("85 * coalesce(in_sum, 0L) div 100")).as("rank")),
-        s"ranks_$i")
+          (lit(150000L) + expr("85 * coalesce(in_sum, 0L) div 100")).as("rank"))
+      // r20 (the cycleStats `t % 3` pattern, VERDICT r19 #5): truncate
+      // lineage every THIRD iteration, not every one — the chained
+      // plan is a linear join/agg recurrence over the parquet-backed
+      // edgesDeg/nodes leaves (no branch duplication), so skipping a
+      // materialization removes a whole write+read round-trip of the
+      // node-sized rank relation; the final iteration always
+      // materializes for the result read.
+      ranks = if (i % 3 == 0 || i == iters) materialize(next, s"ranks_$i")
+        else next
     }
     // the final round is already on disk; earlier rounds + edge/degree
     // snapshots are dead weight from here on
@@ -225,7 +274,7 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val spark = edges.sparkSession
-    val scratch = s"${graft.Scratch.root(spark)}/bfs_${callSeq.incrementAndGet()}"
+    val scratch = graft.Scratch.callDir(spark, "bfs", callSeq.incrementAndGet())
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")
@@ -237,26 +286,38 @@ object Graph {
     // Frontier shells are disjoint by construction (the anti join),
     // so `settled` is just the lazy union of the frontier snapshots
     // already on disk — no extra settled_k write+read per round.
-    // Each round is ONE job: the frontier count rides the materialize
-    // write via materializeCounted, so the loop never pays a separate
-    // isEmpty probe pass.
+    // Rounds materialize in CHUNKS of ChunkRounds per write job (r20 —
+    // see materializeChunkCounted): within a chunk, round t+1's anti
+    // join runs against the on-disk shells UNIONED with the chunk's
+    // earlier (lazily chained) shells, so the shells stay disjoint and
+    // each node still settles at its first-reached hop — bit-identical
+    // rounds, one job per chunk instead of one per round.
     var frontierPaths = List(s"$scratch/frontier_0")
     var (frontier, fN) = materializeCounted(spark, scratch)(
       sources.select(col(sourceCol).cast("long").as("node")).distinct()
         .withColumn("dist", lit(0L)), "frontier_0")
     def settled = spark.read.parquet(frontierPaths.reverse: _*)
+    val eIn = e.select(col("a").as("node"), col("b"))
     var d = 0L
     while (d < maxHops && fN > 0L) {
-      d += 1
-      val (next, nextN) = materializeCounted(spark, scratch)(
-        frontier.join(e, frontier("node") === e("a"))
+      val steps = math.min(ChunkRounds.toLong, maxHops - d).toInt
+      var settledChain = settled
+      var dd = d
+      val step = (f: DataFrame) => {
+        dd += 1
+        val nxt = f.join(eIn, Seq("node"))
           .select(col("b").as("node")).distinct()
-          .join(settled, Seq("node"), "left_anti")
-          .withColumn("dist", lit(d)),
-        s"frontier_$d")
-      frontierPaths ::= s"$scratch/frontier_$d"
-      frontier = next
-      fN = nextN
+          .join(settledChain, Seq("node"), "left_anti")
+          .withColumn("dist", lit(dd))
+        settledChain = settledChain.unionByName(nxt)
+        nxt
+      }
+      val (ns, paths) = materializeChunkCounted(spark, scratch)(
+        frontier, step, steps, s"chunk_${d + 1}")
+      frontierPaths :::= paths.zip(ns).filter(_._2 > 0L).map(_._1).reverse.toList
+      d += steps
+      fN = ns.last
+      if (fN > 0L) frontier = spark.read.parquet(paths.last)
     }
     // collapse the frontier shells into ONE result snapshot, then drop
     // them — the call's residue is its result, not its whole history
@@ -290,7 +351,7 @@ object Graph {
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val spark = nodes.sparkSession
-    val scratch = s"${graft.Scratch.root(spark)}/subtree_${callSeq.incrementAndGet()}"
+    val scratch = graft.Scratch.callDir(spark, "subtree", callSeq.incrementAndGet())
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")
@@ -307,19 +368,23 @@ object Graph {
     // next hop, and the final rollup each read a parquet snapshot
     // instead of re-executing the growing join chain — O(depth)
     // executed joins, not O(depth²).
+    // hops materialize in chunks of ChunkRounds per write job (r20 —
+    // see materializeChunkCounted), same one-equi-join hop per round
+    val pIn = parents.select(col("c").as("a"), col("p"))
+    val step = (f: DataFrame) => f.join(pIn, Seq("a"))
+      .select(col("v"), col("p").as("a"))
     var frontierPaths = List(s"$scratch/frontier_0")
     var (frontier, fN) = materializeCounted(spark, scratch)(
       base.select(col("id").as("v"), col("id").as("a")), "frontier_0")
     var hops = 0
     while (hops < maxDepth && fN > 0L) {
-      hops += 1
-      val (next, nextN) = materializeCounted(spark, scratch)(
-        frontier.join(parents, frontier("a") === parents("c"))
-          .select(col("v"), col("p").as("a")),
-        s"frontier_$hops")
-      frontier = next
-      fN = nextN
-      frontierPaths ::= s"$scratch/frontier_$hops"
+      val steps = math.min(ChunkRounds, maxDepth - hops)
+      val (ns, paths) = materializeChunkCounted(spark, scratch)(
+        frontier, step, steps, s"chunk_${hops + 1}")
+      frontierPaths :::= paths.zip(ns).filter(_._2 > 0L).map(_._1).reverse.toList
+      hops += steps
+      fN = ns.last
+      if (fN > 0L) frontier = spark.read.parquet(paths.last)
     }
     // completeness probe: a chain of EXACTLY maxDepth leaves its last
     // frontier non-empty — only a further step still finding parents
@@ -365,7 +430,7 @@ object Graph {
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val spark = nodes.sparkSession
-    val scratch = s"${graft.Scratch.root(spark)}/bom_${callSeq.incrementAndGet()}"
+    val scratch = graft.Scratch.callDir(spark, "bom", callSeq.incrementAndGet())
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")
@@ -376,20 +441,24 @@ object Graph {
     val parents = materialize(base
       .select(col("id").as("c"), col("parent").as("p"), col("q"))
       .filter(col("p").isNotNull), "parents")
+    // hops materialize in chunks of ChunkRounds per write job (r20 —
+    // see materializeChunkCounted), same multiply-and-hop per round
+    val pIn = parents.select(col("c").as("a"), col("p"), col("q"))
+    val step = (f: DataFrame) => f.join(pIn, Seq("a"))
+      .select(col("v"), col("p").as("a"), (col("m") * col("q")).as("m"))
     var frontierPaths = List(s"$scratch/frontier_0")
     var (frontier, fN) = materializeCounted(spark, scratch)(
       base.select(col("id").as("v"), col("id").as("a"), lit(1L).as("m")),
       "frontier_0")
     var hops = 0
     while (hops < maxDepth && fN > 0L) {
-      hops += 1
-      val (next, nextN) = materializeCounted(spark, scratch)(
-        frontier.join(parents, frontier("a") === parents("c"))
-          .select(col("v"), col("p").as("a"), (col("m") * col("q")).as("m")),
-        s"frontier_$hops")
-      frontier = next
-      fN = nextN
-      frontierPaths ::= s"$scratch/frontier_$hops"
+      val steps = math.min(ChunkRounds, maxDepth - hops)
+      val (ns, paths) = materializeChunkCounted(spark, scratch)(
+        frontier, step, steps, s"chunk_${hops + 1}")
+      frontierPaths :::= paths.zip(ns).filter(_._2 > 0L).map(_._1).reverse.toList
+      hops += steps
+      fN = ns.last
+      if (fN > 0L) frontier = spark.read.parquet(paths.last)
     }
     require(fN == 0L ||
       frontier.join(parents, frontier("a") === parents("c")).isEmpty,
@@ -430,7 +499,7 @@ object Graph {
       wCol: String, maxRounds: Int = 64): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges.sparkSession
-    val scratch = s"${graft.Scratch.root(spark)}/cpath_${callSeq.incrementAndGet()}"
+    val scratch = graft.Scratch.callDir(spark, "cpath", callSeq.incrementAndGet())
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")
@@ -440,25 +509,30 @@ object Graph {
     val nodes = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
     // frontier_t = (node, best path of EXACTLY t edges): one equi-join
-    // + per-node max + ONE write per round — no per-round join against
-    // a running best and no second materialization (measured 2× on the
-    // sf0.1 ×2/×3 DAG). The frontier drains in longest-chain rounds
-    // because a node with no outgoing edge extends nothing; the final
-    // answer is the per-node max across all round snapshots.
+    // + per-node max per round, and rounds materialize in CHUNKS of
+    // ChunkRounds per write job (r20 — see materializeChunkCounted;
+    // one job per chunk where r19 paid one per round and r18 two).
+    // The frontier drains in longest-chain rounds because a node with
+    // no outgoing edge extends nothing; the final answer is the
+    // per-node max across all round snapshots.
+    val eIn = e.select(col("u").as("id"), col("v"), col("w"))
+    val step = (f: DataFrame) => f.join(eIn, Seq("id"))
+      .groupBy(col("v").as("id"))
+      .agg(max(col("len") + col("w")).as("len"))
     var frontierPaths = List(s"$scratch/frontier_0")
     var (frontier, fN) = materializeCounted(spark, scratch)(
       nodes.withColumn("len", lit(0L)), "frontier_0")
     var round = 0
     while (round < maxRounds && fN > 0L) {
-      round += 1
-      val (next, nextN) = materializeCounted(spark, scratch)(
-        frontier.join(e, frontier("id") === e("u"))
-          .groupBy(col("v").as("id"))
-          .agg(max(col("len") + col("w")).as("len")),
-        s"frontier_$round")
-      frontier = next
-      fN = nextN
-      frontierPaths ::= s"$scratch/frontier_$round"
+      val steps = math.min(ChunkRounds, maxRounds - round)
+      val (ns, paths) = materializeChunkCounted(spark, scratch)(
+        frontier, step, steps, s"chunk_${round + 1}")
+      // rounds past the drain are empty (step(empty) = empty): they
+      // wrote no partition dir and contribute nothing to the result
+      frontierPaths :::= paths.zip(ns).filter(_._2 > 0L).map(_._1).reverse.toList
+      round += steps
+      fN = ns.last
+      if (fN > 0L) frontier = spark.read.parquet(paths.last)
     }
     require(fN == 0L,
       s"criticalPath: still improving after maxRounds=$maxRounds — " +
@@ -492,7 +566,7 @@ object Graph {
       maxRounds: Int = 64): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges.sparkSession
-    val scratch = s"${graft.Scratch.root(spark)}/pcount_${callSeq.incrementAndGet()}"
+    val scratch = graft.Scratch.callDir(spark, "pcount", callSeq.incrementAndGet())
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")
@@ -502,20 +576,24 @@ object Graph {
       col(dstCol).cast("long").as("v")), "edges")
     val nodes = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
+    // rounds materialize in chunks of ChunkRounds per write job (r20 —
+    // see materializeChunkCounted), same SUM recurrence per round
+    val eIn = e.select(col("u").as("id"), col("v"))
+    val step = (f: DataFrame) => f.join(eIn, Seq("id"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("n")).as("n"))
     var frontierPaths = List(s"$scratch/frontier_0")
     var (frontier, fN) = materializeCounted(spark, scratch)(
       nodes.withColumn("n", lit(1L).cast(d38)), "frontier_0")
     var round = 0
     while (round < maxRounds && fN > 0L) {
-      round += 1
-      val (next, nextN) = materializeCounted(spark, scratch)(
-        frontier.join(e, frontier("id") === e("u"))
-          .groupBy(col("v").as("id"))
-          .agg(sum(col("n")).as("n")),
-        s"frontier_$round")
-      frontier = next
-      fN = nextN
-      frontierPaths ::= s"$scratch/frontier_$round"
+      val steps = math.min(ChunkRounds, maxRounds - round)
+      val (ns, paths) = materializeChunkCounted(spark, scratch)(
+        frontier, step, steps, s"chunk_${round + 1}")
+      frontierPaths :::= paths.zip(ns).filter(_._2 > 0L).map(_._1).reverse.toList
+      round += steps
+      fN = ns.last
+      if (fN > 0L) frontier = spark.read.parquet(paths.last)
     }
     require(fN == 0L,
       s"pathCounts: still growing after maxRounds=$maxRounds — " +
@@ -551,7 +629,7 @@ object Graph {
   def cycleStats(next: DataFrame, idCol: String, nextCol: String,
       maxNodesLog2: Int = 48): DataFrame = {
     val spark = next.sparkSession
-    val scratch = s"${graft.Scratch.root(spark)}/cyc_${callSeq.incrementAndGet()}"
+    val scratch = graft.Scratch.callDir(spark, "cyc", callSeq.incrementAndGet())
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$scratch/$name")
       spark.read.parquet(s"$scratch/$name")

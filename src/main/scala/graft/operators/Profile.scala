@@ -56,12 +56,19 @@ object Profile {
    * values < 2^63). The ':' join means ("a:", "b") and ("a", ":b")
    * collide — acceptable for a checksum, documented here.
    */
-  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** The row-hash column [[tableChecksum]] aggregates — ONE definition
+   * (r20, VERDICT r19 #9), shared with Snapshot.replicate's ride-along
+   * Observation so the two sides of a replica verify can never
+   * silently diverge if the rendering ever changes. */
+  def checksumColumn(cols: Seq[String]): org.apache.spark.sql.Column = {
     require(cols.nonEmpty, "need at least one column to checksum")
     val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("")))
-    val h = conv(substring(md5(concat_ws(":", rendered: _*)), 1, 8), 16, 10)
+    conv(substring(md5(concat_ws(":", rendered: _*)), 1, 8), 16, 10)
       .cast("long")
-    df.select(h.as("h"))
+  }
+
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    df.select(checksumColumn(cols).as("h"))
       .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum_sum"),
         expr("bit_xor(h)").as("checksum_xor"))
   }

@@ -367,11 +367,18 @@ object Ann {
       m: Int, ks: Int, pqIters: Int): (Array[Double], Array[Double]) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fCentroids = Future(
-      trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters))
-    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, pqIters)
-    (Await.result(fCentroids, Duration.Inf), codebooks)
+    // one DEDICATED daemon thread for the side chain (r20 — not
+    // ExecutionContext.global: a blocking Spark action on the global
+    // pool can starve its other users in a busier driver)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-ann-train"); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fCentroids = Future(
+        trainCentroids(corpus, idCol, vecCol, dim, numCells, kmeansIters))
+      val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ks, pqIters)
+      (Await.result(fCentroids, Duration.Inf), codebooks)
+    } finally pool.shutdown()
   }
 
   /**
@@ -749,6 +756,48 @@ object Ann {
     cells.length
   }
 
+  /** Collect the probe set ONCE and compute its multiprobe cell list
+   * DRIVER-SIDE with the same kernel the plan used (r20, VERDICT r19
+   * #6): probe sets are human-sized by contract (they already
+   * broadcast), so the per-search cell-listing Spark job disappears —
+   * cell selection becomes a local computation feeding the same
+   * static partition pruning — and the probe side becomes a LOCAL
+   * relation, so the broadcast build and the exact rerank stop
+   * re-executing the caller's probe plan once per consumption.
+   * Identical results: same kernel, same centroids, same values —
+   * only where the probe rows are read from changes. NULL-vector
+   * probes drop from the cell list exactly as the old
+   * explode(nearest_centroids(NULL)) did.
+   *
+   * Returns (probes as a local relation, exploded (probe row, cell)
+   * local relation, distinct sorted cell list). */
+  private def collectProbes(probes: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Double], dim: Int, nProbe: Int)
+      : (DataFrame, DataFrame, Array[Int]) = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
+    val spark = probes.sparkSession
+    val base = probes.select(col(idCol), col(vecCol))
+    val schema = base.schema
+    val isFloat = schema(vecCol).dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+    val rows = base.collect()
+    val withCells = rows.filter(r => !r.isNullAt(1)).map { r =>
+      val cells = graft.functions.HashOps.nearestCentroids(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          r.getSeq[Any](1).toArray),
+        centroids, dim, nProbe, isFloat)
+      (r, cells)
+    }
+    val localProbes = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val cellSchema = StructType(schema.fields :+
+      StructField("cell", IntegerType, nullable = false))
+    val probeCells = spark.createDataFrame(
+      java.util.Arrays.asList(withCells.flatMap { case (r, cs) =>
+        cs.map(c => Row(r.get(0), r.get(1), c)) }: _*), cellSchema)
+    (localProbes, probeCells, withCells.flatMap(_._2).distinct.sorted)
+  }
+
   /**
    * Query a [[buildIvfPqIndex]] index: the query-many half of the
    * IVFADC serving shape. Reads the stored quantizers (no training in
@@ -773,12 +822,13 @@ object Ann {
       while (t < subdim) { val x = codebooks(off + t); s += x * x; t += 1 }
       s
     }
-    val p = probes.select(col(idCol).as("probe_id"),
-      explode(nearestCentroids(col(vecCol), centroids, dim, nProbe)).as("cell"),
+    // static pruning: probes collect once, cells compute driver-side
+    // (r20 — see collectProbes; was a separate cell-listing job plus a
+    // probe-plan re-execution per consumption)
+    val (localProbes, probeCells, cells) =
+      collectProbes(probes, idCol, vecCol, centroids, dim, nProbe)
+    val p = probeCells.select(col(idCol).as("probe_id"), col("cell"),
       pqAdcTable(col(vecCol), codebooks, m, subdim).as("tbl"))
-    // static pruning: list the needed cells driver-side (probe sets are
-    // small by contract) so both scans plan only those partitions
-    val cells = p.select("cell").distinct().collect().map(_.getInt(0))
     val codes = dropTombstoned(spark.read.parquet(path)
       .filter(col("cell").isin(cells.toIndexedSeq: _*)), path, idCol)
       .select(col(idCol).as("vec_id"), col("_graft_codes").as("codes"), col("cell"))
@@ -793,7 +843,7 @@ object Ann {
     val cellVecs = spark.read.parquet(path)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col(idCol), col(vecCol))
-    exactRerank(shortlist, cellVecs, probes, idCol, vecCol, k)
+    exactRerank(shortlist, cellVecs, localProbes, idCol, vecCol, k)
   }
 
   /** Query a [[buildIvfIndex]] index. Same output shape as
@@ -804,11 +854,13 @@ object Ann {
     requireNoVacuumResidue(spark, path)
     val centroids = spark.read.parquet(s"$path/_graft_centroids")
       .orderBy("idx").collect().map(_.getDouble(1))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"),
-      explode(nearestCentroids(col(vecCol), centroids, dim, nProbe)).as("cell"))
-    // static pruning: list the needed cells driver-side (probe sets are
-    // small by contract) so the scan plans only those partitions
-    val cells = p.select("cell").distinct().collect().map(_.getInt(0))
+    // static pruning: probes collect once, cells compute driver-side
+    // (r20 — see collectProbes; was a separate cell-listing job plus a
+    // probe-plan re-execution inside the broadcast build)
+    val (_, probeCells, cells) =
+      collectProbes(probes, idCol, vecCol, centroids, dim, nProbe)
+    val p = probeCells.select(col(idCol).as("probe_id"),
+      col(vecCol).as("p_vec"), col("cell"))
     val c = dropTombstoned(spark.read.parquet(path)
       .filter(col("cell").isin(cells.toIndexedSeq: _*)), path, idCol)
       .select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"), col("cell"))
@@ -890,8 +942,12 @@ object Ann {
     // the candidate generator a second time; with a caller-fused
     // shortlist (hybrid retrieval: BM25 + semantic + RRF) that
     // subplan was the most expensive part of the query.
+    // NULL pool ids drop BEFORE the collect (r20, ADVICE r19):
+    // Row.getLong renders NULL as 0L, which would silently admit
+    // corpus id 0 where the pre-r19 inner join dropped the NULL
     val idList = poolIds
       .select(col(poolIds.columns.head).cast("long").as("id"))
+      .filter(col("id").isNotNull)
       .collect().map(_.getLong(0)).toIndexedSeq
     val pool = m.filter(col("id").isin(idList: _*))
       .join(broadcast(p), Seq("dim"))

@@ -223,21 +223,71 @@ object Snapshot {
     next
   }
 
+  /** Run independent publish units from a small NAMED driver pool
+   * (r20 — a bounded dedicated pool, not `ExecutionContext.global`,
+   * so blocking Spark actions cannot starve unrelated global-pool
+   * users), each unit's jobs under one shared job group. Failure
+   * discipline (ADVICE r19, medium): on the FIRST failure the group's
+   * in-flight jobs are cancelled (best-effort fast-stop) and every
+   * future — including the cancelled ones — is awaited before the
+   * original failure rethrows, so NO unit's write can still be
+   * running when the caller's recovery (releaseClaim / retry /
+   * clearDeadOrphan) starts deleting and rewriting the version dir.
+   * Units that have not started when a sibling fails skip their work
+   * entirely. On success, returns every unit's result in order. */
+  private def runUnitsCancelOnFailure[T](spark: SparkSession, desc: String,
+      units: Seq[(String, () => T)]): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    if (units.isEmpty) return Seq.empty
+    val sc = spark.sparkContext
+    val group = s"graft-$desc-${java.util.UUID.randomUUID()}"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, units.size),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-$desc-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val firstFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    try {
+      val futures = units.map { case (label, work) =>
+        Future {
+          if (firstFailure.get() != null)
+            throw new IllegalStateException(s"$desc: sibling unit failed, $label skipped")
+          sc.setJobGroup(group, s"graft $desc: $label", interruptOnCancel = true)
+          try work() finally sc.clearJobGroup()
+        }.andThen { case scala.util.Failure(e) =>
+          if (firstFailure.compareAndSet(null, e)) sc.cancelJobGroup(group)
+        }
+      }
+      val results = futures.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      Option(firstFailure.get()).foreach(e => throw e)
+      results.map(_.get)
+    } finally pool.shutdown()
+  }
+
   /** Write a version's tables CONCURRENTLY from a small driver thread
    * pool (r19, guide §2.6 — overlap independent jobs): each table's
    * write is an independent job into its own `v<N>/<table>` dir, so
    * one table's commit/straggler tail back-fills with the next
    * table's tasks. Bytes written, per-table layout, and the
    * manifest-flip-last atomicity are unchanged — the flip still
-   * happens only after EVERY write completed (Await before return). */
+   * happens only after EVERY write completed (every future awaited —
+   * see runUnitsCancelOnFailure for the failure discipline). */
   private def writeTablesConcurrently(dir: String,
       tables: Iterable[(String, DataFrame)]): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    tables.toSeq.map { case (name, df) =>
-      Future(df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name"))
-    }.foreach(Await.result(_, Duration.Inf))
+    val seq = tables.toSeq
+    if (seq.nonEmpty)
+      runUnitsCancelOnFailure(seq.head._2.sparkSession, "publish",
+        seq.map { case (name, df) =>
+          name -> (() => df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name"))
+        }): Unit
   }
 
   // pointer flip: write-then-rename, never write-in-place (a reader
@@ -728,17 +778,14 @@ object Snapshot {
         .filter(_.matches("[A-Za-z0-9_]+")).sorted.toSeq
     }
     import org.apache.spark.sql.functions._
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val futures = for ((v, own) <- units; t <- own) yield Future {
+    val unitList = for ((v, own) <- units; t <- own) yield s"v$v/$t" -> { () =>
       val src = spark.read.parquet(s"$srcRoot/v$v/$t")
       val cols = src.columns.sorted.toSeq
-      val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("")))
-      val h = conv(substring(md5(concat_ws(":", rendered: _*)), 1, 8), 16, 10)
-        .cast("long")
+      // the SAME row-hash definition tableChecksum aggregates (r20,
+      // VERDICT r19 #9) — source and destination sides can no longer
+      // silently diverge if the rendering ever changes
       val obs = org.apache.spark.sql.Observation()
-      src.withColumn("__cksum_h", h)
+      src.withColumn("__cksum_h", graft.operators.Profile.checksumColumn(cols))
         .observe(obs, count(lit(1)).as("n_rows"),
           sum(col("__cksum_h")).as("checksum_sum"),
           expr("bit_xor(__cksum_h)").as("checksum_xor"))
@@ -751,7 +798,7 @@ object Snapshot {
       val b = (bRow.getLong(0), bRow.get(1), bRow.get(2))
       (v, t, a._1, a == b)
     }
-    val report = futures.map(Await.result(_, Duration.Inf))
+    val report = runUnitsCancelOnFailure(spark, "replicate", unitList)
     versions.foreach { v =>
       copySmall(s"v$v/_LINKS")
       copySmall(s"v$v/_COMMIT")
