@@ -787,100 +787,6 @@ object HashOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
-  /** [[deletionNeighborhoodHashedK]] extended with DELETION POSITIONS
-   * (r20, VERDICT r19 #3 — the position filter of the original FastSS
-   * scheme): every deletion SET of size 0..k emits one
-   * (variant-hash, gap-mask) struct, where the gap mask has bit
-   * min(gap, 63) set for each deletion's GAP POSITION — the count of
-   * surviving code points before it, i.e. the index in the VARIANT
-   * where the deleted char sat. The key join can then prune matches
-   * whose combined gap sets are incompatible BEFORE the distinct and
-   * the levenshtein verify:
-   *
-   *   keep (a, b) only if popcount(mask_a | mask_b) <= k.
-   *
-   * Completeness (no true pair is lost): for ed(s1,s2) = d <= k, fix
-   * an optimal alignment with a substitutions, b deletions, c
-   * insertions (a+b+c = d). Deleting from s1 its substituted+deleted
-   * chars and from s2 its substituted+inserted chars leaves the SAME
-   * aligned common subsequence v, with |D1| = a+b <= d <= k and
-   * |D2| = a+c <= k — so both variants are enumerated here. Each edit
-   * contributes one gap position (the v-prefix length at the edit
-   * point), and a substitution contributes the SAME position to both
-   * masks, so the union holds at most a+b+c = d <= k distinct
-   * positions; capping positions at bit 63 only MERGES bits, never
-   * splits them, so popcount(m1|m2) <= k for this witness pair and
-   * the filter keeps it. False candidates ("abcd"/"cdab" sharing
-   * "cd" with disjoint gap sets) fail the popcount test and die
-   * before the shuffle-heavy distinct — the measured point of the
-   * change; whatever survives incorrectly (hash collisions included)
-   * is still killed by the exact thresholded-levenshtein verify.
-   *
-   * Unlike the string/hashed kernels this one does NOT dedup equal
-   * variants reached through different deletion sets (deleting either
-   * of two equal adjacent chars): each set's mask is a distinct
-   * witness the filter may need, exactly as FastSS indexes variant →
-   * deletion-position lists. For k <= 2 distinct sets always carry
-   * distinct (hash, mask) pairs anyway (gap sequences are
-   * non-decreasing and size-distinguishable), so no duplicate rows
-   * are emitted at the maxDist values the linkage operators use.
-   * Keys per record: exactly Σ_{j≤k} C(len, j). */
-  def deletionNeighborhoodHashedPosK(s: org.apache.spark.unsafe.types.UTF8String,
-      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val bytes = s.getBytes
-    // code-point start offsets (UTF-8: continuation bytes are 10xxxxxx)
-    var n = 0
-    var i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0xc0) != 0x80) n += 1
-      i += 1
-    }
-    val cpOff = new Array[Int](n + 1)
-    var cp = 0
-    i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0xc0) != 0x80) { cpOff(cp) = i; cp += 1 }
-      i += 1
-    }
-    cpOff(n) = bytes.length
-    // total emissions: sum_{j<=min(k,n)} C(n, j)
-    val kk = math.min(k, n)
-    var total = 0L
-    var choose = 1L
-    var j = 0
-    while (j <= kk) {
-      total += choose
-      choose = choose * (n - j) / (j + 1)
-      j += 1
-    }
-    val out = new Array[Any](total.toInt)
-    var outIdx = 0
-    // DFS over keep/delete decisions with incremental FNV-1a state —
-    // shared prefixes hash once, zero per-variant allocation
-    def walk(cpIdx: Int, delLeft: Int, h: Long, mask: Long, deleted: Int): Unit = {
-      if (cpIdx == n) {
-        out(outIdx) = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(Array[Any](mix64(h), mask))
-        outIdx += 1
-      } else {
-        var hh = h
-        var b = cpOff(cpIdx)
-        val end = cpOff(cpIdx + 1)
-        while (b < end) {
-          hh ^= (bytes(b) & 0xffL)
-          hh *= 0x100000001b3L
-          b += 1
-        }
-        walk(cpIdx + 1, delLeft, hh, mask, deleted)
-        if (delLeft > 0)
-          walk(cpIdx + 1, delLeft - 1, h,
-            mask | (1L << math.min(cpIdx - deleted, 63)), deleted + 1)
-      }
-    }
-    walk(0, kk, 0xcbf29ce484222325L, 0L, 0)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-
   /** Container-header metadata (C12d, r17): parse the FORMAT HEADER of
    * a media payload — plain byte arithmetic, no codec libraries — and
    * return [format, width, height, sample_rate, channels] as longs

@@ -383,34 +383,6 @@ case class DeletionNeighborhoodHashed(child: Expression, k: Int = 1)
     copy(child = newChild)
 }
 
-/** deletion_neighborhood_hashed_pos(s, k) →
- * array<struct<k: bigint, m: bigint>>: the FastSS blocking keys as
- * (variant-hash, deletion-gap-mask) pairs (see
- * HashOps.deletionNeighborhoodHashedPosK — r20): the join prunes key
- * matches whose combined gap masks are incompatible
- * (popcount(m1|m2) > maxDist) before the distinct + levenshtein
- * verify. Codegen'd. */
-case class DeletionNeighborhoodHashedPos(child: Expression, k: Int = 1)
-    extends UnaryExpression {
-  require(k >= 1, s"deletion_neighborhood_hashed_pos: k must be >= 1, got $k")
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("k", LongType, nullable = false),
-      StructField("m", LongType, nullable = false))), containsNull = false)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    if (child.dataType == StringType || child.dataType == NullType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"deletion_neighborhood_hashed_pos requires a string, got ${child.dataType.sql}")
-  }
-  override protected def nullSafeEval(input: Any): Any =
-    HashOps.deletionNeighborhoodHashedPosK(input.asInstanceOf[UTF8String], k)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.deletionNeighborhoodHashedPosK($c, $k)")
-  override protected def withNewChildInternal(newChild: Expression): DeletionNeighborhoodHashedPos =
-    copy(child = newChild)
-}
-
 /** canonical_url(url[, dropParams]) → string: crawl-pipeline URL
  * canonicalization (see HashOps.canonicalUrl — scheme fold,
  * userinfo strip, host/port/www/IDN normalization, percent-encoding
@@ -877,8 +849,6 @@ object expressions {
     column(DeletionNeighborhood(expression(s), k))
   def deletionNeighborhoodHashed(s: Column, k: Int = 1): Column =
     column(DeletionNeighborhoodHashed(expression(s), k))
-  def deletionNeighborhoodHashedPos(s: Column, k: Int = 1): Column =
-    column(DeletionNeighborhoodHashedPos(expression(s), k))
   def hashContainment(a: Column, b: Column): Column =
     column(HashContainment(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column =

@@ -127,24 +127,23 @@ object Linkage {
     // key equality and the levenshtein verify below kills any
     // hash-collision candidate, so the sorted/shuffled key column is
     // 8 bytes instead of a ~len-char substring, with an identical
-    // final pair set. r20 (VERDICT r19 #3 — positions-aware FastSS):
-    // each key also carries its deletion-GAP mask, and the join keeps
-    // a match only when the two gap sets are compatible
-    // (popcount(m1|m2) <= maxDist) — a complete filter (see the
-    // kernel's witness proof) that kills most coincidental
-    // shared-variant candidates BEFORE the distinct shuffle and the
-    // levenshtein verify; the verify is unchanged and still exact.
+    // final pair set. r20 note: a positions-aware variant (emit one
+    // key per deletion SET with its gap mask, prune incompatible gap
+    // sets in the join) was built, measured, and REVERTED — the
+    // per-set enumeration stops deduplicating equal-run deletions, and
+    // on run-heavy compare strings ("Customer#000000001": a digit run
+    // of length r turns 1 deduped two-deletion key into C(r,2) rows)
+    // the key multiplicity grows quadratically per matched pair,
+    // which cost far more than the filter saved (A/B: del2
+    // 9463 ms vs 7177 ms old — plans/r20, OPTIMIZATION_r20.md).
     val keys = names
       .select(col("s"), explode(graft.functions.expressions
-        .deletionNeighborhoodHashedPos(col("s"), maxDist)).as("key"))
-      .select(col("s"), col("key.k").as("k"), col("key.m").as("m"))
+        .deletionNeighborhoodHashed(col("s"), maxDist)).as("k"))
       .hint("shuffle_merge")
     // distinct name pairs at distance 1..maxDist (equal names never
     // meet here — the neighborhoods are keyed per DISTINCT string)
     val namePairs = keys.as("a").join(keys.as("b"),
-        col("a.k") === col("b.k") &&
-          bit_count(col("a.m").bitwiseOR(col("b.m"))) <= lit(maxDist) &&
-          col("a.s") < col("b.s"))
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
       .distinct() // a pair can share several keys
       .withColumn("dist",
@@ -198,18 +197,14 @@ object Linkage {
     val star = base.join(reps, "s")
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("id_a"), col("rep").as("id_b"))
-    // hashed keys + gap-mask filter: same identical-result argument as
-    // linkByDeletionK (the complete position filter prunes before the
-    // distinct; the between(1, maxDist) verify kills whatever remains)
+    // hashed keys: same identical-result argument as linkByDeletionK
+    // (the between(1, maxDist) verify below kills collision pairs)
     val keys = reps
       .select(col("s"), explode(graft.functions.expressions
-        .deletionNeighborhoodHashedPos(col("s"), maxDist)).as("key"))
-      .select(col("s"), col("key.k").as("k"), col("key.m").as("m"))
+        .deletionNeighborhoodHashed(col("s"), maxDist)).as("k"))
       .hint("shuffle_merge")
     val namePairs = keys.as("a").join(keys.as("b"),
-        col("a.k") === col("b.k") &&
-          bit_count(col("a.m").bitwiseOR(col("b.m"))) <= lit(maxDist) &&
-          col("a.s") < col("b.s"))
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
       .distinct()
       .filter(levenshtein(col("s1"), col("s2"), maxDist)
