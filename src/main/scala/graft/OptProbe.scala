@@ -75,6 +75,26 @@ object OptProbe {
           time(s"[$i] wedges")(noop(wedges))
           time(s"[$i] full")(noop(SparkEntry.queries("q_triangles")(spark, dir)))
         }
+      case "kernelbench" =>
+        // r20: single-threaded wall clock of the FastSS key kernel over
+        // the real distinct compare strings — isolates kernel CPU from
+        // join/shuffle noise for the rewrite A/B
+        val recs = Tables.table(spark, dir, "customer").withColumn("ident",
+          concat(col("c_name"), lit("|"), col("c_mktsegment"),
+            col("c_nationkey").cast("string")))
+        val names = recs.select(col("ident")).distinct()
+          .collect().map(_.getString(0))
+        println(s"PROBE names: ${names.length}")
+        for (i <- 1 to 6) {
+          val t0 = System.nanoTime()
+          var acc = 0L
+          names.foreach { s =>
+            acc += graft.functions.HashOps.deletionNeighborhoodHashedK(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s), 2)
+              .numElements()
+          }
+          println(f"PROBE kernel pass $i: ${(System.nanoTime() - t0) / 1e6}%.1f ms (keys=$acc)")
+        }
       case "obscheck" =>
         // does an Observation fire on a localCheckpoint materialization?
         val df = spark.range(1000).toDF("x")

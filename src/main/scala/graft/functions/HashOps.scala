@@ -747,44 +747,81 @@ object HashOps {
    * of ~len-char substrings. */
   def deletionNeighborhoodHashedK(s: org.apache.spark.unsafe.types.UTF8String,
       k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val str = s.toString
-    val seen = new java.util.LinkedHashSet[String](str.length * (k + 1) + 2)
-    seen.add(str): Unit
-    var frontier: Array[String] = Array(str)
-    var round = 0
-    while (round < k && frontier.nonEmpty) {
-      val next = new java.util.ArrayList[String](frontier.length * 16)
-      var f = 0
-      while (f < frontier.length) {
-        val t = frontier(f)
-        var i = 0
-        while (i < t.length) {
-          val step = Character.charCount(t.codePointAt(i))
-          val v = t.substring(0, i) + t.substring(i + step)
-          if (seen.add(v)) next.add(v): Unit
-          i += step
-        }
-        f += 1
-      }
-      frontier = next.toArray(new Array[String](next.size))
-      round += 1
+    // r20 (VERDICT r19 #3 — this kernel was the measured hot loop of
+    // q_record_linkage_del2): direct deletion-set enumeration over the
+    // UTF-8 bytes with an incremental FNV state shared across common
+    // prefixes — no variant String is ever built, no per-variant
+    // getBytes/UTF-8 re-encode, no boxed string hash set. Dedup is by
+    // the 64-bit variant hash in a primitive open-address table, which
+    // is JOIN-EQUIVALENT to the old dedup-by-string: the join key IS
+    // the hash, so two distinct variants colliding would have produced
+    // identical key rows anyway, and duplicate keys from one string
+    // only duplicate matches the downstream distinct() collapses — the
+    // final linked-pair set is unchanged.
+    val bytes = s.getBytes
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) n += 1
+      i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
+    val cpOff = new Array[Int](n + 1)
+    var cp = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { cpOff(cp) = i; cp += 1 }
+      i += 1
+    }
+    cpOff(n) = bytes.length
+    // upper bound on emissions: sum_{j<=min(k,n)} C(n, j)
+    val kk = math.min(k, n)
+    var bound = 0L
+    var choose = 1L
     var j = 0
-    while (it.hasNext) {
-      val bytes = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL)
-        h *= 0x100000001b3L
-        i += 1
-      }
-      out(j) = mix64(h)
+    while (j <= kk) {
+      bound += choose
+      choose = choose * (n - j) / (j + 1)
       j += 1
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    // open-address dedup table, power-of-two >= 2x bound; EMPTY slots
+    // hold 0 — a genuine 0 hash is tracked by a flag
+    var cap = java.lang.Long.highestOneBit(math.max(4L, bound * 2 - 1)) << 1
+    if (cap > (1L << 30)) cap = 1L << 30
+    val table = new Array[Long](cap.toInt)
+    val mask = cap.toInt - 1
+    var seenZero = false
+    val out = new Array[Long](bound.toInt)
+    var outN = 0
+    def emit(raw: Long): Unit = {
+      val h = mix64(raw)
+      if (h == 0L) {
+        if (!seenZero) { seenZero = true; out(outN) = 0L; outN += 1 }
+      } else {
+        var slot = (h ^ (h >>> 32)).toInt & mask
+        while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & mask
+        if (table(slot) == 0L) { table(slot) = h; out(outN) = h; outN += 1 }
+      }
+    }
+    // DFS over keep/delete decisions; FNV-1a state h is shared across
+    // every variant with the same kept prefix
+    def walk(cpIdx: Int, delLeft: Int, h: Long): Unit = {
+      if (cpIdx == n) emit(h)
+      else {
+        var hh = h
+        var b = cpOff(cpIdx)
+        val end = cpOff(cpIdx + 1)
+        while (b < end) {
+          hh ^= (bytes(b) & 0xffL)
+          hh *= 0x100000001b3L
+          b += 1
+        }
+        walk(cpIdx + 1, delLeft, hh)
+        if (delLeft > 0) walk(cpIdx + 1, delLeft - 1, h)
+      }
+    }
+    walk(0, kk, 0xcbf29ce484222325L)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, outN))
   }
 
   /** Container-header metadata (C12d, r17): parse the FORMAT HEADER of

@@ -256,6 +256,36 @@ class MaintenanceSpec extends AnyFunSuite {
       "the non-tight k=2 candidate (abcd, cdab) must be verify-killed")
   }
 
+  test("hashed deletion kernel emits exactly the string kernel's variant hashes (r20 rewrite)") {
+    // r20 rewrote deletionNeighborhoodHashedK as a direct zero-
+    // allocation enumeration with hash-set dedup; its output must stay
+    // the SAME SET as hashing the string kernel's deduped variants —
+    // exercised on equal-char runs (the dedup-heavy case), non-BMP
+    // code points (UTF-8 multi-byte paths), empties, and k > len.
+    import org.apache.spark.unsafe.types.UTF8String
+    def strings(s: String, k: Int): Set[String] = {
+      val a = graft.functions.HashOps
+        .deletionNeighborhoodK(UTF8String.fromString(s), k)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toSet
+    }
+    def fnv(s: String): Long = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0xcbf29ce484222325L
+      b.foreach { x => h ^= (x & 0xffL); h *= 0x100000001b3L }
+      graft.functions.HashOps.mix64(h)
+    }
+    def hashed(s: String, k: Int): Set[Long] = {
+      val a = graft.functions.HashOps
+        .deletionNeighborhoodHashedK(UTF8String.fromString(s), k)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    for (s <- Seq("Customer#000000001", "aabbaa", "x𝄞y𝄢", "ab", "a", "",
+           "smith", "0000000");
+         k <- 1 to 3)
+      assert(hashed(s, k) == strings(s, k).map(fnv),
+        s"mismatch for '$s' k=$k")
+  }
+
   test("deletion neighborhoods are code-point complete: non-BMP substitution (ADVICE r18)") {
     // 𝄞 (U+1D11E) and 𝄢 (U+1D122) are supplementary-plane — 2 UTF-16
     // units each. A single code-point substitution is edit distance 1
