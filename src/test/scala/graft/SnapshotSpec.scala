@@ -22,6 +22,27 @@ class SnapshotSpec extends AnyFunSuite {
       List((10L, 100L)))
   }
 
+  test("a failing table write fails the whole publish, awaits siblings, and a retry succeeds (r20)") {
+    import org.apache.spark.sql.functions.udf
+    val root = freshRoot()
+    val boom = udf((x: Long) => {
+      if (x >= 0) throw new RuntimeException("boom"); x
+    })
+    val bad = Seq(1L, 2L).toDF("x").select(boom($"x").as("x"))
+    val good = Seq(3L).toDF("x")
+    // the failure must propagate (no manifest flip) with every sibling
+    // write awaited first — the claim must be released so a retry with
+    // healthy tables can claim the same version and publish it
+    intercept[Exception](
+      Snapshot.publish(spark, root, Map("bad" -> bad, "good" -> good)))
+    assert(Snapshot.currentVersion(spark, root) == 0L)
+    Snapshot.releaseClaim(spark, root)
+    assert(Snapshot.publish(spark, root,
+      Map("bad" -> Seq(7L).toDF("x"), "good" -> good)) == 1L)
+    assert(Snapshot.read(spark, root, "bad").as[Long].collect().toList == List(7L))
+    assert(Snapshot.read(spark, root, "good").as[Long].collect().toList == List(3L))
+  }
+
   test("a new publish flips atomically; the old version stays readable (time travel)") {
     val root = freshRoot()
     Snapshot.publish(spark, root, Map("t" -> Seq(1L).toDF("x")))
