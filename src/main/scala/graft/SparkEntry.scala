@@ -1163,23 +1163,40 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 20)
     val k = 5
-    val exact = graft.similarity.Ann
-      .bruteForceTopK(emb, probes, "vec_id", "embedding", k)
-      .select(col("probe_id"), col("vec_id"))
-      .localCheckpoint()
-    val nExact = exact.count()
-    val paths: Seq[(String, Long, DataFrame)] = Seq(
+    // r20 (guide §2.6 — the trainBoth precedent widened): each path's
+    // construction runs its own driver-side training chain (Lloyd
+    // collect loops, PQ codebooks, the PCA gram aggregate) and the
+    // five chains share no state, so they build CONCURRENTLY from a
+    // small named pool while the exact brute-force top-5 materializes
+    // on this thread. Every chain's plans, collects, and reduction
+    // order are exactly as sequential — quantizers and results are
+    // bit-identical; only the wall-clock overlap changes.
+    val defs: Seq[(String, Long, () => DataFrame)] = Seq(
       ("ivf", 600000L,
-        graft.similarity.Ann.ivfTopK(emb, probes, "vec_id", "embedding", 64, k)),
+        () => graft.similarity.Ann.ivfTopK(emb, probes, "vec_id", "embedding", 64, k)),
       ("ivfpq", 350000L,
-        graft.similarity.Ann.ivfPqTopK(emb, probes, "vec_id", "embedding", 64, k)),
+        () => graft.similarity.Ann.ivfPqTopK(emb, probes, "vec_id", "embedding", 64, k)),
       ("lsh", 450000L,
-        graft.similarity.Ann.lshTopK(emb, probes, "vec_id", "embedding", 64, k)),
+        () => graft.similarity.Ann.lshTopK(emb, probes, "vec_id", "embedding", 64, k)),
       ("pca", 700000L,
-        graft.similarity.Ann.pcaTopK(emb, probes, "vec_id", "embedding", 64, k,
+        () => graft.similarity.Ann.pcaTopK(emb, probes, "vec_id", "embedding", 64, k,
           reduceK = 32, shortlist = 128)),
       ("pq", 330000L,
-        graft.similarity.Ann.pqTopK(emb, probes, "vec_id", "embedding", 64, k)))
+        () => graft.similarity.Ann.pqTopK(emb, probes, "vec_id", "embedding", 64, k)))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val th = new Thread(r, "graft-ann-recall"); th.setDaemon(true); th })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val (exact, nExact, paths) = try {
+      val futures = defs.map { case (name, floor, mk) => (name, floor, Future(mk())) }
+      val ex = graft.similarity.Ann
+        .bruteForceTopK(emb, probes, "vec_id", "embedding", k)
+        .select(col("probe_id"), col("vec_id"))
+        .localCheckpoint()
+      (ex, ex.count(), futures.map { case (name, floor, f) =>
+        (name, floor, Await.result(f, Duration.Inf)) })
+    } finally pool.shutdown()
     paths.map { case (name, floorPpm, approx) =>
       exact.join(
           approx.select(col("probe_id").as("p"), col("vec_id").as("v")),
@@ -1389,17 +1406,29 @@ object SparkEntry {
       .ivfTopKIndexed(idx, probes, "vec_id", "embedding", 64, 5)
       .select("probe_id", "vec_id").as[(Long, Long)].collect().toSeq
     val doomedIds = search().map(_._2).filter(_ >= 3L).distinct.sorted
-    graft.similarity.Ann.deleteFromIvfIndex(
-      idx, doomedIds.toDF("vec_id"), "vec_id")
-    graft.similarity.Ann.appendToIvfIndex(
-      idx, emb.filter(col("vec_id") > mid), "vec_id", "embedding", 64)
-    val after = search()
-    graft.similarity.Ann.vacuumIvfIndex(s, idx, "vec_id")
-    val after2 = search()
-    val exact = graft.similarity.Ann.bruteForceTopK(
-        emb.filter(!col("vec_id").isin(doomedIds: _*)), probes,
-        "vec_id", "embedding", 5)
-      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSeq
+    // r20 (guide §2.6): the brute-force twin depends only on doomedIds
+    // (it reads the raw embeddings, never the index), so it computes
+    // on a side thread WHILE the delete → append → search → vacuum →
+    // search protocol mutates the index on this one — the mutation
+    // sequence itself stays strictly ordered.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val th = new Thread(r, "graft-ivf-delete-exact"); th.setDaemon(true); th })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val (after, after2, exact) = try {
+      val fExact = Future(graft.similarity.Ann.bruteForceTopK(
+          emb.filter(!col("vec_id").isin(doomedIds: _*)), probes,
+          "vec_id", "embedding", 5)
+        .select("probe_id", "vec_id").as[(Long, Long)].collect().toSeq)
+      graft.similarity.Ann.deleteFromIvfIndex(
+        idx, doomedIds.toDF("vec_id"), "vec_id")
+      graft.similarity.Ann.appendToIvfIndex(
+        idx, emb.filter(col("vec_id") > mid), "vec_id", "embedding", 64)
+      val a = search()
+      graft.similarity.Ann.vacuumIvfIndex(s, idx, "vec_id")
+      (a, search(), Await.result(fExact, Duration.Inf))
+    } finally pool.shutdown()
     val doomed = doomedIds.toSet
     probes.select("vec_id").as[Long].collect().sorted.toSeq.map { p =>
       val a = after.collect { case (`p`, v) => v }.toSet
