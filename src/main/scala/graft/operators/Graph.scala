@@ -186,8 +186,23 @@ object Graph {
    * Everything is integer/equi-join (two self-joins on the oriented
    * edge list), so the oracle replays the identical orientation and
    * joins in DuckDB.
+   *
+   * Join strategy: both self-joins hash-build from the oriented edge
+   * list (never sorting the m√m wedge relation). The build side is
+   * per-partition m/`spark.sql.shuffle.partitions` rows, so a
+   * deployment MUST size shuffle partitions to hold that slice in
+   * executor memory (the same sizing the shuffle already needs); set
+   * `spark.graft.triangles.shuffleHash=false` to drop the hint and
+   * fall back to the planner's spill-safe sort-merge choice where
+   * that sizing cannot be guaranteed. The default (hint on) is the
+   * measured trade — results are identical either way.
    */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val useShuffleHash = !spark.conf
+      .getOption("spark.graft.triangles.shuffleHash").contains("false")
+    def pin(df: DataFrame): DataFrame =
+      if (useShuffleHash) df.hint("shuffle_hash") else df
     // canonical undirected edge set: (lo, hi), self-loops dropped
     val und = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
@@ -221,10 +236,10 @@ object Graph {
     // distinct (max key multiplicity 1, no hot key), and per-partition
     // build size is m/shuffle-partitions — the knob that already
     // scales the query.
-    val wedges = x.join(y.hint("shuffle_hash"), Seq("src"))
+    val wedges = x.join(pin(y), Seq("src"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
+    wedges.join(pin(closing), Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 

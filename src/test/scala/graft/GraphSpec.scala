@@ -117,6 +117,20 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleCount(edges, "s", "d").as[Long].head() == 3L)
   }
 
+  test("triangleCount spill-safe fallback conf yields identical counts (ADVICE r19)") {
+    // spark.graft.triangles.shuffleHash=false drops the shuffle_hash
+    // hint (planner falls back to its spill-safe choice); the count is
+    // strategy-independent.
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("s", "d")
+    val hub = ((1L to 6L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L), (5L, 6L)))
+      .toDF("s", "d")
+    spark.conf.set("spark.graft.triangles.shuffleHash", "false")
+    try {
+      assert(Graph.triangleCount(k4, "s", "d").as[Long].head() == 4L)
+      assert(Graph.triangleCount(hub, "s", "d").as[Long].head() == 3L)
+    } finally spark.conf.unset("spark.graft.triangles.shuffleHash")
+  }
+
   private def bfs(
       edges: Seq[(Long, Long)], sources: Seq[Long], maxHops: Int): Map[Long, Long] = {
     // undirected: pass both orientations, as the operator contract asks
