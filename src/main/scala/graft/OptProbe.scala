@@ -95,6 +95,27 @@ object OptProbe {
           }
           println(f"PROBE kernel pass $i: ${(System.nanoTime() - t0) / 1e6}%.1f ms (keys=$acc)")
         }
+      case "jobcount" =>
+        // r20: count Spark jobs a named query submits end-to-end (the
+        // evidence for action-count claims — e.g. the applyCdc guard
+        // fusion — which never show in the RESULT's plan). Usage:
+        //   runMain graft.OptProbe <sfDir> jobcount <query> [query...]
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet(): Unit
+            }
+          })
+        args.drop(2).foreach { q =>
+          noop(SparkEntry.queries(q)(spark, dir)) // warm (JIT, scratch bootstrap)
+          Thread.sleep(500)
+          val before = jobs.get()
+          noop(SparkEntry.queries(q)(spark, dir))
+          Thread.sleep(1500) // listener bus is async; settle before reading
+          println(s"PROBE jobcount $q: ${jobs.get() - before} jobs")
+        }
       case "obscheck" =>
         // does an Observation fire on a localCheckpoint materialization?
         val df = spark.range(1000).toDF("x")

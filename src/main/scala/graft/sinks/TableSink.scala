@@ -268,17 +268,38 @@ object TableSink {
     require(keyCols.nonEmpty, "applyCdc needs at least one key column")
     require(delta.columns.contains(opCol), s"applyCdc: delta lacks op column $opCol")
     require(!keyCols.contains(opCol), s"applyCdc: op column $opCol cannot be a key")
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     // The op-domain check is UNCONDITIONAL (not gated by
     // checkUniqueKeys): a row whose op is neither U nor D would
     // otherwise be silently dropped by the U/D split below — data
     // loss, not a performance knob.
-    val badOp = delta.filter(!col(opCol).isin("U", "D")).limit(1).count()
-    require(badOp == 0, s"applyCdc: $opCol values must be 'U' or 'D'")
+    //
+    // Both fail-loud guards run in ONE aggregate action (they were two,
+    // i.e. two full executions of the delta lineage per batch — at
+    // scale the delta is often itself an expensive pipeline). The
+    // shuffled bytes are the same as the old duplicate-key check alone:
+    // (key, n, badop) per distinct key, map-side combined. Predicate
+    // semantics are unchanged: a NULL op lands in the otherwise-0
+    // branch exactly as the old `filter` dropped it, and when both
+    // violations exist the op-domain error still wins (its old check
+    // ran first) via the badop-first ordering over the — normally
+    // empty — violating groups.
+    val badOpFlag = sum(when(!col(opCol).isin("U", "D"), 1).otherwise(0))
     if (checkUniqueKeys) {
-      val dup = delta.groupBy(keyCols.map(delta(_)): _*)
-        .agg(count(lit(1)).as("__n")).filter("__n > 1").limit(1).count()
-      require(dup == 0, s"applyCdc: delta has duplicate keys on ${keyCols.mkString(",")}")
+      val viol = delta.groupBy(keyCols.map(delta(_)): _*)
+        .agg(count(lit(1)).as("__n"), badOpFlag.as("__badop"))
+        .filter(col("__n") > 1 || col("__badop") > 0)
+        .orderBy(col("__badop").desc)
+        .limit(1).collect()
+      viol.headOption.foreach { r =>
+        require(r.getLong(r.fieldIndex("__badop")) == 0,
+          s"applyCdc: $opCol values must be 'U' or 'D'")
+        throw new IllegalArgumentException(
+          s"requirement failed: applyCdc: delta has duplicate keys on ${keyCols.mkString(",")}")
+      }
+    } else {
+      val badOp = delta.filter(!col(opCol).isin("U", "D")).limit(1).count()
+      require(badOp == 0, s"applyCdc: $opCol values must be 'U' or 'D'")
     }
     val ups0 = delta.filter(col(opCol) === "U").drop(opCol)
     // D wins over a same-key U within one batch (class doc): only

@@ -274,6 +274,30 @@ class TableSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("applyCdc fused guard: op-domain error wins when both violations exist") {
+    // The two fail-loud guards run as one aggregate pass (r20); when a
+    // batch carries BOTH a bad op and a duplicate key, the op-domain
+    // refusal must still fire first (its standalone check used to run
+    // before the dup check), and the duplicate-key message must still
+    // surface when the ops are clean.
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cdcf"
+    TableSink.applyCdc(spark, dir,
+      Seq((1L, "a", "U")).toDF("k", "v", "_op"), Seq("k"))
+    val both = intercept[IllegalArgumentException] {
+      TableSink.applyCdc(spark, dir,
+        Seq((5L, "e", "X"), (6L, "f", "U"), (6L, "g", "U"))
+          .toDF("k", "v", "_op"), Seq("k"))
+    }
+    assert(both.getMessage.contains("must be 'U' or 'D'"), both.getMessage)
+    val dup = intercept[IllegalArgumentException] {
+      TableSink.applyCdc(spark, dir,
+        Seq((6L, "f", "U"), (6L, "g", "D")).toDF("k", "v", "_op"), Seq("k"))
+    }
+    assert(dup.getMessage.contains("duplicate keys"), dup.getMessage)
+    // failed batches must not have touched the table
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("applyCdc with the uniqueness check waived: intra-batch U+D, D wins") {
     val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/cdcd"
     TableSink.applyCdc(spark, dir,
