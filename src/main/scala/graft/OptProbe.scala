@@ -116,6 +116,20 @@ object OptProbe {
           Thread.sleep(1500) // listener bus is async; settle before reading
           println(s"PROBE jobcount $q: ${jobs.get() - before} jobs")
         }
+      case "aqeplan" =>
+        // r20: print the AQE FINAL plan (post-execution) of a named
+        // query — `explain` shows only the initial plan, and exchange
+        // reuse materializes at runtime. Usage:
+        //   runMain graft.OptProbe <sfDir> aqeplan <query>
+        args.drop(2).foreach { q =>
+          val df = SparkEntry.queries(q)(spark, dir)
+          df.collect(): Unit
+          val plan = df.queryExecution.executedPlan.toString
+          val reused = "ReusedExchange".r.findAllIn(plan).length
+          val scans = "Scan parquet".r.findAllIn(plan).length
+          println(s"PROBE aqeplan $q: ReusedExchange=$reused scans=$scans")
+          println(plan.linesIterator.take(120).mkString("\n"))
+        }
       case "obscheck" =>
         // does an Observation fire on a localCheckpoint materialization?
         val df = spark.range(1000).toDF("x")
