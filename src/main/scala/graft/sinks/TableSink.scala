@@ -186,10 +186,7 @@ object TableSink {
       s"upsertVersioned: delta lacks version column $versionCol")
     require(!keyCols.contains(versionCol),
       s"upsertVersioned: version column $versionCol cannot be a key")
-    import org.apache.spark.sql.functions.{col, max, min, struct}
-    // a NULL version can neither win nor lose deterministically
-    require(delta.filter(col(versionCol).isNull).limit(1).count() == 0,
-      s"upsertVersioned: NULL $versionCol in delta")
+    import org.apache.spark.sql.functions.{col, max, min, struct, when}
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all =
@@ -215,17 +212,36 @@ object TableSink {
     val payload = all.columns.filterNot(keyCols.contains)
     val v = col(versionCol).cast("long")
     val rowStruct = struct(payload.map(col): _*)
+    // The NULL-version guard (a NULL can neither win nor lose
+    // deterministically) rides this same aggregate as a per-key flag
+    // instead of its own full pass over the delta (r20, guide §1.2 —
+    // the applyCdc guard-fusion argument): one action runs both
+    // fail-loud checks, still strictly BEFORE any write. The flag is
+    // checked FIRST — with a NULL in play the struct comparators'
+    // null ordering is meaningless, so no conflict verdict is read
+    // until null-freeness is established; coverage is now current ∪
+    // delta, which is delta-only by induction through this API (every
+    // prior write was guarded) and additionally refuses a hand-written
+    // table row carrying a NULL version instead of silently
+    // mis-merging it.
     val merged = all
       .groupBy(keyCs: _*)
       .agg(
         max(struct(v.as("__v"), rowStruct.as("__row"))).as("__hi"),
-        min(struct((-v).as("__nv"), rowStruct.as("__row"))).as("__lo"))
-    val conflicted = merged
-      .filter(col("__hi.__row") =!= col("__lo.__row")).limit(1).count()
-    require(conflicted == 0,
-      s"upsertVersioned: conflicting payloads tied at the winning " +
-        s"($versionCol) version for some key on ${keyCols.mkString(",")} " +
-        "— ties must not be silently resolved")
+        min(struct((-v).as("__nv"), rowStruct.as("__row"))).as("__lo"),
+        max(when(v.isNull, 1).otherwise(0)).as("__nullv"))
+    val viol = merged
+      .filter(col("__nullv") > 0 || col("__hi.__row") =!= col("__lo.__row"))
+      .orderBy(col("__nullv").desc)
+      .limit(1).select(col("__nullv")).collect()
+    viol.headOption.foreach { r =>
+      require(r.getInt(0) == 0,
+        s"upsertVersioned: NULL $versionCol in delta or current table")
+      throw new IllegalArgumentException(
+        s"requirement failed: upsertVersioned: conflicting payloads tied at the winning " +
+          s"($versionCol) version for some key on ${keyCols.mkString(",")} " +
+          "— ties must not be silently resolved")
+    }
     val resolved = merged.select(
       keyCs ++ payload.map(c => col(s"__hi.__row.$c").as(c)): _*)
     if (!fs.exists(hPath))

@@ -213,6 +213,30 @@ class TableSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertVersioned fused NULL guard: NULL error wins over a conflict tie") {
+    // The NULL-version guard rides the merge aggregate (r20); with a
+    // NULL in play the struct comparators' ordering is meaningless, so
+    // the NULL refusal must fire FIRST — whether the batch also
+    // carries a genuine winning-version conflict (key 1 below) or the
+    // NULL row itself is what the comparators would flag or mis-rank.
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/vn"
+    val both = intercept[IllegalArgumentException] {
+      TableSink.upsertVersioned(spark, dir,
+        Seq((1L, Some("x"), Some(50L)), (1L, Some("y"), Some(50L)),
+          (2L, Some("z"), None: Option[Long])).toDF("k", "v", "ver"),
+        Seq("k"), "ver")
+    }
+    assert(both.getMessage.contains("NULL"), both.getMessage)
+    val equalPayload = intercept[IllegalArgumentException] {
+      TableSink.upsertVersioned(spark, dir,
+        Seq((1L, Some("a"), Some(5L)), (1L, Some("a"), None: Option[Long]))
+          .toDF("k", "v", "ver"), Seq("k"), "ver")
+    }
+    assert(equalPayload.getMessage.contains("NULL"), equalPayload.getMessage)
+    // failed batches must not have created the table
+    assert(!new java.io.File(dir).exists())
+  }
+
   // --- applyCdc -------------------------------------------------------------
 
   test("applyCdc upserts, deletes, and re-inserts across batches") {
